@@ -1,0 +1,479 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Core relational operator set — the reference's complete query surface
+  * (SURVEY.md §2) re-expressed Spark-first over the driver testdata tables.
+  *
+  * Each query has a paired DuckDB oracle (`oracleSql`) run by the driver on
+  * the same parquet; column names are aliased identically on both sides.
+  *
+  * Float determinism: Spark and DuckDB may sum doubles in different orders,
+  * so every aggregated money/quantity column is cast to an exact DECIMAL
+  * before SUM and back to DOUBLE after — both engines then compute the same
+  * exact value regardless of partitioning. This also models the reference's
+  * own DECIMAL money semantics (`init-db.sql:29-30`, Trino DECIMAL(13,2)
+  * dataset columns).
+  *
+  * Scale notes are inline per query; the common themes:
+  *   - dimension joins (`nation`, `region`, per-key aggregates of bounded
+  *     cardinality) are explicitly `broadcast()` — no shuffle of the fact;
+  *   - fact-fact joins shuffle on the join key once and reuse it;
+  *   - aggregates are partial+final hash aggregates (map-side combine), so
+  *     shuffle volume is `O(groups)`, not `O(rows)`;
+  *   - top-k is `TakeOrderedAndProject` (per-partition heap + driver merge),
+  *     never a global sort.
+  */
+object Relational {
+
+  private def D(c: Column, p: Int = 18, s: Int = 2): Column =
+    c.cast(s"decimal($p,$s)")
+
+  // ---------------------------------------------------------------------------
+  // P1-P4 + P17: CDC-style JSON field extraction, casts, null-rejecting filter
+  // (ref: spark/SaveDelta.scala:134-149 — get_json_object per column + cast +
+  //  filter(id is not null); timestamp formatting sport_generation.py:198).
+  // Scale: single narrow projection stage, whole-stage codegen, no shuffle;
+  // one JSON parse per row (the reference parsed 7×).
+  // ---------------------------------------------------------------------------
+  def cdcExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(
+        $"event_id", $"user_id",
+        get_json_object($"props", "$.k").cast("int").as("k"),
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        $"value".cast("double").as("value"))
+      .filter($"event_id".isNotNull && $"k".isNotNull)
+  }
+  val cdcExtractSql: String =
+    """SELECT event_id, user_id,
+      |       CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k,
+      |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+      |       CAST(value AS DOUBLE) AS value
+      |FROM events
+      |WHERE event_id IS NOT NULL
+      |  AND CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) IS NOT NULL
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // P3: epoch-microseconds <-> timestamp conversion
+  // (ref: spark/SaveDelta.scala:143 — from_unixtime(cast(x as long)/1000000)).
+  // ---------------------------------------------------------------------------
+  def epochMicros(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(
+        $"event_id",
+        unix_micros($"ts").as("epoch_us"),
+        expr("unix_micros(ts) div 1000000").as("epoch_s"),
+        from_unixtime(expr("unix_micros(ts) div 1000000"),
+          "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+  }
+  val epochMicrosSql: String =
+    """SELECT event_id,
+      |       epoch_us(CAST(ts AS TIMESTAMP)) AS epoch_us,
+      |       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s,
+      |       strftime(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) * 1000000),
+      |                '%Y-%m-%d %H:%M:%S') AS ts_str
+      |FROM events
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A1: group-by count + mean per key
+  // (ref: airflow/config/read_delta.py:123-127 — activities per employee:
+  //  count(id_employee) AS count_activity, avg(activity_duration)).
+  // Scale: partial+final hash aggregate; shuffle carries one row per customer,
+  // not per order. Mean computed as exact-decimal sum / count for determinism.
+  // ---------------------------------------------------------------------------
+  def aggCountAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("count_orders"),
+        (sum(D($"o_totalprice")).cast("double") / count(lit(1))).as("mean_price"))
+  }
+  val aggCountAvgSql: String =
+    """SELECT o_custkey, count(*) AS count_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_price
+      |FROM orders GROUP BY o_custkey
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A2: group-by count, order desc, limit (top-k)
+  // (ref: spark/SaveDelta.scala:236-242 — top-5 sport_type by count).
+  // Scale: TakeOrderedAndProject — per-partition heaps, driver merges k rows;
+  // no global sort. Tie-broken on the key so the result set is deterministic.
+  // ---------------------------------------------------------------------------
+  def topkGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("event_type"))
+      .limit(5)
+  }
+  val topkGroupSql: String =
+    """SELECT event_type, count(*) AS cnt FROM events
+      |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 5
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // J1: inner equi-join fact x dim x dim
+  // (ref: read_delta.py:280 — employees JOIN commute_validations USING
+  //  (id_employee); manual column pruning read_delta.py:261 = the select here).
+  // Scale: both dims broadcast (25 / 5 rows; at 100 TB still < 10 MB) — zero
+  // shuffle of the 15k..150M-row customer side.
+  // ---------------------------------------------------------------------------
+  def joinInner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"c_name", $"n_name".as("nation"), $"r_name".as("region"))
+  }
+  val joinInnerSql: String =
+    """SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // J2 + A1: left outer join dim x aggregated fact — keeps customers with zero
+  // orders as NULL count/mean (ref: read_delta.py:285; SURVEY §7.4 risk 1).
+  // Scale: the aggregate output is |customers|-sized; joined on the same key
+  // the aggregation shuffled on, so AQE can plan it shuffle-free; for a
+  // truly huge dim this is a co-partitioned sort-merge join, no extra pass.
+  // ---------------------------------------------------------------------------
+  def joinLeftAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("count_orders"),
+        (sum(D($"o_totalprice")).cast("double") / count(lit(1))).as("mean_price"))
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      .join(agg, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment", $"count_orders", $"mean_price")
+  }
+  val joinLeftAggSql: String =
+    """SELECT c_custkey, c_acctbal, c_mktsegment, count_orders, mean_price
+      |FROM customer
+      |LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS count_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_price
+      |  FROM orders GROUP BY o_custkey
+      |) a ON c_custkey = o_custkey
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Flagship: the README bonus query (ref: README.md:141-164, Superset virtual
+  // dataset SQL) — CTE prime + self-join, CASE bonus (P7), CASE threshold with
+  // NULL->false (P8), arithmetic total (P9), ROUND half-up (P10), on top of
+  // the A1 aggregate and J1/J2 joins. One query exercising most of §2.
+  // Scale: one shuffle (the per-customer aggregate); the prime CTE join is on
+  // the same key — kept as a join for fidelity to the reference SQL, though it
+  // is semantically a projection; Catalyst executes it as a cheap same-key
+  // join of two |customer|-sized sides.
+  // ---------------------------------------------------------------------------
+  def flagshipBonus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("count_activity"),
+        (sum(D($"o_totalprice")).cast("double") / count(lit(1))).as("mean_price"))
+    val fin = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment", $"c_nationkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(agg, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment",
+        $"n_name".as("nation"), ($"c_acctbal" >= 0).as("is_valid"),
+        $"count_activity", $"mean_price")
+    val prime = fin.select($"c_custkey".as("p_custkey"),
+      when($"is_valid",
+        round(D($"c_acctbal", 12) * lit(new java.math.BigDecimal("0.05")), 2)
+          .cast("double"))
+        .otherwise(lit(0.0)).as("commute_prime"))
+    fin.join(prime, $"c_custkey" === $"p_custkey")
+      .select(
+        $"c_custkey", $"c_acctbal", $"c_mktsegment", $"nation",
+        $"is_valid".as("commute_valid"),
+        when($"count_activity" >= 15, lit(true)).otherwise(lit(false))
+          .as("is_valid_activities"),
+        $"count_activity", $"mean_price", $"commute_prime",
+        (D($"c_acctbal", 12) + D($"commute_prime", 13)).cast("double")
+          .as("total"))
+  }
+  val flagshipBonusSql: String =
+    """WITH agg AS (
+      |  SELECT o_custkey, count(*) AS count_activity,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_price
+      |  FROM orders GROUP BY o_custkey
+      |),
+      |final AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment, n_name AS nation,
+      |         (c_acctbal >= 0) AS is_valid, count_activity, mean_price
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  LEFT JOIN agg ON o_custkey = c_custkey
+      |),
+      |prime AS (
+      |  SELECT c_custkey AS p_custkey,
+      |         CASE WHEN is_valid
+      |              THEN CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)) * 0.05, 2) AS DOUBLE)
+      |              ELSE CAST(0 AS DOUBLE) END AS commute_prime
+      |  FROM final
+      |)
+      |SELECT f.c_custkey, f.c_acctbal, f.c_mktsegment, f.nation,
+      |       f.is_valid AS commute_valid,
+      |       CASE WHEN f.count_activity >= 15 THEN true ELSE false END AS is_valid_activities,
+      |       f.count_activity, f.mean_price, p.commute_prime,
+      |       CAST(CAST(f.c_acctbal AS DECIMAL(12,2)) + CAST(p.commute_prime AS DECIMAL(13,2)) AS DOUBLE) AS total
+      |FROM final f JOIN prime p ON f.c_custkey = p.p_custkey
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // P11: conditional column masking — the employees_masked security view
+  // (ref: init-scripts/init-db.sql:74-89 — CASE WHEN current_user =
+  //  'sportadvantagebiuser' THEN NULL ELSE first_name END). The session role
+  // is an engine parameter (`graft.mask.biuser`, default true = masked, the
+  // analytics-role behavior the batch job reads, read_delta.py:258).
+  // ---------------------------------------------------------------------------
+  def maskedView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val isBi = s.conf.get("graft.mask.biuser", "true").toBoolean
+    def mask(c: Column): Column =
+      when(lit(isBi), lit(null).cast("string")).otherwise(c)
+    Tables.customer(s, dir)
+      .select($"c_custkey", mask($"c_name").as("c_name"),
+        $"c_nationkey", $"c_acctbal", mask($"c_mktsegment").as("c_mktsegment"))
+  }
+  val maskedViewSql: String =
+    """SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_nationkey,
+      |       c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+      |FROM customer
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // P12-P14: threshold validation with set-membership and interpolated error
+  // message (ref: commute_validation/commute_validation.py:15-18,84-112 —
+  // TRANSPORT_LIMITS per mode, "non sportif" rejection, "Distance (x) >
+  // limite (y)" message). Segments stand in for transport modes; acctbal for
+  // the computed distance. Pure codegen'd row-local expressions — no shuffle.
+  // ---------------------------------------------------------------------------
+  private val sportySegs = Seq("AUTOMOBILE", "BUILDING")
+  def validateThreshold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lim = when($"c_mktsegment" === "AUTOMOBILE", lit(5000)).otherwise(lit(7500))
+    val dist = D($"c_acctbal", 12)
+    Tables.customer(s, dir).select(
+      $"c_custkey", $"c_mktsegment".as("transport_mode"),
+      dist.cast("double").as("calculed_distance"),
+      when(!$"c_mktsegment".isin(sportySegs: _*), lit(false))
+        .when($"c_acctbal" <= lim, lit(true)).otherwise(lit(false)).as("is_valid"),
+      when(!$"c_mktsegment".isin(sportySegs: _*),
+        concat(lit("Mode de transport '"), $"c_mktsegment", lit("' non sportif")))
+        .when($"c_acctbal" <= lim, lit(null).cast("string"))
+        .otherwise(concat(lit("Distance ("), dist.cast("string"),
+          lit(" m) > limite ("), lim.cast("string"), lit(" m)")))
+        .as("error_message"))
+  }
+  val validateThresholdSql: String =
+    """SELECT c_custkey, c_mktsegment AS transport_mode,
+      |       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS calculed_distance,
+      |       CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING') THEN false
+      |            WHEN c_acctbal <= (CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 5000 ELSE 7500 END) THEN true
+      |            ELSE false END AS is_valid,
+      |       CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING')
+      |              THEN 'Mode de transport ''' || c_mktsegment || ''' non sportif'
+      |            WHEN c_acctbal <= (CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 5000 ELSE 7500 END)
+      |              THEN CAST(NULL AS VARCHAR)
+      |            ELSE 'Distance (' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+      |                 || ' m) > limite ('
+      |                 || CAST((CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 5000 ELSE 7500 END) AS VARCHAR)
+      |                 || ' m)' END AS error_message
+      |FROM customer
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // J4: FK-integrity as anti-join (ref: init-db.sql:34,48 FOREIGN KEY — Spark
+  // doesn't enforce constraints; the declarative check is a left_anti join).
+  // Scale: null-aware not needed (keys non-null); broadcast-able when the
+  // violating side's key set is small; else shuffled hash anti-join.
+  // ---------------------------------------------------------------------------
+  def antiFk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter($"o_orderstatus" === "P").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+  val antiFkSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |""".stripMargin
+
+  /** Semi-join (EXISTS) companion of J4. */
+  def semiExists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter($"o_orderstatus" === "F").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey")
+  }
+  val semiExistsSql: String =
+    """SELECT c_custkey FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // §2.8: Great-Expectations-style data-quality checks as ONE aggregation pass
+  // (ref: airflow/dags/data_validation_dag.py:306-320 — 2 not-null + 2 range
+  // expectations; executed as sum(CASE WHEN violated)). At 100 TB this is a
+  // single scan + scalar aggregate — the cheapest possible full-table audit.
+  // ---------------------------------------------------------------------------
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def violations(c: Column): Column =
+      sum(when(c, lit(1)).otherwise(lit(0))).cast("long")
+    Tables.events(s, dir).agg(
+      count(lit(1)).as("total_rows"),
+      violations($"ts".isNull).as("null_ts"),
+      violations($"event_type".isNull).as("null_event_type"),
+      violations($"value" < 0).as("negative_value"),
+      violations($"value".isNotNull && $"value" < 0).as("negative_nonnull_value"))
+  }
+  val expectationsSql: String =
+    """SELECT count(*) AS total_rows,
+      |       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+      |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+      |       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value,
+      |       CAST(sum(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_nonnull_value
+      |FROM events
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A4: dashboard big-number totals (ref: Superset slices "Salaire annuel avec
+  // prime" etc. — SUM over the analytics dataset). Exact-decimal sums.
+  // ---------------------------------------------------------------------------
+  def sumMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).agg(
+      sum(D($"l_extendedprice") * (lit(new java.math.BigDecimal(1)) - D($"l_discount", 8)))
+        .cast("double").as("revenue"),
+      sum(D($"l_quantity")).cast("double").as("sum_qty"),
+      count(lit(1)).as("cnt"))
+  }
+  val sumMetricsSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A5: COUNT(*) grouped by boolean flag (ref: Superset pie charts — count by
+  // commute_valid / is_valid_activities).
+  // ---------------------------------------------------------------------------
+  def countByFlag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(($"o_orderstatus" === "F").as("is_final"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+  val countByFlagSql: String =
+    """SELECT (o_orderstatus = 'F') AS is_final, count(*) AS cnt
+      |FROM orders GROUP BY 1
+      |""".stripMargin
+
+  // A3: scalar COUNT(*) (ref: sql_manipulation.py:75, SaveDelta.scala:212 ...).
+  def countStar(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt"))
+  val countStarSql: String = "SELECT count(*) AS cnt FROM lineitem"
+
+  // ---------------------------------------------------------------------------
+  // A6-analogue + bench workhorse: multi-aggregate pricing summary over the
+  // fact table (count/sum/mean per flag pair — the reference's dashboard
+  // aggregate shapes, Superset treemap/big-number, at lineitem scale).
+  // Scale: classic partial+final hash agg with tiny group count; shuffle is
+  // 6 rows x 32 partitions. Whole plan is one codegen stage over the scan.
+  // ---------------------------------------------------------------------------
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val one = lit(new java.math.BigDecimal(1))
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(D($"l_quantity")).cast("double").as("sum_qty"),
+        sum(D($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(D($"l_extendedprice") * (one - D($"l_discount", 8))).cast("double")
+          .as("sum_disc_price"),
+        sum(D($"l_extendedprice") * (one - D($"l_discount", 8)) * (one + D($"l_tax", 8)))
+          .cast("double").as("sum_charge"),
+        (sum(D($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(D($"l_discount", 8)).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus
+      |""".stripMargin
+
+  /** queries + oracle pairs exported to SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_extract"    -> cdcExtract _,
+    "q_epoch_micros"   -> epochMicros _,
+    "q_agg_count_avg"  -> aggCountAvg _,
+    "q_topk_group"     -> topkGroup _,
+    "q_join_inner"     -> joinInner _,
+    "q_join_left_agg"  -> joinLeftAgg _,
+    "q_flagship_bonus" -> flagshipBonus _,
+    "q_masked_view"    -> maskedView _,
+    "q_validate_threshold" -> validateThreshold _,
+    "q_anti_fk"        -> antiFk _,
+    "q_semi_exists"    -> semiExists _,
+    "q_expectations"   -> expectations _,
+    "q_sum_metrics"    -> sumMetrics _,
+    "q_count_by_flag"  -> countByFlag _,
+    "q_count_star"     -> countStar _,
+    "q_pricing_summary" -> pricingSummary _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cdc_extract"    -> cdcExtractSql,
+    "q_epoch_micros"   -> epochMicrosSql,
+    "q_agg_count_avg"  -> aggCountAvgSql,
+    "q_topk_group"     -> topkGroupSql,
+    "q_join_inner"     -> joinInnerSql,
+    "q_join_left_agg"  -> joinLeftAggSql,
+    "q_flagship_bonus" -> flagshipBonusSql,
+    "q_masked_view"    -> maskedViewSql,
+    "q_validate_threshold" -> validateThresholdSql,
+    "q_anti_fk"        -> antiFkSql,
+    "q_semi_exists"    -> semiExistsSql,
+    "q_expectations"   -> expectationsSql,
+    "q_sum_metrics"    -> sumMetricsSql,
+    "q_count_by_flag"  -> countByFlagSql,
+    "q_count_star"     -> countStarSql,
+    "q_pricing_summary" -> pricingSummarySql,
+  )
+}

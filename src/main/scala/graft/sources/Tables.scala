@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver testdata star schema (TESTDATA.md).
+  *
+  * Batch-scan analogue of the reference's source operators (SURVEY §2.1):
+  * Delta batch scan (`airflow/config/read_delta.py:51`) and JDBC scan
+  * (`read_delta.py:87-103`) both become columnar parquet scans here; Catalyst
+  * pushes filters and prunes columns into the scan, so callers should select
+  * only what they need (the reference does this manually at
+  * `read_delta.py:261`).
+  *
+  * Scale note: at 100 TB these would be partitioned/bucketed table reads; the
+  * API stays the same (`spark.read.parquet` on a directory of files), and all
+  * downstream operators are written against the declarative plan, so the move
+  * from one file to 10k files is a storage-layout change only.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses to
+    * read as a timestamp; sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * and we truncate ns→µs here (floor division — same truncation DuckDB
+    * applies on `CAST(ts_ns AS TIMESTAMP)`, verified, so oracles agree). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: ns epochs (~1.7e18) exceed double's exact
+        // integer range, so double division would corrupt low microseconds.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

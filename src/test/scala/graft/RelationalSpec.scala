@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import graft.operators.Relational
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and every oracle key exists in queries") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("flagship: zero-order customers get commute_prime and false threshold, not NULL") {
+    import spark.implicits._
+    val df = Relational.flagshipBonus(spark, sf).cache()
+    val noOrders = df.filter($"count_activity".isNull)
+    // P8 semantics: NULL count (left-join miss) must land in the false branch
+    assert(noOrders.filter($"is_valid_activities" =!= false).count() == 0)
+    // P7: prime is never NULL
+    assert(df.filter($"commute_prime".isNull).count() == 0)
+    df.unpersist()
+  }
+
+  test("masked view nulls name and segment but keeps keys") {
+    import spark.implicits._
+    val m = Relational.maskedView(spark, sf)
+    assert(m.filter($"c_name".isNotNull || $"c_mktsegment".isNotNull).count() == 0)
+    assert(m.filter($"c_custkey".isNull).count() == 0)
+  }
+
+  test("validation error messages appear only on invalid rows") {
+    import spark.implicits._
+    val v = Relational.validateThreshold(spark, sf).cache()
+    assert(v.filter($"is_valid" && $"error_message".isNotNull).count() == 0)
+    assert(v.filter(!$"is_valid" && $"error_message".isNull).count() == 0)
+    v.unpersist()
+  }
+
+  test("expectations find no violations in clean testdata") {
+    val row = Relational.expectations(spark, sf).collect()(0)
+    assert(row.getAs[Long]("null_ts") == 0L)
+    assert(row.getAs[Long]("null_event_type") == 0L)
+  }
+
+  test("topk returns at most 5 deterministic groups") {
+    val rows = Relational.topkGroup(spark, sf).collect()
+    assert(rows.length <= 5)
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.sameElements(counts.sorted.reverse))
+  }
+}
