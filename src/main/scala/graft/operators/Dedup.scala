@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` (builder mandate: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard — the LLM-training-data pipeline
+  * family).
+  *
+  * Scale design (the whole point of MinHash/LSH): the naive near-dup join is
+  * O(n²) pairs — dead at 100 TB. Here every doc is reduced to k=8 MinHash
+  * signatures (one scan, codegen'd), hashed into 4 LSH bands, and only
+  * documents sharing a band bucket are pair-joined — the shuffle is on
+  * `(band_id, band_key)` and the candidate set is ~|near-dup pairs|, not n².
+  * With sig k=8 / 4 bands of 2: P(candidate | J=0.8) ≈ 98%, P | J=0.3 ≈ 31%.
+  * Exact Jaccard verification runs only on candidates.
+  *
+  * All hashes are md5-derived so the DuckDB oracle computes bit-identical
+  * signatures; no RNG anywhere (seeds are the literal band indices).
+  */
+object Dedup {
+
+  private val toksExpr = "split(trim(text), '\\\\s+')"
+  private val toksDuck = "string_split_regex(trim(text), '\\s+')"
+
+  /** Distinct word-3-gram shingles (Spark SQL fragment over `toks`). */
+  // NB: guard short docs — Spark's sequence(1, 0) yields a DESCENDING [1, 0],
+  // not an empty array, so the size<3 case must short-circuit.
+  private val shinglesExpr =
+    "if(size(toks) < 3, array(), array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))))"
+  private val shinglesDuck =
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
+
+  private val K = 8 // minhash signatures; 4 LSH bands of 2 rows
+
+  private def sigExprSpark(i: Int): String =
+    s"array_min(transform(sh, x -> md5(cast(concat('$i|', x) as binary)))) AS sig$i"
+  private def sigExprDuck(i: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS sig$i"
+
+  // ---------------------------------------------------------------------------
+  // Exact dedup: hash-groupBy on content hash; keeps the lowest doc_id.
+  // Scale: one shuffle on the 128-bit content hash — the standard exact-dedup
+  // pass over a 100 TB corpus (hash is computed in the scan, the shuffle
+  // carries (hash, id) pairs only, not the text).
+  // ---------------------------------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(md5($"text".cast("binary")).as("content_hash"), $"doc_id")
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY md5(text)
+      |""".stripMargin
+
+  /** Normalized exact dedup: lowercase + whitespace-collapse before hashing. */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+    Tables.documents(s, dir)
+      .select(md5(norm.cast("binary")).as("content_hash"), $"doc_id")
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+  val dedupNormalizedSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      |       min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // MinHash signatures: k=8 md5-seeded min-hashes over word-3-gram shingles.
+  // ---------------------------------------------------------------------------
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("sh", expr(shinglesExpr))
+      .selectExpr(Seq("doc_id") ++ (0 until K).map(sigExprSpark): _*)
+  }
+  val minhashSignaturesSql: String = {
+    val sigs = (0 until K).map(sigExprDuck).mkString(",\n       ")
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesDuck AS sh FROM tok)
+       |SELECT doc_id,
+       |       $sigs
+       |FROM sh
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // MinHash + LSH near-dup pairs, exact-Jaccard-verified at >= 0.8.
+  // Plan shape: scan -> signatures -> explode 4 bands -> shuffle on band key
+  // -> self-join within buckets -> distinct pairs -> join shingle sets back
+  // -> exact Jaccard filter. The only O(pairs) work happens after LSH.
+  // ---------------------------------------------------------------------------
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, dir, threshold = 0.8)
+
+  /** n-gram Jaccard similarity join (same LSH prefilter, lower threshold —
+    * reported with the similarity value for downstream graph clustering). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, dir, threshold = 0.3)
+
+  private def lshPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    val sig = minhashSignatures(s, dir)
+    val bands = sig.selectExpr("doc_id",
+      "stack(4, 0, concat(sig0, sig1), 1, concat(sig2, sig3), 2, concat(sig4, sig5), 3, concat(sig6, sig7)) AS (band_id, band_key)")
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val shingleSets = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", s"$shinglesExpr AS sh")
+    candidates
+      .join(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(shingleSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b)) AS jaccard")
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  private def lshPairsSql(threshold: Double): String = {
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_id, sig${2 * b} || sig${2 * b + 1} AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |shs AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
+       |sig AS (SELECT doc_id,
+       |       ${(0 until K).map(sigExprDuck).mkString(",\n       ")}
+       |FROM shs),
+       |bands AS (
+       |  $bandRows
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+       |FROM cand
+       |JOIN shs sa ON sa.doc_id = doc_a
+       |JOIN shs sb ON sb.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |         / len(list_distinct(list_concat(sa.sh, sb.sh))) >= $threshold
+       |""".stripMargin
+  }
+  val dedupMinhashLshSql: String = lshPairsSql(0.8)
+  val ngramJaccardSql: String = lshPairsSql(0.3)
+
+  // ---------------------------------------------------------------------------
+  // SimHash: 16-bit token-frequency simhash (per-bit majority vote over
+  // md5-derived token hashes). One scan, no shuffle; near-dup = small
+  // Hamming distance. (64-bit production variant would use a native
+  // Expression; 16 bits keeps the oracle SQL tractable.)
+  // ---------------------------------------------------------------------------
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val bits = (0 until 16).map { b =>
+      val m = 1 << b
+      s"(CASE WHEN 2 * size(filter(th, h -> (h & $m) != 0)) > size(th) THEN $m ELSE 0 END)"
+    }.mkString(" + ")
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("th",
+        expr("transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 4), 16, 10) as int))"))
+      .selectExpr("doc_id", s"($bits) AS simhash16")
+  }
+  val simhashSql: String = {
+    val bits = (0 until 16).map { b =>
+      val m = 1 << b
+      s"(CASE WHEN 2 * len(list_filter(th, h -> (h & $m) != 0)) > len(th) THEN $m ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |th AS (SELECT doc_id, list_transform(toks, t -> (('0x' || substr(md5(t), 1, 4))::INT)) AS th FROM tok)
+       |SELECT doc_id, ($bits) AS simhash16
+       |FROM th
+       |""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"       -> dedupExact _,
+    "q_dedup_normalized"  -> dedupNormalized _,
+    "q_minhash_sig"       -> minhashSignatures _,
+    "q_dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "q_ngram_jaccard"     -> ngramJaccard _,
+    "q_simhash"           -> simhash _,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact"       -> dedupExactSql,
+    "q_dedup_normalized"  -> dedupNormalizedSql,
+    "q_minhash_sig"       -> minhashSignaturesSql,
+    "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "q_ngram_jaccard"     -> ngramJaccardSql,
+    "q_simhash"           -> simhashSql,
+  )
+}

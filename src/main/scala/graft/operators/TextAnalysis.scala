@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for the training-data pipeline over `documents`
+  * (builder mandate: language-ID, quality scoring, token counting, document
+  * fingerprinting — first-class alongside SURVEY §2).
+  *
+  * All of these are narrow per-row expressions (no UDFs): tokenization,
+  * higher-order array ops, and hashes run inside whole-stage codegen in a
+  * single scan stage — at 100 TB each is one pass, embarrassingly parallel,
+  * no shuffle. Oracles use the DuckDB list/lambda equivalents; value
+  * determinism comes from integer/string ops plus single IEEE-double
+  * divisions (identical operation order on both engines).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text — `split(trim(text), '\s+')`. */
+  private val toksExpr = "split(trim(text), '\\\\s+')"
+  private val toksDuck = "string_split_regex(trim(text), '\\s+')"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ",", ")")
+
+  // ---------------------------------------------------------------------------
+  // Token counting + quality scoring (length/stopword ratios).
+  // ---------------------------------------------------------------------------
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr(
+        "doc_id",
+        "length(text) AS n_chars_actual",
+        "size(toks) AS n_tokens",
+        "cast(aggregate(transform(toks, t -> length(t)), 0, (a, b) -> a + b) as double) / size(toks) AS avg_token_len",
+        s"cast(size(filter(toks, t -> t in ${inList(stopwords)})) as double) / size(toks) AS stopword_ratio",
+        s"(size(toks) >= 15 AND cast(size(filter(toks, t -> t in ${inList(stopwords)})) as double) / size(toks) <= 0.5) AS is_quality",
+        s"least(cast(1.0 as double), cast(size(toks) as double) / 50.0) * (cast(1.0 as double) - cast(size(filter(toks, t -> t in ${inList(stopwords)})) as double) / size(toks)) AS quality_score")
+  }
+  val textStatsSql: String = {
+    val stop = inList(stopwords)
+    s"""WITH tok AS (SELECT doc_id, text, $toksDuck AS toks FROM documents)
+       |SELECT doc_id,
+       |       length(text) AS n_chars_actual,
+       |       len(toks) AS n_tokens,
+       |       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len,
+       |       CAST(len(list_filter(toks, t -> t IN $stop)) AS DOUBLE) / len(toks) AS stopword_ratio,
+       |       (len(toks) >= 15 AND CAST(len(list_filter(toks, t -> t IN $stop)) AS DOUBLE) / len(toks) <= 0.5) AS is_quality,
+       |       least(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / 50.0) * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, t -> t IN $stop)) AS DOUBLE) / len(toks)) AS quality_score
+       |FROM tok
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // Token counting: whitespace tokens + a BPE-ish regex token count
+  // (word-piece regex `\w+|[^\w\s]` — words and isolated punctuation).
+  // ---------------------------------------------------------------------------
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        s"size($toksExpr) AS ws_tokens",
+        """regexp_count(text, '\\w+|[^\\w\\s]') AS re_tokens""",
+        "length(text) AS n_chars")
+  }
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |       len($toksDuck) AS ws_tokens,
+       |       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS re_tokens,
+       |       length(text) AS n_chars
+       |FROM documents
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Language identification — marker-stopword heuristic: count tokens from
+  // per-language marker sets, argmax with fixed tie-break (en,fr,de,es).
+  // ---------------------------------------------------------------------------
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "y", "las"))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val counts = markers.map { case (l, ws) =>
+      s"size(filter(toks, t -> t in ${inList(ws)})) AS c_$l"
+    }
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr(Seq("doc_id", "lang AS lang_declared") ++ counts: _*)
+      .selectExpr("doc_id", "lang_declared",
+        """CASE WHEN c_en = 0 AND c_fr = 0 AND c_de = 0 AND c_es = 0 THEN 'unknown'
+          |     WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+          |     WHEN c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+          |     WHEN c_de >= c_es THEN 'de'
+          |     ELSE 'es' END AS lang_pred""".stripMargin)
+  }
+  val langIdSql: String = {
+    val counts = markers.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> t IN ${inList(ws)})) AS c_$l"
+    }.mkString(",\n       ")
+    s"""WITH tok AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+       |cnt AS (SELECT doc_id, lang AS lang_declared,
+       |       $counts
+       |FROM tok)
+       |SELECT doc_id, lang_declared,
+       |       CASE WHEN c_en = 0 AND c_fr = 0 AND c_de = 0 AND c_es = 0 THEN 'unknown'
+       |            WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+       |            WHEN c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+       |            WHEN c_de >= c_es THEN 'de'
+       |            ELSE 'es' END AS lang_pred
+       |FROM cnt
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // Document fingerprinting: a 60-bit md5 prefix fingerprint plus a
+  // polynomial rolling hash over the character stream (Karp-Rabin style,
+  // base 31 mod 1e9+7).
+  // ---------------------------------------------------------------------------
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        "cast(conv(substr(md5(cast(text as binary)), 1, 15), 16, 10) as bigint) AS fp_md5",
+        "aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)), cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll")
+  }
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp_md5,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+      |                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+      |FROM documents
+      |""".stripMargin
+
+  /** Dashboard-style aggregate over documents: per-language counts + sizes. */
+  def statsByLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        sum(length($"text")).cast("long").as("sum_len"))
+      .orderBy($"lang")
+  }
+  val statsByLangSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+      |FROM documents GROUP BY lang ORDER BY lang
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"    -> textStats _,
+    "q_token_count"   -> tokenCount _,
+    "q_lang_id"       -> langId _,
+    "q_fingerprint"   -> fingerprint _,
+    "q_stats_by_lang" -> statsByLang _,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats"    -> textStatsSql,
+    "q_token_count"   -> tokenCountSql,
+    "q_lang_id"       -> langIdSql,
+    "q_fingerprint"   -> fingerprintSql,
+    "q_stats_by_lang" -> statsByLangSql,
+  )
+}
