@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (builder mandate:
+  * approximate-nearest-neighbor over an `Array[Float]` column — brute-force
+  * cosine top-k as the baseline, an IVF-bucketed variant as the scale path).
+  *
+  * Scale design:
+  *   - Brute force is the correctness baseline: broadcast the (small) query
+  *     set against the corpus — one pass over the corpus, per-partition
+  *     top-k heaps (`TakeOrderedAndProject`-like via window row_number), no
+  *     corpus shuffle. O(|Q| · n · d): fine for |Q| small, dead for all-pairs.
+  *   - IVF: corpus is coarse-quantized to C centroids (cluster assignment is
+  *     one broadcast join; at 100 TB the assignment is written once as a
+  *     bucketed table partitioned by centroid_id). A query then probes only
+  *     its centroid's partition — O(n/C · d) per query and, crucially,
+  *     partition pruning on the bucketed layout means the scan itself skips
+  *     (C-1)/C of the data. Centroids here are the first C corpus vectors
+  *     (deterministic; k-means refinement would drop in without changing the
+  *     query shape).
+  *
+  * Determinism: every dot product is a left fold in index order with double
+  * accumulation on both engines (Spark `aggregate(zip_with(...))`, DuckDB
+  * `list_reduce(list_prepend(...))`) — bit-identical results, so cosine
+  * scores hash-match. Rankings tie-break on neighbor id.
+  */
+object Similarity {
+
+  private val C       = 16 // IVF centroid count
+  private val NQUERY  = 10 // benchmark query-set size: vec_id < 10
+  private val TOPK    = 5
+
+  /** Spark SQL: sequential-fold dot product of two float arrays, double acc. */
+  private def dotS(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+  /** DuckDB: the same fold, element order and accumulator type identical. */
+  private def dotD(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  // ---------------------------------------------------------------------------
+  // Vector stats: dimension, L2 norm, component mean — one codegen'd pass.
+  // ---------------------------------------------------------------------------
+  def embedNorms(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .selectExpr(
+        "vec_id", "label",
+        "size(embedding) AS dim",
+        s"sqrt(${dotS("embedding", "embedding")}) AS norm_l2",
+        s"aggregate(embedding, cast(0.0 as double), (acc, v) -> acc + cast(v as double)) / size(embedding) AS mean_val")
+  }
+  val embedNormsSql: String =
+    s"""SELECT vec_id, label,
+       |       len(embedding) AS dim,
+       |       sqrt(${dotD("embedding", "embedding")}) AS norm_l2,
+       |       list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, v -> v::DOUBLE)), (acc, v) -> acc + v) / len(embedding) AS mean_val
+       |FROM embeddings
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Brute-force cosine top-k: the exact baseline every ANN variant is
+  // measured against. Query set (vec_id < NQUERY) is broadcast; the corpus
+  // streams through one stage computing cosine + a per-query top-k.
+  // ---------------------------------------------------------------------------
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.select($"vec_id".as("qid"), $"embedding".as("qe")).filter($"qid" < NQUERY)
+    val c = e.select($"vec_id".as("nid"), $"embedding".as("ne"))
+    val scored = broadcast(q).join(c, $"qid" =!= $"nid")
+      .withColumn("cosine", expr(
+        s"${dotS("qe", "ne")} / (sqrt(${dotS("qe", "qe")}) * sqrt(${dotS("ne", "ne")}))"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid".asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"qid", $"rank", $"nid", $"cosine")
+  }
+  val knnBruteSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQUERY),
+       |c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+       |scored AS (
+       |  SELECT qid, nid,
+       |         ${dotD("qe", "ne")} / (sqrt(${dotD("qe", "qe")}) * sqrt(${dotD("ne", "ne")})) AS cosine
+       |  FROM q JOIN c ON qid <> nid
+       |),
+       |ranked AS (
+       |  SELECT qid, nid, cosine,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= $TOPK
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // IVF cluster assignment: nearest of C deterministic centroids by cosine.
+  // ---------------------------------------------------------------------------
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val cent = e.filter($"vec_id" < C)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("ce"))
+    val scored = e.select($"vec_id", $"embedding")
+      .join(broadcast(cent))
+      .withColumn("cosine", expr(
+        s"${dotS("embedding", "ce")} / (sqrt(${dotS("embedding", "embedding")}) * sqrt(${dotS("ce", "ce")}))"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"centroid_id".asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"centroid_id", $"cosine".as("centroid_cosine"))
+  }
+  val ivfAssignSql: String =
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < $C),
+       |scored AS (
+       |  SELECT e.vec_id, centroid_id,
+       |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS cosine
+       |  FROM embeddings e CROSS JOIN cent
+       |),
+       |ranked AS (
+       |  SELECT vec_id, centroid_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+       |  FROM scored
+       |)
+       |SELECT vec_id, centroid_id, cosine AS centroid_cosine FROM ranked WHERE rn = 1
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // IVF top-k: probe only the query's own cluster (nprobe=1). At scale the
+  // corpus side is a table bucketed by centroid_id, so the probe is a
+  // partition-pruned scan + broadcast of the queries — no corpus shuffle.
+  // ---------------------------------------------------------------------------
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assign = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.join(assign, "vec_id")
+      .select($"vec_id".as("nid"), $"centroid_id", $"embedding".as("ne"))
+    val queries = corpus
+      .select($"nid".as("qid"), $"centroid_id", $"ne".as("qe"))
+      .filter($"qid" < NQUERY)
+    val scored = broadcast(queries)
+      .join(corpus, Seq("centroid_id"))
+      .filter($"qid" =!= $"nid")
+      .withColumn("cosine", expr(
+        s"${dotS("qe", "ne")} / (sqrt(${dotS("qe", "qe")}) * sqrt(${dotS("ne", "ne")}))"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid".asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"qid", $"rank", $"nid", $"cosine")
+  }
+  val knnIvfSql: String =
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < $C),
+       |scored0 AS (
+       |  SELECT e.vec_id, centroid_id,
+       |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS cosine
+       |  FROM embeddings e CROSS JOIN cent
+       |),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+       |    FROM scored0) t WHERE rn = 1
+       |),
+       |corpus AS (
+       |  SELECT e.vec_id AS nid, a.centroid_id, e.embedding AS ne
+       |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+       |),
+       |queries AS (SELECT nid AS qid, centroid_id, ne AS qe FROM corpus WHERE nid < $NQUERY),
+       |scored AS (
+       |  SELECT qid, nid, q.centroid_id,
+       |         ${dotD("qe", "ne")} / (sqrt(${dotD("qe", "qe")}) * sqrt(${dotD("ne", "ne")})) AS cosine
+       |  FROM queries q JOIN corpus c ON q.centroid_id = c.centroid_id AND qid <> nid
+       |),
+       |ranked AS (
+       |  SELECT qid, nid, cosine,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= $TOPK
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Per-label centroids: explode to (label, pos, value) and mean per group.
+  // Determinism: float→decimal casts round differently at the last digit
+  // between engines (shortest-repr vs raw-double rounding), so instead each
+  // group's values are collected SORTED BY vec_id and summed in that exact
+  // order — same doubles, same fold order, bit-identical mean.
+  // Scale: per-group collect is fine while groups are bounded (d·|labels|
+  // groups here); for unbounded groups switch to the decimal-sum variant and
+  // accept last-digit-oracle fuzz, or tree-aggregate in fixed key order.
+  // ---------------------------------------------------------------------------
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
+      .agg(
+        collect_list(struct($"vec_id", $"v")).as("vals"),
+        count(lit(1)).as("n"))
+      .selectExpr("label", "pos",
+        "aggregate(transform(array_sort(vals), x -> cast(x.v as double)), cast(0.0 as double), (a, b) -> a + b) / n AS centroid_val",
+        "n")
+  }
+  val labelCentroidsSql: String =
+    """SELECT label, i AS pos,
+      |       list_reduce(list_prepend(0.0::DOUBLE, list(embedding[i]::DOUBLE ORDER BY vec_id)),
+      |                   (a, b) -> a + b) / count(*) AS centroid_val,
+      |       count(*) AS n
+      |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+      |GROUP BY label, i
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_norms"     -> embedNorms _,
+    "q_knn_brute"       -> knnBrute _,
+    "q_ivf_assign"      -> ivfAssign _,
+    "q_knn_ivf"         -> knnIvf _,
+    "q_label_centroids" -> labelCentroids _,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q_embed_norms"     -> embedNormsSql,
+    "q_knn_brute"       -> knnBruteSql,
+    "q_ivf_assign"      -> ivfAssignSql,
+    "q_knn_ivf"         -> knnIvfSql,
+    "q_label_centroids" -> labelCentroidsSql,
+  )
+}
