@@ -438,6 +438,44 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // S1+P1-P4 batch form: Debezium-envelope parsing through the REAL streaming
+  // parse path (graft.streaming.CdcIngest.parseEnvelope — one from_json of the
+  // full envelope schema). Envelopes are constructed from events columns
+  // identically on both engines, then round-tripped; missing fields surface
+  // as typed NULLs, non-insert envelopes (no id) would be dropped by P4.
+  // ---------------------------------------------------------------------------
+  def envelopeParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.events(s, dir).select(
+      concat(
+        lit("{\"payload\": {\"after\": {\"id\": "), $"event_id",
+        lit(", \"id_employee\": "), $"user_id",
+        lit(", \"start_datetime\": "), unix_micros($"ts"),
+        lit(", \"sport_type\": \""), $"event_type",
+        lit("\"}}}")).as("value"))
+    graft.streaming.CdcIngest.parseEnvelope(raw)
+  }
+  val envelopeParseSql: String =
+    """WITH raw AS (
+      |  SELECT '{"payload": {"after": {"id": ' || event_id
+      |      || ', "id_employee": ' || user_id
+      |      || ', "start_datetime": ' || epoch_us(CAST(ts AS TIMESTAMP))
+      |      || ', "sport_type": "' || event_type || '"}}}' AS value
+      |  FROM events
+      |)
+      |SELECT CAST(value->>'$.payload.after.id' AS INTEGER) AS id,
+      |       CAST(value->>'$.payload.after.id_employee' AS INTEGER) AS id_employee,
+      |       strftime(make_timestamp((CAST(value->>'$.payload.after.start_datetime' AS BIGINT) // 1000000) * 1000000),
+      |                '%Y-%m-%d %H:%M:%S') AS start_datetime,
+      |       value->>'$.payload.after.sport_type' AS sport_type,
+      |       CAST(NULL AS INTEGER) AS activity_duration,
+      |       CAST(NULL AS DOUBLE) AS distance,
+      |       CAST(NULL AS VARCHAR) AS comment
+      |FROM raw
+      |WHERE CAST(value->>'$.payload.after.id' AS INTEGER) IS NOT NULL
+      |""".stripMargin
+
   /** queries + oracle pairs exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_extract"    -> cdcExtract _,
@@ -456,9 +494,11 @@ object Relational {
     "q_count_by_flag"  -> countByFlag _,
     "q_count_star"     -> countStar _,
     "q_pricing_summary" -> pricingSummary _,
+    "q_envelope_parse" -> envelopeParse _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_envelope_parse" -> envelopeParseSql,
     "q_cdc_extract"    -> cdcExtractSql,
     "q_epoch_micros"   -> epochMicrosSql,
     "q_agg_count_avg"  -> aggCountAvgSql,

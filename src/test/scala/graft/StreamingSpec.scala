@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CdcIngest
+
+/** Streaming CDC ingest (ref SaveDelta.scala semantics): envelope parse,
+  * bad-row dropping, checkpointed parquet sink, per-event notifier. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  def envelope(id: Int, emp: Int, us: Long, sport: String,
+               dist: String = "null", comment: String = "null"): String =
+    s"""{"payload": {"after": {"id": $id, "id_employee": $emp, "start_datetime": $us, "sport_type": "$sport", "distance": $dist, "activity_duration": 3600, "comment": $comment}}}"""
+
+  val good1 = envelope(1, 42, 1718000000000000L, "Vélo", "25000.0", "\"Super séance aujourd'hui !\"")
+  val good2 = envelope(2, 7, 1718000060000000L, "Yoga")
+  val noAfter = """{"payload": {"before": {"id": 9}}}"""    // delete/tombstone-ish
+  val nullId = """{"payload": {"after": {"id_employee": 3, "sport_type": "Marche"}}}"""
+  val garbage = "not json at all"
+
+  test("ingest: parses inserts, drops non-inserts, appends to checkpointed parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Files.createTempDirectory("cdc_out").toString
+    val cp = Files.createTempDirectory("cdc_cp").toString
+    val q = CdcIngest.ingest(
+      CdcIngest.parseEnvelope(mem.toDF().select($"value".cast("binary").as("value"))),
+      out, cp, Trigger.ProcessingTime(0))
+    mem.addData(good1, good2, noAfter, nullId, garbage)
+    q.processAllAvailable()
+
+    val result = spark.read.parquet(out).cache()
+    assert(result.count() == 2) // only the two inserts survive P4
+    val r1 = result.filter($"id" === 1).collect()(0)
+    assert(r1.getAs[Int]("id_employee") == 42)
+    assert(r1.getAs[String]("start_datetime") == "2024-06-10 06:13:20") // µs → formatted UTC string
+    assert(r1.getAs[Double]("distance") == 25000.0)
+    assert(result.filter($"id" === 2).collect()(0).getAs[String]("comment") == null)
+
+    // append semantics: a new micro-batch appends without rewriting history
+    mem.addData(good2)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(out).count() == 3)
+    result.unpersist()
+  }
+
+  test("notifier: only non-null-comment events push, envelope guard holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    TestSink.clear()
+    val mem = MemoryStream[String]
+    val cp = Files.createTempDirectory("notif_cp").toString
+    val q = CdcIngest.notifier(
+      CdcIngest.parseEnvelope(mem.toDF().select($"value".cast("binary").as("value"))),
+      TestSink, cp, Trigger.ProcessingTime(0))
+    mem.addData(good1, good2, nullId, garbage)
+    q.processAllAvailable(); q.stop()
+    assert(TestSink.received.size == 1) // good2 has null comment, bad rows dropped
+    assert(TestSink.received.head._2 == "Vélo")
+  }
+}
+
+/** Deterministic notification sink (the Slack webhook stand-in). */
+object TestSink extends CdcIngest.NotificationSink {
+  import scala.collection.concurrent.TrieMap
+  private val buf = TrieMap.empty[Int, (Int, String)]
+  def notify(r: Row): Unit =
+    buf.put(r.getAs[Int]("id"), (r.getAs[Int]("id_employee"), r.getAs[String]("sport_type")))
+  def received: Seq[(Int, String)] = buf.values.toSeq
+  def clear(): Unit = buf.clear()
+}
