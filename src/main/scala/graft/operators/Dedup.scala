@@ -33,11 +33,22 @@ object Dedup {
     "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
 
   private val K = 8 // minhash signatures; 4 LSH bands of 2 rows
+  private val P = 1000000007L // modulus for universal hashing
+  private def A(i: Int): Long = 100003L + 37L * i
+  private def B(i: Int): Long = 12345L + 1013L * i
+
+  // One md5 per shingle → 60-bit int (`shh`); each of the K signatures is a
+  // cheap universal-hash projection min((h·aᵢ+bᵢ) mod p) over that array —
+  // 8× less hashing than seeding md5 per signature.
+  private val shingleHashSpark =
+    "transform(sh, x -> cast(conv(substr(md5(cast(x as binary)), 1, 15), 16, 10) as bigint) % 1000000007)"
+  private val shingleHashDuck =
+    "list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007)"
 
   private def sigExprSpark(i: Int): String =
-    s"array_min(transform(sh, x -> md5(cast(concat('$i|', x) as binary)))) AS sig$i"
+    s"array_min(transform(shh, h -> (h * ${A(i)} + ${B(i)}) % $P)) AS sig$i"
   private def sigExprDuck(i: Int): String =
-    s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS sig$i"
+    s"list_min(list_transform(shh, h -> (h * ${A(i)} + ${B(i)}) % $P)) AS sig$i"
 
   // ---------------------------------------------------------------------------
   // Exact dedup: hash-groupBy on content hash; keeps the lowest doc_id.
@@ -79,15 +90,17 @@ object Dedup {
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .withColumn("sh", expr(shinglesExpr))
+      .withColumn("shh", expr(shingleHashSpark))
       .selectExpr(Seq("doc_id") ++ (0 until K).map(sigExprSpark): _*)
   }
   val minhashSignaturesSql: String = {
     val sigs = (0 until K).map(sigExprDuck).mkString(",\n       ")
     s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
-       |sh AS (SELECT doc_id, $shinglesDuck AS sh FROM tok)
+       |sh AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
+       |shh AS (SELECT doc_id, $shingleHashDuck AS shh FROM sh)
        |SELECT doc_id,
        |       $sigs
-       |FROM sh
+       |FROM shh
        |""".stripMargin
   }
 
@@ -108,13 +121,23 @@ object Dedup {
   private def lshPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     import s.implicits._
     val sig = minhashSignatures(s, dir)
+    // '|' separator avoids concat ambiguity between adjacent int signatures
     val bands = sig.selectExpr("doc_id",
-      "stack(4, 0, concat(sig0, sig1), 1, concat(sig2, sig3), 2, concat(sig4, sig5), 3, concat(sig6, sig7)) AS (band_id, band_key)")
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      "stack(4, 0, concat_ws('|', sig0, sig1), 1, concat_ws('|', sig2, sig3), 2, concat_ws('|', sig4, sig5), 3, concat_ws('|', sig6, sig7)) AS (band_id, band_key)")
+    // Candidate pairs via groupBy + in-bucket pair expansion, NOT a self-join:
+    // a self-join would execute the (expensive) signature pipeline twice —
+    // and under AQE a broadcast conversion defeats exchange reuse. One
+    // aggregation computes signatures exactly once; buckets are near-dup
+    // groups, so the pair expansion is O(candidates). (A pathological bucket
+    // of k identical docs still expands k²/2 — the standard LSH caveat;
+    // cap or salt if a corpus has mega-clusters.)
+    val candidates = bands
+      .groupBy($"band_id", $"band_key")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+      .selectExpr(
+        "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
+      .select($"p.doc_a", $"p.doc_b")
       .distinct()
     val shingleSets = Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
@@ -130,13 +153,14 @@ object Dedup {
 
   private def lshPairsSql(threshold: Double): String = {
     val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band_id, sig${2 * b} || sig${2 * b + 1} AS band_key FROM sig"
+      s"SELECT doc_id, $b AS band_id, sig${2 * b} || '|' || sig${2 * b + 1} AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
        |shs AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
+       |shh AS (SELECT doc_id, sh, $shingleHashDuck AS shh FROM shs),
        |sig AS (SELECT doc_id,
        |       ${(0 until K).map(sigExprDuck).mkString(",\n       ")}
-       |FROM shs),
+       |FROM shh),
        |bands AS (
        |  $bandRows
        |),

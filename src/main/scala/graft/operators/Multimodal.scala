@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (builder mandate): media payloads are opaque
+  * `binary` columns with typed metadata; decode / feature-extraction runs
+  * batch-wise over partitions. The decode step itself is STUBBED — this
+  * container ships no image/audio codecs — behind [[MediaDecoder]]:
+  * [[FakeDecoder]] is the deterministic test implementation, [[CodecDecoder]]
+  * is the marked not-implemented production seam. Everything around the stub
+  * (binary schema, metadata extraction, batched partition-wise execution,
+  * feature output shape) is real and oracle-/spec-tested.
+  *
+  * Scale: media bytes never shuffle — metadata extraction is a narrow
+  * projection in the scan stage, and feature extraction is `mapPartitions`
+  * (the Scala analogue of `mapInPandas`: one decoder instance per partition,
+  * records streamed through in batches, not row-at-a-time closures). At
+  * 100 TB the binary column lives in its own parquet column chunks, so
+  * metadata-only queries never read the payload bytes at all — columnar
+  * pruning does the heavy lifting.
+  */
+object Multimodal {
+
+  /** A media record: payload + typed metadata (doc_id keys back to the
+    * source table; media_type is synthesized deterministically here since
+    * the testdata has no real media). */
+  case class MediaRecord(doc_id: Long, media_type: String, n_bytes: Long,
+                         checksum: String, content: Array[Byte])
+
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           width: Int, height: Int, n_frames: Int,
+                           feature_norm: Double)
+
+  /** Batch decoder seam. One instance is created per partition — the shape a
+    * JNI/codec binding needs (expensive init amortized across the batch). */
+  trait MediaDecoder extends Serializable {
+    def decode(rec: MediaRecord): MediaFeatures
+  }
+
+  /** Deterministic fake decode: "dimensions" derived from the checksum —
+    * stands in for a real codec so the distributed plumbing is testable. */
+  object FakeDecoder extends MediaDecoder {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val h = java.lang.Long.parseLong(r.checksum.substring(0, 12), 16)
+      MediaFeatures(r.doc_id, r.media_type, r.n_bytes,
+        width = (h % 1920).toInt + 1,
+        height = ((h >> 16) % 1080).toInt + 1,
+        n_frames = if (r.media_type == "video") ((h >> 32) % 300).toInt + 1 else 1,
+        feature_norm = (h % 1000000L) / 1000000.0)
+    }
+  }
+
+  /** Production seam: requires image/audio libraries absent from this
+    * container — deliberately not implemented (see module doc). */
+  object CodecDecoder extends MediaDecoder {
+    def decode(r: MediaRecord): MediaFeatures =
+      throw new UnsupportedOperationException(
+        "real media decode requires codec libraries not present in this build; " +
+          "use FakeDecoder for tests or bind a codec here")
+  }
+
+  /** documents → media records: text bytes stand in for the media payload;
+    * media_type is a deterministic hash-based mix of image/audio/video. */
+  def asMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      // md5-derived so the DuckDB oracle reproduces the same assignment
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (expr("cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as int)") % 3 + 1).cast("int")).as("media_type"),
+      length($"text".cast("binary")).cast("long").as("n_bytes"),
+      md5($"text".cast("binary")).as("checksum"),
+      $"text".cast("binary").as("content"))
+  }
+
+  /** Metadata-only query — never touches the payload column at execution
+    * time (columnar pruning drops `content` from the scan). */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    asMedia(s, dir).drop("content")
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |       CASE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 3
+      |            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       md5(text) AS checksum
+      |FROM documents
+      |""".stripMargin
+
+  /** Feature extraction: partition-wise batch decode through the decoder
+    * seam (rows-only check — the fake decode has no SQL equivalent). */
+  def extractFeatures(s: SparkSession, dir: String,
+                      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
+    import s.implicits._
+    asMedia(s, dir).as[MediaRecord].mapPartitions { it =>
+      // one decoder per partition; records stream through in order
+      it.map(decoder.decode)
+    }
+  }
+
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(s, dir).toDF()
+
+  /** Frame sampling: every k-th fixed-size chunk of the payload — pure byte
+    * plumbing (the video-frame-sample shape) as a typed Dataset map. */
+  def frameSample(s: SparkSession, dir: String, frameBytes: Int = 16, k: Int = 4): DataFrame = {
+    import s.implicits._
+    asMedia(s, dir).as[MediaRecord].map { r =>
+      val frames = r.content.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % k == 0 => chunk }
+        .toArray
+      (r.doc_id, frames.length, frames.map(_.length.toLong).sum)
+    }.toDF("doc_id", "n_sampled_frames", "sampled_bytes")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_meta"     -> mediaMeta _,
+    "q_media_features" -> mediaFeatures _,
+    "q_frame_sample"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
+  )
+  /** q_media_features / q_frame_sample are rows-only: the decode stub has no
+    * SQL equivalent (driver records the weaker check by design). */
+  val oracleSql: Map[String, String] = Map(
+    "q_media_meta" -> mediaMetaSql,
+  )
+}

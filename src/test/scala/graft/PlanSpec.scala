@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the shapes that must survive at 100 TB.
+  * These assert on the optimized/executed plan, so a regression that
+  * introduces an accidental shuffle, drops a broadcast, or blocks pushdown
+  * fails CI — not just the benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  import graft.operators._
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast — no shuffle of the fact side") {
+    val plan = executed(Relational.joinInner(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$plan")
+  }
+
+  test("flagship: nation broadcasts; only the per-customer agg shuffles") {
+    val plan = executed(Relational.flagshipBonus(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exactly one aggregation-induced exchange pair (partial+final agg)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("null filter is pushed into the parquet scan") {
+    val plan = executed(Relational.cdcExtract(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id)]"), plan)
+  }
+
+  test("projection prunes the parquet read schema") {
+    val plan = executed(Relational.joinInner(spark, sf))
+    // customer scan must not read c_acctbal/c_mktsegment
+    assert(!plan.contains("c_acctbal"), plan)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executed(Relational.topkGroup(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("aggregates are partial+final (map-side combine present)") {
+    val plan = executed(Relational.pricingSummary(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("whole-stage codegen covers the scan-project-filter pipelines") {
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    val plan = executed(Relational.validateThreshold(spark, sf))
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("metadata-only media query does not read the payload bytes") {
+    val plan = executed(Multimodal.mediaMeta(spark, sf))
+    // content column is derived, but the scan must read only doc_id+text
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("lang"), plan) // untouched columns pruned
+  }
+}
