@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product of two `array<float>` columns with double
+  * accumulation in index order.
+  *
+  * Why a custom Expression (guide preference (b) after composing built-ins):
+  * the built-in composition `aggregate(zip_with(a, b, (x,y) -> ...), ...)`
+  * allocates a boxed intermediate array and evaluates two lambda closures
+  * per element — per-row allocation in the hottest ANN loop. This kernel is
+  * a tight primitive loop over the two `ArrayData` buffers, fully inside
+  * whole-stage codegen (~3-4× faster at 64 dims, see SimilaritySpec).
+  *
+  * Semantics are IDENTICAL to the fold the oracle uses: left-to-right over
+  * indices, each float pair widened to double, one running accumulator — so
+  * DuckDB's `list_reduce` fold reproduces results bit-for-bit.
+  * Array-length mismatch truncates to the shorter (like `zip_with`); null
+  * arrays propagate null (nullIntolerant); null ELEMENTS are not expected
+  * (embeddings are dense) and read as 0.0f per ArrayData semantics.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // ExpectsInputTypes is off-limits (AbstractDataType is private[sql]);
+  // validate the two array<float> inputs directly.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double acc_${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  acc_${ev.value} += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = acc_${ev.value};
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native SQL functions. */
+object GraftFunctions {
+  /** Idempotent; makes `float_dot(a, b)` available to spark.sql/expr. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+}

@@ -439,6 +439,29 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Event-time tumbling-window aggregation (training-pipeline extension; the
+  // reference has no windows — SURVEY §2.5 — but its event stream invites
+  // them, and the streaming variant with watermarks reuses this exact shape).
+  // Scale: window start is a derived grouping key — partial+final agg, one
+  // shuffle of (window, type) partials.
+  // ---------------------------------------------------------------------------
+  def windowedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(D($"value")).cast("double").as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"cnt", $"sum_value")
+  }
+  val windowedAggSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // S1+P1-P4 batch form: Debezium-envelope parsing through the REAL streaming
   // parse path (graft.streaming.CdcIngest.parseEnvelope — one from_json of the
   // full envelope schema). Envelopes are constructed from events columns
@@ -495,10 +518,12 @@ object Relational {
     "q_count_star"     -> countStar _,
     "q_pricing_summary" -> pricingSummary _,
     "q_envelope_parse" -> envelopeParse _,
+    "q_windowed_agg"   -> windowedAgg _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_envelope_parse" -> envelopeParseSql,
+    "q_windowed_agg"   -> windowedAggSql,
     "q_cdc_extract"    -> cdcExtractSql,
     "q_epoch_micros"   -> epochMicrosSql,
     "q_agg_count_avg"  -> aggCountAvgSql,

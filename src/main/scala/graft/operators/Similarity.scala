@@ -34,9 +34,10 @@ object Similarity {
   private val NQUERY  = 10 // benchmark query-set size: vec_id < 10
   private val TOPK    = 5
 
-  /** Spark SQL: sequential-fold dot product of two float arrays, double acc. */
-  private def dotS(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+  /** Spark: native codegen'd dot product ([[graft.functions.FloatDotProduct]])
+    * — same left-to-right double-accumulation semantics as the DuckDB fold,
+    * without the boxed intermediate array of aggregate(zip_with(...)). */
+  private def dotS(a: String, b: String): String = s"float_dot($a, $b)"
   /** DuckDB: the same fold, element order and accumulator type identical. */
   private def dotD(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
@@ -45,6 +46,7 @@ object Similarity {
   // Vector stats: dimension, L2 norm, component mean — one codegen'd pass.
   // ---------------------------------------------------------------------------
   def embedNorms(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .selectExpr(
         "vec_id", "label",
@@ -66,6 +68,7 @@ object Similarity {
   // streams through one stage computing cosine + a per-query top-k.
   // ---------------------------------------------------------------------------
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     val q = e.select($"vec_id".as("qid"), $"embedding".as("qe")).filter($"qid" < NQUERY)
@@ -99,6 +102,7 @@ object Similarity {
   // IVF cluster assignment: nearest of C deterministic centroids by cosine.
   // ---------------------------------------------------------------------------
   def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     val cent = e.filter($"vec_id" < C)
@@ -134,6 +138,7 @@ object Similarity {
   // partition-pruned scan + broadcast of the queries — no corpus shuffle.
   // ---------------------------------------------------------------------------
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val assign = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
     val e = Tables.embeddings(s, dir)

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink operators (SURVEY §2.1). Batch sinks are idempotent-overwrite or
+  * append; the streaming sinks live in [[graft.streaming.CdcIngest]].
+  */
+object Sinks {
+
+  /** S10 — batch overwrite with schema evolution semantics (ref:
+    * read_delta.py:219-222 — Delta `overwrite` + `overwriteSchema=true`;
+    * parquet overwrite rewrites the footprint, so schema evolution is
+    * implicit). At scale, partition the output:
+    * `partitionBy` keeps rewrites scoped to changed partitions. */
+  def overwriteTable(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S12 — append bulk insert (ref: execute_values batch INSERT,
+    * sql_manipulation.py:119-124) — JDBC variant is the production seam. */
+  def appendTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  def appendJdbc(df: DataFrame, url: String, table: String,
+                 user: String, password: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .option("driver", "org.postgresql.Driver")
+      .save()
+
+  /** S11 — csv/text probe sinks (ref: SaveDelta.scala:52,65). */
+  def csvSink(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+}

@@ -39,6 +39,29 @@ class SimilaritySpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("native float_dot equals the higher-order fold bit-for-bit, faster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val pairs = broadcast(e.filter($"qid" < 20))
+      .join(spark.read.parquet(s"$sf/embeddings.parquet")
+        .select($"vec_id".as("nid"), $"embedding".as("ne")), $"qid" =!= $"nid")
+    val foldExpr =
+      "aggregate(zip_with(qe, ne, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    val both = pairs.selectExpr("qid", "nid", s"$foldExpr AS dot_fold", "float_dot(qe, ne) AS dot_native")
+    assert(both.filter($"dot_fold" =!= $"dot_native").count() == 0) // bit-identical
+    def time(c: String): Double = {
+      val t0 = System.nanoTime()
+      pairs.selectExpr(s"$c AS d").agg(sum($"d")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time("float_dot(qe, ne)") // codegen warmup
+    val tFold = time(foldExpr); val tNative = time("float_dot(qe, ne)")
+    info(f"fold $tFold%.3fs vs native $tNative%.3fs (${tFold / tNative}%.1fx)")
+  }
+
   test("IVF top-k recall against brute force is measurable and sane") {
     import spark.implicits._
     val brute = Similarity.knnBrute(spark, sf).select($"qid", $"nid").cache()

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Sinks, Sources}
+import graft.streaming.{CdcIngest, ProgressMonitor}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("HR CSV ingest maps French headers to the canonical schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hr_csv")
+    val csv =
+      """ID salarié,Prénom,Nom,Date de naissance,BU,Date d'embauche,Salaire brut,Type de contrat,Adresse du domicile,Moyen de déplacement,Nombre de jours de CP
+        |1,Audrey,Colin,1985-03-12,Marketing,2015-06-01,42000,CDI,"12 rue X, Montpellier",Marche/running,25
+        |2,Marc,Durand,1990-11-02,R&D,2018-09-15,51000,CDD,"3 av Y, Nîmes",Transports en commun,30
+        |""".stripMargin
+    Files.write(dir.resolve("rh.csv"), csv.getBytes("UTF-8"))
+    val df = Sources.hrCsv(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("id_employee", "first_name", "last_name",
+      "birthday", "business_unity", "hire_date", "gross_salary",
+      "constract_type", "address", "transport_mode", "paid_leaved_days"))
+    val r = df.orderBy($"id_employee").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Int]("id_employee") == 1)
+    assert(r(0).getAs[String]("transport_mode") == "Marche/running")
+    assert(r(0).getAs[java.sql.Date]("birthday").toString == "1985-03-12")
+    assert(r(1).getAs[Int]("gross_salary") == 51000)
+  }
+
+  test("rate fallback source streams rows (ref SaveDelta fallback)") {
+    val q = Sources.rateStream(spark, rowsPerSecond = 100)
+      .writeStream.format("memory").queryName("rate_probe")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      Thread.sleep(2500); q.processAllAvailable()
+      assert(spark.sql("select count(*) from rate_probe").first().getLong(0) > 0)
+    } finally q.stop()
+  }
+
+  test("sinks round-trip: overwrite is idempotent, append accumulates") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("sink").toString + "/t"
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    Sinks.overwriteTable(df, path)
+    Sinks.overwriteTable(df, path) // idempotent
+    assert(spark.read.parquet(path).count() == 2)
+    Sinks.appendTable(df, path)
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
+  test("catalog registration exposes a parquet path to spark.sql") {
+    Sources.registerTable(spark, "nation_view", "/root/testdata/sf0.001/nation.parquet")
+    assert(spark.sql("select count(*) from nation_view").first().getLong(0) == 25)
+  }
+
+  test("progress monitor accumulates per-query totals via listener") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val monitor = new ProgressMonitor
+    spark.streams.addListener(monitor)
+    try {
+      val mem = MemoryStream[String]
+      val cp = Files.createTempDirectory("mon_cp").toString
+      val out = Files.createTempDirectory("mon_out").toString
+      val q = CdcIngest.ingest(
+        CdcIngest.parseEnvelope(mem.toDF().select($"value".cast("binary").as("value"))),
+        out, cp, Trigger.ProcessingTime(0))
+      mem.addData((1 to 10).map(i =>
+        s"""{"payload": {"after": {"id": $i, "id_employee": 1, "start_datetime": 1718000000000000, "sport_type": "Yoga", "activity_duration": 60, "distance": null, "comment": null}}}"""): _*)
+      q.processAllAvailable()
+      // listener events are async; poll for delivery
+      val deadline = System.currentTimeMillis() + 10000
+      while (monitor.totals(q.id).inputRows < 10 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val t = monitor.totals(q.id)
+      assert(t.inputRows == 10, s"listener saw $t")
+      assert(t.batches >= 1)
+      // reconciliation: sink count equals processed count (ref SaveDelta monitor)
+      val (sunk, _) = CdcIngest.reconcile(spark, out, q)
+      assert(sunk == 10)
+      q.stop()
+    } finally spark.streams.removeListener(monitor)
+  }
+
+  test("watermarked event-time windowed aggregation over the stream (§2.7 extension)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(7), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from win_agg").collect()
+      assert(rows.map(_.getAs[Long]("cnt")).sum == 3)
+      assert(rows.length == 2) // two 5-minute windows
+    } finally q.stop()
+  }
+}
