@@ -462,6 +462,76 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Sessionization (training-pipeline extension): gap-based sessions per user
+  // (30-minute inactivity gap), then per-session stats. The classic event-log
+  // op the reference's event stream invites.
+  // Scale: one shuffle on user_id for the window, reused by the session
+  // aggregate (same key) — two logical steps, one partitioning.
+  // ---------------------------------------------------------------------------
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("sess_seq",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("sess_start"),
+        max($"ts").as("sess_end"),
+        sum(D($"value")).cast("double").as("sum_value"))
+  }
+  val sessionizeSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |x AS (
+      |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM e
+      |),
+      |y AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1
+      |                 ELSE 0 END AS new_sess
+      |  FROM x
+      |),
+      |z AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq
+      |  FROM y
+      |)
+      |SELECT user_id, sess_seq, count(*) AS n_events,
+      |       min(ts) AS sess_start, max(ts) AS sess_end,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM z GROUP BY user_id, sess_seq
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Exact quantiles per group (extension): linear-interpolated percentiles —
+  // Spark `percentile` and DuckDB `quantile_cont` share the type-7 definition.
+  // (For 100 TB use approx_percentile/t-digest; exact is the oracle anchor.)
+  // ---------------------------------------------------------------------------
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))").as("q"))
+      .selectExpr("event_type", "q[0] AS p25", "q[1] AS p50", "q[2] AS p75", "q[3] AS p95")
+  }
+  val quantilesSql: String =
+    """SELECT event_type,
+      |       quantile_cont(value, 0.25) AS p25,
+      |       quantile_cont(value, 0.50) AS p50,
+      |       quantile_cont(value, 0.75) AS p75,
+      |       quantile_cont(value, 0.95) AS p95
+      |FROM events GROUP BY event_type
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // S1+P1-P4 batch form: Debezium-envelope parsing through the REAL streaming
   // parse path (graft.streaming.CdcIngest.parseEnvelope — one from_json of the
   // full envelope schema). Envelopes are constructed from events columns
@@ -519,11 +589,15 @@ object Relational {
     "q_pricing_summary" -> pricingSummary _,
     "q_envelope_parse" -> envelopeParse _,
     "q_windowed_agg"   -> windowedAgg _,
+    "q_sessionize"     -> sessionize _,
+    "q_quantiles"      -> quantiles _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_envelope_parse" -> envelopeParseSql,
     "q_windowed_agg"   -> windowedAggSql,
+    "q_sessionize"     -> sessionizeSql,
+    "q_quantiles"      -> quantilesSql,
     "q_cdc_extract"    -> cdcExtractSql,
     "q_epoch_micros"   -> epochMicrosSql,
     "q_agg_count_avg"  -> aggCountAvgSql,

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.CommuteValidation
+import graft.streaming.CdcIngest
+
+/** Property-based tests (SURVEY §5): generator/validation/envelope logic
+  * under arbitrary inputs, evaluated in ONE Spark pass per property (cases
+  * are generated as a batch, not one job per sample).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  case class Env(id: Option[Int], emp: Int, us: Long, sport: String,
+                 dist: Option[Double], dur: Int, comment: Option[String])
+
+  val genEnv: Gen[Env] = for {
+    id <- Gen.option(Gen.choose(1, 1000000))
+    emp <- Gen.choose(1, 161)
+    us <- Gen.choose(1500000000000000L, 1800000000000000L)
+    sport <- Gen.oneOf(graft.gen.ActivityGen.SportTypes)
+    dist <- Gen.option(Gen.choose(0.0, 60000.0))
+    dur <- Gen.choose(0, 20000)
+    comment <- Gen.option(Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.oneOf("séance \"top\" !", "a\\b", "tab\there", "élan")))
+  } yield Env(id, emp, us, sport, dist, dur, comment)
+
+  test("envelope parse round-trips arbitrary activities; null ids are dropped") {
+    import spark.implicits._
+    val cases = Gen.listOfN(300, genEnv).sample.get
+    val jsons = cases.map { e =>
+      s"""{"payload": {"after": {"id": ${e.id.map(_.toString).getOrElse("null")}, "id_employee": ${e.emp}, "start_datetime": ${e.us}, "sport_type": ${jsonStr(e.sport)}, "distance": ${e.dist.map(_.toString).getOrElse("null")}, "activity_duration": ${e.dur}, "comment": ${e.comment.map(jsonStr).getOrElse("null")}}}}"""
+    }
+    val parsed = CdcIngest.parseEnvelope(jsons.toDF("value")).collect()
+    val expected = cases.filter(_.id.isDefined)
+    assert(parsed.length == expected.length) // P4 drops null-id envelopes
+    val byId = parsed.map(r => r.getAs[Int]("id") -> r).toMap
+    expected.foreach { e =>
+      val r = byId(e.id.get)
+      assert(r.getAs[Int]("id_employee") == e.emp)
+      assert(r.getAs[String]("sport_type") == e.sport)
+      assert(Option(r.getAs[java.lang.Double]("distance")).map(_.toDouble) == e.dist)
+      assert(Option(r.getAs[String]("comment")) == e.comment)
+      // epoch-µs → second-truncated formatted string
+      val expectTs = java.time.Instant.ofEpochSecond(e.us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      assert(r.getAs[String]("start_datetime") == expectTs)
+    }
+  }
+
+  val genEmployee: Gen[(Int, String, String)] = for {
+    id <- Gen.choose(1, 100000)
+    mode <- Gen.oneOf("Marche/running", "Vélo/Trottinette/Autres",
+      "Transports en commun", "véhicule thermique/électrique", "Téléportation")
+    addr <- Gen.alphaNumStr.map(s => s"$s rue test")
+  } yield (id, mode, addr)
+
+  test("commute validation invariants hold for arbitrary employees") {
+    import spark.implicits._
+    val rows = Gen.listOfN(300, genEmployee).sample.get.distinctBy(_._1)
+    val employees = rows.toDF("id_employee", "transport_mode", "address")
+    val v = CommuteValidation.validate(employees).cache()
+    val joined = v.join(employees, "id_employee").cache()
+    // valid ⇒ sporty mode AND distance within limit
+    val sporty = CommuteValidation.TransportLimits.keys.toSeq
+    assert(joined.filter($"is_valid" && !$"transport_mode".isin(sporty: _*)).count() == 0)
+    assert(joined.filter($"is_valid" &&
+      ($"calculed_distance".isNull ||
+        ($"transport_mode" === "Marche/running" && $"calculed_distance" > 15000) ||
+        ($"transport_mode" === "Vélo/Trottinette/Autres" && $"calculed_distance" > 25000)))
+      .count() == 0)
+    // error_message present iff invalid; non-sporty always 'non sportif'
+    assert(joined.filter($"is_valid" === $"error_message".isNotNull).count() == 0)
+    assert(joined.filter(!$"transport_mode".isin(sporty: _*) &&
+      !$"error_message".contains("non sportif")).count() == 0)
+    // exactly one validation row per employee
+    assert(v.count() == rows.length)
+    v.unpersist(); joined.unpersist()
+  }
+
+  test("expectations count injected violations exactly") {
+    import spark.implicits._
+    import graft.quality.Expectations
+    val nNull = Gen.choose(1, 20).sample.get
+    val nNeg = Gen.choose(1, 20).sample.get
+    val good = (1 to 100).map(i => (Some(s"2024-01-01 00:00:$i"), Some("Yoga"), 100, Some(10)))
+    val nullTs = (1 to nNull).map(_ => (None: Option[String], Some("Yoga"), 100, Some(10)))
+    val negDur = (1 to nNeg).map(_ => (Some("2024-01-01 00:00:00"), Some("Yoga"), -5, Some(10)))
+    val df = (good ++ nullTs ++ negDur)
+      .toDF("start_datetime", "sport_type", "activity_duration", "distance")
+    val row = Expectations.run(df, Expectations.sportActivitySuite).collect()(0)
+    assert(row.getAs[Long]("not_null_start_datetime") == nNull)
+    assert(row.getAs[Long]("between_activity_duration") == nNeg)
+    assert(row.getAs[Long]("not_null_sport_type") == 0)
+  }
+}

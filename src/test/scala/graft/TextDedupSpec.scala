@@ -16,11 +16,11 @@ class TextDedupSpec extends AnyFunSuite {
     d.unpersist()
   }
 
-  test("minhash signatures are stable md5 strings") {
+  test("minhash signatures are stable universal-hash values in [0, p)") {
     import spark.implicits._
     val sig = Dedup.minhashSignatures(spark, sf)
     val row = sig.orderBy($"doc_id").first()
-    assert(row.getAs[String]("sig0").matches("[0-9a-f]{32}"))
+    assert(row.getAs[Long]("sig0") >= 0 && row.getAs[Long]("sig0") < 1000000007L)
     // deterministic across runs
     val again = Dedup.minhashSignatures(spark, sf).orderBy($"doc_id").first()
     assert(row == again)
