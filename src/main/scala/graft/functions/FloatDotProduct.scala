@@ -82,3 +82,19 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
 }
+
+/** Session-extension registration — the production path: a cluster enables
+  * graft's functions for every session via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`), the same mechanism the
+  * reference's Delta deployment used for its extension
+  * (ref: spark/Dockerfile:15-16, rewrite_delta_dag.py:38-39). The Verify and
+  * Bench mains build their sessions through this. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+}

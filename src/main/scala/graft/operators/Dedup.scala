@@ -131,6 +131,9 @@ object Dedup {
     // groups, so the pair expansion is O(candidates). (A pathological bucket
     // of k identical docs still expands k²/2 — the standard LSH caveat;
     // cap or salt if a corpus has mega-clusters.)
+    // Materialized eagerly: the candidate set is tiny (≈ near-dup pairs) but
+    // its lineage is the whole signature pipeline — it feeds three consumers
+    // below, and without a persist each would recompute the signatures.
     val candidates = bands
       .groupBy($"band_id", $"band_key")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
@@ -139,12 +142,21 @@ object Dedup {
         "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
       .select($"p.doc_a", $"p.doc_b")
       .distinct()
+      .persist()
+    candidates.count()
+    // Exact-Jaccard verification: compute shingle sets ONLY for candidate
+    // docs (left_semi against the tiny candidate-id set), not the corpus —
+    // the signature pass already consumed the full corpus once; re-shingling
+    // 100% of it just to verify ~0.1% of pairs would dominate the runtime.
+    val candDocs = candidates
+      .selectExpr("explode(array(doc_a, doc_b)) AS doc_id").distinct()
     val shingleSets = Tables.documents(s, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .withColumn("toks", expr(toksExpr))
       .selectExpr("doc_id", s"$shinglesExpr AS sh")
     candidates
-      .join(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(shingleSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .join(broadcast(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))), "doc_a")
+      .join(broadcast(shingleSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))), "doc_b")
       .selectExpr("doc_a", "doc_b",
         "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b)) AS jaccard")
       .filter($"jaccard" >= threshold)

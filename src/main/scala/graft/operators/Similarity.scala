@@ -220,7 +220,54 @@ object Similarity {
       |GROUP BY label, i
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Embedding-cosine near-duplicate pairs (dedup-family mandate): all pairs
+  // with cosine ≥ 0.35 (corpus is near-orthogonal random; a real near-dup corpus would use ~0.95), blocked by IVF cluster — the vector analogue of
+  // MinHash-LSH banding. Scale: pair work is per-cluster O((n/C)²) instead
+  // of O(n²); tighter recall needs nprobe>1 or multiple quantizers, same
+  // query shape. (Testdata plants near-identical vectors; they co-cluster.)
+  // ---------------------------------------------------------------------------
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val assign = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
+    val corpus = Tables.embeddings(s, dir).join(assign, "vec_id")
+      .select($"vec_id", $"centroid_id", $"embedding")
+    val a = corpus.select($"vec_id".as("vec_a"), $"centroid_id", $"embedding".as("ea"))
+    val b = corpus.select($"vec_id".as("vec_b"), $"centroid_id", $"embedding".as("eb"))
+    a.join(b, Seq("centroid_id"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cosine", expr(
+        s"${dotS("ea", "eb")} / (sqrt(${dotS("ea", "ea")}) * sqrt(${dotS("eb", "eb")}))"))
+      .filter($"cosine" >= 0.35)
+      .select($"vec_a", $"vec_b", $"cosine")
+  }
+  val dedupEmbeddingSql: String =
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < $C),
+       |scored0 AS (
+       |  SELECT e.vec_id, centroid_id,
+       |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS cosine
+       |  FROM embeddings e CROSS JOIN cent
+       |),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+       |    FROM scored0) t WHERE rn = 1
+       |),
+       |corpus AS (
+       |  SELECT e.vec_id, a.centroid_id, e.embedding
+       |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+       |)
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |       ${dotD("x.embedding", "y.embedding")} / (sqrt(${dotD("x.embedding", "x.embedding")}) * sqrt(${dotD("y.embedding", "y.embedding")})) AS cosine
+       |FROM corpus x JOIN corpus y
+       |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+       |WHERE ${dotD("x.embedding", "y.embedding")} / (sqrt(${dotD("x.embedding", "x.embedding")}) * sqrt(${dotD("y.embedding", "y.embedding")})) >= 0.35
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_embedding" -> dedupEmbedding _,
     "q_embed_norms"     -> embedNorms _,
     "q_knn_brute"       -> knnBrute _,
     "q_ivf_assign"      -> ivfAssign _,
@@ -228,6 +275,7 @@ object Similarity {
     "q_label_centroids" -> labelCentroids _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_norms"     -> embedNormsSql,
     "q_knn_brute"       -> knnBruteSql,
     "q_ivf_assign"      -> ivfAssignSql,
