@@ -532,6 +532,24 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Approximate aggregates (100 TB path; rows-only check — HLL and quantile
+  // sketches are engine-specific, so no cross-engine oracle; SimilaritySpec-
+  // style accuracy bounds live in RelationalApproxSpec instead). At scale
+  // these replace exact distinct/percentile: mergeable sketches, partial
+  // aggregation, no sort, bounded memory.
+  // ---------------------------------------------------------------------------
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        countDistinct($"user_id").as("exact_users"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+        count(lit(1)).as("cnt"))
+  }
+
+  // ---------------------------------------------------------------------------
   // S1+P1-P4 batch form: Debezium-envelope parsing through the REAL streaming
   // parse path (graft.streaming.CdcIngest.parseEnvelope — one from_json of the
   // full envelope schema). Envelopes are constructed from events columns
@@ -591,6 +609,7 @@ object Relational {
     "q_windowed_agg"   -> windowedAgg _,
     "q_sessionize"     -> sessionize _,
     "q_quantiles"      -> quantiles _,
+    "q_approx_stats"   -> approxStats _,
   )
 
   val oracleSql: Map[String, String] = Map(

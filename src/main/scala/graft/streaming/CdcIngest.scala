@@ -89,6 +89,28 @@ object CdcIngest {
       }
       .start()
 
+  /** Deduplicated ingest (extension; the reference is append-only with no
+    * dedup, SURVEY §2.7): drops redelivered envelopes by primary key before
+    * the sink — the at-least-once-source → exactly-once-content upgrade.
+    * State is bounded by the watermark on the derived event time. */
+  def dedupedIngest(
+      parsed: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    parsed
+      .withColumn("event_ts", to_timestamp(col("start_datetime"), "yyyy-MM-dd HH:mm:ss"))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .drop("event_ts")
+      .writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Streaming progress reconciliation (ref: SaveDelta.scala:176-228): total
     * rows ingested per the sink vs rows reported processed. Returns
     * (sinkCount, processedCount). */

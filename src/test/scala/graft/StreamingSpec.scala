@@ -50,6 +50,23 @@ class StreamingSpec extends AnyFunSuite {
     result.unpersist()
   }
 
+  test("deduped ingest drops redelivered envelopes by id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Files.createTempDirectory("dedup_out").toString
+    val cp = Files.createTempDirectory("dedup_cp").toString
+    val q = CdcIngest.dedupedIngest(
+      CdcIngest.parseEnvelope(mem.toDF().select($"value".cast("binary").as("value"))),
+      out, cp, Trigger.ProcessingTime(0))
+    mem.addData(good1, good1, good2) // good1 redelivered
+    q.processAllAvailable()
+    mem.addData(good1)               // redelivered again in a later batch
+    q.processAllAvailable(); q.stop()
+    val result = spark.read.parquet(out)
+    assert(result.count() == 2, result.collect().mkString("; "))
+  }
+
   test("notifier: only non-null-comment events push, envelope guard holds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
