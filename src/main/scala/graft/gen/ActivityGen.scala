@@ -99,6 +99,11 @@ object ActivityGen {
       seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val n = employeesDf.selectExpr("max(id_employee)").first().getInt(0)
+    // `id` keeps the reference's INT shape (init-db.sql:38 SERIAL); guard the
+    // range rather than silently wrapping — at >2^31 employee-days switch the
+    // id columns to LongType (one-line change, FIXTURES shape deviation).
+    require(n.toLong * days <= Int.MaxValue,
+      s"activity id space exceeds Int: $n employees x $days days")
     val base = spark.range(n.toLong * days).select(
       ($"id" / days).cast("int").plus(1).as("id_employee"),
       pmod($"id", lit(days.toLong)).cast("int").as("day_off"),

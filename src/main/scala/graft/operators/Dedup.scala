@@ -21,8 +21,7 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  private val toksExpr = "split(trim(text), '\\\\s+')"
-  private val toksDuck = "string_split_regex(trim(text), '\\s+')"
+  import Tok.{toksDuck, toksExpr}
 
   /** Distinct word-3-gram shingles (Spark SQL fragment over `toks`). */
   // NB: guard short docs — Spark's sequence(1, 0) yields a DESCENDING [1, 0],
@@ -121,8 +120,12 @@ object Dedup {
   private def lshPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     import s.implicits._
     val sig = minhashSignatures(s, dir)
-    // '|' separator avoids concat ambiguity between adjacent int signatures
-    val bands = sig.selectExpr("doc_id",
+    // Docs with no shingles (<3 tokens) have NULL signatures: they must be
+    // excluded from banding, or Spark's concat_ws would fold them all into
+    // one shared "" bucket (quadratic pair blowup) while SQL `||` NULL keys
+    // drop out of the join — divergent semantics. Filter them on BOTH sides.
+    // '|' separator avoids concat ambiguity between adjacent int signatures.
+    val bands = sig.filter(col("sig0").isNotNull).selectExpr("doc_id",
       "stack(4, 0, concat_ws('|', sig0, sig1), 1, concat_ws('|', sig2, sig3), 2, concat_ws('|', sig4, sig5), 3, concat_ws('|', sig6, sig7)) AS (band_id, band_key)")
     // Candidate pairs via groupBy + in-bucket pair expansion, NOT a self-join:
     // a self-join would execute the (expensive) signature pipeline twice —
@@ -131,10 +134,13 @@ object Dedup {
     // groups, so the pair expansion is O(candidates). (A pathological bucket
     // of k identical docs still expands k²/2 — the standard LSH caveat;
     // cap or salt if a corpus has mega-clusters.)
-    // Materialized eagerly: the candidate set is tiny (≈ near-dup pairs) but
-    // its lineage is the whole signature pipeline — it feeds three consumers
-    // below, and without a persist each would recompute the signatures.
-    val candidates = bands
+    // The candidate set is tiny (≈ near-dup pair count) but its lineage is
+    // the whole signature pipeline, and it feeds three consumers below.
+    // Materialize it to a local relation: one execution of the signatures,
+    // no leaked cache blocks (a persist here would outlive the query), and
+    // downstream broadcasts become free. Bounded by construction — LSH
+    // candidates are the things being deduped, not the corpus.
+    val candidateRows = bands
       .groupBy($"band_id", $"band_key")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") >= 2)
@@ -142,8 +148,9 @@ object Dedup {
         "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
       .select($"p.doc_a", $"p.doc_b")
       .distinct()
-      .persist()
-    candidates.count()
+    val candidates = s.createDataFrame(
+      s.sparkContext.parallelize(candidateRows.collect().toIndexedSeq, 1),
+      candidateRows.schema)
     // Exact-Jaccard verification: compute shingle sets ONLY for candidate
     // docs (left_semi against the tiny candidate-id set), not the corpus —
     // the signature pass already consumed the full corpus once; re-shingling
@@ -165,7 +172,7 @@ object Dedup {
 
   private def lshPairsSql(threshold: Double): String = {
     val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band_id, sig${2 * b} || '|' || sig${2 * b + 1} AS band_key FROM sig"
+      s"SELECT doc_id, $b AS band_id, sig${2 * b} || '|' || sig${2 * b + 1} AS band_key FROM sig WHERE sig0 IS NOT NULL"
     }.mkString("\n  UNION ALL ")
     s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
        |shs AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),

@@ -88,14 +88,21 @@ object Relational {
   // Scale: partial+final hash aggregate; shuffle carries one row per customer,
   // not per order. Mean computed as exact-decimal sum / count for determinism.
   // ---------------------------------------------------------------------------
-  def aggCountAvg(s: SparkSession, dir: String): DataFrame = {
+  /** Shared per-customer aggregate — the ONE definition of the decimal-sum
+    * mean (determinism rule 1); aliases parameterized for reuse by the
+    * left-join and flagship queries so the three can't drift apart. */
+  private def custAgg(s: SparkSession, dir: String,
+                      cntAlias: String, meanAlias: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(
-        count(lit(1)).as("count_orders"),
-        (sum(D($"o_totalprice")).cast("double") / count(lit(1))).as("mean_price"))
+        count(lit(1)).as(cntAlias),
+        (sum(D($"o_totalprice")).cast("double") / count(lit(1))).as(meanAlias))
   }
+
+  def aggCountAvg(s: SparkSession, dir: String): DataFrame =
+    custAgg(s, dir, "count_orders", "mean_price")
   val aggCountAvgSql: String =
     """SELECT o_custkey, count(*) AS count_orders,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_price
@@ -152,11 +159,7 @@ object Relational {
   // ---------------------------------------------------------------------------
   def joinLeftAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val agg = Tables.orders(s, dir)
-      .groupBy($"o_custkey")
-      .agg(
-        count(lit(1)).as("count_orders"),
-        (sum(D($"o_totalprice")).cast("double") / count(lit(1))).as("mean_price"))
+    val agg = custAgg(s, dir, "count_orders", "mean_price")
     Tables.customer(s, dir)
       .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
       .join(agg, $"c_custkey" === $"o_custkey", "left")
@@ -184,11 +187,7 @@ object Relational {
   // ---------------------------------------------------------------------------
   def flagshipBonus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val agg = Tables.orders(s, dir)
-      .groupBy($"o_custkey")
-      .agg(
-        count(lit(1)).as("count_activity"),
-        (sum(D($"o_totalprice")).cast("double") / count(lit(1))).as("mean_price"))
+    val agg = custAgg(s, dir, "count_activity", "mean_price")
     val fin = Tables.customer(s, dir)
       .select($"c_custkey", $"c_acctbal", $"c_mktsegment", $"c_nationkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")

@@ -15,11 +15,17 @@ import graft.sources.Tables
   * determinism comes from integer/string ops plus single IEEE-double
   * divisions (identical operation order on both engines).
   */
-object TextAnalysis {
-
+/** The Spark/DuckDB tokenizer pair — the load-bearing contract shared by
+  * every text/dedup oracle query. ONE definition: a drift between the two
+  * fragments, or between modules, silently changes what a "token" is. */
+private[operators] object Tok {
   /** Whitespace tokens of trimmed text — `split(trim(text), '\s+')`. */
-  private val toksExpr = "split(trim(text), '\\\\s+')"
-  private val toksDuck = "string_split_regex(trim(text), '\\s+')"
+  val toksExpr = "split(trim(text), '\\\\s+')"
+  val toksDuck = "string_split_regex(trim(text), '\\s+')"
+}
+
+object TextAnalysis {
+  import Tok.{toksDuck, toksExpr}
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private def inList(xs: Seq[String]): String =

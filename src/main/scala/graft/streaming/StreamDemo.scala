@@ -34,14 +34,15 @@ object StreamDemo {
     Files.write(Paths.get(s"$srcDir/batch0.json"),
       lines.mkString("\n").getBytes("UTF-8"))
 
+    // the text source already names its column `value`
     val raw = spark.readStream.format("text").load(srcDir)
-    val parsed = CdcIngest.parseEnvelope(raw.withColumnRenamed("text", "value"))
+    val parsed = CdcIngest.parseEnvelope(raw)
     val query = CdcIngest.ingest(parsed, outDir, cpDir, Trigger.AvailableNow())
     query.awaitTermination()
 
+    val (sinkCount, processed) = CdcIngest.reconcile(spark, outDir, query)
     val sunk = spark.read.parquet(outDir)
-    val (sinkCount, processed) = (sunk.count(), 52L)
-    println(s"[demo] envelopes read: $processed  rows sunk (inserts only): $sinkCount")
+    println(s"[demo] envelopes processed: $processed  rows sunk (inserts only): $sinkCount")
     sunk.orderBy("id").show(5, truncate = false)
     require(sinkCount == 50, s"expected 50 inserts, got $sinkCount")
     spark.stop()
