@@ -86,17 +86,33 @@ object Dedup {
   // MinHash signatures: k=8 md5-seeded min-hashes over word-3-gram shingles.
   // ---------------------------------------------------------------------------
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    // Signatures are computed by EXPLODING the per-doc shingle-hash array and
+    // taking the K universal-hash minima in one hash aggregate. Two reasons
+    // this shape, found by measurement:
+    //  - referencing an expensive derived array column K times makes Catalyst
+    //    inline the whole tokenize→shingle→md5 chain per reference (projection
+    //    collapse even pushes through a repartition barrier), re-hashing every
+    //    shingle K+ times;
+    //  - array higher-order functions are CodegenFallback, while
+    //    explode + min/agg is fully whole-stage-codegen'd with map-side
+    //    partial aggregation — the shuffle carries one row per doc.
+    // Docs with no shingles (<3 tokens) have no rows after explode and are
+    // absent from the output (they are exact-dedup territory, not MinHash);
+    // the oracle filters identically.
+    val sigAggs = (0 until K).map(i =>
+      min((col("h") * A(i) + B(i)) % P).as(s"sig$i"))
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .withColumn("sh", expr(shinglesExpr))
-      .withColumn("shh", expr(shingleHashSpark))
-      .selectExpr(Seq("doc_id") ++ (0 until K).map(sigExprSpark): _*)
+      .select(col("doc_id"), explode(expr(shingleHashSpark)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
   }
   val minhashSignaturesSql: String = {
     val sigs = (0 until K).map(sigExprDuck).mkString(",\n       ")
     s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
-       |shh AS (SELECT doc_id, $shingleHashDuck AS shh FROM sh)
+       |shh AS (SELECT doc_id, $shingleHashDuck AS shh FROM sh WHERE len(sh) > 0)
        |SELECT doc_id,
        |       $sigs
        |FROM shh
@@ -208,15 +224,23 @@ object Dedup {
   // Expression; 16 bits keeps the oracle SQL tractable.)
   // ---------------------------------------------------------------------------
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val bits = (0 until 16).map { b =>
-      val m = 1 << b
-      s"(CASE WHEN 2 * size(filter(th, h -> (h & $m) != 0)) > size(th) THEN $m ELSE 0 END)"
+    // Same explode+aggregate shape as minhashSignatures (the 16 per-bit
+    // majority votes would otherwise inline the md5-per-token chain 32x):
+    // one row per token, one hash aggregate with 16 conditional counts,
+    // then the majority vote as a final projection.
+    val bitCounts = (0 until 16).map { b =>
+      sum(when((col("h").bitwiseAND(lit(1 << b))) =!= 0, 1).otherwise(0)).as(s"c$b")
+    }
+    val vote = (0 until 16).map { b =>
+      s"(CASE WHEN 2 * c$b > n THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
-      .withColumn("th",
-        expr("transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 4), 16, 10) as int))"))
-      .selectExpr("doc_id", s"($bits) AS simhash16")
+      .select(col("doc_id"),
+        explode(expr("transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 4), 16, 10) as int))")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitCounts: _*)
+      .selectExpr("doc_id", s"($vote) AS simhash16")
   }
   val simhashSql: String = {
     val bits = (0 until 16).map { b =>

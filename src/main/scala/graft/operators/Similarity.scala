@@ -38,6 +38,16 @@ object Similarity {
     * — same left-to-right double-accumulation semantics as the DuckDB fold,
     * without the boxed intermediate array of aggregate(zip_with(...)). */
   private def dotS(a: String, b: String): String = s"float_dot($a, $b)"
+
+  /** Attach a materialized L2 norm to an embedding relation. The repartition
+    * is a materialization barrier: joined downstream, an inline norm
+    * expression would be recomputed per PAIR (O(d) each) instead of per
+    * vector — precomputing norms cuts per-pair work from 3 dot products
+    * to 1 dot + 2 lookups. Values are identical, so oracles are unchanged. */
+  private def withNorm(df: DataFrame, id: String, emb: String): DataFrame =
+    df.selectExpr(s"$id", s"$emb", s"sqrt(${dotS(emb, emb)}) AS ${id}_nrm")
+      .repartition(col(id))
+
   /** DuckDB: the same fold, element order and accumulator type identical. */
   private def dotD(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
@@ -71,11 +81,11 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val q = e.select($"vec_id".as("qid"), $"embedding".as("qe")).filter($"qid" < NQUERY)
-    val c = e.select($"vec_id".as("nid"), $"embedding".as("ne"))
+    val q = withNorm(e.filter($"vec_id" < NQUERY), "vec_id", "embedding")
+      .toDF("qid", "qe", "qnrm")
+    val c = withNorm(e, "vec_id", "embedding").toDF("nid", "ne", "nnrm")
     val scored = broadcast(q).join(c, $"qid" =!= $"nid")
-      .withColumn("cosine", expr(
-        s"${dotS("qe", "ne")} / (sqrt(${dotS("qe", "qe")}) * sqrt(${dotS("ne", "ne")}))"))
+      .withColumn("cosine", expr(s"${dotS("qe", "ne")} / (qnrm * nnrm)"))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid".asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -105,12 +115,11 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val cent = e.filter($"vec_id" < C)
-      .select($"vec_id".as("centroid_id"), $"embedding".as("ce"))
-    val scored = e.select($"vec_id", $"embedding")
+    val cent = withNorm(e.filter($"vec_id" < C), "vec_id", "embedding")
+      .toDF("centroid_id", "ce", "cnrm")
+    val scored = withNorm(e, "vec_id", "embedding").toDF("vec_id", "embedding", "vnrm")
       .join(broadcast(cent))
-      .withColumn("cosine", expr(
-        s"${dotS("embedding", "ce")} / (sqrt(${dotS("embedding", "embedding")}) * sqrt(${dotS("ce", "ce")}))"))
+      .withColumn("cosine", expr(s"${dotS("embedding", "ce")} / (vnrm * cnrm)"))
     val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"centroid_id".asc)
     scored
       .withColumn("rn", row_number().over(w))
@@ -141,17 +150,17 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val assign = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
-    val e = Tables.embeddings(s, dir)
+    val e = withNorm(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .toDF("vec_id", "embedding", "nrm")
     val corpus = e.join(assign, "vec_id")
-      .select($"vec_id".as("nid"), $"centroid_id", $"embedding".as("ne"))
+      .select($"vec_id".as("nid"), $"centroid_id", $"embedding".as("ne"), $"nrm".as("nnrm"))
     val queries = corpus
-      .select($"nid".as("qid"), $"centroid_id", $"ne".as("qe"))
+      .select($"nid".as("qid"), $"centroid_id", $"ne".as("qe"), $"nnrm".as("qnrm"))
       .filter($"qid" < NQUERY)
     val scored = broadcast(queries)
       .join(corpus, Seq("centroid_id"))
       .filter($"qid" =!= $"nid")
-      .withColumn("cosine", expr(
-        s"${dotS("qe", "ne")} / (sqrt(${dotS("qe", "qe")}) * sqrt(${dotS("ne", "ne")}))"))
+      .withColumn("cosine", expr(s"${dotS("qe", "ne")} / (qnrm * nnrm)"))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid".asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -231,14 +240,14 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val assign = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
-    val corpus = Tables.embeddings(s, dir).join(assign, "vec_id")
-      .select($"vec_id", $"centroid_id", $"embedding")
-    val a = corpus.select($"vec_id".as("vec_a"), $"centroid_id", $"embedding".as("ea"))
-    val b = corpus.select($"vec_id".as("vec_b"), $"centroid_id", $"embedding".as("eb"))
+    val corpus = withNorm(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .toDF("vec_id", "embedding", "nrm")
+      .join(assign, "vec_id")
+    val a = corpus.select($"vec_id".as("vec_a"), $"centroid_id", $"embedding".as("ea"), $"nrm".as("anrm"))
+    val b = corpus.select($"vec_id".as("vec_b"), $"centroid_id", $"embedding".as("eb"), $"nrm".as("bnrm"))
     a.join(b, Seq("centroid_id"))
       .filter($"vec_a" < $"vec_b")
-      .withColumn("cosine", expr(
-        s"${dotS("ea", "eb")} / (sqrt(${dotS("ea", "ea")}) * sqrt(${dotS("eb", "eb")}))"))
+      .withColumn("cosine", expr(s"${dotS("ea", "eb")} / (anrm * bnrm)"))
       .filter($"cosine" >= 0.35)
       .select($"vec_a", $"vec_b", $"cosine")
   }
