@@ -91,10 +91,13 @@ object GraftFunctions {
   * (ref: spark/Dockerfile:15-16, rewrite_delta_dag.py:38-39). The Verify and
   * Bench mains build their sessions through this. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatDotProduct].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    // P11 session-role column masking as a resolution rule (see MaskingRule).
+    e.injectResolutionRule(session => graft.mask.MaskingRule(session))
+  }
 }
