@@ -531,6 +531,51 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Hierarchical rollup (OLAP extension): subtotals per (flag, status), per
+  // flag, and grand total in ONE pass — Expand + single aggregation, the
+  // shape dashboards need without issuing three queries.
+  // ---------------------------------------------------------------------------
+  def rollupSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(D($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+  }
+  val rollupSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Top-N per group (window row_number — the per-entity-leaderboard shape):
+  // each customer's 3 most expensive orders.
+  // Scale: one shuffle on the group key; per-partition sort bounded by
+  // group size. Tie-broken on order key for determinism.
+  // ---------------------------------------------------------------------------
+  def topnPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"rnk", $"o_orderkey", $"o_totalprice")
+  }
+  val topnPerGroupSql: String =
+    """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Approximate aggregates (100 TB path; rows-only check — HLL and quantile
   // sketches are engine-specific, so no cross-engine oracle; SimilaritySpec-
   // style accuracy bounds live in RelationalApproxSpec instead). At scale
@@ -609,6 +654,8 @@ object Relational {
     "q_sessionize"     -> sessionize _,
     "q_quantiles"      -> quantiles _,
     "q_approx_stats"   -> approxStats _,
+    "q_rollup"         -> rollupSummary _,
+    "q_topn_per_group" -> topnPerGroup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -616,6 +663,8 @@ object Relational {
     "q_windowed_agg"   -> windowedAggSql,
     "q_sessionize"     -> sessionizeSql,
     "q_quantiles"      -> quantilesSql,
+    "q_rollup"         -> rollupSummarySql,
+    "q_topn_per_group" -> topnPerGroupSql,
     "q_cdc_extract"    -> cdcExtractSql,
     "q_epoch_micros"   -> epochMicrosSql,
     "q_agg_count_avg"  -> aggCountAvgSql,

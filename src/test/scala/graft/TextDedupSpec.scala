@@ -26,6 +26,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(row == again)
   }
 
+  test("short docs (<3 tokens) are excluded from minhash, not mis-bucketed") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // fixture: two identical real docs (must pair), several short docs
+    // (must neither sign nor pair), one empty-ish doc
+    val dir = Files.createTempDirectory("shortdocs").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 1L),
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 1L),
+      (2L, "hi", "en", "s", 1L),
+      (3L, "yo yo", "en", "s", 1L),
+      (4L, " ", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = graft.operators.Dedup.minhashSignatures(spark, dir)
+    assert(sigs.count() == 2) // only the two shingle-able docs
+    val pairs = graft.operators.Dedup.dedupMinhashLsh(spark, dir).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 0L && pairs(0).getLong(1) == 1L)
+    assert(pairs(0).getDouble(2) == 1.0) // identical docs: jaccard exactly 1
+  }
+
   test("lsh near-dup pairs are symmetric-free and above threshold") {
     import spark.implicits._
     val p = Dedup.dedupMinhashLsh(spark, sf).cache()
