@@ -531,6 +531,86 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Shipping-priority (TPC-H Q3 shape): the fact-to-fact join — orders ⋈
+  // lineitem on orderkey. Filters push into both scans first; the aggregate
+  // groups on the join key so it adds no extra shuffle; top-10 via
+  // TakeOrderedAndProject. Verified at test scale: AQE converts the join to
+  // broadcast because the date-filtered orders side fits under the threshold
+  // — the right call; at 100 TB the same plan becomes a sort-merge join
+  // shuffling once on orderkey, or no shuffle at all when both facts are
+  // bucketed on it (ScaleSpec proves the bucketed plan has no Exchange).
+  // ---------------------------------------------------------------------------
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-15 00:00:00"))
+    val cust = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(D($"l_extendedprice") * (lit(new java.math.BigDecimal(1)) - D($"l_discount", 8)))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Local-volume (TPC-H Q5 shape): a 5-way join mixing one fact-fact shuffle
+  // (orders ⋈ lineitem) with broadcast dims (customer-side filter via nation/
+  // region). Per-nation revenue.
+  // ---------------------------------------------------------------------------
+  def localVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"n_name")
+      .agg(sum(D($"l_extendedprice") * (lit(new java.math.BigDecimal(1)) - D($"l_discount", 8)))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc)
+  }
+  val localVolumeSql: String =
+    """SELECT n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Hierarchical rollup (OLAP extension): subtotals per (flag, status), per
   // flag, and grand total in ONE pass — Expand + single aggregation, the
   // shape dashboards need without issuing three queries.
@@ -656,6 +736,8 @@ object Relational {
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
     "q_topn_per_group" -> topnPerGroup _,
+    "q_shipping_priority" -> shippingPriority _,
+    "q_local_volume"   -> localVolume _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -665,6 +747,8 @@ object Relational {
     "q_quantiles"      -> quantilesSql,
     "q_rollup"         -> rollupSummarySql,
     "q_topn_per_group" -> topnPerGroupSql,
+    "q_shipping_priority" -> shippingPrioritySql,
+    "q_local_volume"   -> localVolumeSql,
     "q_cdc_extract"    -> cdcExtractSql,
     "q_epoch_micros"   -> epochMicrosSql,
     "q_agg_count_avg"  -> aggCountAvgSql,
