@@ -77,10 +77,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
 /** Registration of graft's native SQL functions. */
 object GraftFunctions {
-  /** Idempotent; makes `float_dot(a, b)` available to spark.sql/expr. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent; makes `float_dot(a, b)` / `simhash64(arr)` available to
+    * spark.sql/expr. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+  }
 }
 
 /** Session-extension registration — the production path: a cluster enables
@@ -97,6 +101,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatDotProduct].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
     // P11 session-role column masking as a resolution rule (see MaskingRule).
     e.injectResolutionRule(session => graft.mask.MaskingRule(session))
   }

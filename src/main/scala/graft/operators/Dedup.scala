@@ -254,7 +254,82 @@ object Dedup {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // 60-bit SimHash via the native expression (graft.functions.SimHash64):
+  // one md5 per token, single-pass vote kernel, no shuffle — the
+  // production-width signature the 16-bit q_simhash demonstrates in pure SQL.
+  // The oracle reproduces it bit-for-bit from md5 hex prefixes.
+  // ---------------------------------------------------------------------------
+  def simhash64Sigs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", s"simhash64($toksExpr) AS sh")
+  }
+  val simhash64SigsSql: String = {
+    val bitCounts = (0 until 60).map(b => s"sum(((h >> $b) & 1)) AS c$b").mkString(",\n       ")
+    val assemble = (0 until 60).map(b =>
+      s"(CASE WHEN 2 * c$b > n THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |t AS (SELECT doc_id, unnest(toks) AS tk FROM tok),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM t),
+       |bits AS (SELECT doc_id, count(*) AS n,
+       |       $bitCounts
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, ($assemble) AS sh FROM bits
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // SimHash near-dup pairs at Hamming distance <= 3, pigeonhole-banded:
+  // 4 bands of 15 bits — any pair differing in <= 3 bits shares at least one
+  // intact band (pigeonhole), so banding has PERFECT recall at this radius,
+  // unlike probabilistic MinHash banding. Same O(candidates) pair shape.
+  // ---------------------------------------------------------------------------
+  private val HammingT = 3
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhash64Sigs(s, dir)
+    val bands = sigs.selectExpr("doc_id",
+      "stack(4, 0, (sh >> 0) & 32767, 1, (sh >> 15) & 32767, 2, (sh >> 30) & 32767, 3, (sh >> 45) & 32767) AS (band_id, band_val)")
+    val candidateRows = bands
+      .groupBy($"band_id", $"band_val")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+      .selectExpr(
+        "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
+      .select($"p.doc_a", $"p.doc_b")
+      .distinct()
+    val candidates = s.createDataFrame(
+      s.sparkContext.parallelize(candidateRows.collect().toIndexedSeq, 1),
+      candidateRows.schema)
+    candidates
+      .join(broadcast(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))), "doc_a")
+      .join(broadcast(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))), "doc_b")
+      .selectExpr("doc_a", "doc_b", "cast(bit_count(sh_a ^ sh_b) as int) AS hamming")
+      .filter($"hamming" <= HammingT)
+  }
+  val dedupSimhashSql: String = {
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_id, (sh >> ${15 * b}) & 32767 AS band_val FROM sh64"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh64 AS ($simhash64SigsSql),
+       |bands AS (
+       |  $bandRows
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+       |FROM cand JOIN sh64 x ON x.doc_id = doc_a JOIN sh64 y ON y.doc_id = doc_b
+       |WHERE bit_count(xor(x.sh, y.sh)) <= $HammingT
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simhash64"         -> simhash64Sigs _,
+    "q_dedup_simhash"     -> dedupSimhash _,
     "q_dedup_exact"       -> dedupExact _,
     "q_dedup_normalized"  -> dedupNormalized _,
     "q_minhash_sig"       -> minhashSignatures _,
@@ -263,6 +338,8 @@ object Dedup {
     "q_simhash"           -> simhash _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_simhash64"         -> simhash64SigsSql,
+    "q_dedup_simhash"     -> dedupSimhashSql,
     "q_dedup_exact"       -> dedupExactSql,
     "q_dedup_normalized"  -> dedupNormalizedSql,
     "q_minhash_sig"       -> minhashSignaturesSql,
