@@ -62,14 +62,17 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"fold $tFold%.3fs vs native $tNative%.3fs (${tFold / tNative}%.1fx)")
   }
 
-  test("IVF top-k recall against brute force is measurable and sane") {
+  test("IVF top-k recall against brute force improves with nprobe") {
     import spark.implicits._
     val brute = Similarity.knnBrute(spark, sf).select($"qid", $"nid").cache()
-    val ivf = Similarity.knnIvf(spark, sf).select($"qid", $"nid").cache()
-    val hits = brute.intersect(ivf).count().toDouble
-    val recall = hits / brute.count()
-    info(f"IVF nprobe=1 recall@5 = $recall%.2f")
-    assert(recall > 0.0 && recall <= 1.0)
-    brute.unpersist(); ivf.unpersist()
+    val n = brute.count().toDouble
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      brute.intersect(df.select($"qid", $"nid")).count() / n
+    val r1 = recall(Similarity.knnIvf(spark, sf))
+    val r2 = recall(Similarity.knnIvf2(spark, sf))
+    info(f"IVF recall@5: nprobe=1 $r1%.2f, nprobe=2 $r2%.2f")
+    assert(r1 > 0.0 && r1 <= 1.0)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    brute.unpersist()
   }
 }
