@@ -50,6 +50,32 @@ class StreamingSpec extends AnyFunSuite {
     result.unpersist()
   }
 
+  test("checkpoint restart: a NEW query resumes from committed offsets only") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    val src = JFiles.createTempDirectory("restart_src").toString
+    val out = JFiles.createTempDirectory("restart_out").toString
+    val cp = JFiles.createTempDirectory("restart_cp").toString
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      JFiles.write(Paths.get(s"$src/$name"), lines.mkString("\n").getBytes("UTF-8"))
+    def startQuery() = CdcIngest.ingest(
+      CdcIngest.parseEnvelope(
+        spark.readStream.format("text").load(src).withColumnRenamed("value", "value")),
+      out, cp, Trigger.AvailableNow())
+
+    writeBatch("b0.json", Seq(good1, good2))
+    val q1 = startQuery(); q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // second batch lands while no query is running; a NEW query instance on
+    // the same checkpoint must pick up ONLY the new file — no reprocessing
+    writeBatch("b1.json", Seq(envelope(3, 9, 1718000120000000L, "Marche")))
+    val q2 = startQuery(); q2.awaitTermination()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3, rows.collect().mkString("; "))
+    assert(rows.filter($"id" === 3).count() == 1)
+  }
+
   test("deduped ingest drops redelivered envelopes by id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
