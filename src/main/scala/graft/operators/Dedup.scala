@@ -150,13 +150,17 @@ object Dedup {
     // groups, so the pair expansion is O(candidates). (A pathological bucket
     // of k identical docs still expands k²/2 — the standard LSH caveat;
     // cap or salt if a corpus has mega-clusters.)
-    // The candidate set is tiny (≈ near-dup pair count) but its lineage is
-    // the whole signature pipeline, and it feeds three consumers below.
-    // Materialize it to a local relation: one execution of the signatures,
-    // no leaked cache blocks (a persist here would outlive the query), and
-    // downstream broadcasts become free. Bounded by construction — LSH
-    // candidates are the things being deduped, not the corpus.
-    val candidateRows = bands
+    // The candidate set is small relative to the corpus (≈ near-dup pair
+    // count) but its lineage is the whole signature pipeline, and it feeds
+    // three consumers below. Materialize it DISTRIBUTED via an eager
+    // localCheckpoint: the signature pipeline executes exactly once, lineage
+    // is truncated so the three consumers re-read the materialized blocks,
+    // and — unlike a driver collect() — the candidate set never has to fit
+    // in driver memory (a 100 TB web corpus has billions of dup pairs) and
+    // re-enters the plan with its full partitioning, not as 1 partition.
+    // (On a real cluster with executor churn, swap for reliable
+    // checkpoint() or a temp-parquet round-trip; same plan shape.)
+    val candidates = bands
       .groupBy($"band_id", $"band_key")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") >= 2)
@@ -164,22 +168,25 @@ object Dedup {
         "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
       .select($"p.doc_a", $"p.doc_b")
       .distinct()
-    val candidates = s.createDataFrame(
-      s.sparkContext.parallelize(candidateRows.collect().toIndexedSeq, 1),
-      candidateRows.schema)
+      .localCheckpoint(true)
     // Exact-Jaccard verification: compute shingle sets ONLY for candidate
-    // docs (left_semi against the tiny candidate-id set), not the corpus —
+    // docs (left_semi against the candidate-id set), not the corpus —
     // the signature pass already consumed the full corpus once; re-shingling
     // 100% of it just to verify ~0.1% of pairs would dominate the runtime.
+    // No broadcast hints: AQE broadcasts when the candidate side is small
+    // and falls back to a shuffled join when (at corpus scale) it isn't.
     val candDocs = candidates
       .selectExpr("explode(array(doc_a, doc_b)) AS doc_id").distinct()
+    // Materialized once: it feeds both sides of the verification join, and
+    // without the checkpoint each side would re-scan the documents table.
     val shingleSets = Tables.documents(s, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .withColumn("toks", expr(toksExpr))
       .selectExpr("doc_id", s"$shinglesExpr AS sh")
+      .localCheckpoint(true)
     candidates
-      .join(broadcast(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))), "doc_a")
-      .join(broadcast(shingleSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))), "doc_b")
+      .join(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(shingleSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .selectExpr("doc_a", "doc_b",
         "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b)) AS jaccard")
       .filter($"jaccard" >= threshold)
@@ -288,10 +295,16 @@ object Dedup {
   private val HammingT = 3
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = simhash64Sigs(s, dir)
+    // Materialized once (eager localCheckpoint): the signature pipeline
+    // feeds banding AND both sides of the verification join — three
+    // full-corpus recomputations without it.
+    val sigs = simhash64Sigs(s, dir).localCheckpoint(true)
     val bands = sigs.selectExpr("doc_id",
       "stack(4, 0, (sh >> 0) & 32767, 1, (sh >> 15) & 32767, 2, (sh >> 30) & 32767, 3, (sh >> 45) & 32767) AS (band_id, band_val)")
-    val candidateRows = bands
+    // Same distributed materialization as lshPairs: eager localCheckpoint
+    // truncates the signature lineage once; candidates stay partitioned on
+    // the cluster instead of round-tripping through the driver.
+    val candidates = bands
       .groupBy($"band_id", $"band_val")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") >= 2)
@@ -299,12 +312,10 @@ object Dedup {
         "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
       .select($"p.doc_a", $"p.doc_b")
       .distinct()
-    val candidates = s.createDataFrame(
-      s.sparkContext.parallelize(candidateRows.collect().toIndexedSeq, 1),
-      candidateRows.schema)
+      .localCheckpoint(true)
     candidates
-      .join(broadcast(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))), "doc_a")
-      .join(broadcast(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))), "doc_b")
+      .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .selectExpr("doc_a", "doc_b", "cast(bit_count(sh_a ^ sh_b) as int) AS hamming")
       .filter($"hamming" <= HammingT)
   }

@@ -238,6 +238,19 @@ object Relational {
       |FROM final f JOIN prime p ON f.c_custkey = p.p_custkey
       |""".stripMargin
 
+  /** Flagship as LITERAL SQL TEXT through the catalog — the reference's own
+    * serving path: this query reaches users as SQL via Trino/Superset
+    * (ref: README.md:141-164), not as DataFrame code. The ANSI text is the
+    * SAME string as the DuckDB oracle, run by `spark.sql` over views
+    * registered with the S13 catalog operator — one query text, two engines,
+    * hash-identical results (closes the SURVEY §3.3 lifecycle). */
+  def flagshipSqlText(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "nation", "orders").foreach { t =>
+      graft.sources.Sources.registerTable(s, t, s"$dir/$t.parquet")
+    }
+    s.sql(flagshipBonusSql)
+  }
+
   // ---------------------------------------------------------------------------
   // P11: conditional column masking — the employees_masked security view
   // (ref: init-scripts/init-db.sql:74-89 — CASE WHEN current_user =
@@ -720,6 +733,7 @@ object Relational {
     "q_join_inner"     -> joinInner _,
     "q_join_left_agg"  -> joinLeftAgg _,
     "q_flagship_bonus" -> flagshipBonus _,
+    "q_flagship_sql"   -> flagshipSqlText _,
     "q_masked_view"    -> maskedView _,
     "q_validate_threshold" -> validateThreshold _,
     "q_anti_fk"        -> antiFk _,
@@ -756,6 +770,7 @@ object Relational {
     "q_join_inner"     -> joinInnerSql,
     "q_join_left_agg"  -> joinLeftAggSql,
     "q_flagship_bonus" -> flagshipBonusSql,
+    "q_flagship_sql"   -> flagshipBonusSql,
     "q_masked_view"    -> maskedViewSql,
     "q_validate_threshold" -> validateThresholdSql,
     "q_anti_fk"        -> antiFkSql,

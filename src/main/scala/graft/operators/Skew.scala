@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Skew-mitigation operators (builder mandate: salting for skew; AQE handles
   * moderate skew automatically — `spark.sql.adaptive.skewJoin` — but a
@@ -41,4 +42,44 @@ object Skew {
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  // ---------------------------------------------------------------------------
+  // Oracle-paired queries: salting must be INVISIBLE in results — the oracle
+  // is the plain GROUP BY / plain inner join, so the driver's hash compare
+  // proves the two-phase rewrite is semantics-preserving.
+  // ---------------------------------------------------------------------------
+
+  /** Salted per-customer order aggregate; oracle = plain GROUP BY. */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    saltedCountSum(Tables.orders(s, dir), "o_custkey",
+      col("o_totalprice").cast("decimal(18,2)"), col("o_orderkey"), buckets = 32)
+      .select(col("o_custkey"), col("cnt"),
+        col("sum").cast("double").as("sum_price"))
+  val saltedAggSql: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_custkey
+      |""".stripMargin
+
+  /** Salted orders⋈customer join; oracle = plain inner join. */
+  def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val small = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    saltedJoin(big, small, "o_custkey", col("o_orderkey"), buckets = 8)
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
+  }
+  val saltedJoinSql: String =
+    """SELECT o_orderkey, o_custkey, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg"  -> saltedAgg _,
+    "q_salted_join" -> saltedJoinQ _,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q_salted_agg"  -> saltedAggSql,
+    "q_salted_join" -> saltedJoinSql,
+  )
 }

@@ -57,6 +57,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("LSH dedup candidates stay distributed — no LocalTableScan in the verify join") {
+    // A driver-side collect()+parallelize of candidate pairs shows up as a
+    // LocalTableScan (single-partition, driver-memory-bounded). The
+    // distributed materialization must not.
+    val lsh = executed(Dedup.dedupMinhashLsh(spark, sf))
+    assert(!lsh.contains("LocalTableScan"), lsh)
+    val sim = executed(Dedup.dedupSimhash(spark, sf))
+    assert(!sim.contains("LocalTableScan"), sim)
+  }
+
   test("metadata-only media query does not read the payload bytes") {
     val plan = executed(Multimodal.mediaMeta(spark, sf))
     // content column is derived, but the scan must read only doc_id+text
