@@ -11,10 +11,19 @@ object Sinks {
     * read_delta.py:219-222 — Delta `overwrite` + `overwriteSchema=true`;
     * parquet overwrite rewrites the footprint, so schema evolution is
     * implicit). At scale, partition the output:
-    * `partitionBy` keeps rewrites scoped to changed partitions. */
-  def overwriteTable(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    * `partitionBy` keeps rewrites scoped to changed partitions.
+    *
+    * `format` is the table-format seam: pass "delta" (plus
+    * `option("overwriteSchema", "true")` semantics come for free) on a
+    * cluster with the delta-spark jars. This container cannot ship them —
+    * resolution of `io.delta:delta-spark_2.13:4.0.0` was attempted and
+    * fails offline ("Not found" for every configured repo; the build's
+    * dependency cache holds only the test libraries) — so the default
+    * stays parquet and ACID overwrite is out of local test scope. */
+  def overwriteTable(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+                     format: String = "parquet"): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
   /** S12 — append bulk insert (ref: execute_values batch INSERT,

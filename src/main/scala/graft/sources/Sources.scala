@@ -14,9 +14,14 @@ object Sources {
   /** S1 — Kafka CDC stream source with the reference's exact options
     * (ref: spark/SaveDelta.scala:104-112: earliest offsets, tolerate data
     * loss, consumer group). Requires the spark-sql-kafka connector jar on
-    * the cluster classpath; this build ships without it, so the call is the
-    * documented production seam (tests use file/rate/memory sources — as
-    * does the reference's own fallback). */
+    * the cluster classpath. Resolution of
+    * `org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2` was attempted in
+    * this build and fails offline ("Not found" in every configured repo —
+    * the zero-egress dependency cache holds only the test libraries), and
+    * no connector jar ships in /opt/spark/jars, so a live `format("kafka")`
+    * load cannot run here: the call is the documented production seam
+    * (tests use file/rate/memory sources — as does the reference's own
+    * fallback). */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
                   groupId: String = "spark-graft-cdc"): DataFrame =
     spark.readStream

@@ -47,16 +47,25 @@ object CdcIngest {
         col("env.payload.after.comment").as("comment"))
       .filter(col("id").isNotNull) // P4: drops non-inserts and garbage
 
-  /** Start the append ingest into a checkpointed parquet sink
+  /** Start the append ingest into a checkpointed sink
     * (ref: SaveDelta.scala:157-163 — outputMode append, 30 s processing-time
-    * trigger, checkpointLocation). */
+    * trigger, checkpointLocation).
+    *
+    * `format` is the Delta seam: the reference sinks to Delta; pass "delta"
+    * where the delta-spark jars exist. Resolution of
+    * `io.delta:delta-spark_2.13:4.0.0` was attempted in this build and
+    * fails offline (zero-egress container; cache holds only test libs), so
+    * the default — checkpointed parquet with the streaming commit log,
+    * which preserves the append/30 s/exactly-once semantics — is what CI
+    * exercises. */
   def ingest(
       parsed: DataFrame,
       outPath: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      format: String = "parquet"): StreamingQuery =
     parsed.writeStream
-      .format("parquet")
+      .format(format)
       .outputMode("append")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
@@ -85,7 +94,11 @@ object CdcIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        batch.collect().foreach(sink.notify) // per-event push, as the reference's consumer loop
+        // Per-event push from the EXECUTORS (`foreachPartition`), one sink
+        // connection per partition — not a driver-side collect(): the
+        // reference's consumer loop is single-process, but at scale the
+        // notifiable stream must not funnel through (or fit in) the driver.
+        batch.foreachPartition { rows: Iterator[Row] => rows.foreach(sink.notify) }
       }
       .start()
 
