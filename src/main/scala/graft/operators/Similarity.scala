@@ -19,9 +19,11 @@ import graft.sources.Tables
   *     bucketed table partitioned by centroid_id). A query then probes only
   *     its centroid's partition — O(n/C · d) per query and, crucially,
   *     partition pruning on the bucketed layout means the scan itself skips
-  *     (C-1)/C of the data. Centroids here are the first C corpus vectors
-  *     (deterministic; k-means refinement would drop in without changing the
-  *     query shape).
+  *     (C-1)/C of the data. Centroids are TRAINED: C = ceil(sqrt(n)) seeds
+  *     (the first C corpus vectors — deterministic, no RNG) refined by
+  *     [[LloydIters]] Lloyd iterations with order-fixed float folds, so the
+  *     DuckDB oracle replays the identical training and every downstream
+  *     cosine hash-matches.
   *
   * Determinism: every dot product is a left fold in index order with double
   * accumulation on both engines (Spark `aggregate(zip_with(...))`, DuckDB
@@ -30,9 +32,16 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private val C       = 16 // IVF centroid count
   private val NQUERY  = 10 // benchmark query-set size: vec_id < 10
   private val TOPK    = 5
+  private val DIM     = 64 // embedding dimension (testdata contract)
+  private val LloydIters = 2
+
+  /** IVF centroid count scales with the corpus: C = ceil(sqrt(n)), the
+    * standard IVF sizing (keeps both the centroid table and the per-probe
+    * partition at O(sqrt(n))). The oracle computes the same C via a scalar
+    * subquery. */
+  private val cCountSql = "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
 
   /** Spark: native codegen'd dot product ([[graft.functions.FloatDotProduct]])
     * — same left-to-right double-accumulation semantics as the DuckDB fold,
@@ -51,6 +60,94 @@ object Similarity {
   /** DuckDB: the same fold, element order and accumulator type identical. */
   private def dotD(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  /** Spark dot for (float array, double array) and (double, double) — the
+    * trained-centroid cases. Same order-fixed left fold with double
+    * accumulation as `float_dot`/`dotD`: cast-to-double per element, then
+    * multiply, then fold in index order — bit-identical across engines. */
+  private def dotFD(f: String, d: String): String =
+    s"aggregate(zip_with($f, $d, (x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v)"
+  private def dotDD(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+
+  // ---------------------------------------------------------------------------
+  // IVF centroid training: deterministic seeded Lloyd iterations.
+  // Seeds = first C corpus vectors; each iteration (a) assigns every vector
+  // to its max-cosine centroid (ties on centroid_id), (b) recomputes each
+  // cluster's mean per dimension with an ORDER BY vec_id fold — the same
+  // order-fixed summation trick as labelCentroids, so DuckDB reproduces the
+  // trained centroids bit-for-bit. Clusters that lose all members drop out
+  // (identically on both engines).
+  // Scale: per iteration one broadcast of C·d doubles against the corpus +
+  // one shuffle of (centroid, dim) partial groups; the result is C rows,
+  // materialized eagerly so consumers never replay the training.
+  // ---------------------------------------------------------------------------
+  /** Trained-centroid cache: four queries (assign, knn×2, dedup) share one
+    * training per (session, dir) — the checkpointed result is C rows, and
+    * retraining per query would quadruple the index-build cost. */
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def lloydCentroids(s: SparkSession, dir: String): DataFrame =
+    centCache.getOrElseUpdate((s, dir), trainLloyd(s, dir))
+
+  private def trainLloyd(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    // Index sizing: one count() — metadata-cheap on parquet (row-group
+    // stats), and the only scalar the training needs.
+    val c = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val c0 = e.filter($"vec_id" < c)
+      .selectExpr("vec_id AS centroid_id", "transform(embedding, v -> cast(v as double)) AS ce")
+    val trained = (1 to LloydIters).foldLeft(c0) { (cent, _) =>
+      val centN = cent.selectExpr("centroid_id", "ce", s"sqrt(${dotDD("ce", "ce")}) AS cnrm")
+      val scored = e
+        .selectExpr("vec_id", "embedding", s"sqrt(${dotS("embedding", "embedding")}) AS vnrm")
+        .join(broadcast(centN))
+        .withColumn("cosine", expr(s"${dotFD("embedding", "ce")} / (vnrm * cnrm)"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"centroid_id".asc)
+      val assign = scored
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"centroid_id")
+      e.join(assign, "vec_id")
+        .select($"centroid_id", $"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"centroid_id", $"pos")
+        .agg(collect_list(struct($"vec_id", $"v")).as("vals"), count(lit(1)).as("cnt"))
+        .selectExpr("centroid_id", "pos",
+          "aggregate(transform(array_sort(vals), x -> cast(x.v as double)), cast(0.0 as double), (a, b) -> a + b) / cnt AS m")
+        .groupBy($"centroid_id")
+        .agg(collect_list(struct($"pos", $"m")).as("pm"))
+        .selectExpr("centroid_id", "transform(array_sort(pm), x -> x.m) AS ce")
+    }
+    trained.localCheckpoint(true)
+  }
+
+  /** The oracle's replay of [[lloydCentroids]]: a CTE chain cent0 →
+    * (assign1, cent1) → … ending in `cent(centroid_id, ce DOUBLE[])`. */
+  private def lloydCteSql: String = {
+    val init =
+      s"cent0 AS (SELECT vec_id AS centroid_id, list_transform(embedding, v -> v::DOUBLE) AS ce FROM embeddings WHERE vec_id < $cCountSql)"
+    val iters = (1 to LloydIters).map { t =>
+      val prev = s"cent${t - 1}"
+      s"""assign$t AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ${dotD("e.embedding", "c.ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("c.ce", "c.ce")})) DESC,
+         |             c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $prev c) s$t WHERE rn = 1),
+         |cent$t AS (
+         |  SELECT centroid_id, list(m ORDER BY pos) AS ce FROM (
+         |    SELECT a.centroid_id, i AS pos,
+         |           list_reduce(list_prepend(0.0::DOUBLE, list(e.embedding[i]::DOUBLE ORDER BY e.vec_id)), (x, y) -> x + y) / count(*) AS m
+         |    FROM embeddings e JOIN assign$t a ON e.vec_id = a.vec_id,
+         |         (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+         |    GROUP BY a.centroid_id, i) u$t GROUP BY centroid_id)""".stripMargin
+    }
+    (init +: iters).mkString(",\n") +
+      s",\ncent AS (SELECT centroid_id, ce FROM cent$LloydIters)"
+  }
 
   // ---------------------------------------------------------------------------
   // Vector stats: dimension, L2 norm, component mean — one codegen'd pass.
@@ -117,11 +214,11 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val cent = withNorm(e.filter($"vec_id" < C), "vec_id", "embedding")
-      .toDF("centroid_id", "ce", "cnrm")
+    val cent = lloydCentroids(s, dir)
+      .selectExpr("centroid_id", "ce", s"sqrt(${dotDD("ce", "ce")}) AS cnrm")
     val scored = withNorm(e, "vec_id", "embedding").toDF("vec_id", "embedding", "vnrm")
       .join(broadcast(cent))
-      .withColumn("cosine", expr(s"${dotS("embedding", "ce")} / (vnrm * cnrm)"))
+      .withColumn("cosine", expr(s"${dotFD("embedding", "ce")} / (vnrm * cnrm)"))
     val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"centroid_id".asc)
     scored.withColumn("rn", row_number().over(w))
       .select($"vec_id", $"centroid_id", $"cosine", $"rn")
@@ -134,7 +231,7 @@ object Similarity {
       .select($"vec_id", $"centroid_id", $"cosine".as("centroid_cosine"))
   }
   val ivfAssignSql: String =
-    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < $C),
+    s"""WITH $lloydCteSql,
        |scored AS (
        |  SELECT e.vec_id, centroid_id,
        |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS cosine
@@ -184,7 +281,7 @@ object Similarity {
       .select($"qid", $"rank", $"nid", $"cosine")
   }
   private def knnIvfSqlFor(nprobe: Int): String =
-    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < $C),
+    s"""WITH $lloydCteSql,
        |scored0 AS (
        |  SELECT e.vec_id, centroid_id,
        |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS cosine
@@ -273,7 +370,7 @@ object Similarity {
       .select($"vec_a", $"vec_b", $"cosine")
   }
   val dedupEmbeddingSql: String =
-    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < $C),
+    s"""WITH $lloydCteSql,
        |scored0 AS (
        |  SELECT e.vec_id, centroid_id,
        |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS cosine

@@ -29,13 +29,20 @@ class SimilaritySpec extends AnyFunSuite {
     k.unpersist()
   }
 
-  test("every vector gets exactly one IVF centroid") {
+  test("every vector gets exactly one IVF centroid (trained, C = ceil(sqrt(n)))") {
     import spark.implicits._
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val c = math.ceil(math.sqrt(n.toDouble)).toLong
     val a = Similarity.ivfAssign(spark, sf).cache()
-    assert(a.count() == a.select($"vec_id").distinct().count())
-    assert(a.filter($"centroid_id" >= 16 || $"centroid_id" < 0).count() == 0)
-    // centroids assign to themselves with cosine ~1
-    assert(a.filter($"vec_id" === $"centroid_id" && $"centroid_cosine" < 0.999).count() == 0)
+    assert(a.count() == n)
+    assert(a.select($"vec_id").distinct().count() == n)
+    // Lloyd seeds are vec_id < C; trained centroid ids keep those labels
+    // (clusters may die, none can appear from nowhere)
+    assert(a.filter($"centroid_id" >= c || $"centroid_id" < 0).count() == 0)
+    assert(a.filter($"centroid_cosine" > 1.0000001 || $"centroid_cosine" < -1.0000001).count() == 0)
+    // training is deterministic: same assignment on a second run
+    val again = Similarity.ivfAssign(spark, sf)
+    assert(a.exceptAll(again).count() == 0)
     a.unpersist()
   }
 
@@ -71,8 +78,57 @@ class SimilaritySpec extends AnyFunSuite {
     val r1 = recall(Similarity.knnIvf(spark, sf))
     val r2 = recall(Similarity.knnIvf2(spark, sf))
     info(f"IVF recall@5: nprobe=1 $r1%.2f, nprobe=2 $r2%.2f")
+    // NB: the benchmark query set (vec_id < 10) is a subset of the Lloyd
+    // SEEDS (vec_id < C), which inflates recall — each query starts as the
+    // anchor of its own cluster. The untrained first-C index scored 0.92
+    // here for exactly that reason (queries WERE centroids); the honest
+    // number is the unbiased-query lift test below.
     assert(r1 > 0.0 && r1 <= 1.0)
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
     brute.unpersist()
+  }
+
+  test("trained IVF beats the random baseline on queries that are NOT seeds") {
+    // The honest index-quality metric: recall@5 on a query set disjoint
+    // from the Lloyd seeds, compared against the expected recall of probing
+    // a random same-sized corpus fraction. Measured on this corpus
+    // (near-orthogonal random vectors — labels do NOT cluster): probed
+    // fraction ~4%, recall ~0.24 => lift ~5.5x. The untrained first-C
+    // index lifts only ~3.5x at HIGHER probe cost (n/16 vs n/23 per query).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = e.count().toDouble
+    val assign = Similarity.ivfAssign(spark, sf).select($"vec_id", $"centroid_id").cache()
+    def norms(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "vec_id", "embedding", "sqrt(float_dot(embedding, embedding)) AS nrm")
+    val (qlo, qhi) = (100, 110) // disjoint from seeds (vec_id < ceil(sqrt(n)))
+    val q = norms(e.filter($"vec_id" >= qlo && $"vec_id" < qhi))
+      .toDF("qid", "qe", "qnrm").join(assign.toDF("qid", "centroid_id"), "qid")
+    val corpus = norms(e).toDF("nid", "ne", "nnrm")
+      .join(assign.toDF("nid", "centroid_id"), "nid")
+    val scored = broadcast(q).join(corpus, Seq("centroid_id"))
+      .filter($"qid" =!= $"nid")
+      .withColumn("cosine", expr("float_dot(qe, ne) / (qnrm * nnrm)"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid".asc)
+    val got = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"qid", $"nid").cache()
+    // brute-force truth for the same unbiased queries
+    val qb = norms(e.filter($"vec_id" >= qlo && $"vec_id" < qhi)).toDF("qid", "qe", "qnrm")
+    val sb = broadcast(qb).join(norms(e).toDF("nid", "ne", "nnrm"), $"qid" =!= $"nid")
+      .withColumn("cosine", expr("float_dot(qe, ne) / (qnrm * nnrm)"))
+    val truth = sb.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"qid", $"nid").cache()
+    val recall = truth.intersect(got).count().toDouble / truth.count()
+    // probed fraction = avg size of the probed cluster / n = random baseline
+    val probed = got.select($"qid").distinct().join(assign.toDF("qid", "centroid_id"), "qid")
+      .join(assign.groupBy($"centroid_id").count(), "centroid_id")
+      .agg(avg($"count")).first().getDouble(0) / n
+    info(f"unbiased recall@5 $recall%.2f vs probed fraction $probed%.3f (lift ${recall / probed}%.1fx)")
+    assert(recall >= 2 * probed,
+      f"trained IVF lift ${recall / probed}%.1fx below 2x random baseline")
+    Seq(assign, got, truth).foreach(_.unpersist())
   }
 }
