@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native codegen'd dot product of two `array<float>` columns with double
-  * accumulation in index order.
+/** Native codegen'd dot product of two `array<float>` / `array<double>`
+  * columns (any mix) with double accumulation in index order.
   *
   * Why a custom Expression (guide preference (b) after composing built-ins):
   * the built-in composition `aggregate(zip_with(a, b, (x,y) -> ...), ...)`
@@ -16,41 +16,51 @@ import org.apache.spark.sql.types._
   * per element — per-row allocation in the hottest ANN loop. This kernel is
   * a tight primitive loop over the two `ArrayData` buffers, fully inside
   * whole-stage codegen (~3-4× faster at 64 dims, see SimilaritySpec).
+  * Double arrays are accepted because trained IVF centroids are per-cluster
+  * MEANS (doubles) dotted against float embeddings every probe.
   *
   * Semantics are IDENTICAL to the fold the oracle uses: left-to-right over
-  * indices, each float pair widened to double, one running accumulator — so
+  * indices, each element widened to double, one running accumulator — so
   * DuckDB's `list_reduce` fold reproduces results bit-for-bit.
   * Array-length mismatch truncates to the shorter (like `zip_with`); null
   * arrays propagate null (nullIntolerant); null ELEMENTS are not expected
-  * (embeddings are dense) and read as 0.0f per ArrayData semantics.
+  * (embeddings are dense) and read as 0.0 per ArrayData semantics.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // ExpectsInputTypes is off-limits (AbstractDataType is private[sql]);
-  // validate the two array<float> inputs directly.
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
   }
+
+  // ExpectsInputTypes is off-limits (AbstractDataType is private[sql]);
+  // validate the two array inputs directly.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elem(left.dataType).isDefined && elem(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "float_dot"
 
+  private def get(x: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => x.getFloat(i).toDouble
+    case _         => x.getDouble(i)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elem(left.dataType).get, elem(right.dataType).get)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += get(x, lt, i) * get(y, rt, i)
       i += 1
     }
     acc
@@ -60,11 +70,17 @@ case class FloatDotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      def acc(v: String, t: DataType) = t match {
+        case FloatType => s"(double) $v.getFloat($i)"
+        case _         => s"$v.getDouble($i)"
+      }
+      val xe = acc(x, elem(left.dataType).get)
+      val ye = acc(y, elem(right.dataType).get)
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double acc_${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc_${ev.value} += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  acc_${ev.value} += $xe * $ye;
          |}
          |${ev.value} = acc_${ev.value};
        """.stripMargin
@@ -78,12 +94,17 @@ case class FloatDotProduct(left: Expression, right: Expression)
 /** Registration of graft's native SQL functions. */
 object GraftFunctions {
   /** Idempotent; makes `float_dot(a, b)` / `simhash64(arr)` available to
-    * spark.sql/expr. */
+    * spark.sql/expr. Skips re-registration when already present — every
+    * query constructor calls this, and re-replacing per query costs
+    * registry churn + a WARN per function per query. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"))) {
+      reg.createOrReplaceTempFunction(
+        "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    }
   }
 }
 

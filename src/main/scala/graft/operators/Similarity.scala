@@ -62,13 +62,12 @@ object Similarity {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
 
   /** Spark dot for (float array, double array) and (double, double) — the
-    * trained-centroid cases. Same order-fixed left fold with double
-    * accumulation as `float_dot`/`dotD`: cast-to-double per element, then
-    * multiply, then fold in index order — bit-identical across engines. */
-  private def dotFD(f: String, d: String): String =
-    s"aggregate(zip_with($f, $d, (x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v)"
-  private def dotDD(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    * trained-centroid cases. [[graft.functions.FloatDotProduct]] accepts
+    * both element types with identical fold semantics (widen to double,
+    * multiply, accumulate in index order), so these are the same native
+    * codegen'd kernel — not the boxed `aggregate(zip_with(...))` fallback. */
+  private def dotFD(f: String, d: String): String = s"float_dot($f, $d)"
+  private def dotDD(a: String, b: String): String = s"float_dot($a, $b)"
 
   // ---------------------------------------------------------------------------
   // IVF centroid training: deterministic seeded Lloyd iterations.
