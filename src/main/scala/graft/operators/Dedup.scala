@@ -338,7 +338,70 @@ object Dedup {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // Near-dup CLUSTER resolution: LSH emits pairs, but a dedup pipeline must
+  // pick one canonical doc per duplicate GROUP — pairs (a,b),(b,c) are one
+  // cluster {a,b,c}, keep min(doc_id). Connected components via iterative
+  // min-label propagation: each round every node takes the min label among
+  // itself and its neighbors; fixpoint = per-component min id. The fixpoint
+  // is unique, so the result is independent of iteration count/partitioning
+  // and DuckDB's recursive CTE reproduces it exactly.
+  // Scale: each round is one shuffle of the (tiny, ≈dup-pair-sized) edge
+  // relation; rounds = cluster diameter — near-dup clusters are cliques or
+  // stars from a shared source, so 2-3 rounds in practice. (Adversarial
+  // long-chain graphs want the large-star/small-star variant — same loop
+  // skeleton, alternating rewrites — before this runs on billions of edges.)
+  // The driver's only role is the convergence test (a count per round).
+  // ---------------------------------------------------------------------------
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select($"dst".as("id"), $"comp")
+      val next = labels.union(prop)
+        .groupBy($"id").agg(min($"comp").as("comp"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter($"comp" < $"prev")
+        .count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select($"id".as("doc_id"), $"comp".as("cluster_id"),
+      ($"id" === $"comp").as("is_canonical"))
+  }
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${lshPairsSql(0.8)}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |),
+       |reach AS (
+       |  SELECT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+       |)
+       |SELECT id AS doc_id, min(comp) AS cluster_id, (id = min(comp)) AS is_canonical
+       |FROM reach GROUP BY id
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters"    -> dedupClusters _,
     "q_simhash64"         -> simhash64Sigs _,
     "q_dedup_simhash"     -> dedupSimhash _,
     "q_dedup_exact"       -> dedupExact _,
@@ -349,6 +412,7 @@ object Dedup {
     "q_simhash"           -> simhash _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters"    -> dedupClustersSql,
     "q_simhash64"         -> simhash64SigsSql,
     "q_dedup_simhash"     -> dedupSimhashSql,
     "q_dedup_exact"       -> dedupExactSql,

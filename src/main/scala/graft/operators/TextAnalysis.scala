@@ -142,6 +142,56 @@ object TextAnalysis {
       |FROM documents
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Deterministic train/validation split — the sampling primitive every
+  // training-data pipeline needs: assignment must be a pure function of the
+  // stable document id (NOT rand()), so re-runs, backfills, and incremental
+  // ingests route every doc to the same side. Bucket = md5(id) mod 100;
+  // train = buckets 0-89. One scan, no shuffle, embarrassingly parallel.
+  // ---------------------------------------------------------------------------
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as int) % 100 AS bucket")
+      .selectExpr("doc_id", "bucket",
+        "CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split")
+  }
+  val trainSplitSql: String =
+    """SELECT doc_id, bucket,
+      |       CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+      |FROM (SELECT doc_id,
+      |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS bucket
+      |      FROM documents) b
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // PII scrubbing: redact emails and phone numbers before training. Pure
+  // per-row regexp_replace (codegen'd, no shuffle); patterns are kept to the
+  // regex subset Java and RE2 interpret identically so the oracle agrees.
+  // Real pipelines chain more detectors (names via NER, addresses, ids) —
+  // each is another replace in the same single-scan stage.
+  // ---------------------------------------------------------------------------
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clean = regexp_replace(
+      regexp_replace($"text", emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+    Tables.documents(s, dir)
+      .select($"doc_id", clean.as("clean_text"),
+        (clean =!= $"text").as("had_pii"))
+  }
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |       regexp_replace(regexp_replace(text, '$emailRe', '[EMAIL]', 'g'),
+       |                      '$phoneRe', '[PHONE]', 'g') AS clean_text,
+       |       (regexp_replace(regexp_replace(text, '$emailRe', '[EMAIL]', 'g'),
+       |                       '$phoneRe', '[PHONE]', 'g') <> text) AS had_pii
+       |FROM documents
+       |""".stripMargin
+
   /** Dashboard-style aggregate over documents: per-language counts + sizes. */
   def statsByLang(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -166,6 +216,8 @@ object TextAnalysis {
     "q_lang_id"       -> langId _,
     "q_fingerprint"   -> fingerprint _,
     "q_stats_by_lang" -> statsByLang _,
+    "q_train_split"   -> trainSplit _,
+    "q_pii_scrub"     -> piiScrub _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_text_stats"    -> textStatsSql,
@@ -173,5 +225,7 @@ object TextAnalysis {
     "q_lang_id"       -> langIdSql,
     "q_fingerprint"   -> fingerprintSql,
     "q_stats_by_lang" -> statsByLangSql,
+    "q_train_split"   -> trainSplitSql,
+    "q_pii_scrub"     -> piiScrubSql,
   )
 }

@@ -55,6 +55,43 @@ class TextDedupSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("cluster resolution merges transitive near-dup pairs to one canonical id") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // docs 0,1,2 identical (clique -> pairs (0,1),(0,2),(1,2)); docs 5,6
+    // identical; 9 unique. Components: {0,1,2} and {5,6}.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "pack my box with five dozen liquor jugs every single day now"
+    val dir = Files.createTempDirectory("clusters").toString
+    Seq(
+      (0L, base, "en", "s", 1L), (1L, base, "en", "s", 1L), (2L, base, "en", "s", 1L),
+      (5L, other, "en", "s", 1L), (6L, other, "en", "s", 1L),
+      (9L, "completely different text about distributed query engines at scale", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val c = graft.operators.Dedup.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(c == Set((0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (5L, 5L, true), (6L, 5L, false)))
+  }
+
+  test("pii scrub redacts planted emails and phone numbers") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("pii").toString
+    Seq(
+      (0L, "contact alice.smith+dev@example.org for details", "en", "s", 1L),
+      (1L, "call 555-867-5309 or 555 123 4567 now", "en", "s", 1L),
+      (2L, "no personal data here at all", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TextAnalysis.piiScrub(spark, dir)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getBoolean(2)))).toMap
+    assert(r(0L) == (("contact [EMAIL] for details", true)))
+    assert(r(1L) == (("call [PHONE] or [PHONE] now", true)))
+    assert(r(2L) == (("no personal data here at all", false)))
+  }
+
   test("simhash is 16-bit and identical docs collide") {
     import spark.implicits._
     val sh = Dedup.simhash(spark, sf)
