@@ -34,6 +34,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("IVF corpus partitioned by centroid: a probe scans only its cluster's files") {
+    import spark.implicits._
+    // The 100 TB ANN layout the Similarity scaladoc argues for, demonstrated:
+    // write (corpus ⋈ assignment) partitioned by centroid_id, then probe one
+    // cluster and assert the scan PRUNES — partition filters reach the file
+    // index and the other clusters' files are never opened.
+    val sf = "/root/testdata/sf0.001"
+    val assign = graft.operators.Similarity.ivfAssign(spark, sf)
+      .select($"vec_id", $"centroid_id")
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").join(assign, "vec_id")
+    val dir = Files.createTempDirectory("ivf_layout").toString
+    corpus.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    val nClusters = assign.select($"centroid_id").distinct().count()
+    val probe = spark.read.parquet(dir).filter($"centroid_id" === 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // the scan must read 1 of nClusters partitions, not scan-then-filter
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.contains(1), s"probe read $scanned of $nClusters partitions")
+    assert(nClusters > 1)
+  }
+
   test("bucketed tables join without a shuffle (co-located 100 TB join shape)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("buckets")
