@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Skew.queries
+      Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
+      Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql
+      Similarity.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++
+      Temporal.oracleSql
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Temporal joins over the `events` stream table — the two classic operators
+  * Spark has no native form for (builder guide: "as-of join, range join"),
+  * built by composing built-ins (preference (a)): no custom strategy needed,
+  * and the plans stay inside whole-stage codegen.
+  *
+  * As-of join (point-in-time attribution): for each left event, the latest
+  * right event of the same key at-or-before it. The distributed shape is NOT
+  * an inequality join (unbounded pair explosion): tag both sides, union,
+  * and take a running `last(..., ignoreNulls)` over
+  * `(key ORDER BY ts, side)` — exactly one shuffle on the key, identical to
+  * what a sort-merge join would pay, regardless of time skew. The DuckDB
+  * oracle uses its NATIVE `ASOF LEFT JOIN`, so two entirely different
+  * algorithms must produce hash-identical rows.
+  *
+  * Range join (interval aggregation): count right events inside a bounded
+  * window after each left event. The distributed shape buckets time by the
+  * window length, replicates each left row to the (at most 2) buckets its
+  * window overlaps, joins on `(key, bucket)`, then applies the precise
+  * range predicate — bounded 2× replication instead of an O(n·m)
+  * inequality join. All window arithmetic is integer epoch-µs on both
+  * engines, so no timestamp-interval semantics can diverge.
+  */
+object Temporal {
+
+  private val HourUs = 3600000000L // 1 h in epoch-µs
+
+  /** Generic as-of join: for every `left` row, the latest `right` row with
+    * `right.tsCol <= left.tsCol` for the same `key`. `right` must be unique
+    * per (key, ts) — pre-aggregate it if not, or ties are nondeterministic
+    * (DuckDB's ASOF has the same contract). Right payload columns come back
+    * null when no prior right row exists (left-join semantics). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == tsCol)
+    // side 0 = right, 1 = left: at equal ts the right row sorts first, so
+    // "at-or-before" includes it (matches ASOF's >= semantics).
+    val taggedRight = right.select(
+      Seq(col(key), col(tsCol), lit(0).as("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(col) :+ col(tsCol).as("_rts"): _*)
+    val taggedLeft = left.select(
+      Seq(col(key), col(tsCol), lit(1).as("_side")) ++
+        leftCols.map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        lit(null).cast("timestamp").as("_rts"): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+      last(col("_rts"), ignoreNulls = true).over(w).as("_rts")
+    taggedRight.unionByName(taggedLeft)
+      .select(Seq(col(key), col(tsCol), col("_side")) ++ leftCols.map(col) ++ carried: _*)
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** Purchase → latest at-or-before signup of the same user (point-in-time
+    * attribution). Signups are deduped to one per (user, ts) with max
+    * event_id, identically on both engines, so as-of ties cannot occur. */
+  def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("signup_id"))
+    asofJoin(purchases, signups, "user_id", "ts", Seq("signup_id"))
+      .select($"event_id", $"user_id", $"signup_id",
+        (unix_micros($"ts") - unix_micros($"_rts")).as("lag_us"))
+  }
+  val asofAttributionSql: String =
+    """WITH s AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS signup_id
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id, CAST(ts AS TIMESTAMP)
+      |),
+      |p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, s.signup_id,
+      |       epoch_us(p.ts) - epoch_us(s.ts) AS lag_us
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+      |""".stripMargin
+
+  /** Per error event: how many purchases the same user made within the next
+    * hour, window [ts, ts+1h). Bucketed band join: each error is replicated
+    * to the ≤2 hour-buckets its window overlaps; purchases join on
+    * (user_id, bucket); the precise µs predicate filters the boundary. */
+  def rangeJoinCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("e_us"))
+    // `div`, not `/`: Column `/` is double division, and epoch-µs values are
+    // large enough that a misrounded bucket would silently drop matches.
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p_us"))
+      .withColumn("bucket", expr(s"p_us div $HourUs"))
+    val replicated = errors.select($"event_id", $"user_id", $"e_us",
+      explode(array_distinct(array(
+        expr(s"e_us div $HourUs"),
+        expr(s"(e_us + ${HourUs - 1}) div $HourUs")))).as("bucket"))
+    val matched = replicated.join(purchases, Seq("user_id", "bucket"))
+      .filter($"p_us" >= $"e_us" && $"p_us" < $"e_us" + HourUs)
+      .groupBy($"event_id").agg(count(lit(1)).as("n"))
+    errors.join(matched, Seq("event_id"), "left")
+      .select($"event_id", $"user_id",
+        coalesce($"n", lit(0L)).cast("long").as("n_purchases"))
+  }
+  val rangeJoinCountSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+      |  FROM events WHERE event_type = 'error'
+      |),
+      |p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT e.event_id, e.user_id,
+      |       CAST(count(p.p_us) AS BIGINT) AS n_purchases
+      |FROM e LEFT JOIN p
+      |  ON p.user_id = e.user_id AND p.p_us >= e.e_us AND p.p_us < e.e_us + 3600000000
+      |GROUP BY e.event_id, e.user_id
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"  -> asofAttribution _,
+    "q_range_join" -> rangeJoinCount _,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q_asof_join"  -> asofAttributionSql,
+    "q_range_join" -> rangeJoinCountSql,
+  )
+}
