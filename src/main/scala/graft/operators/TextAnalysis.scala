@@ -192,6 +192,39 @@ object TextAnalysis {
        |FROM documents
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Repetition / boilerplate signal: type-token ratio and top-token
+  // concentration — the standard cheap filters for template spam and
+  // keyword-stuffed documents. Same explode + two-level hash-aggregate
+  // shape as the MinHash pipeline (codegen'd, map-side combine); ratios are
+  // single IEEE divisions of exact integers, so the oracle agrees.
+  // ---------------------------------------------------------------------------
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max($"c").cast("long").as("max_freq"))
+      .selectExpr("doc_id", "n_tokens", "n_distinct", "max_freq",
+        "cast(n_distinct as double) / n_tokens AS type_token_ratio",
+        "cast(max_freq as double) / n_tokens AS top_token_ratio")
+  }
+  val repetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksDuck) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+       |SELECT doc_id,
+       |       CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_distinct,
+       |       CAST(max(c) AS BIGINT) AS max_freq,
+       |       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS type_token_ratio,
+       |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_token_ratio
+       |FROM c GROUP BY doc_id
+       |""".stripMargin
+
   /** Dashboard-style aggregate over documents: per-language counts + sizes. */
   def statsByLang(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -218,6 +251,7 @@ object TextAnalysis {
     "q_stats_by_lang" -> statsByLang _,
     "q_train_split"   -> trainSplit _,
     "q_pii_scrub"     -> piiScrub _,
+    "q_repetition"    -> repetition _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_text_stats"    -> textStatsSql,
@@ -227,5 +261,6 @@ object TextAnalysis {
     "q_stats_by_lang" -> statsByLangSql,
     "q_train_split"   -> trainSplitSql,
     "q_pii_scrub"     -> piiScrubSql,
+    "q_repetition"    -> repetitionSql,
   )
 }
