@@ -90,6 +90,71 @@ class PropertySpec extends AnyFunSuite {
     v.unpersist(); joined.unpersist()
   }
 
+  test("as-of join equals the naive per-row reference on arbitrary event sets") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // random purchases/signups over a small key+time domain to force
+    // collisions, equal timestamps, and users with no prior signup
+    val genRow = for {
+      user <- Gen.choose(1L, 6L)
+      sec <- Gen.choose(0L, 500L)
+    } yield (user, sec)
+    val purchases = Gen.listOfN(150, genRow).sample.get.zipWithIndex
+      .map { case ((u, s), i) => (i.toLong, u, new Timestamp(1700000000000L + s * 1000)) }
+    val signups = Gen.listOfN(40, genRow).sample.get.zipWithIndex
+      .map { case ((u, s), i) => (1000L + i, u, new Timestamp(1700000000000L + s * 1000)) }
+    val pDf = purchases.toDF("event_id", "user_id", "ts")
+    // dedupe signups per (user, ts) keeping max id — the operator's contract
+    val sDeduped = signups.groupBy(x => (x._2, x._3.getTime))
+      .map { case (_, xs) => xs.maxBy(_._1) }.toSeq
+    val sDf = sDeduped.toDF("event_id", "user_id", "ts")
+      .select($"user_id", $"ts", $"event_id".as("signup_id"))
+    val got = graft.operators.Temporal
+      .asofJoin(pDf, sDf, "user_id", "ts", Seq("signup_id"))
+      .select($"event_id", $"signup_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    // naive reference: scan all signups per purchase
+    purchases.foreach { case (pid, u, pts) =>
+      val candidates = sDeduped.filter(s => s._2 == u && !s._3.after(pts))
+      val expected = if (candidates.isEmpty) None
+        else Some(candidates.maxBy(s => (s._3.getTime, s._1))._1)
+      assert(got(pid) == expected, s"purchase $pid user $u ts $pts")
+    }
+  }
+
+  test("cluster resolution equals driver-side union-find on the same pairs") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // random docs drawn from a tiny phrase pool → many exact/near dup groups
+    val pool = Vector(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "pack my box with five dozen liquor jugs every single day now",
+      "how vexingly quick daft zebras jump over the fence at dawn",
+      "sphinx of black quartz judge my vow before the night falls")
+    val docs = Gen.listOfN(30, Gen.choose(0, pool.size - 1)).sample.get
+      .zipWithIndex.map { case (p, i) => (i.toLong, pool(p), "en", "s", 1L) }
+    val dir = Files.createTempDirectory("cc_prop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.Dedup.dedupMinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = graft.operators.Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find over the identical pair set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    assert(got == expected)
+  }
+
   test("expectations count injected violations exactly") {
     import spark.implicits._
     import graft.quality.Expectations
