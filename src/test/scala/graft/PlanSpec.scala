@@ -67,6 +67,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!sim.contains("LocalTableScan"), sim)
   }
 
+  test("temporal joins push event_type filters into the parquet scan") {
+    // each side of the as-of/range join must scan only its event type —
+    // at 100 TB the filter reaching the reader is the difference between
+    // reading 2 event types and reading all of them
+    val asof = executed(Temporal.asofAttribution(spark, sf))
+    assert(asof.contains("EqualTo(event_type,purchase)"), asof)
+    assert(asof.contains("EqualTo(event_type,signup)"), asof)
+    val range = executed(Temporal.rangeJoinCount(spark, sf))
+    assert(range.contains("EqualTo(event_type,error)"), range)
+  }
+
   test("metadata-only media query does not read the payload bytes") {
     val plan = executed(Multimodal.mediaMeta(spark, sf))
     // content column is derived, but the scan must read only doc_id+text
