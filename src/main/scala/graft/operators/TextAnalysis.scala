@@ -225,6 +225,105 @@ object TextAnalysis {
        |FROM c GROUP BY doc_id
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Stratified per-language downsampling: rebalance the language mix with a
+  // deterministic per-stratum keep-rate — the md5 bucket of doc_id decides,
+  // so re-runs and incremental ingests keep exactly the same documents
+  // (same contract as trainSplit; never rand()). One scan, no shuffle;
+  // at 100 TB the filter is evaluated in the reader stage.
+  // ---------------------------------------------------------------------------
+  private val keepPerMille: Seq[(String, Int)] =
+    Seq("en" -> 300, "fr" -> 500, "de" -> 700, "es" -> 900)
+  private def keepCaseSql: String =
+    keepPerMille.map { case (l, p) => s"WHEN '$l' THEN $p" }
+      .mkString("CASE lang ", " ", " ELSE 1000 END")
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang",
+        "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as int) % 1000 AS bucket")
+      .filter(expr(s"bucket < $keepCaseSql"))
+  }
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, bucket
+       |FROM (SELECT doc_id, lang,
+       |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 1000 AS bucket
+       |      FROM documents) b
+       |WHERE bucket < $keepCaseSql
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Benchmark decontamination: flag training documents sharing any word
+  // n-gram with a held-out evaluation set — the standard train/test
+  // contamination screen. The eval set's n-gram hashes are small (broadcast
+  // side); each training doc explodes its distinct n-gram hashes once and
+  // counts collisions — one scan of the corpus, shuffle only on (doc, hits)
+  // aggregation. n = 5 here (docs are short); production uses 13-grams —
+  // only the constant changes.
+  // ---------------------------------------------------------------------------
+  private val NGram = 5
+  private def ngramsExpr(n: Int): String =
+    s"if(size(toks) < $n, array(), array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))))"
+  private def ngramsDuck(n: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)), i -> array_to_string(toks[i:i+${n - 1}], ' ')))"
+
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", s"${ngramsExpr(NGram)} AS ng")
+    // doc_id < 20 stands in for the held-out benchmark set
+    val benchGrams = grams.filter($"doc_id" < 20)
+      .selectExpr("explode(ng) AS g").distinct()
+    val trainGrams = grams.filter($"doc_id" >= 20 && size($"ng") > 0)
+    val hits = trainGrams.selectExpr("doc_id", "explode(ng) AS g")
+      .join(broadcast(benchGrams), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("h"))
+    trainGrams.select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"h", lit(0L)).cast("long").as("n_shared_ngrams"),
+        (coalesce($"h", lit(0L)) > 0).as("contaminated"))
+  }
+  val contaminationSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |grams AS (SELECT doc_id, ${ngramsDuck(NGram)} AS ng FROM tok),
+       |bench AS (SELECT DISTINCT unnest(ng) AS g FROM grams WHERE doc_id < 20),
+       |train AS (SELECT doc_id, ng FROM grams WHERE doc_id >= 20 AND len(ng) > 0),
+       |hits AS (
+       |  SELECT t.doc_id, count(*) AS h
+       |  FROM (SELECT doc_id, unnest(ng) AS g FROM train) t
+       |  JOIN bench b ON t.g = b.g
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT train.doc_id,
+       |       CAST(coalesce(h, 0) AS BIGINT) AS n_shared_ngrams,
+       |       (coalesce(h, 0) > 0) AS contaminated
+       |FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Corpus-wide top bigrams (boilerplate mining / contamination triage):
+  // explode + hash-aggregate + TakeOrderedAndProject — the count shuffle
+  // carries one row per distinct bigram after map-side combine.
+  // ---------------------------------------------------------------------------
+  def topNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr(s"explode(${ngramsExpr(2)}) AS bigram")
+      .groupBy($"bigram").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"n_docs".desc, $"bigram".asc)
+      .limit(20)
+  }
+  val topNgramsSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(${ngramsDuck(2)}) AS bigram FROM tok)
+       |SELECT bigram, count(*) AS n_docs
+       |FROM g GROUP BY bigram
+       |ORDER BY n_docs DESC, bigram ASC LIMIT 20
+       |""".stripMargin
+
   /** Dashboard-style aggregate over documents: per-language counts + sizes. */
   def statsByLang(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -252,6 +351,9 @@ object TextAnalysis {
     "q_train_split"   -> trainSplit _,
     "q_pii_scrub"     -> piiScrub _,
     "q_repetition"    -> repetition _,
+    "q_stratified_sample" -> stratifiedSample _,
+    "q_contamination" -> contamination _,
+    "q_top_ngrams"    -> topNgrams _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_text_stats"    -> textStatsSql,
@@ -262,5 +364,8 @@ object TextAnalysis {
     "q_train_split"   -> trainSplitSql,
     "q_pii_scrub"     -> piiScrubSql,
     "q_repetition"    -> repetitionSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
+    "q_contamination" -> contaminationSql,
+    "q_top_ngrams"    -> topNgramsSql,
   )
 }
