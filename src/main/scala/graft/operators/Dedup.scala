@@ -169,12 +169,19 @@ object Dedup {
       .select($"p.doc_a", $"p.doc_b")
       .distinct()
       .localCheckpoint(true)
-    // Exact-Jaccard verification: compute shingle sets ONLY for candidate
-    // docs (left_semi against the candidate-id set), not the corpus —
-    // the signature pass already consumed the full corpus once; re-shingling
-    // 100% of it just to verify ~0.1% of pairs would dominate the runtime.
-    // No broadcast hints: AQE broadcasts when the candidate side is small
-    // and falls back to a shuffled join when (at corpus scale) it isn't.
+    verifyJaccard(s, dir, candidates, threshold)
+  }
+
+  /** Exact-Jaccard verification of LSH candidate pairs: compute shingle
+    * sets ONLY for candidate docs (left_semi against the candidate-id set),
+    * not the corpus — the signature pass already consumed the full corpus
+    * once; re-shingling 100% of it just to verify ~0.1% of pairs would
+    * dominate the runtime. No broadcast hints: AQE broadcasts when the
+    * candidate side is small and falls back to a shuffled join when (at
+    * corpus scale) it isn't. */
+  private def verifyJaccard(s: SparkSession, dir: String,
+                            candidates: DataFrame, threshold: Double): DataFrame = {
+    import s.implicits._
     val candDocs = candidates
       .selectExpr("explode(array(doc_a, doc_b)) AS doc_id").distinct()
     // Materialized once: it feeds both sides of the verification join, and
@@ -193,7 +200,7 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 
-  private def lshPairsSql(threshold: Double): String = {
+  private def lshPairsSql(threshold: Double, candPred: String = ""): String = {
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band_id, sig${2 * b} || '|' || sig${2 * b + 1} AS band_key FROM sig WHERE sig0 IS NOT NULL"
     }.mkString("\n  UNION ALL ")
@@ -209,7 +216,7 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id$candPred
        |)
        |SELECT doc_a, doc_b,
        |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -223,6 +230,36 @@ object Dedup {
   }
   val dedupMinhashLshSql: String = lshPairsSql(0.8)
   val ngramJaccardSql: String = lshPairsSql(0.3)
+
+  // ---------------------------------------------------------------------------
+  // Incremental near-dup pass: dedup a NEW batch (doc_id >= IncrSplit here;
+  // in production the delta partition) against the full corpus WITHOUT
+  // re-pairing corpus×corpus. The band join keys the delta's bands against
+  // the corpus band index — at 100 TB that index is precomputed and stored
+  // bucketed by band key, so a 1 TB delta probes it instead of re-deduping
+  // 100 TB; pair work is O(delta candidates), not O(corpus²). Any pair's
+  // larger id is the new side (ids are ingest-ordered), so `doc_b >= split`
+  // selects exactly the pairs touching the delta — including delta-internal
+  // ones.
+  // ---------------------------------------------------------------------------
+  private val IncrSplit = 400L
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSignatures(s, dir)
+    val bands = sig.filter(col("sig0").isNotNull).selectExpr("doc_id",
+      "stack(4, 0, concat_ws('|', sig0, sig1), 1, concat_ws('|', sig2, sig3), 2, concat_ws('|', sig4, sig5), 3, concat_ws('|', sig6, sig7)) AS (band_id, band_key)")
+      .localCheckpoint(true) // signature pipeline runs once; both join sides read blocks
+    val newBands = bands.filter($"doc_id" >= IncrSplit)
+      .toDF("n_doc_id", "band_id", "band_key")
+    val candidates = bands.join(newBands, Seq("band_id", "band_key"))
+      .filter($"doc_id" < $"n_doc_id")
+      .select($"doc_id".as("doc_a"), $"n_doc_id".as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    verifyJaccard(s, dir, candidates, threshold = 0.8)
+  }
+  val dedupIncrementalSql: String =
+    lshPairsSql(0.8, s" AND b.doc_id >= $IncrSplit")
 
   // ---------------------------------------------------------------------------
   // SimHash: 16-bit token-frequency simhash (per-bit majority vote over
@@ -402,6 +439,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters"    -> dedupClusters _,
+    "q_dedup_incremental" -> dedupIncremental _,
     "q_simhash64"         -> simhash64Sigs _,
     "q_dedup_simhash"     -> dedupSimhash _,
     "q_dedup_exact"       -> dedupExact _,
@@ -413,6 +451,7 @@ object Dedup {
   )
   val oracleSql: Map[String, String] = Map(
     "q_dedup_clusters"    -> dedupClustersSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_simhash64"         -> simhash64SigsSql,
     "q_dedup_simhash"     -> dedupSimhashSql,
     "q_dedup_exact"       -> dedupExactSql,
