@@ -267,39 +267,55 @@ object TextAnalysis {
   private def ngramsDuck(n: Int): String =
     s"list_distinct(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)), i -> array_to_string(toks[i:i+${n - 1}], ' ')))"
 
+  /** Rebalance a small, CPU-heavy input across all cores. The 5-gram build
+    * costs far more CPU than the scan; when the input has fewer splits than
+    * cores (one row-group here), the work serializes — and a plain
+    * `repartition` cannot fix it because CollapseProject pushes the
+    * projection back below the exchange into the narrow scan. The eager
+    * localCheckpoint is a hard optimizer barrier. Skipped when the scan is
+    * already parallel (a real corpus has millions of splits — rebalancing
+    * 100 TB through a shuffle would be the bug there). */
+  private def parallelized(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < cores)
+      df.repartition(cores).localCheckpoint(true)
+    else df
+  }
+
   def contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.documents(s, dir)
+    def grams(d: DataFrame) = d
       .withColumn("toks", expr(toksExpr))
       .selectExpr("doc_id", s"${ngramsExpr(NGram)} AS ng")
-    // doc_id < 20 stands in for the held-out benchmark set
-    val benchGrams = grams.filter($"doc_id" < 20)
+    // doc_id < 20 stands in for the held-out benchmark set; its gram-hash
+    // set is tiny (the eval set is, by definition) — materialize + broadcast.
+    val benchGrams = grams(Tables.documents(s, dir).filter($"doc_id" < 20))
       .selectExpr("explode(ng) AS g").distinct()
-    val trainGrams = grams.filter($"doc_id" >= 20 && size($"ng") > 0)
-    val hits = trainGrams.selectExpr("doc_id", "explode(ng) AS g")
-      .join(broadcast(benchGrams), "g")
-      .groupBy($"doc_id").agg(count(lit(1)).as("h"))
-    trainGrams.select($"doc_id")
-      .join(hits, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"h", lit(0L)).cast("long").as("n_shared_ngrams"),
-        (coalesce($"h", lit(0L)) > 0).as("contaminated"))
+      .withColumn("hit", lit(1))
+      .localCheckpoint(true)
+    // ONE corpus pass: explode each training doc's distinct grams, LEFT
+    // join the broadcast bench set, count matches per doc. Every doc with
+    // >=1 gram keeps a row (left join), so no second corpus scan to
+    // restore zero-hit docs — the n-gram pipeline would otherwise be
+    // re-inlined per consumer (CollapseProject pushes through projects).
+    grams(parallelized(s, Tables.documents(s, dir).filter($"doc_id" >= 20)
+        .select($"doc_id", $"text")))
+      .selectExpr("doc_id", "explode(ng) AS g") // explode drops empty arrays
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(coalesce($"hit", lit(0))).cast("long").as("n_shared_ngrams"))
+      .select($"doc_id", $"n_shared_ngrams", ($"n_shared_ngrams" > 0).as("contaminated"))
   }
   val contaminationSql: String =
     s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
        |grams AS (SELECT doc_id, ${ngramsDuck(NGram)} AS ng FROM tok),
        |bench AS (SELECT DISTINCT unnest(ng) AS g FROM grams WHERE doc_id < 20),
-       |train AS (SELECT doc_id, ng FROM grams WHERE doc_id >= 20 AND len(ng) > 0),
-       |hits AS (
-       |  SELECT t.doc_id, count(*) AS h
-       |  FROM (SELECT doc_id, unnest(ng) AS g FROM train) t
-       |  JOIN bench b ON t.g = b.g
-       |  GROUP BY t.doc_id
-       |)
-       |SELECT train.doc_id,
-       |       CAST(coalesce(h, 0) AS BIGINT) AS n_shared_ngrams,
-       |       (coalesce(h, 0) > 0) AS contaminated
-       |FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+       |t AS (SELECT doc_id, unnest(ng) AS g FROM grams WHERE doc_id >= 20 AND len(ng) > 0)
+       |SELECT t.doc_id,
+       |       CAST(count(b.g) AS BIGINT) AS n_shared_ngrams,
+       |       (count(b.g) > 0) AS contaminated
+       |FROM t LEFT JOIN bench b ON t.g = b.g
+       |GROUP BY t.doc_id
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
