@@ -400,6 +400,13 @@ object Dedup {
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("comp"))
       .localCheckpoint(true)
+    // Convergence test: labels only ever decrease, so the exact (decimal,
+    // overflow-proof) label sum strictly decreases iff any label changed —
+    // one tiny aggregate per round instead of a join against the previous
+    // round's labels.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"comp".cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -408,12 +415,10 @@ object Dedup {
       val next = labels.union(prop)
         .groupBy($"id").agg(min($"comp").as("comp"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter($"comp" < $"prev")
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       rounds += 1
     }
     labels.select($"id".as("doc_id"), $"comp".as("cluster_id"),
