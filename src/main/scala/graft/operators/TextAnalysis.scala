@@ -340,6 +340,48 @@ object TextAnalysis {
        |ORDER BY n_docs DESC, bigram ASC LIMIT 20
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Document chunking: fixed token windows with 50% overlap — the standard
+  // pre-training preparation step (long docs become training-sized pieces,
+  // overlap preserves cross-boundary context). Chunk k covers tokens
+  // [k·S+1, k·S+W]; the last chunk is the first whose window reaches the
+  // end of the doc (may be short) — no redundant windows fully contained
+  // in their predecessor. Pure integer arithmetic and slicing —
+  // deterministic on both engines; one scan, no shuffle, and chunk rows
+  // inherit the input partitioning (no skew: chunks ∝ doc len).
+  // ---------------------------------------------------------------------------
+  private val ChunkW = 32
+  private val ChunkS = 16
+
+  // k_max = ceil((n - W) / S), clamped at 0 for single-chunk docs. The
+  // clamp also absorbs the truncate-vs-floor divergence on negative
+  // numerators (Spark `div` truncates, DuckDB `//` floors — both only
+  // differ when the result is negative, which the clamp discards).
+  private val kMaxSpark = s"greatest(0, (size(toks) - $ChunkW + $ChunkS - 1) div $ChunkS)"
+  private val kMaxDuck = s"greatest(0, (len(toks) - $ChunkW + $ChunkS - 1) // $ChunkS)"
+
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id",
+        s"""explode(transform(sequence(0, $kMaxSpark),
+           |  k -> struct(k AS chunk_id,
+           |              least($ChunkW, size(toks) - k * $ChunkS) AS n_chunk_tokens,
+           |              concat_ws(' ', slice(toks, k * $ChunkS + 1, $ChunkW)) AS chunk_text))) AS c""".stripMargin)
+      .selectExpr("doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text")
+  }
+  val chunkDocsSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, unnest(range(0, $kMaxDuck + 1)) AS chunk_id, toks
+       |  FROM tok
+       |)
+       |SELECT doc_id, chunk_id,
+       |       least($ChunkW, len(toks) - chunk_id * $ChunkS) AS n_chunk_tokens,
+       |       array_to_string(toks[chunk_id * $ChunkS + 1 : chunk_id * $ChunkS + $ChunkW], ' ') AS chunk_text
+       |FROM c
+       |""".stripMargin
+
   /** Dashboard-style aggregate over documents: per-language counts + sizes. */
   def statsByLang(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -370,6 +412,7 @@ object TextAnalysis {
     "q_stratified_sample" -> stratifiedSample _,
     "q_contamination" -> contamination _,
     "q_top_ngrams"    -> topNgrams _,
+    "q_chunking"      -> chunkDocs _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_text_stats"    -> textStatsSql,
@@ -383,5 +426,6 @@ object TextAnalysis {
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_contamination" -> contaminationSql,
     "q_top_ngrams"    -> topNgramsSql,
+    "q_chunking"      -> chunkDocsSql,
   )
 }

@@ -42,6 +42,21 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("overwrite sink evolves the schema: added columns replace the old footprint") {
+    // the reference's Delta overwriteSchema=true semantics on plain parquet:
+    // an overwrite fully replaces files, so readers see exactly the new schema
+    import spark.implicits._
+    val path = Files.createTempDirectory("evolve").toString + "/t"
+    Sinks.overwriteTable(Seq((1, "a")).toDF("id", "v1"), path)
+    Sinks.overwriteTable(Seq((1, "a", 9.5)).toDF("id", "v1", "v2_added"), path)
+    val back = spark.read.parquet(path)
+    assert(back.columns.toSeq == Seq("id", "v1", "v2_added"))
+    assert(back.count() == 1 && back.first().getDouble(2) == 9.5)
+    // and a column REMOVED by the next overwrite disappears too
+    Sinks.overwriteTable(Seq((2, "b")).toDF("id", "v1"), path)
+    assert(spark.read.parquet(path).columns.toSeq == Seq("id", "v1"))
+  }
+
   test("sinks round-trip: overwrite is idempotent, append accumulates") {
     import spark.implicits._
     val path = Files.createTempDirectory("sink").toString + "/t"

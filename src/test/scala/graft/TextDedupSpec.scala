@@ -92,6 +92,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r(2L) == (("no personal data here at all", false)))
   }
 
+  test("chunking windows overlap 50% and the tail chunk is short") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("chunks").toString
+    val fifty = (1 to 50).map(i => s"t$i").mkString(" ") // 50 tokens
+    Seq((0L, fifty, "en", "s", 1L), (1L, "solo", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val c = graft.operators.TextAnalysis.chunkDocs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // 50 tokens, W=32, S=16 -> chunks at 0, 16, 32: lengths 32, 32, 18
+    assert(c((0L, 0L))._1 == 32 && c((0L, 0L))._2.startsWith("t1 t2 "))
+    assert(c((0L, 1L))._1 == 32 && c((0L, 1L))._2.startsWith("t17 ")) // 50% overlap
+    assert(c((0L, 2L))._1 == 18 && c((0L, 2L))._2.endsWith(" t50"))   // short tail
+    assert(!c.contains((0L, 3L)))
+    assert(c((1L, 0L)) == ((1L, "solo")))                             // 1-token doc
+  }
+
   test("simhash is 16-bit and identical docs collide") {
     import spark.implicits._
     val sh = Dedup.simhash(spark, sf)
