@@ -382,6 +382,41 @@ object TextAnalysis {
        |FROM c
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Key-term extraction: the top-3 characteristic terms per document —
+  // TF-IDF's ranking realized with EXACT integer keys (term frequency in
+  // the doc desc, document frequency in the corpus asc, term asc) instead
+  // of a float tf·log(N/df) score: the same ordering logic with no
+  // engine-specific log/rounding in the oracle. Plan: one (doc, term)
+  // aggregate, one term-level df aggregate, join on term, per-doc top-k
+  // window. Stopword-class terms sink naturally (df ≈ corpus size).
+  // ---------------------------------------------------------------------------
+  def keyTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term".asc)
+    tf.join(df_, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df")
+  }
+  val keyTermsSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+       |  FROM tf JOIN df ON tf.term = df.term
+       |)
+       |SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
+       |""".stripMargin
+
   /** Dashboard-style aggregate over documents: per-language counts + sizes. */
   def statsByLang(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -413,6 +448,7 @@ object TextAnalysis {
     "q_contamination" -> contamination _,
     "q_top_ngrams"    -> topNgrams _,
     "q_chunking"      -> chunkDocs _,
+    "q_keyterms"      -> keyTerms _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_text_stats"    -> textStatsSql,
@@ -427,5 +463,6 @@ object TextAnalysis {
     "q_contamination" -> contaminationSql,
     "q_top_ngrams"    -> topNgramsSql,
     "q_chunking"      -> chunkDocsSql,
+    "q_keyterms"      -> keyTermsSql,
   )
 }
