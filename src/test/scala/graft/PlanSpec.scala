@@ -78,6 +78,14 @@ class PlanSpec extends AnyFunSuite {
     assert(range.contains("EqualTo(event_type,error)"), range)
   }
 
+  test("top-ngram mining compiles to TakeOrderedAndProject; contamination broadcasts the eval set") {
+    val top = executed(TextAnalysis.topNgrams(spark, sf))
+    assert(top.contains("TakeOrderedAndProject"), top)
+    val cont = executed(TextAnalysis.contamination(spark, sf))
+    assert(cont.contains("BroadcastHashJoin"), cont)
+    assert(!cont.contains("SortMergeJoin"), cont)
+  }
+
   test("metadata-only media query does not read the payload bytes") {
     val plan = executed(Multimodal.mediaMeta(spark, sf))
     // content column is derived, but the scan must read only doc_id+text
