@@ -35,7 +35,9 @@ object Temporal {
     * `right.tsCol <= left.tsCol` for the same `key`. `right` must be unique
     * per (key, ts) — pre-aggregate it if not, or ties are nondeterministic
     * (DuckDB's ASOF has the same contract). Right payload columns come back
-    * null when no prior right row exists (left-join semantics). */
+    * null when no prior right row exists (left-join semantics). The output
+    * also carries `_rts`, the matched right row's timestamp (null when
+    * unmatched) — callers compute lags from it or drop it. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == key || c == tsCol)

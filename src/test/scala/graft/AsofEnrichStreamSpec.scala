@@ -39,4 +39,33 @@ class AsofEnrichStreamSpec extends AnyFunSuite {
       assert(got == Map(1L -> Some(0L), 3L -> Some(2L), 4L -> Some(2L), 5L -> None))
     } finally q.stop()
   }
+
+  test("enrichment state survives a checkpointed query restart") {
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cp = Files.createTempDirectory("asof_cp").toString
+    val out = Files.createTempDirectory("asof_out").toString
+    val mem = MemoryStream[EventIn]
+    // memory sink cannot recover from a checkpoint; the parquet sink can
+    def start() = AsofEnrich.enrich(mem.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .option("path", out)
+      .format("parquet").start()
+    val q1 = start()
+    mem.addData(EventIn(0, 7, ts("2024-01-01 10:00:00"), true)) // signup only
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: the user-7 signup must be recovered
+    // from the state store, not re-read from the source
+    val q2 = start()
+    try {
+      mem.addData(EventIn(1, 7, ts("2024-01-01 11:00:00"), false))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[Enriched].collect()
+      assert(got.length == 1 && got(0).event_id == 1L && got(0).signup_id == Some(0L),
+        got.mkString("; "))
+    } finally q2.stop()
+  }
 }
