@@ -41,4 +41,25 @@ class IntervalJoinStreamSpec extends AnyFunSuite {
       assert(got == Set((7L, 3L, 8L), (7L, 3L, 9L)), got.mkString("; "))
     } finally q.stop()
   }
+
+  test("stream-static broadcast join enriches a live stream from a dimension table") {
+    // the standard streaming-enrichment shape: the static side broadcasts,
+    // the stream never shuffles, no state is kept (unlike stream-stream)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((3L, "gold"), (4L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val joined = mem.toDS().toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_out").start()
+    try {
+      mem.addData(Ev(1, 3, ts("2024-01-01 10:00:00")),
+        Ev(2, 9, ts("2024-01-01 10:01:00"))) // user 9 not in dim -> null tier
+      q.processAllAvailable()
+      val got = spark.sql("select event_id, tier from ss_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
 }

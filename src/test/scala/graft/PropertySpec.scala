@@ -122,6 +122,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("range join equals the naive per-row window count on arbitrary events") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    // random errors/purchases in a 3h span so windows straddle bucket edges
+    val genEv = for {
+      user <- Gen.choose(1L, 5L)
+      sec <- Gen.choose(0L, 10800L)
+      typ <- Gen.oneOf("error", "purchase", "signup")
+    } yield (user, sec, typ)
+    val rows = Gen.listOfN(200, genEv).sample.get.zipWithIndex.map {
+      case ((u, sec, typ), i) =>
+        (i.toLong, new Timestamp(1704067200000L + sec * 1000), u, typ, 0.0, "{}")
+    }
+    val dir = Files.createTempDirectory("range_prop").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Temporal.rangeJoinCount(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val purchases = rows.filter(_._4 == "purchase")
+    rows.filter(_._4 == "error").foreach { case (eid, ets, u, _, _, _) =>
+      val expected = purchases.count(p => p._3 == u &&
+        p._2.getTime >= ets.getTime && p._2.getTime < ets.getTime + 3600000L)
+      assert(got(eid) == expected, s"error $eid user $u ts $ets")
+    }
+  }
+
   test("cluster resolution equals driver-side union-find on the same pairs") {
     import spark.implicits._
     import java.nio.file.Files
