@@ -417,6 +417,31 @@ object TextAnalysis {
        |SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Corpus length profile: token-count histogram in 16-token buckets with
+  // per-bucket totals — the distribution every dataset card reports, and
+  // the input to length-based filtering decisions. One scan + one tiny
+  // aggregate (O(buckets) rows out); integer bucket math on both engines.
+  // ---------------------------------------------------------------------------
+  def lengthProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("cast(size(toks) as bigint) AS n") // bigint: DuckDB len() is BIGINT
+      .selectExpr("n", "n div 16 AS bucket")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").cast("long").as("sum_tokens"),
+        min($"n").as("min_tokens"), max($"n").as("max_tokens"))
+      .orderBy($"bucket")
+  }
+  val lengthProfileSql: String =
+    s"""WITH t AS (SELECT len($toksDuck) AS n FROM documents)
+       |SELECT n // 16 AS bucket, count(*) AS n_docs,
+       |       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       |       min(n) AS min_tokens, max(n) AS max_tokens
+       |FROM t GROUP BY n // 16 ORDER BY bucket
+       |""".stripMargin
+
   /** Dashboard-style aggregate over documents: per-language counts + sizes. */
   def statsByLang(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -449,6 +474,7 @@ object TextAnalysis {
     "q_top_ngrams"    -> topNgrams _,
     "q_chunking"      -> chunkDocs _,
     "q_keyterms"      -> keyTerms _,
+    "q_length_profile" -> lengthProfile _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_text_stats"    -> textStatsSql,
@@ -464,5 +490,6 @@ object TextAnalysis {
     "q_top_ngrams"    -> topNgramsSql,
     "q_chunking"      -> chunkDocsSql,
     "q_keyterms"      -> keyTermsSql,
+    "q_length_profile" -> lengthProfileSql,
   )
 }
