@@ -644,6 +644,57 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Pivot / crosstab (OLAP extension): order counts per priority with one
+  // column per order status — `groupBy.pivot` with explicit values, which
+  // compiles to conditional aggregates in ONE pass (no per-status query,
+  // no second shuffle). Explicit value list matters at scale: without it
+  // Spark runs an extra distinct job to discover the columns.
+  // ---------------------------------------------------------------------------
+  def pivotStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("o_orderpriority", "n_f", "n_o", "n_p")
+      .orderBy($"o_orderpriority")
+  }
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+      |       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Running total (cumulative window): each customer's order spend as a
+  // running sum in date order — the classic balance/burn-down query.
+  // Exact DECIMAL accumulation (summation order is the window order, so a
+  // double would drift between engines); ties broken on order key.
+  // Scale: one shuffle on the customer key, per-partition sort.
+  // ---------------------------------------------------------------------------
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey",
+        sum(D($"o_totalprice")).over(w).cast("double").as("running_spend"))
+  }
+  val runningTotalSql: String =
+    """SELECT o_custkey, o_orderdate, o_orderkey,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS running_spend
+      |FROM orders
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Top-N per group (window row_number — the per-entity-leaderboard shape):
   // each customer's 3 most expensive orders.
   // Scale: one shuffle on the group key; per-partition sort bounded by
@@ -749,6 +800,8 @@ object Relational {
     "q_quantiles"      -> quantiles _,
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
+    "q_pivot"          -> pivotStatus _,
+    "q_running_total"  -> runningTotal _,
     "q_topn_per_group" -> topnPerGroup _,
     "q_shipping_priority" -> shippingPriority _,
     "q_local_volume"   -> localVolume _,
@@ -760,6 +813,8 @@ object Relational {
     "q_sessionize"     -> sessionizeSql,
     "q_quantiles"      -> quantilesSql,
     "q_rollup"         -> rollupSummarySql,
+    "q_pivot"          -> pivotStatusSql,
+    "q_running_total"  -> runningTotalSql,
     "q_topn_per_group" -> topnPerGroupSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_local_volume"   -> localVolumeSql,
