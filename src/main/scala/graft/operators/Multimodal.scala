@@ -89,7 +89,11 @@ object Multimodal {
       |""".stripMargin
 
   /** Feature extraction: partition-wise batch decode through the decoder
-    * seam (rows-only check — the fake decode has no SQL equivalent). */
+    * seam. The fake decode is closed-form over the checksum, so the oracle
+    * reproduces it in SQL — the hash check proves the typed `mapPartitions`
+    * path (encoders, per-partition decoder instances, batch streaming)
+    * preserves every value, which is exactly the plumbing a real codec
+    * would flow through. */
   def extractFeatures(s: SparkSession, dir: String,
                       decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
     import s.implicits._
@@ -101,27 +105,56 @@ object Multimodal {
 
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
     extractFeatures(s, dir).toDF()
+  val mediaFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 3
+      |              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |         octet_length(encode(text)) AS n_bytes,
+      |         ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, media_type, n_bytes,
+      |       CAST(h % 1920 + 1 AS INTEGER) AS width,
+      |       CAST((h >> 16) % 1080 + 1 AS INTEGER) AS height,
+      |       CAST(CASE WHEN media_type = 'video' THEN (h >> 32) % 300 + 1 ELSE 1 END AS INTEGER) AS n_frames,
+      |       (h % 1000000) / 1000000.0 AS feature_norm
+      |FROM m
+      |""".stripMargin
 
   /** Frame sampling: every k-th fixed-size chunk of the payload — pure byte
-    * plumbing (the video-frame-sample shape) as a typed Dataset map. */
+    * plumbing (the video-frame-sample shape) as a typed Dataset map. The
+    * chunk arithmetic is closed-form over the payload length, so the oracle
+    * checks the byte plumbing exactly. */
   def frameSample(s: SparkSession, dir: String, frameBytes: Int = 16, k: Int = 4): DataFrame = {
     import s.implicits._
     asMedia(s, dir).as[MediaRecord].map { r =>
       val frames = r.content.grouped(frameBytes).zipWithIndex
         .collect { case (chunk, i) if i % k == 0 => chunk }
         .toArray
-      (r.doc_id, frames.length, frames.map(_.length.toLong).sum)
+      (r.doc_id, frames.length.toLong, frames.map(_.length.toLong).sum)
     }.toDF("doc_id", "n_sampled_frames", "sampled_bytes")
   }
+  val frameSampleSql: String =
+    """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, len, (len + 15) // 16 AS nchunks FROM m)
+      |SELECT doc_id,
+      |       CAST(CASE WHEN len = 0 THEN 0 ELSE (nchunks + 3) // 4 END AS BIGINT) AS n_sampled_frames,
+      |       CAST(CASE WHEN len = 0 THEN 0
+      |                 WHEN (nchunks - 1) % 4 = 0
+      |                   THEN 16 * ((nchunks + 3) // 4) - (16 - (((len - 1) % 16) + 1))
+      |                 ELSE 16 * ((nchunks + 3) // 4) END AS BIGINT) AS sampled_bytes
+      |FROM c
+      |""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatures _,
     "q_frame_sample"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
   )
-  /** q_media_features / q_frame_sample are rows-only: the decode stub has no
-    * SQL equivalent (driver records the weaker check by design). */
   val oracleSql: Map[String, String] = Map(
-    "q_media_meta" -> mediaMetaSql,
+    "q_media_meta"     -> mediaMetaSql,
+    "q_media_features" -> mediaFeaturesSql,
+    "q_frame_sample"   -> frameSampleSql,
   )
 }
