@@ -32,7 +32,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Several queries materialize eager localCheckpoints; their blocks are
+      // freed only when the ContextCleaner sees the RDDs unreachable. Nudge
+      // GC between queries (outside the timed window) so storage pressure
+      // from earlier queries can't perturb later timings.
+      System.gc()
+      t
     }
 
     // Warmup: JVM + codegen + parquet footers for all tables.
