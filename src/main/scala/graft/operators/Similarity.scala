@@ -26,7 +26,8 @@ import graft.sources.Tables
   *     cosine hash-matches.
   *
   * Determinism: every dot product is a left fold in index order with double
-  * accumulation on both engines (Spark `aggregate(zip_with(...))`, DuckDB
+  * accumulation on both engines (Spark: the native `float_dot` kernel, same
+  * semantics as `aggregate(zip_with(...))`; DuckDB
   * `list_reduce(list_prepend(...))`) — bit-identical results, so cosine
   * scores hash-match. Rankings tie-break on neighbor id.
   */
@@ -253,8 +254,11 @@ object Similarity {
 
   /** nprobe=2 variant — the standard IVF recall knob: a query searches its
     * 2 nearest clusters (2/C of the corpus) instead of 1. Cost scales
-    * linearly in nprobe; recall@5 measured 0.92 → 0.99 on the test corpus
-    * (SimilaritySpec). */
+    * linearly in nprobe. Recall caveat (SimilaritySpec): the benchmark
+    * query set overlaps the Lloyd seeds, inflating its recall (~0.80→0.88
+    * with nprobe); the honest metric is unbiased-query recall vs probed
+    * fraction — ~5.5× lift over random probing on this (near-orthogonal,
+    * unclustered) corpus. */
   def knnIvf2(s: SparkSession, dir: String): DataFrame = knnIvfProbed(s, dir, 2)
 
   private def knnIvfProbed(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
