@@ -60,6 +60,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(nClusters > 1)
   }
 
+  test("results are invariant to the shuffle-partition setting") {
+    // the partitioning-independence claim behind "same answer on any
+    // cluster size": rerun order-sensitive pipelines (hash aggregates,
+    // LSH banding, window ranks) under a different partition count and
+    // compare exactly
+    val sf = "/root/testdata/sf0.001"
+    val other = spark.newSession()
+    other.conf.set("spark.sql.shuffle.partitions", "5")
+    def same(f: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val a = f(spark, sf)
+      val b = f(other, sf)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+    same(graft.operators.Dedup.dedupMinhashLsh)
+    same(graft.operators.Dedup.dedupClusters)
+    same(graft.operators.Skew.saltedAgg)
+    same(graft.operators.Temporal.asofAttribution)
+  }
+
   test("bucketed tables join without a shuffle (co-located 100 TB join shape)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("buckets")
