@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** End-to-end corpus curation recipe — the composition a training-data team
+  * actually ships, built entirely from the library's oracle-gated operators:
+  *
+  *   1. exact dedup: keep one doc per content hash (min doc_id wins);
+  *   2. near-dup resolution: drop every non-canonical member of an
+  *      LSH-verified duplicate cluster;
+  *   3. PII scrub: redact emails/phones in the surviving text;
+  *   4. quality gate: length/stopword-based `is_quality` filter;
+  *   5. deterministic train/val split on the stable doc_id.
+  *
+  * Everything is ONE declarative plan per stage over the same corpus scan
+  * lineage — no driver loops, no RNG; re-running yields byte-identical
+  * output, and an incremental delta run slots `Dedup.dedupIncremental` in
+  * for stage 2 unchanged. Returned rows: (doc_id, split, quality_score,
+  * clean_text).
+  */
+object CurationPipeline {
+
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // stage 1+2 keep-list: exact winners minus non-canonical near-dups
+    val exactKeep = Dedup.dedupExact(s, dir).select($"keep_id".as("doc_id"))
+    val nonCanonical = Dedup.dedupClusters(s, dir)
+      .filter(!$"is_canonical").select($"doc_id")
+    val keep = exactKeep.join(nonCanonical, Seq("doc_id"), "left_anti")
+    // stage 3-5 over the survivors only
+    val scrubbed = TextAnalysis.piiScrub(s, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+    val quality = TextAnalysis.textStats(s, dir)
+      .select($"doc_id", $"quality_score", $"is_quality")
+    val split = TextAnalysis.trainSplit(s, dir).select($"doc_id", $"split")
+    scrubbed
+      .join(quality, "doc_id")
+      .filter($"is_quality")
+      .join(split, "doc_id")
+      .select($"doc_id", $"split", $"quality_score", $"clean_text")
+  }
+}
