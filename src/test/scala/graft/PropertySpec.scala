@@ -14,6 +14,13 @@ import graft.streaming.CdcIngest
 class PropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
+  /** Deterministic draw: every property samples from a fixed seed so a run
+    * never depends on the JVM's RNG (SURVEY §7.4 risk 4 — the suite bans
+    * nondeterminism, so the generators must not smuggle it back in).
+    */
+  private def sampled[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -38,7 +45,12 @@ class PropertySpec extends AnyFunSuite {
 
   test("envelope parse round-trips arbitrary activities; null ids are dropped") {
     import spark.implicits._
-    val cases = Gen.listOfN(300, genEnv).sample.get
+    // Distinct ids: the round-trip lookup below is keyed by id, so two
+    // envelopes sharing one would shadow each other in `byId` and the
+    // assert would compare unrelated cases. Keep the first case per id.
+    val drawn = sampled(Gen.listOfN(300, genEnv), 0xE17L)
+    val seenIds = scala.collection.mutable.Set.empty[Int]
+    val cases = drawn.filter(e => e.id.forall(seenIds.add))
     val jsons = cases.map { e =>
       s"""{"payload": {"after": {"id": ${e.id.map(_.toString).getOrElse("null")}, "id_employee": ${e.emp}, "start_datetime": ${e.us}, "sport_type": ${jsonStr(e.sport)}, "distance": ${e.dist.map(_.toString).getOrElse("null")}, "activity_duration": ${e.dur}, "comment": ${e.comment.map(jsonStr).getOrElse("null")}}}}"""
     }
@@ -69,7 +81,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("commute validation invariants hold for arbitrary employees") {
     import spark.implicits._
-    val rows = Gen.listOfN(300, genEmployee).sample.get.distinctBy(_._1)
+    val rows = sampled(Gen.listOfN(300, genEmployee), 0xC0117L).distinctBy(_._1)
     val employees = rows.toDF("id_employee", "transport_mode", "address")
     val v = CommuteValidation.validate(employees).cache()
     val joined = v.join(employees, "id_employee").cache()
@@ -99,9 +111,9 @@ class PropertySpec extends AnyFunSuite {
       user <- Gen.choose(1L, 6L)
       sec <- Gen.choose(0L, 500L)
     } yield (user, sec)
-    val purchases = Gen.listOfN(150, genRow).sample.get.zipWithIndex
+    val purchases = sampled(Gen.listOfN(150, genRow), 0xA50FL).zipWithIndex
       .map { case ((u, s), i) => (i.toLong, u, new Timestamp(1700000000000L + s * 1000)) }
-    val signups = Gen.listOfN(40, genRow).sample.get.zipWithIndex
+    val signups = sampled(Gen.listOfN(40, genRow), 0x516L).zipWithIndex
       .map { case ((u, s), i) => (1000L + i, u, new Timestamp(1700000000000L + s * 1000)) }
     val pDf = purchases.toDF("event_id", "user_id", "ts")
     // dedupe signups per (user, ts) keeping max id — the operator's contract
@@ -132,7 +144,7 @@ class PropertySpec extends AnyFunSuite {
       sec <- Gen.choose(0L, 10800L)
       typ <- Gen.oneOf("error", "purchase", "signup")
     } yield (user, sec, typ)
-    val rows = Gen.listOfN(200, genEv).sample.get.zipWithIndex.map {
+    val rows = sampled(Gen.listOfN(200, genEv), 0x7A27EL).zipWithIndex.map {
       case ((u, sec, typ), i) =>
         (i.toLong, new Timestamp(1704067200000L + sec * 1000), u, typ, 0.0, "{}")
     }
@@ -158,7 +170,7 @@ class PropertySpec extends AnyFunSuite {
       "pack my box with five dozen liquor jugs every single day now",
       "how vexingly quick daft zebras jump over the fence at dawn",
       "sphinx of black quartz judge my vow before the night falls")
-    val docs = Gen.listOfN(30, Gen.choose(0, pool.size - 1)).sample.get
+    val docs = sampled(Gen.listOfN(30, Gen.choose(0, pool.size - 1)), 0xCCL)
       .zipWithIndex.map { case (p, i) => (i.toLong, pool(p), "en", "s", 1L) }
     val dir = Files.createTempDirectory("cc_prop").toString
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -185,8 +197,8 @@ class PropertySpec extends AnyFunSuite {
   test("expectations count injected violations exactly") {
     import spark.implicits._
     import graft.quality.Expectations
-    val nNull = Gen.choose(1, 20).sample.get
-    val nNeg = Gen.choose(1, 20).sample.get
+    val nNull = sampled(Gen.choose(1, 20), 0x20L)
+    val nNeg = sampled(Gen.choose(1, 20), 0x21L)
     val good = (1 to 100).map(i => (Some(s"2024-01-01 00:00:$i"), Some("Yoga"), 100, Some(10)))
     val nullTs = (1 to nNull).map(_ => (None: Option[String], Some("Yoga"), 100, Some(10)))
     val negDur = (1 to nNeg).map(_ => (Some("2024-01-01 00:00:00"), Some("Yoga"), -5, Some(10)))
