@@ -33,10 +33,15 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       val t = (System.nanoTime() - t0) / 1e9
-      // Several queries materialize eager localCheckpoints; their blocks are
-      // freed only when the ContextCleaner sees the RDDs unreachable. Nudge
-      // GC between queries (outside the timed window) so storage pressure
-      // from earlier queries can't perturb later timings.
+      // Several queries materialize eager checkpoints; the ContextCleaner
+      // frees their blocks only when GC proves the RDDs unreachable, so
+      // trivial queries were inheriting the storage pressure of every
+      // checkpoint-heavy query before them. Release them explicitly
+      // (outside the timed window); pinned shared indexes (the trained IVF
+      // centroids) survive — freeing those would force a retrain per query
+      // AND break consumers of the lineage-truncated cache. GC afterwards
+      // still helps with non-block heap churn.
+      Materialize.releaseTransient(spark)
       System.gc()
       t
     }

@@ -152,23 +152,21 @@ object Dedup {
     // cap or salt if a corpus has mega-clusters.)
     // The candidate set is small relative to the corpus (≈ near-dup pair
     // count) but its lineage is the whole signature pipeline, and it feeds
-    // three consumers below. Materialize it DISTRIBUTED via an eager
-    // localCheckpoint: the signature pipeline executes exactly once, lineage
-    // is truncated so the three consumers re-read the materialized blocks,
-    // and — unlike a driver collect() — the candidate set never has to fit
-    // in driver memory (a 100 TB web corpus has billions of dup pairs) and
-    // re-enters the plan with its full partitioning, not as 1 partition.
-    // (On a real cluster with executor churn, swap for reliable
-    // checkpoint() or a temp-parquet round-trip; same plan shape.)
-    val candidates = bands
+    // three consumers below. Materialize it DISTRIBUTED via the
+    // graft.Materialize seam: the signature pipeline executes exactly once,
+    // lineage is truncated so the three consumers re-read the materialized
+    // data, and — unlike a driver collect() — the candidate set never has to
+    // fit in driver memory (a 100 TB web corpus has billions of dup pairs)
+    // and re-enters the plan with its full partitioning, not as 1 partition.
+    // (Churn-prone clusters set Materialize.impl = TempParquet; same shape.)
+    val candidates = graft.Materialize.eager(bands
       .groupBy($"band_id", $"band_key")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") >= 2)
       .selectExpr(
         "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
       .select($"p.doc_a", $"p.doc_b")
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     verifyJaccard(s, dir, candidates, threshold)
   }
 
@@ -186,11 +184,10 @@ object Dedup {
       .selectExpr("explode(array(doc_a, doc_b)) AS doc_id").distinct()
     // Materialized once: it feeds both sides of the verification join, and
     // without the checkpoint each side would re-scan the documents table.
-    val shingleSets = Tables.documents(s, dir)
+    val shingleSets = graft.Materialize.eager(Tables.documents(s, dir)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .withColumn("toks", expr(toksExpr))
-      .selectExpr("doc_id", s"$shinglesExpr AS sh")
-      .localCheckpoint(true)
+      .selectExpr("doc_id", s"$shinglesExpr AS sh"))
     candidates
       .join(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(shingleSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
@@ -246,16 +243,17 @@ object Dedup {
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sig = minhashSignatures(s, dir)
-    val bands = sig.filter(col("sig0").isNotNull).selectExpr("doc_id",
-      "stack(4, 0, concat_ws('|', sig0, sig1), 1, concat_ws('|', sig2, sig3), 2, concat_ws('|', sig4, sig5), 3, concat_ws('|', sig6, sig7)) AS (band_id, band_key)")
-      .localCheckpoint(true) // signature pipeline runs once; both join sides read blocks
+    // signature pipeline runs once; both join sides read the materialization
+    val bands = graft.Materialize.eager(
+      sig.filter(col("sig0").isNotNull).selectExpr("doc_id",
+        "stack(4, 0, concat_ws('|', sig0, sig1), 1, concat_ws('|', sig2, sig3), 2, concat_ws('|', sig4, sig5), 3, concat_ws('|', sig6, sig7)) AS (band_id, band_key)"))
     val newBands = bands.filter($"doc_id" >= IncrSplit)
       .toDF("n_doc_id", "band_id", "band_key")
-    val candidates = bands.join(newBands, Seq("band_id", "band_key"))
-      .filter($"doc_id" < $"n_doc_id")
-      .select($"doc_id".as("doc_a"), $"n_doc_id".as("doc_b"))
-      .distinct()
-      .localCheckpoint(true)
+    val candidates = graft.Materialize.eager(
+      bands.join(newBands, Seq("band_id", "band_key"))
+        .filter($"doc_id" < $"n_doc_id")
+        .select($"doc_id".as("doc_a"), $"n_doc_id".as("doc_b"))
+        .distinct())
     verifyJaccard(s, dir, candidates, threshold = 0.8)
   }
   val dedupIncrementalSql: String =
@@ -332,24 +330,23 @@ object Dedup {
   private val HammingT = 3
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Materialized once (eager localCheckpoint): the signature pipeline
+    // Materialized once (Materialize.eager): the signature pipeline
     // feeds banding AND both sides of the verification join — three
     // full-corpus recomputations without it.
-    val sigs = simhash64Sigs(s, dir).localCheckpoint(true)
+    val sigs = graft.Materialize.eager(simhash64Sigs(s, dir))
     val bands = sigs.selectExpr("doc_id",
       "stack(4, 0, (sh >> 0) & 32767, 1, (sh >> 15) & 32767, 2, (sh >> 30) & 32767, 3, (sh >> 45) & 32767) AS (band_id, band_val)")
-    // Same distributed materialization as lshPairs: eager localCheckpoint
+    // Same distributed materialization as lshPairs: Materialize.eager
     // truncates the signature lineage once; candidates stay partitioned on
     // the cluster instead of round-tripping through the driver.
-    val candidates = bands
+    val candidates = graft.Materialize.eager(bands
       .groupBy($"band_id", $"band_val")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") >= 2)
       .selectExpr(
         "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
       .select($"p.doc_a", $"p.doc_b")
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     candidates
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
@@ -393,13 +390,11 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
-    val edges = pairs
+    val edges = graft.Materialize.eager(pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .toDF("src", "dst")
-      .localCheckpoint(true)
-    var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("comp"))
-      .localCheckpoint(true)
+      .toDF("src", "dst"))
+    var labels = graft.Materialize.eager(edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("comp")))
     // Convergence test: labels only ever decrease, so the exact (decimal,
     // overflow-proof) label sum strictly decreases iff any label changed —
     // one tiny aggregate per round instead of a join against the previous
@@ -412,9 +407,8 @@ object Dedup {
     while (!converged && rounds < 50) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"comp")
-      val next = labels.union(prop)
-        .groupBy($"id").agg(min($"comp").as("comp"))
-        .localCheckpoint(true)
+      val next = graft.Materialize.eager(labels.union(prop)
+        .groupBy($"id").agg(min($"comp").as("comp")))
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

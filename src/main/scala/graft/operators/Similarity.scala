@@ -120,7 +120,10 @@ object Similarity {
         .agg(collect_list(struct($"pos", $"m")).as("pm"))
         .selectExpr("centroid_id", "transform(array_sort(pm), x -> x.m) AS ce")
     }
-    trained.localCheckpoint(true)
+    // pin = true: the trained index is a shared, cached artifact (four
+    // queries reuse it via centCache) — benchmark hygiene
+    // (Materialize.releaseTransient) must not free it between queries.
+    graft.Materialize.eager(trained, pin = true)
   }
 
   /** The oracle's replay of [[lloydCentroids]]: a CTE chain cent0 →

@@ -272,13 +272,13 @@ object TextAnalysis {
     * cores (one row-group here), the work serializes — and a plain
     * `repartition` cannot fix it because CollapseProject pushes the
     * projection back below the exchange into the narrow scan. The eager
-    * localCheckpoint is a hard optimizer barrier. Skipped when the scan is
+    * materialization is a hard optimizer barrier. Skipped when the scan is
     * already parallel (a real corpus has millions of splits — rebalancing
     * 100 TB through a shuffle would be the bug there). */
   private def parallelized(s: SparkSession, df: DataFrame): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < cores)
-      df.repartition(cores).localCheckpoint(true)
+      graft.Materialize.eager(df.repartition(cores))
     else df
   }
 
@@ -289,10 +289,10 @@ object TextAnalysis {
       .selectExpr("doc_id", s"${ngramsExpr(NGram)} AS ng")
     // doc_id < 20 stands in for the held-out benchmark set; its gram-hash
     // set is tiny (the eval set is, by definition) — materialize + broadcast.
-    val benchGrams = grams(Tables.documents(s, dir).filter($"doc_id" < 20))
-      .selectExpr("explode(ng) AS g").distinct()
-      .withColumn("hit", lit(1))
-      .localCheckpoint(true)
+    val benchGrams = graft.Materialize.eager(
+      grams(Tables.documents(s, dir).filter($"doc_id" < 20))
+        .selectExpr("explode(ng) AS g").distinct()
+        .withColumn("hit", lit(1)))
     // ONE corpus pass: explode each training doc's distinct grams, LEFT
     // join the broadcast bench set, count matches per doc. Every doc with
     // >=1 gram keeps a row (left join), so no second corpus scan to

@@ -79,6 +79,25 @@ class ScaleSpec extends AnyFunSuite {
     same(graft.operators.Temporal.asofAttribution)
   }
 
+  test("TempParquet materializer yields the same results as LocalCheckpoint") {
+    // The churn-safe impl for real clusters: every Materialize.eager site
+    // writes a durable parquet round-trip instead of executor-local blocks.
+    // Exercise the heaviest consumers (LSH dedup = 3 sites incl. the
+    // verify join; cluster resolution = per-round label materialization)
+    // and require exact equality with the default impl.
+    val sf = "/root/testdata/sf0.001"
+    val base = graft.operators.Dedup.dedupMinhashLsh(spark, sf)
+    val baseCc = graft.operators.Dedup.dedupClusters(spark, sf)
+    Materialize.impl = Materialize.TempParquet(
+      Files.createTempDirectory("graft_mat").toString)
+    try {
+      val alt = graft.operators.Dedup.dedupMinhashLsh(spark, sf)
+      assert(base.exceptAll(alt).isEmpty && alt.exceptAll(base).isEmpty)
+      val altCc = graft.operators.Dedup.dedupClusters(spark, sf)
+      assert(baseCc.exceptAll(altCc).isEmpty && altCc.exceptAll(baseCc).isEmpty)
+    } finally Materialize.impl = Materialize.LocalCheckpoint
+  }
+
   test("bucketed tables join without a shuffle (co-located 100 TB join shape)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("buckets")
