@@ -38,6 +38,12 @@ object Similarity {
   private val DIM     = 64 // embedding dimension (testdata contract)
   private val LloydIters = 2
 
+  /** Fixed vec_id bucket width for the two-level ordered mean fold (see
+    * [[twoLevelMean]]). Fixed — not a function of n — so the fold tree, and
+    * therefore the bit pattern of every mean, depends only on which vec_ids
+    * are present, never on corpus size or partitioning. */
+  private val FoldW = 1024
+
   /** IVF centroid count scales with the corpus: C = ceil(sqrt(n)), the
     * standard IVF sizing (keeps both the centroid table and the per-probe
     * partition at O(sqrt(n))). The oracle computes the same C via a scalar
@@ -49,14 +55,18 @@ object Similarity {
     * without the boxed intermediate array of aggregate(zip_with(...)). */
   private def dotS(a: String, b: String): String = s"float_dot($a, $b)"
 
-  /** Attach a materialized L2 norm to an embedding relation. The repartition
-    * is a materialization barrier: joined downstream, an inline norm
-    * expression would be recomputed per PAIR (O(d) each) instead of per
-    * vector — precomputing norms cuts per-pair work from 3 dot products
-    * to 1 dot + 2 lookups. Values are identical, so oracles are unchanged. */
+  /** Attach an L2 norm column to an embedding relation — per-pair work drops
+    * from 3 dot products to 1 dot + 2 lookups. No barrier needed: the norm
+    * lives in a Project BELOW the join, and Catalyst never collapses a
+    * projection across a join, so it is evaluated once per ROW in the scan
+    * stage, never per pair. (An earlier version repartitioned on `id` as a
+    * materialization barrier — a full corpus shuffle bought nothing: when a
+    * plan references this relation from two subtrees, recomputing an O(d)
+    * codegen'd map over data the scan reads anyway is cheaper at any scale
+    * than shuffling or block-caching the whole corpus. At rest the norms
+    * belong IN the stored bucketed ANN layout, computed at write time.) */
   private def withNorm(df: DataFrame, id: String, emb: String): DataFrame =
     df.selectExpr(s"$id", s"$emb", s"sqrt(${dotS(emb, emb)}) AS ${id}_nrm")
-      .repartition(col(id))
 
   /** DuckDB: the same fold, element order and accumulator type identical. */
   private def dotD(a: String, b: String): String =
@@ -71,16 +81,67 @@ object Similarity {
   private def dotDD(a: String, b: String): String = s"float_dot($a, $b)"
 
   // ---------------------------------------------------------------------------
+  // Two-level ordered mean: the scale-safe exact fold shared by Lloyd
+  // training and labelCentroids.
+  //
+  // A mean that hash-matches a second engine needs a FIXED summation order
+  // (float addition is non-associative), and the naive way — collect every
+  // group's values into one array and fold ORDER BY vec_id — makes the
+  // single-group array the memory unit: with C = √n clusters a group holds
+  // √n doubles, which at n = 10¹² is an 8 MB array per (centroid, dim).
+  // Instead fold twice, both levels in fixed key order:
+  //   level 1: within vec_id buckets of fixed width FoldW — arrays ≤ FoldW;
+  //   level 2: the bucket partials in bucket order — arrays = group/FoldW
+  //            (√n/1024 at C = √n: ~10³ entries even at n = 10¹²; a third
+  //            level generalizes if that ever grows).
+  // Both engines run the identical tree, so means are bit-identical BETWEEN
+  // engines (they differ from a flat fold — that is fine, the oracle replays
+  // this shape). With every vec_id < FoldW (small test corpora) level 2 has
+  // one bucket and the result equals the flat fold exactly.
+  // ---------------------------------------------------------------------------
+  /** (groupCols..., vec_id, v: float) → (groupCols..., m: double, n: long).
+    * Shuffles carry (group, bucket) partials — map-side combine applies and
+    * no collect_list group grows linearly with the corpus. */
+  private def twoLevelMean(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    df.groupBy(g :+ expr(s"vec_id div $FoldW").as("bkt"): _*)
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("vals"),
+        count(lit(1)).as("c"))
+      .selectExpr(groupCols ++ Seq("bkt",
+        "aggregate(transform(array_sort(vals), x -> cast(x.v as double)), cast(0.0 as double), (a, b) -> a + b) AS ps",
+        "c"): _*)
+      .groupBy(g: _*)
+      .agg(collect_list(struct(col("bkt"), col("ps"))).as("pss"), sum(col("c")).as("n"))
+      .selectExpr(groupCols ++ Seq(
+        "aggregate(transform(array_sort(pss), x -> x.ps), cast(0.0 as double), (a, b) -> a + b) / n AS m",
+        "n"): _*)
+  }
+
+  /** The DuckDB replay of [[twoLevelMean]]: identical buckets, identical
+    * fold order at both levels. `pos1` is the 1-based dimension index
+    * expression, `src` the FROM clause binding (vec_id, embedding). */
+  private def twoLevelMeanDuck(groupA: String, src: String): String =
+    s"""SELECT $groupA, pos,
+       |       list_reduce(list_prepend(0.0::DOUBLE, list(ps ORDER BY bkt)), (x, y) -> x + y) / CAST(sum(c) AS BIGINT) AS m,
+       |       CAST(sum(c) AS BIGINT) AS n
+       |FROM (
+       |  SELECT $groupA, i AS pos, vec_id // $FoldW AS bkt,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(embedding[i]::DOUBLE ORDER BY vec_id)), (x, y) -> x + y) AS ps,
+       |         count(*) AS c
+       |  FROM $src, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+       |  GROUP BY $groupA, i, bkt) lvl1
+       |GROUP BY $groupA, pos""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // IVF centroid training: deterministic seeded Lloyd iterations.
   // Seeds = first C corpus vectors; each iteration (a) assigns every vector
   // to its max-cosine centroid (ties on centroid_id), (b) recomputes each
-  // cluster's mean per dimension with an ORDER BY vec_id fold — the same
-  // order-fixed summation trick as labelCentroids, so DuckDB reproduces the
-  // trained centroids bit-for-bit. Clusters that lose all members drop out
-  // (identically on both engines).
+  // cluster's mean per dimension with the two-level ordered fold above, so
+  // DuckDB reproduces the trained centroids bit-for-bit. Clusters that lose
+  // all members drop out (identically on both engines).
   // Scale: per iteration one broadcast of C·d doubles against the corpus +
-  // one shuffle of (centroid, dim) partial groups; the result is C rows,
-  // materialized eagerly so consumers never replay the training.
+  // one shuffle of (centroid, dim, bucket) partial groups; the result is C
+  // rows, materialized eagerly so consumers never replay the training.
   // ---------------------------------------------------------------------------
   /** Trained-centroid cache: four queries (assign, knn×2, dedup) share one
     * training per (session, dir) — the checkpointed result is C rows, and
@@ -110,12 +171,9 @@ object Similarity {
       val assign = scored
         .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
         .select($"vec_id", $"centroid_id")
-      e.join(assign, "vec_id")
+      val exploded = e.join(assign, "vec_id")
         .select($"centroid_id", $"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"centroid_id", $"pos")
-        .agg(collect_list(struct($"vec_id", $"v")).as("vals"), count(lit(1)).as("cnt"))
-        .selectExpr("centroid_id", "pos",
-          "aggregate(transform(array_sort(vals), x -> cast(x.v as double)), cast(0.0 as double), (a, b) -> a + b) / cnt AS m")
+      twoLevelMean(exploded, Seq("centroid_id", "pos"))
         .groupBy($"centroid_id")
         .agg(collect_list(struct($"pos", $"m")).as("pm"))
         .selectExpr("centroid_id", "transform(array_sort(pm), x -> x.m) AS ce")
@@ -142,11 +200,9 @@ object Similarity {
          |    FROM embeddings e CROSS JOIN $prev c) s$t WHERE rn = 1),
          |cent$t AS (
          |  SELECT centroid_id, list(m ORDER BY pos) AS ce FROM (
-         |    SELECT a.centroid_id, i AS pos,
-         |           list_reduce(list_prepend(0.0::DOUBLE, list(e.embedding[i]::DOUBLE ORDER BY e.vec_id)), (x, y) -> x + y) / count(*) AS m
-         |    FROM embeddings e JOIN assign$t a ON e.vec_id = a.vec_id,
-         |         (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
-         |    GROUP BY a.centroid_id, i) u$t GROUP BY centroid_id)""".stripMargin
+         |${twoLevelMeanDuck("centroid_id",
+               s"(SELECT a.centroid_id, e.vec_id, e.embedding FROM embeddings e JOIN assign$t a ON e.vec_id = a.vec_id) j$t")}
+         |  ) u$t GROUP BY centroid_id)""".stripMargin
     }
     (init +: iters).mkString(",\n") +
       s",\ncent AS (SELECT centroid_id, ce FROM cent$LloydIters)"
@@ -326,32 +382,23 @@ object Similarity {
   // Per-label centroids: explode to (label, pos, value) and mean per group.
   // Determinism: float→decimal casts round differently at the last digit
   // between engines (shortest-repr vs raw-double rounding), so instead each
-  // group's values are collected SORTED BY vec_id and summed in that exact
-  // order — same doubles, same fold order, bit-identical mean.
-  // Scale: per-group collect is fine while groups are bounded (d·|labels|
-  // groups here); for unbounded groups switch to the decimal-sum variant and
-  // accept last-digit-oracle fuzz, or tree-aggregate in fixed key order.
+  // mean is the [[twoLevelMean]] ordered fold — same doubles, same fold tree
+  // on both engines, bit-identical result, and no per-group array that grows
+  // linearly with the corpus (a label's members all land in one group).
   // ---------------------------------------------------------------------------
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, dir)
-      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
-      .agg(
-        collect_list(struct($"vec_id", $"v")).as("vals"),
-        count(lit(1)).as("n"))
-      .selectExpr("label", "pos",
-        "aggregate(transform(array_sort(vals), x -> cast(x.v as double)), cast(0.0 as double), (a, b) -> a + b) / n AS centroid_val",
-        "n")
+    val exploded = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos0", "v")))
+      .select($"vec_id", $"label", ($"pos0" + 1).cast("long").as("pos"), $"v")
+    twoLevelMean(exploded, Seq("label", "pos"))
+      .selectExpr("label", "pos", "m AS centroid_val", "n")
   }
   val labelCentroidsSql: String =
-    """SELECT label, i AS pos,
-      |       list_reduce(list_prepend(0.0::DOUBLE, list(embedding[i]::DOUBLE ORDER BY vec_id)),
-      |                   (a, b) -> a + b) / count(*) AS centroid_val,
-      |       count(*) AS n
-      |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
-      |GROUP BY label, i
-      |""".stripMargin
+    s"""SELECT label, pos, m AS centroid_val, n FROM (
+       |${twoLevelMeanDuck("label", "embeddings")}
+       |) t
+       |""".stripMargin
 
   // ---------------------------------------------------------------------------
   // Embedding-cosine near-duplicate pairs (dedup-family mandate): all pairs

@@ -86,6 +86,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!cont.contains("SortMergeJoin"), cont)
   }
 
+  test("norm materialization adds no exchange — brute-force kNN shuffles only for the top-k window") {
+    // withNorm used to repartition the corpus on vec_id purely as an
+    // optimizer barrier — a full corpus shuffle at 100 TB. The only shuffle
+    // allowed in the brute-force plan is the per-query window rank.
+    val plan = executed(Similarity.knnBrute(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected only the window exchange, got $shuffles:\n$plan")
+  }
+
   test("metadata-only media query does not read the payload bytes") {
     val plan = executed(Multimodal.mediaMeta(spark, sf))
     // content column is derived, but the scan must read only doc_id+text
