@@ -375,48 +375,85 @@ object Dedup {
   // ---------------------------------------------------------------------------
   // Near-dup CLUSTER resolution: LSH emits pairs, but a dedup pipeline must
   // pick one canonical doc per duplicate GROUP — pairs (a,b),(b,c) are one
-  // cluster {a,b,c}, keep min(doc_id). Connected components via iterative
-  // min-label propagation: each round every node takes the min label among
-  // itself and its neighbors; fixpoint = per-component min id. The fixpoint
-  // is unique, so the result is independent of iteration count/partitioning
-  // and DuckDB's recursive CTE reproduces it exactly.
-  // Scale: each round is one shuffle of the (tiny, ≈dup-pair-sized) edge
-  // relation; rounds = cluster diameter — near-dup clusters are cliques or
-  // stars from a shared source, so 2-3 rounds in practice. (Adversarial
-  // long-chain graphs want the large-star/small-star variant — same loop
-  // skeleton, alternating rewrites — before this runs on billions of edges.)
-  // The driver's only role is the convergence test (a count per round).
+  // cluster {a,b,c}, keep min(doc_id). Connected components via the
+  // alternating large-star/small-star algorithm (Kiveris et al., "Connected
+  // Components in MapReduce and Beyond"): edges are kept oriented
+  // (child > parent) and each round applies
+  //   large-star: every node u points its LARGER neighbors at
+  //     min(N(u) ∪ {u}) — halves chain depth;
+  //   small-star: every node u points its smaller neighbors AND itself at
+  //     min(smaller neighbors) — flattens sibling fans;
+  // until a fixpoint, which is exactly one star per component centered at
+  // the component's min id. Rounds are O(log²) in component size even on
+  // adversarial path graphs (plain min-label propagation needs O(diameter)
+  // rounds — 10⁶ rounds on a 10⁶-chain); near-dup cliques still converge
+  // in 2-3. The fixpoint is unique, so the result is independent of round
+  // count/partitioning and DuckDB's recursive CTE reproduces it exactly.
+  // Scale: each round shuffles only the (≈dup-pair-sized) edge relation,
+  // materialized per round so lineage stays flat. The driver's only role is
+  // the convergence probe: both rewrites only ever move an edge's parent
+  // DOWN (or merge duplicate edges), so the exact decimal sum of
+  // (parent + 1) strictly decreases iff the edge set changed — one 1-row
+  // aggregate per round, no label collect, and the +1 keeps an id-0 parent
+  // from hiding a merge.
   // ---------------------------------------------------------------------------
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Resolve duplicate clusters from an LSH pair relation
+    * (doc_a < doc_b per row). Returns (labels, rounds): labels =
+    * (doc_id, cluster_id = component min, is_canonical), one row per doc
+    * appearing in any pair; rounds = star rounds to the fixpoint. */
+  def resolveClusters(pairs: DataFrame): (DataFrame, Int) = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val pairs = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
-    val edges = graft.Materialize.eager(pairs
-      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .toDF("src", "dst"))
-    var labels = graft.Materialize.eager(edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("comp")))
-    // Convergence test: labels only ever decrease, so the exact (decimal,
-    // overflow-proof) label sum strictly decreases iff any label changed —
-    // one tiny aggregate per round instead of a join against the previous
-    // round's labels.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"comp".cast("decimal(38,0)"))).first().getDecimal(0)
-    var prevSum = labelSum(labels)
+    val nodes = graft.Materialize.eager(
+      pairs.selectExpr("explode(array(doc_a, doc_b)) AS id").distinct())
+    var stars = graft.Materialize.eager(
+      pairs.select($"doc_b".as("child"), $"doc_a".as("parent")).distinct())
+
+    // large-star over the symmetrized view: for each u, every neighbor
+    // v > u re-points at m = min(N(u) ∪ {u}); edges to smaller neighbors
+    // are re-emitted from the other endpoint's perspective, so nothing
+    // is lost and output stays oriented child > parent.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select($"child".as("u"), $"parent".as("v"))
+        .union(e.select($"parent".as("u"), $"child".as("v")))
+      val m = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      sym.join(m, "u").filter($"v" > $"u")
+        .select($"v".as("child"), $"m".as("parent")).distinct()
+    }
+    // small-star on the oriented form: each child u re-points its parents
+    // (all smaller) and itself at m = min(parents).
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy($"child").agg(min($"parent").as("m"))
+      val reparent = e.join(m, "child").filter($"parent" =!= $"m")
+        .select($"parent".as("child"), $"m".as("parent"))
+      reparent.union(m.select($"child", $"m".as("parent"))).distinct()
+    }
+
+    def potential(e: DataFrame): java.math.BigDecimal =
+      e.agg(coalesce(sum(($"parent" + 1).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
+    var prev = potential(stars)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select($"dst".as("id"), $"comp")
-      val next = graft.Materialize.eager(labels.union(prop)
-        .groupBy($"id").agg(min($"comp").as("comp")))
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      val next = graft.Materialize.eager(smallStar(largeStar(stars)))
+      val p = potential(next)
+      stars = next
+      converged = p.compareTo(prev) == 0
+      prev = p
       rounds += 1
     }
-    labels.select($"id".as("doc_id"), $"comp".as("cluster_id"),
-      ($"id" === $"comp").as("is_canonical"))
+    val labels = nodes
+      .join(stars.select($"child".as("id"), $"parent"), Seq("id"), "left")
+      .select($"id".as("doc_id"), coalesce($"parent", $"id").as("cluster_id"),
+        $"parent".isNull.as("is_canonical"))
+    (labels, rounds)
+  }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    resolveClusters(dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b"))._1
   }
   val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (

@@ -194,6 +194,20 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("star contraction resolves a 50-node path graph in logarithmic rounds") {
+    import spark.implicits._
+    // the adversarial shape for min-label propagation: one long chain.
+    // Plain propagation needs diameter (49) rounds; alternating
+    // large-star/small-star must stay around 2·log₂(50) + 1 detection round.
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = graft.operators.Dedup.resolveClusters(pairs)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 50)
+    assert(got.forall(_._2 == 0L), s"all 50 nodes must label to the chain min")
+    assert(got.count(_._3) == 1)
+    assert(rounds <= 12, s"path-50 took $rounds star rounds")
+  }
+
   test("expectations count injected violations exactly") {
     import spark.implicits._
     import graft.quality.Expectations
