@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.CurationPipeline
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
-      Temporal.queries
+      Temporal.queries ++ CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++
-      Temporal.oracleSql
+      Temporal.oracleSql ++ CurationPipeline.oracleSql
 }

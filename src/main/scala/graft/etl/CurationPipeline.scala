@@ -41,4 +41,29 @@ object CurationPipeline {
       .join(split, "doc_id")
       .select($"doc_id", $"split", $"quality_score", $"clean_text")
   }
+
+  /** The oracle is the same composition over the stage oracles — each
+    * already-hash-matched stage SQL becomes a CTE, so the recipe is gated
+    * end-to-end, not just stage-by-stage. */
+  val curateSql: String =
+    s"""WITH exact_keep AS (SELECT keep_id AS doc_id FROM (${Dedup.dedupExactSql.trim}) e),
+       |noncanon AS (SELECT doc_id FROM (${Dedup.dedupClustersSql.trim}) c WHERE NOT is_canonical),
+       |keep AS (SELECT doc_id FROM exact_keep WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
+       |pii AS (${TextAnalysis.piiScrubSql.trim}),
+       |quality AS (SELECT doc_id, quality_score, is_quality FROM (${TextAnalysis.textStatsSql.trim}) t),
+       |sp AS (SELECT doc_id, split FROM (${TextAnalysis.trainSplitSql.trim}) t)
+       |SELECT p.doc_id, sp.split, q.quality_score, p.clean_text
+       |FROM pii p
+       |JOIN keep k ON p.doc_id = k.doc_id
+       |JOIN quality q ON p.doc_id = q.doc_id
+       |JOIN sp ON p.doc_id = sp.doc_id
+       |WHERE q.is_quality
+       |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation" -> curate _,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q_curation" -> curateSql,
+  )
 }

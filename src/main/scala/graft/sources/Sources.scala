@@ -76,10 +76,18 @@ object Sources {
     "Moyen de déplacement" -> "transport_mode",
     "Nombre de jours de CP" -> "paid_leaved_days")
 
-  /** S5 — HR workbook ingest. The reference reads Excel via pandas; the
-    * columnar equivalent is a header CSV export read with the same French→
-    * canonical column mapping and explicit types (spark-excel would slot in
-    * by changing the format string). */
+  /** S5 — HR workbook ingest. The reference reads Excel via pandas
+    * (ref: commute_validation.py:187-209); the columnar equivalent is a
+    * header CSV export read with the same French→canonical column mapping
+    * and explicit types. Real `.xlsx` needs the spark-excel connector:
+    * resolution of `com.crealytics:spark-excel_2.13:3.5.1_0.20.4` was
+    * attempted in this build and fails offline ("Not found" in every
+    * configured repository — the zero-egress dependency cache holds only
+    * the test libraries), and no such jar ships in /opt/spark/jars. On a
+    * cluster with the jar, swap `.csv(path)` for
+    * `.format("com.crealytics.spark.excel").option("header", "true")
+    * .load(path)` — the header map and typed projection below are
+    * format-independent. */
   def hrCsv(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read
       .option("header", "true")
