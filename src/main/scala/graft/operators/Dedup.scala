@@ -85,7 +85,10 @@ object Dedup {
   // ---------------------------------------------------------------------------
   // MinHash signatures: k=8 md5-seeded min-hashes over word-3-gram shingles.
   // ---------------------------------------------------------------------------
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    signaturesFrom(Tables.documents(s, dir))
+
+  private def signaturesFrom(docs: DataFrame): DataFrame = {
     // Signatures are computed by EXPLODING the per-doc shingle-hash array and
     // taking the K universal-hash minima in one hash aggregate. Two reasons
     // this shape, found by measurement:
@@ -101,7 +104,7 @@ object Dedup {
     // the oracle filters identically.
     val sigAggs = (0 until K).map(i =>
       min((col("h") * A(i) + B(i)) % P).as(s"sig$i"))
-    Tables.documents(s, dir)
+    docs
       .withColumn("toks", expr(toksExpr))
       .withColumn("sh", expr(shinglesExpr))
       .select(col("doc_id"), explode(expr(shingleHashSpark)).as("h"))
@@ -133,9 +136,16 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     lshPairs(s, dir, threshold = 0.3)
 
-  private def lshPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  private def lshPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    lshPairsFrom(s, dir, Tables.documents(s, dir), threshold)
+
+  /** LSH near-dup pairs over an arbitrary document subset (the corpus-only
+    * side of incremental cluster maintenance). Verification still reads the
+    * full table — the left_semi against candidate ids restricts it. */
+  private def lshPairsFrom(s: SparkSession, dir: String, docs: DataFrame,
+                           threshold: Double): DataFrame = {
     import s.implicits._
-    val sig = minhashSignatures(s, dir)
+    val sig = signaturesFrom(docs)
     // Docs with no shingles (<3 tokens) have NULL signatures: they must be
     // excluded from banding, or Spark's concat_ws would fold them all into
     // one shared "" bucket (quadratic pair blowup) while SQL `||` NULL keys
@@ -437,7 +447,11 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val next = graft.Materialize.eager(smallStar(largeStar(stars)))
+      // materialize between the rewrites too: smallStar reads its input
+      // three times (min-agg, reparent join, self edges) — unmaterialized,
+      // the whole large-star plan would execute 3× per round
+      val next = graft.Materialize.eager(
+        smallStar(graft.Materialize.eager(largeStar(stars))))
       val p = potential(next)
       stars = next
       converged = p.compareTo(prev) == 0
@@ -454,6 +468,34 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     resolveClusters(dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b"))._1
+  }
+
+  // ---------------------------------------------------------------------------
+  // Incremental cluster MAINTENANCE: after a delta ingest, a 100 TB corpus
+  // must not be re-paired NOR re-clustered from scratch. The stored labels
+  // of the previous resolution already encode its star edges — every
+  // non-canonical row (doc_id, cluster_id) is one (child, component-min)
+  // edge, and stars preserve connectivity — so the new input graph is just
+  //   previous star edges  ∪  delta-touching LSH pairs
+  // (O(old docs in clusters) + O(delta candidates) edges), and the old
+  // stars are depth-1, so contraction converges in ~2 rounds regardless of
+  // corpus size. The star fixpoint is unique per component, so the result
+  // is IDENTICAL to a from-scratch batch resolution — the oracle is
+  // literally the batch recursive CTE over the full corpus.
+  // Here the "previous" state is rebuilt from docs < IncrSplit (both pair
+  // endpoints < split ⟺ doc_b < split, since doc_a < doc_b); production
+  // reads it from the stored label table.
+  // ---------------------------------------------------------------------------
+  def dedupClustersIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val prevLabels = resolveClusters(
+      lshPairsFrom(s, dir, docs.filter($"doc_id" < IncrSplit), threshold = 0.8)
+        .select($"doc_a", $"doc_b"))._1
+    val prevStars = prevLabels.filter(!$"is_canonical")
+      .select($"cluster_id".as("doc_a"), $"doc_id".as("doc_b"))
+    val deltaPairs = dedupIncremental(s, dir).select($"doc_a", $"doc_b")
+    resolveClusters(prevStars.union(deltaPairs))._1
   }
   val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -475,6 +517,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters"    -> dedupClusters _,
+    "q_dedup_clusters_incr" -> dedupClustersIncremental _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_simhash64"         -> simhash64Sigs _,
     "q_dedup_simhash"     -> dedupSimhash _,
@@ -487,6 +530,8 @@ object Dedup {
   )
   val oracleSql: Map[String, String] = Map(
     "q_dedup_clusters"    -> dedupClustersSql,
+    // incremental maintenance must equal the from-scratch batch resolution
+    "q_dedup_clusters_incr" -> dedupClustersSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_simhash64"         -> simhash64SigsSql,
     "q_dedup_simhash"     -> dedupSimhashSql,

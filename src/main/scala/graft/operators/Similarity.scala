@@ -379,6 +379,23 @@ object Similarity {
   val knnIvf2Sql: String = knnIvfSqlFor(2)
 
   // ---------------------------------------------------------------------------
+  // At-rest ANN layout: the 100 TB serving shape the scaladoc above argues
+  // for, as a library function. One pass computes the L2 norm (so withNorm's
+  // query-time compute disappears from the probe path) and the trained
+  // cluster assignment, written partitioned by centroid_id — a probe then
+  // partition-prunes to its cluster's files and reads precomputed norms.
+  // ScaleSpec proves the pruning (probe scans 1 of C partition dirs).
+  // ---------------------------------------------------------------------------
+  def writeAnnLayout(s: SparkSession, dir: String, out: String): Unit = {
+    import s.implicits._
+    val assign = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
+    withNorm(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .toDF("vec_id", "embedding", "nrm")
+      .join(assign, "vec_id")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+  }
+
+  // ---------------------------------------------------------------------------
   // Per-label centroids: explode to (label, pos, value) and mean per group.
   // Determinism: float→decimal casts round differently at the last digit
   // between engines (shortest-repr vs raw-double rounding), so instead each

@@ -41,13 +41,14 @@ class ScaleSpec extends AnyFunSuite {
     // cluster and assert the scan PRUNES — partition filters reach the file
     // index and the other clusters' files are never opened.
     val sf = "/root/testdata/sf0.001"
-    val assign = graft.operators.Similarity.ivfAssign(spark, sf)
-      .select($"vec_id", $"centroid_id")
-    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").join(assign, "vec_id")
     val dir = Files.createTempDirectory("ivf_layout").toString
-    corpus.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
-    val nClusters = assign.select($"centroid_id").distinct().count()
-    val probe = spark.read.parquet(dir).filter($"centroid_id" === 0)
+    graft.operators.Similarity.writeAnnLayout(spark, sf, dir)
+    val nClusters = graft.operators.Similarity.ivfAssign(spark, sf)
+      .select($"centroid_id").distinct().count()
+    val layout = spark.read.parquet(dir)
+    // norms are precomputed at write time — the probe path must not redo them
+    assert(layout.columns.contains("nrm"))
+    val probe = layout.filter($"centroid_id" === 0)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
     // the scan must read 1 of nClusters partitions, not scan-then-filter

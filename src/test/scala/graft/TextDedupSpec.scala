@@ -75,6 +75,16 @@ class TextDedupSpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("incremental cluster maintenance equals the from-scratch batch resolution") {
+    // sf0.001 has planted near-dup groups on both sides of the IncrSplit
+    // boundary; previous-stars ∪ delta-pairs must land on the identical
+    // fixpoint as re-clustering everything.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.Dedup.dedupClusters(spark, sf)
+    val incr = graft.operators.Dedup.dedupClustersIncremental(spark, sf)
+    assert(batch.exceptAll(incr).isEmpty && incr.exceptAll(batch).isEmpty)
+  }
+
   test("pii scrub redacts planted emails and phone numbers") {
     import spark.implicits._
     import java.nio.file.Files
