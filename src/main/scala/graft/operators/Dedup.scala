@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -419,25 +420,37 @@ object Dedup {
     var stars = graft.Materialize.eager(
       pairs.select($"doc_b".as("child"), $"doc_a".as("parent")).distinct())
 
+    // Both rewrites are single-pass window aggregates: min().over(partition)
+    // computes each node's minimum neighbor in the same shuffle that groups
+    // its edges — a groupBy + join-back would shuffle the edge relation AND
+    // rescan it, and a multi-read of the un-materialized input would
+    // re-execute the upstream rewrite per reference. Each round is 3 edge
+    // shuffles total (sym-on-u, on-child, final distinct).
     // large-star over the symmetrized view: for each u, every neighbor
     // v > u re-points at m = min(N(u) ∪ {u}); edges to smaller neighbors
     // are re-emitted from the other endpoint's perspective, so nothing
-    // is lost and output stays oriented child > parent.
+    // is lost and output stays oriented child > parent. (No distinct here:
+    // duplicates are swallowed by small-star's final distinct.)
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select($"child".as("u"), $"parent".as("v"))
         .union(e.select($"parent".as("u"), $"child".as("v")))
-      val m = sym.groupBy($"u").agg(min($"v").as("mn"))
-        .select($"u", least($"mn", $"u").as("m"))
-      sym.join(m, "u").filter($"v" > $"u")
-        .select($"v".as("child"), $"m".as("parent")).distinct()
+      sym
+        .withColumn("m", least(min($"v").over(Window.partitionBy($"u")), $"u"))
+        .filter($"v" > $"u")
+        .select($"v".as("child"), $"m".as("parent"))
     }
     // small-star on the oriented form: each child u re-points its parents
-    // (all smaller) and itself at m = min(parents).
+    // (all smaller) and itself at m = min(parents). One pass: every edge row
+    // explodes into its reparented edge and its child's star edge; the
+    // filter drops the (m, m) self-loop and distinct collapses duplicates.
     def smallStar(e: DataFrame): DataFrame = {
-      val m = e.groupBy($"child").agg(min($"parent").as("m"))
-      val reparent = e.join(m, "child").filter($"parent" =!= $"m")
-        .select($"parent".as("child"), $"m".as("parent"))
-      reparent.union(m.select($"child", $"m".as("parent"))).distinct()
+      e.withColumn("m", min($"parent").over(Window.partitionBy($"child")))
+        .select(explode(array(
+          struct($"parent".as("child"), $"m".as("parent")),
+          struct($"child".as("child"), $"m".as("parent")))).as("p"))
+        .select($"p.child".as("child"), $"p.parent".as("parent"))
+        .filter($"child" =!= $"parent")
+        .distinct()
     }
 
     def potential(e: DataFrame): java.math.BigDecimal =
@@ -447,11 +460,10 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      // materialize between the rewrites too: smallStar reads its input
-      // three times (min-agg, reparent join, self edges) — unmaterialized,
-      // the whole large-star plan would execute 3× per round
-      val next = graft.Materialize.eager(
-        smallStar(graft.Materialize.eager(largeStar(stars))))
+      // one materialization per round: small-star consumes the large-star
+      // output exactly once (single window pass), so no intermediate
+      // materialization is needed
+      val next = graft.Materialize.eager(smallStar(largeStar(stars)))
       val p = potential(next)
       stars = next
       converged = p.compareTo(prev) == 0
