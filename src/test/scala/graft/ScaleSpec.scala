@@ -99,6 +99,19 @@ class ScaleSpec extends AnyFunSuite {
     } finally Materialize.impl = Materialize.LocalCheckpoint
   }
 
+  test("pinned trained-centroid cache survives a transient-block release") {
+    // the exact Bench sequence: one query trains + pins the IVF centroids,
+    // releaseTransient frees everything else between queries, and a LATER
+    // query must still read the lineage-truncated cache — if the pin is
+    // lost, the cached DataFrame's checkpoint blocks are gone and this
+    // throws instead of answering.
+    val sf = "/root/testdata/sf0.001"
+    val before = graft.operators.Similarity.ivfAssign(spark, sf).count()
+    Materialize.releaseTransient(spark)
+    val after = graft.operators.Similarity.knnIvf(spark, sf).count()
+    assert(before > 0 && after > 0)
+  }
+
   test("bucketed tables join without a shuffle (co-located 100 TB join shape)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("buckets")
