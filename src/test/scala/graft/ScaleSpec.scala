@@ -99,6 +99,30 @@ class ScaleSpec extends AnyFunSuite {
     } finally Materialize.impl = Materialize.LocalCheckpoint
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the other half of the skew story: Skew.scala salts deterministically
+    // ahead of time; AQE re-plans at runtime. Build a join where one key
+    // owns ~all left rows, force SMJ, shrink the skew thresholds to toy
+    // scale, and assert the executed adaptive plan marked the reader skewed.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val left = s2.range(0, 60000)
+      .selectExpr("CASE WHEN id < 59000 THEN 1 ELSE id END AS k", "id AS v")
+    val right = s2.range(0, 50).selectExpr("id + 1 AS k", "id AS w")
+    val j = left.join(right, "k")
+    // collect() drives THIS Dataset's queryExecution — count() would build
+    // a separate one and the adaptive plan under test would never finalize
+    assert(j.collect().length == 59000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"AQE did not split the skewed partition:\n$plan")
+  }
+
   test("pinned trained-centroid cache survives a transient-block release") {
     // the exact Bench sequence: one query trains + pins the IVF centroids,
     // releaseTransient frees everything else between queries, and a LATER
