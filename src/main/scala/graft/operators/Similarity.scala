@@ -118,9 +118,9 @@ object Similarity {
   }
 
   /** The DuckDB replay of [[twoLevelMean]]: identical buckets, identical
-    * fold order at both levels. `pos1` is the 1-based dimension index
-    * expression, `src` the FROM clause binding (vec_id, embedding). */
-  private def twoLevelMeanDuck(groupA: String, src: String): String =
+    * fold order at both levels. `src` is the FROM clause binding
+    * (vec_id, embedding); `dim` the vector length to unnest. */
+  private def twoLevelMeanDuck(groupA: String, src: String, dim: Int = DIM): String =
     s"""SELECT $groupA, pos,
        |       list_reduce(list_prepend(0.0::DOUBLE, list(ps ORDER BY bkt)), (x, y) -> x + y) / CAST(sum(c) AS BIGINT) AS m,
        |       CAST(sum(c) AS BIGINT) AS n
@@ -128,7 +128,7 @@ object Similarity {
        |  SELECT $groupA, i AS pos, vec_id // $FoldW AS bkt,
        |         list_reduce(list_prepend(0.0::DOUBLE, list(embedding[i]::DOUBLE ORDER BY vec_id)), (x, y) -> x + y) AS ps,
        |         count(*) AS c
-       |  FROM $src, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+       |  FROM $src, (SELECT unnest(range(1, ${dim + 1})) AS i) idx
        |  GROUP BY $groupA, i, bkt) lvl1
        |GROUP BY $groupA, pos""".stripMargin
 
@@ -379,6 +379,170 @@ object Similarity {
   val knnIvf2Sql: String = knnIvfSqlFor(2)
 
   // ---------------------------------------------------------------------------
+  // Product quantization: the memory-bounded serving path (FAISS-style
+  // IVF-PQ is the standard 100 TB ANN layout). The corpus is split into
+  // PQSubs subvectors; each subspace trains a PQCodes-entry codebook
+  // (deterministic k-means: seeds = first PQCodes subvectors, refined by
+  // one Lloyd iteration with the two-level ordered mean fold), and every
+  // vector is stored as PQSubs one-byte codes — a 64-dim float vector
+  // compresses 32×. Search is asymmetric distance computation (ADC): the
+  // query's exact subvectors are compared against the codebook ONCE
+  // (PQSubs × PQCodes lookup table, broadcast), and each corpus vector's
+  // approximate distance is the sub_id-ordered fold of its 8 table
+  // lookups — the scan reads codes, never embeddings.
+  // Determinism: squared L2 uses the dot identity (3 float_dot kernel
+  // calls combined in one fixed expression — bit-identical on both
+  // engines); the ADC sum folds its 8 terms in sub_id order; assignment
+  // ties break on code id. The oracle replays training, encoding, and
+  // search exactly. (Oracle CTE is written for PQIters = 1 — change both
+  // in lockstep.)
+  // ---------------------------------------------------------------------------
+  private val PQSubs   = 8
+  private val PQSubDim = DIM / PQSubs
+  private val PQCodes  = 16
+  private val PQIters  = 1
+
+  /** Squared L2 via the dot identity — elementwise difference folds would
+    * need their own cross-engine ordering pact; dot products already have
+    * one (the float_dot kernel / its DuckDB fold twin). */
+  private def l2S(a: String, c: String): String =
+    s"(float_dot($a, $a) - 2 * float_dot($a, $c) + float_dot($c, $c))"
+  private def l2D(a: String, c: String): String =
+    s"(${dotD(a, a)} - 2 * ${dotD(a, c)} + ${dotD(c, c)})"
+
+  /** (vec_id, sub_id, sv): a relation exploded into its PQ subvectors. */
+  private def subvecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PQSubs - 1}), s -> struct(s AS sub_id, slice(embedding, s * $PQSubDim + 1, $PQSubDim) AS sv))")).as("x"))
+      .select(col("vec_id"), col("x.sub_id").as("sub_id"), col("x.sv").as("sv"))
+
+  /** Codebook cache — same contract as the IVF centroid cache: trained
+    * once per (session, dir), pinned so benchmark hygiene keeps it. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCache.getOrElseUpdate((s, dir), trainPq(s, dir))
+
+  private def trainPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val sv = subvecs(Tables.embeddings(s, dir))
+    val cb0 = sv.filter($"vec_id" < PQCodes)
+      .selectExpr("sub_id", "vec_id AS code", "transform(sv, v -> cast(v as double)) AS ce")
+    val trained = (1 to PQIters).foldLeft(cb0) { (cb, _) =>
+      val scored = sv.join(broadcast(cb), "sub_id")
+        .withColumn("dist", expr(l2S("sv", "ce")))
+      val w = Window.partitionBy($"vec_id", $"sub_id").orderBy($"dist".asc, $"code".asc)
+      val assign = scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"sub_id", $"code")
+      val exploded = sv.join(assign, Seq("vec_id", "sub_id"))
+        .select($"sub_id", $"code", $"vec_id", posexplode($"sv").as(Seq("pos", "v")))
+      twoLevelMean(exploded, Seq("sub_id", "code", "pos"))
+        .groupBy($"sub_id", $"code")
+        .agg(collect_list(struct($"pos", $"m")).as("pm"))
+        .selectExpr("sub_id", "code", "transform(array_sort(pm), x -> x.m) AS ce")
+    }
+    graft.Materialize.eager(trained, pin = true)
+  }
+
+  /** (vec_id, sub_id, code, dist) against the trained codebook — rn=1 per
+    * (vector, subspace). */
+  private def pqAssignRaw(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val sv = subvecs(Tables.embeddings(s, dir))
+    val scored = sv.join(broadcast(pqCodebook(s, dir)), "sub_id")
+      .withColumn("dist", expr(l2S("sv", "ce")))
+    val w = Window.partitionBy($"vec_id", $"sub_id").orderBy($"dist".asc, $"code".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"sub_id", $"code", $"dist")
+  }
+
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqAssignRaw(s, dir)
+      .select($"vec_id", $"sub_id".cast("long").as("sub_id"), $"code",
+        $"dist".as("code_dist"))
+  }
+
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = pqAssignRaw(s, dir)
+      .select($"vec_id".as("nid"), $"sub_id", $"code")
+    val q = subvecs(Tables.embeddings(s, dir).filter($"vec_id" < NQUERY))
+      .toDF("qid", "sub_id", "qsv")
+    // the ADC lookup table: |Q| × PQSubs × PQCodes exact query-to-centroid
+    // distances — tiny, broadcast once; the corpus side joins on its codes
+    val terms = q.join(broadcast(pqCodebook(s, dir)), "sub_id")
+      .withColumn("term", expr(l2S("qsv", "ce")))
+      .select($"qid", $"sub_id", $"code", $"term")
+    val approx = corpus.join(broadcast(terms), Seq("sub_id", "code"))
+      .groupBy($"qid", $"nid")
+      .agg(collect_list(struct($"sub_id", $"term")).as("ts"))
+      .selectExpr("qid", "nid",
+        "aggregate(transform(array_sort(ts), x -> x.term), cast(0.0 as double), (a, b) -> a + b) AS adist")
+    val w = Window.partitionBy($"qid").orderBy($"adist".asc, $"nid".asc)
+    approx.filter($"qid" =!= $"nid")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"qid", $"rank", $"nid", $"adist")
+  }
+
+  /** Shared oracle CTE prefix: subvectors → seed codebook → one Lloyd
+    * iteration (assignment + two-level mean) → `pqcb(sub_id, code, ce)`. */
+  private def pqCteSql: String = {
+    val meanSrc = "(SELECT a.sub_id, a.code, v.vec_id, v.sv AS embedding " +
+      "FROM sv v JOIN pqassign1 a ON v.vec_id = a.vec_id AND v.sub_id = a.sub_id) jpq"
+    s"""sv AS (
+       |  SELECT vec_id, s.sub_id, embedding[s.sub_id * $PQSubDim + 1 : s.sub_id * $PQSubDim + $PQSubDim] AS sv
+       |  FROM embeddings, (SELECT unnest(range(0, $PQSubs)) AS sub_id) s),
+       |pqcb0 AS (
+       |  SELECT sub_id, vec_id AS code, list_transform(sv, v -> v::DOUBLE) AS ce
+       |  FROM sv WHERE vec_id < $PQCodes),
+       |pqassign1 AS (
+       |  SELECT vec_id, sub_id, code FROM (
+       |    SELECT v.vec_id, v.sub_id, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, v.sub_id ORDER BY ${l2D("v.sv", "c.ce")} ASC, c.code ASC) AS rn
+       |    FROM sv v JOIN pqcb0 c ON v.sub_id = c.sub_id) t WHERE rn = 1),
+       |pqcb AS (
+       |  SELECT sub_id, code, list(m ORDER BY pos) AS ce FROM (
+       |${twoLevelMeanDuck("sub_id, code", meanSrc, PQSubDim)}
+       |  ) u GROUP BY sub_id, code)""".stripMargin
+  }
+
+  val pqEncodeSql: String =
+    s"""WITH $pqCteSql,
+       |enc AS (
+       |  SELECT v.vec_id, v.sub_id, c.code, ${l2D("v.sv", "c.ce")} AS code_dist,
+       |         row_number() OVER (PARTITION BY v.vec_id, v.sub_id ORDER BY ${l2D("v.sv", "c.ce")} ASC, c.code ASC) AS rn
+       |  FROM sv v JOIN pqcb c ON v.sub_id = c.sub_id)
+       |SELECT vec_id, sub_id, code, code_dist FROM enc WHERE rn = 1
+       |""".stripMargin
+
+  val knnPqSql: String =
+    s"""WITH $pqCteSql,
+       |enc AS (
+       |  SELECT vec_id AS nid, sub_id, code FROM (
+       |    SELECT v.vec_id, v.sub_id, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, v.sub_id ORDER BY ${l2D("v.sv", "c.ce")} ASC, c.code ASC) AS rn
+       |    FROM sv v JOIN pqcb c ON v.sub_id = c.sub_id) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, sub_id, sv AS qsv FROM sv WHERE vec_id < $NQUERY),
+       |terms AS (
+       |  SELECT qid, c.sub_id, c.code, ${l2D("qsv", "c.ce")} AS term
+       |  FROM q JOIN pqcb c ON q.sub_id = c.sub_id),
+       |approx AS (
+       |  SELECT qid, nid,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY t.sub_id)), (x, y) -> x + y) AS adist
+       |  FROM enc e JOIN terms t ON e.sub_id = t.sub_id AND e.code = t.code
+       |  GROUP BY qid, nid),
+       |ranked AS (
+       |  SELECT qid, nid, adist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rank
+       |  FROM approx WHERE qid <> nid)
+       |SELECT qid, rank, nid, adist FROM ranked WHERE rank <= $TOPK
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // At-rest ANN layout: the 100 TB serving shape the scaladoc above argues
   // for, as a library function. One pass computes the L2 norm (so withNorm's
   // query-time compute disappears from the probe path) and the trained
@@ -470,6 +634,8 @@ object Similarity {
     "q_ivf_assign"      -> ivfAssign _,
     "q_knn_ivf"         -> knnIvf _,
     "q_knn_ivf2"        -> knnIvf2 _,
+    "q_pq_encode"       -> pqEncode _,
+    "q_knn_pq"          -> knnPq _,
     "q_label_centroids" -> labelCentroids _,
   )
   val oracleSql: Map[String, String] = Map(
@@ -479,6 +645,8 @@ object Similarity {
     "q_ivf_assign"      -> ivfAssignSql,
     "q_knn_ivf"         -> knnIvfSql,
     "q_knn_ivf2"        -> knnIvf2Sql,
+    "q_pq_encode"       -> pqEncodeSql,
+    "q_knn_pq"          -> knnPqSql,
     "q_label_centroids" -> labelCentroidsSql,
   )
 }

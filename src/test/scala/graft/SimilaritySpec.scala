@@ -16,6 +16,28 @@ class SimilaritySpec extends AnyFunSuite {
     n.unpersist()
   }
 
+  test("PQ: 8 codes per vector from a 16-entry codebook; ADC returns 5 ranked neighbors") {
+    import spark.implicits._
+    val enc = Similarity.pqEncode(spark, sf).cache()
+    // every vector compresses to exactly one code per subspace
+    assert(enc.groupBy($"vec_id").count().filter($"count" =!= 8).count() == 0)
+    assert(enc.filter($"code" < 0 || $"code" >= 16).count() == 0)
+    assert(enc.filter($"code_dist" < -1e-9).count() == 0) // squared distance
+    val k = Similarity.knnPq(spark, sf).cache()
+    assert(k.groupBy($"qid").count().collect().forall(_.getLong(1) == 5))
+    // rank 1 has the smallest approximate distance within each query
+    val bad = k.as("a").join(k.as("b"),
+      $"a.qid" === $"b.qid" && $"a.rank" < $"b.rank" && $"a.adist" > $"b.adist")
+    assert(bad.count() == 0)
+    // recall vs brute force — informational: PQ trades recall for 32x
+    // compression, and this corpus is near-orthogonal random (hard mode)
+    val brute = Similarity.knnBrute(spark, sf).select($"qid", $"nid")
+    val r = brute.intersect(k.select($"qid", $"nid")).count() /
+      brute.count().toDouble
+    info(f"PQ ADC recall@5 vs brute force: $r%.2f")
+    enc.unpersist(); k.unpersist()
+  }
+
   test("brute-force top-k: 5 neighbors per query, ranked by cosine desc") {
     import spark.implicits._
     val k = Similarity.knnBrute(spark, sf).cache()
