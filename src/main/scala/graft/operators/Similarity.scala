@@ -488,6 +488,77 @@ object Similarity {
       .select($"qid", $"rank", $"nid", $"adist")
   }
 
+  // ---------------------------------------------------------------------------
+  // IVF-PQ: the composed serving query — coarse quantizer prunes the corpus
+  // to the query's cluster (1/C of the data; a partition-pruned file scan
+  // on the writeAnnLayout shape), PQ codes supply the distances inside it
+  // (no embedding reads). This is the standard billion-scale ANN stack;
+  // both index artifacts are the cached/pinned ones the other queries use.
+  // ---------------------------------------------------------------------------
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assign = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
+    val corpus = pqAssignRaw(s, dir)
+      .select($"vec_id".as("nid"), $"sub_id", $"code")
+      .join(assign.select($"vec_id".as("nid"), $"centroid_id"), "nid")
+    val q = subvecs(Tables.embeddings(s, dir).filter($"vec_id" < NQUERY))
+      .toDF("qid", "sub_id", "qsv")
+      .join(assign.filter($"vec_id" < NQUERY)
+        .select($"vec_id".as("qid"), $"centroid_id"), "qid")
+    val terms = q.join(broadcast(pqCodebook(s, dir)), "sub_id")
+      .withColumn("term", expr(l2S("qsv", "ce")))
+      .select($"qid", $"centroid_id", $"sub_id", $"code", $"term")
+    val approx = corpus.join(broadcast(terms), Seq("centroid_id", "sub_id", "code"))
+      .groupBy($"qid", $"nid")
+      .agg(collect_list(struct($"sub_id", $"term")).as("ts"))
+      .selectExpr("qid", "nid",
+        "aggregate(transform(array_sort(ts), x -> x.term), cast(0.0 as double), (a, b) -> a + b) AS adist")
+    val w = Window.partitionBy($"qid").orderBy($"adist".asc, $"nid".asc)
+    approx.filter($"qid" =!= $"nid")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"qid", $"rank", $"nid", $"adist")
+  }
+
+  val knnIvfPqSql: String =
+    s"""WITH $lloydCteSql,
+       |iscored AS (
+       |  SELECT e.vec_id, centroid_id,
+       |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS cosine
+       |  FROM embeddings e CROSS JOIN cent),
+       |iassign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+       |    FROM iscored) t WHERE rn = 1),
+       |$pqCteSql,
+       |enc AS (
+       |  SELECT vec_id AS nid, sub_id, code FROM (
+       |    SELECT v.vec_id, v.sub_id, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, v.sub_id ORDER BY ${l2D("v.sv", "c.ce")} ASC, c.code ASC) AS rn
+       |    FROM sv v JOIN pqcb c ON v.sub_id = c.sub_id) t WHERE rn = 1),
+       |corpus AS (SELECT e.nid, a.centroid_id, e.sub_id, e.code
+       |           FROM enc e JOIN iassign a ON e.nid = a.vec_id),
+       |q AS (
+       |  SELECT s.vec_id AS qid, a.centroid_id, s.sub_id, s.sv AS qsv
+       |  FROM sv s JOIN iassign a ON s.vec_id = a.vec_id
+       |  WHERE s.vec_id < $NQUERY),
+       |terms AS (
+       |  SELECT qid, q.centroid_id, c.sub_id, c.code, ${l2D("qsv", "c.ce")} AS term
+       |  FROM q JOIN pqcb c ON q.sub_id = c.sub_id),
+       |approx AS (
+       |  SELECT qid, nid,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY t.sub_id)), (x, y) -> x + y) AS adist
+       |  FROM corpus v JOIN terms t
+       |    ON v.centroid_id = t.centroid_id AND v.sub_id = t.sub_id AND v.code = t.code
+       |  GROUP BY qid, nid),
+       |ranked AS (
+       |  SELECT qid, nid, adist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rank
+       |  FROM approx WHERE qid <> nid)
+       |SELECT qid, rank, nid, adist FROM ranked WHERE rank <= $TOPK
+       |""".stripMargin
+
   /** Shared oracle CTE prefix: subvectors → seed codebook → one Lloyd
     * iteration (assignment + two-level mean) → `pqcb(sub_id, code, ce)`. */
   private def pqCteSql: String = {
@@ -636,6 +707,7 @@ object Similarity {
     "q_knn_ivf2"        -> knnIvf2 _,
     "q_pq_encode"       -> pqEncode _,
     "q_knn_pq"          -> knnPq _,
+    "q_knn_ivfpq"       -> knnIvfPq _,
     "q_label_centroids" -> labelCentroids _,
   )
   val oracleSql: Map[String, String] = Map(
@@ -647,6 +719,7 @@ object Similarity {
     "q_knn_ivf2"        -> knnIvf2Sql,
     "q_pq_encode"       -> pqEncodeSql,
     "q_knn_pq"          -> knnPqSql,
+    "q_knn_ivfpq"       -> knnIvfPqSql,
     "q_label_centroids" -> labelCentroidsSql,
   )
 }
