@@ -460,7 +460,78 @@ object TextAnalysis {
       |FROM documents GROUP BY lang ORDER BY lang
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // BM25 retrieval scoring — the ranking primitive behind curation-time
+  // domain mining (score every document against a seed keyword query, keep
+  // the top slice). Shape: ONE corpus scan explodes only query-term matches
+  // (the isin filter evaluates before the aggregate, so the shuffle carries
+  // ≤ |terms| rows per doc), then tf joins its term's df and the corpus
+  // stats (a broadcast 1-row aggregate), and each doc's score folds its ≤
+  // |terms| term scores in term order.
+  // Determinism: classic BM25 multiplies by idf = ln((N - df + 0.5)/(df +
+  // 0.5) + 1), but libm ln is NOT bit-portable across engines — Spark's
+  // Math.log and DuckDB's std::log may differ in the last ulp and break the
+  // hash gate. We use Robertson's rational idf (the log's argument, minus
+  // the +1 smoothing) — same term ordering for df < N/2 (always true for
+  // real queries), and every operation is IEEE +,*,/ on values derived from
+  // exact integer counts, so both engines agree bit-for-bit. The formula
+  // TEXT is kept identical on both sides: equal parse trees ⇒ equal
+  // floating-point evaluation order ⇒ equal bits.
+  // ---------------------------------------------------------------------------
+  private val Bm25Query = Seq("spark", "vector", "stream")
+  private val bm25TermScore = {
+    // k1 = 1.2, b = 0.75, avgdl = n_toks / n_docs; written once, spliced
+    // into both engines verbatim (column names line up by construction).
+    // Constants go through cast(x as double): a bare 0.5 literal is
+    // DECIMAL in Spark SQL and the decimal promotion chain diverges from
+    // DuckDB's in the 8th digit (the repo-wide determinism rule).
+    val k1 = "cast(1.2 as double)"; val b = "cast(0.75 as double)"
+    s"(n_docs - df + cast(0.5 as double)) / (df + cast(0.5 as double)) * (tf * ($k1 + 1)) / (tf + $k1 * (1 - $b + $b * dl / (cast(n_toks as double) / n_docs)))"
+  }
+
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+    val dl = docs.selectExpr("doc_id", "size(toks) AS dl")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl".cast("long")).as("n_toks"))
+    val tf = docs.select($"doc_id", explode($"toks").as("t"))
+      .filter($"t".isin(Bm25Query: _*))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(tf.groupBy($"t").agg(count(lit(1)).as("df")), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id", "t", s"$bm25TermScore AS term_score")
+    scored
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"t", $"term_score")).as("ts"),
+        count(lit(1)).as("n_terms"))
+      .selectExpr("doc_id",
+        "aggregate(transform(array_sort(ts), x -> x.term_score), cast(0.0 as double), (a, b) -> a + b) AS score",
+        "n_terms")
+  }
+  val bm25Sql: String = {
+    val terms = inList(Bm25Query)
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS t FROM tok) u
+       |  WHERE t IN $terms GROUP BY doc_id, t),
+       |dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |scored AS (
+       |  SELECT doc_id, tf.t, $bm25TermScore AS term_score
+       |  FROM tf JOIN dfx USING (t) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id,
+       |       list_reduce(list_prepend(0.0::DOUBLE, list(term_score ORDER BY t)), (a, b) -> a + b) AS score,
+       |       count(*) AS n_terms
+       |FROM scored GROUP BY doc_id
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"          -> bm25 _,
     "q_text_stats"    -> textStats _,
     "q_token_count"   -> tokenCount _,
     "q_lang_id"       -> langId _,
@@ -477,6 +548,7 @@ object TextAnalysis {
     "q_length_profile" -> lengthProfile _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_bm25"          -> bm25Sql,
     "q_text_stats"    -> textStatsSql,
     "q_token_count"   -> tokenCountSql,
     "q_lang_id"       -> langIdSql,
