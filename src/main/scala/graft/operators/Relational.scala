@@ -347,6 +347,60 @@ object Relational {
       |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |""".stripMargin
 
+  /** Full outer join (§2.3 completeness): reconcile two partial views —
+    * customers holding open ('P') orders vs customers holding filled ('F')
+    * ones; either side may be absent. The join keys coalesce into one
+    * output key so the row is usable downstream (the standard full-outer
+    * idiom); at scale this is the same single key shuffle as an inner join,
+    * just without pruning unmatched rows. */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def side(status: String, as: String) =
+      Tables.orders(s, dir).filter($"o_orderstatus" === status)
+        .groupBy($"o_custkey").agg(count(lit(1)).as(as))
+    side("P", "n_open").toDF("k_open", "n_open")
+      .join(side("F", "n_filled").toDF("k_filled", "n_filled"),
+        $"k_open" === $"k_filled", "full_outer")
+      .select(
+        coalesce($"k_open", $"k_filled").as("custkey"),
+        coalesce($"n_open", lit(0L)).as("n_open"),
+        coalesce($"n_filled", lit(0L)).as("n_filled"))
+  }
+  val joinFullOuterSql: String =
+    """SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+      |       COALESCE(a.n_open, 0) AS n_open,
+      |       COALESCE(b.n_filled, 0) AS n_filled
+      |FROM (SELECT o_custkey, count(*) AS n_open FROM orders
+      |      WHERE o_orderstatus = 'P' GROUP BY o_custkey) a
+      |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_filled FROM orders
+      |                 WHERE o_orderstatus = 'F' GROUP BY o_custkey) b
+      |  ON a.o_custkey = b.o_custkey
+      |""".stripMargin
+
+  /** Set operations (§2.5 completeness): customers appearing in both, either,
+    * or exactly one of two order-status populations — INTERSECT / UNION /
+    * EXCEPT over the same key relation, tagged and unioned so one query
+    * exercises all three. Set semantics (dedup) on every branch. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def keys(status: String) =
+      Tables.orders(s, dir).filter($"o_orderstatus" === status)
+        .select($"o_custkey").distinct()
+    val p = keys("P"); val f = keys("F")
+    p.intersect(f).withColumn("op", lit("both"))
+      .union(p.union(f).distinct().withColumn("op", lit("either")))
+      .union(p.except(f).withColumn("op", lit("only_open")))
+  }
+  val setOpsSql: String =
+    """WITH p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+      |f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |SELECT o_custkey, 'both' AS op FROM (SELECT * FROM p INTERSECT SELECT * FROM f) x
+      |UNION ALL
+      |SELECT o_custkey, 'either' AS op FROM (SELECT * FROM p UNION SELECT * FROM f) y
+      |UNION ALL
+      |SELECT o_custkey, 'only_open' AS op FROM (SELECT * FROM p EXCEPT SELECT * FROM f) z
+      |""".stripMargin
+
   // ---------------------------------------------------------------------------
   // §2.8: Great-Expectations-style data-quality checks as ONE aggregation pass
   // (ref: airflow/dags/data_validation_dag.py:306-320 — 2 not-null + 2 range
@@ -789,6 +843,8 @@ object Relational {
     "q_validate_threshold" -> validateThreshold _,
     "q_anti_fk"        -> antiFk _,
     "q_semi_exists"    -> semiExists _,
+    "q_join_full"      -> joinFullOuter _,
+    "q_set_ops"        -> setOps _,
     "q_expectations"   -> expectations _,
     "q_sum_metrics"    -> sumMetrics _,
     "q_count_by_flag"  -> countByFlag _,
@@ -830,6 +886,8 @@ object Relational {
     "q_validate_threshold" -> validateThresholdSql,
     "q_anti_fk"        -> antiFkSql,
     "q_semi_exists"    -> semiExistsSql,
+    "q_join_full"      -> joinFullOuterSql,
+    "q_set_ops"        -> setOpsSql,
     "q_expectations"   -> expectationsSql,
     "q_sum_metrics"    -> sumMetricsSql,
     "q_count_by_flag"  -> countByFlagSql,
