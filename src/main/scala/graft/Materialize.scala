@@ -36,17 +36,27 @@ object Materialize {
   @volatile var impl: Impl = LocalCheckpoint
 
   private val counter = new AtomicLong(0)
+  // The seam tracks ITS OWN checkpoint RDD ids (read off the returned
+  // Dataset's LogicalRDD leaf) instead of diffing getPersistentRDDs: a
+  // set-diff races with concurrent queries persisting unrelated RDDs
+  // (mis-pinning them forever), and a context-wide release would evict
+  // caller-owned .cache()s the seam never created.
   private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val transient_ = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private def checkpointRddIds(out: DataFrame): Seq[Int] =
+    out.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
 
   /** Materialize `df` eagerly and return a relation whose lineage starts at
     * the materialized data. The input plan executes exactly once no matter
     * how many consumers read the result. */
   def eager(df: DataFrame, pin: Boolean = false): DataFrame = impl match {
     case LocalCheckpoint =>
-      val sc = df.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(eager = true)
-      if (pin) (sc.getPersistentRDDs.keySet -- before).foreach(pinned.add(_))
+      val target = if (pin) pinned else transient_
+      checkpointRddIds(out).foreach(target.add(_))
       out
     case TempParquet(root) =>
       val path = s"$root/mat_${counter.incrementAndGet()}"
@@ -54,13 +64,29 @@ object Materialize {
       df.sparkSession.read.parquet(path)
   }
 
-  /** Unpersist every non-pinned persisted RDD (checkpoint blocks included).
-    * Benchmark hygiene: eager checkpoints are freed by the ContextCleaner
-    * only when GC proves them unreachable, so without an explicit release
-    * small queries inherit the storage pressure of every checkpoint-heavy
-    * query that ran before them. Call between queries, never mid-query. */
-  def releaseTransient(s: SparkSession): Unit =
-    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinned.contains(id)) rdd.unpersist(blocking = true)
+  /** Materialize AND guarantee the result is consumed with at least
+    * `partitions`-way parallelism under either impl. LocalCheckpoint keeps
+    * a pre-checkpoint repartition's layout in its blocks; TempParquet does
+    * NOT — the parquet read re-packs small files into few input splits
+    * (openCostInBytes), so the spread must happen after the read. */
+  def eagerSpread(df: DataFrame, partitions: Int): DataFrame = impl match {
+    case LocalCheckpoint => eager(df.repartition(partitions))
+    case TempParquet(_)  => eager(df).repartition(partitions)
+  }
+
+  /** Unpersist every non-pinned checkpoint THIS seam created (pinned shared
+    * indexes survive). Benchmark hygiene: eager checkpoints are freed by
+    * the ContextCleaner only when GC proves them unreachable, so without an
+    * explicit release small queries inherit the storage pressure of every
+    * checkpoint-heavy query that ran before them. Call between queries,
+    * never mid-query. */
+  def releaseTransient(s: SparkSession): Unit = {
+    val persisted = s.sparkContext.getPersistentRDDs
+    val it = transient_.iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      persisted.get(id).foreach(_.unpersist(blocking = true))
+      it.remove()
     }
+  }
 }

@@ -415,10 +415,13 @@ object Dedup {
   def resolveClusters(pairs: DataFrame): (DataFrame, Int) = {
     val s = pairs.sparkSession
     import s.implicits._
-    val nodes = graft.Materialize.eager(
-      pairs.selectExpr("explode(array(doc_a, doc_b)) AS id").distinct())
     var stars = graft.Materialize.eager(
       pairs.select($"doc_b".as("child"), $"doc_a".as("parent")).distinct())
+    // node universe off the MATERIALIZED stars, not the pairs input — the
+    // input's lineage is the whole LSH verification pipeline, and reading
+    // it twice would execute that pipeline twice (same id set either way:
+    // stars is just pairs reoriented)
+    val nodes = stars.selectExpr("explode(array(child, parent)) AS id").distinct()
 
     // Both rewrites are single-pass window aggregates: min().over(partition)
     // computes each node's minimum neighbor in the same shuffle that groups

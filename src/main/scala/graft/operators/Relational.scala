@@ -383,9 +383,11 @@ object Relational {
     * exercises all three. Set semantics (dedup) on every branch. */
   def setOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def keys(status: String) =
+    // each side feeds three set operators — materialize once per side or
+    // the scan + distinct aggregate executes three times per side
+    def keys(status: String) = graft.Materialize.eager(
       Tables.orders(s, dir).filter($"o_orderstatus" === status)
-        .select($"o_custkey").distinct()
+        .select($"o_custkey").distinct())
     val p = keys("P"); val f = keys("F")
     p.intersect(f).withColumn("op", lit("both"))
       .union(p.union(f).distinct().withColumn("op", lit("either")))

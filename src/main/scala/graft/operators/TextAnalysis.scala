@@ -278,7 +278,10 @@ object TextAnalysis {
   private def parallelized(s: SparkSession, df: DataFrame): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < cores)
-      graft.Materialize.eager(df.repartition(cores))
+      // eagerSpread, not eager(repartition(...)): the TempParquet impl's
+      // parquet read re-packs small files into few splits, which would
+      // silently undo the rebalance this call site exists for
+      graft.Materialize.eagerSpread(df, cores)
     else df
   }
 
