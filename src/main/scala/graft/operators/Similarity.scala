@@ -467,9 +467,25 @@ object Similarity {
 
   def knnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    knnPqFor(s, dir, Tables.embeddings(s, dir).filter($"vec_id" < NQUERY))
+  }
+
+  /** PQ ADC top-k for an ARBITRARY query relation (vec_id, embedding) —
+    * the benchmark query set above, or a micro-batch of live queries
+    * ([[graft.streaming.AnnEnrich]]). Scoring is row-independent per qid,
+    * so batching the query side any way yields identical rows. A query
+    * whose vec_id collides with a corpus id excludes that corpus row
+    * (self-match suppression — the corpus-query contract). */
+  def knnPqFor(s: SparkSession, dir: String, queries: DataFrame): DataFrame = {
+    import s.implicits._
+    // `queries` may live in a DIFFERENT session than `s` — streaming
+    // micro-batches run in a cloned session with its own function registry,
+    // so float_dot must be registered there too or the query-side
+    // expressions fail to resolve
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val corpus = pqAssignRaw(s, dir)
       .select($"vec_id".as("nid"), $"sub_id", $"code")
-    val q = subvecs(Tables.embeddings(s, dir).filter($"vec_id" < NQUERY))
+    val q = subvecs(queries.select($"vec_id", $"embedding"))
       .toDF("qid", "sub_id", "qsv")
     // the ADC lookup table: |Q| × PQSubs × PQCodes exact query-to-centroid
     // distances — tiny, broadcast once; the corpus side joins on its codes
