@@ -43,4 +43,19 @@ object Sinks {
   /** S11 — csv/text probe sinks (ref: SaveDelta.scala:52,65). */
   def csvSink(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Columnar-format alternatives to the parquet default — ORC ships in
+    * spark-sql (the orc-core jars are on every Spark classpath), so
+    * `format("orc")` needs no extra dependency; JSON-lines is the
+    * interchange format most ingestion boundaries speak. Both are exact
+    * round-trips for the reference schemas (spec-gated). Avro would be the
+    * next row here, but Spark's `format("avro")` lives in the external
+    * spark-avro module: only the avro-core/ipc/mapred internals ship in
+    * /opt/spark/jars, and module resolution fails offline — same seam
+    * class as Delta/Kafka. */
+  def orcSink(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def jsonSink(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
 }

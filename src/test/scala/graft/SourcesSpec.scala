@@ -68,6 +68,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 4)
   }
 
+  test("ORC and JSON-lines sinks round-trip the reference schemas exactly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("fmt").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Sinks.orcSink(docs, s"$base/docs_orc")
+    val orc = spark.read.orc(s"$base/docs_orc")
+    assert(orc.schema == docs.schema)
+    assert(docs.exceptAll(orc).isEmpty && orc.exceptAll(docs).isEmpty)
+    // JSON-lines: schema must be asserted on read (self-describing but
+    // untyped); values round-trip for the string/long document schema
+    Sinks.jsonSink(docs, s"$base/docs_json")
+    val js = spark.read.schema(docs.schema).json(s"$base/docs_json")
+    assert(docs.exceptAll(js).isEmpty && js.exceptAll(docs).isEmpty)
+  }
+
   test("catalog registration exposes a parquet path to spark.sql") {
     Sources.registerTable(spark, "nation_view", "/root/testdata/sf0.001/nation.parquet")
     assert(spark.sql("select count(*) from nation_view").first().getLong(0) == 25)
