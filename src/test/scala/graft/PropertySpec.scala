@@ -208,6 +208,33 @@ class PropertySpec extends AnyFunSuite {
     assert(rounds <= 12, s"path-50 took $rounds star rounds")
   }
 
+  test("star contraction equals union-find on a seeded 500-node random graph") {
+    import spark.implicits._
+    // denser and more tangled than any LSH output: random edges produce
+    // components of mixed shapes (chains, fans, blobs) in one graph
+    val genEdge = for {
+      a <- Gen.choose(0L, 499L); b <- Gen.choose(0L, 499L)
+    } yield (math.min(a, b), math.max(a, b))
+    val pairs = sampled(Gen.listOfN(800, genEdge), 0x6EAFL)
+      .filter(e => e._1 != e._2).distinct
+    val (labels, rounds) = graft.operators.Dedup.resolveClusters(
+      pairs.toDF("doc_a", "doc_b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    assert(got == expected)
+    assert(rounds <= 12, s"random-500 took $rounds star rounds")
+  }
+
   test("expectations count injected violations exactly") {
     import spark.implicits._
     import graft.quality.Expectations

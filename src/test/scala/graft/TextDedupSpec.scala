@@ -135,6 +135,29 @@ class TextDedupSpec extends AnyFunSuite {
     t.unpersist()
   }
 
+  test("bm25 ranks by term frequency, length norm, and rarity as expected") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // same length, more query-term hits → higher score; same hits, longer
+    // doc → lower score; rarer term (lower df) → higher score than a
+    // common one at equal tf/dl
+    val dir = Files.createTempDirectory("bm25").toString
+    Seq(
+      (0L, "spark spark spark pad pad pad pad pad", "en", "s", 1L),
+      (1L, "spark pad pad pad pad pad pad pad", "en", "s", 1L),
+      (2L, "spark " + ("pad " * 30).trim, "en", "s", 1L),
+      (3L, "vector pad pad pad pad pad pad pad", "en", "s", 1L),
+      (4L, "spark other words entirely here now", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.bm25(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(0L) > m(1L))            // tf ↑ ⇒ score ↑ (equal dl, df)
+    assert(m(1L) > m(2L))            // dl ↑ ⇒ score ↓ (equal tf, df)
+    assert(m(3L) > m(1L))            // df("vector")=1 < df("spark")=4 ⇒ rarer wins
+    assert(!m.contains(9L) && m.size == 5)
+  }
+
   test("lang id picks a deterministic label") {
     import spark.implicits._
     val l = TextAnalysis.langId(spark, sf)
