@@ -699,6 +699,46 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |""".stripMargin
 
+  /** Cube companion of the rollup (§2.4 completeness): all 2^k grouping
+    * combinations in one pass — same partial+final aggregation, the
+    * grouping-set expansion happens map-side (each input row feeds its 4
+    * grouping sets before the shuffle, so the shuffle carries grouped
+    * partials, not 4× the input). */
+  def cubeSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(D($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+  }
+  val cubeSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS cnt
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |""".stripMargin
+
+  /** NTILE percentile bucketing (§2.5 completeness): assign every order to
+    * a salary-style decile of o_totalprice per priority class — the window
+    * primitive behind quantile-bucket features. Deterministic: the window
+    * order tie-breaks on the key. One shuffle on the partition column. */
+  def ntileBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        ntile(10).over(w).cast("long").as("decile"))
+  }
+  val ntileBucketsSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |       ntile(10) OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+      |FROM orders
+      |""".stripMargin
+
   // ---------------------------------------------------------------------------
   // Pivot / crosstab (OLAP extension): order counts per priority with one
   // column per order status — `groupBy.pivot` with explicit values, which
@@ -858,6 +898,8 @@ object Relational {
     "q_quantiles"      -> quantiles _,
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
+    "q_cube"           -> cubeSummary _,
+    "q_ntile"          -> ntileBuckets _,
     "q_pivot"          -> pivotStatus _,
     "q_running_total"  -> runningTotal _,
     "q_topn_per_group" -> topnPerGroup _,
@@ -871,6 +913,8 @@ object Relational {
     "q_sessionize"     -> sessionizeSql,
     "q_quantiles"      -> quantilesSql,
     "q_rollup"         -> rollupSummarySql,
+    "q_cube"           -> cubeSummarySql,
+    "q_ntile"          -> ntileBucketsSql,
     "q_pivot"          -> pivotStatusSql,
     "q_running_total"  -> runningTotalSql,
     "q_topn_per_group" -> topnPerGroupSql,
