@@ -446,17 +446,26 @@ object Similarity {
   }
 
   /** (vec_id, sub_id, code, dist) against the trained codebook — rn=1 per
-    * (vector, subspace). */
-  private def pqAssignRaw(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import s.implicits._
-    val sv = subvecs(Tables.embeddings(s, dir))
-    val scored = sv.join(broadcast(pqCodebook(s, dir)), "sub_id")
-      .withColumn("dist", expr(l2S("sv", "ce")))
-    val w = Window.partitionBy($"vec_id", $"sub_id").orderBy($"dist".asc, $"code".asc)
-    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"vec_id", $"sub_id", $"code", $"dist")
-  }
+    * (vector, subspace). Cached + pinned like the codebook: the corpus
+    * encoding is the second index artifact, and without the cache every
+    * consumer (the three PQ queries, every streaming micro-batch) would
+    * re-scan embeddings and re-run the assignment window. At rest this is
+    * the stored code table of the writeAnnLayout shape. */
+  private val pqCodesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def pqAssignRaw(s: SparkSession, dir: String): DataFrame =
+    pqCodesCache.getOrElseUpdate((s, dir), {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val sv = subvecs(Tables.embeddings(s, dir))
+      val scored = sv.join(broadcast(pqCodebook(s, dir)), "sub_id")
+        .withColumn("dist", expr(l2S("sv", "ce")))
+      val w = Window.partitionBy($"vec_id", $"sub_id").orderBy($"dist".asc, $"code".asc)
+      graft.Materialize.eager(
+        scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"vec_id", $"sub_id", $"code", $"dist"),
+        pin = true)
+    })
 
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -475,7 +484,10 @@ object Similarity {
     * ([[graft.streaming.AnnEnrich]]). Scoring is row-independent per qid,
     * so batching the query side any way yields identical rows. A query
     * whose vec_id collides with a corpus id excludes that corpus row
-    * (self-match suppression — the corpus-query contract). */
+    * (self-match suppression — the corpus-query contract). vec_id is the
+    * query IDENTITY: duplicate ids are collapsed before scoring (a
+    * re-submitted id would otherwise double every ADC term into 16 folds
+    * per neighbor instead of 8). */
   def knnPqFor(s: SparkSession, dir: String, queries: DataFrame): DataFrame = {
     import s.implicits._
     // `queries` may live in a DIFFERENT session than `s` — streaming
@@ -485,7 +497,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val corpus = pqAssignRaw(s, dir)
       .select($"vec_id".as("nid"), $"sub_id", $"code")
-    val q = subvecs(queries.select($"vec_id", $"embedding"))
+    val q = subvecs(queries.select($"vec_id", $"embedding").dropDuplicates("vec_id"))
       .toDF("qid", "sub_id", "qsv")
     // the ADC lookup table: |Q| × PQSubs × PQCodes exact query-to-centroid
     // distances — tiny, broadcast once; the corpus side joins on its codes

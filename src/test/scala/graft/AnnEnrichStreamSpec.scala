@@ -39,10 +39,28 @@ class AnnEnrichStreamSpec extends AnyFunSuite {
         probes.toDF("vec_id", "embedding"))
       assert(streamed.count() == 4 * 5)
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
-      // two micro-batches → two idempotent partition directories
+      // two micro-batches → two partition directories
       val dirs = new java.io.File(out).listFiles().map(_.getName)
         .filter(_.startsWith("batch_id=")).sorted
       assert(dirs.length == 2, dirs.mkString(","))
+      // exactly-once under replay: re-execute the batch-1 write (what a
+      // checkpoint recovery does after a crash between write and commit) —
+      // the partition overwrite must leave the output byte-identical, not
+      // double-append
+      graft.operators.Similarity.knnPqFor(spark, sf,
+          probes.drop(2).toDF("vec_id", "embedding"))
+        .write.mode("overwrite").parquet(s"$out/batch_id=1")
+      val replayed = spark.read.parquet(out)
+        .select($"qid", $"rank", $"nid", $"adist")
+      assert(replayed.count() == 4 * 5)
+      assert(replayed.exceptAll(batch).isEmpty && batch.exceptAll(replayed).isEmpty)
+      // duplicate query ids collapse instead of doubling every ADC term
+      val dup = probes.take(1) ++ probes.take(1)
+      val dedup = graft.operators.Similarity.knnPqFor(spark, sf,
+        dup.toDF("vec_id", "embedding"))
+      val single = graft.operators.Similarity.knnPqFor(spark, sf,
+        probes.take(1).toDF("vec_id", "embedding"))
+      assert(dedup.exceptAll(single).isEmpty && single.exceptAll(dedup).isEmpty)
     } finally q.stop()
   }
 }
