@@ -473,6 +473,13 @@ object Dedup {
       prev = p
       rounds += 1
     }
+    // The 50-round cap is a runaway backstop far above the O(log² n) star
+    // bound — silently returning unconverged labels would poison canonical
+    // selection downstream with no signal, so hitting it is an error.
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters: star contraction did not converge in $rounds rounds " +
+          s"(potential still $prev) — input graph is beyond the expected regime")
     val labels = nodes
       .join(stars.select($"child".as("id"), $"parent"), Seq("id"), "left")
       .select($"id".as("doc_id"), coalesce($"parent", $"id").as("cluster_id"),

@@ -487,7 +487,11 @@ object Similarity {
     * (self-match suppression — the corpus-query contract). vec_id is the
     * query IDENTITY: duplicate ids are collapsed before scoring (a
     * re-submitted id would otherwise double every ADC term into 16 folds
-    * per neighbor instead of 8). */
+    * per neighbor instead of 8), and the survivor is picked
+    * DETERMINISTICALLY — the lexicographically smallest embedding array
+    * wins — so a micro-batch that happens to carry the same id with two
+    * different embeddings scores the same embedding on every run and in
+    * the batch-over-union replay the streaming spec asserts. */
   def knnPqFor(s: SparkSession, dir: String, queries: DataFrame): DataFrame = {
     import s.implicits._
     // `queries` may live in a DIFFERENT session than `s` — streaming
@@ -497,8 +501,10 @@ object Similarity {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val corpus = pqAssignRaw(s, dir)
       .select($"vec_id".as("nid"), $"sub_id", $"code")
-    val q = subvecs(queries.select($"vec_id", $"embedding").dropDuplicates("vec_id"))
-      .toDF("qid", "sub_id", "qsv")
+    val wq = Window.partitionBy($"vec_id").orderBy($"embedding".asc)
+    val distinctQ = queries.select($"vec_id", $"embedding")
+      .withColumn("qrn", row_number().over(wq)).filter($"qrn" === 1).drop("qrn")
+    val q = subvecs(distinctQ).toDF("qid", "sub_id", "qsv")
     // the ADC lookup table: |Q| × PQSubs × PQCodes exact query-to-centroid
     // distances — tiny, broadcast once; the corpus side joins on its codes
     val terms = q.join(broadcast(pqCodebook(s, dir)), "sub_id")

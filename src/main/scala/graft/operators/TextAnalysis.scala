@@ -480,6 +480,13 @@ object TextAnalysis {
   // exact integer counts, so both engines agree bit-for-bit. The formula
   // TEXT is kept identical on both sides: equal parse trees ⇒ equal
   // floating-point evaluation order ⇒ equal bits.
+  // CONSUMER NOTE (rational-idf caveat): dropping the log changes the
+  // WEIGHTING, not just the scale — rare terms are boosted far more
+  // steeply than log-idf would boost them, so multi-term rankings can
+  // diverge from textbook BM25 (a doc matching one rare term can outrank
+  // a doc matching two common ones that classic BM25 would prefer). Treat
+  // `score` as a deterministic retrieval primitive ("rational BM25"), not
+  // a drop-in for Lucene/Robertson log-idf ordering.
   // ---------------------------------------------------------------------------
   private val Bm25Query = Seq("spark", "vector", "stream")
   private val bm25TermScore = {
