@@ -144,7 +144,13 @@ object Dedup {
     * side of incremental cluster maintenance). Verification still reads the
     * full table — the left_semi against candidate ids restricts it. */
   private def lshPairsFrom(s: SparkSession, dir: String, docs: DataFrame,
-                           threshold: Double): DataFrame = {
+                           threshold: Double): DataFrame =
+    verifyJaccard(s, dir, lshCandidatesFrom(docs), threshold)
+
+  /** LSH candidate pairs (band-bucket cooccurrence, unverified) — shared by
+    * the Jaccard and containment scorers. */
+  private def lshCandidatesFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val sig = signaturesFrom(docs)
     // Docs with no shingles (<3 tokens) have NULL signatures: they must be
@@ -170,7 +176,7 @@ object Dedup {
     // fit in driver memory (a 100 TB web corpus has billions of dup pairs)
     // and re-enters the plan with its full partitioning, not as 1 partition.
     // (Churn-prone clusters set Materialize.impl = TempParquet; same shape.)
-    val candidates = graft.Materialize.eager(bands
+    graft.Materialize.eager(bands
       .groupBy($"band_id", $"band_key")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") >= 2)
@@ -178,7 +184,6 @@ object Dedup {
         "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
       .select($"p.doc_a", $"p.doc_b")
       .distinct())
-    verifyJaccard(s, dir, candidates, threshold)
   }
 
   /** Exact-Jaccard verification of LSH candidate pairs: compute shingle
@@ -191,14 +196,7 @@ object Dedup {
   private def verifyJaccard(s: SparkSession, dir: String,
                             candidates: DataFrame, threshold: Double): DataFrame = {
     import s.implicits._
-    val candDocs = candidates
-      .selectExpr("explode(array(doc_a, doc_b)) AS doc_id").distinct()
-    // Materialized once: it feeds both sides of the verification join, and
-    // without the checkpoint each side would re-scan the documents table.
-    val shingleSets = graft.Materialize.eager(Tables.documents(s, dir)
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .withColumn("toks", expr(toksExpr))
-      .selectExpr("doc_id", s"$shinglesExpr AS sh"))
+    val shingleSets = candidateShingles(s, dir, candidates)
     candidates
       .join(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(shingleSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
@@ -208,7 +206,26 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 
-  private def lshPairsSql(threshold: Double, candPred: String = ""): String = {
+  /** Shingle sets for candidate-pair docs ONLY (left_semi against the
+    * candidate-id set — the signature pass already consumed the full corpus;
+    * re-shingling 100% of it to verify ~0.1% of pairs would dominate).
+    * Materialized once: it feeds both sides of the verification join, and
+    * without the checkpoint each side would re-scan the documents table. */
+  private def candidateShingles(s: SparkSession, dir: String,
+                                candidates: DataFrame): DataFrame = {
+    import s.implicits._
+    val candDocs = candidates
+      .selectExpr("explode(array(doc_a, doc_b)) AS doc_id").distinct()
+    graft.Materialize.eager(Tables.documents(s, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", s"$shinglesExpr AS sh"))
+  }
+
+  /** Shared DuckDB CTE prefix: tokenize → shingle → sign → band → candidate
+    * pairs (everything up to the scorer — the SQL twin of
+    * [[lshCandidatesFrom]] + [[candidateShingles]]). */
+  private def lshCteSql(candPred: String = ""): String = {
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band_id, sig${2 * b} || '|' || sig${2 * b + 1} AS band_key FROM sig WHERE sig0 IS NOT NULL"
     }.mkString("\n  UNION ALL ")
@@ -225,7 +242,11 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id$candPred
-       |)
+       |)""".stripMargin
+  }
+
+  private def lshPairsSql(threshold: Double, candPred: String = ""): String =
+    s"""${lshCteSql(candPred)}
        |SELECT doc_a, doc_b,
        |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
@@ -235,9 +256,94 @@ object Dedup {
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |         / len(list_distinct(list_concat(sa.sh, sb.sh))) >= $threshold
        |""".stripMargin
-  }
   val dedupMinhashLshSql: String = lshPairsSql(0.8)
   val ngramJaccardSql: String = lshPairsSql(0.3)
+
+  // ---------------------------------------------------------------------------
+  // Jaccard CONTAINMENT scoring (sub-document duplication): C(A,B) =
+  // |A∩B| / |A| is asymmetric — a short doc fully embedded in a long one
+  // scores ~1.0 where symmetric Jaccard stays low. Same LSH candidate pass
+  // and shingle machinery as the near-dup join (standard LSH recall caveat:
+  // pairs are candidate-limited by the banding), different scorer: both
+  // directions are reported and a pair survives iff either direction clears
+  // the threshold. Integer set sizes + one IEEE division per direction, so
+  // the oracle hash-matches.
+  // ---------------------------------------------------------------------------
+  private val ContainT = 0.6
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val candidates = lshCandidatesFrom(Tables.documents(s, dir))
+    val shingleSets = candidateShingles(s, dir, candidates)
+    candidates
+      .join(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(shingleSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "cast(size(array_intersect(sh_a, sh_b)) as double) / size(sh_a) AS cont_a",
+        "cast(size(array_intersect(sh_a, sh_b)) as double) / size(sh_b) AS cont_b")
+      .filter(greatest($"cont_a", $"cont_b") >= ContainT)
+  }
+  val containmentPairsSql: String =
+    s"""${lshCteSql()},
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) AS cont_a,
+       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) AS cont_b
+       |  FROM cand
+       |  JOIN shs sa ON sa.doc_id = doc_a
+       |  JOIN shs sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, cont_a, cont_b
+       |FROM scored WHERE greatest(cont_a, cont_b) >= $ContainT
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Segment-level exact dedup (CCNet-style line dedup, adapted to the
+  // newline-free corpus): chunk each doc into consecutive 5-token segments,
+  // drop every segment occurrence except the globally FIRST one (by
+  // (doc_id, pos) — the deterministic CCNet keep-first rule), and rebuild
+  // the cleaned text. Boilerplate repeated across docs (headers, footers,
+  // near-dup bodies) survives exactly once corpus-wide.
+  // Scale shape: segments shuffle by their md5 (16 bytes + ids, never the
+  // text) for the first-occurrence window, then once by doc_id for the
+  // rebuild — two bounded shuffles, no self-join; at 100 TB this is the
+  // same plan with the segment hash bucketed.
+  // ---------------------------------------------------------------------------
+  private val SegW = 5
+  def segDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(0, (size(toks) - 1) div $SegW), i -> concat_ws(' ', slice(toks, i * $SegW + 1, $SegW)))) AS (pos, seg)")
+      .selectExpr("doc_id", "cast(pos as bigint) AS pos", "seg",
+        "md5(cast(seg as binary)) AS segh")
+    val w = Window.partitionBy($"segh").orderBy($"doc_id".asc, $"pos".asc)
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when($"rn" === 1, 1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(pos, seg) END)), x -> x.seg)"),
+          " ").as("text_clean"))
+  }
+  val segDedupSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |segs AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, ((len(toks) - 1) // $SegW) + 1)) AS pos,
+       |         unnest(list_transform(range(0, ((len(toks) - 1) // $SegW) + 1),
+       |                i -> array_to_string(toks[(i * $SegW + 1):(i * $SegW + $SegW)], ' '))) AS seg
+       |  FROM tok),
+       |flagged AS (
+       |  SELECT doc_id, pos, seg,
+       |         row_number() OVER (PARTITION BY md5(seg)
+       |                            ORDER BY doc_id ASC, pos ASC) AS rn
+       |  FROM segs)
+       |SELECT doc_id, count(*) AS n_segs,
+       |       count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       |       coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS text_clean
+       |FROM flagged GROUP BY doc_id
+       |""".stripMargin
 
   // ---------------------------------------------------------------------------
   // Incremental near-dup pass: dedup a NEW batch (doc_id >= IncrSplit here;
@@ -549,6 +655,8 @@ object Dedup {
     "q_dedup_minhash_lsh" -> dedupMinhashLsh _,
     "q_ngram_jaccard"     -> ngramJaccard _,
     "q_simhash"           -> simhash _,
+    "q_containment"       -> containmentPairs _,
+    "q_seg_dedup"         -> segDedup _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_dedup_clusters"    -> dedupClustersSql,
@@ -563,5 +671,7 @@ object Dedup {
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "q_ngram_jaccard"     -> ngramJaccardSql,
     "q_simhash"           -> simhashSql,
+    "q_containment"       -> containmentPairsSql,
+    "q_seg_dedup"         -> segDedupSql,
   )
 }

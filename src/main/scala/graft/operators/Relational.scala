@@ -871,6 +871,162 @@ object Relational {
       |WHERE CAST(value->>'$.payload.after.id' AS INTEGER) IS NOT NULL
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Window-function breadth (§2.5 completeness): lag/lead/first_value over
+  // the event-time axis plus dense_rank/percent_rank/cume_dist over the
+  // value axis — the remaining analytic-window surface in ONE pass. Both
+  // windows partition on user_id, so the whole query is a single shuffle on
+  // the user key followed by two per-partition sorts. percent_rank and
+  // cume_dist are single IEEE divisions of exact integer rank/count pairs,
+  // so they hash-match across engines; double orderings pin NULLS FIRST
+  // explicitly (Spark's ASC default) because DuckDB defaults to NULLS LAST.
+  // ---------------------------------------------------------------------------
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wt = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wtf = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wv = Window.partitionBy($"user_id").orderBy($"value".asc_nulls_first)
+    Tables.events(s, dir).select(
+      $"user_id", $"event_id",
+      lag($"value", 1).over(wt).as("prev_value"),
+      lead($"value", 1).over(wt).as("next_value"),
+      first($"event_type").over(wtf).as("first_type"),
+      dense_rank().over(wv).cast("long").as("value_drank"),
+      percent_rank().over(wv).as("value_prank"),
+      cume_dist().over(wv).as("value_cdist"))
+  }
+  val windowFuncsSql: String =
+    """SELECT user_id, event_id,
+      |       lag(value, 1) OVER wt AS prev_value,
+      |       lead(value, 1) OVER wt AS next_value,
+      |       first_value(event_type) OVER (wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+      |       CAST(dense_rank() OVER wv AS BIGINT) AS value_drank,
+      |       percent_rank() OVER wv AS value_prank,
+      |       cume_dist() OVER wv AS value_cdist
+      |FROM events
+      |WINDOW wt AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC),
+      |       wv AS (PARTITION BY user_id ORDER BY value ASC NULLS FIRST)
+      |""".stripMargin
+
+  /** GROUPING SETS companion of rollup/cube (§2.4 completeness): exactly the
+    * requested subtotal combinations — here (status, priority), (status),
+    * (priority) — in one Expand + single aggregation pass; the sets are
+    * distinguishable by their NULL patterns because the two grouping columns
+    * never hold NULLs in the data. */
+  def groupingSetsSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+          Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(D($"o_totalprice")).cast("double").as("sum_price"))
+  }
+  val groupingSetsSummarySql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority))
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Correlation / dispersion statistics (§2.6 extension): Pearson corr,
+  // population covariance and stddev of (quantity, extendedprice) per return
+  // flag. Built-in corr()/stddev() stream doubles in partition order — not
+  // reproducible across engines — so the moments are accumulated as EXACT
+  // DECIMAL sums (partial+final agg, one shuffle of 6 decimals per group)
+  // and the closed-form combination runs once per group in doubles. The
+  // formula TEXT is spliced into both engines verbatim: equal parse trees ⇒
+  // equal IEEE evaluation order ⇒ equal bits (sqrt is correctly rounded by
+  // IEEE 754, unlike ln — the BM25 rule). This is also the 100 TB shape:
+  // decimal partials are mergeable, so no second pass and no double drift.
+  // ---------------------------------------------------------------------------
+  // Moments are accumulated over INTEGER CENTS (xc = round(100·qty),
+  // yc = round(100·price)): every per-row product fits a BIGINT exactly and
+  // the group sums are exact integers. The double combination then performs
+  // ONE correctly-rounded integer→double conversion per sum — casting a
+  // scale-4 DECIMAL directly would double-round on DuckDB (int128→double,
+  // then an inexact 10⁻⁴ descale) once sums pass 2⁵³, and the last ulp
+  // diverges from Java's single-rounding BigDecimal. corr is
+  // scale-invariant; covar/stddev descale by exact power-of-ten double
+  // constants (one extra division, identical on both engines).
+  private val corrMoments =
+    // spliced after per-group integer sums are cast to double as
+    // nd/sxd/syd/sxxd/syyd/sxyd
+    Seq(
+      "(nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) AS corr_qty_price",
+      "(nd * sxyd - sxd * syd) / (nd * nd) / cast(10000 as double) AS covar_pop",
+      "sqrt(nd * sxxd - sxd * sxd) / nd / cast(100 as double) AS stddev_pop_qty",
+      "sqrt(nd * syyd - syd * syd) / nd / cast(100 as double) AS stddev_pop_price")
+  private val centX = "cast(round(l_quantity * cast(100 as double)) as bigint)"
+  private val centY = "cast(round(l_extendedprice * cast(100 as double)) as bigint)"
+
+  def corrStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .selectExpr("l_returnflag", s"$centX AS xc", s"$centY AS yc")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        // Spark BIGINT sums overflow at ~9.2e18 (yc² partials pass that by
+        // sf1); DECIMAL(38,0) accumulation is exact. DuckDB's HUGEINT sum
+        // is exact too — both sides then convert the same integer.
+        sum($"xc".cast("decimal(38,0)")).as("sx"),
+        sum($"yc".cast("decimal(38,0)")).as("sy"),
+        sum(($"xc" * $"xc").cast("decimal(38,0)")).as("sxx"),
+        sum(($"yc" * $"yc").cast("decimal(38,0)")).as("syy"),
+        sum(($"xc" * $"yc").cast("decimal(38,0)")).as("sxy"))
+      .selectExpr(Seq("l_returnflag", "n",
+        "cast(n as double) AS nd", "cast(sx as double) AS sxd",
+        "cast(sy as double) AS syd", "cast(sxx as double) AS sxxd",
+        "cast(syy as double) AS syyd", "cast(sxy as double) AS sxyd"): _*)
+      .selectExpr(Seq("l_returnflag", "n") ++ corrMoments: _*)
+  }
+  val corrStatsSql: String =
+    s"""WITH c AS (
+       |  SELECT l_returnflag, $centX AS xc, $centY AS yc FROM lineitem),
+       |m AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |         sum(xc) AS sx, sum(yc) AS sy,
+       |         sum(xc * xc) AS sxx, sum(yc * yc) AS syy,
+       |         sum(xc * yc) AS sxy
+       |  FROM c GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT l_returnflag, n,
+       |         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+       |         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+       |         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+       |  FROM m)
+       |SELECT l_returnflag, n,
+       |       ${corrMoments.mkString(",\n       ")}
+       |FROM d
+       |""".stripMargin
+
+  /** Fixed-bin histogram (dashboard primitive): order totals into 20 equal
+    * bins of width 30000 with an overflow bin — the bucket id is an explicit
+    * floor-of-division formula (identical text on both engines) rather than
+    * an engine width_bucket, whose edge-case conventions differ. One
+    * partial+final aggregation; the bucket expression evaluates in the scan. */
+  private val histBucket =
+    "least(cast(19 as bigint), cast(floor(o_totalprice / cast(30000 as double)) as bigint))"
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .selectExpr(s"$histBucket AS bucket", "o_totalprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(D($"o_totalprice")).cast("double").as("sum_price"))
+  }
+  val histogramSql: String =
+    s"""SELECT $histBucket AS bucket, count(*) AS n_orders,
+       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM orders GROUP BY 1
+       |""".stripMargin
+
   /** queries + oracle pairs exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_extract"    -> cdcExtract _,
@@ -905,6 +1061,10 @@ object Relational {
     "q_topn_per_group" -> topnPerGroup _,
     "q_shipping_priority" -> shippingPriority _,
     "q_local_volume"   -> localVolume _,
+    "q_window_funcs"   -> windowFuncs _,
+    "q_grouping_sets"  -> groupingSetsSummary _,
+    "q_corr_stats"     -> corrStats _,
+    "q_histogram"      -> histogram _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -939,5 +1099,9 @@ object Relational {
     "q_count_by_flag"  -> countByFlagSql,
     "q_count_star"     -> countStarSql,
     "q_pricing_summary" -> pricingSummarySql,
+    "q_window_funcs"   -> windowFuncsSql,
+    "q_grouping_sets"  -> groupingSetsSummarySql,
+    "q_corr_stats"     -> corrStatsSql,
+    "q_histogram"      -> histogramSql,
   )
 }

@@ -540,6 +540,86 @@ object TextAnalysis {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // Sequence packing (training-batch planner): concatenate each source's
+  // documents in stable doc_id order and chunk the token stream into
+  // fixed-budget bins of 256 — the standard packed-pretraining layout
+  // (documents may straddle a bin boundary; the trainer's attention mask
+  // handles the seam). The plan is ONE window pass: exclusive running token
+  // count per source, then bin id / offset are pure integer arithmetic on
+  // it. Partitioning by `source` keeps the window parallel across sources;
+  // a 100 TB run packs per (source, date-bucket) the same way — the bin ids
+  // just gain the bucket prefix — so no global single-partition sort ever
+  // appears.
+  // ---------------------------------------------------------------------------
+  private val PackBudget = 256
+  def seqPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .selectExpr("source", "doc_id", s"size($toksExpr) AS n_toks")
+      .withColumn("tok_offset", coalesce(sum($"n_toks".cast("long")).over(w), lit(0L)))
+      .selectExpr("source", "doc_id", "cast(n_toks as bigint) AS n_tokens",
+        "tok_offset",
+        s"tok_offset div $PackBudget AS bin_id",
+        s"tok_offset % $PackBudget AS offset_in_bin")
+  }
+  val seqPackingSql: String =
+    s"""WITH t AS (SELECT source, doc_id, len($toksDuck) AS n_toks FROM documents),
+       |o AS (SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+       |             COALESCE(CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id ASC
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |                      0) AS tok_offset
+       |      FROM t)
+       |SELECT source, doc_id, n_tokens, tok_offset,
+       |       tok_offset // $PackBudget AS bin_id,
+       |       tok_offset % $PackBudget AS offset_in_bin
+       |FROM o
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Temperature-based source mixing (α = 0.5): re-weight the corpus so each
+  // source's share follows count^α instead of its natural share — the
+  // standard multi-source pretraining mix. Realized as pure subsampling:
+  // keep_rate(s) = sqrt(min_count) / sqrt(count_s) (the smallest source
+  // keeps 100%, larger sources are downsampled toward equal weight), and a
+  // doc survives iff its md5-uniform draw u(doc_id) < keep_rate — a pure
+  // function of the stable id (never rand()), so re-runs and backfills keep
+  // the same docs. α is fixed at 0.5 because sqrt is correctly rounded by
+  // IEEE 754 and therefore bit-portable, while pow(x, α) routes through
+  // exp/ln which are NOT (the BM25 rule). Scale shape: one tiny per-source
+  // aggregate broadcast back, then the filter evaluates in the scan — the
+  // corpus itself never shuffles.
+  // ---------------------------------------------------------------------------
+  private val keepRateExpr =
+    "sqrt(cast(min_cnt as double)) / sqrt(cast(cnt as double)) AS keep_rate"
+  def temperatureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min($"cnt").as("min_cnt"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .selectExpr("source", keepRateExpr)
+    docs.join(broadcast(rates), "source")
+      .selectExpr("source", "doc_id", "keep_rate",
+        // 60 uniform bits from the TAIL of the id's md5 (chars 17-31) so the
+        // draw is independent of trainSplit's bucket (chars 1-4)
+        "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 17, 15), 16, 10) as bigint) / cast(1152921504606846976 as double) AS u")
+      .filter($"u" < $"keep_rate")
+      .select($"source", $"doc_id", $"keep_rate")
+  }
+  val temperatureSampleSql: String =
+    s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+       |mc AS (SELECT min(cnt) AS min_cnt FROM c),
+       |r AS (SELECT source, $keepRateExpr FROM c CROSS JOIN mc)
+       |SELECT d.source, d.doc_id, r.keep_rate
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 17, 15))::BIGINT
+       |        / CAST(1152921504606846976 AS DOUBLE) < r.keep_rate
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"          -> bm25 _,
     "q_text_stats"    -> textStats _,
@@ -556,6 +636,8 @@ object TextAnalysis {
     "q_chunking"      -> chunkDocs _,
     "q_keyterms"      -> keyTerms _,
     "q_length_profile" -> lengthProfile _,
+    "q_seq_packing"   -> seqPacking _,
+    "q_temperature_sample" -> temperatureSample _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_bm25"          -> bm25Sql,
@@ -573,5 +655,7 @@ object TextAnalysis {
     "q_chunking"      -> chunkDocsSql,
     "q_keyterms"      -> keyTermsSql,
     "q_length_profile" -> lengthProfileSql,
+    "q_seq_packing"   -> seqPackingSql,
+    "q_temperature_sample" -> temperatureSampleSql,
   )
 }
