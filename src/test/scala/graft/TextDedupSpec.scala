@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextDedupSpec extends AnyFunSuite {
@@ -171,5 +172,77 @@ class TextDedupSpec extends AnyFunSuite {
     assert(f.select($"fp_md5").distinct().count() == f.count())
     assert(f.filter($"fp_roll" < 0).count() == 0)
     f.unpersist()
+  }
+
+  test("segment dedup: each distinct segment survives exactly once corpus-wide") {
+    import spark.implicits._
+    val d = Dedup.segDedup(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+    assert(d.count() == docs.count())
+    assert(d.filter($"n_kept" > $"n_segs").count() == 0)
+    // sum of kept == number of distinct 5-token segments in the corpus
+    val distinctSegs = docs
+      .selectExpr("split(trim(text), '\\\\s+') AS toks")
+      .selectExpr("explode(transform(sequence(0, (size(toks) - 1) div 5), i -> concat_ws(' ', slice(toks, i * 5 + 1, 5)))) AS seg")
+      .select($"seg").distinct().count()
+    assert(d.agg(sum($"n_kept")).first().getLong(0) == distinctSegs)
+    // a doc that kept every segment reconstructs its original text verbatim
+    val intact = d.filter($"n_kept" === $"n_segs")
+      .join(docs, "doc_id")
+      .filter($"text_clean" =!= trim($"text"))
+    assert(intact.count() == 0)
+    assert(d.filter($"n_kept" < $"n_segs").count() > 0, "planted dups should trim")
+    d.unpersist(); docs.unpersist()
+  }
+
+  test("containment dominates jaccard and is reported both ways") {
+    import spark.implicits._
+    val c = Dedup.containmentPairs(spark, sf).cache()
+    assert(c.filter($"cont_a" <= 0 || $"cont_a" > 1 || $"cont_b" <= 0 || $"cont_b" > 1).count() == 0)
+    assert(c.filter(greatest($"cont_a", $"cont_b") < 0.6).count() == 0)
+    // C(A,B) >= J(A,B): every verified near-dup pair at J>=0.8 must appear
+    val nd = Dedup.dedupMinhashLsh(spark, sf).select($"doc_a", $"doc_b")
+    assert(nd.join(c, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+    c.unpersist()
+  }
+
+  test("sequence packing: offsets chain per source and bins are budget-sized") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = TextAnalysis.seqPacking(spark, sf).cache()
+    // independent recomputation of the chain: offset(k) = offset(k-1) + n(k-1)
+    val w = Window.partitionBy($"source").orderBy($"doc_id".asc)
+    val chained = p
+      .withColumn("prev_end", lag($"tok_offset" + $"n_tokens", 1).over(w))
+      .filter($"prev_end".isNotNull && $"prev_end" =!= $"tok_offset")
+    assert(chained.count() == 0)
+    // first doc of each source starts at offset 0; bin arithmetic is exact
+    val firsts = p.groupBy($"source").agg(min($"tok_offset").as("mn"))
+    assert(firsts.filter($"mn" =!= 0).count() == 0)
+    assert(p.filter($"bin_id" =!= ($"tok_offset" - $"offset_in_bin") / 256).count() == 0)
+    assert(p.filter($"offset_in_bin" < 0 || $"offset_in_bin" >= 256).count() == 0)
+    p.unpersist()
+  }
+
+  test("temperature mixing keeps the smallest source whole and downsamples the rest") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = counts.values.min
+    val kept = TextAnalysis.temperatureSample(spark, sf).cache()
+    val keptBySource = kept.groupBy($"source").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (src, cnt) =>
+      val k = keptBySource.getOrElse(src, 0L)
+      val rate = math.sqrt(minCnt.toDouble) / math.sqrt(cnt.toDouble)
+      if (cnt == minCnt) assert(k == cnt, s"smallest source $src must keep all")
+      else assert(math.abs(k.toDouble / cnt - rate) < 0.15,
+        s"$src kept $k of $cnt, expected ~$rate")
+    }
+    // pure function of doc_id: a second run keeps the identical id set
+    val again = TextAnalysis.temperatureSample(spark, sf)
+    assert(kept.select($"doc_id").exceptAll(again.select($"doc_id")).isEmpty)
+    kept.unpersist()
   }
 }
