@@ -101,4 +101,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema"), plan)
     assert(!plan.contains("lang"), plan) // untouched columns pruned
   }
+
+  test("temperature mixing broadcasts the rates — the corpus never shuffles") {
+    // the per-source keep-rates are a tiny aggregate; the corpus side must
+    // join them via broadcast and evaluate the keep filter in its scan
+    // stage — a SortMergeJoin here would shuffle 100 TB to apply a 5-row map
+    val plan = executed(TextAnalysis.temperatureSample(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("analytic additions shuffle exactly once") {
+    // window breadth: one exchange on user_id feeding both window sorts;
+    // grouping sets: Expand above the scan, partial+final agg, one exchange;
+    // corr moments: partial+final agg, one exchange on the group key;
+    // packing: one exchange on source for the running-offset window
+    for ((name, df) <- Seq(
+      "q_window_funcs" -> Relational.windowFuncs(spark, sf),
+      "q_grouping_sets" -> Relational.groupingSetsSummary(spark, sf),
+      "q_corr_stats" -> Relational.corrStats(spark, sf),
+      "q_seq_packing" -> TextAnalysis.seqPacking(spark, sf))) {
+      val plan = executed(df)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 1, s"$name: expected 1 exchange, got $shuffles:\n$plan")
+    }
+    val gs = executed(Relational.groupingSetsSummary(spark, sf))
+    assert(gs.contains("Expand"), gs)
+  }
 }
