@@ -1027,6 +1027,110 @@ object Relational {
        |FROM orders GROUP BY 1
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Scalar-function breadth (§2.6 completeness): the reference's only JSON
+  // op is get_json_object×7 (SaveDelta.scala:140-147 — re-expressed as ONE
+  // from_json in q_envelope_parse); this query keeps the per-path
+  // get_json_object surface itself exercised over the events.props column.
+  // Pure per-row codegen'd expressions, no shuffle.
+  // ---------------------------------------------------------------------------
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .selectExpr(
+        "event_id",
+        "cast(get_json_object(props, '$.k') as int) AS k",
+        "(cast(get_json_object(props, '$.k') as int) % 2 = 0) AS k_even",
+        "cast(get_json_object(props, '$.missing') as int) AS k_missing")
+  }
+  val jsonExtractSql: String =
+    """SELECT event_id,
+      |       CAST(props->>'$.k' AS INT) AS k,
+      |       (CAST(props->>'$.k' AS INT) % 2 = 0) AS k_even,
+      |       CAST(props->>'$.missing' AS INT) AS k_missing
+      |FROM events
+      |""".stripMargin
+
+  /** String-function breadth (§2.6): case mapping, padding, reversal,
+    * token extraction, replacement and edit distance in one codegen'd scan —
+    * levenshtein is the fuzzy-matching primitive entity resolution needs,
+    * exercised here with exact-integer determinism. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .selectExpr(
+        "c_custkey",
+        "upper(c_name) AS up_name",
+        "lpad(c_name, 25, '_') AS padded",
+        "reverse(c_name) AS rev_name",
+        "split_part(c_name, '#', 2) AS name_num",
+        "substr(c_name, length(c_name) - 2, 3) AS tail3",
+        "replace(c_mktsegment, 'A', '@') AS seg_repl",
+        "levenshtein(lower(c_name), lower(c_mktsegment)) AS seg_lev")
+  }
+  val stringFuncsSql: String =
+    """SELECT c_custkey,
+      |       upper(c_name) AS up_name,
+      |       lpad(c_name, 25, '_') AS padded,
+      |       reverse(c_name) AS rev_name,
+      |       split_part(c_name, '#', 2) AS name_num,
+      |       substr(c_name, length(c_name) - 2, 3) AS tail3,
+      |       replace(c_mktsegment, 'A', '@') AS seg_repl,
+      |       levenshtein(lower(c_name), lower(c_mktsegment)) AS seg_lev
+      |FROM customer
+      |""".stripMargin
+
+  /** Date-part aggregation (§2.6): orders rolled up by (year, quarter) —
+    * the calendar-dimension shape every dashboard needs; the date parts are
+    * derived grouping keys evaluated in the scan, one partial+final agg. */
+  def dateAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .selectExpr("year(o_orderdate) AS o_year",
+        "quarter(o_orderdate) AS o_quarter", "o_totalprice")
+      .groupBy($"o_year", $"o_quarter")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(D($"o_totalprice")).cast("double").as("sum_price"))
+  }
+  val dateAggSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |       CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1, 2
+      |""".stripMargin
+
+  /** TPC-H Q10 shape (§2.3 breadth): revenue lost to returned items per
+    * customer, top 20. Three-table join where the fact side shuffles once
+    * on the join key chain and the final top-k is TakeOrderedAndProject
+    * (revenue desc, tie-broken on the key — never a global sort). */
+  def topReturns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val one = lit(new java.math.BigDecimal(1))
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        (D($"l_extendedprice") * (one - D($"l_discount", 8))).as("rev"))
+    li.join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_name"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(sum($"rev").cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+  val topReturnsSql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                 * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20
+      |""".stripMargin
+
   /** queries + oracle pairs exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_extract"    -> cdcExtract _,
@@ -1065,6 +1169,10 @@ object Relational {
     "q_grouping_sets"  -> groupingSetsSummary _,
     "q_corr_stats"     -> corrStats _,
     "q_histogram"      -> histogram _,
+    "q_json_extract"   -> jsonExtract _,
+    "q_string_funcs"   -> stringFuncs _,
+    "q_date_agg"       -> dateAgg _,
+    "q_top_returns"    -> topReturns _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1103,5 +1211,9 @@ object Relational {
     "q_grouping_sets"  -> groupingSetsSummarySql,
     "q_corr_stats"     -> corrStatsSql,
     "q_histogram"      -> histogramSql,
+    "q_json_extract"   -> jsonExtractSql,
+    "q_string_funcs"   -> stringFuncsSql,
+    "q_date_agg"       -> dateAggSql,
+    "q_top_returns"    -> topReturnsSql,
   )
 }
