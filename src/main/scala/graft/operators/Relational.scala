@@ -1131,6 +1131,77 @@ object Relational {
       |LIMIT 20
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Funnel conversion (event-sequence analytics): per user, first signup and
+  // the first purchase AT OR AFTER it — the two-step funnel with
+  // time-to-convert. The conditional min folds the sequence constraint into
+  // the aggregate (no window over the full event stream, no self-join
+  // explosion): one shuffle to the user key, then a conditional-min agg.
+  // Time-to-convert is integer µs arithmetic, so the oracle hash-matches.
+  // ---------------------------------------------------------------------------
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val purchase = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts")
+    signup.join(purchase, Seq("user_id"), "left")
+      .groupBy($"user_id", $"signup_ts")
+      .agg(min(when($"ts" >= $"signup_ts", $"ts")).as("first_purchase_ts"))
+      .selectExpr("user_id", "signup_ts", "first_purchase_ts",
+        "first_purchase_ts IS NOT NULL AS converted",
+        "(unix_micros(first_purchase_ts) - unix_micros(signup_ts)) div 1000000 AS secs_to_convert")
+  }
+  val funnelSql: String =
+    """WITH su AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |pu AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (
+      |  SELECT su.user_id, signup_ts,
+      |         min(CASE WHEN p_ts >= signup_ts THEN p_ts END) AS first_purchase_ts
+      |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+      |  GROUP BY su.user_id, signup_ts)
+      |SELECT user_id, signup_ts, first_purchase_ts,
+      |       first_purchase_ts IS NOT NULL AS converted,
+      |       (epoch_us(first_purchase_ts) - epoch_us(signup_ts)) // 1000000 AS secs_to_convert
+      |FROM f
+      |""".stripMargin
+
+  /** Day-cohort retention: users grouped by their first-active day, with
+    * distinct-user counts at day offsets 0/1/7 — the standard retention
+    * triangle, one row per cohort. Two shuffles: per-user min (cohort
+    * assignment) and the per-cohort conditional distinct counts. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .withColumn("off", datediff($"d", $"cohort_day"))
+      .groupBy($"cohort_day")
+      .agg(
+        countDistinct(when($"off" === 0, $"user_id")).as("d0_users"),
+        countDistinct(when($"off" === 1, $"user_id")).as("d1_users"),
+        countDistinct(when($"off" === 7, $"user_id")).as("d7_users"))
+      .orderBy($"cohort_day")
+  }
+  val cohortRetentionSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+      |j AS (SELECT e.user_id, cohort_day, datediff('day', cohort_day, d) AS off
+      |      FROM e JOIN c ON e.user_id = c.user_id)
+      |SELECT cohort_day,
+      |       count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS d0_users,
+      |       count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS d1_users,
+      |       count(DISTINCT CASE WHEN off = 7 THEN user_id END) AS d7_users
+      |FROM j GROUP BY cohort_day ORDER BY cohort_day
+      |""".stripMargin
+
   /** queries + oracle pairs exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_extract"    -> cdcExtract _,
@@ -1173,6 +1244,8 @@ object Relational {
     "q_string_funcs"   -> stringFuncs _,
     "q_date_agg"       -> dateAgg _,
     "q_top_returns"    -> topReturns _,
+    "q_funnel"         -> funnel _,
+    "q_cohort"         -> cohortRetention _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1215,5 +1288,7 @@ object Relational {
     "q_string_funcs"   -> stringFuncsSql,
     "q_date_agg"       -> dateAggSql,
     "q_top_returns"    -> topReturnsSql,
+    "q_funnel"         -> funnelSql,
+    "q_cohort"         -> cohortRetentionSql,
   )
 }
