@@ -128,4 +128,9 @@ class PlanSpec extends AnyFunSuite {
     val gs = executed(Relational.groupingSetsSummary(spark, sf))
     assert(gs.contains("Expand"), gs)
   }
+
+  test("Q10 top-returns compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executed(Relational.topReturns(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -158,4 +158,34 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_cust")
     }
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import spark.implicits._
+    // Row-level runtime filtering: when a selective dimension filter exists,
+    // Spark injects a bloom filter built from the build side into the probe
+    // side's scan — at 100 TB this skips most fact rows before the shuffle.
+    // Thresholds are tuned down because test data is tiny; on a cluster the
+    // defaults (10 MB creation / 10 GB application) gate it to real facts.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val sel = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val joined = li.join(sel, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
