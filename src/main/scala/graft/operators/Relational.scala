@@ -1202,6 +1202,32 @@ object Relational {
       |FROM j GROUP BY cohort_day ORDER BY cohort_day
       |""".stripMargin
 
+  /** Event-path transition matrix: counts of consecutive (from → to) event
+    * type pairs per user timeline — the Markov-transition view behind path
+    * and drop-off analysis. One shuffle on user_id for the lead() window,
+    * then a tiny (|types|²) aggregate. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+  val transitionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
+      |FROM t WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2
+      |""".stripMargin
+
   /** queries + oracle pairs exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_extract"    -> cdcExtract _,
@@ -1246,6 +1272,7 @@ object Relational {
     "q_top_returns"    -> topReturns _,
     "q_funnel"         -> funnel _,
     "q_cohort"         -> cohortRetention _,
+    "q_transitions"    -> transitions _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1290,5 +1317,6 @@ object Relational {
     "q_top_returns"    -> topReturnsSql,
     "q_funnel"         -> funnelSql,
     "q_cohort"         -> cohortRetentionSql,
+    "q_transitions"    -> transitionsSql,
   )
 }

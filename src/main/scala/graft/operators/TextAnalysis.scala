@@ -620,6 +620,39 @@ object TextAnalysis {
        |        / CAST(1152921504606846976 AS DOUBLE) < r.keep_rate
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Inverted-index construction: term → (df, total tf, postings sample) —
+  // the retrieval-index artifact BM25 serving reads. Two-level hash
+  // aggregate (doc-term tf, then term rollup), map-side combine on both
+  // levels; the postings column here is a doc_id-ordered 20-entry SAMPLE so
+  // the oracle row stays bounded — a production index writes the full
+  // postings bucketed by term instead of truncating (documented cap, not a
+  // silent one).
+  // ---------------------------------------------------------------------------
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum($"tf").cast("long").as("total_tf"),
+        expr("concat_ws(',', transform(slice(array_sort(collect_list(doc_id)), 1, 20), x -> cast(x as string)))")
+          .as("postings"))
+  }
+  val invertedIndexSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest($toksDuck) AS t FROM documents) u
+       |  GROUP BY doc_id, t)
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       |       array_to_string(list_transform(list(doc_id ORDER BY doc_id)[1:20],
+       |                                      x -> CAST(x AS VARCHAR)), ',') AS postings
+       |FROM tf GROUP BY term
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"          -> bm25 _,
     "q_text_stats"    -> textStats _,
@@ -638,6 +671,7 @@ object TextAnalysis {
     "q_length_profile" -> lengthProfile _,
     "q_seq_packing"   -> seqPacking _,
     "q_temperature_sample" -> temperatureSample _,
+    "q_inverted_index" -> invertedIndex _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_bm25"          -> bm25Sql,
@@ -657,5 +691,6 @@ object TextAnalysis {
     "q_length_profile" -> lengthProfileSql,
     "q_seq_packing"   -> seqPackingSql,
     "q_temperature_sample" -> temperatureSampleSql,
+    "q_inverted_index" -> invertedIndexSql,
   )
 }
