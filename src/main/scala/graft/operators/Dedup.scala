@@ -149,7 +149,7 @@ object Dedup {
 
   /** LSH candidate pairs (band-bucket cooccurrence, unverified) — shared by
     * the Jaccard and containment scorers. */
-  private def lshCandidatesFrom(docs: DataFrame): DataFrame = {
+  private[graft] def lshCandidatesFrom(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val sig = signaturesFrom(docs)
@@ -262,17 +262,58 @@ object Dedup {
   // ---------------------------------------------------------------------------
   // Jaccard CONTAINMENT scoring (sub-document duplication): C(A,B) =
   // |A∩B| / |A| is asymmetric — a short doc fully embedded in a long one
-  // scores ~1.0 where symmetric Jaccard stays low. Same LSH candidate pass
-  // and shingle machinery as the near-dup join (standard LSH recall caveat:
-  // pairs are candidate-limited by the banding), different scorer: both
-  // directions are reported and a pair survives iff either direction clears
-  // the threshold. Integer set sizes + one IEEE division per direction, so
-  // the oracle hash-matches.
+  // scores ~1.0 where symmetric Jaccard stays low. MinHash banding alone
+  // would miss exactly those pairs (band collision probability tracks the
+  // SYMMETRIC Jaccard, which an embedded short doc keeps low), so candidates
+  // come from TWO passes:
+  //   1. the shared LSH band buckets (catches near-dups, where containment
+  //      and Jaccard coincide);
+  //   2. a rare-shingle inverted index (prefix-filtering flavor): any pair
+  //      sharing >= MinShared shingles whose corpus document-frequency is
+  //      <= DFCap becomes a candidate. An embedded short doc shares ALL its
+  //      shingles with its container, so it surfaces as long as two of them
+  //      are corpus-rare — no dependence on symmetric similarity.
+  // Scale: the index drops shingles with df > DFCap, so per-shingle pair
+  // expansion is bounded by DFCap²/2 and the shuffle carries (60-bit hash,
+  // doc_id) pairs, never text. Different scorer from the near-dup join: both
+  // containment directions are reported and a pair survives iff either
+  // direction clears the threshold. Integer set sizes + one IEEE division
+  // per direction, so the oracle hash-matches.
   // ---------------------------------------------------------------------------
   private val ContainT = 0.6
+  private val DFCap = 10    // ignore shingles appearing in more docs (stopword-grams)
+  private val MinShared = 2 // rare shingles a pair must share to be a candidate
+
+  /** Rare-shingle candidate pairs — the asymmetric complement of LSH banding.
+    * Same groupBy + in-bucket expansion idiom as [[lshCandidatesFrom]] (a
+    * self-join of the inverted index would execute the tokenize→shingle→md5
+    * pipeline twice); bucket lists are capped at DFCap elements so the
+    * expansion is O(DFCap²) per rare shingle. */
+  private[graft] def rareShingleCandidates(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("sh", expr(shinglesExpr))
+      .select(col("doc_id"), explode(expr(shingleHashSpark)).as("g"))
+      .groupBy($"g")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids").between(2, DFCap))
+      .selectExpr(
+        "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
+      .select($"p.doc_a", $"p.doc_b")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("nsh"))
+      .filter($"nsh" >= MinShared)
+      .select($"doc_a", $"doc_b")
+  }
+
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val candidates = lshCandidatesFrom(Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
+    val candidates = graft.Materialize.eager(
+      lshCandidatesFrom(docs).union(rareShingleCandidates(docs)).distinct())
     val shingleSets = candidateShingles(s, dir, candidates)
     candidates
       .join(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
@@ -284,11 +325,21 @@ object Dedup {
   }
   val containmentPairsSql: String =
     s"""${lshCteSql()},
+       |inv AS (SELECT doc_id, unnest(shh) AS g FROM shh),
+       |df AS (SELECT g, count(*) AS df FROM inv GROUP BY g),
+       |rare AS (SELECT inv.g, inv.doc_id FROM inv JOIN df ON inv.g = df.g
+       |         WHERE df.df BETWEEN 2 AND $DFCap),
+       |rpair AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinShared),
+       |cand2 AS (SELECT doc_a, doc_b FROM cand
+       |          UNION SELECT doc_a, doc_b FROM rpair),
        |scored AS (
        |  SELECT doc_a, doc_b,
        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) AS cont_a,
        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) AS cont_b
-       |  FROM cand
+       |  FROM cand2
        |  JOIN shs sa ON sa.doc_id = doc_a
        |  JOIN shs sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, cont_a, cont_b

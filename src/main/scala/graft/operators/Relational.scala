@@ -1151,6 +1151,11 @@ object Relational {
       .agg(min(when($"ts" >= $"signup_ts", $"ts")).as("first_purchase_ts"))
       .selectExpr("user_id", "signup_ts", "first_purchase_ts",
         "first_purchase_ts IS NOT NULL AS converted",
+        // `div` truncates toward zero — and so does DuckDB's `//` (verified:
+        // -7 // 2 = -3 in DuckDB 1.x), so the two engines agree for ANY sign
+        // of the delta. Here the delta is additionally non-negative by
+        // construction: the conditional min above only admits purchases at or
+        // after signup_ts.
         "(unix_micros(first_purchase_ts) - unix_micros(signup_ts)) div 1000000 AS secs_to_convert")
   }
   val funnelSql: String =
@@ -1173,12 +1178,18 @@ object Relational {
 
   /** Day-cohort retention: users grouped by their first-active day, with
     * distinct-user counts at day offsets 0/1/7 — the standard retention
-    * triangle, one row per cohort. Two shuffles: per-user min (cohort
-    * assignment) and the per-cohort conditional distinct counts. */
+    * triangle, one row per cohort. The event stream is reduced to DISTINCT
+    * (user, day) pairs FIRST: everything downstream (cohort min, offset
+    * membership) is day-granular, so the cohort join shuffles at most
+    * |users|×|days| rows instead of full event cardinality — at 100 TB the
+    * difference between joining billions of raw events and millions of
+    * user-days. Three bounded shuffles: the user-day dedup, the per-user min
+    * (cohort assignment), and the per-cohort conditional distinct counts. */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
       .select($"user_id", to_date($"ts").as("d"))
+      .distinct()
     val cohorts = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
     ev.join(cohorts, "user_id")
       .withColumn("off", datediff($"d", $"cohort_day"))

@@ -206,6 +206,38 @@ class TextDedupSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("rare-shingle pass surfaces embedded-short-doc pairs that LSH banding misses") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // doc 1 is a 5-token substring of the 30-token doc 0: symmetric Jaccard
+    // = 3/28 ≈ 0.11 (too low for reliable band collision) but containment
+    // of doc 1 in doc 0 is exactly 1.0. The shared shingles have corpus
+    // df = 2 ≤ DFCap, so the inverted-index pass must pair them.
+    val long = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu apple banana cherry date")
+    val dir = Files.createTempDirectory("contain").toString
+    Seq(
+      (0L, long, "en", "s", long.length.toLong),
+      (1L, "india juliett kilo lima mike", "en", "s", 28L),
+      (9L, "completely different text about distributed query engines at scale", "en", "s", 66L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the asymmetric motivation: the LSH-band candidates alone miss the pair
+    val lshOnly = graft.operators.Dedup.lshCandidatesFrom(docs)
+      .filter($"doc_a" === 0L && $"doc_b" === 1L)
+    assert(lshOnly.isEmpty, "fixture invalid: LSH bands found the pair by luck")
+    val rare = graft.operators.Dedup.rareShingleCandidates(docs)
+      .filter($"doc_a" === 0L && $"doc_b" === 1L)
+    assert(!rare.isEmpty, "rare-shingle pass must surface the embedded pair")
+    // end-to-end: the containment query reports the pair with cont_b = 1.0
+    val c = graft.operators.Dedup.containmentPairs(spark, dir)
+      .filter($"doc_a" === 0L && $"doc_b" === 1L).collect()
+    assert(c.length == 1)
+    assert(c(0).getAs[Double]("cont_b") == 1.0)
+  }
+
   test("sequence packing: offsets chain per source and bins are budget-sized") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
