@@ -1,0 +1,402 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Decision-support query suite — the classic TPC-H shapes expressible over
+  * the driver's star schema (the reference serves exactly this class of
+  * analytics through Trino/Superset; README.md:131-170). Each query is the
+  * standard benchmark plan adapted to the columns the testdata carries, and
+  * exercises a distinct optimizer/scale shape:
+  *
+  *   - Q6  forecast revenue      — pure scan + predicate pushdown, no join
+  *   - Q7  volume shipping       — two dim lookups on one fact row (supplier
+  *                                 AND customer nation), disjunctive pair filter
+  *   - Q8  market share          — 7-way join, conditional share-of-total
+  *   - Q13 order-count histogram — left join preserving zero-count keys,
+  *                                 double aggregation
+  *   - Q14 promo share           — join + conditional aggregate ratio
+  *   - Q15 top supplier          — aggregate + scalar-subquery max (argmax)
+  *   - Q17 small-quantity avg    — correlated scalar subquery, decorrelated
+  *                                 into a per-key aggregate join
+  *   - Q18 large orders          — HAVING subquery as a semi-join relation
+  *   - Q19 disjunctive revenue   — OR-of-ANDs predicate spanning both join sides
+  *   - Q22 dormant accounts      — scalar-subquery threshold + anti-join
+  *
+  * Determinism: every money aggregate is DECIMAL-accumulated and cast to
+  * DOUBLE after (repo rule 1); ratios are single IEEE divisions of exact
+  * values with identical formula text in both engines.
+  */
+object DecisionSupport {
+
+  private def D(c: Column, p: Int = 18, s: Int = 2): Column =
+    c.cast(s"decimal($p,$s)")
+  private def ts(s: String): Column =
+    lit(java.sql.Timestamp.valueOf(s))
+  private val one = lit(new java.math.BigDecimal(1))
+  private def revD(price: Column, disc: Column): Column =
+    D(price) * (one - D(disc, 8))
+
+  // ---------------------------------------------------------------------------
+  // Q6: forecast-revenue — the pushdown benchmark. No join at all: the three
+  // predicates and the two projected columns must reach the parquet scan
+  // (PushedFilters + pruned ReadSchema), then a scalar decimal aggregate.
+  // At 100 TB this is the query where scan pruning IS the runtime.
+  // ---------------------------------------------------------------------------
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+        $"l_shipdate" < ts("1998-01-01 00:00:00") &&
+        $"l_discount".between(lit(0.05), lit(0.07)) &&
+        $"l_quantity" < 24)
+      .agg(sum(D($"l_extendedprice") * D($"l_discount", 8))
+        .cast("double").as("revenue"))
+  }
+  val forecastRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE) AND l_quantity < 24
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q7: volume shipping between two nations. Each lineitem resolves BOTH its
+  // supplier's and its customer's nation; only the two (supp, cust) nation
+  // orderings survive. Both lookup sides are pre-pruned to the two nations
+  // BEFORE their joins (the disjunction implies membership on each side), so
+  // the fact joins carry 2/25ths of the dimension rows; the pair filter runs
+  // post-join. One fact-fact shuffle (lineitem ⋈ orders on orderkey); the
+  // supplier and pruned-customer maps broadcast.
+  // ---------------------------------------------------------------------------
+  private val Q7A = "NATION_1"
+  private val Q7B = "NATION_2"
+  def volumeShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nations = Seq(Q7A, Q7B)
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .filter($"n_name".isin(nations: _*))
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .filter($"n_name".isin(nations: _*))
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        revD($"l_extendedprice", $"l_discount").as("revd"))
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === Q7A && $"cust_nation" === Q7B) ||
+        ($"supp_nation" === Q7B && $"cust_nation" === Q7A))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("int").as("l_year"))
+      .agg(sum($"revd").cast("double").as("revenue"))
+  }
+  val volumeShippingSql: String =
+    s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, CAST(year(l_shipdate) AS INT) AS l_year,
+       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |WHERE (ns.n_name = '$Q7A' AND nc.n_name = '$Q7B') OR (ns.n_name = '$Q7B' AND nc.n_name = '$Q7A')
+       |GROUP BY 1, 2, 3
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q8: market share of one supplier nation within a (part type, customer
+  // region) market, per year. The widest join in the suite (7 tables); the
+  // share is a conditional decimal sum over the total decimal sum — exact
+  // numerator and denominator, ONE IEEE division per year row.
+  // Scale: nation/region broadcast always; the ECONOMY part-key set and the
+  // EUROPE customer map broadcast at test scale via AQE (no hint — at 100 TB
+  // they exceed the threshold and AQE falls back to shuffled joins on the
+  // already-shuffled orderkey/custkey chain).
+  // ---------------------------------------------------------------------------
+  private val Q8Nation = "NATION_5"
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val zero = lit(new java.math.BigDecimal("0.00"))
+    val euCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "EUROPE")
+      .select($"c_custkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val ecoParts = Tables.part(s, dir)
+      .filter($"p_type" === "ECONOMY").select($"p_partkey")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        revD($"l_extendedprice", $"l_discount").as("revd"))
+      .join(ecoParts, $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(euCust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("int").as("o_year"))
+      .agg(
+        sum(when($"supp_nation" === Q8Nation, $"revd").otherwise(zero)).as("n"),
+        sum($"revd").as("d"))
+      .select($"o_year",
+        ($"n".cast("double") / $"d".cast("double")).as("mkt_share"))
+  }
+  val marketShareSql: String =
+    s"""WITH flat AS (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) AS revd,
+       |         ns.n_name AS supp_nation
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation nc ON c_nationkey = nc.n_nationkey JOIN region ON nc.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE')
+       |SELECT o_year,
+       |       CAST(sum(CASE WHEN supp_nation = '$Q8Nation' THEN revd ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |         / CAST(sum(revd) AS DOUBLE) AS mkt_share
+       |FROM flat GROUP BY o_year
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q13: customer distribution by order count. The left join MUST keep
+  // customers with zero orders (they form the c_count = 0 bucket — an inner
+  // join silently drops the most interesting bar of the histogram). Double
+  // aggregation: per-customer count (one shuffle on custkey), then the tiny
+  // count-of-counts (second shuffle of |distinct counts| rows).
+  // ---------------------------------------------------------------------------
+  def orderCountDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_custkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+  val orderCountDistSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q14: promo revenue share for one ship-month — join + conditional
+  // aggregate ratio. The month filter prunes the fact scan first; the part
+  // join then carries only that month's rows.
+  // ---------------------------------------------------------------------------
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val zero = lit(new java.math.BigDecimal("0.00"))
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1997-09-01 00:00:00") &&
+        $"l_shipdate" < ts("1997-10-01 00:00:00"))
+      .select($"l_partkey", revD($"l_extendedprice", $"l_discount").as("revd"))
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_type"),
+        $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", $"revd").otherwise(zero)).as("n"),
+        sum($"revd").as("d"))
+      .select((lit(100.0) * $"n".cast("double") / $"d".cast("double"))
+        .as("promo_share"))
+  }
+  val promoShareSql: String =
+    """SELECT CAST(100 AS DOUBLE) * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))
+      |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q15: top supplier by quarterly revenue — argmax via scalar subquery.
+  // The per-supplier aggregate is computed ONCE (materialized) and feeds both
+  // the 1-row max and the equality filter; the max broadcasts back as a
+  // 1-row join (never a driver collect). The comparison runs on the exact
+  // DECIMAL sums — comparing derived doubles would risk ties splitting on
+  // the last ulp.
+  // ---------------------------------------------------------------------------
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = graft.Materialize.eager(
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+          $"l_shipdate" < ts("1997-04-01 00:00:00"))
+        .groupBy($"l_suppkey")
+        .agg(sum(revD($"l_extendedprice", $"l_discount")).as("r")))
+    val mx = rev.agg(max($"r").as("mr"))
+    Tables.supplier(s, dir).select($"s_suppkey", $"s_name")
+      .join(rev, $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(mx), $"r" === $"mr")
+      .select($"s_suppkey", $"s_name", $"r".cast("double").as("total_revenue"))
+  }
+  val topSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS r
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE r = (SELECT max(r) FROM rev)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q17: revenue from small-quantity orders of one brand — the canonical
+  // CORRELATED scalar subquery ("below 20% of this part's average quantity"),
+  // decorrelated into a per-part aggregate join: that rewrite is not just a
+  // Spark workaround, it IS the scalable plan (the naive correlated form
+  // re-aggregates per outer row). The brand-restricted lineitem slice feeds
+  // both the aggregate and the final filter — materialized once.
+  // Determinism: the threshold is an exact decimal-sum mean scaled by 0.2,
+  // with identical formula text in both engines.
+  // ---------------------------------------------------------------------------
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bp = Tables.part(s, dir).filter($"p_brand" === "Brand#1").select($"p_partkey")
+    val li = graft.Materialize.eager(
+      Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        .join(bp, $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice"))
+    val ag = li.groupBy($"l_partkey".as("a_partkey"))
+      .agg((lit(0.2) * (sum(D($"l_quantity")).cast("double") / count(lit(1))))
+        .as("thr"))
+    li.join(ag, $"l_partkey" === $"a_partkey")
+      .filter($"l_quantity" < $"thr")
+      .agg((sum(D($"l_extendedprice")).cast("double") / lit(7.0).cast("double"))
+        .as("avg_yearly"))
+  }
+  val smallQtyRevenueSql: String =
+    """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+      |li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN bp ON l_partkey = p_partkey),
+      |ag AS (SELECT l_partkey AS a_partkey, CAST(0.2 AS DOUBLE) * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS thr
+      |       FROM li GROUP BY l_partkey)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly
+      |FROM li JOIN ag ON l_partkey = a_partkey WHERE l_quantity < thr
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q18: large-volume orders — IN (... HAVING sum > T) realized as a join
+  // against the per-order quantity aggregate. The aggregate doubles as the
+  // output column, so the oracle's re-aggregation after the 3-way join
+  // collapses to a single join here (same result: a lineitem sum per order
+  // is the same number on either side of the customer join).
+  // ---------------------------------------------------------------------------
+  private val Q18T = 300
+  def largeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(D($"l_quantity")).as("sq"))
+      .filter($"sq" > lit(new java.math.BigDecimal(Q18T)))
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_name"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sq".cast("double").as("sum_qty"))
+  }
+  val largeOrdersSql: String =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |                     HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $Q18T)
+       |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q19: disjunctive-predicate revenue — three (brand, size, quantity)
+  // baskets OR'd together, with conditions spanning BOTH join sides.
+  // Catalyst extracts the per-side disjunction (p_brand ∈ {1,2,3} with its
+  // size bands) and pushes it below the join, so the part scan is pruned
+  // even though no single conjunct applies to every branch.
+  // ---------------------------------------------------------------------------
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def basket(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Column =
+      $"p_brand" === brand && $"p_size".between(1, sizeHi) &&
+        $"l_quantity" >= qLo && $"l_quantity" <= qHi
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity",
+        revD($"l_extendedprice", $"l_discount").as("revd"))
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_brand", $"p_size"),
+        $"l_partkey" === $"p_partkey")
+      .filter(basket("Brand#1", 15, 1, 11) ||
+        basket("Brand#2", 25, 10, 20) ||
+        basket("Brand#3", 35, 20, 30))
+      .agg(sum($"revd").cast("double").as("revenue"))
+  }
+  val disjunctiveRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q22: dormant high-balance accounts — customers above the average positive
+  // balance with no open ('P') orders, summarized per segment. Two classic
+  // shapes composed: a scalar-subquery threshold (1-row aggregate broadcast
+  // back as a cross join — never collected to the driver) and a NOT EXISTS
+  // anti-join.
+  // ---------------------------------------------------------------------------
+  def dormantAccounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ab = Tables.customer(s, dir)
+      .filter($"c_acctbal" > 0)
+      .agg((sum(D($"c_acctbal")).cast("double") / count(lit(1))).as("a"))
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .crossJoin(broadcast(ab))
+      .filter($"c_acctbal" > $"a")
+      .join(Tables.orders(s, dir).filter($"o_orderstatus" === "P")
+        .select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        sum(D($"c_acctbal")).cast("double").as("totacctbal"))
+  }
+  val dormantAccountsSql: String =
+    """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+      |           FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, count(*) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, ab
+      |WHERE c_acctbal > ab.a AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |GROUP BY c_mktsegment
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_revenue"    -> forecastRevenue _,
+    "q_volume_shipping"     -> volumeShipping _,
+    "q_market_share"        -> marketShare _,
+    "q_order_count_dist"    -> orderCountDist _,
+    "q_promo_share"         -> promoShare _,
+    "q_top_supplier"        -> topSupplier _,
+    "q_small_qty_revenue"   -> smallQtyRevenue _,
+    "q_large_orders"        -> largeOrders _,
+    "q_disjunctive_revenue" -> disjunctiveRevenue _,
+    "q_dormant_accounts"    -> dormantAccounts _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_forecast_revenue"    -> forecastRevenueSql,
+    "q_volume_shipping"     -> volumeShippingSql,
+    "q_market_share"        -> marketShareSql,
+    "q_order_count_dist"    -> orderCountDistSql,
+    "q_promo_share"         -> promoShareSql,
+    "q_top_supplier"        -> topSupplierSql,
+    "q_small_qty_revenue"   -> smallQtyRevenueSql,
+    "q_large_orders"        -> largeOrdersSql,
+    "q_disjunctive_revenue" -> disjunctiveRevenueSql,
+    "q_dormant_accounts"    -> dormantAccountsSql,
+  )
+}

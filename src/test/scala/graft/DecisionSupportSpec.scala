@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the decision-support (TPC-H-shape) suite — the
+  * cross-engine oracle pins exact values; these pin the *invariants* that
+  * make each query meaningful, at sf0.001. */
+class DecisionSupportSpec extends AnyFunSuite {
+  import graft.operators.DecisionSupport
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("Q7 volume shipping reports only the two requested nation orderings") {
+    import spark.implicits._
+    // sf0.001 has too few lineitems surviving the two-nation filter — use
+    // sf0.01 so the assertion covers a non-empty result
+    val rows = DecisionSupport.volumeShipping(spark, "/root/testdata/sf0.01")
+      .select($"supp_nation", $"cust_nation").distinct().collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (s, c) = (r.getString(0), r.getString(1))
+      (s == "NATION_1" && c == "NATION_2") || (s == "NATION_2" && c == "NATION_1")
+    })
+  }
+
+  test("Q8 market share is a proper fraction per year") {
+    import spark.implicits._
+    val shares = DecisionSupport.marketShare(spark, sf).collect()
+    assert(shares.nonEmpty)
+    shares.foreach { r =>
+      val v = r.getAs[Double]("mkt_share")
+      assert(v >= 0.0 && v <= 1.0, s"share $v out of range")
+    }
+  }
+
+  test("Q13 buckets partition the customer population exactly") {
+    import spark.implicits._
+    val dist = DecisionSupport.orderCountDist(spark, sf)
+    val total = dist.agg(sum($"custdist")).first().getLong(0)
+    val nCust = graft.sources.Tables.customer(spark, sf).count()
+    assert(total == nCust, s"histogram covers $total of $nCust customers")
+  }
+
+  test("Q15 returns exactly the argmax supplier(s) of the quarter") {
+    import spark.implicits._
+    val top = DecisionSupport.topSupplier(spark, sf).collect()
+    assert(top.nonEmpty)
+    val revs = top.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, "all returned suppliers must share the max revenue")
+  }
+
+  test("Q18 only surfaces orders whose lineitem quantity clears the threshold") {
+    import spark.implicits._
+    val big = DecisionSupport.largeOrders(spark, sf)
+    assert(big.filter($"sum_qty" <= 300.0).count() == 0)
+    // each surviving order appears exactly once
+    assert(big.select($"o_orderkey").distinct().count() == big.count())
+  }
+
+  test("Q22 dormant accounts all exceed the mean positive balance") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val cust = Tables.customer(spark, sf)
+    val mean = cust.filter($"c_acctbal" > 0)
+      .agg((sum($"c_acctbal".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("a"))
+      .first().getDouble(0)
+    // recompute the population the query claims to summarize
+    val viaQuery = DecisionSupport.dormantAccounts(spark, sf)
+      .agg(sum($"numcust")).first().getLong(0)
+    val direct = cust.filter($"c_acctbal" > mean)
+      .join(Tables.orders(spark, sf).filter($"o_orderstatus" === "P")
+        .select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+      .count()
+    assert(viaQuery == direct)
+  }
+}

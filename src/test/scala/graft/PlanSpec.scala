@@ -133,4 +133,32 @@ class PlanSpec extends AnyFunSuite {
     val plan = executed(Relational.topReturns(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("Q6 forecast revenue: all three predicates reach the parquet scan") {
+    val plan = executed(DecisionSupport.forecastRevenue(spark, sf))
+    // the scan must carry pushed filters on all three predicate columns and
+    // read only the columns the query touches
+    for (col <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(plan.contains(s"IsNotNull($col)") || plan.contains(s"GreaterThan($col") ||
+        plan.contains(s"LessThan($col"), s"$col not pushed:\n$plan")
+    assert(!plan.contains("l_orderkey"), s"read schema not pruned:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scalar agg needs no hash exchange:\n$plan")
+  }
+
+  test("Q19 disjunctive predicate: the brand disjunction is pushed to the part scan") {
+    val plan = executed(DecisionSupport.disjunctiveRevenue(spark, sf))
+    // Catalyst extracts the part-side disjunction (brand/size bands) from the
+    // OR-of-ANDs and pushes it below the join into the part parquet scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(p_brand")),
+      s"part-side disjunction not pushed into the scan:\n$plan")
+  }
+
+  test("Q22 dormant accounts: scalar threshold broadcasts; anti-join is not a cartesian") {
+    val plan = executed(DecisionSupport.dormantAccounts(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"1-row threshold should broadcast:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must compile to an anti join:\n$plan")
+  }
 }
