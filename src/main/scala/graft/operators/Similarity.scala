@@ -732,7 +732,69 @@ object Similarity {
        |WHERE ${dotD("x.embedding", "y.embedding")} / (sqrt(${dotD("x.embedding", "x.embedding")}) * sqrt(${dotD("y.embedding", "y.embedding")})) >= 0.35
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // kNN graph construction (SemDeDup-style semantic clustering input): every
+  // vector's top-3 same-cluster neighbors by cosine — the directed graph
+  // that semantic dedup, diversity sampling, and graph-based curation
+  // methods consume. Same IVF blocking as dedupEmbedding (pair work is
+  // O(Σ cluster²), never O(n²)); the per-node top-k is a row_number window
+  // partitioned on the source vector, which shares the block join's
+  // partitioning. Recall caveat identical to the blocked near-dup pass:
+  // neighbors in other clusters are unseen (nprobe>1 widens it).
+  // ---------------------------------------------------------------------------
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val assign = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
+    val corpus = withNorm(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .toDF("vec_id", "embedding", "nrm")
+      .join(assign, "vec_id")
+    val a = corpus.select($"vec_id".as("src"), $"centroid_id",
+      $"embedding".as("ea"), $"nrm".as("anrm"))
+    val b = corpus.select($"vec_id".as("nbr"), $"centroid_id",
+      $"embedding".as("eb"), $"nrm".as("bnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"cosine".desc, $"nbr".asc)
+    a.join(b, Seq("centroid_id"))
+      .filter($"src" =!= $"nbr")
+      .withColumn("cosine", expr(s"${dotS("ea", "eb")} / (anrm * bnrm)"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= 3)
+      .select($"src", $"rnk", $"nbr", $"cosine")
+  }
+  val knnGraphSql: String =
+    s"""WITH $lloydCteSql,
+       |scored0 AS (
+       |  SELECT e.vec_id, centroid_id,
+       |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS cosine
+       |  FROM embeddings e CROSS JOIN cent
+       |),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+       |    FROM scored0) t WHERE rn = 1
+       |),
+       |corpus AS (
+       |  SELECT e.vec_id, a.centroid_id, e.embedding
+       |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+       |),
+       |scored AS (
+       |  SELECT x.vec_id AS src, y.vec_id AS nbr,
+       |         ${dotD("x.embedding", "y.embedding")} / (sqrt(${dotD("x.embedding", "x.embedding")}) * sqrt(${dotD("y.embedding", "y.embedding")})) AS cosine
+       |  FROM corpus x JOIN corpus y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+       |),
+       |ranked AS (
+       |  SELECT src, CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr ASC) AS INT) AS rnk,
+       |         nbr, cosine
+       |  FROM scored
+       |)
+       |SELECT src, rnk, nbr, cosine FROM ranked WHERE rnk <= 3
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_graph"       -> knnGraph _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_embed_norms"     -> embedNorms _,
     "q_knn_brute"       -> knnBrute _,
@@ -745,6 +807,7 @@ object Similarity {
     "q_label_centroids" -> labelCentroids _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_knn_graph"       -> knnGraphSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_norms"     -> embedNormsSql,
     "q_knn_brute"       -> knnBruteSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -653,7 +654,100 @@ object TextAnalysis {
        |FROM tf GROUP BY term
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Corpus-LM familiarity score (KenLM-lite quality signal): each document's
+  // average corpus-frequency of its bigrams, plus the share of bigrams that
+  // are corpus-unique. Template/boilerplate text scores high (its bigrams
+  // repeat corpus-wide); OCR garbage and rare-language fragments score low.
+  // Exact-integer statistics with one IEEE division per output column — no
+  // log-probabilities on purpose (libm ln is not bit-portable, the BM25
+  // lesson; ranking behavior is the same).
+  // Scale shape: bigrams keep MULTIPLICITY (an LM counts occurrences, not
+  // types) and shuffle as 60-bit md5 projections, never the text: explode →
+  // count per bigram-hash (map-side combine) → join occurrences back →
+  // per-doc aggregate. Three shuffles, all on (hash | doc_id) pairs.
+  // ---------------------------------------------------------------------------
+  private def allNgramsExpr(n: Int): String =
+    s"if(size(toks) < $n, array(), transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n))))"
+  private def allNgramsDuck(n: Int): String =
+    s"list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)), i -> array_to_string(toks[i:i+${n - 1}], ' '))"
+  private val bghSpark =
+    "cast(conv(substr(md5(cast(bigram as binary)), 1, 15), 16, 10) as bigint)"
+  private val bghDuck = "('0x' || substr(md5(bigram), 1, 15))::BIGINT"
+
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", s"explode(${allNgramsExpr(2)}) AS bigram")
+      .selectExpr("doc_id", s"$bghSpark AS bgh")
+    val counts = bg.groupBy($"bgh").agg(count(lit(1)).as("c"))
+    bg.join(counts, "bgh")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum($"c").cast("long").as("sum_freq"),
+        sum(when($"c" === 1, lit(1)).otherwise(lit(0))).cast("long").as("n_unique"))
+      .selectExpr("doc_id", "n_bigrams",
+        "cast(sum_freq as double) / n_bigrams AS avg_bigram_freq",
+        "cast(n_unique as double) / n_bigrams AS unique_ratio")
+  }
+  val lmScoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |bg0 AS (SELECT doc_id, unnest(${allNgramsDuck(2)}) AS bigram FROM tok),
+       |bg AS (SELECT doc_id, $bghDuck AS bgh FROM bg0),
+       |c AS (SELECT bgh, count(*) AS c FROM bg GROUP BY bgh)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(c.c) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avg_bigram_freq,
+       |       CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS BIGINT) AS unique_ratio
+       |FROM bg JOIN c ON bg.bgh = c.bgh
+       |GROUP BY doc_id
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Zipf vocabulary profile: the top-100 tokens with rank and CUMULATIVE
+  // corpus share — the curve data scientists eyeball to judge tokenizer fit
+  // and stopword load. Token counts are materialized once and feed both the
+  // top-k (TakeOrderedAndProject) and the 1-row corpus total (broadcast back
+  // — never collected); the running share is a 100-row single-partition
+  // window, exact integers until one final division per row.
+  // ---------------------------------------------------------------------------
+  def zipfProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = graft.Materialize.eager(
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .select(explode($"toks").as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum($"cnt").cast("long").as("total"))
+    val w = Window.orderBy($"cnt".desc, $"token".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .orderBy($"cnt".desc, $"token".asc)
+      .limit(100)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(Window.orderBy($"cnt".desc, $"token".asc)).cast("int").as("rank"),
+        $"token", $"cnt",
+        (sum($"cnt").over(w).cast("double") / $"total".cast("double")).as("cum_share"))
+  }
+  val zipfProfileSql: String =
+    s"""WITH t AS (SELECT unnest($toksDuck) AS token FROM documents),
+       |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+       |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 100)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank,
+       |       token, cnt,
+       |       CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / CAST(total AS DOUBLE) AS cum_share
+       |FROM top, tot
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score"      -> lmScore _,
+    "q_zipf"          -> zipfProfile _,
     "q_bm25"          -> bm25 _,
     "q_text_stats"    -> textStats _,
     "q_token_count"   -> tokenCount _,
@@ -674,6 +768,8 @@ object TextAnalysis {
     "q_inverted_index" -> invertedIndex _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_lm_score"      -> lmScoreSql,
+    "q_zipf"          -> zipfProfileSql,
     "q_bm25"          -> bm25Sql,
     "q_text_stats"    -> textStatsSql,
     "q_token_count"   -> tokenCountSql,

@@ -153,4 +153,18 @@ class SimilaritySpec extends AnyFunSuite {
       f"trained IVF lift ${recall / probed}%.1fx below 2x random baseline")
     Seq(assign, got, truth).foreach(_.unpersist())
   }
+
+  test("kNN graph: ≤3 ranked neighbors per node, no self edges, cosine descends") {
+    import spark.implicits._
+    val g = graft.operators.Similarity.knnGraph(spark, sf).cache()
+    assert(g.filter($"src" === $"nbr").count() == 0)
+    assert(g.groupBy($"src").count().filter($"count" > 3).count() == 0)
+    // within a node, rank order must follow cosine (desc) — join rnk to rnk+1
+    val a = g.select($"src", $"rnk", $"cosine")
+    val b = g.select($"src".as("s2"), ($"rnk" - 1).as("rnk"), $"cosine".as("next_cos"))
+    val bad = a.join(b, a("src") === b("s2") && a("rnk") === b("rnk"))
+      .filter($"next_cos" > $"cosine").count()
+    assert(bad == 0, "rank order must be non-increasing in cosine")
+    g.unpersist()
+  }
 }

@@ -238,6 +238,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(c(0).getAs[Double]("cont_b") == 1.0)
   }
 
+  test("lm score: frequencies at least 1, ratios proper fractions") {
+    import spark.implicits._
+    val lm = TextAnalysis.lmScore(spark, sf).cache()
+    assert(lm.filter($"avg_bigram_freq" < 1.0).count() == 0,
+      "every bigram occurs at least once (its own occurrence)")
+    assert(lm.filter($"unique_ratio" < 0.0 || $"unique_ratio" > 1.0).count() == 0)
+    // a doc made of corpus-unique bigrams: avg freq 1.0 ⇔ unique ratio 1.0
+    assert(lm.filter($"avg_bigram_freq" === 1.0 && $"unique_ratio" =!= 1.0).count() == 0)
+    lm.unpersist()
+  }
+
+  test("zipf profile: ranks are dense and cumulative share is monotone ≤ 1") {
+    import spark.implicits._
+    val z = TextAnalysis.zipfProfile(spark, sf).orderBy($"rank").collect()
+    assert(z.nonEmpty)
+    assert(z.map(_.getAs[Int]("rank")).toSeq == (1 to z.length))
+    val shares = z.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
+    assert(shares.last <= 1.0 + 1e-12)
+    // counts non-increasing down the ranks
+    val cnts = z.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a })
+  }
+
   test("sequence packing: offsets chain per source and bins are budget-sized") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
