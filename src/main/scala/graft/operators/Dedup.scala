@@ -89,7 +89,19 @@ object Dedup {
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     signaturesFrom(Tables.documents(s, dir))
 
-  private def signaturesFrom(docs: DataFrame): DataFrame = {
+  /** The exploded (doc_id, shingle-hash) relation — ONE tokenize→shingle→md5
+    * pass over the corpus; both the signature aggregate and the rare-shingle
+    * inverted index consume it. */
+  private def shingleHashRows(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("sh", expr(shinglesExpr))
+      .select(col("doc_id"), explode(expr(shingleHashSpark)).as("h"))
+
+  private def signaturesFrom(docs: DataFrame): DataFrame =
+    signaturesFromHashes(shingleHashRows(docs))
+
+  private def signaturesFromHashes(hrows: DataFrame): DataFrame = {
     // Signatures are computed by EXPLODING the per-doc shingle-hash array and
     // taking the K universal-hash minima in one hash aggregate. Two reasons
     // this shape, found by measurement:
@@ -105,10 +117,7 @@ object Dedup {
     // the oracle filters identically.
     val sigAggs = (0 until K).map(i =>
       min((col("h") * A(i) + B(i)) % P).as(s"sig$i"))
-    docs
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("sh", expr(shinglesExpr))
-      .select(col("doc_id"), explode(expr(shingleHashSpark)).as("h"))
+    hrows
       .groupBy(col("doc_id"))
       .agg(sigAggs.head, sigAggs.tail: _*)
   }
@@ -149,10 +158,12 @@ object Dedup {
 
   /** LSH candidate pairs (band-bucket cooccurrence, unverified) — shared by
     * the Jaccard and containment scorers. */
-  private[graft] def lshCandidatesFrom(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  private[graft] def lshCandidatesFrom(docs: DataFrame): DataFrame =
+    lshCandidatesFromSigs(signaturesFrom(docs))
+
+  private def lshCandidatesFromSigs(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
     import s.implicits._
-    val sig = signaturesFrom(docs)
     // Docs with no shingles (<3 tokens) have NULL signatures: they must be
     // excluded from banding, or Spark's concat_ws would fold them all into
     // one shared "" bucket (quadratic pair blowup) while SQL `||` NULL keys
@@ -289,13 +300,14 @@ object Dedup {
     * self-join of the inverted index would execute the tokenize→shingle→md5
     * pipeline twice); bucket lists are capped at DFCap elements so the
     * expansion is O(DFCap²) per rare shingle. */
-  private[graft] def rareShingleCandidates(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  private[graft] def rareShingleCandidates(docs: DataFrame): DataFrame =
+    rareShingleCandidatesFromHashes(shingleHashRows(docs))
+
+  private def rareShingleCandidatesFromHashes(hrows: DataFrame): DataFrame = {
+    val s = hrows.sparkSession
     import s.implicits._
-    docs
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("sh", expr(shinglesExpr))
-      .select(col("doc_id"), explode(expr(shingleHashSpark)).as("g"))
+    hrows
+      .select(col("doc_id"), col("h").as("g"))
       .groupBy($"g")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids").between(2, DFCap))
@@ -312,8 +324,13 @@ object Dedup {
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+    // Both candidate passes consume the SAME exploded (doc_id, shingle-hash)
+    // relation — materialize it once so the corpus is tokenized and md5'd
+    // exactly once (measured ~1.5x on this query; the md5 pass dominates).
+    val hrows = graft.Materialize.eager(shingleHashRows(docs))
     val candidates = graft.Materialize.eager(
-      lshCandidatesFrom(docs).union(rareShingleCandidates(docs)).distinct())
+      lshCandidatesFromSigs(signaturesFromHashes(hrows))
+        .union(rareShingleCandidatesFromHashes(hrows)).distinct())
     val shingleSets = candidateShingles(s, dir, candidates)
     candidates
       .join(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
