@@ -374,7 +374,34 @@ object DecisionSupport {
       |GROUP BY c_mktsegment
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Q16 shape: supplier variety per part attribute — COUNT(DISTINCT) after a
+  // join. Spark plans this as a two-phase aggregate (partial distinct on
+  // (group, suppkey), then the final count) so the shuffle carries distinct
+  // combinations, not raw join output; the type filter prunes the part scan.
+  // ---------------------------------------------------------------------------
+  def supplierVariety(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey")
+      .join(Tables.part(s, dir).filter($"p_type" === "STANDARD")
+        .select($"p_partkey", $"p_brand", $"p_size"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_size")
+      .agg(
+        countDistinct($"l_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_lineitems"))
+  }
+  val supplierVarietySql: String =
+    """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+      |       count(*) AS n_lineitems
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'STANDARD'
+      |GROUP BY p_brand, p_size
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_supplier_variety"    -> supplierVariety _,
     "q_forecast_revenue"    -> forecastRevenue _,
     "q_volume_shipping"     -> volumeShipping _,
     "q_market_share"        -> marketShare _,
@@ -388,6 +415,7 @@ object DecisionSupport {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_supplier_variety"    -> supplierVarietySql,
     "q_forecast_revenue"    -> forecastRevenueSql,
     "q_volume_shipping"     -> volumeShippingSql,
     "q_market_share"        -> marketShareSql,

@@ -529,6 +529,33 @@ object Relational {
       |FROM events GROUP BY 1, 2
       |""".stripMargin
 
+  /** Hopping (sliding) window aggregation: 1-hour windows every 30 minutes —
+    * each event contributes to exactly 2 overlapping windows. Spark's
+    * `window(ts, len, slide)` expands the memberships map-side (like a
+    * grouping-set Expand: the shuffle carries per-(window, type) partials,
+    * not 2× the events); the streaming twin is the same expression under a
+    * watermark. Oracle: the window starts are reconstructed arithmetically
+    * (bucket − k·slide), identical grid on both engines. */
+  def hoppingAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(D($"value")).cast("double").as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"cnt", $"sum_value")
+  }
+  val hoppingAggSql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |w AS (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start,
+      |         event_type, value
+      |  FROM e, (SELECT unnest([0, 1]) AS k) ks)
+      |SELECT window_start, event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2
+      |""".stripMargin
+
   // ---------------------------------------------------------------------------
   // Sessionization (training-pipeline extension): gap-based sessions per user
   // (30-minute inactivity gap), then per-session stats. The classic event-log
@@ -1262,6 +1289,7 @@ object Relational {
     "q_pricing_summary" -> pricingSummary _,
     "q_envelope_parse" -> envelopeParse _,
     "q_windowed_agg"   -> windowedAgg _,
+    "q_hopping_agg"    -> hoppingAgg _,
     "q_sessionize"     -> sessionize _,
     "q_quantiles"      -> quantiles _,
     "q_approx_stats"   -> approxStats _,
@@ -1289,6 +1317,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_envelope_parse" -> envelopeParseSql,
     "q_windowed_agg"   -> windowedAggSql,
+    "q_hopping_agg"    -> hoppingAggSql,
     "q_sessionize"     -> sessionizeSql,
     "q_quantiles"      -> quantilesSql,
     "q_rollup"         -> rollupSummarySql,

@@ -23,6 +23,36 @@ class StreamingSpec extends AnyFunSuite {
   val nullId = """{"payload": {"after": {"id_employee": 3, "sport_type": "Marche"}}}"""
   val garbage = "not json at all"
 
+  test("hopping-window agg streams: each event lands in exactly 2 overlapping windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    // the batch q_hopping_agg expression, unchanged, under a watermark
+    val q = mem.toDS().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("window_start"), $"event_type", $"cnt")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hopping_out").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "view", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:40:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from hopping_out").collect()
+      // event@10:05 → windows [09:30, 10:00]; event@10:40 → [10:00, 10:30]:
+      // 10:00 holds both events, 09:30/10:30 one each
+      val byStart = rows.map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+      assert(byStart.size == 3, rows.mkString("; "))
+      assert(byStart("2024-01-01 10:00:00.0") == 2)
+      assert(byStart("2024-01-01 09:30:00.0") == 1)
+      assert(byStart("2024-01-01 10:30:00.0") == 1)
+      assert(rows.map(_.getLong(2)).sum == 4, "2 events x 2 windows")
+    } finally q.stop()
+  }
+
   test("ingest: parses inserts, drops non-inserts, appends to checkpointed parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
