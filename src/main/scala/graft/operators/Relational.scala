@@ -1266,8 +1266,73 @@ object Relational {
       |GROUP BY 1, 2
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // SCD2 history construction — the batch-apply face of the reference's CDC
+  // domain: an ordered change stream becomes type-2 dimension rows with
+  // [valid_from, valid_to) intervals and an is_current flag. One shuffle on
+  // the business key; the interval close is a lead() in the same partition
+  // sort. At 100 TB this runs per ingest increment against the affected
+  // keys only (join the delta's key set first); the full-history rebuild
+  // here is the semantics anchor.
+  // ---------------------------------------------------------------------------
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"event_id", $"value",
+        $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+  }
+  val scd2HistorySql: String =
+    """WITH ch AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, event_id, value,
+      |       ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+      |FROM ch
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Mergeable partial re-aggregation: daily per-customer partials roll up to
+  // monthly WITHOUT touching raw rows — the incremental-warehouse pattern
+  // (partials are the stored artifact; count partials merge by sum, decimal
+  // sum partials merge exactly by sum). At 100 TB the daily relation is what
+  // a scheduled job materializes per partition; the monthly merge reads
+  // |customers|×|days| rows, not |orders|.
+  // ---------------------------------------------------------------------------
+  def reaggMonth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .select($"o_custkey", to_date($"o_orderdate").as("d"), $"o_totalprice")
+      .groupBy($"o_custkey", $"d")
+      .agg(count(lit(1)).as("n"), sum(D($"o_totalprice")).as("ss"))
+    daily
+      .groupBy($"o_custkey", trunc($"d", "month").as("month"))
+      .agg(
+        sum($"n").cast("long").as("n_orders"),
+        sum($"ss").cast("double").as("sum_price"))
+  }
+  val reaggMonthSql: String =
+    """WITH daily AS (
+      |  SELECT o_custkey, CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+      |         count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey, CAST(date_trunc('month', d) AS DATE) AS month,
+      |       CAST(sum(n) AS BIGINT) AS n_orders,
+      |       CAST(sum(s) AS DOUBLE) AS sum_price
+      |FROM daily GROUP BY 1, 2
+      |""".stripMargin
+
   /** queries + oracle pairs exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"           -> scd2History _,
+    "q_reagg_month"    -> reaggMonth _,
     "q_cdc_extract"    -> cdcExtract _,
     "q_epoch_micros"   -> epochMicros _,
     "q_agg_count_avg"  -> aggCountAvg _,
@@ -1315,6 +1380,8 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_scd2"           -> scd2HistorySql,
+    "q_reagg_month"    -> reaggMonthSql,
     "q_envelope_parse" -> envelopeParseSql,
     "q_windowed_agg"   -> windowedAggSql,
     "q_hopping_agg"    -> hoppingAggSql,

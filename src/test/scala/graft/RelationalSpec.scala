@@ -69,6 +69,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("null_event_type") == 0L)
   }
 
+  test("scd2: intervals chain gaplessly and each key has exactly one current row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val h = Relational.scd2History(spark, sf).cache()
+    // exactly one open (is_current) interval per business key
+    val open = h.filter($"is_current").groupBy($"user_id").count()
+    assert(open.filter($"count" =!= 1).count() == 0)
+    // every closed interval's valid_to equals the next interval's valid_from
+    val next = h.select($"user_id".as("u2"), $"valid_from".as("next_from"))
+    val gaps = h.filter(!$"is_current")
+      .join(next, $"user_id" === $"u2" && $"valid_to" === $"next_from", "left_anti")
+      .count()
+    assert(gaps == 0, "closed intervals must chain onto a successor")
+    h.unpersist()
+  }
+
+  test("partial re-aggregation merges to the same result as direct aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val merged = Relational.reaggMonth(spark, sf)
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .select($"o_custkey", trunc(to_date($"o_orderdate"), "month").as("month"),
+        $"o_totalprice")
+      .groupBy($"o_custkey", $"month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_price"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merging daily partials must equal aggregating raw rows")
+  }
+
   test("topk returns at most 5 deterministic groups") {
     val rows = Relational.topkGroup(spark, sf).collect()
     assert(rows.length <= 5)
