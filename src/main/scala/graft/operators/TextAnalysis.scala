@@ -677,10 +677,12 @@ object TextAnalysis {
 
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bg = Tables.documents(s, dir)
+    // bg feeds BOTH the count aggregate and the occurrence join — without a
+    // materialization barrier the tokenize→bigram→md5 chain executes twice
+    val bg = graft.Materialize.eager(Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .selectExpr("doc_id", s"explode(${allNgramsExpr(2)}) AS bigram")
-      .selectExpr("doc_id", s"$bghSpark AS bgh")
+      .selectExpr("doc_id", s"$bghSpark AS bgh"))
     val counts = bg.groupBy($"bgh").agg(count(lit(1)).as("c"))
     bg.join(counts, "bgh")
       .groupBy($"doc_id")
