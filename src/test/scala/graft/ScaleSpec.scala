@@ -61,6 +61,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(nClusters > 1)
   }
 
+  test("date-partitioned event layout: a day predicate prunes to that day's files") {
+    import spark.implicits._
+    // The standard time-series storage shape at 100 TB: events land
+    // partitioned by day; any day-ranged query must prune at the file index
+    // (PartitionFilters), not scan-then-filter.
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("datepart").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.withColumn("d", to_date($"ts"))
+      .write.partitionBy("d").mode("overwrite").parquet(s"$dir/events_by_day")
+    val nDays = ev.select(to_date($"ts")).distinct().count()
+    assert(nDays > 1)
+    val day = ev.select(to_date($"ts").as("d")).groupBy($"d").count()
+      .orderBy($"d").first().getDate(0)
+    val probe = spark.read.parquet(s"$dir/events_by_day").filter($"d" === day)
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.contains(1), s"probe read $scanned of $nDays day-partitions")
+    assert(probe.count() == ev.filter(to_date($"ts") === day).count())
+  }
+
   test("results are invariant to the shuffle-partition setting") {
     // the partitioning-independence claim behind "same answer on any
     // cluster size": rerun order-sensitive pipelines (hash aggregates,
