@@ -1329,10 +1329,48 @@ object Relational {
       |FROM daily GROUP BY 1, 2
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // RANGE-frame window (value-based frame, vs the ROWS frames elsewhere):
+  // trailing-30-day spend per customer — the frame is defined by the ORDER
+  // VALUE (epoch day), so same-day orders fall in each other's frames and
+  // the result is deterministic REGARDLESS of tie order (rows-frames need a
+  // tie-break; range-frames don't — that is the point of the shape). One
+  // shuffle on the customer key.
+  // ---------------------------------------------------------------------------
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"d_epoch")
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        datediff(to_date($"o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("bigint").as("d_epoch"),
+        $"o_totalprice")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        sum(D($"o_totalprice")).over(w).cast("double").as("trailing_30d_spend"),
+        count(lit(1)).over(w).cast("long").as("trailing_30d_orders"))
+  }
+  val rangeFrameSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |         CAST(datediff('day', DATE '1970-01-01', CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS BIGINT) AS d_epoch,
+      |         o_totalprice
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |              OVER (PARTITION BY o_custkey ORDER BY d_epoch
+      |                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend,
+      |       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY d_epoch
+      |                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_30d_orders
+      |FROM o
+      |""".stripMargin
+
   /** queries + oracle pairs exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"           -> scd2History _,
     "q_reagg_month"    -> reaggMonth _,
+    "q_range_frame"    -> rangeFrame _,
     "q_cdc_extract"    -> cdcExtract _,
     "q_epoch_micros"   -> epochMicros _,
     "q_agg_count_avg"  -> aggCountAvg _,
@@ -1382,6 +1420,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_scd2"           -> scd2HistorySql,
     "q_reagg_month"    -> reaggMonthSql,
+    "q_range_frame"    -> rangeFrameSql,
     "q_envelope_parse" -> envelopeParseSql,
     "q_windowed_agg"   -> windowedAggSql,
     "q_hopping_agg"    -> hoppingAggSql,
