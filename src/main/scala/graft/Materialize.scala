@@ -74,6 +74,39 @@ object Materialize {
     case TempParquet(_)  => eager(df).repartition(partitions)
   }
 
+  /** Rebalance a CPU-heavy relation across all cores IF its data lives in
+    * fewer parquet ROW GROUPS than the machine has cores (the
+    * single-row-group trap: Spark assigns byte-range splits, but a row
+    * group is decoded whole by the one task whose split contains its start
+    * — a 1-row-group fact therefore serializes every per-row computation
+    * no matter how many splits exist, and a bare `repartition` cannot fix
+    * it because CollapseProject pushes the projection back below the
+    * exchange). The split COUNT is checked too (non-parquet inputs), but
+    * row groups are the real signal. The eager materialization is a hard
+    * optimizer barrier. GUARDED: a real corpus has thousands of row
+    * groups, so this never fires at scale — shuffling 100 TB for CPU
+    * balance would be the bug there. */
+  def rebalanced(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val cores = s.sparkContext.defaultParallelism
+    val units = {
+      val files = df.inputFiles
+      if (files.nonEmpty && files.forall(_.endsWith(".parquet")))
+        files.map(parquetRowGroups(s, _)).sum
+      else df.rdd.getNumPartitions
+    }
+    if (units * 2 < cores) eagerSpread(df, cores) else df
+  }
+
+  private def parquetRowGroups(s: SparkSession, file: String): Int =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        s.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.size finally r.close()
+    } catch { case _: Throwable => Int.MaxValue } // unreadable ⇒ do not rebalance
+
   /** Unpersist every non-pinned checkpoint THIS seam created (pinned shared
     * indexes survive). Benchmark hygiene: eager checkpoints are freed by
     * the ContextCleaner only when GC proves them unreachable, so without an

@@ -435,7 +435,8 @@ object Relational {
   // ---------------------------------------------------------------------------
   def sumMetrics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir).agg(
+    graft.Materialize.rebalanced(Tables.lineitem(s, dir)
+      .select($"l_extendedprice", $"l_discount", $"l_quantity")).agg(
       sum(D($"l_extendedprice") * (lit(new java.math.BigDecimal(1)) - D($"l_discount", 8)))
         .cast("double").as("revenue"),
       sum(D($"l_quantity")).cast("double").as("sum_qty"),
@@ -478,7 +479,12 @@ object Relational {
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val one = lit(new java.math.BigDecimal(1))
-    Tables.lineitem(s, dir)
+    // single-row-group trap: the per-row decimal math runs in the scan stage
+    // (before the agg shuffle), so a 1-split fact serializes it — rebalance
+    // the projected columns first (guarded off at real scale; Materialize)
+    graft.Materialize.rebalanced(Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_tax"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum(D($"l_quantity")).cast("double").as("sum_qty"),
@@ -713,7 +719,8 @@ object Relational {
   // ---------------------------------------------------------------------------
   def rollupSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
+    graft.Materialize.rebalanced(Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity"))
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(
         sum(D($"l_quantity")).cast("double").as("sum_qty"),
@@ -733,7 +740,8 @@ object Relational {
     * partials, not 4× the input). */
   def cubeSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
+    graft.Materialize.rebalanced(Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity"))
       .cube($"l_returnflag", $"l_linestatus")
       .agg(
         sum(D($"l_quantity")).cast("double").as("sum_qty"),
@@ -869,7 +877,10 @@ object Relational {
   // ---------------------------------------------------------------------------
   def envelopeParse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val raw = Tables.events(s, dir).select(
+    // the JSON build + from_json cost dominates and runs pre-shuffle —
+    // rebalance the projected events first (guarded; see Materialize)
+    val raw = graft.Materialize.rebalanced(Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")).select(
       concat(
         lit("{\"payload\": {\"after\": {\"id\": "), $"event_id",
         lit(", \"id_employee\": "), $"user_id",
@@ -994,7 +1005,8 @@ object Relational {
 
   def corrStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
+    graft.Materialize.rebalanced(Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice"))
       .selectExpr("l_returnflag", s"$centX AS xc", s"$centY AS yc")
       .groupBy($"l_returnflag")
       .agg(

@@ -277,13 +277,7 @@ object TextAnalysis {
     * already parallel (a real corpus has millions of splits — rebalancing
     * 100 TB through a shuffle would be the bug there). */
   private def parallelized(s: SparkSession, df: DataFrame): DataFrame = {
-    val cores = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < cores)
-      // eagerSpread, not eager(repartition(...)): the TempParquet impl's
-      // parquet read re-packs small files into few splits, which would
-      // silently undo the rebalance this call site exists for
-      graft.Materialize.eagerSpread(df, cores)
-    else df
+    graft.Materialize.rebalanced(df)
   }
 
   def contamination(s: SparkSession, dir: String): DataFrame = {

@@ -1,10 +1,23 @@
 package graft
 
-/** Ad-hoc single-query timing (test scope, not shipped). */
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timing (test scope, not shipped).
+  * `Test/runMain graft.BenchOne q_name [sfDir]`; cores via SPARK_GRAFT_CPUS. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkTestSession.spark
-    val dir = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     for (_ <- 1 to 3) {
       val t0 = System.nanoTime()
       SparkEntry.queries(args(0))(spark, dir).write.format("noop").mode("overwrite").save()
@@ -12,5 +25,6 @@ object BenchOne {
       Materialize.releaseTransient(spark)
       System.gc()
     }
+    spark.stop()
   }
 }
