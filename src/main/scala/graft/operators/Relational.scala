@@ -1005,8 +1005,10 @@ object Relational {
 
   def corrStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.Materialize.rebalanced(Tables.lineitem(s, dir)
-      .select($"l_returnflag", $"l_quantity", $"l_extendedprice"))
+    // no rebalance here: the per-row work is primitive-long arithmetic
+    // (integer cents), which the single scan task does faster than a
+    // barrier round-trip costs — measured flat-to-worse with the spread
+    Tables.lineitem(s, dir)
       .selectExpr("l_returnflag", s"$centX AS xc", s"$centY AS yc")
       .groupBy($"l_returnflag")
       .agg(
