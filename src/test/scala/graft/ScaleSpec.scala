@@ -61,6 +61,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(nClusters > 1)
   }
 
+  test("rebalanced: spreads a 1-row-group fact, leaves a many-row-group fact alone") {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    val dir = Files.createTempDirectory("rgguard").toString
+    val df = (1 to 50000).toDF("x").coalesce(1)
+    // one fat row group: must trigger the spread (row groups, not splits)
+    df.write.mode("overwrite").parquet(s"$dir/one")
+    val one = spark.read.parquet(s"$dir/one")
+    val spreadOne = Materialize.rebalanced(one)
+    assert(spreadOne.rdd.getNumPartitions == cores,
+      s"1-row-group input must spread to $cores partitions")
+    assert(spreadOne.count() == 50000)
+    // many small row groups: enough decode units, must NOT pay a shuffle
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", 16 * 1024)
+    try {
+      df.write.mode("overwrite").parquet(s"$dir/many")
+      val many = spark.read.parquet(s"$dir/many")
+      val kept = Materialize.rebalanced(many)
+      assert(kept eq many, "many-row-group input must pass through untouched")
+    } finally spark.sparkContext.hadoopConfiguration.unset("parquet.block.size")
+    Materialize.releaseTransient(spark)
+  }
+
   test("date-partitioned event layout: a day predicate prunes to that day's files") {
     import spark.implicits._
     // The standard time-series storage shape at 100 TB: events land
