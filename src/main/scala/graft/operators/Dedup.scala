@@ -306,11 +306,18 @@ object Dedup {
   private def rareShingleCandidatesFromHashes(hrows: DataFrame): DataFrame = {
     val s = hrows.sparkSession
     import s.implicits._
-    hrows
-      .select(col("doc_id"), col("h").as("g"))
+    val inv = hrows.select(col("doc_id"), col("h").as("g"))
+    // Count FIRST, collect after the df-filter: collecting then filtering
+    // would materialize the full posting list of every stopword-gram
+    // (millions of ids in one group at corpus scale) just to drop it. The
+    // count is a cheap partial+final agg; the join and the re-group share
+    // its hash partitioning on g, and every collected list is ≤ DFCap.
+    val rare = inv.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df".between(2, DFCap))
+      .select($"g")
+    inv.join(rare, "g")
       .groupBy($"g")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids").between(2, DFCap))
       .selectExpr(
         "explode(flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(0, i - 1), j -> struct(ids[j] AS doc_a, ids[i] AS doc_b))))) AS p")
       .select($"p.doc_a", $"p.doc_b")
