@@ -68,7 +68,9 @@ object DecisionSupport {
   // BEFORE their joins (the disjunction implies membership on each side), so
   // the fact joins carry 2/25ths of the dimension rows; the pair filter runs
   // post-join. One fact-fact shuffle (lineitem ⋈ orders on orderkey); the
-  // supplier and pruned-customer maps broadcast.
+  // supplier and pruned-customer maps join without hints (AQE broadcasts
+  // them while they fit; they scale with rows, so a forced hint would be
+  // wrong at 100 TB).
   // ---------------------------------------------------------------------------
   private val Q7A = "NATION_1"
   private val Q7B = "NATION_2"
@@ -88,8 +90,11 @@ object DecisionSupport {
         revD($"l_extendedprice", $"l_discount").as("revd"))
       .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      // no broadcast hints on supp/cust: they scale with the row count
+      // (unlike nation/region) — AQE broadcasts them while they fit and
+      // falls back to shuffled joins at corpus scale
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .filter(($"supp_nation" === Q7A && $"cust_nation" === Q7B) ||
         ($"supp_nation" === Q7B && $"cust_nation" === Q7A))
       .groupBy($"supp_nation", $"cust_nation",
@@ -137,7 +142,7 @@ object DecisionSupport {
       .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
       .join(euCust, $"o_custkey" === $"c_custkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
       .groupBy(year($"o_orderdate").cast("int").as("o_year"))
       .agg(
         sum(when($"supp_nation" === Q8Nation, $"revd").otherwise(zero)).as("n"),
