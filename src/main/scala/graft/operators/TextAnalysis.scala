@@ -741,7 +741,38 @@ object TextAnalysis {
        |FROM top, tot
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // BPE merge-candidate counting — the inner step of byte-pair-encoding
+  // tokenizer training: count adjacent character pairs within tokens and
+  // rank the top merges. (Full BPE iterates this with re-segmentation; one
+  // round is the primitive, and each further round is the same plan over
+  // re-tokenized input.) Explode + hash-agg with map-side combine; the
+  // shuffle carries one row per distinct pair. Top-k is
+  // TakeOrderedAndProject with a lexicographic tie-break.
+  // ---------------------------------------------------------------------------
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select(explode($"toks").as("t"))
+      .withColumn("cs", split($"t", ""))
+      .selectExpr(
+        "explode(if(size(cs) < 2, array(), transform(sequence(1, size(cs) - 1), i -> concat(element_at(cs, i), element_at(cs, i + 1))))) AS pair")
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair".asc)
+      .limit(20)
+  }
+  val bpePairsSql: String =
+    s"""WITH tok AS (SELECT unnest($toksDuck) AS t FROM documents),
+       |ch AS (SELECT string_split(t, '') AS cs FROM tok),
+       |pairs AS (SELECT cs[i] || cs[i+1] AS pair
+       |          FROM (SELECT cs, unnest(range(1, len(cs))) AS i FROM ch) x)
+       |SELECT pair, count(*) AS n
+       |FROM pairs GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs"     -> bpePairs _,
     "q_lm_score"      -> lmScore _,
     "q_zipf"          -> zipfProfile _,
     "q_bm25"          -> bm25 _,
@@ -764,6 +795,7 @@ object TextAnalysis {
     "q_inverted_index" -> invertedIndex _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_pairs"     -> bpePairsSql,
     "q_lm_score"      -> lmScoreSql,
     "q_zipf"          -> zipfProfileSql,
     "q_bm25"          -> bm25Sql,
