@@ -1380,8 +1380,40 @@ object Relational {
       |FROM o
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Exponentially-weighted moving average per user (feature-store primitive:
+  // recency-weighted activity level). EWMA is inherently ORDER-DEPENDENT
+  // float math, so it is computed as an order-fixed sequential fold over the
+  // time-sorted values (repo rule 2) — α = 1/4 and (1−α) = 3/4 are exact
+  // binary fractions, and both engines execute the identical IEEE sequence,
+  // so the hashes match. Zero-seeded by definition (documented; the oracle
+  // mirrors). One shuffle on user_id; the per-user array is bounded by that
+  // user's event count (the labelCentroids-style caveat: per-entity history
+  // must fit one group — cap or pre-window per key at extreme fan-in).
+  // ---------------------------------------------------------------------------
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("aggregate(array_sort(collect_list(struct(ts, event_id, value))), cast(0 as double), (acc, x) -> acc * cast(0.75 as double) + x.value * cast(0.25 as double))")
+          .as("ewma_value"))
+  }
+  val ewmaSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       list_reduce(list_prepend(CAST(0 AS DOUBLE), list(value ORDER BY ts, event_id)),
+      |                   (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE)) AS ewma_value
+      |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |      FROM events WHERE value IS NOT NULL) e
+      |GROUP BY user_id
+      |""".stripMargin
+
   /** queries + oracle pairs exported to SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma"           -> ewma _,
     "q_scd2"           -> scd2History _,
     "q_reagg_month"    -> reaggMonth _,
     "q_range_frame"    -> rangeFrame _,
@@ -1432,6 +1464,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ewma"           -> ewmaSql,
     "q_scd2"           -> scd2HistorySql,
     "q_reagg_month"    -> reaggMonthSql,
     "q_range_frame"    -> rangeFrameSql,
