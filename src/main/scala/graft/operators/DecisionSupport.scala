@@ -23,6 +23,11 @@ import graft.sources.Tables
   *   - Q18 large orders          — HAVING subquery as a semi-join relation
   *   - Q19 disjunctive revenue   — OR-of-ANDs predicate spanning both join sides
   *   - Q22 dormant accounts      — scalar-subquery threshold + anti-join
+  *   - Q4  late-order priorities — EXISTS as a LEFT SEMI join with a
+  *                                 mixed equi + non-equi condition
+  *   - Q12 lateness by flag      — fact-to-fact join + conditional two-way counts
+  *   - Q21 latest shipper        — double-EXISTS decorrelated into windows
+  *                                 over one partitioning
   *
   * Determinism: every money aggregate is DECIMAL-accumulated and cast to
   * DOUBLE after (repo rule 1); ratios are single IEEE divisions of exact
@@ -405,7 +410,131 @@ object DecisionSupport {
       |GROUP BY p_brand, p_size
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Q4 shape: order-priority count over a date window, where the order
+  // qualifies iff ANY of its lineitems shipped late (> 60 days after the
+  // order date). The EXISTS subquery is a LEFT SEMI join with a mixed
+  // equi + non-equi condition — each order row is emitted at most once no
+  // matter how many late lines it has, so the shuffle after the join
+  // carries orders, not lineitems. The 3-month date window prunes the
+  // orders scan (PushedFilters); at 100 TB with date-partitioned orders
+  // that window is also a partition-pruning cut.
+  // ---------------------------------------------------------------------------
+  def latePriorityCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts("1996-07-01 00:00:00") &&
+        $"o_orderdate" < ts("1996-10-01 00:00:00"))
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+    o.join(li,
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+  val latePriorityCountSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q12 shape: conditional two-way counts after a fact-to-fact join — for
+  // every late line (shipped > 90 days after its order date) in a one-year
+  // ship window, split the count by whether the order was high-priority.
+  // The CASE folds what would be two scans into one aggregate pass
+  // (map-side partial on l_returnflag); the ship-date range prunes the
+  // lineitem scan before the join.
+  // ---------------------------------------------------------------------------
+  def lateByFlag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+        $"l_shipdate" < ts("1998-01-01 00:00:00"))
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate")
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    li.join(o, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+  val lateByFlagSql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q21 shape: "the supplier everyone waited on" — in orders served by at
+  // least two suppliers, blame the UNIQUE supplier whose latest line is
+  // strictly after every other supplier's. The classic form is a double
+  // correlated EXISTS / NOT EXISTS; decorrelated here into one partial
+  // aggregate to (order, supplier) grain followed by three window passes
+  // over the SAME l_orderkey partitioning (max, peer count, max-achiever
+  // count) — a single shuffle on the fact after the per-key combine, then
+  // a broadcast dim join and a top-10 TakeOrderedAndProject.
+  // ---------------------------------------------------------------------------
+  def latestShipper(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    val per = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"l_shipdate").as("sd"))
+    val blamed = per
+      .withColumn("mx", max($"sd").over(w))
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .filter($"sd" === $"mx" && $"nsupp" >= 2)
+      .withColumn("nmax", count(lit(1)).over(w))
+      .filter($"nmax" === 1)
+    blamed
+      .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name".asc)
+      .limit(10)
+  }
+  val latestShipperSql: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sd
+      |  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+      |ann AS (
+      |  SELECT *, max(sd) OVER (PARTITION BY l_orderkey) AS mx,
+      |         count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+      |  FROM per),
+      |top AS (
+      |  SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS nmax
+      |  FROM ann WHERE sd = mx AND nsupp >= 2)
+      |SELECT s_name, count(*) AS numwait
+      |FROM top JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE nmax = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT 10
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_late_priority"       -> latePriorityCount _,
+    "q_late_by_flag"        -> lateByFlag _,
+    "q_latest_shipper"      -> latestShipper _,
     "q_supplier_variety"    -> supplierVariety _,
     "q_forecast_revenue"    -> forecastRevenue _,
     "q_volume_shipping"     -> volumeShipping _,
@@ -420,6 +549,9 @@ object DecisionSupport {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_late_priority"       -> latePriorityCountSql,
+    "q_late_by_flag"        -> lateByFlagSql,
+    "q_latest_shipper"      -> latestShipperSql,
     "q_supplier_variety"    -> supplierVarietySql,
     "q_forecast_revenue"    -> forecastRevenueSql,
     "q_volume_shipping"     -> volumeShippingSql,

@@ -718,7 +718,75 @@ object Dedup {
        |FROM reach GROUP BY id
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Exact duplicated-span detection (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better"): find every 8-token span
+  // that occurs in >= 2 distinct documents and report, per document, how
+  // much of it is made of such shared spans. This is the signal used to
+  // CUT repeated boilerplate out of pretraining corpora — a different
+  // operator from whole/near-doc dedup: it localizes duplication inside
+  // otherwise-unique documents. (The reference's stack has no equivalent;
+  // suffix-array span dedup is the published production approach — here
+  // the fixed span width makes it a pure hash aggregation.)
+  //
+  // Scale design: spans never shuffle as text — each distinct span is
+  // projected to a 16-hex md5 prefix before the exchange, so the shuffle
+  // carries (doc_id, 8-byte hash). Document frequency is a window count
+  // over the span-hash partitioning (one shuffle); the per-doc rollup is a
+  // second shuffle at doc grain; the join back to per-doc span totals is
+  // doc-keyed on both sides. Per-doc span lists are DISTINCT (a span
+  // repeated inside one doc counts once), so df is true document
+  // frequency. At 100 TB the span-hash exchange is the cost — 24
+  // bytes/span-occurrence, linear in corpus tokens, no quadratic term.
+  // ---------------------------------------------------------------------------
+  private val SpanK = 8
+  private val spansExpr =
+    s"if(size(toks) < $SpanK, array(), array_distinct(transform(sequence(1, size(toks) - ${SpanK - 1}), i -> concat_ws(' ', slice(toks, i, $SpanK)))))"
+  private val spansDuck =
+    s"list_distinct(list_transform(range(1, greatest(len(toks) - ${SpanK - 2}, 1)), i -> array_to_string(toks[i:i+${SpanK - 1}], ' ')))"
+
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Materialized once: both the per-doc span totals and the exploded
+    // hash relation read it; without the barrier the tokenize+span build
+    // would be re-inlined into each consumer (CollapseProject).
+    val spans = graft.Materialize.rebalanced(
+      Tables.documents(s, dir).select($"doc_id", $"text")
+        .withColumn("toks", expr(toksExpr))
+        .selectExpr("doc_id", s"$spansExpr AS spans"))
+    val hashed = spans
+      .selectExpr("doc_id", "explode(spans) AS span")
+      .select($"doc_id", substring(md5($"span"), 1, 16).as("h"))
+    val dup = hashed
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+      .filter($"df" >= 2)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"))
+    spans.select($"doc_id", size($"spans").cast("long").as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+        when($"n_spans" > 0,
+          coalesce($"n_dup_spans", lit(0L)).cast("double") / $"n_spans".cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+  val spanDedupSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |sp AS (SELECT doc_id, $spansDuck AS spans FROM tok),
+       |ex AS (SELECT doc_id, unnest(spans) AS span FROM sp),
+       |w AS (SELECT doc_id, count(*) OVER (PARTITION BY span) AS df FROM ex),
+       |dup AS (SELECT doc_id, count(*) AS n_dup FROM w WHERE df >= 2 GROUP BY doc_id)
+       |SELECT sp.doc_id,
+       |       CAST(len(sp.spans) AS BIGINT) AS n_spans,
+       |       CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       |       CASE WHEN len(sp.spans) > 0
+       |            THEN CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / CAST(len(sp.spans) AS DOUBLE)
+       |            ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
+       |FROM sp LEFT JOIN dup ON sp.doc_id = dup.doc_id
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup"        -> spanDedup _,
     "q_dedup_clusters"    -> dedupClusters _,
     "q_dedup_clusters_incr" -> dedupClustersIncremental _,
     "q_dedup_incremental" -> dedupIncremental _,
@@ -734,6 +802,7 @@ object Dedup {
     "q_seg_dedup"         -> segDedup _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_span_dedup"        -> spanDedupSql,
     "q_dedup_clusters"    -> dedupClustersSql,
     // incremental maintenance must equal the from-scratch batch resolution
     "q_dedup_clusters_incr" -> dedupClustersSql,

@@ -59,6 +59,60 @@ class DecisionSupportSpec extends AnyFunSuite {
     assert(big.select($"o_orderkey").distinct().count() == big.count())
   }
 
+  test("Q4 counts each late order once, matching a direct distinct recomputation") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val viaQuery = DecisionSupport.latePriorityCount(spark, sf)
+      .agg(sum($"order_count")).first().getLong(0)
+    // independent formulation: inner join + distinct orders, not a semi join
+    val direct = Tables.orders(spark, sf)
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00")))
+      .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .select($"o_orderkey").distinct().count()
+    assert(viaQuery == direct, s"semi-join counted $viaQuery, distinct join $direct")
+  }
+
+  test("Q12 high+low line counts partition the late lines exactly") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val byFlag = DecisionSupport.lateByFlag(spark, sf)
+    val total = byFlag.agg(sum($"high_line_count" + $"low_line_count")).first().getLong(0)
+    val direct = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .count()
+    assert(total == direct, s"conditional counts cover $total of $direct late lines")
+  }
+
+  test("Q21 blames exactly the unique latest supplier of multi-supplier orders") {
+    import spark.implicits._
+    import graft.sources.Tables
+    // independent join-based formulation (no windows)
+    val per = Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey", $"l_suppkey").agg(max($"l_shipdate").as("sd"))
+    val ord = per.groupBy($"l_orderkey")
+      .agg(max($"sd").as("mx"), count(lit(1)).as("nsupp"))
+    val achievers = per.join(ord, "l_orderkey").filter($"sd" === $"mx")
+    val uniqueBlame = achievers
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("nmax"),
+        first($"l_suppkey").as("supp"), first($"nsupp").as("ns"))
+      .filter($"nmax" === 1 && $"ns" >= 2)
+    val expectTop = uniqueBlame
+      .join(Tables.supplier(spark, sf), $"supp" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name".asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = DecisionSupport.latestShipper(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.sameElements(expectTop),
+      s"window formulation ${got.toSeq} != join formulation ${expectTop.toSeq}")
+  }
+
   test("Q22 dormant accounts all exceed the mean positive balance") {
     import spark.implicits._
     import graft.sources.Tables

@@ -161,4 +161,21 @@ class PlanSpec extends AnyFunSuite {
       s"1-row threshold should broadcast:\n$plan")
     assert(plan.contains("LeftAnti"), s"NOT EXISTS must compile to an anti join:\n$plan")
   }
+
+  test("Q4 EXISTS compiles to a semi join; the date window prunes the orders scan") {
+    val plan = executed(DecisionSupport.latePriorityCount(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS must compile to a semi join:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")),
+      s"order-date window not pushed into the orders scan:\n$plan")
+  }
+
+  test("Q21 window trio shares one orderkey exchange; top-10 is TakeOrdered") {
+    val plan = executed(DecisionSupport.latestShipper(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"limit must not global-sort:\n$plan")
+    // exchanges: (orderkey, suppkey) partial-agg grain, orderkey for the
+    // windows (all three reuse it), s_name for the final count — exactly 3
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 3, s"expected 3 exchanges (agg, windows, final), got $shuffles:\n$plan")
+  }
 }

@@ -301,4 +301,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept.select($"doc_id").exceptAll(again.select($"doc_id")).isEmpty)
     kept.unpersist()
   }
+
+  test("span dedup matches an independent join-on-text recomputation") {
+    import spark.implicits._
+    val got = Dedup.spanDedup(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // every doc keeps exactly one row
+    assert(got.count() == docs.count())
+    // bounds + ratio arithmetic
+    assert(got.filter($"n_dup_spans" < 0 || $"n_dup_spans" > $"n_spans").count() == 0)
+    assert(got.filter(abs($"dup_ratio" * $"n_spans" - $"n_dup_spans") > 1e-9).count() == 0)
+    // independent formulation: spans as raw text (no md5), df via self-join
+    // distinct-doc count instead of a window
+    val sp = docs
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .selectExpr("doc_id",
+        "explode(if(size(toks) < 8, array(), array_distinct(transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))))) AS span")
+    val df_ = sp.groupBy($"span").agg(countDistinct($"doc_id").as("df"))
+    val expect = sp.join(df_, "span").filter($"df" >= 2)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_expect"))
+    val joined = got.join(expect, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_dup_spans",
+        coalesce($"n_dup_expect", lit(0L)).as("n_dup_expect"))
+    assert(joined.filter($"n_dup_spans" =!= $"n_dup_expect").count() == 0,
+      "window-on-hash and join-on-text disagree")
+    got.unpersist()
+  }
 }
