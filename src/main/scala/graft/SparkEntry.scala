@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
-      Temporal.queries ++ CurationPipeline.queries ++ DecisionSupport.queries ++ Collections.queries
+      Temporal.queries ++ CurationPipeline.queries ++ DecisionSupport.queries ++
+      Collections.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++
-      Temporal.oracleSql ++ CurationPipeline.oracleSql ++ DecisionSupport.oracleSql ++ Collections.oracleSql
+      Temporal.oracleSql ++ CurationPipeline.oracleSql ++ DecisionSupport.oracleSql ++
+      Collections.oracleSql ++ Graph.oracleSql
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the integer-exact PageRank — the oracle pins exact
+  * values; these pin the invariants that make it a PageRank. */
+class GraphSpec extends AnyFunSuite {
+  import graft.operators.Graph
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("pagerank: one row per graph node, typed by key parity") {
+    import spark.implicits._
+    val pr = Graph.pagerank(spark, sf).cache()
+    assert(pr.select($"node").distinct().count() == pr.count())
+    assert(pr.filter($"entity_type" === "customer" && $"node" % 2 =!= 0).count() == 0)
+    assert(pr.filter($"entity_type" === "supplier" && $"node" % 2 =!= 1).count() == 0)
+    // node id encodes the entity key
+    assert(pr.filter($"entity_key" =!= expr("node div 2")).count() == 0)
+    pr.unpersist()
+  }
+
+  test("pagerank: probability mass is conserved up to integer truncation") {
+    import spark.implicits._
+    val pr = Graph.pagerank(spark, sf).cache()
+    val total = pr.agg(sum($"rank_scaled")).first().getLong(0)
+    val scale = 1000000000000L
+    // each integer division truncates < 1 unit per row per iteration; with
+    // 5 iterations the loss is bounded far below 1% of the mass
+    assert(total <= scale, s"mass $total exceeds the scale")
+    assert(total >= (scale * 99) / 100, s"mass $total lost >1% to truncation")
+    assert(pr.filter($"rank_scaled" <= 0).count() == 0, "ranks must stay positive")
+    pr.unpersist()
+  }
+
+  test("pagerank: deterministic across runs") {
+    import spark.implicits._
+    val a = Graph.pagerank(spark, sf)
+    val b = Graph.pagerank(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
