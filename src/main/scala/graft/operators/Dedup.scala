@@ -785,7 +785,78 @@ object Dedup {
        |FROM sp LEFT JOIN dup ON sp.doc_id = dup.doc_id
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // LSH quality report: how good is the cheap candidate pass, measured
+  // against EXHAUSTIVE ground truth? Truth = every pair with exact
+  // Jaccard >= 0.8, found via the inverted-index self-join on shingle
+  // hashes — complete because J > 0 requires a shared shingle. This is
+  // the O(sum df²) pass LSH exists to avoid; running both and reporting
+  // recall/precision of the banding is the standard way to TUNE the
+  // band/row split before a 100 TB run (on a sample — the truth pass is
+  // the expensive one by design; the report quantifies exactly what the
+  // cheap path would miss at full scale).
+  //
+  // Shared machinery: the same shingle-hash rows feed both sides of the
+  // truth join (materialized once, exchange reused), and candidates come
+  // from the production lshCandidatesFrom path — the report measures the
+  // REAL pipeline, not a re-implementation. J is computed from hash-set
+  // sizes (shared/(|A|+|B|-shared)) in the same mod-P (~2^30) hash space
+  // the signatures use — a handful of cross-doc collisions can nudge a
+  // borderline pair, but both engines hash identically so truth is
+  // deterministic and the recall/precision comparison is apples-to-apples.
+  // ---------------------------------------------------------------------------
+  def lshQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val hrows = graft.Materialize.eager(shingleHashRows(docs))
+    val ns = hrows.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val shared = hrows.select($"doc_id".as("da"), $"h")
+      .join(hrows.select($"doc_id".as("db"), $"h"), "h")
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("shared"))
+    val truth = shared
+      .join(ns.select($"doc_id".as("da"), $"nsh".as("na")), "da")
+      .join(ns.select($"doc_id".as("db"), $"nsh".as("nb")), "db")
+      .filter($"shared".cast("double") / ($"na" + $"nb" - $"shared") >= 0.8)
+      .select($"da".as("doc_a"), $"db".as("doc_b"))
+    val cand = graft.Materialize.eager(lshCandidatesFrom(docs))
+    val tp = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_true_candidates")))
+      .selectExpr(
+        "n_true_pairs", "n_candidate_pairs", "n_true_candidates",
+        "IF(n_true_pairs = 0, cast(1.0 AS double), cast(n_true_candidates AS double) / n_true_pairs) AS recall",
+        "IF(n_candidate_pairs = 0, cast(1.0 AS double), cast(n_true_candidates AS double) / n_candidate_pairs) AS precision")
+  }
+  val lshQualitySql: String =
+    s"""${lshCteSql()},
+       |hx AS (SELECT doc_id, unnest(shh) AS h FROM shh),
+       |ns AS (SELECT doc_id, count(*) AS nsh FROM hx GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b
+       |  FROM shared
+       |  JOIN ns na ON na.doc_id = doc_a
+       |  JOIN ns nb ON nb.doc_id = doc_b
+       |  WHERE CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared) >= 0.8),
+       |tp AS (SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b)),
+       |tot AS (SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+       |               (SELECT count(*) FROM cand) AS n_candidate_pairs,
+       |               (SELECT n FROM tp) AS n_true_candidates)
+       |SELECT n_true_pairs, n_candidate_pairs, n_true_candidates,
+       |       CASE WHEN n_true_pairs = 0 THEN CAST(1.0 AS DOUBLE)
+       |            ELSE CAST(n_true_candidates AS DOUBLE) / n_true_pairs END AS recall,
+       |       CASE WHEN n_candidate_pairs = 0 THEN CAST(1.0 AS DOUBLE)
+       |            ELSE CAST(n_true_candidates AS DOUBLE) / n_candidate_pairs END AS precision
+       |FROM tot
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_quality"       -> lshQuality _,
     "q_span_dedup"        -> spanDedup _,
     "q_dedup_clusters"    -> dedupClusters _,
     "q_dedup_clusters_incr" -> dedupClustersIncremental _,
@@ -802,6 +873,7 @@ object Dedup {
     "q_seg_dedup"         -> segDedup _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_lsh_quality"       -> lshQualitySql,
     "q_span_dedup"        -> spanDedupSql,
     "q_dedup_clusters"    -> dedupClustersSql,
     // incremental maintenance must equal the from-scratch batch resolution
