@@ -1313,6 +1313,64 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // SCD1 latest-wins MERGE (the Delta/Iceberg MERGE INTO shape, expressed
+  // relationally): a current-state snapshot (latest purchase per user
+  // before the cutoff) merged with a change batch (after the cutoff).
+  // Keys present in both take the delta's value ('update'); delta-only
+  // keys are 'insert'; base-only keys carry forward 'unchanged'. The
+  // full-outer join IS the merge — at 100 TB the base is the stored
+  // snapshot partitioned by key, the delta is a day of CDC (broadcast- or
+  // shuffle-joined by AQE), and the output overwrites the snapshot.
+  // Latest-per-key is a row_number window with a total ordering
+  // (ts, event_id), so both engines pick the identical row.
+  // ---------------------------------------------------------------------------
+  def scd1Merge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    def latest(d: DataFrame) = d
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"value", $"ts")
+    val ev = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val base = latest(ev.filter($"ts" < cutoff))
+      .select($"user_id", $"value".as("base_value"), $"ts".as("base_ts"))
+    val delta = latest(ev.filter($"ts" >= cutoff))
+      .select($"user_id", $"value".as("delta_value"), $"ts".as("delta_ts"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"delta_value", $"base_value").as("value"),
+        coalesce($"delta_ts", $"base_ts").as("last_ts"),
+        when($"delta_ts".isNotNull && $"base_ts".isNotNull, "update")
+          .when($"delta_ts".isNotNull, "insert")
+          .otherwise("unchanged").as("change_type"))
+  }
+  val scd1MergeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |base AS (
+      |  SELECT user_id, value AS base_value, ts AS base_ts
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM ev WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+      |  WHERE rn = 1),
+      |delta AS (
+      |  SELECT user_id, value AS delta_value, ts AS delta_ts
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM ev WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+      |  WHERE rn = 1)
+      |SELECT COALESCE(base.user_id, delta.user_id) AS user_id,
+      |       COALESCE(delta_value, base_value) AS value,
+      |       COALESCE(delta_ts, base_ts) AS last_ts,
+      |       CASE WHEN delta_ts IS NOT NULL AND base_ts IS NOT NULL THEN 'update'
+      |            WHEN delta_ts IS NOT NULL THEN 'insert'
+      |            ELSE 'unchanged' END AS change_type
+      |FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Mergeable partial re-aggregation: daily per-customer partials roll up to
   // monthly WITHOUT touching raw rows — the incremental-warehouse pattern
   // (partials are the stored artifact; count partials merge by sum, decimal
@@ -1415,6 +1473,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma"           -> ewma _,
     "q_scd2"           -> scd2History _,
+    "q_scd1_merge"     -> scd1Merge _,
     "q_reagg_month"    -> reaggMonth _,
     "q_range_frame"    -> rangeFrame _,
     "q_cdc_extract"    -> cdcExtract _,
@@ -1466,6 +1525,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_ewma"           -> ewmaSql,
     "q_scd2"           -> scd2HistorySql,
+    "q_scd1_merge"     -> scd1MergeSql,
     "q_reagg_month"    -> reaggMonthSql,
     "q_range_frame"    -> rangeFrameSql,
     "q_envelope_parse" -> envelopeParseSql,

@@ -85,6 +85,27 @@ class RelationalSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("scd1 merge equals the latest-overall state per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val merged = Relational.scd1Merge(spark, sf)
+    // the merge of base+delta must equal computing latest over ALL events
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val latestAll = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"value", $"ts".as("last_ts"))
+    val m = merged.select($"user_id", $"value", $"last_ts")
+    assert(m.exceptAll(latestAll).isEmpty && latestAll.exceptAll(m).isEmpty,
+      "merge(base, delta) must equal latest-wins over the full history")
+    // change typing is consistent with the cutoff
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    assert(merged.filter($"change_type" === "unchanged" && $"last_ts" >= cutoff).count() == 0)
+    assert(merged.filter($"change_type" =!= "unchanged" && $"last_ts" < cutoff).count() == 0)
+  }
+
   test("partial re-aggregation merges to the same result as direct aggregation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
