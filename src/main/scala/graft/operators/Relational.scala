@@ -633,6 +633,47 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Winsorization (per-group outlier clipping): clip each event's value to
+  // its group's [p05, p95] band and report the clipped aggregate — the
+  // standard robust-statistics pre-step before a mean/sum that outliers
+  // would otherwise dominate. Two passes: exact per-group percentile
+  // bounds (one shuffle), then a BROADCAST join of the tiny bounds table
+  // back onto the fact (the corpus never reshuffles for the clip) and the
+  // final per-group aggregate. The clipped sum is decimal-accumulated
+  // (repo rule: never sum raw doubles cross-engine).
+  // ---------------------------------------------------------------------------
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"value")
+    val bounds = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, array(0.05, 0.95))").as("b"))
+      .selectExpr("event_type", "b[0] AS lo", "b[1] AS hi")
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"value" < $"lo", 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when($"value" > $"hi", 1L).otherwise(0L)).as("n_clipped_high"),
+        min($"lo").as("lo"),
+        min($"hi").as("hi"),
+        sum(D(least(greatest($"value", $"lo"), $"hi")))
+          .cast("double").as("sum_winsorized"))
+  }
+  val winsorizeSql: String =
+    """WITH b AS (
+      |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+      |         quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      |       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      |       min(lo) AS lo, min(hi) AS hi,
+      |       CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
+      |FROM events JOIN b USING (event_type)
+      |GROUP BY event_type
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Shipping-priority (TPC-H Q3 shape): the fact-to-fact join — orders ⋈
   // lineitem on orderkey. Filters push into both scans first; the aggregate
   // groups on the join key so it adds no extra shuffle; top-10 via
@@ -1474,6 +1515,7 @@ object Relational {
     "q_ewma"           -> ewma _,
     "q_scd2"           -> scd2History _,
     "q_scd1_merge"     -> scd1Merge _,
+    "q_winsorize"      -> winsorize _,
     "q_reagg_month"    -> reaggMonth _,
     "q_range_frame"    -> rangeFrame _,
     "q_cdc_extract"    -> cdcExtract _,
@@ -1526,6 +1568,7 @@ object Relational {
     "q_ewma"           -> ewmaSql,
     "q_scd2"           -> scd2HistorySql,
     "q_scd1_merge"     -> scd1MergeSql,
+    "q_winsorize"      -> winsorizeSql,
     "q_reagg_month"    -> reaggMonthSql,
     "q_range_frame"    -> rangeFrameSql,
     "q_envelope_parse" -> envelopeParseSql,

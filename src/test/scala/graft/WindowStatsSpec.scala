@@ -81,4 +81,22 @@ class WindowStatsSpec extends AnyFunSuite {
     assert(h.filter($"bucket" === 0).select($"n_orders").first().getLong(0) == b0max)
     h.unpersist()
   }
+
+  test("winsorize: ~5% clipped each side and the clipped sum is within bounds") {
+    import spark.implicits._
+    val w = Relational.winsorize(spark, sf).cache()
+    w.collect().foreach { r =>
+      val n = r.getAs[Long]("n")
+      val lowFrac = r.getAs[Long]("n_clipped_low").toDouble / n
+      val highFrac = r.getAs[Long]("n_clipped_high").toDouble / n
+      // exact percentiles put at most ~5% strictly outside each bound
+      assert(lowFrac <= 0.06, s"low clip fraction $lowFrac")
+      assert(highFrac <= 0.06, s"high clip fraction $highFrac")
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      val sumW = r.getAs[Double]("sum_winsorized")
+      assert(sumW >= lo * n - 0.01 * n && sumW <= hi * n + 0.01 * n,
+        s"winsorized sum $sumW outside [$lo, $hi] x $n")
+    }
+    w.unpersist()
+  }
 }
