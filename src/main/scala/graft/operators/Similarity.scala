@@ -793,7 +793,44 @@ object Similarity {
        |SELECT src, rnk, nbr, cosine FROM ranked WHERE rnk <= 3
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // SemDeDup keep-list (Abbas et al. 2023): the end-to-end semantic-dedup
+  // recipe composed from the machinery above — IVF-blocked cosine pairs
+  // (the vector LSH analogue) feed the same distributed star-contraction
+  // used for text near-dup clusters, and each duplicate component keeps
+  // its canonical (minimum-id) member. Output is the curation verdict per
+  // vector: component id + keep flag; singleton vectors (no near-dup) are
+  // not listed — at 100 TB the keep-list anti-joins the corpus, so
+  // emitting only members of duplicate components keeps it small.
+  // ---------------------------------------------------------------------------
+  def semdedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupEmbedding(s, dir)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    Dedup.resolveClusters(pairs)._1
+      .select($"doc_id".as("vec_id"), $"cluster_id",
+        $"is_canonical".as("keep"))
+  }
+  val semdedupSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$dedupEmbeddingSql
+       |),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS src, vec_a AS dst FROM pairs
+       |),
+       |reach AS (
+       |  SELECT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+       |)
+       |SELECT id AS vec_id, min(comp) AS cluster_id, (id = min(comp)) AS keep
+       |FROM reach GROUP BY id
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semdedup"        -> semdedup _,
     "q_knn_graph"       -> knnGraph _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_embed_norms"     -> embedNorms _,
@@ -807,6 +844,7 @@ object Similarity {
     "q_label_centroids" -> labelCentroids _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_semdedup"        -> semdedupSql,
     "q_knn_graph"       -> knnGraphSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_norms"     -> embedNormsSql,
