@@ -82,6 +82,49 @@ object TextAnalysis {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Lexical-diversity signal: per-doc type-token ratio + Gini impurity of
+  // the unigram distribution (1 - Σcᵢ²/N²). Gini is the RATIONAL
+  // diversity measure — Shannon entropy needs libm log, which is not
+  // bit-portable across engines (same reason BM25 uses rational idf);
+  // Gini orders documents the same way for the repetitive-text cut and
+  // stays integer-exact until one final IEEE division. Shape: explode →
+  // two-level count aggregate (map-side combine at (doc, token) grain,
+  // then a doc-grain rollup) — the shuffle carries distinct per-doc
+  // token counts, not raw tokens.
+  // ---------------------------------------------------------------------------
+  def giniDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", "explode(toks) AS tok")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n"),
+        sum($"c" * $"c").as("sumsq"),
+        count(lit(1)).as("distinct_tokens"))
+      .selectExpr(
+        "doc_id",
+        "n AS n_tokens",
+        "distinct_tokens",
+        "CAST(distinct_tokens AS DOUBLE) / CAST(n AS DOUBLE) AS ttr",
+        "CAST(1.0 AS DOUBLE) - CAST(sumsq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini")
+  }
+  val giniDiversitySql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksDuck) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+       |a AS (SELECT doc_id, sum(c) AS n, sum(c * c) AS sumsq,
+       |             count(*) AS distinct_tokens
+       |      FROM c GROUP BY doc_id)
+       |SELECT doc_id,
+       |       CAST(n AS BIGINT) AS n_tokens,
+       |       CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+       |       CAST(distinct_tokens AS DOUBLE) / CAST(n AS DOUBLE) AS ttr,
+       |       CAST(1.0 AS DOUBLE) - CAST(sumsq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini
+       |FROM a
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Language identification — marker-stopword heuristic: count tokens from
   // per-language marker sets, argmax with fixed tie-break (en,fr,de,es).
   // ---------------------------------------------------------------------------
@@ -778,6 +821,7 @@ object TextAnalysis {
     "q_bm25"          -> bm25 _,
     "q_text_stats"    -> textStats _,
     "q_token_count"   -> tokenCount _,
+    "q_gini"          -> giniDiversity _,
     "q_lang_id"       -> langId _,
     "q_fingerprint"   -> fingerprint _,
     "q_stats_by_lang" -> statsByLang _,
@@ -801,6 +845,7 @@ object TextAnalysis {
     "q_bm25"          -> bm25Sql,
     "q_text_stats"    -> textStatsSql,
     "q_token_count"   -> tokenCountSql,
+    "q_gini"          -> giniDiversitySql,
     "q_lang_id"       -> langIdSql,
     "q_fingerprint"   -> fingerprintSql,
     "q_stats_by_lang" -> statsByLangSql,

@@ -167,4 +167,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad == 0, "rank order must be non-increasing in cosine")
     g.unpersist()
   }
+
+  test("semdedup: one canonical keep per cluster, clusters have >= 2 members") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sd = Similarity.semdedup(spark, sf).cache()
+    val byCluster = sd.groupBy($"cluster_id").agg(
+      sum(when($"keep", 1L).otherwise(0L)).as("n_keep"),
+      count(lit(1)).as("n"),
+      min($"vec_id").as("min_id"))
+    assert(byCluster.filter($"n_keep" =!= 1).count() == 0,
+      "every duplicate component keeps exactly one member")
+    assert(byCluster.filter($"n" < 2).count() == 0,
+      "components come from pairs, so no singletons")
+    assert(byCluster.filter($"cluster_id" =!= $"min_id").count() == 0,
+      "cluster id is the minimum member id")
+    assert(sd.filter($"keep" && $"vec_id" =!= $"cluster_id").count() == 0,
+      "the kept member is the canonical minimum")
+    sd.unpersist()
+  }
 }

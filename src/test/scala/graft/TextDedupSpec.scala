@@ -302,6 +302,20 @@ class TextDedupSpec extends AnyFunSuite {
     kept.unpersist()
   }
 
+  test("gini diversity: bounds and the Cauchy-Schwarz distinct-count cap hold") {
+    import spark.implicits._
+    val g = TextAnalysis.giniDiversity(spark, sf).cache()
+    assert(g.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(g.filter($"gini" < 0.0 || $"gini" >= 1.0).count() == 0)
+    assert(g.filter($"ttr" <= 0.0 || $"ttr" > 1.0).count() == 0)
+    // sumsq >= n²/distinct  ⇒  gini <= 1 - 1/distinct
+    assert(g.filter($"gini" > lit(1.0) - lit(1.0) / $"distinct_tokens" + lit(1e-12)).count() == 0,
+      "gini must respect the distinct-count cap")
+    // all-identical-token docs (distinct=1) must score exactly 0
+    assert(g.filter($"distinct_tokens" === 1 && $"gini" =!= 0.0).count() == 0)
+    g.unpersist()
+  }
+
   test("span dedup matches an independent join-on-text recomputation") {
     import spark.implicits._
     val got = Dedup.spanDedup(spark, sf).cache()
