@@ -206,6 +206,48 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed SCD1 merge: snapshot full-outer delta joins without a shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // The 100 TB merge shape: the current-state snapshot is STORED bucketed
+    // by the merge key, the delta batch lands bucketed the same way, and
+    // the MERGE full-outer join is then exchange-free — only the snapshot
+    // write pays a shuffle, once, not every merge.
+    val dir = Files.createTempDirectory("scd1_buckets")
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    def latest(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"value", $"ts")
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    latest(ev.filter($"ts" < cutoff))
+      .write.option("path", s"$dir/t_base").mode("overwrite")
+      .bucketBy(8, "user_id").sortBy("user_id").saveAsTable("t_base")
+    latest(ev.filter($"ts" >= cutoff))
+      .write.option("path", s"$dir/t_delta").mode("overwrite")
+      .bucketBy(8, "user_id").sortBy("user_id").saveAsTable("t_delta")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val base = spark.table("t_base")
+        .select($"user_id", $"value".as("base_value"), $"ts".as("base_ts"))
+      val delta = spark.table("t_delta")
+        .select($"user_id", $"value".as("delta_value"), $"ts".as("delta_ts"))
+      val merged = base.join(delta, Seq("user_id"), "full_outer")
+        .select($"user_id", coalesce($"delta_value", $"base_value").as("value"))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed merge still shuffles:\n$plan")
+      assert(merged.count() ==
+        ev.select($"user_id").distinct().count(),
+        "merge output covers every key exactly once")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS t_base")
+      spark.sql("DROP TABLE IF EXISTS t_delta")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import spark.implicits._
     // Row-level runtime filtering: when a selective dimension filter exists,
