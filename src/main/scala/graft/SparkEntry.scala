@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
       Temporal.queries ++ CurationPipeline.queries ++ DecisionSupport.queries ++
-      Collections.queries ++ Graph.queries
+      Collections.queries ++ Graph.queries ++ ZOrder.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++
       Temporal.oracleSql ++ CurationPipeline.oracleSql ++ DecisionSupport.oracleSql ++
-      Collections.oracleSql ++ Graph.oracleSql
+      Collections.oracleSql ++ Graph.oracleSql ++ ZOrder.oracleSql
 }

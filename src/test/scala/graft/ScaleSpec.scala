@@ -206,6 +206,62 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout: a 2-D box predicate skips row groups in BOTH dimensions") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    // Write the same orders keyed by (custkey, epoch-day) twice: sorted by
+    // the Morton z-value vs sorted 1-D by custkey only. Then read the real
+    // parquet footers and count row groups whose [min,max] box intersects a
+    // 2-D range predicate — the z layout must give BOTH columns tight
+    // bounds, the 1-D layout leaves the date dimension unsorted so ~every
+    // row group matches the date half of the box.
+    val dir = Files.createTempDirectory("zorder").toString
+    val keys = graft.operators.ZOrder.zorderKeys(spark, "/root/testdata/sf0.01")
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", 32 * 1024)
+    try {
+      keys.sort($"zvalue").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/z")
+      keys.sort($"xk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/linear")
+    } finally spark.sparkContext.hadoopConfiguration.unset("parquet.block.size")
+
+    // an eighth-span slice of each dimension (the other dimension open)
+    val r = keys.agg(min($"xk"), max($"xk"), min($"yk"), max($"yk")).first()
+    val (xMin, xMax, yMin, yMax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (xLo, xHi) = (xMin, xMin + (xMax - xMin) / 8)
+    val (yLo, yHi) = (yMin, yMin + (yMax - yMin) / 8)
+    def matchFraction(sub: String, col: String, lo: Long, hi: Long): Double = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(f.getAbsolutePath), spark.sparkContext.hadoopConfiguration))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        assert(blocks.size >= 8, s"$sub: need many row groups, got ${blocks.size}")
+        val hit = blocks.count { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == col).get.getStatistics
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          mx >= lo && mn <= hi
+        }
+        hit.toDouble / blocks.size
+      } finally reader.close()
+    }
+    // 1-D custkey sort: perfect on its own column, helpless on the date —
+    // essentially every row group spans the full date range
+    assert(matchFraction("linear", "yk", yLo, yHi) >= 0.9,
+      "1-D layout should fail to prune the unsorted dimension")
+    // z-order: BOTH single-dimension slices skip the majority of row groups
+    val zX = matchFraction("z", "xk", xLo, xHi)
+    val zY = matchFraction("z", "yk", yLo, yHi)
+    assert(zX <= 0.6, s"z layout matched $zX of row groups on the custkey slice")
+    assert(zY <= 0.6, s"z layout matched $zY of row groups on the date slice")
+  }
+
   test("bucketed SCD1 merge: snapshot full-outer delta joins without a shuffle") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
