@@ -633,6 +633,59 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Chi-square independence test: is event_type independent of weekday?
+  // The full R×C grid (cross join of the two marginal-total relations,
+  // observed counts left-joined so zero cells participate), expected
+  // E = row·col/N, χ² = Σ (O-E)²/E. Everything is integer-exact up to
+  // the per-cell division; the SUM of the irrational per-cell terms would
+  // be partition-order-dependent as doubles, so each term is rounded to
+  // DECIMAL(28,10) first and the decimal sum is exact — the same
+  // order-independence trick as the integer-cents moments in corrStats.
+  // Scale: one count aggregation over the fact; everything after is
+  // R×C-sized (broadcast land).
+  // ---------------------------------------------------------------------------
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .selectExpr("event_type", "dayofweek(ts) - 1 AS dow")
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
+    val ct = cells.groupBy($"dow").agg(sum($"o").as("ct"))
+    val n = cells.agg(sum($"o").as("n"))
+    rt.crossJoin(ct).crossJoin(broadcast(n))
+      .join(cells, Seq("event_type", "dow"), "left")
+      .selectExpr("event_type", "dow", "rt", "ct", "n", "coalesce(o, 0L) AS o")
+      .selectExpr(
+        "CAST((o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "* (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "/ (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,10)) AS term",
+        "event_type", "dow")
+      .agg(
+        sum($"term").cast("double").as("chi2"),
+        ((countDistinct($"event_type") - 1) * (countDistinct($"dow") - 1)).as("dof"))
+  }
+  val chiSquareSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS dow, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |grid AS (
+      |  SELECT rt.event_type, ct.dow, rt.rt, ct.ct, nn.n,
+      |         COALESCE(cells.o, 0) AS o
+      |  FROM rt CROSS JOIN ct CROSS JOIN nn
+      |  LEFT JOIN cells ON cells.event_type = rt.event_type AND cells.dow = ct.dow)
+      |SELECT CAST(sum(CAST(
+      |         (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |       AS DECIMAL(28,10))) AS DOUBLE) AS chi2,
+      |       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
+      |FROM grid
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Winsorization (per-group outlier clipping): clip each event's value to
   // its group's [p05, p95] band and report the clipped aggregate — the
   // standard robust-statistics pre-step before a mean/sum that outliers
@@ -1516,6 +1569,7 @@ object Relational {
     "q_scd2"           -> scd2History _,
     "q_scd1_merge"     -> scd1Merge _,
     "q_winsorize"      -> winsorize _,
+    "q_chisq"          -> chiSquare _,
     "q_reagg_month"    -> reaggMonth _,
     "q_range_frame"    -> rangeFrame _,
     "q_cdc_extract"    -> cdcExtract _,
@@ -1569,6 +1623,7 @@ object Relational {
     "q_scd2"           -> scd2HistorySql,
     "q_scd1_merge"     -> scd1MergeSql,
     "q_winsorize"      -> winsorizeSql,
+    "q_chisq"          -> chiSquareSql,
     "q_reagg_month"    -> reaggMonthSql,
     "q_range_frame"    -> rangeFrameSql,
     "q_envelope_parse" -> envelopeParseSql,
