@@ -646,9 +646,12 @@ object Relational {
   // ---------------------------------------------------------------------------
   def chiSquare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cells = Tables.events(s, dir)
+    // Materialized once: cells feeds four consumers (row totals, column
+    // totals, grand total, and the grid join) — without the barrier each
+    // would re-scan and re-aggregate the fact (4 scans, plan-gated to 1).
+    val cells = graft.Materialize.eager(Tables.events(s, dir)
       .selectExpr("event_type", "dayofweek(ts) - 1 AS dow")
-      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o")))
     val rt = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
     val ct = cells.groupBy($"dow").agg(sum($"o").as("ct"))
     val n = cells.agg(sum($"o").as("n"))

@@ -170,6 +170,32 @@ class PlanSpec extends AnyFunSuite {
       s"order-date window not pushed into the orders scan:\n$plan")
   }
 
+  test("winsorize clip bounds broadcast — the fact never reshuffles for the clip") {
+    val plan = executed(Relational.winsorize(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"bounds must broadcast, not shuffle-join:\n$plan")
+    // exchanges: bounds aggregation + final aggregation — the clip itself adds none
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"expected <=2 exchanges (bounds, final agg), got $shuffles:\n$plan")
+  }
+
+  test("z-order keys are a pure scan-project: no exchange at all") {
+    val plan = executed(graft.operators.ZOrder.zorderKeys(spark, sf))
+    assert(!plan.contains("Exchange"), s"Morton keys must not shuffle:\n$plan")
+    // the `*(1)` prefix marks the whole-stage-codegen'd stage at this verbosity
+    assert(plan.contains("*(1) Project"), s"interleave must codegen:\n$plan")
+  }
+
+  test("chi-square: one fact aggregation, then broadcast-land") {
+    val plan = executed(Relational.chiSquare(spark, sf))
+    // the cell counts are materialized eagerly (one fact pass inside
+    // Materialize.eager), so the final plan must contain NO parquet scan at
+    // all — every consumer reads the checkpointed R×C relation
+    assert(plan.contains("BroadcastExchange"), s"grid joins should broadcast:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"consumers must reuse the materialized cells, got $scans scans:\n$plan")
+  }
+
   test("Q21 window trio shares one orderkey exchange; top-10 is TakeOrdered") {
     val plan = executed(DecisionSupport.latestShipper(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"limit must not global-sort:\n$plan")
