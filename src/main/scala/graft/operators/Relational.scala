@@ -633,6 +633,114 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Market-basket association (event-type co-occurrence): for every pair
+  // of event types, how many users do both, and is that more than chance?
+  // support = P(a∧b), confidence = P(b|a), lift = P(a∧b)/(P(a)·P(b)).
+  // The basket relation is the DISTINCT (user, type) projection — one
+  // shuffle, after which the per-user pair expansion is bounded by the
+  // type-vocabulary size squared (tiny), never by event volume. Counts are
+  // exact integers; each ratio is a fixed chain of IEEE ops on them.
+  // ---------------------------------------------------------------------------
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // one basket row per (user, type); feeds three consumers
+    val ut = graft.Materialize.eager(
+      Tables.events(s, dir).select($"user_id", $"event_type").distinct())
+    val nu = ut.agg(countDistinct($"user_id").as("n_users"))
+    val tc = ut.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = ut.select($"user_id", $"event_type".as("type_a"))
+      .join(ut.select($"user_id", $"event_type".as("type_b")), "user_id")
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(tc.select($"event_type".as("type_a"), $"n_t".as("n_a"))), "type_a")
+      .join(broadcast(tc.select($"event_type".as("type_b"), $"n_t".as("n_b"))), "type_b")
+      .crossJoin(broadcast(nu))
+      .selectExpr(
+        "type_a", "type_b", "n_ab", "n_a", "n_b", "n_users",
+        "CAST(n_ab AS DOUBLE) / n_users AS support",
+        "CAST(n_ab AS DOUBLE) / n_a AS confidence",
+        "CAST(n_ab AS DOUBLE) * n_users / (CAST(n_a AS DOUBLE) * n_b) AS lift")
+  }
+  val basketLiftSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+      |tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_ab,
+      |       ta.n_t AS n_a, tb.n_t AS n_b, n_users,
+      |       CAST(n_ab AS DOUBLE) / n_users AS support,
+      |       CAST(n_ab AS DOUBLE) / ta.n_t AS confidence,
+      |       CAST(n_ab AS DOUBLE) * n_users / (CAST(ta.n_t AS DOUBLE) * tb.n_t) AS lift
+      |FROM pairs
+      |JOIN tc ta ON ta.event_type = type_a
+      |JOIN tc tb ON tb.event_type = type_b
+      |CROSS JOIN nu
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A/B experiment readout: users are assigned to arms by md5 parity (the
+  // same deterministic hash-split used for train/val — no RNG, so both
+  // engines assign identically and a rerun reproduces the experiment),
+  // the metric is "power purchaser" (>= 14 purchase events — the per-user
+  // purchase intensity is scale-invariant in this data, so the proportion
+  // stays strictly inside (0,1) at every sf), and the readout is the
+  // two-proportion pooled z-score. Counts are exact integers; the z is a
+  // fixed chain of IEEE ops (divisions and one correctly-rounded sqrt) on
+  // those integers, so the oracle hash-matches. One distinct-aggregation
+  // over the fact, then scalar land.
+  // ---------------------------------------------------------------------------
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg((sum(when($"event_type" === "purchase", 1L).otherwise(0L)) >= 14)
+        .cast("long").as("converted"))
+      .selectExpr(
+        "CASE WHEN cast(conv(substr(md5(cast(cast(user_id as string) as binary)), 1, 4), 16, 10) as int) % 2 = 0 THEN 'A' ELSE 'B' END AS arm",
+        "converted")
+    users.groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"converted").as("conv"))
+      .agg(
+        sum(when($"arm" === "A", $"n")).as("n_a"),
+        sum(when($"arm" === "A", $"conv")).as("conv_a"),
+        sum(when($"arm" === "B", $"n")).as("n_b"),
+        sum(when($"arm" === "B", $"conv")).as("conv_b"))
+      .selectExpr(
+        "n_a", "conv_a", "n_b", "conv_b",
+        "CAST(conv_a AS DOUBLE) / n_a AS rate_a",
+        "CAST(conv_b AS DOUBLE) / n_b AS rate_b",
+        "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / " +
+          "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) AS z_score")
+  }
+  val abTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 AS INT) AS converted
+      |  FROM events GROUP BY user_id),
+      |armed AS (
+      |  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INT % 2 = 0
+      |              THEN 'A' ELSE 'B' END AS arm, converted
+      |  FROM u),
+      |g AS (SELECT arm, count(*) AS n, sum(converted) AS conv FROM armed GROUP BY arm),
+      |t AS (SELECT
+      |        CAST(sum(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN arm = 'A' THEN conv END) AS BIGINT) AS conv_a,
+      |        CAST(sum(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+      |        CAST(sum(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS conv_b
+      |      FROM g)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |       CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+      |       CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+      |       (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+      |         sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) AS z_score
+      |FROM t
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Chi-square independence test: is event_type independent of weekday?
   // The full R×C grid (cross join of the two marginal-total relations,
   // observed counts left-joined so zero cells participate), expected
@@ -704,28 +812,47 @@ object Relational {
     val bounds = ev.groupBy($"event_type")
       .agg(expr("percentile(value, array(0.05, 0.95))").as("b"))
       .selectExpr("event_type", "b[0] AS lo", "b[1] AS hi")
+    // Integer-cent clipping: the interpolated bounds are snapped OUTWARD to
+    // whole cents with tie-free floor/ceil (a decimal cast of an
+    // interpolated double can land on an exactly-representable .xx5 tie,
+    // where Spark rounds half-up and DuckDB half-even — a raw parquet
+    // value never does, a percentile midpoint can). Values become exact
+    // cents via the proven DECIMAL(18,2) cast; the clipped sum is then an
+    // exact integer reduction.
     ev.join(broadcast(bounds), "event_type")
+      .selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc",
+        "CAST(floor(lo * 100) AS BIGINT) AS loc",
+        "CAST(ceil(hi * 100) AS BIGINT) AS hic",
+        "lo", "hi")
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n"),
-        sum(when($"value" < $"lo", 1L).otherwise(0L)).as("n_clipped_low"),
-        sum(when($"value" > $"hi", 1L).otherwise(0L)).as("n_clipped_high"),
+        sum(when($"vc" < $"loc", 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when($"vc" > $"hic", 1L).otherwise(0L)).as("n_clipped_high"),
         min($"lo").as("lo"),
         min($"hi").as("hi"),
-        sum(D(least(greatest($"value", $"lo"), $"hi")))
-          .cast("double").as("sum_winsorized"))
+        (sum(least(greatest($"vc", $"loc"), $"hic")).cast("double")
+          / lit(100).cast("double")).as("sum_winsorized"))
   }
   val winsorizeSql: String =
     """WITH b AS (
       |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
       |         quantile_cont(value, 0.95) AS hi
-      |  FROM events GROUP BY event_type)
+      |  FROM events GROUP BY event_type),
+      |c AS (
+      |  SELECT events.event_type,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+      |         CAST(floor(lo * 100) AS BIGINT) AS loc,
+      |         CAST(ceil(hi * 100) AS BIGINT) AS hic,
+      |         lo, hi
+      |  FROM events JOIN b USING (event_type))
       |SELECT event_type, count(*) AS n,
-      |       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
-      |       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      |       CAST(sum(CASE WHEN vc < loc THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      |       CAST(sum(CASE WHEN vc > hic THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
       |       min(lo) AS lo, min(hi) AS hi,
-      |       CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
-      |FROM events JOIN b USING (event_type)
+      |       CAST(sum(least(greatest(vc, loc), hic)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_winsorized
+      |FROM c
       |GROUP BY event_type
       |""".stripMargin
 
@@ -1573,6 +1700,8 @@ object Relational {
     "q_scd1_merge"     -> scd1Merge _,
     "q_winsorize"      -> winsorize _,
     "q_chisq"          -> chiSquare _,
+    "q_ab_test"        -> abTest _,
+    "q_basket_lift"    -> basketLift _,
     "q_reagg_month"    -> reaggMonth _,
     "q_range_frame"    -> rangeFrame _,
     "q_cdc_extract"    -> cdcExtract _,
@@ -1627,6 +1756,8 @@ object Relational {
     "q_scd1_merge"     -> scd1MergeSql,
     "q_winsorize"      -> winsorizeSql,
     "q_chisq"          -> chiSquareSql,
+    "q_ab_test"        -> abTestSql,
+    "q_basket_lift"    -> basketLiftSql,
     "q_reagg_month"    -> reaggMonthSql,
     "q_range_frame"    -> rangeFrameSql,
     "q_envelope_parse" -> envelopeParseSql,
