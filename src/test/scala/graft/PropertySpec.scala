@@ -235,6 +235,30 @@ class PropertySpec extends AnyFunSuite {
     assert(rounds <= 12, s"random-500 took $rounds star rounds")
   }
 
+  test("z-order interleave is a bijection and monotone per dimension") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    val pairs = sampled(Gen.listOfN(300,
+      Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))), 0x30L)
+    val df = pairs.toDF("xk", "yk")
+      .selectExpr("xk", "yk", s"${ZOrder.zExprSpark("xk", "yk")} AS z")
+    // bijection: de-interleave (even bits → x, odd bits → y) recovers the pair
+    val deX = (0 until 16).map(i => s"shiftleft(shiftright(z, ${2 * i}) & 1, $i)").mkString(" + ")
+    val deY = (0 until 16).map(i => s"shiftleft(shiftright(z, ${2 * i + 1}) & 1, $i)").mkString(" + ")
+    val bad = df.selectExpr("xk", "yk", s"$deX AS x2", s"$deY AS y2")
+      .filter($"xk" =!= $"x2" || $"yk" =!= $"y2").count()
+    assert(bad == 0, "de-interleave must invert the Morton code")
+    // monotone in x for fixed y (and vice versa): order by z = order by x
+    val rows = pairs.map { case (x, y) => (x, y) }.distinct
+    val fixedY = rows.groupBy(_._2).values.filter(_.size >= 2)
+    val zOf = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    fixedY.foreach { grp =>
+      val sortedByX = grp.map(_._1).distinct.sorted
+      val zs = sortedByX.map(x => zOf((x, grp.head._2)))
+      assert(zs == zs.sorted, "z must be monotone in x when y is fixed")
+    }
+  }
+
   test("expectations count injected violations exactly") {
     import spark.implicits._
     import graft.quality.Expectations
