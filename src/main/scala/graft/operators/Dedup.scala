@@ -855,7 +855,70 @@ object Dedup {
        |FROM tot
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // INCREMENTAL span dedup: a delta batch of documents scored against the
+  // STORED corpus span index — the 100 TB operating mode for q_span_dedup,
+  // where re-exploding the whole corpus per ingest would dominate. The
+  // index is (span-hash → document frequency); the delta probes it with a
+  // join, so the work is O(delta spans + matched index entries). Delta
+  // spans count toward each other too (two new copies of the same
+  // boilerplate must flag each other), so the probe combines the stored
+  // df with the delta's own df before thresholding. Result is provably
+  // identical to the batch report restricted to delta docs — the oracle
+  // IS the restricted batch SQL.
+  // ---------------------------------------------------------------------------
+  private val SpanCut = 400L
+
+  def spanDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, dir).select($"doc_id", $"text")
+    def spansOf(d: DataFrame) = d
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", s"$spansExpr AS spans")
+    // the stored artifact a real pipeline maintains between ingests
+    val corpusIdx = graft.Materialize.eager(
+      spansOf(all.filter($"doc_id" < SpanCut))
+        .selectExpr("explode(spans) AS span")
+        .select(substring(md5($"span"), 1, 16).as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("df_c")))
+    val deltaSpans = graft.Materialize.rebalanced(
+      spansOf(all.filter($"doc_id" >= SpanCut)))
+    val deltaH = graft.Materialize.eager(deltaSpans
+      .selectExpr("doc_id", "explode(spans) AS span")
+      .select($"doc_id", substring(md5($"span"), 1, 16).as("h")))
+    val totalDf = deltaH.groupBy($"h").agg(count(lit(1)).as("df_d"))
+      .join(corpusIdx, Seq("h"), "left")
+      .select($"h", (coalesce($"df_c", lit(0L)) + $"df_d").as("df"))
+    val dup = deltaH.join(totalDf, "h").filter($"df" >= 2)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    deltaSpans.select($"doc_id", size($"spans").cast("long").as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+        when($"n_spans" > 0,
+          coalesce($"n_dup_spans", lit(0L)).cast("double") / $"n_spans".cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+  /** Oracle: the from-scratch batch report, restricted to delta docs —
+    * incremental maintenance must be invisible in the result. */
+  val spanDedupIncrementalSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |sp AS (SELECT doc_id, $spansDuck AS spans FROM tok),
+       |ex AS (SELECT doc_id, unnest(spans) AS span FROM sp),
+       |w AS (SELECT doc_id, count(*) OVER (PARTITION BY span) AS df FROM ex),
+       |dup AS (SELECT doc_id, count(*) AS n_dup FROM w WHERE df >= 2 GROUP BY doc_id)
+       |SELECT sp.doc_id,
+       |       CAST(len(sp.spans) AS BIGINT) AS n_spans,
+       |       CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       |       CASE WHEN len(sp.spans) > 0
+       |            THEN CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / CAST(len(sp.spans) AS DOUBLE)
+       |            ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
+       |FROM sp LEFT JOIN dup ON sp.doc_id = dup.doc_id
+       |WHERE sp.doc_id >= $SpanCut
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup_incr"   -> spanDedupIncremental _,
     "q_lsh_quality"       -> lshQuality _,
     "q_span_dedup"        -> spanDedup _,
     "q_dedup_clusters"    -> dedupClusters _,
@@ -873,6 +936,7 @@ object Dedup {
     "q_seg_dedup"         -> segDedup _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_span_dedup_incr"   -> spanDedupIncrementalSql,
     "q_lsh_quality"       -> lshQualitySql,
     "q_span_dedup"        -> spanDedupSql,
     "q_dedup_clusters"    -> dedupClustersSql,

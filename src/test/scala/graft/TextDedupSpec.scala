@@ -316,6 +316,15 @@ class TextDedupSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("incremental span dedup equals the batch report restricted to the delta") {
+    import spark.implicits._
+    val incr = Dedup.spanDedupIncremental(spark, sf)
+    val batchRestricted = Dedup.spanDedup(spark, sf).filter($"doc_id" >= 400)
+    assert(incr.exceptAll(batchRestricted).isEmpty &&
+      batchRestricted.exceptAll(incr).isEmpty,
+      "index-probe composition must be invisible in the result")
+  }
+
   test("span dedup matches an independent join-on-text recomputation") {
     import spark.implicits._
     val got = Dedup.spanDedup(spark, sf).cache()
