@@ -745,15 +745,38 @@ object Dedup {
   private val spansDuck =
     s"list_distinct(list_transform(range(1, greatest(len(toks) - ${SpanK - 2}, 1)), i -> array_to_string(toks[i:i+${SpanK - 1}], ' ')))"
 
-  def spanDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // Materialized once: both the per-doc span totals and the exploded
-    // hash relation read it; without the barrier the tokenize+span build
-    // would be re-inlined into each consumer (CollapseProject).
-    val spans = graft.Materialize.rebalanced(
-      Tables.documents(s, dir).select($"doc_id", $"text")
+  /** Per-doc distinct 8-token spans. The CPU-heavy span build sits on top
+    * of a conditionally-rebalanced scan (spread when the file has fewer
+    * row groups than cores — see Materialize.rebalanced); the eager()
+    * is the UNCONDITIONAL barrier: both the per-doc span totals and the
+    * exploded hash relation read the result, and without it
+    * CollapseProject re-inlines the tokenize+span build into each
+    * consumer (rebalanced alone passes well-split inputs through and is
+    * no barrier at all). */
+  private def spanRows(docs: DataFrame): DataFrame =
+    graft.Materialize.eager(
+      graft.Materialize.rebalanced(docs)
         .withColumn("toks", expr(toksExpr))
         .selectExpr("doc_id", s"$spansExpr AS spans"))
+
+  /** Shared final rollup: per-doc span totals left-joined with the
+    * duplicated-span counts (the batch and incremental operators must
+    * emit bit-identical report rows). */
+  private def spanReport(spans: DataFrame, dup: DataFrame): DataFrame = {
+    val s = spans.sparkSession
+    import s.implicits._
+    spans.select($"doc_id", size($"spans").cast("long").as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+        when($"n_spans" > 0,
+          coalesce($"n_dup_spans", lit(0L)).cast("double") / $"n_spans".cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spans = spanRows(Tables.documents(s, dir).select($"doc_id", $"text"))
     val hashed = spans
       .selectExpr("doc_id", "explode(spans) AS span")
       .select($"doc_id", substring(md5($"span"), 1, 16).as("h"))
@@ -762,13 +785,7 @@ object Dedup {
       .filter($"df" >= 2)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_dup_spans"))
-    spans.select($"doc_id", size($"spans").cast("long").as("n_spans"))
-      .join(dup, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_spans",
-        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
-        when($"n_spans" > 0,
-          coalesce($"n_dup_spans", lit(0L)).cast("double") / $"n_spans".cast("double"))
-          .otherwise(lit(0.0)).as("dup_ratio"))
+    spanReport(spans, dup)
   }
   val spanDedupSql: String =
     s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
@@ -819,7 +836,11 @@ object Dedup {
       .join(ns.select($"doc_id".as("db"), $"nsh".as("nb")), "db")
       .filter($"shared".cast("double") / ($"na" + $"nb" - $"shared") >= 0.8)
       .select($"da".as("doc_a"), $"db".as("doc_b"))
-    val cand = graft.Materialize.eager(lshCandidatesFrom(docs))
+    // candidates from the PRODUCTION banding path, fed by the SAME
+    // materialized hash rows as the truth side (the corpus is tokenized
+    // and hashed exactly once); lshCandidatesFromSigs materializes its
+    // result internally — no second checkpoint here
+    val cand = lshCandidatesFromSigs(signaturesFromHashes(hrows))
     val tp = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_true_pairs"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
@@ -867,22 +888,16 @@ object Dedup {
   // identical to the batch report restricted to delta docs — the oracle
   // IS the restricted batch SQL.
   // ---------------------------------------------------------------------------
-  private val SpanCut = 400L
-
   def spanDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = Tables.documents(s, dir).select($"doc_id", $"text")
-    def spansOf(d: DataFrame) = d
-      .withColumn("toks", expr(toksExpr))
-      .selectExpr("doc_id", s"$spansExpr AS spans")
     // the stored artifact a real pipeline maintains between ingests
     val corpusIdx = graft.Materialize.eager(
-      spansOf(all.filter($"doc_id" < SpanCut))
+      spanRows(all.filter($"doc_id" < IncrSplit))
         .selectExpr("explode(spans) AS span")
         .select(substring(md5($"span"), 1, 16).as("h"))
         .groupBy($"h").agg(count(lit(1)).as("df_c")))
-    val deltaSpans = graft.Materialize.rebalanced(
-      spansOf(all.filter($"doc_id" >= SpanCut)))
+    val deltaSpans = spanRows(all.filter($"doc_id" >= IncrSplit))
     val deltaH = graft.Materialize.eager(deltaSpans
       .selectExpr("doc_id", "explode(spans) AS span")
       .select($"doc_id", substring(md5($"span"), 1, 16).as("h")))
@@ -891,31 +906,13 @@ object Dedup {
       .select($"h", (coalesce($"df_c", lit(0L)) + $"df_d").as("df"))
     val dup = deltaH.join(totalDf, "h").filter($"df" >= 2)
       .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_spans"))
-    deltaSpans.select($"doc_id", size($"spans").cast("long").as("n_spans"))
-      .join(dup, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_spans",
-        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
-        when($"n_spans" > 0,
-          coalesce($"n_dup_spans", lit(0L)).cast("double") / $"n_spans".cast("double"))
-          .otherwise(lit(0.0)).as("dup_ratio"))
+    spanReport(deltaSpans, dup)
   }
   /** Oracle: the from-scratch batch report, restricted to delta docs —
-    * incremental maintenance must be invisible in the result. */
+    * incremental maintenance must be invisible in the result, so the SQL
+    * IS the batch SQL plus the delta restriction. */
   val spanDedupIncrementalSql: String =
-    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
-       |sp AS (SELECT doc_id, $spansDuck AS spans FROM tok),
-       |ex AS (SELECT doc_id, unnest(spans) AS span FROM sp),
-       |w AS (SELECT doc_id, count(*) OVER (PARTITION BY span) AS df FROM ex),
-       |dup AS (SELECT doc_id, count(*) AS n_dup FROM w WHERE df >= 2 GROUP BY doc_id)
-       |SELECT sp.doc_id,
-       |       CAST(len(sp.spans) AS BIGINT) AS n_spans,
-       |       CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_spans,
-       |       CASE WHEN len(sp.spans) > 0
-       |            THEN CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / CAST(len(sp.spans) AS DOUBLE)
-       |            ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
-       |FROM sp LEFT JOIN dup ON sp.doc_id = dup.doc_id
-       |WHERE sp.doc_id >= $SpanCut
-       |""".stripMargin
+    spanDedupSql + s"WHERE sp.doc_id >= $IncrSplit\n"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_dedup_incr"   -> spanDedupIncremental _,
