@@ -633,6 +633,50 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Gaps-and-islands: per customer, the longest streak of CONSECUTIVE
+  // order days plus activity/gap totals. The island key is the classic
+  // `day - row_number()` trick — consecutive days share it, any gap
+  // shifts it — computed in epoch-day integer space so both engines
+  // subtract exact integers. One shuffle to the customer key; the
+  // window, the island rollup, and the final per-customer aggregate all
+  // reuse that partitioning.
+  // ---------------------------------------------------------------------------
+  def orderStreaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"d")
+    val days = Tables.orders(s, dir)
+      .selectExpr("o_custkey",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d")
+      .distinct()
+    val islands = days
+      .withColumn("grp", $"d" - row_number().over(w))
+      .groupBy($"o_custkey", $"grp").agg(count(lit(1)).as("len"))
+    islands.groupBy($"o_custkey")
+      .agg(
+        sum($"len").as("n_active_days"),
+        max($"len").as("longest_streak"),
+        count(lit(1)).as("n_islands"))
+  }
+  val orderStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT o_custkey,
+      |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
+      |  FROM orders),
+      |islands AS (
+      |  SELECT o_custkey, d - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT o_custkey, grp, count(*) AS len
+      |  FROM islands GROUP BY o_custkey, grp)
+      |SELECT o_custkey,
+      |       CAST(sum(len) AS BIGINT) AS n_active_days,
+      |       CAST(max(len) AS BIGINT) AS longest_streak,
+      |       count(*) AS n_islands
+      |FROM runs GROUP BY o_custkey
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Market-basket association (event-type co-occurrence): for every pair
   // of event types, how many users do both, and is that more than chance?
   // support = P(a∧b), confidence = P(b|a), lift = P(a∧b)/(P(a)·P(b)).
@@ -1702,6 +1746,7 @@ object Relational {
     "q_chisq"          -> chiSquare _,
     "q_ab_test"        -> abTest _,
     "q_basket_lift"    -> basketLift _,
+    "q_streaks"        -> orderStreaks _,
     "q_reagg_month"    -> reaggMonth _,
     "q_range_frame"    -> rangeFrame _,
     "q_cdc_extract"    -> cdcExtract _,
@@ -1758,6 +1803,7 @@ object Relational {
     "q_chisq"          -> chiSquareSql,
     "q_ab_test"        -> abTestSql,
     "q_basket_lift"    -> basketLiftSql,
+    "q_streaks"        -> orderStreaksSql,
     "q_reagg_month"    -> reaggMonthSql,
     "q_range_frame"    -> rangeFrameSql,
     "q_envelope_parse" -> envelopeParseSql,

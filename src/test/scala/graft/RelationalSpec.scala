@@ -85,6 +85,35 @@ class RelationalSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("order streaks match a driver-side scan of each customer's day set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Relational.orderStreaks(spark, sf).cache()
+    // global consistency
+    assert(got.filter($"longest_streak" > $"n_active_days").count() == 0)
+    assert(got.filter($"n_islands" < 1).count() == 0)
+    // exact recomputation, driver-side, for every customer at this sf
+    val days = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d")
+      .distinct().collect().map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expect = days.map { case (c, ds) =>
+      var streaks = List(1)
+      for (i <- 1 until ds.length)
+        streaks =
+          if (ds(i) == ds(i - 1) + 1) (streaks.head + 1) :: streaks.tail
+          else 1 :: streaks
+      c -> (ds.length.toLong, streaks.max.toLong, streaks.length.toLong)
+    }
+    got.collect().foreach { r =>
+      val (n, longest, islands) = expect(r.getLong(0))
+      assert(r.getAs[Long]("n_active_days") == n)
+      assert(r.getAs[Long]("longest_streak") == longest)
+      assert(r.getAs[Long]("n_islands") == islands)
+    }
+    got.unpersist()
+  }
+
   test("scd1 merge equals the latest-overall state per key") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
