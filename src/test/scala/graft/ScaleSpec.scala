@@ -206,6 +206,57 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    // The star-join mechanism that makes 100 TB dimension-filtered scans
+    // affordable: the fact is partitioned on the join key, the dimension
+    // filter is only known at runtime, and Spark injects a dynamic-pruning
+    // subquery into the fact scan so non-matching partitions are never read.
+    val dir = Files.createTempDirectory("dpp").toString
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    ev.withColumn("d", to_date($"ts"))
+      .write.partitionBy("d").mode("overwrite").parquet(s"$dir/fact")
+    val nDays = ev.select(to_date($"ts")).distinct().count()
+    // runtime-only dim: 3 selected days with an attribute filter
+    val dim = ev.select(to_date($"ts").as("d")).distinct().orderBy($"d").limit(3)
+      .withColumn("tag", lit("keep"))
+    dim.write.mode("overwrite").parquet(s"$dir/dim")
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // DPP needs either a broadcast reuse or a worthwhile estimated benefit;
+    // keep broadcast on (default) so the pruning subquery reuses it
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dimR = spark.read.parquet(s"$dir/dim").filter($"tag" === "keep")
+      val joined = fact.join(dimR, "d")
+      // collect() drives THIS Dataset's queryExecution (count() would build
+      // a separate one and the adaptive plan would never finalize)
+      assert(joined.collect().nonEmpty)
+      val top = joined.queryExecution.executedPlan
+      assert(top.toString.contains("dynamicpruning"),
+        s"no dynamic pruning subquery injected:\n$top")
+      // descend through AQE query stages — scans hide inside QueryStageExec
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case q: QueryStageExec => scans(q.plan)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case other => other.children.flatMap(scans)
+      }
+      val factScan = scans(top)
+        .find(_.metadata.get("Location").exists(_.contains("fact"))).get
+      // static file index lists every partition; the runtime metric counts
+      // only the ones the dynamic filter let through
+      assert(factScan.selectedPartitions.partitionCount == nDays)
+      val scanned = factScan.metrics.get("numPartitions").map(_.value)
+      assert(scanned.contains(3L),
+        s"fact scan read $scanned of $nDays partitions (want 3)")
+    } finally {
+      saved.foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
+  }
+
   test("z-order layout: a 2-D box predicate skips row groups in BOTH dimensions") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
