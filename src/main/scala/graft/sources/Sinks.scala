@@ -32,12 +32,13 @@ object Sinks {
     df.write.mode(SaveMode.Append).parquet(path)
 
   def appendJdbc(df: DataFrame, url: String, table: String,
-                 user: String, password: String): Unit =
+                 user: String, password: String,
+                 driver: String = "org.postgresql.Driver"): Unit =
     df.write.mode(SaveMode.Append)
       .format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("user", user).option("password", password)
-      .option("driver", "org.postgresql.Driver")
+      .option("driver", driver)
       .save()
 
   /** S11 — csv/text probe sinks (ref: SaveDelta.scala:52,65). */

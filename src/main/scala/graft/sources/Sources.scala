@@ -44,17 +44,20 @@ object Sources {
     spark.read.parquet(path)
 
   /** S4/S6 — JDBC full-table scan (ref: read_delta.py:87-103 — employees_
-    * masked + commute_validations over PostgreSQL). Production seam: no
-    * database runs in this container; the option mapping is the contract.
+    * masked + commute_validations over PostgreSQL). The production target
+    * is PostgreSQL (default driver); the same path is exercised end-to-end
+    * in SourcesSpec against embedded Derby (on every Spark classpath), so
+    * the read/write contract is TESTED, not just declared.
     * `partitionColumn` enables parallel reads at scale — the reference read
     * single-threaded; a 1000-executor cluster must not. */
   def jdbcTable(spark: SparkSession, url: String, dbtable: String,
                 user: String, password: String,
-                partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+                partitionColumn: Option[(String, Long, Long, Int)] = None,
+                driver: String = "org.postgresql.Driver"): DataFrame = {
     val base = spark.read.format("jdbc")
       .option("url", url).option("dbtable", dbtable)
       .option("user", user).option("password", password)
-      .option("driver", "org.postgresql.Driver")
+      .option("driver", driver)
     partitionColumn.fold(base) { case (c, lo, hi, n) =>
       base.option("partitionColumn", c).option("lowerBound", lo)
         .option("upperBound", hi).option("numPartitions", n)
