@@ -144,7 +144,10 @@ class SourcesSpec extends AnyFunSuite {
     // Embedded Derby ships on every Spark classpath (Hive metastore dep) —
     // the same jdbcTable/appendJdbc code paths the production PostgreSQL
     // contract declares, exercised against a real database in-JVM.
-    val db = java.nio.file.Files.createTempDirectory("derby").resolve("db")
+    val tmp = java.nio.file.Files.createTempDirectory("derby")
+    // keep Derby's log out of the repo working directory
+    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+    val db = tmp.resolve("db")
     val url = s"jdbc:derby:$db;create=true"
     val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
     val sample = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
