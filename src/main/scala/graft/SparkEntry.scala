@@ -22,7 +22,8 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
       Temporal.queries ++ CurationPipeline.queries ++ DecisionSupport.queries ++
-      Collections.queries ++ Graph.queries ++ ZOrder.queries
+      Collections.queries ++ Graph.queries ++ ZOrder.queries ++
+      graft.sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++
       Temporal.oracleSql ++ CurationPipeline.oracleSql ++ DecisionSupport.oracleSql ++
-      Collections.oracleSql ++ Graph.oracleSql ++ ZOrder.oracleSql
+      Collections.oracleSql ++ Graph.oracleSql ++ ZOrder.oracleSql ++
+      graft.sources.Sources.oracleSql
 }

@@ -115,4 +115,44 @@ object Sources {
     * parquet path as a queryable name for `spark.sql`. */
   def registerTable(spark: SparkSession, name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
+
+  // ---------------------------------------------------------------------------
+  // Oracle-gated JDBC round-trip: events are bulk-appended to an embedded
+  // Derby database (on every Spark classpath) through the SAME appendJdbc
+  // path the PostgreSQL production contract uses, read back with a 4-way
+  // PARTITIONED parallel scan, and aggregated. The DuckDB oracle computes
+  // the identical aggregate straight from parquet — so the whole
+  // write→parallel-read JDBC surface (S4/S6/S12) is hash-gated, not just
+  // spec-gated. A fresh database per invocation keeps the query
+  // idempotent; partition bounds need not cover the key range (out-of-
+  // bounds rows land in the edge partitions by JDBC-source contract).
+  // ---------------------------------------------------------------------------
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("derby_q")
+    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val sample = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Sinks.appendJdbc(sample, url, "events_rt", "", "", driver)
+    jdbcTable(s, url, "events_rt", "", "",
+      Some(("event_id", 0L, 1000000L, 4)), driver)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+  val jdbcRoundtripSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jdbc_roundtrip" -> jdbcRoundtrip _,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q_jdbc_roundtrip" -> jdbcRoundtripSql,
+  )
 }
