@@ -633,6 +633,43 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Path mining: the most common 3-step event sequences across user
+  // journeys — the session-path analytics behind "users who do X then Y
+  // then Z". Trigrams come from two LEAD windows over the per-user
+  // event-time order (total ordering via the event_id tie-break, so both
+  // engines see identical sequences); one shuffle to the user key, then
+  // a count aggregate and a top-20 TakeOrdered. Generalizes the pairwise
+  // transition matrix (q_transitions) to order-3 paths.
+  // ---------------------------------------------------------------------------
+  def pathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type".as("step1"))
+      .withColumn("step2", lead($"step1", 1).over(w))
+      .withColumn("step3", lead($"step1", 2).over(w))
+      .filter($"step3".isNotNull)
+      .groupBy($"step1", $"step2", $"step3")
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy($"n_paths".desc, $"step1".asc, $"step2".asc, $"step3".asc)
+      .limit(20)
+  }
+  val pathTrigramsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS step1,
+      |         lead(event_type, 1) OVER w AS step2,
+      |         lead(event_type, 2) OVER w AS step3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      |SELECT step1, step2, step3, count(*) AS n_paths
+      |FROM seq WHERE step3 IS NOT NULL
+      |GROUP BY step1, step2, step3
+      |ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+      |LIMIT 20
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Gaps-and-islands: per customer, the longest streak of CONSECUTIVE
   // order days plus activity/gap totals. The island key is the classic
   // `day - row_number()` trick — consecutive days share it, any gap
@@ -1747,6 +1784,7 @@ object Relational {
     "q_ab_test"        -> abTest _,
     "q_basket_lift"    -> basketLift _,
     "q_streaks"        -> orderStreaks _,
+    "q_path_trigrams"  -> pathTrigrams _,
     "q_reagg_month"    -> reaggMonth _,
     "q_range_frame"    -> rangeFrame _,
     "q_cdc_extract"    -> cdcExtract _,
@@ -1804,6 +1842,7 @@ object Relational {
     "q_ab_test"        -> abTestSql,
     "q_basket_lift"    -> basketLiftSql,
     "q_streaks"        -> orderStreaksSql,
+    "q_path_trigrams"  -> pathTrigramsSql,
     "q_reagg_month"    -> reaggMonthSql,
     "q_range_frame"    -> rangeFrameSql,
     "q_envelope_parse" -> envelopeParseSql,
