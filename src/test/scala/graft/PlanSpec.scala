@@ -196,6 +196,30 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 0, s"consumers must reuse the materialized cells, got $scans scans:\n$plan")
   }
 
+  test("path trigrams: user-window exchange + count exchange, top-20 TakeOrdered") {
+    val plan = executed(Relational.pathTrigrams(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 exchanges (window, count), got $shuffles:\n$plan")
+  }
+
+  test("scd1 merge: the full-outer join reuses the per-side window partitioning") {
+    val plan = executed(Relational.scd1Merge(spark, sf))
+    // each side shuffles once to user_id for its row_number window; the
+    // join's ClusteredDistribution(user_id) is already satisfied — a third
+    // exchange would mean the merge reshuffles what the windows partitioned
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 exchanges (one per merge side), got $shuffles:\n$plan")
+    assert(plan.contains("FullOuter"), s"merge must be a full-outer join:\n$plan")
+  }
+
+  test("basket lift: consumers reuse the materialized basket relation") {
+    val plan = executed(Relational.basketLift(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"all three consumers must read the checkpointed baskets, got $scans scans:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"type totals should broadcast:\n$plan")
+  }
+
   test("Q21 window trio shares one orderkey exchange; top-10 is TakeOrdered") {
     val plan = executed(DecisionSupport.latestShipper(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"limit must not global-sort:\n$plan")
