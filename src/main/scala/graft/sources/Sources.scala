@@ -116,32 +116,57 @@ object Sources {
   def registerTable(spark: SparkSession, name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
 
+  /** Embedded-Derby helper shared by the oracle query and SourcesSpec: one
+    * driver-class constant (10.15+ package; older Derby used
+    * org.apache.derby.jdbc.AutoloadedDriver) and a fresh database URL.
+    * Derby reads `derby.stream.error.file` only at ENGINE boot, so the
+    * property is set before the first database in this JVM — later calls
+    * keep logging to the first temp dir, which is still outside the repo. */
+  object Derby {
+    val Driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    def freshDbUrl(): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("derby_db")
+      if (System.getProperty("derby.stream.error.file") == null)
+        System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+      s"jdbc:derby:$tmp/db;create=true"
+    }
+    /** Shut an embedded database down, releasing its page cache and
+      * background threads (Derby signals success via SQLException 08006). */
+    def shutdown(url: String): Unit =
+      try java.sql.DriverManager.getConnection(
+        url.replace(";create=true", ";shutdown=true"))
+      catch { case _: java.sql.SQLException => () }
+  }
+
   // ---------------------------------------------------------------------------
   // Oracle-gated JDBC round-trip: events are bulk-appended to an embedded
   // Derby database (on every Spark classpath) through the SAME appendJdbc
   // path the PostgreSQL production contract uses, read back with a 4-way
-  // PARTITIONED parallel scan, and aggregated. The DuckDB oracle computes
-  // the identical aggregate straight from parquet — so the whole
-  // write→parallel-read JDBC surface (S4/S6/S12) is hash-gated, not just
-  // spec-gated. A fresh database per invocation keeps the query
-  // idempotent; partition bounds need not cover the key range (out-of-
-  // bounds rows land in the edge partitions by JDBC-source contract).
+  // PARTITIONED parallel scan over the DATA-DERIVED key range (so every
+  // partition genuinely reads rows at every sf), and aggregated. The
+  // DuckDB oracle computes the identical aggregate straight from parquet —
+  // so the whole write→parallel-read JDBC surface (S4/S6/S12) is
+  // hash-gated, not just spec-gated. The 5-row result is materialized
+  // EAGERLY so the database can be shut down and reclaimed before the
+  // DataFrame is returned (a lazy read would pin the Derby instance for
+  // the JVM lifetime — one leaked page cache per bench invocation).
   // ---------------------------------------------------------------------------
   def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("derby_q")
-    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
-    val url = s"jdbc:derby:$tmp/db;create=true"
-    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val url = Derby.freshDbUrl()
     val sample = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    Sinks.appendJdbc(sample, url, "events_rt", "", "", driver)
-    jdbcTable(s, url, "events_rt", "", "",
-      Some(("event_id", 0L, 1000000L, 4)), driver)
+    Sinks.appendJdbc(sample, url, "events_rt", "", "", Derby.Driver)
+    val bounds = sample.agg(min(col("event_id")), max(col("event_id"))).first()
+    val agg = jdbcTable(s, url, "events_rt", "", "",
+      Some(("event_id", bounds.getLong(0), bounds.getLong(1), 4)), Derby.Driver)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val result = graft.Materialize.eager(agg)
+    Derby.shutdown(url)
+    result
   }
   val jdbcRoundtripSql: String =
     """SELECT event_type, count(*) AS n,

@@ -105,7 +105,9 @@ class RelationalSpec extends AnyFunSuite {
           else 1 :: streaks
       c -> (ds.length.toLong, streaks.max.toLong, streaks.length.toLong)
     }
-    got.collect().foreach { r =>
+    val rows = got.collect()
+    assert(rows.length == expect.size, "every customer must keep a row")
+    rows.foreach { r =>
       val (n, longest, islands) = expect(r.getLong(0))
       assert(r.getAs[Long]("n_active_days") == n)
       assert(r.getAs[Long]("longest_streak") == longest)

@@ -221,10 +221,11 @@ class ScaleSpec extends AnyFunSuite {
     val dim = ev.select(to_date($"ts").as("d")).distinct().orderBy($"d").limit(3)
       .withColumn("tag", lit("keep"))
     dim.write.mode("overwrite").parquet(s"$dir/dim")
-    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    val saved = spark.conf.getOption(dppKey)
+    spark.conf.set(dppKey, "true")
     // DPP needs either a broadcast reuse or a worthwhile estimated benefit;
-    // keep broadcast on (default) so the pruning subquery reuses it
+    // broadcast stays on (default) so the pruning subquery reuses it
     try {
       val fact = spark.read.parquet(s"$dir/fact")
       val dimR = spark.read.parquet(s"$dir/dim").filter($"tag" === "keep")
@@ -253,7 +254,7 @@ class ScaleSpec extends AnyFunSuite {
       assert(scanned.contains(3L),
         s"fact scan read $scanned of $nDays partitions (want 3)")
     } finally {
-      saved.foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      saved.fold(spark.conf.unset(dppKey))(v => spark.conf.set(dppKey, v))
     }
   }
 

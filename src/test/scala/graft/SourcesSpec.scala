@@ -144,12 +144,8 @@ class SourcesSpec extends AnyFunSuite {
     // Embedded Derby ships on every Spark classpath (Hive metastore dep) —
     // the same jdbcTable/appendJdbc code paths the production PostgreSQL
     // contract declares, exercised against a real database in-JVM.
-    val tmp = java.nio.file.Files.createTempDirectory("derby")
-    // keep Derby's log out of the repo working directory
-    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
-    val db = tmp.resolve("db")
-    val url = s"jdbc:derby:$db;create=true"
-    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val url = graft.sources.Sources.Derby.freshDbUrl()
+    val driver = graft.sources.Sources.Derby.Driver
     val sample = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"user_id", $"event_type",
         $"value", $"ts".cast("timestamp").as("ts"))
@@ -169,5 +165,6 @@ class SourcesSpec extends AnyFunSuite {
     val b = part.select($"event_id", $"user_id", $"event_type", $"value", $"ts")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "partitioned read must return exactly the full-scan rows")
+    graft.sources.Sources.Derby.shutdown(url)
   }
 }
