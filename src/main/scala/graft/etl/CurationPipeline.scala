@@ -60,10 +60,42 @@ object CurationPipeline {
        |WHERE q.is_quality
        |""".stripMargin
 
+  /** Recipe v2 — the v1 composition extended with the round-6 signals,
+    * showing how the pipeline evolves as new curation operators land:
+    *
+    *   6. span-dup gate: drop docs whose duplicated-8-token-span ratio
+    *      exceeds 0.5 (boilerplate-heavy even when not whole-doc dups);
+    *   7. diversity gate: drop the most repetitive docs (unigram Gini
+    *      impurity below 0.9 — bottom ~5% of this corpus).
+    *
+    * Both gates are LEFT SEMI joins against already-oracle-gated operator
+    * outputs, so v2 stays one declarative plan and the oracle composes the
+    * same two CTEs onto the v1 SQL. */
+  def curateV2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spanOk = graft.operators.Dedup.spanDedup(s, dir)
+      .filter($"dup_ratio" <= 0.5).select($"doc_id")
+    val diverseOk = TextAnalysis.giniDiversity(s, dir)
+      .filter($"gini" >= 0.9).select($"doc_id")
+    curate(s, dir)
+      .join(spanOk, Seq("doc_id"), "left_semi")
+      .join(diverseOk, Seq("doc_id"), "left_semi")
+  }
+  val curateV2Sql: String =
+    s"""WITH base AS (SELECT * FROM (${curateSql.trim}) v1),
+       |span_ok AS (SELECT doc_id FROM (${Dedup.spanDedupSql.trim}) sdd WHERE dup_ratio <= 0.5),
+       |diverse_ok AS (SELECT doc_id FROM (${TextAnalysis.giniDiversitySql.trim}) gd WHERE gini >= 0.9)
+       |SELECT base.* FROM base
+       |JOIN span_ok USING (doc_id)
+       |JOIN diverse_ok USING (doc_id)
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_curation" -> curate _,
+    "q_curation"    -> curate _,
+    "q_curation_v2" -> curateV2 _,
   )
   val oracleSql: Map[String, String] = Map(
-    "q_curation" -> curateSql,
+    "q_curation"    -> curateSql,
+    "q_curation_v2" -> curateV2Sql,
   )
 }
