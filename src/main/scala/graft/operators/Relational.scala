@@ -633,6 +633,58 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Three-step funnel (signup → click → purchase, in order): generalizes
+  // q_funnel's conditional-min trick to a CHAIN — each stage's timestamp
+  // is the min event at-or-after the PREVIOUS stage's, so an early click
+  // before signup never counts. Two grouped left joins, each shuffling on
+  // the user key only; no window over the raw stream, no per-user event
+  // arrays. reached ∈ {1,2,3} is the step count; µs gaps are integer
+  // arithmetic so the oracle hash-matches.
+  // ---------------------------------------------------------------------------
+  def funnel3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val s2 = s1.join(ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts"), Seq("user_id"), "left")
+      .groupBy($"user_id", $"signup_ts")
+      .agg(min(when($"ts" >= $"signup_ts", $"ts")).as("click_ts"))
+    val s3 = s2.join(ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts"), Seq("user_id"), "left")
+      .groupBy($"user_id", $"signup_ts", $"click_ts")
+      .agg(min(when($"ts" >= $"click_ts", $"ts")).as("purchase_ts"))
+    s3.selectExpr(
+      "user_id", "signup_ts", "click_ts", "purchase_ts",
+      "CAST(1 + IF(click_ts IS NOT NULL, 1, 0) + IF(purchase_ts IS NOT NULL, 1, 0) AS INT) AS reached",
+      "(unix_micros(click_ts) - unix_micros(signup_ts)) div 1000000 AS secs_to_click",
+      "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000 AS secs_to_purchase")
+  }
+  val funnel3Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT s1.user_id, s1.signup_ts,
+      |         min(CASE WHEN CAST(e.ts AS TIMESTAMP) >= s1.signup_ts THEN CAST(e.ts AS TIMESTAMP) END) AS click_ts
+      |  FROM s1 LEFT JOIN events e
+      |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+      |  GROUP BY s1.user_id, s1.signup_ts),
+      |s3 AS (
+      |  SELECT s2.user_id, s2.signup_ts, s2.click_ts,
+      |         min(CASE WHEN CAST(e.ts AS TIMESTAMP) >= s2.click_ts THEN CAST(e.ts AS TIMESTAMP) END) AS purchase_ts
+      |  FROM s2 LEFT JOIN events e
+      |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      |  GROUP BY s2.user_id, s2.signup_ts, s2.click_ts)
+      |SELECT user_id, signup_ts, click_ts, purchase_ts,
+      |       CAST(1 + CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END
+      |              + CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached,
+      |       (epoch_us(click_ts) - epoch_us(signup_ts)) // 1000000 AS secs_to_click,
+      |       (epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000 AS secs_to_purchase
+      |FROM s3
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Path mining: the most common 3-step event sequences across user
   // journeys — the session-path analytics behind "users who do X then Y
   // then Z". Trigrams come from two LEAD windows over the per-user
@@ -1785,6 +1837,7 @@ object Relational {
     "q_basket_lift"    -> basketLift _,
     "q_streaks"        -> orderStreaks _,
     "q_path_trigrams"  -> pathTrigrams _,
+    "q_funnel3"        -> funnel3 _,
     "q_reagg_month"    -> reaggMonth _,
     "q_range_frame"    -> rangeFrame _,
     "q_cdc_extract"    -> cdcExtract _,
@@ -1843,6 +1896,7 @@ object Relational {
     "q_basket_lift"    -> basketLiftSql,
     "q_streaks"        -> orderStreaksSql,
     "q_path_trigrams"  -> pathTrigramsSql,
+    "q_funnel3"        -> funnel3Sql,
     "q_reagg_month"    -> reaggMonthSql,
     "q_range_frame"    -> rangeFrameSql,
     "q_envelope_parse" -> envelopeParseSql,
