@@ -818,13 +818,14 @@ object Relational {
   // A/B experiment readout: users are assigned to arms by md5 parity (the
   // same deterministic hash-split used for train/val — no RNG, so both
   // engines assign identically and a rerun reproduces the experiment),
-  // the metric is "power purchaser" (>= 14 purchase events — the per-user
-  // purchase intensity is scale-invariant in this data, so the proportion
-  // stays strictly inside (0,1) at every sf), and the readout is the
-  // two-proportion pooled z-score. Counts are exact integers; the z is a
-  // fixed chain of IEEE ops (divisions and one correctly-rounded sqrt) on
-  // those integers, so the oracle hash-matches. One distinct-aggregation
-  // over the fact, then scalar land.
+  // the metric is "power purchaser" (>= 14 purchase events), and the
+  // readout is the two-proportion pooled z-score, guarded against a
+  // degenerate experiment: if either everyone or no one converts the
+  // pooled variance is exactly 0 and the z-score is emitted as NULL
+  // instead of a silent division-by-zero NaN/Infinity. Counts are exact
+  // integers; the z is a fixed chain of IEEE ops (divisions and one
+  // correctly-rounded sqrt) on those integers, so the oracle hash-matches.
+  // One distinct-aggregation over the fact, then scalar land.
   // ---------------------------------------------------------------------------
   def abTest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -846,8 +847,9 @@ object Relational {
         "n_a", "conv_a", "n_b", "conv_b",
         "CAST(conv_a AS DOUBLE) / n_a AS rate_a",
         "CAST(conv_b AS DOUBLE) / n_b AS rate_b",
-        "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / " +
-          "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) AS z_score")
+        "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN CAST(NULL AS DOUBLE) ELSE " +
+          "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / " +
+          "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) END AS z_score")
   }
   val abTestSql: String =
     """WITH u AS (
@@ -868,8 +870,9 @@ object Relational {
       |SELECT n_a, conv_a, n_b, conv_b,
       |       CAST(conv_a AS DOUBLE) / n_a AS rate_a,
       |       CAST(conv_b AS DOUBLE) / n_b AS rate_b,
-      |       (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
-      |         sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) AS z_score
+      |       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN CAST(NULL AS DOUBLE) ELSE
+      |         (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+      |         sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) END AS z_score
       |FROM t
       |""".stripMargin
 
@@ -956,15 +959,18 @@ object Relational {
       .selectExpr("event_type",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc",
         "CAST(floor(lo * 100) AS BIGINT) AS loc",
-        "CAST(ceil(hi * 100) AS BIGINT) AS hic",
-        "lo", "hi")
+        "CAST(ceil(hi * 100) AS BIGINT) AS hic")
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n"),
         sum(when($"vc" < $"loc", 1L).otherwise(0L)).as("n_clipped_low"),
         sum(when($"vc" > $"hic", 1L).otherwise(0L)).as("n_clipped_high"),
-        min($"lo").as("lo"),
-        min($"hi").as("hi"),
+        // the EXPOSED bounds are the snapped integer cents, not the raw
+        // interpolated percentile doubles — every output column stays
+        // derived from exact integers (two engines' quantile interpolation
+        // orderings need not agree to the last ulp)
+        min($"loc").as("lo_cents"),
+        min($"hic").as("hi_cents"),
         (sum(least(greatest($"vc", $"loc"), $"hic")).cast("double")
           / lit(100).cast("double")).as("sum_winsorized"))
   }
@@ -977,13 +983,12 @@ object Relational {
       |  SELECT events.event_type,
       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
       |         CAST(floor(lo * 100) AS BIGINT) AS loc,
-      |         CAST(ceil(hi * 100) AS BIGINT) AS hic,
-      |         lo, hi
+      |         CAST(ceil(hi * 100) AS BIGINT) AS hic
       |  FROM events JOIN b USING (event_type))
       |SELECT event_type, count(*) AS n,
       |       CAST(sum(CASE WHEN vc < loc THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
       |       CAST(sum(CASE WHEN vc > hic THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
-      |       min(lo) AS lo, min(hi) AS hi,
+      |       min(loc) AS lo_cents, min(hic) AS hi_cents,
       |       CAST(sum(least(greatest(vc, loc), hic)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_winsorized
       |FROM c
       |GROUP BY event_type

@@ -136,6 +136,21 @@ object Sources {
       try java.sql.DriverManager.getConnection(
         url.replace(";create=true", ";shutdown=true"))
       catch { case _: java.sql.SQLException => () }
+
+    /** Shut down AND reclaim the database's temp directory — shutdown()
+      * alone releases the engine but leaves the db files, so repeated
+      * bench/verify invocations would accumulate disk. */
+    def destroy(url: String): Unit = {
+      shutdown(url)
+      val db = url.stripPrefix("jdbc:derby:").takeWhile(_ != ';')
+      val root = java.nio.file.Paths.get(db).getParent  // the derby_db tmp dir
+      if (root != null && root.getFileName.toString.startsWith("derby_db")) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                        catch { case _: java.io.IOException => () })
+      }
+    }
   }
 
   // ---------------------------------------------------------------------------
@@ -158,14 +173,20 @@ object Sources {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     Sinks.appendJdbc(sample, url, "events_rt", "", "", Derby.Driver)
     val bounds = sample.agg(min(col("event_id")), max(col("event_id"))).first()
-    val agg = jdbcTable(s, url, "events_rt", "", "",
-      Some(("event_id", bounds.getLong(0), bounds.getLong(1), 4)), Derby.Driver)
+    // partitioned read only when there is a genuine key RANGE to split:
+    // an empty table has NULL bounds (getLong would NPE) and Spark's
+    // partitioned JDBC read misbehaves when lowerBound == upperBound —
+    // both fall back to the single-cursor scan
+    val split =
+      if (bounds.isNullAt(0) || bounds.getLong(0) == bounds.getLong(1)) None
+      else Some(("event_id", bounds.getLong(0), bounds.getLong(1), 4))
+    val agg = jdbcTable(s, url, "events_rt", "", "", split, Derby.Driver)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val result = graft.Materialize.eager(agg)
-    Derby.shutdown(url)
+    Derby.destroy(url)
     result
   }
   val jdbcRoundtripSql: String =

@@ -24,9 +24,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Upsert {
 
   case class Change(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
-  case class Current(event_id: Long, tsMs: Long, value: Double)
+  case class Current(event_id: Long, tsUs: Long, value: Double)
   case class StateOut(user_id: Long, value: Double, last_ts: Timestamp,
                       change_type: String)
+
+  /** Events carry MICROSECOND timestamps (Tables.events truncates parquet ns
+    * to µs), and the batch twin scd1Merge orders by the full ts before the
+    * event_id tie-break — so state must hold and compare µs, not
+    * Timestamp.getTime's milliseconds, or two changes within the same
+    * millisecond resolve by event_id here and by true µs order in batch. */
+  private def toMicros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   def upsert(changes: Dataset[Change]): Dataset[StateOut] = {
     implicit val stateEnc = Encoders.product[Current]
@@ -39,17 +53,18 @@ object Upsert {
         (uid: Long, batch: Iterator[Change], state: GroupState[Current]) =>
           val prev = state.getOption
           var cur = prev
-          // latest-wins fold: max by (ts, event_id) — order-insensitive, so
-          // arrival order within the batch cannot change the result
+          // latest-wins fold: max by (µs ts, event_id) — order-insensitive,
+          // so arrival order within the batch cannot change the result
           batch.foreach { c =>
-            if (cur.forall(s => s.tsMs < c.ts.getTime ||
-                (s.tsMs == c.ts.getTime && s.event_id < c.event_id)))
-              cur = Some(Current(c.event_id, c.ts.getTime, c.value))
+            val cUs = toMicros(c.ts)
+            if (cur.forall(s => s.tsUs < cUs ||
+                (s.tsUs == cUs && s.event_id < c.event_id)))
+              cur = Some(Current(c.event_id, cUs, c.value))
           }
           if (cur != prev) {
             val s = cur.get
             state.update(s)
-            Iterator.single(StateOut(uid, s.value, new Timestamp(s.tsMs),
+            Iterator.single(StateOut(uid, s.value, fromMicros(s.tsUs),
               if (prev.isEmpty) "insert" else "update"))
           } else Iterator.empty
       }

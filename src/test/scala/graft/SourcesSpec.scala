@@ -146,25 +146,31 @@ class SourcesSpec extends AnyFunSuite {
     // contract declares, exercised against a real database in-JVM.
     val url = graft.sources.Sources.Derby.freshDbUrl()
     val driver = graft.sources.Sources.Derby.Driver
-    val sample = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .select($"event_id", $"user_id", $"event_type",
-        $"value", $"ts".cast("timestamp").as("ts"))
-    graft.sources.Sinks.appendJdbc(sample, url, "events_jdbc", "", "", driver)
-    // S12 append semantics: a second batch adds, never overwrites
-    graft.sources.Sinks.appendJdbc(sample.limit(10), url, "events_jdbc", "", "", driver)
-    val full = graft.sources.Sources.jdbcTable(spark, url, "events_jdbc", "", "",
-      None, driver)
-    assert(full.count() == sample.count() + 10)
-    // S4 partitioned parallel read: same rows, requested split count
-    val bounds = sample.agg(min($"event_id"), max($"event_id")).first()
-    val part = graft.sources.Sources.jdbcTable(spark, url, "events_jdbc", "", "",
-      Some(("event_id", bounds.getLong(0), bounds.getLong(1), 4)), driver)
-    assert(part.rdd.getNumPartitions == 4)
-    assert(part.count() == full.count())
-    val a = full.select($"event_id", $"user_id", $"event_type", $"value", $"ts")
-    val b = part.select($"event_id", $"user_id", $"event_type", $"value", $"ts")
-    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
-      "partitioned read must return exactly the full-scan rows")
-    graft.sources.Sources.Derby.shutdown(url)
+    try {
+      val sample = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select($"event_id", $"user_id", $"event_type",
+          $"value", $"ts".cast("timestamp").as("ts"))
+      graft.sources.Sinks.appendJdbc(sample, url, "events_jdbc", "", "", driver)
+      // S12 append semantics: a second batch adds, never overwrites
+      graft.sources.Sinks.appendJdbc(sample.limit(10), url, "events_jdbc", "", "", driver)
+      val full = graft.sources.Sources.jdbcTable(spark, url, "events_jdbc", "", "",
+        None, driver)
+      assert(full.count() == sample.count() + 10)
+      // S4 partitioned parallel read: same rows, requested split count
+      val bounds = sample.agg(min($"event_id"), max($"event_id")).first()
+      val part = graft.sources.Sources.jdbcTable(spark, url, "events_jdbc", "", "",
+        Some(("event_id", bounds.getLong(0), bounds.getLong(1), 4)), driver)
+      assert(part.rdd.getNumPartitions == 4)
+      assert(part.count() == full.count())
+      val a = full.select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+      val b = part.select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "partitioned read must return exactly the full-scan rows")
+    } finally graft.sources.Sources.Derby.destroy(url)
+    // destroy() must reclaim the db's temp directory, not just the engine
+    val dbDir = java.nio.file.Paths.get(
+      url.stripPrefix("jdbc:derby:").takeWhile(_ != ';')).getParent
+    assert(!java.nio.file.Files.exists(dbDir),
+      s"Derby temp dir must be deleted by destroy(): $dbDir")
   }
 }

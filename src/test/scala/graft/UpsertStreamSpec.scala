@@ -43,6 +43,30 @@ class UpsertStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two changes within one millisecond resolve by microsecond order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = Upsert.upsert(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("upsert_us_out").start()
+    try {
+      // same millisecond (.001), different microseconds: the .001999 change
+      // is NEWER despite its SMALLER event_id — a ms-precision fold would
+      // fall through to the event_id tie-break and pick the wrong row
+      val newer = ts("2024-01-01 10:00:00.001999")
+      mem.addData(
+        Change(5, 50, newer, 8.0),
+        Change(5, 51, ts("2024-01-01 10:00:00.001001"), 6.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from upsert_us_out").as[StateOut].collect()
+      assert(rows.length == 1 && rows.head.value == 8.0,
+        s"µs order must win over event_id tie-break: ${rows.toSeq}")
+      assert(rows.head.last_ts == newer,
+        s"last_ts must keep µs precision: ${rows.head.last_ts} vs $newer")
+    } finally q.stop()
+  }
+
   test("upsert state survives a checkpointed query restart") {
     import java.nio.file.Files
     import spark.implicits._
