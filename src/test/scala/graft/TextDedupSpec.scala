@@ -319,10 +319,26 @@ class TextDedupSpec extends AnyFunSuite {
   test("incremental span dedup equals the batch report restricted to the delta") {
     import spark.implicits._
     val incr = Dedup.spanDedupIncremental(spark, sf)
-    val batchRestricted = Dedup.spanDedup(spark, sf).filter($"doc_id" >= 400)
+    val split = Dedup.spanIncrSplit(spark, sf)
+    val batchRestricted = Dedup.spanDedup(spark, sf).filter($"doc_id" >= split)
     assert(incr.exceptAll(batchRestricted).isEmpty &&
       batchRestricted.exceptAll(incr).isEmpty,
       "index-probe composition must be invisible in the result")
+  }
+
+  test("LSH quality truth pass is bounded by the deterministic doc cap") {
+    import spark.implicits._
+    // the cap bounds the sample exactly, deterministically
+    val s1 = Dedup.lshSampleDocs(spark, sf, 20).select($"doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Dedup.lshSampleDocs(spark, sf, 20).select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.size == 20 && s1 == s2, "hash-order sample must be exact-size and rerun-stable")
+    // uncapped = whole corpus (the oracle-paired test-scale form)
+    val full = graft.sources.Tables.documents(spark, sf).count()
+    assert(Dedup.lshSampleDocs(spark, sf, Int.MaxValue).count() == full)
+    // the capped report's exhaustive-truth side can only see sampled pairs
+    val r = Dedup.lshQualityCapped(spark, sf, 20).collect().head
+    assert(r.getAs[Long]("n_true_pairs") <= 20L * 19 / 2,
+      "truth input must be bounded when the cap is set")
   }
 
   test("span dedup matches an independent join-on-text recomputation") {
