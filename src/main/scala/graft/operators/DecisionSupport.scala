@@ -28,6 +28,14 @@ import graft.sources.Tables
   *   - Q12 lateness by flag      — fact-to-fact join + conditional two-way counts
   *   - Q21 latest shipper        — double-EXISTS decorrelated into windows
   *                                 over one partitioning
+  *   - Q2  min-cost supplier     — correlated scalar subquery as literal SQL,
+  *                                 decorrelated by the planner
+  *   - Q9  nation profit         — LIKE-filtered multi-join rollup, twin
+  *                                 exact decimal sums
+  *   - Q11 important parts       — HAVING against a global scalar threshold,
+  *                                 materialize-once + broadcast scalar
+  *   - Q20 volume suppliers      — doubly-nested IN as literal SQL → two
+  *                                 LeftSemi joins
   *
   * Determinism: every money aggregate is DECIMAL-accumulated and cast to
   * DOUBLE after (repo rule 1); ratios are single IEEE divisions of exact
@@ -531,7 +539,162 @@ object DecisionSupport {
       |LIMIT 10
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Q2 shape: minimum-cost supplier — the CORRELATED SCALAR SUBQUERY
+  // benchmark. The testdata has no partsupp, so the part-supplier offer
+  // relation is derived from lineitem: each (part, supplier) pair's cost is
+  // its minimum observed unit price (a single IEEE division per row, then
+  // MIN — deterministic in both engines). Run as LITERAL SQL through the
+  // catalog so Catalyst faces the same text DuckDB does and must
+  // DECORRELATE the per-part min-cost subquery into an aggregate + join
+  // (RewriteCorrelatedScalarSubquery) — the spec gates that no
+  // scalar-subquery survives in the optimized plan. At 100 TB both sides
+  // of the decorrelated join shuffle on partkey once; the dim chain
+  // (supplier ⋈ nation ⋈ region) broadcasts.
+  // ---------------------------------------------------------------------------
+  val minCostSupplierSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice / l_quantity) AS ps_cost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost
+      |FROM part, ps, supplier, nation, region
+      |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |  AND p_type = 'STANDARD' AND p_size <= 25
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  AND ps_cost = (SELECT min(ps2.ps_cost)
+      |                 FROM ps ps2, supplier s2, nation n2, region r2
+      |                 WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      |                   AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      |                   AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, s_name, p_partkey
+      |LIMIT 100
+      |""".stripMargin
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "nation", "region", "lineitem").foreach { t =>
+      graft.sources.Sources.registerTable(s, t, s"$dir/$t.parquet")
+    }
+    s.sql(minCostSupplierSql)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Q9 shape: profit rollup by supplier nation and year over a LIKE-filtered
+  // part set — the widest fact-side join after Q8 (part ⋈ lineitem ⋈
+  // supplier ⋈ orders ⋈ nation). Cost stands in for ps_supplycost via
+  // p_retailprice · quantity. Revenue and cost are accumulated as SEPARATE
+  // exact decimal sums and subtracted once as doubles at the end — a single
+  // decimal difference per row would couple the two engines' decimal
+  // widening rules; two exact sums and one IEEE subtraction cannot diverge.
+  // The LIKE filter prunes part before its join (pushed to the scan).
+  // ---------------------------------------------------------------------------
+  def nationProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bolts = Tables.part(s, dir)
+      .filter($"p_name".like("%bolt%"))
+      .select($"p_partkey", $"p_retailprice")
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_orderkey",
+        revD($"l_extendedprice", $"l_discount").as("rev"),
+        D($"l_quantity").as("qty"))
+      .join(bolts, $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"),
+        year($"o_orderdate").cast("int").as("o_year"))
+      .agg((sum($"rev").cast("double") -
+        sum(D($"p_retailprice") * $"qty").cast("double")).as("sum_profit"))
+  }
+  val nationProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+      |         - CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY 1, 2
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q11 shape: important parts — HAVING against a GLOBAL scalar threshold.
+  // Per-part value (exact decimal sum of ASIA-supplied line revenue) kept
+  // only when it exceeds the corpus-wide MEAN part value. The per-part
+  // relation feeds BOTH the output filter and the threshold aggregate, so
+  // it is materialized ONCE (plan-gated: the final plan reads the
+  // checkpoint, no second lineitem scan) and the one-row threshold joins
+  // back by broadcast — the no-driver-roundtrip scalar idiom. The mean
+  // (not an absolute fraction) keeps the threshold scale-free: the classic
+  // query hand-scales its fraction by SF for exactly this reason.
+  // ---------------------------------------------------------------------------
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asiaSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .select($"s_suppkey")
+    val v = graft.Materialize.eager(
+      Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+        .join(asiaSupp, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey".as("ps_partkey"))
+        .agg(sum(D($"l_extendedprice")).as("vald")))
+    val thr = v.agg(
+      (sum($"vald").cast("double") / count(lit(1))).as("thr"))
+    v.crossJoin(broadcast(thr))
+      .filter($"vald".cast("double") > $"thr")
+      .select($"ps_partkey", $"vald".cast("double").as("val"))
+  }
+  val importantPartsSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey AS ps_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS vald
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY 1)
+      |SELECT ps_partkey, CAST(vald AS DOUBLE) AS val
+      |FROM v
+      |WHERE CAST(vald AS DOUBLE) > (SELECT CAST(sum(vald) AS DOUBLE) / count(*) FROM v)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q20 shape: the DOUBLY-NESTED semi-join reduction — suppliers (in two
+  // nations) who shipped a meaningful volume of some LIKE-matched part.
+  // Run as LITERAL SQL with both predicates as IN subqueries, so the
+  // planner must turn part-IN into a semi-join under the aggregate and
+  // supplier-IN into a semi-join above it (spec gates TWO LeftSemi joins
+  // in the optimized plan). The quantity HAVING is an exact decimal sum.
+  // At 100 TB: the inner semi prunes lineitem before its (supp, part)
+  // aggregate shuffle; the outer semi is a broadcast of the tiny surviving
+  // supplier-key set.
+  // ---------------------------------------------------------------------------
+  val volumeSuppliersSql: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_3', 'NATION_8') AND s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 60)
+      |ORDER BY s_name
+      |""".stripMargin
+  def volumeSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "nation", "part", "lineitem").foreach { t =>
+      graft.sources.Sources.registerTable(s, t, s"$dir/$t.parquet")
+    }
+    s.sql(volumeSuppliersSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_min_cost_supplier"   -> minCostSupplier _,
+    "q_nation_profit"       -> nationProfit _,
+    "q_important_parts"     -> importantParts _,
+    "q_volume_suppliers"    -> volumeSuppliers _,
     "q_late_priority"       -> latePriorityCount _,
     "q_late_by_flag"        -> lateByFlag _,
     "q_latest_shipper"      -> latestShipper _,
@@ -549,6 +712,10 @@ object DecisionSupport {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_min_cost_supplier"   -> minCostSupplierSql,
+    "q_nation_profit"       -> nationProfitSql,
+    "q_important_parts"     -> importantPartsSql,
+    "q_volume_suppliers"    -> volumeSuppliersSql,
     "q_late_priority"       -> latePriorityCountSql,
     "q_late_by_flag"        -> lateByFlagSql,
     "q_latest_shipper"      -> latestShipperSql,

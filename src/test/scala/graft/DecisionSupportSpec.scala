@@ -113,6 +113,87 @@ class DecisionSupportSpec extends AnyFunSuite {
       s"window formulation ${got.toSeq} != join formulation ${expectTop.toSeq}")
   }
 
+  test("Q2 min-cost supplier: planner decorrelates the scalar subquery") {
+    import spark.implicits._
+    // sf0.01: sf0.001's EUROPE supplier pool is too thin to be interesting
+    val df = DecisionSupport.minCostSupplier(spark, "/root/testdata/sf0.01")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      "correlated min-cost subquery must be decorrelated into an aggregate + join")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every surviving row carries ITS part's European minimum cost: rerun
+    // the min independently and compare
+    val ps = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("c"))
+    val eu = graft.sources.Tables.supplier(spark, "/root/testdata/sf0.01")
+      .join(graft.sources.Tables.nation(spark, "/root/testdata/sf0.01"),
+        $"s_nationkey" === $"n_nationkey")
+      .join(graft.sources.Tables.region(spark, "/root/testdata/sf0.01"),
+        $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "EUROPE").select($"s_suppkey")
+    val minEu = ps.join(eu, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey").agg(min($"c").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (pk, c) = (r.getAs[Long]("p_partkey"), r.getAs[Double]("ps_cost"))
+      assert(minEu(pk) == c, s"part $pk: cost $c is not the European min ${minEu(pk)}")
+    }
+  }
+
+  test("Q20 volume suppliers: both IN predicates become LeftSemi joins") {
+    val df = DecisionSupport.volumeSuppliers(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val semis = "LeftSemi".r.findAllIn(opt).size
+    assert(semis >= 2, s"expected the doubly-nested IN to plan as two LeftSemi joins, got $semis:\n$opt")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("Q11 important parts: threshold reuses the materialized value relation") {
+    import spark.implicits._
+    val df = DecisionSupport.importantParts(spark, sf)
+    // the per-part value relation is checkpointed once; the final plan must
+    // read it (no second lineitem scan for the global threshold)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("lineitem"),
+      s"threshold pass must reuse the materialized value relation:\n$planStr")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getAs[Double]("val"))
+    // above-mean semantics: recompute the mean over the full relation
+    val all = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .join(graft.sources.Tables.nation(spark, sf), $"s_nationkey" === $"n_nationkey")
+      .join(graft.sources.Tables.region(spark, sf), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .groupBy($"l_partkey").agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("v"))
+    val (tot, n) = {
+      val r = all.agg(sum($"v").cast("double"), count(lit(1))).first()
+      (r.getDouble(0), r.getLong(1))
+    }
+    val mean = tot / n
+    assert(vals.forall(_ > mean), "every surviving part must exceed the mean value")
+    assert(all.filter($"v".cast("double") > mean).count() == rows.length,
+      "no above-mean part may be dropped")
+  }
+
+  test("Q9 nation profit: rollup covers exactly the LIKE-matched lines") {
+    import spark.implicits._
+    val df = DecisionSupport.nationProfit(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // group count = distinct (supplier nation, order year) over bolt lines
+    val expect = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf).filter($"p_name".like("%bolt%")),
+        $"l_partkey" === $"p_partkey")
+      .join(graft.sources.Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .join(graft.sources.Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .select($"s_nationkey", year($"o_orderdate").as("y"))
+      .distinct().count()
+    assert(rows.length == expect, s"${rows.length} groups vs $expect (nation,year) pairs")
+  }
+
   test("Q22 dormant accounts all exceed the mean positive balance") {
     import spark.implicits._
     import graft.sources.Tables
