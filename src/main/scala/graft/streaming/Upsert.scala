@@ -33,10 +33,10 @@ object Upsert {
     * event_id tie-break — so state must hold and compare µs, not
     * Timestamp.getTime's milliseconds, or two changes within the same
     * millisecond resolve by event_id here and by true µs order in batch. */
-  private def toMicros(ts: Timestamp): Long =
+  private[streaming] def toMicros(ts: Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
-  private def fromMicros(us: Long): Timestamp = {
+  private[streaming] def fromMicros(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
