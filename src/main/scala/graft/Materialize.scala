@@ -86,7 +86,22 @@ object Materialize {
     * optimizer barrier. GUARDED: a real corpus has thousands of row
     * groups, so this never fires at scale — shuffling 100 TB for CPU
     * balance would be the bug there. */
-  def rebalanced(df: DataFrame): DataFrame = {
+  def rebalanced(df: DataFrame): DataFrame =
+    if (underSplit(df)) eagerSpread(df, df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
+  /** Repartition-only spread under the same row-group guard — for AGGREGATE
+    * shapes, where the heavy per-row math lives in the agg partials ABOVE
+    * the inserted exchange and therefore parallelizes without rebalanced's
+    * checkpoint round-trip (the scan task only ships raw columns). Useless
+    * for per-row PROJECTIONS: CollapseProject re-inlines those below the
+    * exchange — use `rebalanced` there. Same 100 TB guard: never fires on
+    * a well-split corpus. */
+  def spreadForAgg(df: DataFrame): DataFrame =
+    if (underSplit(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
+  private def underSplit(df: DataFrame): Boolean = {
     val s = df.sparkSession
     val cores = s.sparkContext.defaultParallelism
     val units = {
@@ -95,7 +110,7 @@ object Materialize {
         files.map(parquetRowGroups(s, _)).sum
       else df.rdd.getNumPartitions
     }
-    if (units * 2 < cores) eagerSpread(df, cores) else df
+    units * 2 < cores
   }
 
   private def parquetRowGroups(s: SparkSession, file: String): Int =

@@ -479,10 +479,11 @@ object Relational {
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val one = lit(new java.math.BigDecimal(1))
-    // single-row-group trap: the per-row decimal math runs in the scan stage
-    // (before the agg shuffle), so a 1-split fact serializes it — rebalance
-    // the projected columns first (guarded off at real scale; Materialize)
-    graft.Materialize.rebalanced(Tables.lineitem(s, dir)
+    // single-row-group trap, aggregate flavor: the decimal math lives in the
+    // agg PARTIALS, so a repartition alone parallelizes it (partials plan
+    // above the inserted exchange) — no checkpoint barrier needed, unlike
+    // the per-row-projection shapes (guarded off at real scale; Materialize)
+    graft.Materialize.spreadForAgg(Tables.lineitem(s, dir)
       .select($"l_returnflag", $"l_linestatus", $"l_quantity",
         $"l_extendedprice", $"l_discount", $"l_tax"))
       .groupBy($"l_returnflag", $"l_linestatus")
@@ -1213,11 +1214,20 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // Approximate aggregates (100 TB path; rows-only check — HLL and quantile
-  // sketches are engine-specific, so no cross-engine oracle; SimilaritySpec-
-  // style accuracy bounds live in RelationalApproxSpec instead). At scale
-  // these replace exact distinct/percentile: mergeable sketches, partial
-  // aggregation, no sort, bounded memory.
+  // Approximate aggregates (100 TB path). HLL and quantile sketch VALUES are
+  // engine-specific, so the raw estimates cannot hash-match a DuckDB oracle
+  // — but their ERROR CONTRACTS can: the query emits the exact aggregates
+  // plus one boolean per sketch asserting the estimate landed inside its
+  // documented bound, and the oracle expects exactly those exacts with both
+  // booleans TRUE. A sketch regression (or a Spark upgrade changing HLL
+  // internals beyond its contract) now fails the driver gate loudly
+  // instead of hiding behind a rows-only check.
+  //   - approx_count_distinct: default rsd 5%; gate at 3·rsd = 15%.
+  //   - approx_percentile(accuracy=1000): rank error ≤ 1/1000 of the
+  //     group; gate against the exact values at ranks 0.5 ± 0.02 (20× the
+  //     guarantee — the gate tests the CONTRACT, not sketch luck).
+  // At scale these replace exact distinct/percentile: mergeable sketches,
+  // partial aggregation, no sort, bounded memory.
   // ---------------------------------------------------------------------------
   def approxStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1227,8 +1237,24 @@ object Relational {
         approx_count_distinct($"user_id").as("approx_users"),
         countDistinct($"user_id").as("exact_users"),
         expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(value, 0.48)").as("p_lo"),
+        expr("percentile(value, 0.52)").as("p_hi"),
         count(lit(1)).as("cnt"))
+      .select($"event_type", $"exact_users", $"cnt",
+        (abs($"approx_users" - $"exact_users").cast("double")
+          / $"exact_users".cast("double") <= 0.15).as("hll_within_bounds"),
+        ($"approx_p50" >= $"p_lo" && $"approx_p50" <= $"p_hi")
+          .as("p50_within_bounds"))
   }
+  val approxStatsSql: String =
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       count(*) AS cnt,
+      |       TRUE AS hll_within_bounds,
+      |       TRUE AS p50_within_bounds
+      |FROM events
+      |GROUP BY event_type
+      |""".stripMargin
 
   // ---------------------------------------------------------------------------
   // S1+P1-P4 batch form: Debezium-envelope parsing through the REAL streaming
@@ -1915,6 +1941,7 @@ object Relational {
     "q_pivot"          -> pivotStatusSql,
     "q_running_total"  -> runningTotalSql,
     "q_topn_per_group" -> topnPerGroupSql,
+    "q_approx_stats"   -> approxStatsSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_local_volume"   -> localVolumeSql,
     "q_cdc_extract"    -> cdcExtractSql,

@@ -92,7 +92,8 @@ class WindowStatsSpec extends AnyFunSuite {
       // exact percentiles put at most ~5% strictly outside each bound
       assert(lowFrac <= 0.06, s"low clip fraction $lowFrac")
       assert(highFrac <= 0.06, s"high clip fraction $highFrac")
-      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      val lo = r.getAs[Long]("lo_cents").toDouble / 100.0
+      val hi = r.getAs[Long]("hi_cents").toDouble / 100.0
       val sumW = r.getAs[Double]("sum_winsorized")
       assert(sumW >= lo * n - 0.01 * n && sumW <= hi * n + 0.01 * n,
         s"winsorized sum $sumW outside [$lo, $hi] x $n")
