@@ -57,7 +57,12 @@ object Bench {
     // data size), which on a real cluster amortizes across executors and
     // repeated micro-batches. Set SPARK_GRAFT_BENCH_RUNS=1 for cold numbers.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // Optional comma-separated subset for iterating on one query's timing
+    // without paying for the whole suite; absent = full driver contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n))).map { n =>
       n -> (1 to runs).map(_ => runOnce(n)).last
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1231,19 +1231,27 @@ object Relational {
   // ---------------------------------------------------------------------------
   def approxStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
+    val ev = Tables.events(s, dir).select($"event_type", $"user_id", $"value")
+    // Mixing one DISTINCT aggregate with four plain ones makes the planner
+    // Expand every input row per aggregate group, and the doubled stream
+    // flows through the sort-buffering exact percentile. Keep the sketch
+    // aggregate Expand-free and compute the exact-distinct companion as its
+    // own two-level (partial-agg friendly) count, joined back on the tiny
+    // event_type key.
+    val sketches = ev
       .groupBy($"event_type")
       .agg(
         approx_count_distinct($"user_id").as("approx_users"),
-        countDistinct($"user_id").as("exact_users"),
         expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
-        expr("percentile(value, 0.48)").as("p_lo"),
-        expr("percentile(value, 0.52)").as("p_hi"),
+        expr("percentile(value, array(0.48, 0.52))").as("p_bounds"),
         count(lit(1)).as("cnt"))
+    val exact = ev.groupBy($"event_type", $"user_id").agg(count(lit(1)))
+      .groupBy($"event_type").agg(count(lit(1)).as("exact_users"))
+    sketches.join(broadcast(exact), Seq("event_type"))
       .select($"event_type", $"exact_users", $"cnt",
         (abs($"approx_users" - $"exact_users").cast("double")
           / $"exact_users".cast("double") <= 0.15).as("hll_within_bounds"),
-        ($"approx_p50" >= $"p_lo" && $"approx_p50" <= $"p_hi")
+        ($"approx_p50" >= $"p_bounds"(0) && $"approx_p50" <= $"p_bounds"(1))
           .as("p50_within_bounds"))
   }
   val approxStatsSql: String =
