@@ -104,6 +104,8 @@ object GraftFunctions {
         "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "srp_sig", exprs => SrpSignature(exprs(0), exprs(1)), "built-in")
     }
   }
 }
@@ -127,6 +129,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("srp_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SrpSignature].getName, "srp_sig"),
+      (exprs: Seq[Expression]) => SrpSignature(exprs(0), exprs(1))))
     // P11 session-role column masking as a resolution rule (see MaskingRule).
     e.injectResolutionRule(session => graft.mask.MaskingRule(session))
   }

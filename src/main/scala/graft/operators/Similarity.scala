@@ -829,7 +829,183 @@ object Similarity {
        |FROM reach GROUP BY id
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // SRP-LSH: signed-random-projection (random-hyperplane) locality-sensitive
+  // hashing, Charikar STOC 2002 — the third candidate-generation scheme next
+  // to IVF (coarse quantization) and PQ (compression). Each vector reduces
+  // to a SrpBits-bit signature whose b-th bit is the sign of its projection
+  // onto a deterministic pseudo-random hyperplane; P[bits differ] = θ/π, so
+  // near vectors collide on whole bands of bits. Banding SrpBits into
+  // SrpBands byte buckets (classic OR-of-ANDs LSH) yields candidates from
+  // bucket equi-joins alone — the same shape as the MinHash-LSH text path
+  // (Dedup.scala), but over the embedding space.
+  // Scale: embeddings never shuffle — the banding shuffle carries
+  // (vec_id, band, key) triples only; at rest the banded keys belong in the
+  // stored ANN layout next to the IVF assignment (writeAnnLayout). Search =
+  // SrpBands bucket joins + exact re-rank of the (small) candidate set.
+  // Tuning (measured on the synthetic corpus, sweep in round-7 notes):
+  // byte-wide bands keep buckets at n/256 so candidates stay ~b·n/256
+  // (sub-linear per band count); narrower bands double recall but admit a
+  // third of the corpus as candidates — the wrong trade at scale. 64 bits
+  // in 8 byte-bands is the standard config: a true near-dup (cos ≥ 0.9,
+  // θ ≤ 26°, per-bit agreement ≥ 0.86) collides with prob ≥ 1-(1-0.86⁸)⁸
+  // ≈ 0.93, while random pairs collide at ~8/256. Weak-similarity top-k
+  // (this corpus's unplanted neighbors) is NOT SRP's regime — q_ann_recall
+  // quantifies exactly that gap against the trained-IVF paths.
+  // Determinism: hyperplane component hp(b,i) is a Knuth multiplicative
+  // hash mapped to [-0.5, 0.5): (b·8191+i)·2654435761 mod 2³¹ stays exact
+  // in BIGINT (max ~7e14, no overflow) and /2³¹ is a power-of-two division,
+  // exact in double; the projection folds dims in index order with double
+  // accumulation on both engines, so signatures are bit-identical and the
+  // DuckDB oracle reproduces the exact candidate sets. The 64-bit signature
+  // travels as two 32-bit halves — a single MSB-first 64-bit fold would
+  // overflow BIGINT's sign bit, which DuckDB rejects rather than wraps.
+  // ---------------------------------------------------------------------------
+  private val SrpHalf  = 32                 // bits per signature half
+  private val SrpBands = 8                  // 8 bands × 8 bits over 64 bits
+  // band j: byte (3 - j%4) of half (j/4) — MSB-first within each half
+  private val srpByteDiv = Seq(16777216L, 65536L, 256L, 1L)
+
+  /** Spark signature half: the native fused kernel
+    * ([[graft.functions.SrpSignature]]) — whole-stage-codegen'd, unlike the
+    * equivalent nested higher-order fold below, which evaluates ~2·10⁴
+    * boxed lambdas per row (33× slower on the sf0.1 corpus; the spec
+    * asserts bit-equality of the two forms). */
+  private def srpSigS(e: String, off: Int): String = s"srp_sig($e, $off)"
+
+  /** The HOF reference form of [[srpSigS]] — kept for the equality spec and
+    * as executable documentation of the kernel's exact fold semantics. */
+  private[graft] def srpSigHofS(e: String, off: Int): String =
+    s"""aggregate(sequence($off, ${off + SrpHalf - 1}), CAST(0 AS BIGINT), (acc, b) ->
+       |  acc * 2 + IF(aggregate(sequence(1, size($e)), CAST(0.0 AS DOUBLE), (a, i) ->
+       |    a + CAST(element_at($e, i) AS DOUBLE) *
+       |        (CAST(((b * 8191 + i) * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)
+       |  ) >= 0.0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin
+
+  /** DuckDB replay: identical bit order, fold order, and hash arithmetic. */
+  private def srpSigD(e: String, off: Int): String =
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range($off, ${off + SrpHalf}), b ->
+       |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($e)+1), i ->
+       |      $e[i]::DOUBLE * (CAST(((b*8191 + i) * 2654435761) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
+       |    )), (a, v) -> a + v) >= 0.0 THEN 1::BIGINT ELSE 0::BIGINT END
+       |)), (acc, bit) -> acc * 2 + bit)""".stripMargin
+
+  def srpSig(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "label",
+        s"${srpSigS("embedding", 0)} AS sig_hi",
+        s"${srpSigS("embedding", SrpHalf)} AS sig_lo")
+  }
+  val srpSigSql: String =
+    s"""SELECT vec_id, label,
+       |       ${srpSigD("embedding", 0)} AS sig_hi,
+       |       ${srpSigD("embedding", SrpHalf)} AS sig_lo
+       |FROM embeddings
+       |""".stripMargin
+
+  /** (vec_id, band, key): the LSH bucket relation — all that ever shuffles. */
+  private def srpBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    srpSig(s, dir)
+      .select($"vec_id", posexplode(expr(
+        s"""transform(sequence(0, ${SrpBands - 1}), j ->
+           |  CAST((IF(j < 4, sig_hi, sig_lo)
+           |        div element_at(array(${srpByteDiv.map(d => s"CAST($d AS BIGINT)").mkString(", ")}), j % 4 + 1)) % 256 AS INT))""".stripMargin)))
+      .toDF("vec_id", "band", "key")
+  }
+
+  /** SRP top-k: bucket-join candidates, exact cosine re-rank. A query with
+    * no band collisions simply returns fewer than TOPK rows (identically in
+    * the oracle). The candidate set is tiny next to the corpus, so AQE
+    * picks a broadcast for the re-rank joins at runtime — the corpus is
+    * touched only by the two scans (banding + embedding lookup). */
+  def knnSrp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val banded = srpBanded(s, dir)
+    val qb = banded.filter($"vec_id" < NQUERY).toDF("qid", "band", "key")
+    val cand = broadcast(qb)
+      .join(banded.toDF("nid", "band", "key"), Seq("band", "key"))
+      .filter($"qid" =!= $"nid")
+      .select($"qid", $"nid").distinct()
+    val e = withNorm(Tables.embeddings(s, dir), "vec_id", "embedding")
+    val q = e.toDF("qid", "qe", "qnrm")
+    val c = e.toDF("nid", "ne", "nnrm")
+    val scored = cand.join(broadcast(q.filter($"qid" < NQUERY)), "qid").join(c, "nid")
+      .withColumn("cosine", expr(s"${dotS("qe", "ne")} / (qnrm * nnrm)"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"qid", $"rank", $"nid", $"cosine")
+  }
+  val knnSrpSql: String =
+    s"""WITH sigs AS (SELECT vec_id,
+       |  ${srpSigD("embedding", 0)} AS sig_hi,
+       |  ${srpSigD("embedding", SrpHalf)} AS sig_lo
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, band,
+       |         CAST(((CASE WHEN which = 0 THEN sig_hi ELSE sig_lo END) // d) % 256 AS INT) AS key
+       |  FROM sigs CROSS JOIN (VALUES ${(0 until SrpBands).map(j => s"($j, ${j / 4}, ${srpByteDiv(j % 4)}::BIGINT)").mkString(", ")}) AS bands(band, which, d)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM banded q JOIN banded c ON q.band = c.band AND q.key = c.key
+       |  WHERE q.vec_id < $NQUERY AND q.vec_id <> c.vec_id
+       |),
+       |scored AS (
+       |  SELECT qid, nid,
+       |         ${dotD("qe", "ne")} / (sqrt(${dotD("qe", "qe")}) * sqrt(${dotD("ne", "ne")})) AS cosine
+       |  FROM cand JOIN (SELECT vec_id, embedding AS qe FROM embeddings) q ON qid = q.vec_id
+       |            JOIN (SELECT vec_id, embedding AS ne FROM embeddings) c ON nid = c.vec_id
+       |),
+       |ranked AS (
+       |  SELECT qid, nid, cosine,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= $TOPK
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // ANN recall report: every approximate path (IVF nprobe=1/2, SRP-LSH)
+  // measured against the brute-force truth — the serving-quality twin of the
+  // MinHash tuner (Dedup.lshQuality). All outputs are integer hit counts
+  // (recall = hits/truth_pairs), so the gate is exact-arithmetic; the same
+  // query set at 100 TB is a held-out sample, and each path reuses its
+  // stored index (pinned centroids here, the bucketed layout at rest).
+  // ---------------------------------------------------------------------------
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = knnBrute(s, dir).select($"qid", $"nid")
+    def hits(df: DataFrame, as: String) =
+      df.select($"qid", $"nid").join(truth, Seq("qid", "nid"))
+        .agg(count(lit(1)).as(as))
+    val total = truth.agg(count(lit(1)).as("truth_pairs"))
+    total
+      .crossJoin(broadcast(hits(knnIvf(s, dir), "hits_ivf1")))
+      .crossJoin(broadcast(hits(knnIvf2(s, dir), "hits_ivf2")))
+      .crossJoin(broadcast(hits(knnSrp(s, dir), "hits_srp")))
+      .select(lit(TOPK).cast("long").as("k"), $"truth_pairs",
+        $"hits_ivf1", $"hits_ivf2", $"hits_srp")
+  }
+  val annRecallSql: String =
+    s"""WITH truth AS (SELECT qid, nid FROM (${knnBruteSql.trim}) t),
+       |ivf1 AS (SELECT qid, nid FROM (${knnIvfSqlFor(1).trim}) t),
+       |ivf2 AS (SELECT qid, nid FROM (${knnIvfSqlFor(2).trim}) t),
+       |srp AS (SELECT qid, nid FROM (${knnSrpSql.trim}) t)
+       |SELECT CAST($TOPK AS BIGINT) AS k,
+       |       (SELECT count(*) FROM truth) AS truth_pairs,
+       |       (SELECT count(*) FROM ivf1 JOIN truth USING (qid, nid)) AS hits_ivf1,
+       |       (SELECT count(*) FROM ivf2 JOIN truth USING (qid, nid)) AS hits_ivf2,
+       |       (SELECT count(*) FROM srp JOIN truth USING (qid, nid)) AS hits_srp
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_srp_sig"         -> srpSig _,
+    "q_knn_srp"         -> knnSrp _,
+    "q_ann_recall"      -> annRecall _,
     "q_semdedup"        -> semdedup _,
     "q_knn_graph"       -> knnGraph _,
     "q_dedup_embedding" -> dedupEmbedding _,
@@ -844,6 +1020,9 @@ object Similarity {
     "q_label_centroids" -> labelCentroids _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_srp_sig"         -> srpSigSql,
+    "q_knn_srp"         -> knnSrpSql,
+    "q_ann_recall"      -> annRecallSql,
     "q_semdedup"        -> semdedupSql,
     "q_knn_graph"       -> knnGraphSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,

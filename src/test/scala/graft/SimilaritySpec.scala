@@ -186,4 +186,79 @@ class SimilaritySpec extends AnyFunSuite {
       "the kept member is the canonical minimum")
     sd.unpersist()
   }
+
+  test("native srp_sig equals the nested higher-order fold bit-for-bit, faster") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    for (off <- Seq(0, 32)) {
+      val both = e.selectExpr("vec_id",
+        s"srp_sig(embedding, $off) AS s_native",
+        s"${Similarity.srpSigHofS("embedding", off)} AS s_fold")
+      assert(both.filter($"s_native" =!= $"s_fold").count() == 0,
+        s"offset $off diverged")
+    }
+    def time(c: String): Double = {
+      val t0 = System.nanoTime()
+      e.selectExpr(s"$c AS s").agg(org.apache.spark.sql.functions.sum($"s")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time("srp_sig(embedding, 0)") // codegen warmup
+    val tFold = time(Similarity.srpSigHofS("embedding", 0))
+    val tNative = time("srp_sig(embedding, 0)")
+    info(f"fold $tFold%.3fs vs native $tNative%.3fs (${tFold / tNative}%.1fx)")
+  }
+
+  test("SRP signatures: Hamming distance tracks cosine (locality property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sig = Similarity.srpSig(spark, sf).cache()
+    assert(sig.filter($"sig_hi" < 0 || $"sig_hi" > 4294967295L ||
+      $"sig_lo" < 0 || $"sig_lo" > 4294967295L).count() == 0,
+      "signature halves are 32-bit non-negative")
+    val a = sig.select($"vec_id".as("vec_a"), $"sig_hi".as("ha"), $"sig_lo".as("la"))
+    val b = sig.select($"vec_id".as("vec_b"), $"sig_hi".as("hb"), $"sig_lo".as("lb"))
+    def avgHam(pairs: org.apache.spark.sql.DataFrame): Double =
+      pairs.join(a, "vec_a").join(b, "vec_b")
+        .selectExpr("bit_count(ha ^ hb) + bit_count(la ^ lb) AS ham")
+        .agg(avg($"ham")).head.getDouble(0)
+    // similar pairs: the IVF-blocked embedding-dedup candidates (cos >= 0.35
+    // — this corpus plants no higher-cosine duplicates, so the locality
+    // claim under test is separation, not collision)
+    val near = Similarity.dedupEmbedding(spark, sf).select($"vec_a", $"vec_b")
+    // control: arbitrary id-offset pairs — expected Hamming 32/64 on random
+    val n = sig.count()
+    val rand = sig.select($"vec_id".as("vec_a"), (($"vec_id" + n / 2) % n).as("vec_b"))
+    val (hNear, hRand) = (avgHam(near), avgHam(rand))
+    info(f"avg Hamming/64: similar=$hNear%.1f random=$hRand%.1f")
+    assert(hRand > 26 && hRand < 38, s"random-pair Hamming should center on 32, got $hRand")
+    assert(hNear < hRand - 4, s"similar pairs must sit measurably closer: $hNear vs $hRand")
+    sig.unpersist()
+  }
+
+  test("SRP top-k: per-query contract; re-rank broadcasts the candidate set") {
+    import spark.implicits._
+    val k = Similarity.knnSrp(spark, sf).cache()
+    assert(k.groupBy($"qid").count().filter($"count" > 5).count() == 0)
+    assert(k.filter($"qid" === $"nid").count() == 0)
+    assert(k.filter($"cosine" > 1.0000001 || $"cosine" < -1.0000001).count() == 0)
+    val bad = k.as("a").join(k.as("b"),
+      $"a.qid" === $"b.qid" && $"a.rank" < $"b.rank" && $"a.cosine" < $"b.cosine")
+    assert(bad.count() == 0)
+    // the corpus is scanned, never shuffled, for the re-rank: the (small)
+    // candidate set reaches the embedding lookups via broadcast joins
+    val plan = k.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    k.unpersist()
+  }
+
+  test("ANN recall report: integer hits bounded by truth; nprobe is monotone") {
+    val r = Similarity.annRecall(spark, sf).head
+    val (k, truth) = (r.getLong(0), r.getLong(1))
+    val (i1, i2, srp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(k == 5 && truth == 50)
+    assert(Seq(i1, i2, srp).forall(h => h >= 0 && h <= truth))
+    assert(i2 >= i1, "nprobe=2 probes a superset of nprobe=1's clusters")
+    info(f"recall@5: ivf1=${i1 / 50.0}%.2f ivf2=${i2 / 50.0}%.2f srp=${srp / 50.0}%.2f")
+  }
 }
