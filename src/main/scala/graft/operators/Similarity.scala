@@ -269,10 +269,16 @@ object Similarity {
   // ---------------------------------------------------------------------------
   /** Centroid ranking per vector — rn=1 is the cluster assignment, rn<=p is
     * the probe list for nprobe=p searches. */
-  private def rankedAssign(s: SparkSession, dir: String): DataFrame = {
+  private def rankedAssign(s: SparkSession, dir: String): DataFrame =
+    rankedAssignOf(s, dir, Tables.embeddings(s, dir))
+
+  /** Same ranking against the trained centroids for an arbitrary vector
+    * relation — the incremental-maintenance entry point: a delta of new
+    * vectors probes the STORED index without touching the corpus. */
+  private def rankedAssignOf(s: SparkSession, dir: String, src: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    val e = src
     val cent = lloydCentroids(s, dir)
       .selectExpr("centroid_id", "ce", s"sqrt(${dotDD("ce", "ce")}) AS cnrm")
     val scored = withNorm(e, "vec_id", "embedding").toDF("vec_id", "embedding", "vnrm")
@@ -1002,7 +1008,170 @@ object Similarity {
        |       (SELECT count(*) FROM srp JOIN truth USING (qid, nid)) AS hits_srp
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher
+  // SIGIR 2009) of a lexical and a semantic ranking over the SAME corpus —
+  // the testdata contract aligns doc_id ≡ vec_id, so a query document has
+  // both a token set and an embedding. Lexical list: df-capped rare-token
+  // overlap via an inverted-index self-join (common tokens are stopword-
+  // pruned at df > LexDfCap — the posting-list cap that keeps the join
+  // sub-quadratic at 100 TB, same policy as the rare-shingle containment
+  // index). Semantic list: brute-force cosine top-k (swap in the IVF/SRP
+  // path for scale — identical fusion). RRF score = Σ 1/(K + rank): each
+  // reciprocal is one correctly-rounded IEEE division from exact integers
+  // and the two terms add in fixed lexical-then-semantic order, so both
+  // engines agree bit-for-bit.
+  // ---------------------------------------------------------------------------
+  private val RrfK     = 60   // the standard RRF damping constant
+  private val LexTop   = 10
+  private val LexDfCap = 100
+  private val rrfScore =
+    s"coalesce(cast(1.0 as double) / ($RrfK + lex_rank), cast(0.0 as double))" +
+      s" + coalesce(cast(1.0 as double) / ($RrfK + sem_rank), cast(0.0 as double))"
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(expr(Tok.toksExpr))).as("t"))
+    val kept = toks.join(
+      toks.groupBy($"t").agg(count(lit(1)).as("df")).filter($"df" <= LexDfCap), "t")
+    val ov = kept.filter($"doc_id" < NQUERY).select($"doc_id".as("qid"), $"t")
+      .join(kept.select($"doc_id".as("nid"), $"t"), "t")
+      .filter($"qid" =!= $"nid")
+      .groupBy($"qid", $"nid").agg(count(lit(1)).as("overlap"))
+    val wl = Window.partitionBy($"qid").orderBy($"overlap".desc, $"nid".asc)
+    val lex = ov.withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter($"lex_rank" <= LexTop).select($"qid", $"nid", $"lex_rank")
+    val sem = knnBrute(s, dir).select($"qid", $"nid", $"rank".as("sem_rank"))
+    val fused = lex.join(sem, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf_score", expr(rrfScore))
+    val wf = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"nid".asc)
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter($"rank" <= LexTop)
+      .select($"qid", $"rank", $"nid".as("doc_id"), $"rrf_score",
+        $"lex_rank", $"sem_rank")
+  }
+  val hybridRrfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${Tok.toksDuck})) AS t FROM documents),
+       |kept AS (
+       |  SELECT doc_id, t FROM toks
+       |  JOIN (SELECT t, count(*) AS df FROM toks GROUP BY t) dfx USING (t)
+       |  WHERE df <= $LexDfCap),
+       |ov AS (
+       |  SELECT q.doc_id AS qid, c.doc_id AS nid, count(*) AS overlap
+       |  FROM kept q JOIN kept c USING (t)
+       |  WHERE q.doc_id < $NQUERY AND q.doc_id <> c.doc_id
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, nid, lex_rank FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, nid ASC) AS lex_rank
+       |    FROM ov) r WHERE lex_rank <= $LexTop),
+       |sem AS (SELECT qid, nid, rank AS sem_rank FROM (${knnBruteSql.trim}) t),
+       |fused AS (
+       |  SELECT coalesce(lex.qid, sem.qid) AS qid, coalesce(lex.nid, sem.nid) AS nid,
+       |         lex_rank, sem_rank, $rrfScore AS rrf_score
+       |  FROM lex FULL OUTER JOIN sem ON lex.qid = sem.qid AND lex.nid = sem.nid)
+       |SELECT qid, rank, nid AS doc_id, rrf_score, lex_rank, sem_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, nid ASC) AS rank
+       |  FROM fused) f
+       |WHERE rank <= $LexTop
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Incremental ANN index maintenance: the newest DeltaN vectors (the
+  // "ingest batch") probe the STORED index artifacts — trained centroids
+  // (pinned, see centCache; at rest the writeAnnLayout table) and the SRP
+  // band scheme — and emit exactly the rows that append to the at-rest
+  // layout: (vec_id, centroid_id, centroid_cosine, sig_hi, sig_lo). The
+  // timed work is O(delta · C + delta · 64 · d): the corpus is touched by
+  // NOTHING except the pinned C-row centroid table. Twin of the span-index
+  // incremental dedup (Dedup.scala) for the serving side.
+  // ---------------------------------------------------------------------------
+  private val DeltaN = 50
+
+  def annIncr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val cutoff = e.agg((count(lit(1)) - DeltaN).as("cut"))
+    val delta = e.crossJoin(broadcast(cutoff)).filter($"vec_id" >= $"cut")
+      .select($"vec_id", $"embedding")
+    // signatures computed on the DELTA rows only — joining the corpus-wide
+    // srpSig here would silently reintroduce an O(corpus) scan
+    val deltaSig = delta.selectExpr("vec_id",
+      s"${srpSigS("embedding", 0)} AS sig_hi",
+      s"${srpSigS("embedding", SrpHalf)} AS sig_lo")
+    rankedAssignOf(s, dir, delta)
+      .filter($"rn" === 1)
+      .select($"vec_id", $"centroid_id", $"cosine".as("centroid_cosine"))
+      .join(deltaSig, "vec_id")
+  }
+  val annIncrSql: String =
+    s"""WITH $lloydCteSql,
+       |delta AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id >= (SELECT count(*) - $DeltaN FROM embeddings)),
+       |scored AS (
+       |  SELECT d.vec_id, centroid_id,
+       |         ${dotD("d.embedding", "ce")} / (sqrt(${dotD("d.embedding", "d.embedding")}) * sqrt(${dotD("ce", "ce")})) AS cosine
+       |  FROM delta d CROSS JOIN cent),
+       |ranked AS (
+       |  SELECT vec_id, centroid_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+       |  FROM scored)
+       |SELECT r.vec_id, centroid_id, cosine AS centroid_cosine,
+       |       ${srpSigD("e.embedding", 0)} AS sig_hi,
+       |       ${srpSigD("e.embedding", SrpHalf)} AS sig_lo
+       |FROM ranked r JOIN embeddings e ON r.vec_id = e.vec_id
+       |WHERE rn = 1
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Index drift report: does the ingest batch still look like the corpus
+  // the centroids were trained on? Per centroid: corpus members, delta
+  // members, and the cross-multiplied L1 drift term
+  // |n_delta·N_corpus − n_corpus·N_delta| — an EXACT integer (no division),
+  // so the gate is arithmetic-exact; Σ drift / (2·N_c·N_d) is total
+  // variation distance if a consumer wants the normalized stat. This is
+  // the retrain trigger: at 100 TB both sides are one groupBy over stored
+  // assignment columns, never embeddings.
+  // ---------------------------------------------------------------------------
+  def ivfDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = ivfAssign(s, dir).groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_corpus"))
+    val delta = annIncr(s, dir).groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_delta0"))
+    corpus.join(delta, Seq("centroid_id"), "left_outer")
+      .withColumn("n_delta", coalesce($"n_delta0", lit(0L)))
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("_c"),
+        sum($"n_corpus").as("nc_total"))).select($"nc_total"))
+      .crossJoin(broadcast(delta.agg(sum($"n_delta0").as("nd_total"))))
+      .select($"centroid_id", $"n_corpus", $"n_delta",
+        abs($"n_delta" * $"nc_total" - $"n_corpus" * $"nd_total").as("drift_x"))
+  }
+  val ivfDriftSql: String =
+    s"""WITH corpus AS (
+       |  SELECT centroid_id, count(*) AS n_corpus
+       |  FROM (${ivfAssignSql.trim}) a GROUP BY centroid_id),
+       |delta AS (
+       |  SELECT centroid_id, count(*) AS n_delta
+       |  FROM (${annIncrSql.trim}) d GROUP BY centroid_id),
+       |tot AS (SELECT (SELECT CAST(sum(n_corpus) AS BIGINT) FROM corpus) AS nc_total,
+       |               (SELECT CAST(sum(n_delta) AS BIGINT) FROM delta) AS nd_total)
+       |SELECT centroid_id, n_corpus,
+       |       CAST(coalesce(delta.n_delta, 0) AS BIGINT) AS n_delta,
+       |       abs(coalesce(delta.n_delta, 0) * nc_total - n_corpus * nd_total) AS drift_x
+       |FROM corpus LEFT JOIN delta USING (centroid_id) CROSS JOIN tot
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_rrf"      -> hybridRrf _,
+    "q_ann_incr"        -> annIncr _,
+    "q_ivf_drift"       -> ivfDrift _,
     "q_srp_sig"         -> srpSig _,
     "q_knn_srp"         -> knnSrp _,
     "q_ann_recall"      -> annRecall _,
@@ -1020,6 +1189,9 @@ object Similarity {
     "q_label_centroids" -> labelCentroids _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_hybrid_rrf"      -> hybridRrfSql,
+    "q_ann_incr"        -> annIncrSql,
+    "q_ivf_drift"       -> ivfDriftSql,
     "q_srp_sig"         -> srpSigSql,
     "q_knn_srp"         -> knnSrpSql,
     "q_ann_recall"      -> annRecallSql,

@@ -814,7 +814,53 @@ object TextAnalysis {
        |FROM pairs GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Training-shard planner: assign every document to one of NShards output
+  // shards so per-shard TOKEN totals balance — the write-side layout step
+  // before a tokenizer/packing run. Exact LPT greedy needs a sequential
+  // pass over a globally sorted list (a driver loop — wrong at 100 TB);
+  // the distributed approximation is bucketed round-robin: documents are
+  // grouped into power-of-two size buckets (sizes within a bucket differ
+  // < 2×), and each bucket deals its members round-robin across shards in
+  // deterministic (n_tok DESC, doc_id) order. Windows partition by BUCKET,
+  // so no global sort exists; every shard receives ⌊/⌉ members of every
+  // bucket, bounding the per-shard token spread by roughly one maximum
+  // document per bucket. Output: per-shard doc and token totals — the
+  // balance report a shard writer would act on.
+  // Determinism: bucket = length(bin(n_tok)) = ⌊log2⌋+1 in pure integer
+  // string form (no floating log2, whose last-ulp behavior at exact powers
+  // of two is not a cross-engine contract).
+  // ---------------------------------------------------------------------------
+  private val NShards = 8
+
+  def shardPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sized = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", "cast(size(toks) as bigint) AS n_tok")
+      .selectExpr("doc_id", "n_tok", "length(bin(n_tok)) AS bucket")
+    val w = Window.partitionBy($"bucket").orderBy($"n_tok".desc, $"doc_id".asc)
+    sized
+      .withColumn("shard", (row_number().over(w) - 1) % NShards)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+      .select($"shard".cast("long").as("shard"), $"n_docs", $"n_tokens")
+  }
+  val shardPlanSql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS n_tok FROM documents),
+       |assigned AS (
+       |  SELECT doc_id, n_tok,
+       |         (row_number() OVER (PARTITION BY length(bin(n_tok))
+       |                             ORDER BY n_tok DESC, doc_id ASC) - 1) % $NShards AS shard
+       |  FROM sized)
+       |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM assigned GROUP BY shard
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_plan"    -> shardPlan _,
     "q_bpe_pairs"     -> bpePairs _,
     "q_lm_score"      -> lmScore _,
     "q_zipf"          -> zipfProfile _,
@@ -839,6 +885,7 @@ object TextAnalysis {
     "q_inverted_index" -> invertedIndex _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_shard_plan"    -> shardPlanSql,
     "q_bpe_pairs"     -> bpePairsSql,
     "q_lm_score"      -> lmScoreSql,
     "q_zipf"          -> zipfProfileSql,

@@ -252,6 +252,56 @@ class SimilaritySpec extends AnyFunSuite {
     k.unpersist()
   }
 
+  test("incremental ANN maintenance equals the batch index on the delta ids") {
+    import spark.implicits._
+    val incr = Similarity.annIncr(spark, sf).cache()
+    assert(incr.count() == 50)
+    // assignment side: identical to the full batch assignment restricted
+    // to the delta — the incremental path must never drift from a rebuild
+    val batch = Similarity.ivfAssign(spark, sf)
+      .join(incr.select($"vec_id"), "vec_id")
+    assert(incr.select($"vec_id", $"centroid_id", $"centroid_cosine")
+      .except(batch.select($"vec_id", $"centroid_id", $"centroid_cosine"))
+      .count() == 0)
+    // signature side: identical to the corpus-wide signature relation
+    val sig = Similarity.srpSig(spark, sf)
+      .join(incr.select($"vec_id"), "vec_id")
+      .select($"vec_id", $"sig_hi", $"sig_lo")
+    assert(incr.select($"vec_id", $"sig_hi", $"sig_lo").except(sig).count() == 0)
+    incr.unpersist()
+  }
+
+  test("IVF drift report: exact integer accounting across corpus and delta") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Similarity.ivfDrift(spark, sf).cache()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val t = d.agg(sum($"n_corpus"), sum($"n_delta")).head
+    assert(t.getLong(0) == n, "every corpus vector is in exactly one cluster")
+    assert(t.getLong(1) == 50, "every delta vector lands in some cluster")
+    // drift term recomputed from the row's own integers
+    val bad = d.filter(abs($"n_delta" * lit(n) - $"n_corpus" * lit(50L)) =!= $"drift_x")
+    assert(bad.count() == 0)
+    d.unpersist()
+  }
+
+  test("hybrid RRF: fused lists are bounded, ordered, and score-consistent") {
+    import spark.implicits._
+    val h = Similarity.hybridRrf(spark, sf).cache()
+    assert(h.groupBy($"qid").count().filter($"count" > 10).count() == 0)
+    assert(h.filter($"lex_rank".isNull && $"sem_rank".isNull).count() == 0,
+      "every fused row came from at least one list")
+    assert(h.filter($"rrf_score" <= 0 ||
+      $"rrf_score" > 2.0 / 61.0 + 1e-12).count() == 0)
+    val bad = h.as("a").join(h.as("b"),
+      $"a.qid" === $"b.qid" && $"a.rank" < $"b.rank" && $"a.rrf_score" < $"b.rrf_score")
+    assert(bad.count() == 0, "fused rank follows fused score")
+    // a doc present in BOTH lists at rank 1 beats any single-list doc
+    val both1 = h.filter($"lex_rank" === 1 && $"sem_rank" === 1).select($"qid", $"rank")
+    assert(both1.filter($"rank" =!= 1).count() == 0)
+    h.unpersist()
+  }
+
   test("ANN recall report: integer hits bounded by truth; nprobe is monotone") {
     val r = Similarity.annRecall(spark, sf).head
     val (k, truth) = (r.getLong(0), r.getLong(1))

@@ -366,4 +366,18 @@ class TextDedupSpec extends AnyFunSuite {
       "window-on-hash and join-on-text disagree")
     got.unpersist()
   }
+
+  test("shard plan: complete partition of docs with balanced token totals") {
+    import spark.implicits._
+    val p = graft.operators.TextAnalysis.shardPlan(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(p.count() == 8)
+    assert(p.agg(sum($"n_docs")).head.getLong(0) == docs,
+      "every document lands in exactly one shard")
+    val mm = p.agg(min($"n_tokens"), max($"n_tokens")).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    assert(hi <= lo + lo / 4,
+      s"bucketed round-robin should balance token totals within 25%: [$lo, $hi]")
+    p.unpersist()
+  }
 }
