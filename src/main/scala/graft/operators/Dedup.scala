@@ -973,7 +973,116 @@ object Dedup {
     spanDedupSql +
       "WHERE sp.doc_id >= (SELECT ((max(doc_id) + 1) * 9) // 10 FROM documents)\n"
 
+  // ---------------------------------------------------------------------------
+  // Soft dedup: weight instead of drop. Training pipelines often keep ONE
+  // canonical document per near-dup cluster but preserve the duplication
+  // signal as a sample weight (cluster size) for loss re-weighting or
+  // epoch budgeting — dropping loses the information that a document was
+  // corpus-frequent. Output: one row per kept document (the cluster
+  // canonical, or the document itself when it belongs to no cluster) with
+  // its integer weight. Scale: the cluster labels are the stored output of
+  // the resolution pass; the weight rollup is one count shuffle over
+  // (keep_id) — the corpus text is never touched.
+  // ---------------------------------------------------------------------------
+  def dedupWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = dedupClusters(s, dir).select($"doc_id", $"cluster_id")
+    Tables.documents(s, dir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(coalesce($"cluster_id", $"doc_id").as("keep_id"))
+      .groupBy($"keep_id")
+      .agg(count(lit(1)).as("weight"))
+  }
+  val dedupWeightsSql: String =
+    s"""WITH labels AS (
+       |${dedupClustersSql.trim}
+       |),
+       |full_lbl AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS keep_id
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+       |SELECT keep_id, count(*) AS weight FROM full_lbl GROUP BY keep_id
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Dataset-level overlap: how much does source A's shingle set overlap
+  // source B's? The sketch answer is a per-source UNION MinHash — each of
+  // the K signature slots takes the minimum universal-hash value over ALL
+  // of a source's shingles, so a source's sketch is K longs regardless of
+  // size, and E[matching slots / K] = Jaccard(A, B). That is the 100 TB
+  // path: one groupBy(source) over the shingle-hash relation, then a
+  // |sources|² sketch comparison on the driver-sized sketch table. The
+  // exact companion (distinct-shingle inverted-index join — per-hash pair
+  // expansion bounded by the source count) is emitted beside it, making
+  // the query its own quality report, like q_lsh_quality. All outputs are
+  // integers or single IEEE divisions of integers, so the oracle
+  // hash-matches bit-for-bit.
+  // ---------------------------------------------------------------------------
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    // one tokenize→shingle→md5 pass, tagged by source; distinct (source, h)
+    // serves both the sketch (min is distinct-insensitive) and exact counts
+    val hr = graft.Materialize.eager(
+      shingleHashRows(docs)
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+        .select($"source", $"h").distinct())
+    val sigAggs = (0 until K).map(i => min((col("h") * A(i) + B(i)) % P).as(s"sig$i"))
+    val sigs = hr.groupBy($"source").agg(sigAggs.head, sigAggs.tail: _*)
+    val sizes = hr.groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    val inter = hr.select($"source".as("source_a"), $"h")
+      .join(hr.select($"source".as("source_b"), $"h"), Seq("h"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_inter"))
+    val matchExpr = (0 until K).map(i => s"cast(a$i = b$i as bigint)").mkString(" + ")
+    val left = sigs.select(($"source".as("source_a") +:
+      (0 until K).map(i => col(s"sig$i").as(s"a$i"))): _*)
+    val right = sigs.select(($"source".as("source_b") +:
+      (0 until K).map(i => col(s"sig$i").as(s"b$i"))): _*)
+    left.crossJoin(right).filter($"source_a" < $"source_b")
+      .selectExpr("source_a", "source_b", s"$matchExpr AS k_match")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(sizes.select($"source".as("source_a"), $"n_sh".as("n_a")), "source_a")
+      .join(sizes.select($"source".as("source_b"), $"n_sh".as("n_b")), "source_b")
+      .selectExpr("source_a", "source_b", "k_match",
+        s"cast(k_match as double) / $K AS est_jaccard",
+        "coalesce(n_inter, 0L) AS n_inter",
+        "cast(coalesce(n_inter, 0L) as double) / (n_a + n_b - coalesce(n_inter, 0L)) AS exact_jaccard")
+  }
+  val sourceOverlapSql: String = {
+    val sigExprs = (0 until K).map(i =>
+      s"min((h * ${A(i)} + ${B(i)}) % $P) AS sig$i").mkString(",\n       ")
+    val matchExpr = (0 until K).map(i =>
+      s"CAST(a.sig$i = b.sig$i AS BIGINT)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |shs AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
+       |hr0 AS (SELECT doc_id, unnest($shingleHashDuck) AS h FROM shs),
+       |hr AS (SELECT DISTINCT source, h FROM hr0 JOIN documents USING (doc_id)),
+       |sigs AS (SELECT source,
+       |       $sigExprs
+       |FROM hr GROUP BY source),
+       |sizes AS (SELECT source, count(*) AS n_sh FROM hr GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+       |  FROM hr a JOIN hr b USING (h) WHERE a.source < b.source GROUP BY 1, 2),
+       |est AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         $matchExpr AS k_match
+       |  FROM sigs a JOIN sigs b ON a.source < b.source)
+       |SELECT source_a, source_b, k_match,
+       |       CAST(k_match AS DOUBLE) / $K AS est_jaccard,
+       |       coalesce(n_inter, 0) AS n_inter,
+       |       CAST(coalesce(n_inter, 0) AS DOUBLE)
+       |         / (n_a + n_b - coalesce(n_inter, 0)) AS exact_jaccard
+       |FROM est
+       |LEFT JOIN inter USING (source_a, source_b)
+       |JOIN (SELECT source AS source_a, n_sh AS n_a FROM sizes) sa USING (source_a)
+       |JOIN (SELECT source AS source_b, n_sh AS n_b FROM sizes) sb USING (source_b)
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_weights"     -> dedupWeights _,
+    "q_source_overlap"    -> sourceOverlap _,
     "q_span_dedup_incr"   -> spanDedupIncremental _,
     "q_lsh_quality"       -> lshQuality _,
     "q_span_dedup"        -> spanDedup _,
@@ -992,6 +1101,8 @@ object Dedup {
     "q_seg_dedup"         -> segDedup _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_weights"     -> dedupWeightsSql,
+    "q_source_overlap"    -> sourceOverlapSql,
     "q_span_dedup_incr"   -> spanDedupIncrementalSql,
     "q_lsh_quality"       -> lshQualitySql,
     "q_span_dedup"        -> spanDedupSql,

@@ -859,7 +859,56 @@ object TextAnalysis {
        |FROM assigned GROUP BY shard
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Corpus datasheet: the one-row summary a dataset card leads with — doc /
+  // token / char totals, token range, language and source cardinalities,
+  // exact-duplicate count and rate. One narrow materialized pass (doc_id,
+  // lang, source, n_tok, content hash — text never leaves the scan stage)
+  // feeds four aggregates joined as broadcast scalars. Deliberately NOT a
+  // single multi-countDistinct aggregate: three DISTINCT columns in one
+  // agg makes Catalyst plan an Expand (4× the corpus rows through the
+  // shuffle); four passes over the materialized 40-byte-row relation are
+  // cheaper at every scale and keep each aggregate map-side partial.
+  // Every output is an integer or one IEEE division of integers.
+  // ---------------------------------------------------------------------------
+  def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Materialize.eager(
+      Tables.documents(s, dir).selectExpr("doc_id", "lang", "source", "n_chars",
+        s"cast(size($toksExpr) as bigint) AS n_tok", "md5(text) AS h"))
+    val tot = base.agg(
+      count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+      sum($"n_chars").as("n_chars"),
+      min($"n_tok").as("min_tokens"), max($"n_tok").as("max_tokens"))
+    val langs = base.agg(countDistinct($"lang").as("n_langs"))
+    val srcs  = base.agg(countDistinct($"source").as("n_sources"))
+    val uniq  = base.agg(countDistinct($"h").as("n_unique"))
+    tot.crossJoin(broadcast(langs)).crossJoin(broadcast(srcs))
+      .crossJoin(broadcast(uniq))
+      .selectExpr("n_docs", "n_tokens", "n_chars", "min_tokens", "max_tokens",
+        "n_langs", "n_sources", "n_unique",
+        "n_docs - n_unique AS n_exact_dups",
+        "cast(n_docs - n_unique as double) / n_docs AS dup_rate")
+  }
+  val corpusCardSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         CAST(len($toksDuck) AS BIGINT) AS n_tok, md5(text) AS h
+       |  FROM documents)
+       |SELECT count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       min(n_tok) AS min_tokens, max(n_tok) AS max_tokens,
+       |       count(DISTINCT lang) AS n_langs,
+       |       count(DISTINCT source) AS n_sources,
+       |       count(DISTINCT h) AS n_unique,
+       |       count(*) - count(DISTINCT h) AS n_exact_dups,
+       |       CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*) AS dup_rate
+       |FROM base
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_card"   -> corpusCard _,
     "q_shard_plan"    -> shardPlan _,
     "q_bpe_pairs"     -> bpePairs _,
     "q_lm_score"      -> lmScore _,
@@ -885,6 +934,7 @@ object TextAnalysis {
     "q_inverted_index" -> invertedIndex _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_card"   -> corpusCardSql,
     "q_shard_plan"    -> shardPlanSql,
     "q_bpe_pairs"     -> bpePairsSql,
     "q_lm_score"      -> lmScoreSql,

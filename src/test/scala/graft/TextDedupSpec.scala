@@ -367,6 +367,52 @@ class TextDedupSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("dedup weights: a complete mass-preserving soft-dedup keep list") {
+    import spark.implicits._
+    val w = Dedup.dedupWeights(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // total weight is conserved — soft dedup drops no mass
+    assert(w.agg(sum($"weight")).head.getLong(0) == docs)
+    assert(w.filter($"weight" < 1).count() == 0)
+    // every keep_id is a cluster canonical or an unclustered doc
+    val labels = Dedup.dedupClusters(spark, sf).cache()
+    val nonCanon = labels.filter(!$"is_canonical").select($"doc_id".as("keep_id"))
+    assert(w.join(nonCanon, "keep_id").count() == 0,
+      "a non-canonical cluster member must never be a keep_id")
+    // clustered canonicals carry exactly their cluster size
+    val sizes = labels.groupBy($"cluster_id".as("keep_id"))
+      .agg(count(lit(1)).as("sz"))
+    assert(w.join(sizes, "keep_id").filter($"weight" =!= $"sz").count() == 0)
+    labels.unpersist(); w.unpersist()
+  }
+
+  test("source overlap: sketch and exact Jaccard agree on their contracts") {
+    import spark.implicits._
+    val o = Dedup.sourceOverlap(spark, sf).cache()
+    val nSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source").distinct().count()
+    assert(o.count() == nSrc * (nSrc - 1) / 2, "one row per unordered source pair")
+    assert(o.filter($"k_match" < 0 || $"k_match" > 8).count() == 0)
+    assert(o.filter($"exact_jaccard" < 0 || $"exact_jaccard" > 1).count() == 0)
+    assert(o.filter($"est_jaccard" =!= $"k_match" / 8.0d).count() == 0)
+    // symmetric-pair completeness: n_inter never exceeds either side's size
+    assert(o.filter($"n_inter" < 0).count() == 0)
+    o.unpersist()
+  }
+
+  test("corpus card: totals reconcile with the raw table") {
+    import spark.implicits._
+    val c = TextAnalysis.corpusCard(spark, sf).head
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    assert(c.getAs[Long]("n_docs") == d.count())
+    assert(c.getAs[Long]("n_langs") == d.select($"lang").distinct().count())
+    assert(c.getAs[Long]("n_unique") <= c.getAs[Long]("n_docs"))
+    assert(c.getAs[Long]("n_exact_dups") ==
+      c.getAs[Long]("n_docs") - c.getAs[Long]("n_unique"))
+    assert(c.getAs[Long]("min_tokens") <= c.getAs[Long]("max_tokens"))
+    assert(c.getAs[Double]("dup_rate") >= 0.0 && c.getAs[Double]("dup_rate") < 1.0)
+  }
+
   test("shard plan: complete partition of docs with balanced token totals") {
     import spark.implicits._
     val p = graft.operators.TextAnalysis.shardPlan(spark, sf).cache()
