@@ -1016,33 +1016,52 @@ object Dedup {
   // the query its own quality report, like q_lsh_quality. All outputs are
   // integers or single IEEE divisions of integers, so the oracle
   // hash-matches bit-for-bit.
+  // Bench note: at the 500-doc test corpus this query is job-floor-bound
+  // (~2 s ≈ scan warmup + one shuffle + one materialize + final assembly,
+  // regardless of data volume — the same fixed-overhead class the bench
+  // records for sub-second queries); the plan below is the shape that
+  // matters at real scale.
   // ---------------------------------------------------------------------------
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    // one tokenize→shingle→md5 pass, tagged by source; distinct (source, h)
-    // serves both the sketch (min is distinct-insensitive) and exact counts
-    val hr = graft.Materialize.eager(
-      shingleHashRows(docs)
-        .join(docs.select($"doc_id", $"source"), "doc_id")
-        .select($"source", $"h").distinct())
+    // ONE corpus pass, ONE corpus-sized shuffle, ONE materialized job:
+    // source is carried through the scan stage (no join-back onto the
+    // exploded relation); groupBy(h) + collect_set builds, per distinct
+    // shingle hash, its sorted source set (arrays bounded by the source
+    // count, map-side partial merge keeps the exchange small); and one
+    // union-expansion projects each set into BOTH its per-source rows
+    // (kind=1 — distinct-shingle counts and sketch minima) and its ordered
+    // pair rows (kind=2 — exact intersections), so a single tiny aggregate
+    // yields every downstream relation without a self-join shuffle or a
+    // second read of the hash index.
+    val unionExpr =
+      "concat(" +
+        "transform(ss, x -> named_struct('kind', 1, 'a', x, 'b', '')), " +
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss) - i - 1), " +
+        "y -> named_struct('kind', 2, 'a', x, 'b', y)))))"
     val sigAggs = (0 until K).map(i => min((col("h") * A(i) + B(i)) % P).as(s"sig$i"))
-    val sigs = hr.groupBy($"source").agg(sigAggs.head, sigAggs.tail: _*)
-    val sizes = hr.groupBy($"source").agg(count(lit(1)).as("n_sh"))
-    val inter = hr.select($"source".as("source_a"), $"h")
-      .join(hr.select($"source".as("source_b"), $"h"), Seq("h"))
-      .filter($"source_a" < $"source_b")
-      .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_inter"))
+    val small = graft.Materialize.eager(
+      docs
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("sh", expr(shinglesExpr))
+        .select($"source", explode(expr(shingleHashSpark)).as("h"))
+        .groupBy($"h").agg(sort_array(collect_set($"source")).as("ss"))
+        .select($"h", explode(expr(unionExpr)).as("r"))
+        .select($"h", $"r.kind".as("kind"), $"r.a".as("a"), $"r.b".as("b"))
+        .groupBy($"kind", $"a", $"b")
+        .agg(count(lit(1)).as("cnt"), sigAggs: _*))
+    val stats = small.filter($"kind" === 1)
+    val inter = small.filter($"kind" === 2)
+      .select($"a".as("source_a"), $"b".as("source_b"), $"cnt".as("n_inter"))
     val matchExpr = (0 until K).map(i => s"cast(a$i = b$i as bigint)").mkString(" + ")
-    val left = sigs.select(($"source".as("source_a") +:
+    val left = stats.select(($"a".as("source_a") +: $"cnt".as("n_a") +:
       (0 until K).map(i => col(s"sig$i").as(s"a$i"))): _*)
-    val right = sigs.select(($"source".as("source_b") +:
+    val right = stats.select(($"a".as("source_b") +: $"cnt".as("n_b") +:
       (0 until K).map(i => col(s"sig$i").as(s"b$i"))): _*)
     left.crossJoin(right).filter($"source_a" < $"source_b")
-      .selectExpr("source_a", "source_b", s"$matchExpr AS k_match")
+      .selectExpr("source_a", "source_b", s"$matchExpr AS k_match", "n_a", "n_b")
       .join(inter, Seq("source_a", "source_b"), "left")
-      .join(sizes.select($"source".as("source_a"), $"n_sh".as("n_a")), "source_a")
-      .join(sizes.select($"source".as("source_b"), $"n_sh".as("n_b")), "source_b")
       .selectExpr("source_a", "source_b", "k_match",
         s"cast(k_match as double) / $K AS est_jaccard",
         "coalesce(n_inter, 0L) AS n_inter",
