@@ -90,12 +90,135 @@ object CurationPipeline {
        |JOIN diverse_ok USING (doc_id)
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Shard manifest: the curated corpus dealt into token-balanced output
+  // shards, per split — the last planning step before a tokenizer run
+  // writes training files. Same bucketed round-robin as
+  // `TextAnalysis.shardPlan` (windows partition by (split, power-of-two
+  // size bucket), so no global sort exists), but over the CURATED
+  // clean_text token counts: train and val shard independently. Output is
+  // the per-(split, shard) doc/token manifest a shard writer acts on.
+  // ---------------------------------------------------------------------------
+  private val NShards = 8
+
+  def curationShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sized = curateV2(s, dir)
+      .selectExpr("doc_id", "split",
+        "cast(size(split(trim(clean_text), '\\\\s+')) as bigint) AS n_tok")
+      .selectExpr("doc_id", "split", "n_tok", "length(bin(n_tok)) AS bucket")
+    val w = Window.partitionBy($"split", $"bucket").orderBy($"n_tok".desc, $"doc_id".asc)
+    sized
+      .withColumn("shard", (row_number().over(w) - 1) % NShards)
+      .groupBy($"split", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+      .select($"split", $"shard".cast("long").as("shard"), $"n_docs", $"n_tokens")
+  }
+  val curationShardsSql: String =
+    s"""WITH curated AS (${curateV2Sql.trim}),
+       |sized AS (
+       |  SELECT doc_id, split,
+       |         CAST(len(string_split_regex(trim(clean_text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM curated),
+       |assigned AS (
+       |  SELECT split, n_tok,
+       |         (row_number() OVER (PARTITION BY split, length(bin(n_tok))
+       |                             ORDER BY n_tok DESC, doc_id ASC) - 1) % $NShards AS shard
+       |  FROM sized)
+       |SELECT split, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM assigned GROUP BY split, shard
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Curation funnel: the monitoring view of the v2 recipe — how many
+  // documents survive each successive gate. One row, one pass: every gate
+  // relation is LEFT-joined once onto the doc universe as a boolean flag
+  // and the cumulative AND-chain is counted in a single aggregate, so no
+  // stage's (expensive) lineage executes twice — the naive per-stage
+  // count-union would re-run cluster resolution and span detection per
+  // stage. Final column provably equals count(q_curation_v2) (spec-gated).
+  // ---------------------------------------------------------------------------
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.sources.Tables.documents(s, dir).select($"doc_id")
+    val exactKeep = Dedup.dedupExact(s, dir)
+      .select($"keep_id".as("doc_id"), lit(true).as("f_exact"))
+    val nonCanon = Dedup.dedupClusters(s, dir).filter(!$"is_canonical")
+      .select($"doc_id", lit(true).as("f_noncanon"))
+    val quality = TextAnalysis.textStats(s, dir).select($"doc_id", $"is_quality")
+    val spanOk = Dedup.spanDedup(s, dir).filter($"dup_ratio" <= 0.5)
+      .select($"doc_id", lit(true).as("f_span"))
+    val diverseOk = TextAnalysis.giniDiversity(s, dir).filter($"gini" >= 0.9)
+      .select($"doc_id", lit(true).as("f_gini"))
+    docs
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nonCanon, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .join(spanOk, Seq("doc_id"), "left")
+      .join(diverseOk, Seq("doc_id"), "left")
+      .selectExpr(
+        "coalesce(f_exact, false) AS s1",
+        "coalesce(f_exact, false) AND NOT coalesce(f_noncanon, false) AS s2",
+        "coalesce(f_exact, false) AND NOT coalesce(f_noncanon, false) " +
+          "AND coalesce(is_quality, false) AS s3",
+        "coalesce(f_exact, false) AND NOT coalesce(f_noncanon, false) " +
+          "AND coalesce(is_quality, false) AND coalesce(f_span, false) AS s4",
+        "coalesce(f_exact, false) AND NOT coalesce(f_noncanon, false) " +
+          "AND coalesce(is_quality, false) AND coalesce(f_span, false) " +
+          "AND coalesce(f_gini, false) AS s5")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("s1").cast("long")).as("n_after_exact"),
+        sum(col("s2").cast("long")).as("n_after_neardup"),
+        sum(col("s3").cast("long")).as("n_after_quality"),
+        sum(col("s4").cast("long")).as("n_after_span"),
+        sum(col("s5").cast("long")).as("n_after_diversity"))
+  }
+  val curationFunnelSql: String =
+    s"""WITH exact_keep AS (SELECT keep_id AS doc_id FROM (${Dedup.dedupExactSql.trim}) e),
+       |noncanon AS (SELECT doc_id FROM (${Dedup.dedupClustersSql.trim}) c WHERE NOT is_canonical),
+       |quality AS (SELECT doc_id, is_quality FROM (${TextAnalysis.textStatsSql.trim}) t),
+       |span_ok AS (SELECT doc_id FROM (${Dedup.spanDedupSql.trim}) sdd WHERE dup_ratio <= 0.5),
+       |diverse_ok AS (SELECT doc_id FROM (${TextAnalysis.giniDiversitySql.trim}) gd WHERE gini >= 0.9),
+       |flags AS (
+       |  SELECT d.doc_id,
+       |         (ek.doc_id IS NOT NULL) AS s1,
+       |         (ek.doc_id IS NOT NULL AND nc.doc_id IS NULL) AS s2,
+       |         (ek.doc_id IS NOT NULL AND nc.doc_id IS NULL
+       |            AND coalesce(q.is_quality, false)) AS s3,
+       |         (ek.doc_id IS NOT NULL AND nc.doc_id IS NULL
+       |            AND coalesce(q.is_quality, false)
+       |            AND so.doc_id IS NOT NULL) AS s4,
+       |         (ek.doc_id IS NOT NULL AND nc.doc_id IS NULL
+       |            AND coalesce(q.is_quality, false)
+       |            AND so.doc_id IS NOT NULL AND dv.doc_id IS NOT NULL) AS s5
+       |  FROM documents d
+       |  LEFT JOIN exact_keep ek ON d.doc_id = ek.doc_id
+       |  LEFT JOIN noncanon nc ON d.doc_id = nc.doc_id
+       |  LEFT JOIN quality q ON d.doc_id = q.doc_id
+       |  LEFT JOIN span_ok so ON d.doc_id = so.doc_id
+       |  LEFT JOIN diverse_ok dv ON d.doc_id = dv.doc_id)
+       |SELECT count(*) AS n_total,
+       |       CAST(sum(CAST(s1 AS BIGINT)) AS BIGINT) AS n_after_exact,
+       |       CAST(sum(CAST(s2 AS BIGINT)) AS BIGINT) AS n_after_neardup,
+       |       CAST(sum(CAST(s3 AS BIGINT)) AS BIGINT) AS n_after_quality,
+       |       CAST(sum(CAST(s4 AS BIGINT)) AS BIGINT) AS n_after_span,
+       |       CAST(sum(CAST(s5 AS BIGINT)) AS BIGINT) AS n_after_diversity
+       |FROM flags
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_curation"    -> curate _,
-    "q_curation_v2" -> curateV2 _,
+    "q_curation"        -> curate _,
+    "q_curation_v2"     -> curateV2 _,
+    "q_curation_shards" -> curationShards _,
+    "q_curation_funnel" -> curationFunnel _,
   )
   val oracleSql: Map[String, String] = Map(
-    "q_curation"    -> curateSql,
-    "q_curation_v2" -> curateV2Sql,
+    "q_curation"        -> curateSql,
+    "q_curation_v2"     -> curateV2Sql,
+    "q_curation_shards" -> curationShardsSql,
+    "q_curation_funnel" -> curationFunnelSql,
   )
 }

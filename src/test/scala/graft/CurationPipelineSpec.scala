@@ -33,4 +33,36 @@ class CurationPipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
     assert(out == again)
   }
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("curation funnel is monotone and lands exactly on the recipe outputs") {
+    import org.apache.spark.sql.functions._
+    val f = CurationPipeline.curationFunnel(spark, sf).head
+    val names = Seq("n_total", "n_after_exact", "n_after_neardup",
+      "n_after_quality", "n_after_span", "n_after_diversity")
+    val vals = names.map(n => f.getAs[Long](n))
+    assert(vals == vals.sorted.reverse, s"funnel must be non-increasing: $vals")
+    // the funnel's stage-3 and stage-5 counts ARE the v1/v2 recipe outputs
+    assert(vals(3) == CurationPipeline.curate(spark, sf).count())
+    assert(vals(5) == CurationPipeline.curateV2(spark, sf).count())
+  }
+
+  test("curation shards partition the curated corpus with balanced tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val p = CurationPipeline.curationShards(spark, sf).cache()
+    val curated = CurationPipeline.curateV2(spark, sf)
+      .groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySplit = p.groupBy($"split").agg(sum($"n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit == curated, "every curated doc lands in exactly one shard")
+    // within the train split, token totals stay balanced
+    val mm = p.filter($"split" === "train")
+      .agg(min($"n_tokens"), max($"n_tokens")).head
+    assert(mm.getLong(1) <= mm.getLong(0) * 3 / 2,
+      s"train shards should balance within 50%: [${mm.getLong(0)}, ${mm.getLong(1)}]")
+    p.unpersist()
+  }
 }
