@@ -1004,6 +1004,34 @@ object Dedup {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Cross-source near-dup pairs: the leakage detector. A near-dup pair
+  // WITHIN a source is redundancy; a near-dup pair ACROSS sources is
+  // contamination (a benchmark document leaking into a training crawl, a
+  // mirror site double-counted under two source labels). Same LSH-verified
+  // pair relation as q_ngram_jaccard (threshold 0.3 — contamination wants
+  // recall), with each side's source tagged and same-source pairs dropped.
+  // Scale: the pair relation is post-LSH (O(candidates)); tagging is two
+  // id-keyed joins of that small relation against the docs projection.
+  // ---------------------------------------------------------------------------
+  def crossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+    ngramJaccard(s, dir)
+      .join(docs.select($"doc_id".as("doc_a"), $"source".as("source_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"source".as("source_b")), "doc_b")
+      .filter($"source_a" =!= $"source_b")
+      .select($"doc_a", $"doc_b", $"source_a", $"source_b", $"jaccard")
+  }
+  val crossSourceDupsSql: String =
+    s"""WITH p AS (${ngramJaccardSql.trim})
+       |SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b, jaccard
+       |FROM p
+       |JOIN documents da ON p.doc_a = da.doc_id
+       |JOIN documents db ON p.doc_b = db.doc_id
+       |WHERE da.source <> db.source
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Dataset-level overlap: how much does source A's shingle set overlap
   // source B's? The sketch answer is a per-source UNION MinHash — each of
   // the K signature slots takes the minimum universal-hash value over ALL
@@ -1100,6 +1128,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crossdup"          -> crossSourceDups _,
     "q_dedup_weights"     -> dedupWeights _,
     "q_source_overlap"    -> sourceOverlap _,
     "q_span_dedup_incr"   -> spanDedupIncremental _,
@@ -1120,6 +1149,7 @@ object Dedup {
     "q_seg_dedup"         -> segDedup _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_crossdup"          -> crossSourceDupsSql,
     "q_dedup_weights"     -> dedupWeightsSql,
     "q_source_overlap"    -> sourceOverlapSql,
     "q_span_dedup_incr"   -> spanDedupIncrementalSql,

@@ -367,6 +367,23 @@ class TextDedupSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("cross-source dups are exactly the source-crossing ngram pairs") {
+    import spark.implicits._
+    val cross = Dedup.crossSourceDups(spark, sf).cache()
+    assert(cross.filter($"source_a" === $"source_b").count() == 0)
+    val all = Dedup.ngramJaccard(spark, sf).select($"doc_a", $"doc_b").cache()
+    // partition check: cross ∪ same-source = all pairs
+    assert(cross.select($"doc_a", $"doc_b").except(all).count() == 0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source")
+    val same = all
+      .join(docs.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .filter($"sa" === $"sb")
+    assert(cross.count() + same.count() == all.count())
+    cross.unpersist(); all.unpersist()
+  }
+
   test("dedup weights: a complete mass-preserving soft-dedup keep list") {
     import spark.implicits._
     val w = Dedup.dedupWeights(spark, sf).cache()
