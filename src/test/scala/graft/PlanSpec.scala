@@ -228,4 +228,31 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles == 3, s"expected 3 exchanges (agg, windows, final), got $shuffles:\n$plan")
   }
+
+  test("shard plan: bucketed windows, no single-partition sort anywhere") {
+    val plan = executed(TextAnalysis.shardPlan(spark, sf))
+    // one corpus scan; window exchange on bucket + final shard agg exchange
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SinglePartition"),
+      s"the whole point is NO global ordering pass:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected bucket-window + shard-agg exchanges, got $shuffles:\n$plan")
+  }
+
+  test("source overlap tail never re-reads the corpus or reshuffles") {
+    // everything after the one materialized index job is broadcast-land:
+    // the returned plan must contain NO parquet scan and NO hash exchange
+    val plan = executed(Dedup.sourceOverlap(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0, plan)
+  }
+
+  test("cross-source dup tagging adds scans only for the source columns") {
+    // the pair relation arrives materialized from the LSH pipeline; the
+    // only parquet reads are the two id→source tag projections, and both
+    // join broadcast (the pair side is small by construction)
+    val plan = executed(Dedup.crossSourceDups(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0, plan)
+  }
 }
