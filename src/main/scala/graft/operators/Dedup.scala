@@ -1032,6 +1032,26 @@ object Dedup {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Cluster-size histogram: the shape of the duplication — how many dup
+  // clusters exist at each size (size 1 = unique docs). Reads the stored
+  // weight relation; one tiny aggregate over cluster-count rows. The long
+  // tail of this histogram is what decides weight-vs-drop policy.
+  // ---------------------------------------------------------------------------
+  def clusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupWeights(s, dir)
+      .groupBy($"weight".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+  }
+  val clusterSizesSql: String =
+    s"""WITH w AS (
+       |${dedupWeightsSql.trim}
+       |)
+       |SELECT weight AS cluster_size, count(*) AS n_clusters
+       |FROM w GROUP BY weight
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Dataset-level overlap: how much does source A's shingle set overlap
   // source B's? The sketch answer is a per-source UNION MinHash — each of
   // the K signature slots takes the minimum universal-hash value over ALL
@@ -1129,6 +1149,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crossdup"          -> crossSourceDups _,
+    "q_cluster_sizes"     -> clusterSizes _,
     "q_dedup_weights"     -> dedupWeights _,
     "q_source_overlap"    -> sourceOverlap _,
     "q_span_dedup_incr"   -> spanDedupIncremental _,
@@ -1150,6 +1171,7 @@ object Dedup {
   )
   val oracleSql: Map[String, String] = Map(
     "q_crossdup"          -> crossSourceDupsSql,
+    "q_cluster_sizes"     -> clusterSizesSql,
     "q_dedup_weights"     -> dedupWeightsSql,
     "q_source_overlap"    -> sourceOverlapSql,
     "q_span_dedup_incr"   -> spanDedupIncrementalSql,

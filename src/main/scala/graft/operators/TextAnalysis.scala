@@ -907,7 +907,41 @@ object TextAnalysis {
        |FROM base
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Per-source quality yield: what fraction of each ingest source survives
+  // the quality gate — the first number a curation team compares sources
+  // by. Source is carried through the one tokenize scan (no join), the
+  // rollup is one tiny aggregate, and the share is a single IEEE division
+  // of exact counts.
+  // ---------------------------------------------------------------------------
+  def qualityBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("source",
+        s"(size(toks) >= 15 AND cast(size(filter(toks, t -> t in ${inList(stopwords)})) as double) / size(toks) <= 0.5) AS is_quality")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_quality").cast("long")).as("n_quality"))
+      .selectExpr("source", "n_docs", "n_quality",
+        "cast(n_quality as double) / n_docs AS quality_share")
+  }
+  val qualityBySourceSql: String = {
+    val stop = inList(stopwords)
+    s"""WITH tok AS (SELECT source, $toksDuck AS toks FROM documents),
+       |flags AS (
+       |  SELECT source,
+       |         (len(toks) >= 15 AND CAST(len(list_filter(toks, t -> t IN $stop)) AS DOUBLE) / len(toks) <= 0.5) AS is_quality
+       |  FROM tok)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CAST(is_quality AS BIGINT)) AS BIGINT) AS n_quality,
+       |       CAST(sum(CAST(is_quality AS BIGINT)) AS DOUBLE) / count(*) AS quality_share
+       |FROM flags GROUP BY source
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_by_source" -> qualityBySource _,
     "q_corpus_card"   -> corpusCard _,
     "q_shard_plan"    -> shardPlan _,
     "q_bpe_pairs"     -> bpePairs _,
@@ -934,6 +968,7 @@ object TextAnalysis {
     "q_inverted_index" -> invertedIndex _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_quality_by_source" -> qualityBySourceSql,
     "q_corpus_card"   -> corpusCardSql,
     "q_shard_plan"    -> shardPlanSql,
     "q_bpe_pairs"     -> bpePairsSql,

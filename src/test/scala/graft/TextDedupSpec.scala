@@ -417,6 +417,27 @@ class TextDedupSpec extends AnyFunSuite {
     o.unpersist()
   }
 
+  test("cluster sizes histogram accounts for every document") {
+    import spark.implicits._
+    val h = Dedup.clusterSizes(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // Σ size·count = corpus size; Σ count = number of kept docs
+    val t = h.agg(sum($"cluster_size" * $"n_clusters"), sum($"n_clusters")).head
+    assert(t.getLong(0) == docs)
+    assert(t.getLong(1) == Dedup.dedupWeights(spark, sf).count())
+    h.unpersist()
+  }
+
+  test("quality by source: counts bound the share and cover the corpus") {
+    import spark.implicits._
+    val q = graft.operators.TextAnalysis.qualityBySource(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(q.agg(sum($"n_docs")).head.getLong(0) == docs)
+    assert(q.filter($"n_quality" > $"n_docs" || $"n_quality" < 0).count() == 0)
+    assert(q.filter($"quality_share" < 0 || $"quality_share" > 1).count() == 0)
+    q.unpersist()
+  }
+
   test("corpus card: totals reconcile with the raw table") {
     import spark.implicits._
     val c = TextAnalysis.corpusCard(spark, sf).head
