@@ -101,6 +101,13 @@ object Dedup {
   private def signaturesFrom(docs: DataFrame): DataFrame =
     signaturesFromHashes(shingleHashRows(docs))
 
+  /** Band rows (doc_id, band_id, band_key) for an arbitrary document
+    * relation — the at-rest LSH index schema, and the probe-side projection
+    * the streaming near-dup detector appends per ingest batch. */
+  private[graft] def bandRows(docs: DataFrame): DataFrame =
+    signaturesFrom(docs).filter(col("sig0").isNotNull).selectExpr("doc_id",
+      "stack(4, 0, concat_ws('|', sig0, sig1), 1, concat_ws('|', sig2, sig3), 2, concat_ws('|', sig4, sig5), 3, concat_ws('|', sig6, sig7)) AS (band_id, band_key)")
+
   private def signaturesFromHashes(hrows: DataFrame): DataFrame = {
     // Signatures are computed by EXPLODING the per-doc shingle-hash array and
     // taking the K universal-hash minima in one hash aggregate. Two reasons
@@ -204,8 +211,8 @@ object Dedup {
     * dominate the runtime. No broadcast hints: AQE broadcasts when the
     * candidate side is small and falls back to a shuffled join when (at
     * corpus scale) it isn't. */
-  private def verifyJaccard(s: SparkSession, dir: String,
-                            candidates: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def verifyJaccard(s: SparkSession, dir: String,
+                                   candidates: DataFrame, threshold: Double): DataFrame = {
     import s.implicits._
     val shingleSets = candidateShingles(s, dir, candidates)
     candidates
