@@ -147,14 +147,67 @@ object Multimodal {
       |FROM c
       |""".stripMargin
 
+  /** Exact payload dedup + storage-savings report — metadata-only: groups
+    * on the scan-computed checksum, so payload bytes are never read or
+    * shuffled (the first pass every media-corpus pipeline runs; at 100 TB
+    * the reclaimed bytes line-item is what justifies it). */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaMeta(s, dir)
+      .groupBy($"checksum")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min($"n_bytes").as("nb"))
+      .selectExpr("checksum", "keep_id", "n_copies",
+        "(n_copies - 1) * nb AS bytes_saved")
+  }
+  val mediaDedupSql: String =
+    """SELECT md5(text) AS checksum, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies,
+      |       (count(*) - 1) * CAST(min(octet_length(encode(text))) AS BIGINT) AS bytes_saved
+      |FROM documents GROUP BY md5(text)
+      |""".stripMargin
+
+  /** Byte-balanced media shard plan — the webdataset/tar packing layout:
+    * the same bucketed round-robin as the token shard planner (windows by
+    * (media_type, power-of-two size bucket) — no global sort), balancing
+    * payload BYTES per output shard within each modality. */
+  def mediaShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"media_type", expr("length(bin(n_bytes))"))
+      .orderBy($"n_bytes".desc, $"doc_id".asc)
+    mediaMeta(s, dir)
+      .withColumn("shard", (row_number().over(w) - 1) % 8)
+      .groupBy($"media_type", $"shard")
+      .agg(count(lit(1)).as("n_files"), sum($"n_bytes").cast("long").as("n_bytes"))
+      .select($"media_type", $"shard".cast("long").as("shard"), $"n_files", $"n_bytes")
+  }
+  val mediaShardsSql: String =
+    s"""WITH m AS (
+       |${mediaMetaSql.trim}
+       |),
+       |assigned AS (
+       |  SELECT media_type, doc_id, n_bytes,
+       |         (row_number() OVER (PARTITION BY media_type, length(bin(n_bytes))
+       |                             ORDER BY n_bytes DESC, doc_id ASC) - 1) % 8 AS shard
+       |  FROM m)
+       |SELECT media_type, CAST(shard AS BIGINT) AS shard, count(*) AS n_files,
+       |       CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+       |FROM assigned GROUP BY media_type, shard
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatures _,
     "q_frame_sample"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
+    "q_media_dedup"    -> mediaDedup _,
+    "q_media_shards"   -> mediaShards _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_media_meta"     -> mediaMetaSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_frame_sample"   -> frameSampleSql,
+    "q_media_dedup"    -> mediaDedupSql,
+    "q_media_shards"   -> mediaShardsSql,
   )
 }
