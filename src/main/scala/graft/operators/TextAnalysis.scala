@@ -659,6 +659,55 @@ object TextAnalysis {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Mix plan: the budgeting report behind temperature mixing — per source,
+  // the natural doc/token counts, the α=0.5 keep rate, and the REALIZED
+  // kept docs/tokens under the same md5 draw the sampler uses (exact
+  // integers, so plan-vs-realization drift is auditable). One narrow
+  // materialized pass (source, n_tok, u) feeds both the natural and the
+  // kept rollups; the corpus never reshuffles.
+  // ---------------------------------------------------------------------------
+  def mixPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Materialize.eager(
+      Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+        .selectExpr("source", "cast(size(toks) as bigint) AS n_tok",
+          "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 17, 15), 16, 10) as bigint) / cast(1152921504606846976 as double) AS u"))
+    val counts = base.groupBy($"source")
+      .agg(count(lit(1)).as("cnt"), sum($"n_tok").as("n_tokens"))
+    val minCnt = counts.agg(min($"cnt").as("min_cnt"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .selectExpr("source", "cnt", "n_tokens", keepRateExpr)
+    val kept = base.join(broadcast(rates.select($"source", $"keep_rate")), "source")
+      .filter($"u" < $"keep_rate")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .selectExpr("source", "cnt AS n_docs", "n_tokens", "keep_rate",
+        "coalesce(n_kept, 0L) AS n_kept",
+        "coalesce(kept_tokens, 0L) AS kept_tokens",
+        "cast(coalesce(n_kept, 0L) as double) / cnt AS realized_rate")
+  }
+  val mixPlanSql: String =
+    s"""WITH base AS (
+       |  SELECT source, CAST(len($toksDuck) AS BIGINT) AS n_tok,
+       |         ('0x' || substr(md5(doc_id::VARCHAR), 17, 15))::BIGINT
+       |           / CAST(1152921504606846976 AS DOUBLE) AS u
+       |  FROM documents),
+       |c AS (SELECT source, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |      FROM base GROUP BY source),
+       |mc AS (SELECT min(cnt) AS min_cnt FROM c),
+       |r AS (SELECT source, cnt, n_tokens, $keepRateExpr FROM c CROSS JOIN mc),
+       |k AS (SELECT b.source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+       |      FROM base b JOIN r ON b.source = r.source
+       |      WHERE b.u < r.keep_rate GROUP BY b.source)
+       |SELECT r.source, cnt AS n_docs, n_tokens, keep_rate,
+       |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       |       CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |       CAST(coalesce(n_kept, 0) AS DOUBLE) / cnt AS realized_rate
+       |FROM r LEFT JOIN k ON r.source = k.source
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Inverted-index construction: term → (df, total tf, postings sample) —
   // the retrieval-index artifact BM25 serving reads. Two-level hash
   // aggregate (doc-term tf, then term rollup), map-side combine on both
@@ -942,6 +991,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_by_source" -> qualityBySource _,
+    "q_mix_plan"      -> mixPlan _,
     "q_corpus_card"   -> corpusCard _,
     "q_shard_plan"    -> shardPlan _,
     "q_bpe_pairs"     -> bpePairs _,
@@ -969,6 +1019,7 @@ object TextAnalysis {
   )
   val oracleSql: Map[String, String] = Map(
     "q_quality_by_source" -> qualityBySourceSql,
+    "q_mix_plan"      -> mixPlanSql,
     "q_corpus_card"   -> corpusCardSql,
     "q_shard_plan"    -> shardPlanSql,
     "q_bpe_pairs"     -> bpePairsSql,

@@ -438,6 +438,25 @@ class TextDedupSpec extends AnyFunSuite {
     q.unpersist()
   }
 
+  test("mix plan: realized keep counts match the sampler exactly") {
+    import spark.implicits._
+    val p = graft.operators.TextAnalysis.mixPlan(spark, sf).cache()
+    // the realized counts ARE the temperature sampler's output counts
+    val sampled = graft.operators.TextAnalysis.temperatureSample(spark, sf)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    p.collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") == sampled.getOrElse(r.getString(0), 0L))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // the smallest source keeps everything (keep_rate 1.0)
+    val smallest = p.orderBy($"n_docs".asc).first()
+    assert(smallest.getAs[Double]("keep_rate") == 1.0)
+    assert(smallest.getAs[Long]("n_kept") == smallest.getAs[Long]("n_docs"))
+    p.unpersist()
+  }
+
   test("corpus card: totals reconcile with the raw table") {
     import spark.implicits._
     val c = TextAnalysis.corpusCard(spark, sf).head
