@@ -1168,7 +1168,41 @@ object Similarity {
        |FROM corpus LEFT JOIN delta USING (centroid_id) CROSS JOIN tot
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Cluster quality report: per IVF centroid, how many members pass the
+  // text quality gate — the junk-cluster detector (a cluster whose quality
+  // yield collapses is boilerplate/spam to prune wholesale, the
+  // cluster-level complement of SemDeDup's pair-level pruning). Joins the
+  // stored assignment to the text-quality relation on the doc_id ≡ vec_id
+  // testdata contract; counts are exact integers, the share is one IEEE
+  // division. At 100 TB both inputs are stored columns — no embedding or
+  // text is touched.
+  // ---------------------------------------------------------------------------
+  def clusterQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = graft.operators.TextAnalysis.textStats(s, dir)
+      .select($"doc_id".as("vec_id"), $"is_quality")
+    ivfAssign(s, dir)
+      .join(q, "vec_id")
+      .groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"is_quality".cast("long")).as("n_quality"))
+      .selectExpr("centroid_id", "n_members", "n_quality",
+        "cast(n_quality as double) / n_members AS quality_share")
+  }
+  val clusterQualitySql: String =
+    s"""WITH assign AS (${ivfAssignSql.trim}),
+       |tq AS (SELECT doc_id AS vec_id, is_quality
+       |       FROM (${graft.operators.TextAnalysis.textStatsSql.trim}) t)
+       |SELECT centroid_id, count(*) AS n_members,
+       |       CAST(sum(CAST(is_quality AS BIGINT)) AS BIGINT) AS n_quality,
+       |       CAST(sum(CAST(is_quality AS BIGINT)) AS DOUBLE) / count(*) AS quality_share
+       |FROM assign JOIN tq USING (vec_id)
+       |GROUP BY centroid_id
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_quality" -> clusterQuality _,
     "q_hybrid_rrf"      -> hybridRrf _,
     "q_ann_incr"        -> annIncr _,
     "q_ivf_drift"       -> ivfDrift _,
@@ -1189,6 +1223,7 @@ object Similarity {
     "q_label_centroids" -> labelCentroids _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_cluster_quality" -> clusterQualitySql,
     "q_hybrid_rrf"      -> hybridRrfSql,
     "q_ann_incr"        -> annIncrSql,
     "q_ivf_drift"       -> ivfDriftSql,

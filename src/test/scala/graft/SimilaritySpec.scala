@@ -252,6 +252,18 @@ class SimilaritySpec extends AnyFunSuite {
     k.unpersist()
   }
 
+  test("cluster quality report covers every vector with bounded shares") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cq = Similarity.clusterQuality(spark, sf).cache()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(cq.agg(sum($"n_members")).head.getLong(0) == n,
+      "every assigned vector appears in exactly one cluster row")
+    assert(cq.filter($"n_quality" > $"n_members" || $"n_quality" < 0).count() == 0)
+    assert(cq.filter($"quality_share" < 0 || $"quality_share" > 1).count() == 0)
+    cq.unpersist()
+  }
+
   test("incremental ANN maintenance equals the batch index on the delta ids") {
     import spark.implicits._
     val incr = Similarity.annIncr(spark, sf).cache()
