@@ -1201,7 +1201,83 @@ object Similarity {
        |GROUP BY centroid_id
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Embedding-space evaluation against the labeled testdata: (a) kNN label
+  // prediction — each vector takes the majority label of its top-3
+  // same-cell neighbors (tie → smallest label) and the report scores
+  // accuracy per true label; (b) IVF cluster purity — each cluster's
+  // majority-label share. Both are the standard embedding-quality numbers
+  // an ANN index build is sanity-checked with, both reduce to exact
+  // integer vote counts with deterministic window tie-breaks, and both
+  // read only stored columns (assignment, neighbor list, labels).
+  // ---------------------------------------------------------------------------
+  def knnAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    val votes = knnGraph(s, dir)
+      .join(labels.select($"vec_id".as("nbr"), $"label".as("nlabel")), "nbr")
+      .groupBy($"src", $"nlabel").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy($"src").orderBy($"votes".desc, $"nlabel".asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"src", $"nlabel".as("pred_label"))
+    pred.join(labels.select($"vec_id".as("src"), $"label"), "src")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum(($"pred_label" === $"label").cast("long")).as("n_correct"))
+      .selectExpr("label", "n", "n_correct",
+        "cast(n_correct as double) / n AS accuracy")
+  }
+  val knnAccuracySql: String =
+    s"""WITH g AS (${knnGraphSql.trim}),
+       |votes AS (
+       |  SELECT src, e.label AS nlabel, count(*) AS votes
+       |  FROM g JOIN embeddings e ON g.nbr = e.vec_id
+       |  GROUP BY src, e.label),
+       |pred AS (
+       |  SELECT src, nlabel AS pred_label FROM (
+       |    SELECT src, nlabel,
+       |           row_number() OVER (PARTITION BY src ORDER BY votes DESC, nlabel ASC) AS rn
+       |    FROM votes) r WHERE rn = 1)
+       |SELECT e.label, count(*) AS n,
+       |       CAST(sum(CAST(pred_label = e.label AS BIGINT)) AS BIGINT) AS n_correct,
+       |       CAST(sum(CAST(pred_label = e.label AS BIGINT)) AS DOUBLE) / count(*) AS accuracy
+       |FROM pred JOIN embeddings e ON pred.src = e.vec_id
+       |GROUP BY e.label
+       |""".stripMargin
+
+  def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    val votes = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
+      .join(labels, "vec_id")
+      .groupBy($"centroid_id", $"label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"centroid_id").orderBy($"c".desc, $"label".asc)
+    votes
+      .withColumn("n_members", sum($"c").over(Window.partitionBy($"centroid_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .selectExpr("centroid_id", "n_members", "label AS top_label",
+        "c AS top_n", "cast(c as double) / n_members AS purity")
+  }
+  val clusterPuritySql: String =
+    s"""WITH assign AS (${ivfAssignSql.trim}),
+       |votes AS (
+       |  SELECT centroid_id, e.label, count(*) AS c
+       |  FROM assign JOIN embeddings e ON assign.vec_id = e.vec_id
+       |  GROUP BY centroid_id, e.label),
+       |sized AS (
+       |  SELECT centroid_id, label, c,
+       |         CAST(sum(c) OVER (PARTITION BY centroid_id) AS BIGINT) AS n_members,
+       |         row_number() OVER (PARTITION BY centroid_id ORDER BY c DESC, label ASC) AS rn
+       |  FROM votes)
+       |SELECT centroid_id, n_members, label AS top_label, c AS top_n,
+       |       CAST(c AS DOUBLE) / n_members AS purity
+       |FROM sized WHERE rn = 1
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_accuracy"    -> knnAccuracy _,
+    "q_cluster_purity"  -> clusterPurity _,
     "q_cluster_quality" -> clusterQuality _,
     "q_hybrid_rrf"      -> hybridRrf _,
     "q_ann_incr"        -> annIncr _,
@@ -1223,6 +1299,8 @@ object Similarity {
     "q_label_centroids" -> labelCentroids _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_knn_accuracy"    -> knnAccuracySql,
+    "q_cluster_purity"  -> clusterPuritySql,
     "q_cluster_quality" -> clusterQualitySql,
     "q_hybrid_rrf"      -> hybridRrfSql,
     "q_ann_incr"        -> annIncrSql,

@@ -252,6 +252,25 @@ class SimilaritySpec extends AnyFunSuite {
     k.unpersist()
   }
 
+  test("kNN accuracy and cluster purity: exact vote accounting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val acc = Similarity.knnAccuracy(spark, sf).cache()
+    assert(acc.filter($"n_correct" > $"n" || $"n_correct" < 0).count() == 0)
+    assert(acc.filter($"accuracy" < 0 || $"accuracy" > 1).count() == 0)
+    // every vector with >= 1 same-cell neighbor gets exactly one prediction
+    val predicted = acc.agg(sum($"n")).head.getLong(0)
+    val withNbrs = Similarity.knnGraph(spark, sf).select($"src").distinct().count()
+    assert(predicted == withNbrs)
+    acc.unpersist()
+    val pur = Similarity.clusterPurity(spark, sf).cache()
+    assert(pur.agg(sum($"n_members")).head.getLong(0) == n)
+    assert(pur.filter($"top_n" > $"n_members" || $"purity" > 1 ||
+      $"purity" <= 0).count() == 0)
+    pur.unpersist()
+  }
+
   test("cluster quality report covers every vector with bounded shares") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
