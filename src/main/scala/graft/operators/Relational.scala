@@ -1117,6 +1117,76 @@ object Relational {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // RFM customer segmentation (the classic marketing mart): per customer,
+  // recency (days since last order, vs the corpus max date), frequency
+  // (order count), monetary (exact decimal total in cents); each metric is
+  // bucketed into quintiles and the (r, f, m) segment grid is rolled up.
+  // Scale shape: NOT a global ntile (that is one single-partition sort) —
+  // the exact 20/40/60/80th cutoffs are computed once and broadcast back,
+  // so bucketing is scan-stage arithmetic and the only shuffles are the
+  // per-customer aggregate and the tiny segment rollup. Determinism:
+  // cutoffs are type-7 interpolated percentiles (bit-identical in both
+  // engines, the q_quantiles precedent); metrics are exact integers, so
+  // the > comparisons cannot drift.
+  // ---------------------------------------------------------------------------
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+    val dmax = o.agg(max($"d").as("dmax"))
+    val per = graft.Materialize.eager(
+      o.groupBy($"o_custkey")
+        .agg(max($"d").as("last_d"), count(lit(1)).as("frequency"),
+          sum($"p").as("mon"))
+        .crossJoin(broadcast(dmax))
+        .selectExpr("o_custkey",
+          "cast(datediff(dmax, last_d) as bigint) AS recency",
+          "frequency",
+          "cast(mon * 100 as double) AS monetary_cents"))
+    val cuts = per.agg(
+      expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(monetary_cents, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    def bucket(c: String, cut: String) =
+      s"1 + cast($c > $cut[0] as int) + cast($c > $cut[1] as int)" +
+        s" + cast($c > $cut[2] as int) + cast($c > $cut[3] as int)"
+    per.crossJoin(broadcast(cuts))
+      .selectExpr("o_custkey",
+        s"cast(${bucket("recency", "rc")} as bigint) AS r_bucket",
+        s"cast(${bucket("frequency", "fc")} as bigint) AS f_bucket",
+        s"cast(${bucket("monetary_cents", "mc")} as bigint) AS m_bucket")
+      .groupBy($"r_bucket", $"f_bucket", $"m_bucket")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+  val rfmSegmentsSql: String = {
+    def bucket(c: String, cut: String) =
+      s"1 + CAST($c > $cut[1] AS INT) + CAST($c > $cut[2] AS INT)" +
+        s" + CAST($c > $cut[3] AS INT) + CAST($c > $cut[4] AS INT)"
+    s"""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+       |                  CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+       |mx AS (SELECT max(d) AS dmax FROM o),
+       |per AS (
+       |  SELECT o_custkey,
+       |         CAST(datediff('day', max(d), (SELECT dmax FROM mx)) AS BIGINT) AS recency,
+       |         count(*) AS frequency,
+       |         CAST(sum(p) * 100 AS DOUBLE) AS monetary_cents
+       |  FROM o GROUP BY o_custkey),
+       |cuts AS (
+       |  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rc,
+       |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+       |         quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+       |  FROM per)
+       |SELECT CAST(${bucket("recency", "rc")} AS BIGINT) AS r_bucket,
+       |       CAST(${bucket("frequency", "fc")} AS BIGINT) AS f_bucket,
+       |       CAST(${bucket("monetary_cents", "mc")} AS BIGINT) AS m_bucket,
+       |       count(*) AS n_customers
+       |FROM per CROSS JOIN cuts
+       |GROUP BY 1, 2, 3
+       |""".stripMargin
+  }
+
   /** NTILE percentile bucketing (§2.5 completeness): assign every order to
     * a salary-style decile of o_totalprice per priority class — the window
     * primitive behind quantile-bucket features. Deterministic: the window
@@ -1907,6 +1977,7 @@ object Relational {
     "q_rollup"         -> rollupSummary _,
     "q_cube"           -> cubeSummary _,
     "q_ntile"          -> ntileBuckets _,
+    "q_rfm"            -> rfmSegments _,
     "q_pivot"          -> pivotStatus _,
     "q_running_total"  -> runningTotal _,
     "q_topn_per_group" -> topnPerGroup _,
@@ -1946,6 +2017,7 @@ object Relational {
     "q_rollup"         -> rollupSummarySql,
     "q_cube"           -> cubeSummarySql,
     "q_ntile"          -> ntileBucketsSql,
+    "q_rfm"            -> rfmSegmentsSql,
     "q_pivot"          -> pivotStatusSql,
     "q_running_total"  -> runningTotalSql,
     "q_topn_per_group" -> topnPerGroupSql,

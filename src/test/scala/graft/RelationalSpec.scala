@@ -157,4 +157,17 @@ class RelationalSpec extends AnyFunSuite {
     val counts = rows.map(_.getAs[Long]("cnt"))
     assert(counts.sameElements(counts.sorted.reverse))
   }
+  test("RFM segments conserve customers with quintile buckets in range") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val seg = graft.operators.Relational.rfmSegments(spark, sf).cache()
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey").distinct().count()
+    assert(seg.agg(sum($"n_customers")).head.getLong(0) == nCust,
+      "every purchasing customer lands in exactly one segment")
+    Seq("r_bucket", "f_bucket", "m_bucket").foreach { b =>
+      assert(seg.filter(col(b) < 1 || col(b) > 5).count() == 0, s"$b out of range")
+    }
+    seg.unpersist()
+  }
 }
