@@ -247,6 +247,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0, plan)
   }
 
+  test("RFM bucketing broadcasts the cutoffs — no sort, no extra shuffle") {
+    // the per-customer relation arrives materialized; the tail is one
+    // broadcast nested-loop of the 1-row cutoffs plus the segment rollup —
+    // in particular NO global Sort (the ntile trap) and no re-aggregation
+    val plan = executed(Relational.rfmSegments(spark, sf))
+    assert(!plan.contains("Sort "), s"global sort crept in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected only the segment-rollup exchange, got $shuffles:\n$plan")
+  }
+
   test("cross-source dup tagging adds scans only for the source columns") {
     // the pair relation arrives materialized from the LSH pipeline; the
     // only parquet reads are the two id→source tag projections, and both
