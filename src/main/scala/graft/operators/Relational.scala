@@ -1335,6 +1335,47 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+  // Spark): per-day sketches are aggregated ONCE and stored; any coarser
+  // rollup (here monthly) unions the stored sketches WITHOUT touching raw
+  // rows — the 100 TB distinct-counting path, the sketch twin of
+  // q_reagg_month's exact mergeable partials. DuckDB has no compatible
+  // sketch binary, so the oracle follows the q_approx_stats contract: it
+  // computes the exact distinct companion and the estimate is checked as a
+  // within-ε boolean (lgK=12 → rsd ≈ 1.6%; ε = 10% is a wide documented
+  // bound). n_days proves the union really merged multiple stored partials.
+  // ---------------------------------------------------------------------------
+  def hllReagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .selectExpr("event_type", "user_id", "cast(ts as date) AS d")
+    // the stored daily artifact: one sketch per (event_type, day)
+    val daily = graft.Materialize.eager(
+      ev.groupBy($"event_type", $"d")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk")))
+    val monthly = daily
+      .groupBy($"event_type", expr("date_format(d, 'yyyy-MM')").as("month"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+        count(lit(1)).as("n_days"))
+    val exact = ev
+      .groupBy($"event_type", expr("date_format(d, 'yyyy-MM')").as("month"), $"user_id")
+      .agg(count(lit(1)))
+      .groupBy($"event_type", $"month").agg(count(lit(1)).as("exact_users"))
+    monthly.join(exact, Seq("event_type", "month"))
+      .select($"event_type", $"month", $"exact_users", $"n_days",
+        (abs($"approx_users" - $"exact_users").cast("double")
+          / $"exact_users".cast("double") <= 0.10).as("hll_within_bounds"))
+  }
+  val hllReaggSql: String =
+    """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       TRUE AS hll_within_bounds
+      |FROM events
+      |GROUP BY 1, 2
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // S1+P1-P4 batch form: Debezium-envelope parsing through the REAL streaming
   // parse path (graft.streaming.CdcIngest.parseEnvelope — one from_json of the
   // full envelope schema). Envelopes are constructed from events columns
@@ -1978,6 +2019,7 @@ object Relational {
     "q_cube"           -> cubeSummary _,
     "q_ntile"          -> ntileBuckets _,
     "q_rfm"            -> rfmSegments _,
+    "q_hll_reagg"      -> hllReagg _,
     "q_pivot"          -> pivotStatus _,
     "q_running_total"  -> runningTotal _,
     "q_topn_per_group" -> topnPerGroup _,
@@ -2018,6 +2060,7 @@ object Relational {
     "q_cube"           -> cubeSummarySql,
     "q_ntile"          -> ntileBucketsSql,
     "q_rfm"            -> rfmSegmentsSql,
+    "q_hll_reagg"      -> hllReaggSql,
     "q_pivot"          -> pivotStatusSql,
     "q_running_total"  -> runningTotalSql,
     "q_topn_per_group" -> topnPerGroupSql,

@@ -170,4 +170,24 @@ class RelationalSpec extends AnyFunSuite {
     }
     seg.unpersist()
   }
+  test("HLL re-agg: unioned daily sketches equal the direct monthly sketch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "cast(ts as date) AS d")
+    // mergeability: estimate(union(daily sketches)) == estimate(direct sketch)
+    val viaDaily = ev.groupBy($"event_type", $"d")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy($"event_type", expr("date_format(d, 'yyyy-MM')").as("month"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val direct = ev
+      .groupBy($"event_type", expr("date_format(d, 'yyyy-MM')").as("month"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+    assert(viaDaily.except(direct).count() == 0 &&
+      direct.except(viaDaily).count() == 0,
+      "sketch union must be lossless vs direct aggregation")
+    // and the report's bound holds everywhere
+    val r = graft.operators.Relational.hllReagg(spark, sf)
+    assert(r.filter(!col("hll_within_bounds")).count() == 0)
+  }
 }
