@@ -5,11 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2 || args.length > 3) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [nameFilterSubstring]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional substring filter for fast single-query iteration; the driver
+    // always calls with 2 args → full run
+    val keep: String => Boolean =
+      if (args.length == 3) _.contains(args(2)) else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -24,7 +28,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -544,13 +544,19 @@ object DecisionSupport {
   // benchmark. The testdata has no partsupp, so the part-supplier offer
   // relation is derived from lineitem: each (part, supplier) pair's cost is
   // its minimum observed unit price (a single IEEE division per row, then
-  // MIN — deterministic in both engines). Run as LITERAL SQL through the
-  // catalog so Catalyst faces the same text DuckDB does and must
-  // DECORRELATE the per-part min-cost subquery into an aggregate + join
-  // (RewriteCorrelatedScalarSubquery) — the spec gates that no
-  // scalar-subquery survives in the optimized plan. At 100 TB both sides
-  // of the decorrelated join shuffle on partkey once; the dim chain
-  // (supplier ⋈ nation ⋈ region) broadcasts.
+  // MIN — deterministic in both engines). The offers relation feeds BOTH
+  // the outer join block AND the per-part min-cost subquery; a WITH-CTE
+  // would be INLINED by Catalyst into two full lineitem scan+aggregate
+  // pipelines (the fact table read twice per run), so `ps` is materialized
+  // ONCE (the q_chisq pattern) and registered as a view. The query text
+  // over that view keeps the correlated scalar subquery verbatim, so
+  // Catalyst still must DECORRELATE it into an aggregate + join
+  // (RewriteCorrelatedScalarSubquery) — the spec gates BOTH that no
+  // scalar-subquery survives in the optimized plan AND that lineitem is
+  // scanned zero times downstream of the materialization. At 100 TB the
+  // offers relation is ~|part|×|supp-per-part| rows (orders of magnitude
+  // smaller than the fact); both decorrelated sides shuffle on partkey
+  // once; the dim chain (supplier ⋈ nation ⋈ region) broadcasts.
   // ---------------------------------------------------------------------------
   val minCostSupplierSql: String =
     """WITH ps AS (
@@ -571,10 +577,34 @@ object DecisionSupport {
       |LIMIT 100
       |""".stripMargin
   def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    Seq("part", "supplier", "nation", "region", "lineitem").foreach { t =>
+    import s.implicits._
+    Seq("part", "supplier", "nation", "region").foreach { t =>
       graft.sources.Sources.registerTable(s, t, s"$dir/$t.parquet")
     }
-    s.sql(minCostSupplierSql)
+    // one lineitem scan, ever: aggregate to the (part, supplier, min-cost)
+    // offers relation and pin its rows; both SQL consumers below read the
+    // materialized leaf
+    val offers = graft.Materialize.eager(
+      Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_suppkey", ($"l_extendedprice" / $"l_quantity").as("c"))
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"c").as("ps_cost"))
+        .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"), $"ps_cost"))
+    offers.createOrReplaceTempView("ps_offers")
+    s.sql(
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost
+        |FROM part, ps_offers, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_type = 'STANDARD' AND p_size <= 25
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  AND ps_cost = (SELECT min(ps2.ps_cost)
+        |                 FROM ps_offers ps2, supplier s2, nation n2, region r2
+        |                 WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        |                   AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |                   AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, s_name, p_partkey
+        |LIMIT 100
+        |""".stripMargin)
   }
 
   // ---------------------------------------------------------------------------

@@ -1029,7 +1029,13 @@ object Similarity {
     s"coalesce(cast(1.0 as double) / ($RrfK + lex_rank), cast(0.0 as double))" +
       s" + coalesce(cast(1.0 as double) / ($RrfK + sem_rank), cast(0.0 as double))"
 
-  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+  /** The lexical arm + RRF fusion, parameterized over the semantic ranking
+    * — `sem` must carry (qid, nid, rank). [[hybridRrf]] fuses the
+    * brute-force list (the quality ceiling); [[hybridRrfAnn]] fuses the
+    * SRP-LSH list ([[knnSrp]]) — the 100 TB serving configuration, where
+    * the semantic arm probes the banded index instead of scanning the
+    * corpus per query. Identical fusion arithmetic by construction. */
+  private def hybridFuse(s: SparkSession, dir: String, sem0: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val toks = Tables.documents(s, dir)
@@ -1043,7 +1049,7 @@ object Similarity {
     val wl = Window.partitionBy($"qid").orderBy($"overlap".desc, $"nid".asc)
     val lex = ov.withColumn("lex_rank", row_number().over(wl).cast("long"))
       .filter($"lex_rank" <= LexTop).select($"qid", $"nid", $"lex_rank")
-    val sem = knnBrute(s, dir).select($"qid", $"nid", $"rank".as("sem_rank"))
+    val sem = sem0.select($"qid", $"nid", $"rank".as("sem_rank"))
     val fused = lex.join(sem, Seq("qid", "nid"), "full_outer")
       .withColumn("rrf_score", expr(rrfScore))
     val wf = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"nid".asc)
@@ -1052,7 +1058,19 @@ object Similarity {
       .select($"qid", $"rank", $"nid".as("doc_id"), $"rrf_score",
         $"lex_rank", $"sem_rank")
   }
-  val hybridRrfSql: String =
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame =
+    hybridFuse(s, dir, knnBrute(s, dir))
+
+  /** Hybrid retrieval with the ANN semantic arm: the SRP-LSH banded index
+    * supplies the semantic list, so no per-query corpus scan survives —
+    * this is the shape that serves at 100 TB. Oracle-paired the same way
+    * (the DuckDB twin replays the SRP signatures bit-exactly). */
+  def hybridRrfAnn(s: SparkSession, dir: String): DataFrame =
+    hybridFuse(s, dir, knnSrp(s, dir))
+
+  /** SQL twin, parameterized over the semantic subquery text. */
+  private def hybridRrfSqlWith(semSql: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_distinct(${Tok.toksDuck})) AS t FROM documents),
        |kept AS (
@@ -1069,7 +1087,7 @@ object Similarity {
        |    SELECT qid, nid,
        |           row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, nid ASC) AS lex_rank
        |    FROM ov) r WHERE lex_rank <= $LexTop),
-       |sem AS (SELECT qid, nid, rank AS sem_rank FROM (${knnBruteSql.trim}) t),
+       |sem AS (SELECT qid, nid, rank AS sem_rank FROM (${semSql.trim}) t),
        |fused AS (
        |  SELECT coalesce(lex.qid, sem.qid) AS qid, coalesce(lex.nid, sem.nid) AS nid,
        |         lex_rank, sem_rank, $rrfScore AS rrf_score
@@ -1079,6 +1097,9 @@ object Similarity {
        |  FROM fused) f
        |WHERE rank <= $LexTop
        |""".stripMargin
+
+  val hybridRrfSql: String    = hybridRrfSqlWith(knnBruteSql)
+  val hybridRrfAnnSql: String = hybridRrfSqlWith(knnSrpSql)
 
   // ---------------------------------------------------------------------------
   // Incremental ANN index maintenance: the newest DeltaN vectors (the
@@ -1280,6 +1301,7 @@ object Similarity {
     "q_cluster_purity"  -> clusterPurity _,
     "q_cluster_quality" -> clusterQuality _,
     "q_hybrid_rrf"      -> hybridRrf _,
+    "q_hybrid_rrf_ann"  -> hybridRrfAnn _,
     "q_ann_incr"        -> annIncr _,
     "q_ivf_drift"       -> ivfDrift _,
     "q_srp_sig"         -> srpSig _,
@@ -1303,6 +1325,7 @@ object Similarity {
     "q_cluster_purity"  -> clusterPuritySql,
     "q_cluster_quality" -> clusterQualitySql,
     "q_hybrid_rrf"      -> hybridRrfSql,
+    "q_hybrid_rrf_ann"  -> hybridRrfAnnSql,
     "q_ann_incr"        -> annIncrSql,
     "q_ivf_drift"       -> ivfDriftSql,
     "q_srp_sig"         -> srpSigSql,

@@ -120,6 +120,9 @@ class DecisionSupportSpec extends AnyFunSuite {
     val opt = df.queryExecution.optimizedPlan.toString
     assert(!opt.contains("scalar-subquery"),
       "correlated min-cost subquery must be decorrelated into an aggregate + join")
+    assert(!opt.contains("lineitem"),
+      "offers relation must be materialized once — no lineitem scan may survive " +
+        "downstream of the materialization (both consumers read the pinned leaf)")
     val rows = df.collect()
     assert(rows.nonEmpty)
     // every surviving row carries ITS part's European minimum cost: rerun
