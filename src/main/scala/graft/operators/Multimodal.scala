@@ -167,6 +167,11 @@ object Multimodal {
       |FROM documents GROUP BY md5(text)
       |""".stripMargin
 
+  /** Shard fan-out per modality — same role (and default) as the token
+    * shard planner's NShards; at real scale set to corpus_bytes /
+    * target_shard_bytes. The oracle SQL interpolates the same constant. */
+  private val NMediaShards = 8
+
   /** Byte-balanced media shard plan — the webdataset/tar packing layout:
     * the same bucketed round-robin as the token shard planner (windows by
     * (media_type, power-of-two size bucket) — no global sort), balancing
@@ -177,7 +182,7 @@ object Multimodal {
     val w = Window.partitionBy($"media_type", expr("length(bin(n_bytes))"))
       .orderBy($"n_bytes".desc, $"doc_id".asc)
     mediaMeta(s, dir)
-      .withColumn("shard", (row_number().over(w) - 1) % 8)
+      .withColumn("shard", (row_number().over(w) - 1) % NMediaShards)
       .groupBy($"media_type", $"shard")
       .agg(count(lit(1)).as("n_files"), sum($"n_bytes").cast("long").as("n_bytes"))
       .select($"media_type", $"shard".cast("long").as("shard"), $"n_files", $"n_bytes")
@@ -189,7 +194,7 @@ object Multimodal {
        |assigned AS (
        |  SELECT media_type, doc_id, n_bytes,
        |         (row_number() OVER (PARTITION BY media_type, length(bin(n_bytes))
-       |                             ORDER BY n_bytes DESC, doc_id ASC) - 1) % 8 AS shard
+       |                             ORDER BY n_bytes DESC, doc_id ASC) - 1) % $NMediaShards AS shard
        |  FROM m)
        |SELECT media_type, CAST(shard AS BIGINT) AS shard, count(*) AS n_files,
        |       CAST(sum(n_bytes) AS BIGINT) AS n_bytes

@@ -1345,14 +1345,34 @@ object Relational {
   // within-ε boolean (lgK=12 → rsd ≈ 1.6%; ε = 10% is a wide documented
   // bound). n_days proves the union really merged multiple stored partials.
   // ---------------------------------------------------------------------------
+  private val hllDailyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The stored daily sketch artifact: one (event_type, day) row with a
+    * BINARY sketch column, persisted as parquet and READ BACK — the
+    * returned relation's lineage starts at the files, so every rollup
+    * provably unions stored bytes, never raw rows. Same at-rest contract
+    * as the span-hash index / trained IVF layout: built once per
+    * (session, dir), maintained between ingests in a real pipeline. */
+  def hllDailyAtRest(s: SparkSession, dir: String): DataFrame =
+    hllDailyCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hll_daily_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.events(s, dir)
+        .selectExpr("event_type", "user_id", "cast(ts as date) AS d")
+        .groupBy($"event_type", $"d")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+
   def hllReagg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
       .selectExpr("event_type", "user_id", "cast(ts as date) AS d")
-    // the stored daily artifact: one sketch per (event_type, day)
-    val daily = graft.Materialize.eager(
-      ev.groupBy($"event_type", $"d")
-        .agg(expr("hll_sketch_agg(user_id)").as("sk")))
+    // the stored daily artifact (parquet round-trip, binary sketch column)
+    val daily = hllDailyAtRest(s, dir)
     val monthly = daily
       .groupBy($"event_type", expr("date_format(d, 'yyyy-MM')").as("month"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),

@@ -190,4 +190,25 @@ class RelationalSpec extends AnyFunSuite {
     val r = graft.operators.Relational.hllReagg(spark, sf)
     assert(r.filter(!col("hll_within_bounds")).count() == 0)
   }
+  test("HLL daily sketches survive the parquet round-trip byte-exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stored = graft.operators.Relational.hllDailyAtRest(spark, sf)
+    // the artifact is a real file-backed relation with a binary sketch column
+    assert(stored.inputFiles.nonEmpty && stored.inputFiles.forall(_.endsWith(".parquet")),
+      "daily sketches must be read back from parquet, not served from lineage")
+    assert(stored.schema("sk").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // union over the STORED bytes == union over in-session sketches
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "cast(ts as date) AS d")
+    val fresh = ev.groupBy($"event_type", $"d")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val viaStore = stored.groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    assert(viaStore.except(fresh).count() == 0 && fresh.except(viaStore).count() == 0,
+      "stored sketch bytes must union to the same estimates as in-session sketches")
+  }
 }
