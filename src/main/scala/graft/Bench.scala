@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds. The
+  * printed line carries the total and the 20 slowest queries (the driver
+  * tail-captures ~2000 bytes of stdout, which a 163-query map overflows —
+  * round-7's record lost its head to exactly that); the complete map is
+  * written to /root/repo/BENCH_QUERIES.json alongside.
   *
   * Queries are fully materialized through the `noop` sink — every column is
   * computed and serialized, unlike `.count()` which lets Catalyst prune the
@@ -65,10 +69,17 @@ object Bench {
       .filter(n => only.forall(_.contains(n))).map { n =>
       n -> (1 to runs).map(_ => runOnce(n)).last
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs}""")
+    // The full per-query map (~4.5 KB as one line) does not survive the
+    // driver's tail capture of stdout, so it goes to a FILE and the
+    // contract line stays compact: total + the 20 slowest queries inline.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_QUERIES.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs_per_query":$runs}""")
+    val slowest = results.sortBy(-_._2).take(20)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(slowest)},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir","runs_per_query":$runs}""")
     spark.stop()
   }
 }
