@@ -502,8 +502,17 @@ object DecisionSupport {
   def latestShipper(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    // Pre-partition on orderkey ALONE: hashpartitioning(orderkey) satisfies
+    // the (orderkey, suppkey) aggregate's ClusteredDistribution (subset
+    // rule) AND the window trio's orderkey distribution, so the whole
+    // chain scan→agg→3 windows runs on ONE exchange. Letting the aggregate
+    // pick its own (orderkey, suppkey) exchange would add a second
+    // back-to-back full-data shuffle for nothing — lineitem is ~1 row per
+    // (order, supplier), so the partial max that exchange enables dedupes
+    // almost nothing, here or at 100 TB.
     val per = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max($"l_shipdate").as("sd"))
     val blamed = per

@@ -223,10 +223,10 @@ class PlanSpec extends AnyFunSuite {
   test("Q21 window trio shares one orderkey exchange; top-10 is TakeOrdered") {
     val plan = executed(DecisionSupport.latestShipper(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"limit must not global-sort:\n$plan")
-    // exchanges: (orderkey, suppkey) partial-agg grain, orderkey for the
-    // windows (all three reuse it), s_name for the final count — exactly 3
+    // exchanges: ONE orderkey shuffle feeding the aggregate (subset rule)
+    // and all three windows, plus s_name for the final count — exactly 2
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(shuffles == 3, s"expected 3 exchanges (agg, windows, final), got $shuffles:\n$plan")
+    assert(shuffles == 2, s"expected 2 exchanges (orderkey, final), got $shuffles:\n$plan")
   }
 
   test("shard plan: bucketed windows, no single-partition sort anywhere") {

@@ -137,6 +137,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(TestSink.received.size == 1) // good2 has null comment, bad rows dropped
     assert(TestSink.received.head._2 == "Vélo")
   }
+
+  test("E2E file replay: source → parse → sink → notifier → monitor reconcile") {
+    // The full pipeline as ONE flow — the closest offline stand-in for the
+    // live Kafka path (S1→P1-P4→S9→A7): a file stream replays Debezium
+    // envelope fixtures one file per micro-batch; the checkpointed parquet
+    // sink, the per-event notifier, and the listener-based monitor all hang
+    // off the same parse, and the reconciliation loop must close exactly.
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    val src = JFiles.createTempDirectory("e2e_src").toString
+    val out = JFiles.createTempDirectory("e2e_out").toString
+    val cpI = JFiles.createTempDirectory("e2e_cp_ingest").toString
+    val cpN = JFiles.createTempDirectory("e2e_cp_notif").toString
+    // three replay files → three micro-batches (maxFilesPerTrigger=1):
+    // 7 envelope lines, 4 surviving inserts, 2 with comments
+    JFiles.write(Paths.get(s"$src/b0.json"), Seq(good1, good2).mkString("\n").getBytes("UTF-8"))
+    JFiles.write(Paths.get(s"$src/b1.json"), Seq(noAfter, nullId, garbage).mkString("\n").getBytes("UTF-8"))
+    JFiles.write(Paths.get(s"$src/b2.json"), Seq(
+      envelope(3, 9, 1718000120000000L, "Marche"),
+      envelope(4, 11, 1718000180000000L, "Course", "5000.0", "\"10k prep\"")).mkString("\n").getBytes("UTF-8"))
+
+    val monitor = new graft.streaming.ProgressMonitor
+    spark.streams.addListener(monitor)
+    TestSink.clear()
+    def source() = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", "1").load(src)
+    val qIngest = CdcIngest.ingest(CdcIngest.parseEnvelope(source()),
+      out, cpI, Trigger.AvailableNow())
+    val qNotif = CdcIngest.notifier(CdcIngest.parseEnvelope(source()),
+      TestSink, cpN, Trigger.AvailableNow())
+    try {
+      qIngest.awaitTermination(); qNotif.awaitTermination()
+
+      // S9: the sink holds exactly the surviving inserts
+      val sunk = spark.read.parquet(out)
+      assert(sunk.count() == 4, sunk.collect().mkString("; "))
+      assert(sunk.select($"id").as[Int].collect().sorted.sameElements(Array(1, 2, 3, 4)))
+      // P15/P16: only commented events notified
+      assert(TestSink.received.map(_._2).sorted == Seq("Course", "Vélo"),
+        TestSink.received.toString)
+      // A7: the listener saw every source line across all micro-batches...
+      val totals = monitor.totals(qIngest.id)
+      assert(totals.inputRows == 7, s"monitor counted ${totals.inputRows} input rows")
+      assert(totals.batches >= 3, s"one micro-batch per file expected, got ${totals.batches}")
+      // ...and the reference's reconciliation loop closes: sink rows ==
+      // processed minus the 3 dropped non-inserts
+      val (sinkCount, processed) = CdcIngest.reconcile(spark, out, qIngest)
+      assert(sinkCount == 4 && processed == 7,
+        s"reconcile mismatch: sink=$sinkCount processed=$processed")
+    } finally {
+      qIngest.stop(); qNotif.stop()
+      spark.streams.removeListener(monitor)
+    }
+  }
 }
 
 /** Deterministic notification sink (the Slack webhook stand-in). */
