@@ -1102,6 +1102,140 @@ object Similarity {
   val hybridRrfAnnSql: String = hybridRrfSqlWith(knnSrpSql)
 
   // ---------------------------------------------------------------------------
+  // Hard-negative mining (ANCE-style): for each query vector, the
+  // highest-cosine neighbors of a DIFFERENT label — the training pairs a
+  // dual-encoder needs, mined from the ANN index rather than the corpus
+  // (Xiong et al., "Approximate Nearest Neighbor Negative Contrastive
+  // Learning", ICLR 2021 — the at-scale recipe: negatives come from the
+  // serving index's candidate set). Candidates are the SRP-LSH band
+  // collisions, so the corpus is touched only by the banding scan and the
+  // candidate re-rank — O(candidates), never O(n) per query; same-label
+  // collisions (the positives) are excluded after scoring. At 100 TB the
+  // band join probes the stored layout and this is a per-ingest batch job
+  // over the fresh queries.
+  // ---------------------------------------------------------------------------
+  private val NegK = 5
+
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val banded = srpBanded(s, dir)
+    val qb = banded.filter($"vec_id" < NQUERY).toDF("qid", "band", "key")
+    val cand = broadcast(qb)
+      .join(banded.toDF("nid", "band", "key"), Seq("band", "key"))
+      .filter($"qid" =!= $"nid")
+      .select($"qid", $"nid").distinct()
+    val el = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "label", "embedding",
+        s"sqrt(${dotS("embedding", "embedding")}) AS nrm")
+    val q = el.toDF("qid", "q_label", "qe", "qnrm")
+    val c = el.toDF("nid", "n_label", "ne", "nnrm")
+    val scored = cand
+      .join(broadcast(q.filter($"qid" < NQUERY)), "qid").join(c, "nid")
+      .filter($"q_label" =!= $"n_label") // same-label candidates are positives
+      .withColumn("cosine", expr(s"${dotS("qe", "ne")} / (qnrm * nnrm)"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= NegK)
+      .select($"qid", $"q_label", $"rank", $"nid", $"n_label", $"cosine")
+  }
+  val hardNegativesSql: String =
+    s"""WITH sigs AS (SELECT vec_id,
+       |  ${srpSigD("embedding", 0)} AS sig_hi,
+       |  ${srpSigD("embedding", SrpHalf)} AS sig_lo
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, band,
+       |         CAST(((CASE WHEN which = 0 THEN sig_hi ELSE sig_lo END) // d) % 256 AS INT) AS key
+       |  FROM sigs CROSS JOIN (VALUES ${(0 until SrpBands).map(j => s"($j, ${j / 4}, ${srpByteDiv(j % 4)}::BIGINT)").mkString(", ")}) AS bands(band, which, d)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM banded q JOIN banded c ON q.band = c.band AND q.key = c.key
+       |  WHERE q.vec_id < $NQUERY AND q.vec_id <> c.vec_id
+       |),
+       |scored AS (
+       |  SELECT qid, q.label AS q_label, nid, c.label AS n_label,
+       |         ${dotD("qe", "ne")} / (sqrt(${dotD("qe", "qe")}) * sqrt(${dotD("ne", "ne")})) AS cosine
+       |  FROM cand JOIN (SELECT vec_id, label, embedding AS qe FROM embeddings) q ON qid = q.vec_id
+       |            JOIN (SELECT vec_id, label, embedding AS ne FROM embeddings) c ON nid = c.vec_id
+       |  WHERE q.label <> c.label
+       |)
+       |SELECT qid, q_label, rank, nid, n_label, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $NegK
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Matryoshka truncation eval (Kusupati et al., "Matryoshka Representation
+  // Learning", NeurIPS 2022): overlap@k of the prefix-dim top-k lists
+  // against the full-dim truth — the offline report that picks a serving
+  // dimension (store 16 of 64 floats ⇒ 4× memory/bandwidth if overlap
+  // holds). Prefix slices and their norms are projected ONCE per row below
+  // the join (the withNorm pattern); every count is integer-exact, so the
+  // oracle gate is exact arithmetic. At 100 TB the query set is a held-out
+  // sample and the corpus streams through one scored pass, same contract
+  // as annRecall.
+  // ---------------------------------------------------------------------------
+  private val MrlPrefixes = Seq(16, 32)
+
+  def mrlOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val dims = MrlPrefixes :+ 64
+    // prefix slices + their norms projected once per ROW (below the join —
+    // withNorm's no-barrier argument applies unchanged per dim)
+    def sliced(id: String, p: String) = Tables.embeddings(s, dir)
+      .selectExpr(Seq(s"vec_id AS $id", s"embedding AS ${p}64") ++
+        MrlPrefixes.map(d => s"slice(embedding, 1, $d) AS $p$d"): _*)
+      .selectExpr(s"$id" +: dims.flatMap(d =>
+        Seq(s"$p$d", s"sqrt(${dotS(s"$p$d", s"$p$d")}) AS ${p}nrm$d")): _*)
+    val scored = graft.Materialize.eager(
+      broadcast(sliced("qid", "q").filter($"qid" < NQUERY))
+        .join(sliced("nid", "n"), $"qid" =!= $"nid")
+        .selectExpr(Seq("qid", "nid") ++ dims.map(d =>
+          s"${dotS(s"q$d", s"n$d")} / (qnrm$d * nnrm$d) AS cos$d"): _*))
+    def topk(d: Int): DataFrame = {
+      val w = Window.partitionBy($"qid").orderBy(col(s"cos$d").desc, $"nid".asc)
+      scored.select($"qid", $"nid", col(s"cos$d"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= TOPK).select($"qid", $"nid")
+    }
+    val truth = topk(64)
+    val tp = truth.agg(count(lit(1)).as("truth_pairs"))
+    dims.map { d =>
+      val hits = if (d == 64) truth else topk(d).join(truth, Seq("qid", "nid"))
+      hits.agg(count(lit(1)).as("hits")).crossJoin(broadcast(tp))
+        .select(lit(d.toLong).as("dim"), lit(TOPK.toLong).as("k"),
+          $"truth_pairs", $"hits")
+    }.reduce(_ union _)
+  }
+  val mrlOverlapSql: String = {
+    def dotP(d: Int) =
+      s"${dotD(s"q$d", s"n$d")} / (sqrt(${dotD(s"q$d", s"q$d")}) * sqrt(${dotD(s"n$d", s"n$d")}))"
+    def side(id: String, p: String) =
+      s"SELECT vec_id AS $id, embedding AS ${p}64, " +
+        MrlPrefixes.map(d => s"embedding[1:$d] AS $p$d").mkString(", ") +
+        " FROM embeddings"
+    val dims = MrlPrefixes :+ 64
+    s"""WITH q AS (${side("qid", "q")} WHERE vec_id < $NQUERY),
+       |c AS (${side("nid", "n")}),
+       |scored AS (
+       |  SELECT qid, nid, ${dims.map(d => s"${dotP(d)} AS cos$d").mkString(", ")}
+       |  FROM q JOIN c ON qid <> nid),
+       |${dims.map(d =>
+           s"r$d AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos$d DESC, nid ASC) AS rk FROM scored) t WHERE rk <= $TOPK)")
+         .mkString(",\n")}
+       |${dims.map { d =>
+           val hits = if (d == 64) "(SELECT count(*) FROM r64)"
+                      else s"(SELECT count(*) FROM r$d JOIN r64 USING (qid, nid))"
+           s"SELECT CAST($d AS BIGINT) AS dim, CAST($TOPK AS BIGINT) AS k, (SELECT count(*) FROM r64) AS truth_pairs, $hits AS hits"
+         }.mkString("\nUNION ALL\n")}
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // Incremental ANN index maintenance: the newest DeltaN vectors (the
   // "ingest batch") probe the STORED index artifacts — trained centroids
   // (pinned, see centCache; at rest the writeAnnLayout table) and the SRP
@@ -1302,6 +1436,8 @@ object Similarity {
     "q_cluster_quality" -> clusterQuality _,
     "q_hybrid_rrf"      -> hybridRrf _,
     "q_hybrid_rrf_ann"  -> hybridRrfAnn _,
+    "q_hard_negatives"  -> hardNegatives _,
+    "q_mrl_overlap"     -> mrlOverlap _,
     "q_ann_incr"        -> annIncr _,
     "q_ivf_drift"       -> ivfDrift _,
     "q_srp_sig"         -> srpSig _,
@@ -1326,6 +1462,8 @@ object Similarity {
     "q_cluster_quality" -> clusterQualitySql,
     "q_hybrid_rrf"      -> hybridRrfSql,
     "q_hybrid_rrf_ann"  -> hybridRrfAnnSql,
+    "q_hard_negatives"  -> hardNegativesSql,
+    "q_mrl_overlap"     -> mrlOverlapSql,
     "q_ann_incr"        -> annIncrSql,
     "q_ivf_drift"       -> ivfDriftSql,
     "q_srp_sig"         -> srpSigSql,

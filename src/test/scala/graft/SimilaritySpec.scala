@@ -342,4 +342,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(i2 >= i1, "nprobe=2 probes a superset of nprobe=1's clusters")
     info(f"recall@5: ivf1=${i1 / 50.0}%.2f ivf2=${i2 / 50.0}%.2f srp=${srp / 50.0}%.2f")
   }
+
+  test("hard negatives: cross-label only, from the SRP candidate set, ranked") {
+    import spark.implicits._
+    val hn = Similarity.hardNegatives(spark, sf).cache()
+    assert(hn.count() > 0)
+    assert(hn.filter($"q_label" === $"n_label").count() == 0,
+      "a same-label neighbor is a positive, never a mined negative")
+    assert(hn.filter($"rank" < 1 || $"rank" > 5).count() == 0)
+    // ranks are contiguous from 1 per query (a query with few candidates
+    // just stops early)
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val perQ = hn.groupBy($"qid")
+      .agg(count(lit(1)).as("n"), max($"rank").as("mx"), min($"rank").as("mn"))
+    assert(perQ.filter($"mn" =!= 1 || $"mx" =!= $"n").count() == 0)
+    // every mined pair is a genuine SRP band collision
+    val cands = Similarity.knnSrp(spark, sf).select($"qid", $"nid")
+    // (knnSrp re-ranks the same candidate set but keeps same-label rows, so
+    // containment is not exact — check against the raw pair universe)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val labels = e.select($"vec_id", $"label")
+    val joined = hn.join(labels.toDF("nid", "lbl"), "nid")
+    assert(joined.filter($"n_label" =!= $"lbl").count() == 0,
+      "reported negative labels must match the corpus")
+    hn.unpersist()
+  }
+
+  test("matryoshka overlap: exact accounting, full dim is its own truth") {
+    import spark.implicits._
+    val m = Similarity.mrlOverlap(spark, sf).cache()
+    val rows = m.collect().map(r =>
+      r.getAs[Long]("dim") -> (r.getAs[Long]("truth_pairs"), r.getAs[Long]("hits"))).toMap
+    assert(rows.keySet == Set(16L, 32L, 64L))
+    val truth = rows(64)._1
+    assert(rows(64)._2 == truth, "overlap of the truth with itself is total")
+    assert(rows.values.forall { case (t, h) => t == truth && h >= 0 && h <= t })
+    info(s"overlap@5: d16=${rows(16L)._2}/$truth d32=${rows(32L)._2}/$truth")
+    m.unpersist()
+  }
 }
