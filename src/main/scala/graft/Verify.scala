@@ -21,9 +21,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.ts is TIMESTAMP(NANOS) parquet — read as long, normalized
-      // to µs in graft.sources.Tables.events.
+      // Testdata timestamps have varied across driver regenerations:
+      // TIMESTAMP(NANOS) (read as long, normalized in Tables.events) and
+      // µs with isAdjustedToUTC=false (read as TIMESTAMP, not NTZ, so
+      // unix_micros and friends resolve; values are identical under the
+      // UTC session timezone).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

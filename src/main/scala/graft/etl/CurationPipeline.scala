@@ -101,10 +101,21 @@ object CurationPipeline {
   // ---------------------------------------------------------------------------
   private val NShards = 8
 
+  /** The curated corpus as a stored artifact. Running the v2 recipe IS the
+    * materialization step in production — its output is written once and
+    * every post-curation planner (sharding, tokenizer runs, mix budgeting)
+    * reads the stored table rather than re-executing the gates. Cached +
+    * pinned per (session, dir) like Dedup.storedClusterLabels. */
+  private val curatedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def curatedCorpus(s: SparkSession, dir: String): DataFrame =
+    curatedCache.getOrElseUpdate((s, dir),
+      graft.Materialize.eager(curateV2(s, dir), pin = true))
+
   def curationShards(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val sized = curateV2(s, dir)
+    val sized = curatedCorpus(s, dir)
       .selectExpr("doc_id", "split",
         "cast(size(split(trim(clean_text), '\\\\s+')) as bigint) AS n_tok")
       .selectExpr("doc_id", "split", "n_tok", "length(bin(n_tok)) AS bucket")

@@ -675,10 +675,25 @@ object Dedup {
     (labels, rounds)
   }
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    resolveClusters(dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b"))._1
-  }
+  /** The resolved cluster-label relation as a stored artifact. In
+    * production the resolution pass writes (doc_id, cluster_id,
+    * is_canonical) to an at-rest table and every consumer — weight rollup,
+    * size histogram, curation keep-lists — reads THAT, never re-pairing or
+    * re-contracting the corpus. Cached + pinned per (session, dir) exactly
+    * like the trained IVF/PQ index artifacts: the first consumer pays the
+    * LSH + star-contraction build, the rest read the materialized labels. */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def storedClusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      graft.Materialize.eager(
+        resolveClusters(dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b"))._1,
+        pin = true)
+    })
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    storedClusterLabels(s, dir)
 
   // ---------------------------------------------------------------------------
   // Incremental cluster MAINTENANCE: after a delta ingest, a 100 TB corpus

@@ -21,8 +21,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Timestamp columns in the driver testdata carry `isAdjustedToUTC=false`,
+    * which Spark 4 infers as TIMESTAMP_NTZ by default — breaking
+    * `unix_micros` and friends. Our sessions disable
+    * `spark.sql.parquet.inferTimestampNTZ.enabled` so the scan itself yields
+    * TIMESTAMP (keeping filter pushdown); for user-supplied sessions without
+    * that config, normalize NTZ → LTZ here (identical values under the UTC
+    * session timezone all graft sessions set). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val ntz = raw.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.toSet
+    if (ntz.isEmpty) raw
+    else raw.select(raw.columns.map { c =>
+      if (ntz(c)) col(c).cast(TimestampType).as(c) else col(c)
+    }.toIndexedSeq: _*)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

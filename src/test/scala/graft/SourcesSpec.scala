@@ -138,6 +138,29 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Tables.load normalizes TIMESTAMP_NTZ parquet to TIMESTAMP in any session") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // The driver testdata stores timestamps with isAdjustedToUTC=false, which
+    // Spark 4 infers as TIMESTAMP_NTZ unless the session disables
+    // inferTimestampNTZ — that broke unix_micros in seven queries when the
+    // testdata was regenerated (round 9). Guard both paths:
+    // (1) graft sessions read them as TIMESTAMP straight off the scan;
+    for (tbl <- Seq("events", "lineitem", "orders")) {
+      val ts = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", tbl)
+        .schema.fields.filter(f => f.dataType == TimestampType || f.dataType == TimestampNTZType)
+      assert(ts.nonEmpty && ts.forall(_.dataType == TimestampType),
+        s"$tbl timestamp columns must load as TIMESTAMP, got ${ts.mkString(",")}")
+    }
+    // (2) a user session that leaves NTZ inference on still gets TIMESTAMP
+    // via the defensive cast in Tables.load.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    val ev = graft.sources.Tables.events(s2, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType == TimestampType)
+    // and unix_micros — the exact function that failed — resolves.
+    assert(ev.selectExpr("unix_micros(ts) AS us").limit(1).count() == 1)
+  }
+
   test("S4/S6/S12: JDBC write, full scan, and partitioned scan round-trip (Derby)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
