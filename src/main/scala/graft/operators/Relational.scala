@@ -1396,6 +1396,150 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Mergeable QUANTILE sketches (Spark 4.1's built-in DataSketches KLL
+  // functions — guide preference (a), compose built-ins; no custom
+  // aggregate needed): per-day KLL sketches of event value are stored at
+  // rest; the monthly percentile rollup MERGES ~1 KB stored sketches — the
+  // 100 TB quantile path (the exact `percentile` form buffers and sorts
+  // every raw value per group; sketches make the rollup O(groups), not
+  // O(rows)). KLL compaction is randomized by design, so the oracle
+  // follows the q_approx_stats WITHIN-BOUNDS contract: the merged sketch's
+  // p50/p95 estimates are checked against the exact rank they land on
+  // (k=200 → normalized rank error ≈1.65%; the 10% gate is ~6× headroom,
+  // so a pass is the algorithm's guarantee, not luck).
+  // ---------------------------------------------------------------------------
+  private val kllDailyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Stored daily KLL sketch artifact — parquet round-trip so every rollup
+    * provably consumes sketch BYTES (DataSketches wire format, readable by
+    * any binding), never raw rows. Same at-rest contract as
+    * hllDailyAtRest. */
+  def kllDailyAtRest(s: SparkSession, dir: String): DataFrame =
+    kllDailyCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_kll_daily_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.events(s, dir)
+        .selectExpr("event_type", "cast(ts as date) AS d", "value")
+        .groupBy($"event_type", $"d")
+        .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+
+  def kllReagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = kllDailyAtRest(s, dir)
+      .groupBy($"event_type", expr("date_format(d, 'yyyy-MM')").as("month"))
+      .agg(expr("kll_merge_agg_double(sk)").as("msk"), count(lit(1)).as("n_days"))
+      .selectExpr("event_type", "month", "n_days",
+        "kll_sketch_get_quantile_double(msk, cast(0.5 as double)) AS p50",
+        "kll_sketch_get_quantile_double(msk, cast(0.95 as double)) AS p95")
+    // exact-rank check of the estimates: one pass over raw rows (gate-side
+    // only — production consumes the estimates directly)
+    Tables.events(s, dir)
+      .selectExpr("event_type", "date_format(cast(ts as date), 'yyyy-MM') AS month", "value")
+      .join(broadcast(monthly), Seq("event_type", "month"))
+      .groupBy($"event_type", $"month", $"n_days")
+      .agg(count(lit(1)).as("exact_n"),
+        sum(when($"value" <= $"p50", 1L).otherwise(0L)).as("le50"),
+        sum(when($"value" <= $"p95", 1L).otherwise(0L)).as("le95"))
+      .select($"event_type", $"month", $"n_days", $"exact_n",
+        (abs($"le50".cast("double") / $"exact_n".cast("double") - 0.5) <= 0.10)
+          .as("p50_within_bounds"),
+        (abs($"le95".cast("double") / $"exact_n".cast("double") - 0.95) <= 0.10)
+          .as("p95_within_bounds"))
+  }
+  val kllReaggSql: String =
+    """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+      |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       CAST(count(*) AS BIGINT) AS exact_n,
+      |       TRUE AS p50_within_bounds,
+      |       TRUE AS p95_within_bounds
+      |FROM events
+      |GROUP BY 1, 2
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Mergeable SET-OPERATION sketches (Spark 4.1's built-in DataSketches
+  // theta functions — guide preference (a), compose built-ins): theta
+  // sketches support INTERSECTION — "distinct users who did BOTH purchase
+  // AND error this month" — which HLL structurally cannot answer and the
+  // exact path needs a user-grain shuffle for. Daily per-type sketches are
+  // stored at rest; the monthly per-type union merges stored bytes; the
+  // intersection runs on two driver-sized merged sketches. Theta sketching
+  // is pure hashing (deterministic, exact below the nominal-entries
+  // threshold); the gate still uses the within-bounds contract so it holds
+  // in estimation mode at any scale (rse ≈1.6% at lgK=12; 10% is wide).
+  // ---------------------------------------------------------------------------
+  private val thetaDailyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Stored daily theta sketch artifact (per event_type, per day, over
+    * user_id) — parquet round-trip, same at-rest contract as kllDailyAtRest. */
+  def thetaDailyAtRest(s: SparkSession, dir: String): DataFrame =
+    thetaDailyCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_theta_daily_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.events(s, dir)
+        .selectExpr("event_type", "cast(ts as date) AS d", "user_id")
+        .groupBy($"event_type", $"d")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+
+  def thetaIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = thetaDailyAtRest(s, dir)
+      .groupBy($"event_type", expr("date_format(d, 'yyyy-MM')").as("month"))
+      .agg(expr("theta_union_agg(sk)").as("msk"), count(lit(1)).as("n_days"))
+    val both = monthly.filter($"event_type" === "purchase")
+      .select($"month", $"msk".as("psk"), $"n_days".as("n_days_purchase"))
+      .join(monthly.filter($"event_type" === "error")
+        .select($"month", $"msk".as("esk"), $"n_days".as("n_days_error")), "month")
+      .selectExpr("month", "n_days_purchase", "n_days_error",
+        "theta_sketch_estimate(theta_intersection(psk, esk)) AS est_both")
+    val exact = Tables.events(s, dir)
+      .filter($"event_type".isin("purchase", "error"))
+      .selectExpr("date_format(cast(ts as date), 'yyyy-MM') AS month",
+        "user_id", "event_type")
+      .groupBy($"month", $"user_id")
+      .agg(countDistinct($"event_type").as("nt"))
+      .filter($"nt" === 2)
+      .groupBy($"month").agg(count(lit(1)).as("exact_both"))
+    both.join(exact, Seq("month"), "left")
+      .select($"month", $"n_days_purchase", $"n_days_error",
+        coalesce($"exact_both", lit(0L)).as("exact_both"),
+        (abs($"est_both" - coalesce($"exact_both", lit(0L)).cast("double"))
+          <= greatest(coalesce($"exact_both", lit(0L)).cast("double") * 0.10,
+            lit(1.0))).as("est_within_bounds"))
+  }
+  val thetaIntersectSql: String =
+    """WITH p AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+      |         count(DISTINCT CAST(ts AS DATE)) AS n_days_purchase
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |e AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+      |         count(DISTINCT CAST(ts AS DATE)) AS n_days_error
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |u AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month, user_id
+      |  FROM events WHERE event_type IN ('purchase', 'error')
+      |  GROUP BY 1, 2 HAVING count(DISTINCT event_type) = 2),
+      |x AS (SELECT month, CAST(count(*) AS BIGINT) AS exact_both FROM u GROUP BY month)
+      |SELECT p.month, CAST(p.n_days_purchase AS BIGINT) AS n_days_purchase,
+      |       CAST(e.n_days_error AS BIGINT) AS n_days_error,
+      |       coalesce(x.exact_both, 0) AS exact_both,
+      |       TRUE AS est_within_bounds
+      |FROM p JOIN e ON p.month = e.month
+      |LEFT JOIN x ON p.month = x.month
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // S1+P1-P4 batch form: Debezium-envelope parsing through the REAL streaming
   // parse path (graft.streaming.CdcIngest.parseEnvelope — one from_json of the
   // full envelope schema). Envelopes are constructed from events columns
@@ -2040,6 +2184,8 @@ object Relational {
     "q_ntile"          -> ntileBuckets _,
     "q_rfm"            -> rfmSegments _,
     "q_hll_reagg"      -> hllReagg _,
+    "q_kll_reagg"      -> kllReagg _,
+    "q_theta_intersect" -> thetaIntersect _,
     "q_pivot"          -> pivotStatus _,
     "q_running_total"  -> runningTotal _,
     "q_topn_per_group" -> topnPerGroup _,
@@ -2081,6 +2227,8 @@ object Relational {
     "q_ntile"          -> ntileBucketsSql,
     "q_rfm"            -> rfmSegmentsSql,
     "q_hll_reagg"      -> hllReaggSql,
+    "q_kll_reagg"      -> kllReaggSql,
+    "q_theta_intersect" -> thetaIntersectSql,
     "q_pivot"          -> pivotStatusSql,
     "q_running_total"  -> runningTotalSql,
     "q_topn_per_group" -> topnPerGroupSql,

@@ -37,4 +37,47 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
     }
   }
+
+  test("KLL re-agg: merged stored daily sketches land on the exact rank") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.Relational.kllReagg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_within_bounds") && r.getAs[Boolean]("p95_within_bounds"),
+        s"${r.getAs[String]("event_type")}/${r.getAs[String]("month")}: " +
+          "merged-sketch quantile outside the rank bound")
+      assert(r.getAs[Long]("n_days") > 1,
+        "re-agg must merge MULTIPLE stored daily sketches, or it proves nothing")
+    }
+    // the daily artifact really is at rest: its lineage starts at parquet files
+    val daily = graft.operators.Relational.kllDailyAtRest(spark, sf)
+    assert(daily.inputFiles.nonEmpty && daily.inputFiles.forall(_.contains("graft_kll_daily")),
+      "daily KLL sketches must be read back from the stored parquet artifact")
+  }
+
+  test("theta sketches: union + intersection are exact below the nominal threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.Relational.thetaIntersect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("est_within_bounds"))
+      assert(r.getAs[Long]("n_days_purchase") > 1 && r.getAs[Long]("n_days_error") > 1,
+        "monthly union must merge multiple stored daily sketches")
+    }
+    // below nominal entries (~150 users << 4096) theta is EXACT, so the
+    // intersection estimate must equal the exact overlap bit-for-bit
+    val est = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id")
+      .filter($"event_type".isin("purchase", "error"))
+      .groupBy($"event_type").agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      .agg(expr("theta_sketch_estimate(theta_intersection_agg(sk))")).first().get(0)
+    val exact = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("purchase", "error"))
+      .groupBy($"user_id").agg(countDistinct($"event_type").as("nt"))
+      .filter($"nt" === 2).count()
+    assert(math.round(est.toString.toDouble) == exact,
+      s"theta intersection $est vs exact $exact in exact mode")
+  }
 }
