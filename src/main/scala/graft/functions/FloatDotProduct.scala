@@ -106,6 +106,14 @@ object GraftFunctions {
         "simhash64", exprs => SimHash64(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "srp_sig", exprs => SrpSignature(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "freq_sketch_agg", exprs => FreqSketchAgg(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "freq_merge_agg", exprs => FreqMergeAgg(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "freq_items", exprs => FreqItems(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "freq_max_error", exprs => FreqMaxError(exprs.head), "built-in")
     }
   }
 }
@@ -134,6 +142,27 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SrpSignature].getName, "srp_sig"),
       (exprs: Seq[Expression]) => SrpSignature(exprs(0), exprs(1))))
+    // frequent-items sketch family (FreqSketch) — no Spark built-in exists
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("freq_sketch_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FreqSketchAgg].getName, "freq_sketch_agg"),
+      (exprs: Seq[Expression]) => FreqSketchAgg(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("freq_merge_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FreqMergeAgg].getName, "freq_merge_agg"),
+      (exprs: Seq[Expression]) => FreqMergeAgg(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("freq_items"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FreqItems].getName, "freq_items"),
+      (exprs: Seq[Expression]) => FreqItems(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("freq_max_error"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FreqMaxError].getName, "freq_max_error"),
+      (exprs: Seq[Expression]) => FreqMaxError(exprs.head)))
     // P11 session-role column masking as a resolution rule (see MaskingRule).
     e.injectResolutionRule(session => graft.mask.MaskingRule(session))
   }

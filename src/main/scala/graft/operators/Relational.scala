@@ -1540,6 +1540,73 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Mergeable FREQUENT-ITEMS sketches (custom FreqSketchAgg family,
+  // graft.functions.FreqSketch — the one DataSketches family Spark 4.1
+  // has no SQL surface for, so guide preference (b) applies): per-day
+  // per-type sketches over user_id are stored at rest; the heavy-hitter
+  // report merges stored sketch bytes and asks each merged sketch for the
+  // users STRICTLY above an activity threshold. The threshold is
+  // 1.5× the per-type mean events/user, computed in pure integer
+  // arithmetic (ceil(3c/2u) = (3c + 2u - 1) div 2u) so both engines agree
+  // bit-for-bit. The emitted max_error column (getMaximumError) is pinned
+  // to 0 by the oracle: purge-free sketches are EXACT, so the gate proves
+  // exactness at test scale while the ε = N/maxMapSize bound is the
+  // documented behavior beyond it.
+  // ---------------------------------------------------------------------------
+  private val freqDailyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Stored daily frequent-items sketch artifact (per event_type, per day,
+    * over user_id) — parquet round-trip, same at-rest contract as
+    * kllDailyAtRest/thetaDailyAtRest. */
+  def freqDailyAtRest(s: SparkSession, dir: String): DataFrame =
+    freqDailyCache.getOrElseUpdate((s, dir), {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_freq_daily_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.events(s, dir)
+        .selectExpr("event_type", "cast(ts as date) AS d", "user_id")
+        .groupBy($"event_type", $"d")
+        .agg(expr("freq_sketch_agg(user_id)").as("sk"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val merged = freqDailyAtRest(s, dir)
+      .groupBy($"event_type")
+      .agg(expr("freq_merge_agg(sk)").as("msk"), count(lit(1)).as("n_days"))
+    // gate-side threshold from exact totals (integer ceil, engine-agnostic)
+    val thr = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("c"), countDistinct($"user_id").as("u"))
+      .selectExpr("event_type", "(3 * c + 2 * u - 1) div (2 * u) AS t")
+    merged.join(broadcast(thr), "event_type")
+      .selectExpr("event_type", "n_days", "t AS threshold",
+        "freq_max_error(msk) AS max_error",
+        "explode(freq_items(msk, t)) AS it")
+      .selectExpr("event_type", "it.item AS user_id", "it.est AS est_n",
+        "threshold", "n_days", "max_error")
+  }
+  val heavyHittersSql: String =
+    """WITH tot AS (
+      |  SELECT event_type, count(*) AS c, count(DISTINCT user_id) AS u,
+      |         count(DISTINCT CAST(ts AS DATE)) AS n_days
+      |  FROM events GROUP BY 1),
+      |thr AS (SELECT event_type, n_days, (3 * c + 2 * u - 1) // (2 * u) AS t FROM tot),
+      |cnt AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT c.event_type, c.user_id, CAST(c.n AS BIGINT) AS est_n,
+      |       CAST(t.t AS BIGINT) AS threshold,
+      |       CAST(t.n_days AS BIGINT) AS n_days,
+      |       CAST(0 AS BIGINT) AS max_error
+      |FROM cnt c JOIN thr t ON c.event_type = t.event_type
+      |WHERE c.n > t.t
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // S1+P1-P4 batch form: Debezium-envelope parsing through the REAL streaming
   // parse path (graft.streaming.CdcIngest.parseEnvelope — one from_json of the
   // full envelope schema). Envelopes are constructed from events columns
@@ -2186,6 +2253,7 @@ object Relational {
     "q_hll_reagg"      -> hllReagg _,
     "q_kll_reagg"      -> kllReagg _,
     "q_theta_intersect" -> thetaIntersect _,
+    "q_heavy_hitters"  -> heavyHitters _,
     "q_pivot"          -> pivotStatus _,
     "q_running_total"  -> runningTotal _,
     "q_topn_per_group" -> topnPerGroup _,
@@ -2229,6 +2297,7 @@ object Relational {
     "q_hll_reagg"      -> hllReaggSql,
     "q_kll_reagg"      -> kllReaggSql,
     "q_theta_intersect" -> thetaIntersectSql,
+    "q_heavy_hitters"  -> heavyHittersSql,
     "q_pivot"          -> pivotStatusSql,
     "q_running_total"  -> runningTotalSql,
     "q_topn_per_group" -> topnPerGroupSql,

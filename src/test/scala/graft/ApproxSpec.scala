@@ -80,4 +80,43 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.round(est.toString.toDouble) == exact,
       s"theta intersection $est vs exact $exact in exact mode")
   }
+
+  test("frequent-items sketches: purge-free merge of stored dailies is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.Relational.heavyHitters(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_error") == 0L,
+        "test-scale sketches must be purge-free (exact estimates)")
+      assert(r.getAs[Long]("est_n") > r.getAs[Long]("threshold"))
+    }
+    // the daily artifact is at rest, and the merged estimates equal exact
+    // per-user counts computed independently
+    val daily = graft.operators.Relational.freqDailyAtRest(spark, sf)
+    assert(daily.inputFiles.nonEmpty && daily.inputFiles.forall(_.contains("graft_freq_daily")))
+    val est = daily.groupBy($"event_type")
+      .agg(expr("freq_merge_agg(sk)").as("msk"))
+      .selectExpr("event_type", "explode(freq_items(msk, cast(0 as bigint))) AS it")
+      .selectExpr("event_type", "it.item AS user_id", "it.est AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(est == exact,
+      "merged purge-free frequent-items sketch must reproduce every exact count")
+    // partial-agg plumbing: one big sketch == union of per-half sketches
+    val ev = graft.sources.Tables.events(spark, sf).selectExpr("user_id")
+    val whole = ev.agg(expr("freq_sketch_agg(user_id)")).first().getAs[Array[Byte]](0)
+    val halves = ev.withColumn("h", col("user_id") % 2)
+      .groupBy($"h").agg(expr("freq_sketch_agg(user_id)").as("sk"))
+      .agg(expr("freq_merge_agg(sk)")).first().getAs[Array[Byte]](0)
+    val a = graft.functions.FreqSketch.fromBytes(whole)
+    val b = graft.functions.FreqSketch.fromBytes(halves)
+    val users = exact.keys.map(_._2).toSeq.distinct
+    users.foreach { u =>
+      assert(a.getEstimate(u) == b.getEstimate(u), s"user $u: split-merge diverges")
+    }
+  }
 }
