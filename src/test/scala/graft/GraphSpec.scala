@@ -41,4 +41,25 @@ class GraphSpec extends AnyFunSuite {
     val b = Graph.pagerank(spark, sf)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("triangles: degree-ordered count equals the naive ordered 3-clique join") {
+    import spark.implicits._
+    val row = Graph.triangles(spark, sf).first()
+    // in-engine ground truth via the naive a<b<c join (the oracle proves
+    // the same equality cross-engine; this pins the orientation logic)
+    val op = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = op.as("a").join(op.as("b"), Seq("o"))
+      .filter($"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct().cache()
+    val naive = e.as("e1")
+      .join(e.as("e2"), $"e1.v" === $"e2.u")
+      .join(e.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+      .count()
+    assert(row.getAs[Long]("n_triangles") == naive,
+      s"degree-ordered ${row.getAs[Long]("n_triangles")} != naive $naive")
+    // wedge identity: every triangle closes exactly 3 wedges
+    assert(row.getAs[Long]("n_wedges") >= 3 * row.getAs[Long]("n_triangles"))
+    e.unpersist()
+  }
 }
