@@ -42,6 +42,32 @@ object CurationPipeline {
       .select($"doc_id", $"split", $"quality_score", $"clean_text")
   }
 
+  /** The v1 recipe with stage 2 swapped for INCREMENTAL cluster
+    * maintenance (`Dedup.dedupClustersIncremental`: stored star edges of
+    * the previous resolution ∪ delta-touching LSH pairs — O(delta), not
+    * O(corpus)). The star fixpoint is unique per component, so the labels
+    * are identical to the from-scratch batch resolution and the curated
+    * output is BYTE-IDENTICAL: the oracle for this query is literally
+    * `curateSql`, proving the scaladoc's "slots in unchanged" claim
+    * end-to-end rather than leaving it prose. */
+  def curateIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exactKeep = Dedup.dedupExact(s, dir).select($"keep_id".as("doc_id"))
+    val nonCanonical = Dedup.dedupClustersIncremental(s, dir)
+      .filter(!$"is_canonical").select($"doc_id")
+    val keep = exactKeep.join(nonCanonical, Seq("doc_id"), "left_anti")
+    val scrubbed = TextAnalysis.piiScrub(s, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+    val quality = TextAnalysis.textStats(s, dir)
+      .select($"doc_id", $"quality_score", $"is_quality")
+    val split = TextAnalysis.trainSplit(s, dir).select($"doc_id", $"split")
+    scrubbed
+      .join(quality, "doc_id")
+      .filter($"is_quality")
+      .join(split, "doc_id")
+      .select($"doc_id", $"split", $"quality_score", $"clean_text")
+  }
+
   /** The oracle is the same composition over the stage oracles — each
     * already-hash-matched stage SQL becomes a CTE, so the recipe is gated
     * end-to-end, not just stage-by-stage. */
@@ -222,12 +248,15 @@ object CurationPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation"        -> curate _,
+    "q_curation_incr"   -> curateIncremental _,
     "q_curation_v2"     -> curateV2 _,
     "q_curation_shards" -> curationShards _,
     "q_curation_funnel" -> curationFunnel _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_curation"        -> curateSql,
+    // incremental maintenance must reproduce the batch recipe exactly
+    "q_curation_incr"   -> curateSql,
     "q_curation_v2"     -> curateV2Sql,
     "q_curation_shards" -> curationShardsSql,
     "q_curation_funnel" -> curationFunnelSql,
