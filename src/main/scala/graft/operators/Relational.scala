@@ -1517,6 +1517,50 @@ object Relational {
           <= greatest(coalesce($"exact_both", lit(0L)).cast("double") * 0.10,
             lit(1.0))).as("est_within_bounds"))
   }
+  /** Set DIFFERENCE over the same stored daily sketches: distinct users
+    * who purchased but never hit an error that month (A\B — churn-style
+    * cohort isolation, or "crawl docs NOT in the benchmark" in
+    * decontamination terms). Completes the theta set algebra
+    * (union / intersection / difference) over one at-rest artifact. */
+  def thetaDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = thetaDailyAtRest(s, dir)
+      .groupBy($"event_type", expr("date_format(d, 'yyyy-MM')").as("month"))
+      .agg(expr("theta_union_agg(sk)").as("msk"))
+    val diff = monthly.filter($"event_type" === "purchase")
+      .select($"month", $"msk".as("psk"))
+      .join(monthly.filter($"event_type" === "error")
+        .select($"month", $"msk".as("esk")), "month")
+      .selectExpr("month",
+        "theta_sketch_estimate(theta_difference(psk, esk)) AS est_only")
+    val exact = Tables.events(s, dir)
+      .filter($"event_type".isin("purchase", "error"))
+      .selectExpr("date_format(cast(ts as date), 'yyyy-MM') AS month",
+        "user_id", "event_type")
+      .groupBy($"month", $"user_id")
+      .agg(collect_set($"event_type").as("ts_set"))
+      .filter(array_contains($"ts_set", "purchase") && !array_contains($"ts_set", "error"))
+      .groupBy($"month").agg(count(lit(1)).as("exact_only"))
+    diff.join(exact, Seq("month"), "left")
+      .select($"month",
+        coalesce($"exact_only", lit(0L)).as("exact_only"),
+        (abs($"est_only".cast("double") - coalesce($"exact_only", lit(0L)).cast("double"))
+          <= greatest(coalesce($"exact_only", lit(0L)).cast("double") * 0.10,
+            lit(1.0))).as("est_within_bounds"))
+  }
+  val thetaDiffSql: String =
+    """WITH u AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month, user_id,
+      |         bool_or(event_type = 'purchase') AS p,
+      |         bool_or(event_type = 'error') AS e
+      |  FROM events WHERE event_type IN ('purchase', 'error')
+      |  GROUP BY 1, 2)
+      |SELECT month,
+      |       CAST(count(*) FILTER (WHERE p AND NOT e) AS BIGINT) AS exact_only,
+      |       TRUE AS est_within_bounds
+      |FROM u GROUP BY month
+      |""".stripMargin
+
   val thetaIntersectSql: String =
     """WITH p AS (
       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
@@ -2253,6 +2297,7 @@ object Relational {
     "q_hll_reagg"      -> hllReagg _,
     "q_kll_reagg"      -> kllReagg _,
     "q_theta_intersect" -> thetaIntersect _,
+    "q_theta_diff"     -> thetaDiff _,
     "q_heavy_hitters"  -> heavyHitters _,
     "q_pivot"          -> pivotStatus _,
     "q_running_total"  -> runningTotal _,
@@ -2297,6 +2342,7 @@ object Relational {
     "q_hll_reagg"      -> hllReaggSql,
     "q_kll_reagg"      -> kllReaggSql,
     "q_theta_intersect" -> thetaIntersectSql,
+    "q_theta_diff"     -> thetaDiffSql,
     "q_heavy_hitters"  -> heavyHittersSql,
     "q_pivot"          -> pivotStatusSql,
     "q_running_total"  -> runningTotalSql,
