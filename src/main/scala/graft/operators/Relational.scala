@@ -430,6 +430,37 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // One-pass column profiler (graft.quality.Expectations.profile — the
+  // deequ/GE "profile" companion to §2.8's expectation suite): per-column
+  // row/null/distinct counts and typed min/max over lineitem, one scan +
+  // one aggregate for ALL columns (vs the naive |columns| scans), exploded
+  // to long form after aggregation. Stats are raw column values, so both
+  // engines agree bit-for-bit.
+  // ---------------------------------------------------------------------------
+  def profileTable(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Expectations.profile(Tables.lineitem(s, dir),
+      numeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      strings = Seq("l_returnflag", "l_linestatus"))
+  val profileTableSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  min($c) AS min_str, max($c) AS max_str
+         |FROM lineitem""".stripMargin
+    (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(num) ++
+      Seq("l_returnflag", "l_linestatus").map(str)).mkString("\n", "\nUNION ALL\n", "\n")
+  }
+
+  // ---------------------------------------------------------------------------
   // A4: dashboard big-number totals (ref: Superset slices "Salaire annuel avec
   // prime" etc. — SUM over the analytics dataset). Exact-decimal sums.
   // ---------------------------------------------------------------------------
@@ -2280,6 +2311,7 @@ object Relational {
     "q_join_full"      -> joinFullOuter _,
     "q_set_ops"        -> setOps _,
     "q_expectations"   -> expectations _,
+    "q_profile"        -> profileTable _,
     "q_sum_metrics"    -> sumMetrics _,
     "q_count_by_flag"  -> countByFlag _,
     "q_count_star"     -> countStar _,
@@ -2365,6 +2397,7 @@ object Relational {
     "q_join_full"      -> joinFullOuterSql,
     "q_set_ops"        -> setOpsSql,
     "q_expectations"   -> expectationsSql,
+    "q_profile"        -> profileTableSql,
     "q_sum_metrics"    -> sumMetricsSql,
     "q_count_by_flag"  -> countByFlagSql,
     "q_count_star"     -> countStarSql,
