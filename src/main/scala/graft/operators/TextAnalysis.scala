@@ -989,7 +989,91 @@ object TextAnalysis {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models:
+  // Methods, Analysis & Insights from Training Gopher", Table A1 — the
+  // published heuristic gate most pretraining corpora still start from),
+  // adapted to the newline-free corpus. Every rule is an INTEGER
+  // comparison — mean-word-length bounds become cross-multiplied integer
+  // inequalities (3n ≤ Σlen ≤ 10n), ratios become k·count ≤ m·total — so
+  // both engines decide every boolean identically with zero float
+  // arithmetic. One scan, one projection; at 100 TB this is a mapper-only
+  // pass (no shuffle at all).
+  // ---------------------------------------------------------------------------
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", "size(toks) AS n",
+        "aggregate(transform(toks, t -> length(t)), 0, (a, b) -> a + b) AS clen",
+        "size(filter(toks, t -> t rlike '[^a-zA-Z0-9]')) AS n_sym",
+        "size(filter(toks, t -> t rlike '[a-zA-Z]')) AS n_alpha",
+        s"size(array_intersect(array_distinct(toks), $stopArr)) AS n_stop_kinds")
+      .selectExpr("doc_id", "cast(n as bigint) AS n_tokens",
+        "n >= 50 AND n <= 100000 AS r_wordcount",
+        "3 * n <= clen AND clen <= 10 * n AS r_meanlen",
+        "10 * n_sym <= n AS r_symbol",
+        "5 * n_alpha >= 4 * n AS r_alpha",
+        "n_stop_kinds >= 2 AS r_stop")
+      .selectExpr("doc_id", "n_tokens", "r_wordcount", "r_meanlen", "r_symbol",
+        "r_alpha", "r_stop",
+        "r_wordcount AND r_meanlen AND r_symbol AND r_alpha AND r_stop AS keep")
+  }
+  val gopherRulesSql: String = {
+    val stop = inList(stopwords)
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n,
+       |         list_sum(list_transform(toks, t -> length(t))) AS clen,
+       |         len(list_filter(toks, t -> regexp_matches(t, '[^a-zA-Z0-9]'))) AS n_sym,
+       |         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+       |         len(list_intersect(list_distinct(toks), [${stopwords.map("'" + _ + "'").mkString(", ")}])) AS n_stop_kinds
+       |  FROM tok)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |       n >= 50 AND n <= 100000 AS r_wordcount,
+       |       3 * n <= clen AND clen <= 10 * n AS r_meanlen,
+       |       10 * n_sym <= n AS r_symbol,
+       |       5 * n_alpha >= 4 * n AS r_alpha,
+       |       n_stop_kinds >= 2 AS r_stop,
+       |       (n >= 50 AND n <= 100000) AND (3 * n <= clen AND clen <= 10 * n)
+       |         AND (10 * n_sym <= n) AND (5 * n_alpha >= 4 * n)
+       |         AND (n_stop_kinds >= 2) AS keep
+       |FROM m
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // Deterministic eval-holdout construction: K docs per source selected by
+  // hash rank (md5 of the doc id — reproducible on any engine, any run,
+  // any partitioning; NOT rand(), which is neither cross-engine nor
+  // cross-run stable). The held-out set is what decontamination
+  // (q_contamination) and eval-split hygiene are measured against. One
+  // shuffle on source for the ranking window; ids only.
+  // ---------------------------------------------------------------------------
+  private val HoldoutK = 10
+  def evalHoldout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(expr("md5(cast(doc_id as string))").asc, $"doc_id".asc)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= HoldoutK)
+      .selectExpr("doc_id", "source", "cast(rank as bigint) AS rank")
+  }
+  val evalHoldoutSql: String =
+    s"""SELECT doc_id, source, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rank
+       |  FROM documents) r
+       |WHERE rank <= $HoldoutK
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_rules"  -> gopherRules _,
+    "q_eval_holdout"  -> evalHoldout _,
     "q_quality_by_source" -> qualityBySource _,
     "q_mix_plan"      -> mixPlan _,
     "q_corpus_card"   -> corpusCard _,
@@ -1018,6 +1102,8 @@ object TextAnalysis {
     "q_inverted_index" -> invertedIndex _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_gopher_rules"  -> gopherRulesSql,
+    "q_eval_holdout"  -> evalHoldoutSql,
     "q_quality_by_source" -> qualityBySourceSql,
     "q_mix_plan"      -> mixPlanSql,
     "q_corpus_card"   -> corpusCardSql,
