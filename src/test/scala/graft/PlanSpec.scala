@@ -266,4 +266,31 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0, plan)
   }
+
+  test("column profiler reads the table exactly once for all six columns") {
+    // the whole point of the one-pass profiler: 6 columns of stats from ONE
+    // scan + one aggregate (count-distincts expand rows, not scans)
+    val plan = executed(Relational.profileTable(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("gopher rule filter is a mapper-only pass — no exchange at all") {
+    val plan = executed(TextAnalysis.gopherRules(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange".r.findAllIn(plan).size == 0, plan)
+  }
+
+  test("heavy hitters: threshold joins broadcast onto the merged sketches") {
+    val plan = executed(Relational.heavyHitters(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("triangles: the edge relation is materialized once, never re-derived") {
+    // deg, oriented (×2 via self-join), the closing-edge probe, and the
+    // edge count all read the SAME materialized edge relation — the
+    // lineitem⋈orders pair build must appear zero times in the final plan
+    val plan = executed(Graph.triangles(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
+  }
 }
