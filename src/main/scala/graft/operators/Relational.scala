@@ -1585,11 +1585,12 @@ object Relational {
       |         bool_or(event_type = 'purchase') AS p,
       |         bool_or(event_type = 'error') AS e
       |  FROM events WHERE event_type IN ('purchase', 'error')
-      |  GROUP BY 1, 2)
-      |SELECT month,
+      |  GROUP BY 1, 2),
+      |m AS (SELECT month FROM u GROUP BY month HAVING bool_or(p) AND bool_or(e))
+      |SELECT u.month,
       |       CAST(count(*) FILTER (WHERE p AND NOT e) AS BIGINT) AS exact_only,
       |       TRUE AS est_within_bounds
-      |FROM u GROUP BY month
+      |FROM u JOIN m ON u.month = m.month GROUP BY u.month
       |""".stripMargin
 
   val thetaIntersectSql: String =

@@ -42,6 +42,44 @@ object SketchMonitor {
     u
   }
 
+  case class DayUserEvent(event_type: String, d: java.sql.Date, user_id: Long)
+  case class DailySketchOut(event_type: String, d: java.sql.Date,
+                            sketch: Array[Byte], est_users: Double, n_updates: Long)
+
+  /** Daily-grain maintainer: keyed by (event_type, day), emitting exactly
+    * the relation the BATCH sketch rollups consume
+    * (`Relational.thetaDailyAtRest`'s (event_type, d, sk) artifact). This
+    * closes the loop between the two engines' halves: the stream keeps the
+    * daily sketch table fresh as events arrive; monthly union /
+    * intersection / difference queries read the stored snapshots without
+    * replaying anything. Theta union is order/batching-insensitive, so the
+    * stream-maintained sketch for a day is byte-for-byte the sketch a
+    * batch `theta_sketch_agg` over that day's rows builds (spec-gated).
+    * State: one ≤8 KB sketch per (type, day) — bounded by the calendar ×
+    * type catalog, not by event volume. */
+  def monitorDaily(events: Dataset[DayUserEvent]): Dataset[DailySketchOut] = {
+    implicit val stateEnc = Encoders.product[SketchState]
+    implicit val outEnc = Encoders.product[DailySketchOut]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    events
+      .groupByKey(e => (e.event_type, e.d.toString))
+      .flatMapGroupsWithState[SketchState, DailySketchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), batch: Iterator[DayUserEvent], state: GroupState[SketchState]) =>
+          val prev = state.getOption
+          val u = unionOf(prev.map(_.sketch))
+          var n = prev.map(_.n_updates).getOrElse(0L)
+          var any = false
+          batch.foreach { e => any = true; n += 1; u.update(e.user_id) }
+          if (any) {
+            val compact = u.getResult
+            state.update(SketchState(compact.toByteArray, n))
+            Iterator(DailySketchOut(key._1, java.sql.Date.valueOf(key._2),
+              compact.toByteArray, compact.getEstimate, n))
+          } else Iterator.empty
+      }
+  }
+
   def monitor(events: Dataset[UserEvent]): Dataset[SketchOut] = {
     implicit val stateEnc = Encoders.product[SketchState]
     implicit val outEnc = Encoders.product[SketchOut]

@@ -64,4 +64,42 @@ class SketchMonitorStreamSpec extends AnyFunSuite {
     assert(math.round(merged.get(0).toString.toDouble) == totalExact,
       "built-in theta_union_agg over emitted snapshots must equal the global distinct")
   }
+
+  test("daily-grain maintainer reproduces the batch at-rest artifact exactly") {
+    import spark.implicits._
+    import graft.streaming.SketchMonitor.{DailySketchOut, DayUserEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "cast(ts as date) AS d", "user_id").as[DayUserEvent]
+      .collect().sortBy(e => (e.event_type, e.d.toString, e.user_id))
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val cp = java.nio.file.Files.createTempDirectory("smd_cp").toString
+    val out = java.nio.file.Files.createTempDirectory("smd_out").toString
+    val mem = MemoryStream[DayUserEvent]
+    def start() = graft.streaming.SketchMonitor.monitorDaily(mem.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp).option("path", out)
+      .format("parquet").start()
+    val q1 = start()
+    try { mem.addData(h1.toIndexedSeq); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(h2.toIndexedSeq); q2.processAllAvailable() } finally q2.stop()
+
+    // latest snapshot per (type, day) = the stream-maintained daily artifact
+    val streamed = spark.read.parquet(out).as[DailySketchOut].collect()
+      .groupBy(o => (o.event_type, o.d.toString)).map { case (_, rs) => rs.maxBy(_.n_updates) }
+    // the batch artifact over the same rows — estimates must agree exactly
+    // (theta union is order/batching-insensitive on the same input set)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "cast(ts as date) AS d", "user_id")
+      .groupBy($"event_type", $"d")
+      .agg(expr("theta_sketch_estimate(theta_sketch_agg(user_id))").as("est"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.get(2).toString.toDouble).toMap
+    assert(streamed.map(o => (o.event_type, o.d.toString)).toSet == batch.keySet)
+    streamed.foreach { o =>
+      assert(o.est_users == batch((o.event_type, o.d.toString)),
+        s"${o.event_type}/${o.d}: streamed ${o.est_users} != batch artifact")
+    }
+  }
 }
