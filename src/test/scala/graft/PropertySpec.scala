@@ -274,4 +274,45 @@ class PropertySpec extends AnyFunSuite {
     assert(row.getAs[Long]("between_activity_duration") == nNeg)
     assert(row.getAs[Long]("not_null_sport_type") == 0)
   }
+
+  test("frequent-items sketch: merge is order-insensitive and exact under any split") {
+    // arbitrary multiset of items, arbitrary 3-way split: the merged sketch
+    // must report exact counts (purge-free regime) no matter how the data
+    // was partitioned — the partial-aggregation contract Spark relies on
+    val items = sampled(Gen.listOfN(3000, Gen.choose(1L, 120L)), 0x31L)
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val splits = sampled(Gen.listOfN(items.size, Gen.choose(0, 2)), 0x32L)
+    val parts = items.zip(splits).groupBy(_._2).values.map(_.map(_._1)).toSeq
+    def sketchOf(xs: Seq[Long]) = {
+      val sk = new org.apache.datasketches.frequencies.LongsSketch(
+        graft.functions.FreqSketch.MaxMapSize)
+      xs.foreach(sk.update); sk
+    }
+    // merge in both orders through the serialized wire format
+    val merged1 = parts.map(sketchOf).reduce { (a, b) => a.merge(b); a }
+    val merged2 = parts.reverse.map(p =>
+      graft.functions.FreqSketch.fromBytes(sketchOf(p).toByteArray))
+      .reduce { (a, b) => a.merge(b); a }
+    assert(merged1.getMaximumError == 0 && merged2.getMaximumError == 0)
+    exact.foreach { case (k, n) =>
+      assert(merged1.getEstimate(k) == n && merged2.getEstimate(k) == n,
+        s"item $k: ${merged1.getEstimate(k)}/${merged2.getEstimate(k)} != $n")
+    }
+  }
+
+  test("sorted_intersect_count equals array_intersect size on arbitrary sorted sets") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val gen = for {
+      a <- Gen.listOf(Gen.choose(0L, 200L))
+      b <- Gen.listOf(Gen.choose(0L, 200L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val cases = (1 to 60).map(i => sampled(gen, 0x40L + i))
+    val df = cases.toDF("a", "b")
+      .selectExpr("a", "b",
+        "sorted_intersect_count(a, b) AS fast",
+        "size(array_intersect(a, b)) AS ref")
+    assert(df.filter($"fast" =!= $"ref").count() == 0,
+      "merge-loop kernel must agree with array_intersect on every sampled pair")
+  }
 }
