@@ -1382,6 +1382,63 @@ object Similarity {
       .selectExpr("label", "n", "n_correct",
         "cast(n_correct as double) / n AS accuracy")
   }
+  // ---------------------------------------------------------------------------
+  // Label-propagation communities over the kNN graph (synchronous LPA,
+  // Raghavan et al. 2007, made DETERMINISTIC): labels start as vec_ids;
+  // each of 3 fixed rounds every node takes the MAJORITY label among its
+  // symmetrized kNN neighbors, ties broken by smallest label, isolated
+  // nodes keep their own. Fixed round count + total tie order makes the
+  // result bit-reproducible on any engine — the classic async/random-order
+  // LPA is neither — so the oracle is the same 3 rounds unrolled as CTEs.
+  // Communities over doc/embedding kNN graphs are the topic-cluster signal
+  // used for cluster-balanced sampling (the SemDeDup/mix-plan companion).
+  // Scale: per round one edge-keyed join + one (node, label) count shuffle
+  // — Pregel's message pass relationally, same shape as pagerank; the
+  // symmetrized edge relation is materialized once.
+  // ---------------------------------------------------------------------------
+  private val LpaRounds = 3
+  def lpaCommunities(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val g = knnGraph(s, dir).select($"src", $"nbr")
+    val edges = graft.Materialize.eager(
+      g.union(g.select($"nbr".as("src"), $"src".as("nbr"))).distinct())
+    val nodes = Tables.embeddings(s, dir).select($"vec_id".as("id"))
+    var labels = nodes.select($"id", $"id".as("lab"))
+    for (_ <- 1 to LpaRounds) {
+      val votes = edges.join(labels.select($"id".as("nbr"), $"lab"), "nbr")
+        .groupBy($"src", $"lab").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"src").orderBy($"c".desc, $"lab".asc)
+      val voted = votes.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select($"src".as("id"), $"lab")
+      labels = graft.Materialize.eager(
+        nodes.join(voted, Seq("id"), "left")
+          .select($"id", coalesce($"lab", $"id").as("lab")))
+    }
+    labels.select($"id".as("vec_id"), $"lab".as("community"))
+  }
+  val lpaCommunitiesSql: String = {
+    def round(i: Int): String =
+      s"""r$i AS (
+         |  SELECT n.id, coalesce(w.lab, n.id) AS lab
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT src AS id, lab FROM (
+         |      SELECT e.src, l.lab, count(*) AS c,
+         |             row_number() OVER (PARTITION BY e.src
+         |                                ORDER BY count(*) DESC, l.lab ASC) AS rn
+         |      FROM edges e JOIN r${i - 1} l ON l.id = e.nbr
+         |      GROUP BY e.src, l.lab) v WHERE rn = 1) w ON w.id = n.id)""".stripMargin
+    s"""WITH g AS (${knnGraphSql.trim}),
+       |edges AS (
+       |  SELECT DISTINCT src, nbr FROM (
+       |    SELECT src, nbr FROM g UNION ALL SELECT nbr AS src, src AS nbr FROM g) u),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |r0 AS (SELECT id, id AS lab FROM nodes),
+       |${(1 to LpaRounds).map(round).mkString(",\n")}
+       |SELECT id AS vec_id, lab AS community FROM r$LpaRounds
+       |""".stripMargin
+  }
+
   val knnAccuracySql: String =
     s"""WITH g AS (${knnGraphSql.trim}),
        |votes AS (
@@ -1445,6 +1502,7 @@ object Similarity {
     "q_ann_recall"      -> annRecall _,
     "q_semdedup"        -> semdedup _,
     "q_knn_graph"       -> knnGraph _,
+    "q_lpa_communities" -> lpaCommunities _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_embed_norms"     -> embedNorms _,
     "q_knn_brute"       -> knnBrute _,
@@ -1471,6 +1529,7 @@ object Similarity {
     "q_ann_recall"      -> annRecallSql,
     "q_semdedup"        -> semdedupSql,
     "q_knn_graph"       -> knnGraphSql,
+    "q_lpa_communities" -> lpaCommunitiesSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_norms"     -> embedNormsSql,
     "q_knn_brute"       -> knnBruteSql,
