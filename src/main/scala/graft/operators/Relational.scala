@@ -620,6 +620,41 @@ object Relational {
         max($"ts").as("sess_end"),
         sum(D($"value")).cast("double").as("sum_value"))
   }
+  /** Per-user session FEATURE table — the canonical feature-engineering
+    * rollup over the gap-sessionized relation (one row per user:
+    * engagement counts, session-length extremes, monetary totals) that a
+    * training pipeline joins onto labels. Everything re-aggregates the
+    * sessionize output: counts are integers, durations are integer µs,
+    * money re-enters decimal before the cross-session sum (re-summing the
+    * per-session doubles would be order-dependent), and the single IEEE
+    * division happens once per user at the end — bit-reproducible. One
+    * extra user-grain shuffle on top of the session rollup. */
+  def sessionFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionize(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"n_events").cast("long").as("n_events"),
+        max(unix_micros($"sess_end") - unix_micros($"sess_start")).as("max_sess_us"),
+        sum(unix_micros($"sess_end") - unix_micros($"sess_start")).as("total_sess_us"),
+        sum($"sum_value".cast("decimal(18,2)")).cast("double").as("total_value"))
+      .selectExpr("user_id", "n_sessions", "n_events", "max_sess_us",
+        "total_sess_us",
+        "cast(n_events as double) / n_sessions AS events_per_session",
+        "total_value")
+  }
+  lazy val sessionFeaturesSql: String =
+    s"""WITH sess AS (${sessionizeSql.trim})
+       |SELECT user_id,
+       |       CAST(count(*) AS BIGINT) AS n_sessions,
+       |       CAST(sum(n_events) AS BIGINT) AS n_events,
+       |       CAST(max(epoch_us(sess_end) - epoch_us(sess_start)) AS BIGINT) AS max_sess_us,
+       |       CAST(sum(epoch_us(sess_end) - epoch_us(sess_start)) AS BIGINT) AS total_sess_us,
+       |       CAST(sum(n_events) AS DOUBLE) / count(*) AS events_per_session,
+       |       CAST(sum(CAST(sum_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM sess GROUP BY user_id
+       |""".stripMargin
   val sessionizeSql: String =
     """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       |x AS (
@@ -2321,6 +2356,7 @@ object Relational {
     "q_windowed_agg"   -> windowedAgg _,
     "q_hopping_agg"    -> hoppingAgg _,
     "q_sessionize"     -> sessionize _,
+    "q_session_features" -> sessionFeatures _,
     "q_quantiles"      -> quantiles _,
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
@@ -2367,6 +2403,7 @@ object Relational {
     "q_windowed_agg"   -> windowedAggSql,
     "q_hopping_agg"    -> hoppingAggSql,
     "q_sessionize"     -> sessionizeSql,
+    "q_session_features" -> sessionFeaturesSql,
     "q_quantiles"      -> quantilesSql,
     "q_rollup"         -> rollupSummarySql,
     "q_cube"           -> cubeSummarySql,
