@@ -700,6 +700,51 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Robust anomaly detection — median/MAD outlier flags per event_type
+  // (the robust z-score every monitoring pipeline runs; mean/stddev are
+  // poisoned by the outliers they are meant to find). Cross-engine
+  // bit-exactness by construction: values enter as integer CENTS, the
+  // interpolated median of integers is a half-integer (exact in binary),
+  // |x − med| is a half-integer, MAD is a quarter-integer — every quantity
+  // is an exact binary rational, so the strict `> 3·MAD` comparison can
+  // never waver in the last ulp. (The 1.4826 normal-consistency constant
+  // is deliberately omitted: it is not exactly representable; 3·MAD is the
+  // documented fence.) Two grouped percentile passes + one broadcast-back
+  // join — the corpus shuffles on event_type only.
+  // ---------------------------------------------------------------------------
+  def madAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .selectExpr("event_id", "event_type",
+        "cast(round(value * 100) as bigint) AS cents")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .selectExpr("event_type", "med", "abs(cents - med) AS adev")
+      .groupBy($"event_type", $"med")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .selectExpr("event_id", "event_type", "cents", "med", "mad",
+        "abs(cents - med) > 3 * mad AS is_anomaly")
+      .filter($"is_anomaly")
+      .select($"event_id", $"event_type", $"cents", $"med", $"mad")
+  }
+  val madAnomaliesSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM ev GROUP BY 1),
+      |mad AS (
+      |  SELECT ev.event_type, med, quantile_cont(abs(cents - med), 0.5) AS mad
+      |  FROM ev JOIN med ON ev.event_type = med.event_type
+      |  GROUP BY ev.event_type, med)
+      |SELECT event_id, ev.event_type, cents, med, mad
+      |FROM ev JOIN mad ON ev.event_type = mad.event_type
+      |WHERE abs(cents - med) > 3 * mad
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Three-step funnel (signup → click → purchase, in order): generalizes
   // q_funnel's conditional-min trick to a CHAIN — each stage's timestamp
   // is the min event at-or-after the PREVIOUS stage's, so an early click
@@ -2357,6 +2402,7 @@ object Relational {
     "q_hopping_agg"    -> hoppingAgg _,
     "q_sessionize"     -> sessionize _,
     "q_session_features" -> sessionFeatures _,
+    "q_mad_anomalies"  -> madAnomalies _,
     "q_quantiles"      -> quantiles _,
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
@@ -2404,6 +2450,7 @@ object Relational {
     "q_hopping_agg"    -> hoppingAggSql,
     "q_sessionize"     -> sessionizeSql,
     "q_session_features" -> sessionFeaturesSql,
+    "q_mad_anomalies"  -> madAnomaliesSql,
     "q_quantiles"      -> quantilesSql,
     "q_rollup"         -> rollupSummarySql,
     "q_cube"           -> cubeSummarySql,
