@@ -81,6 +81,23 @@ class ApproxSpec extends AnyFunSuite {
       s"theta intersection $est vs exact $exact in exact mode")
   }
 
+  test("every sketch family's daily artifact is a parquet relation at rest") {
+    // the re-agg contract: rollups consume stored sketch BYTES, never raw
+    // rows — each family's daily relation must have file-backed lineage
+    val sf = "/root/testdata/sf0.001"
+    val arts = Seq(
+      "graft_kll_daily"   -> graft.operators.Relational.kllDailyAtRest(spark, sf),
+      "graft_theta_daily" -> graft.operators.Relational.thetaDailyAtRest(spark, sf),
+      "graft_freq_daily"  -> graft.operators.Relational.freqDailyAtRest(spark, sf))
+    arts.foreach { case (tag, df) =>
+      assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.contains(tag)),
+        s"$tag must be read back from its stored parquet artifact")
+      assert(df.schema.fields.exists(f =>
+        f.name == "sk" && f.dataType == org.apache.spark.sql.types.BinaryType),
+        s"$tag must carry a BINARY sketch column")
+    }
+  }
+
   test("frequent-items sketches: purge-free merge of stored dailies is exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
