@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union}
 import org.apache.spark.sql.{Dataset, Encoders}
@@ -40,6 +41,42 @@ object SketchMonitor {
     val u = SetOperation.builder().buildUnion()
     bytes.foreach(b => u.union(CompactSketch.heapify(Memory.wrap(b))))
     u
+  }
+
+  case class ValueEvent(event_type: String, value: Double)
+  case class QuantileOut(event_type: String, sketch: Array[Byte],
+                         p50: Double, p95: Double, n_updates: Long)
+
+  /** Streaming QUANTILE monitor — the KLL twin of the theta distinct
+    * monitor: each key's KllDoublesSketch folds new values in keyed state
+    * (~1 KB per key at k=200 regardless of stream volume; the exact
+    * streaming-percentile alternative buffers every value ever seen) and
+    * every batch emits the refreshed p50/p95 plus the sketch bytes — the
+    * standard wire format, so a batch job reads the snapshots with the
+    * built-in `kll_merge_agg_double` / `kll_sketch_get_quantile_double`.
+    * KLL compaction is randomized, so the twin proof is the rank-bound
+    * contract (the q_kll_reagg gate), not byte equality. */
+  def monitorQuantiles(events: Dataset[ValueEvent]): Dataset[QuantileOut] = {
+    implicit val stateEnc = Encoders.product[SketchState]
+    implicit val outEnc = Encoders.product[QuantileOut]
+    implicit val keyEnc = Encoders.STRING
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SketchState, QuantileOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[ValueEvent], state: GroupState[SketchState]) =>
+          val sk = state.getOption
+            .map(s => KllDoublesSketch.heapify(Memory.wrap(s.sketch)))
+            .getOrElse(KllDoublesSketch.newHeapInstance(200))
+          var n = state.getOption.map(_.n_updates).getOrElse(0L)
+          var any = false
+          batch.foreach { e => any = true; n += 1; sk.update(e.value) }
+          if (any) {
+            state.update(SketchState(sk.toByteArray, n))
+            Iterator(QuantileOut(key, sk.toByteArray,
+              sk.getQuantile(0.5), sk.getQuantile(0.95), n))
+          } else Iterator.empty
+      }
   }
 
   case class DayUserEvent(event_type: String, d: java.sql.Date, user_id: Long)

@@ -65,6 +65,52 @@ class SketchMonitorStreamSpec extends AnyFunSuite {
       "built-in theta_union_agg over emitted snapshots must equal the global distinct")
   }
 
+  test("quantile monitor: recovered sketch lands on the exact rank and feeds built-ins") {
+    import spark.implicits._
+    import graft.streaming.SketchMonitor.{QuantileOut, ValueEvent}
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "value").as[ValueEvent]
+      .collect().sortBy(e => (e.event_type, e.value))
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val cp = java.nio.file.Files.createTempDirectory("smq_cp").toString
+    val out = java.nio.file.Files.createTempDirectory("smq_out").toString
+    val mem = MemoryStream[ValueEvent]
+    def start() = graft.streaming.SketchMonitor.monitorQuantiles(mem.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp).option("path", out)
+      .format("parquet").start()
+    val q1 = start()
+    try { mem.addData(h1.toIndexedSeq); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(h2.toIndexedSeq); q2.processAllAvailable() } finally q2.stop()
+
+    val last = spark.read.parquet(out).as[QuantileOut].collect()
+      .groupBy(_.event_type).map { case (k, rs) => k -> rs.maxBy(_.n_updates) }
+    // rank-bound twin proof (KLL compaction is randomized, so byte equality
+    // is the wrong contract): each streamed estimate must land within 10%
+    // of its requested rank against the full exact value set
+    val vals = all.groupBy(_.event_type).view.mapValues(_.map(_.value).sorted).toMap
+    last.foreach { case (k, o) =>
+      val vs = vals(k)
+      assert(o.n_updates == vs.size)
+      def rank(x: Double) = vs.count(_ <= x).toDouble / vs.size
+      assert(math.abs(rank(o.p50) - 0.5) <= 0.10, s"$k p50 rank ${rank(o.p50)}")
+      assert(math.abs(rank(o.p95) - 0.95) <= 0.10, s"$k p95 rank ${rank(o.p95)}")
+    }
+    // interop: built-in KLL functions merge and query the emitted bytes
+    val m = spark.read.parquet(out)
+      .groupBy($"event_type").agg(max(struct($"n_updates", $"sketch")).as("m"))
+      .selectExpr(
+        "kll_sketch_get_quantile_double(kll_merge_agg_double(m.sketch), cast(0.5 as double)) AS gp50")
+      .first().getDouble(0)
+    val allSorted = all.map(_.value).sorted
+    val grank = allSorted.count(_ <= m).toDouble / allSorted.size
+    assert(math.abs(grank - 0.5) <= 0.10,
+      s"built-in merge of streamed sketches off-rank: $grank")
+  }
+
   test("daily-grain maintainer reproduces the batch at-rest artifact exactly") {
     import spark.implicits._
     import graft.streaming.SketchMonitor.{DailySketchOut, DayUserEvent}
