@@ -300,6 +300,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("LPA communities equal a driver-side synchronous reference on the real graph") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // distributed result
+    val got = graft.operators.Similarity.lpaCommunities(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent driver-side reference: same deterministic LPA definition
+    // (majority label among symmetrized kNN neighbors, smallest-label tie
+    // break, isolated keep own, 3 synchronous rounds)
+    val g = graft.operators.Similarity.knnGraph(spark, sf)
+      .select($"src", $"nbr").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (g ++ g.map(_.swap)).distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id").collect().map(_.getLong(0))
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = nodes.map { n =>
+        edges.get(n).filter(_.nonEmpty) match {
+          case None => n -> lab(n)
+          case Some(ns) =>
+            val votes = ns.map(lab).groupBy(identity).view.mapValues(_.size).toSeq
+            n -> votes.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    assert(got == lab, "distributed LPA must equal the driver-side reference")
+  }
+
   test("sorted_intersect_count equals array_intersect size on arbitrary sorted sets") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
