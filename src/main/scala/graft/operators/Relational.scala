@@ -700,6 +700,48 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Inter-arrival cadence profile: per event_type, the p50/p95 of the
+  // per-user gap between consecutive events of that type — the
+  // arrival-rate signal behind rate limiting, bot detection, and
+  // freshness SLOs. Gaps are integer µs, so interpolated percentiles are
+  // half-integers (exact binary rationals — the q_mad_anomalies
+  // determinism argument). One user-keyed window pass + one per-type
+  // percentile aggregate.
+  // ---------------------------------------------------------------------------
+  def interarrival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .filter($"prev_us".isNotNull)
+      .select($"event_type", (unix_micros($"ts") - $"prev_us").as("gap_us"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.5)").as("p50_gap_us"),
+        expr("percentile(gap_us, 0.95)").as("p95_gap_us"),
+        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+  }
+  val interarrivalSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |         us - lag(us) OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY us, event_id) AS gap_us
+      |  FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |       quantile_cont(gap_us, 0.5) AS p50_gap_us,
+      |       quantile_cont(gap_us, 0.95) AS p95_gap_us,
+      |       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+      |       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Robust anomaly detection — median/MAD outlier flags per event_type
   // (the robust z-score every monitoring pipeline runs; mean/stddev are
   // poisoned by the outliers they are meant to find). Cross-engine
@@ -2403,6 +2445,7 @@ object Relational {
     "q_sessionize"     -> sessionize _,
     "q_session_features" -> sessionFeatures _,
     "q_mad_anomalies"  -> madAnomalies _,
+    "q_interarrival"   -> interarrival _,
     "q_quantiles"      -> quantiles _,
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
@@ -2451,6 +2494,7 @@ object Relational {
     "q_sessionize"     -> sessionizeSql,
     "q_session_features" -> sessionFeaturesSql,
     "q_mad_anomalies"  -> madAnomaliesSql,
+    "q_interarrival"   -> interarrivalSql,
     "q_quantiles"      -> quantilesSql,
     "q_rollup"         -> rollupSummarySql,
     "q_cube"           -> cubeSummarySql,
