@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Model-evaluation statistics over scored rows — the offline-eval
+  * counterpart to the training-data ops (quality scores, curation gates,
+  * kNN label accuracy). The reference's analytics layer stops at counts
+  * and averages (SURVEY §2.4); a training pipeline additionally needs
+  * threshold-free ranking metrics (ROC AUC) and calibration tables for
+  * the quality classifiers it trains (e.g. the fastText-style filters
+  * whose scores gate curation recipes).
+  *
+  * Both queries treat `events` as a scored eval set: `value` is the
+  * model score, `event_type = 'purchase'` is the positive label. Both
+  * are EXACT and cross-engine reproducible: every accumulation is an
+  * integer (or exact-decimal) sum, with one IEEE division per output
+  * column — the q_corr_stats contract (no streaming-double drift, no
+  * libm ln).
+  */
+object Eval {
+
+  // ---------------------------------------------------------------------------
+  // Exact ROC AUC via the Mann–Whitney rank statistic, tie-corrected with
+  // average ranks: AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N). Computed at
+  // the DISTINCT-SCORE grain: one groupBy collapses the corpus to
+  // (score, count, positives), a running count gives each tie group its
+  // rank offset, and the rank sum folds into one integer S2 =
+  // Σ p·(2·cum + c + 1) (twice the positive rank sum, kept doubled so it
+  // stays integral). AUC = (S2 − P(P+1)) / (2·P·N) — exact integers into
+  // one final division, so both engines agree bit-for-bit.
+  //
+  // Scale shape: the only per-row pass is the map-side-combined groupBy;
+  // everything after runs at the distinct-score grain. Scores here are
+  // cent-quantized (two decimals), so that grain is bounded by the score
+  // codomain (~50k rows at ANY corpus size), not by |rows| — which is why
+  // the unpartitioned running-count window over it is safe at 100 TB
+  // (same boundedness argument as the zipf top-100 window). For
+  // continuous unquantized scores the same plan runs after a fixed-
+  // precision round of the score column.
+  // ---------------------------------------------------------------------------
+  def auc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byScore = Tables.events(s, dir)
+      .selectExpr("value AS score",
+        "CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END AS y")
+      .groupBy($"score")
+      .agg(count(lit(1)).as("c"), sum($"y").as("p"))
+    val w = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum", coalesce(sum($"c").over(w), lit(0L)))
+      // per-group product in DECIMAL(38,0): at petabyte row counts the
+      // bigint product p·(2·cum+c+1) would overflow; decimal partials
+      // merge exactly (the corr-stats rule)
+      .agg(
+        sum($"p".cast("decimal(38,0)")).as("pos"),
+        sum($"c".cast("decimal(38,0)")).as("tot"),
+        sum(($"p".cast("decimal(38,0)")
+          * (lit(2) * $"cum" + $"c" + lit(1)).cast("decimal(38,0)")).cast("decimal(38,0)")).as("s2"))
+      .selectExpr(
+        "cast(pos as bigint) AS n_pos",
+        "cast(tot - pos as bigint) AS n_neg",
+        "cast(s2 - pos * (pos + 1) as double) / cast(2 * pos * (tot - pos) as double) AS auc")
+  }
+  val aucSql: String =
+    """WITH s AS (
+      |  SELECT value AS score,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |g AS (SELECT score, count(*) AS c, sum(y) AS p FROM s GROUP BY score),
+      |r AS (SELECT c, p,
+      |             COALESCE(sum(c) OVER (ORDER BY score
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |      FROM g),
+      |a AS (SELECT sum(p) AS pos, sum(c) AS tot,
+      |             sum(p * (2 * cum + c + 1)) AS s2
+      |      FROM r)
+      |SELECT CAST(pos AS BIGINT) AS n_pos,
+      |       CAST(tot - pos AS BIGINT) AS n_neg,
+      |       CAST(s2 - pos * (pos + 1) AS DOUBLE)
+      |         / CAST(2 * pos * (tot - pos) AS DOUBLE) AS auc
+      |FROM a
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Calibration table (reliability diagram data): fixed-width score bins
+  // with observed positive rate and mean score per bin — the standard
+  // check that a quality classifier's scores mean what they claim before
+  // they gate a curation recipe. Fixed-width binning by an explicit
+  // floor-of-division formula (the q_histogram rule — engine
+  // width_bucket edge conventions differ); one partial+final aggregation,
+  // bucket evaluates in the scan. Mean score sums cent-exact
+  // DECIMAL(18,2) (never raw doubles — summation order), one division
+  // per output column.
+  // ---------------------------------------------------------------------------
+  private val calBucket =
+    "least(cast(9 as bigint), cast(floor(score / cast(50 as double)) as bigint))"
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .selectExpr("value AS score",
+        "CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END AS y")
+      .selectExpr(s"$calBucket AS bucket", "score", "y")
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"y").cast("long").as("n_pos"),
+        sum($"score".cast("decimal(18,2)")).as("ssum"))
+      .selectExpr("bucket", "n", "n_pos",
+        "cast(n_pos as double) / cast(n as double) AS pos_rate",
+        "cast(ssum as double) / cast(n as double) AS mean_score")
+  }
+  val calibrationSql: String =
+    s"""WITH s AS (
+       |  SELECT value AS score,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events)
+       |SELECT $calBucket AS bucket,
+       |       count(*) AS n,
+       |       CAST(sum(y) AS BIGINT) AS n_pos,
+       |       CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+       |       CAST(CAST(sum(CAST(score AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS mean_score
+       |FROM s GROUP BY 1
+       |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_auc"         -> auc _,
+    "q_calibration" -> calibration _,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q_auc"         -> aucSql,
+    "q_calibration" -> calibrationSql,
+  )
+}

@@ -131,14 +131,16 @@ object Graph {
   // Shuffles: edges by apex (wedge build), wedge pairs by (y, z) for the
   // closing-edge hash join — ids only, never payloads.
   // ---------------------------------------------------------------------------
-  def triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Undirected distinct co-purchase edges, id-ordered u < v. Pair
+    * generation is ONE shuffle on the order key + a map-side nested
+    * transform over each order's part list (orders hold a handful of
+    * parts), then the distinct exchange — two exchanges total vs four for
+    * the self-join-on-o form. Shared by the triangle census and the
+    * assortativity query (each caller materializes its own copy; the two
+    * queries never run in one job). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // undirected distinct edges, id-ordered u < v. Pair generation is ONE
-    // shuffle on the order key + a map-side nested transform over each
-    // order's part list (orders hold a handful of parts), then the
-    // distinct exchange — two exchanges total vs four for the
-    // self-join-on-o form.
-    val e = graft.Materialize.eager(
+    graft.Materialize.eager(
       Tables.lineitem(s, dir)
         .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
         .groupBy($"o").agg(sort_array(collect_set($"p")).as("ps"))
@@ -146,6 +148,11 @@ object Graph {
           "explode(flatten(transform(ps, (a, i) -> " +
             "transform(slice(ps, i + 2, size(ps) - i - 1), b -> struct(a AS u, b AS v))))) AS pr")
         .select($"pr.u", $"pr.v").distinct())
+  }
+
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = coPurchaseEdges(s, dir)
     // deg and adj feed multiple consumers (orientation, counts, both
     // broadcast builds) — materialize them or every consumer re-runs the
     // underlying shuffle (the un-materialized form measured 4.5 s; this
@@ -213,12 +220,89 @@ object Graph {
       |FROM t
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Degree assortativity of the co-purchase graph: the Pearson correlation
+  // of endpoint degrees over the DIRECTED edge multiset (each undirected
+  // edge contributes both orientations — the standard Newman definition,
+  // which keeps the statistic symmetric). Positive r: hubs connect to
+  // hubs (assortative mixing); negative: hub-and-spoke. The same statistic
+  // over a document kNN graph diagnoses whether near-dup mass concentrates
+  // in a few templates or spreads corpus-wide.
+  //
+  // Exactness: degrees are integers, so all five moment sums accumulate as
+  // exact DECIMAL(38,0) integers (the q_corr_stats contract) and the
+  // closed-form correlation text is spliced into both engines verbatim —
+  // identical parse tree, identical IEEE order, identical bits (sqrt is
+  // correctly rounded; no ln).
+  //
+  // Scale shape: edges materialize once (bounded by |co-purchase pairs|);
+  // degrees are one count shuffle; the two degree attachments are
+  // broadcast joins (|nodes| rows of (id, int)); the moment aggregation is
+  // one partial+final pass. Nothing scales with |lineitem| after the edge
+  // build.
+  // ---------------------------------------------------------------------------
+  private val assortFormula =
+    "CASE WHEN (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd) <= cast(0 as double) " +
+      "THEN cast(0 as double) " +
+      "ELSE (nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) END " +
+      "AS assortativity"
+
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = coPurchaseEdges(s, dir)
+    val deg = graft.Materialize.eager(
+      e.select($"u".as("n")).union(e.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d")))
+    val directed = e.union(e.select($"v".as("u"), $"u".as("v")))
+    val moments = directed
+      .join(broadcast(deg.select($"n".as("u"), $"d".as("dx"))), "u")
+      .join(broadcast(deg.select($"n".as("v"), $"d".as("dy"))), "v")
+      .agg(
+        count(lit(1)).as("n2"),
+        sum($"dx".cast("decimal(38,0)")).as("sx"),
+        sum($"dy".cast("decimal(38,0)")).as("sy"),
+        sum(($"dx" * $"dx").cast("decimal(38,0)")).as("sxx"),
+        sum(($"dy" * $"dy").cast("decimal(38,0)")).as("syy"),
+        sum(($"dx" * $"dy").cast("decimal(38,0)")).as("sxy"))
+    moments
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .selectExpr("n_edges",
+        "cast(n2 as double) AS nd", "cast(sx as double) AS sxd",
+        "cast(sy as double) AS syd", "cast(sxx as double) AS sxxd",
+        "cast(syy as double) AS syyd", "cast(sxy as double) AS sxyd")
+      .selectExpr("n_edges", assortFormula)
+  }
+  val assortativitySql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |deg AS (SELECT n, count(*) AS d
+       |        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) x
+       |        GROUP BY n),
+       |de AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |m AS (SELECT count(*) AS n2,
+       |             sum(du.d) AS sx, sum(dv.d) AS sy,
+       |             sum(du.d * du.d) AS sxx, sum(dv.d * dv.d) AS syy,
+       |             sum(du.d * dv.d) AS sxy
+       |      FROM de JOIN deg du ON de.u = du.n JOIN deg dv ON de.v = dv.n),
+       |d AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       |             CAST(n2 AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+       |             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+       |             CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+       |      FROM m)
+       |SELECT n_edges,
+       |       $assortFormula
+       |FROM d
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank"  -> pagerank _,
-    "q_triangles" -> triangles _,
+    "q_pagerank"      -> pagerank _,
+    "q_triangles"     -> triangles _,
+    "q_assortativity" -> assortativity _,
   )
   val oracleSql: Map[String, String] = Map(
-    "q_pagerank"  -> pagerankSql,
-    "q_triangles" -> trianglesSql,
+    "q_pagerank"      -> pagerankSql,
+    "q_triangles"     -> trianglesSql,
+    "q_assortativity" -> assortativitySql,
   )
 }
