@@ -1182,7 +1182,121 @@ object Dedup {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // Bloom-filter membership probe for incremental exact dedup: the corpus's
+  // normalized-content hashes are folded into a STORED bitmap artifact, and
+  // a delta batch probes the bitmap BEFORE the (expensive, shuffling)
+  // exact anti-join — the standard 100 TB ingest fast-path: the bitmap is a
+  // few MB per 10⁹ documents (vs the TB-scale hash index), broadcastable to
+  // every executor, and a negative probe (the overwhelming majority of a
+  // fresh crawl) skips the corpus join entirely. Bloom guarantees NO FALSE
+  // NEGATIVES, so the probe is a safe pre-filter; the query reports both
+  // the probe verdict and the exact verdict so the oracle checks the full
+  // contract (and the spec pins the no-false-negative invariant).
+  //
+  // Representation: the bitmap is a RELATION of packed 63-bit words
+  // (word_idx → bit_or of 1<<bit) — built distributed (one partial+final
+  // bit_or aggregation, never collected), stored as parquet, and read back
+  // so the probe's lineage provably starts at the artifact files (the
+  // hll/kll/theta at-rest contract). 63-bit words keep every shift off the
+  // sign bit, so Spark bigint and DuckDB BIGINT agree. K=4 md5-derived bit
+  // positions per key over M=2²⁰ bits; the oracle reproduces the bit
+  // arithmetic exactly (set-of-bits form — packing is a layout choice, not
+  // semantics). Split is the proportional span-index boundary: corpus =
+  // first 9/10 of the id space, delta = the rest.
+  // ---------------------------------------------------------------------------
+  private val BloomM = 1L << 20 // bits in the filter
+  private val BloomK = 4        // hash functions per key
+  private val BloomW = 63L      // bits packed per word (sign-safe shifts)
+
+  /** doc_id + 32-hex md5 of whitespace-normalized lowercased text — the
+    * same content key q_dedup_normalized groups on. */
+  private def normHashRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id",
+      md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("nh"))
+  }
+
+  /** The K bloom bit positions of one key as an array column expr. */
+  private def bloomBitsExpr: String =
+    s"transform(sequence(0, ${BloomK - 1}), j -> " +
+      s"cast(conv(substr(md5(cast(concat(nh, '#', cast(j as string)) as binary)), 1, 15), 16, 10) as bigint) % ${BloomM}L)"
+
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, Long)]
+
+  /** (stored packed-word bitmap artifact, delta split id). Built once per
+    * (session, dir), parquet round-trip — probes consume stored bytes.
+    * Package-visible so the spec can gate the file-backed lineage. */
+  private[graft] def bloomArtifact(s: SparkSession, dir: String): (DataFrame, Long) =
+    bloomCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val all = normHashRows(s, dir)
+      val split = (Tables.documents(s, dir).agg(max($"doc_id")).first().getLong(0) + 1L) * 9L / 10L
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      all.filter($"doc_id" < split)
+        .selectExpr(s"explode($bloomBitsExpr) AS bp")
+        .selectExpr(s"bp div ${BloomW}L AS widx",
+          s"shiftleft(1L, cast(bp % ${BloomW}L as int)) AS b")
+        .groupBy($"widx")
+        .agg(expr("bit_or(b)").as("w"))
+        .write.mode("overwrite").parquet(path)
+      (s.read.parquet(path), split)
+    })
+
+  /** Delta-batch probe: per delta document, the bloom verdict (all K bits
+    * set in the stored bitmap) and the exact verdict (normalized hash
+    * present in the corpus). Probe work: |delta|·K rows joined against the
+    * broadcast word relation (≤ M/63 rows ≈ 16k); the exact companion is
+    * the anti-join the bloom pre-filter would gate at scale — run here for
+    * every delta doc so the oracle validates the full truth table. */
+  def bloomDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (words, split) = bloomArtifact(s, dir)
+    val all = graft.Materialize.eager(normHashRows(s, dir))
+    val delta = all.filter($"doc_id" >= split)
+    val probe = delta
+      .selectExpr("doc_id", s"explode($bloomBitsExpr) AS bp")
+      .selectExpr("doc_id", s"bp div ${BloomW}L AS widx",
+        s"shiftleft(1L, cast(bp % ${BloomW}L as int)) AS b")
+      .join(broadcast(words), Seq("widx"), "left")
+      .select($"doc_id",
+        (coalesce($"w", lit(0L)).bitwiseAND($"b") =!= 0L).cast("int").as("hit"))
+      .groupBy($"doc_id")
+      .agg(sum($"hit").as("nhit"))
+      .select($"doc_id", ($"nhit" === BloomK).as("bloom_hit"))
+    val corpusHashes = all.filter($"doc_id" < split).select($"nh").distinct()
+    val exact = delta
+      .join(corpusHashes.withColumn("indup", lit(true)), Seq("nh"), "left")
+      .select($"doc_id", coalesce($"indup", lit(false)).as("exact_dup"))
+    probe.join(exact, "doc_id")
+  }
+  val bloomDedupSql: String = {
+    val bitsDuck =
+      s"(('0x' || substr(md5(nh || '#' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % $BloomM)"
+    s"""WITH d AS (SELECT doc_id,
+       |       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nh
+       |       FROM documents),
+       |sp AS (SELECT ((max(doc_id) + 1) * 9) // 10 AS split FROM documents),
+       |corpus AS (SELECT * FROM d WHERE doc_id < (SELECT split FROM sp)),
+       |delta  AS (SELECT * FROM d WHERE doc_id >= (SELECT split FROM sp)),
+       |cbits AS (SELECT DISTINCT $bitsDuck AS bp
+       |          FROM corpus, range(0, $BloomK) t(j)),
+       |dbits AS (SELECT doc_id, $bitsDuck AS bp
+       |          FROM delta, range(0, $BloomK) t(j)),
+       |h AS (SELECT db.doc_id, count(cb.bp) AS nhit
+       |      FROM dbits db LEFT JOIN cbits cb ON db.bp = cb.bp
+       |      GROUP BY db.doc_id)
+       |SELECT delta.doc_id,
+       |       h.nhit = $BloomK AS bloom_hit,
+       |       delta.nh IN (SELECT nh FROM corpus) AS exact_dup
+       |FROM delta JOIN h ON delta.doc_id = h.doc_id
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_dedup"       -> bloomDedup _,
     "q_crossdup"          -> crossSourceDups _,
     "q_cluster_sizes"     -> clusterSizes _,
     "q_dedup_weights"     -> dedupWeights _,
@@ -1205,6 +1319,7 @@ object Dedup {
     "q_seg_dedup"         -> segDedup _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_bloom_dedup"       -> bloomDedupSql,
     "q_crossdup"          -> crossSourceDupsSql,
     "q_cluster_sizes"     -> clusterSizesSql,
     "q_dedup_weights"     -> dedupWeightsSql,

@@ -483,4 +483,28 @@ class TextDedupSpec extends AnyFunSuite {
       s"bucketed round-robin should balance token totals within 25%: [$lo, $hi]")
     p.unpersist()
   }
+
+  test("bloom probe: no false negatives, file-backed bitmap, full delta coverage") {
+    import spark.implicits._
+    val r = Dedup.bloomDedup(spark, sf).cache()
+    // the bloom contract: a missed exact duplicate is a correctness bug
+    // (the pre-filter would silently drop a dedup candidate at scale)
+    assert(r.filter($"exact_dup" && !$"bloom_hit").count() == 0,
+      "bloom filters must never report a false negative")
+    // fp sanity: 4 hashes over 2^20 bits with a few-hundred-doc corpus
+    // gives an expected fp count ~1e-9 — any hit here means broken hashing
+    val fp = r.filter($"bloom_hit" && !$"exact_dup").count()
+    assert(fp == 0, s"unexpected bloom false positives at this scale: $fp")
+    // every delta doc gets exactly one verdict row
+    val split = Dedup.bloomArtifact(spark, sf)._2
+    val delta = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" >= split).count()
+    assert(r.count() == delta)
+    // the probe consumes the stored artifact, not a recomputation
+    val words = Dedup.bloomArtifact(spark, sf)._1
+    assert(words.inputFiles.nonEmpty &&
+      words.inputFiles.forall(_.contains("graft_bloom_")),
+      "bitmap must be read back from the parquet artifact")
+    r.unpersist()
+  }
 }
