@@ -127,12 +127,77 @@ object Eval {
        |FROM s GROUP BY 1
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Distribution-drift report: total variation distance between the score
+  // distributions of the FIRST and SECOND half of the ingest (event_id is
+  // ingest-ordered — the dedup-incremental split convention), per event
+  // type. TVD = ½·Σ_b |p_b − q_b| is the drift statistic that needs NO
+  // logarithm (PSI and KL divide by libm ln — not bit-portable, the BM25
+  // rule) and has a clean exact form: with integer bin counts c1/c2 and
+  // window totals n1/n2,  TVD = Σ_b |c1_b·n2 − c2_b·n1| / (2·n1·n2) —
+  // an exact integer numerator summed in DECIMAL(38,0), ONE IEEE division
+  // per type. The pipeline use: re-train / re-weight triggers when a
+  // source's incoming quality-score distribution drifts from the corpus.
+  //
+  // Scale shape: one partial+final count aggregation at (type, half, bin)
+  // grain — map-side combined, so the shuffle carries ≤ types·2·bins rows
+  // per task regardless of |events|; the totals join is a broadcast of
+  // |types| rows. Nothing after the first aggregation scales with input.
+  // ---------------------------------------------------------------------------
+  def driftTvd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val split = ev.agg(max($"event_id")).first().getLong(0) / 2L + 1L
+    val binned = ev.selectExpr("event_type",
+      s"CASE WHEN event_id < ${split}L THEN 0 ELSE 1 END AS half",
+      s"$calBucket".replace("score", "value") + " AS bucket")
+    val counts = graft.Materialize.eager(
+      binned.groupBy($"event_type", $"bucket")
+        .agg(
+          sum(when($"half" === 0, lit(1L)).otherwise(lit(0L))).as("c1"),
+          sum(when($"half" === 1, lit(1L)).otherwise(lit(0L))).as("c2")))
+    val totals = counts.groupBy($"event_type")
+      .agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    counts.join(broadcast(totals), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        first($"n1").as("n1"), first($"n2").as("n2"),
+        sum(abs($"c1" * $"n2" - $"c2" * $"n1").cast("decimal(38,0)")).as("num"))
+      .selectExpr("event_type",
+        "cast(n1 as bigint) AS n_first", "cast(n2 as bigint) AS n_second",
+        "cast(num as double) / cast(2 * n1 * n2 as double) AS tvd")
+  }
+  val driftTvdSql: String = {
+    val bucket = calBucket.replace("score", "value")
+    s"""WITH sp AS (SELECT max(event_id) // 2 + 1 AS split FROM events),
+       |b AS (SELECT event_type,
+       |             CASE WHEN event_id < (SELECT split FROM sp) THEN 0 ELSE 1 END AS half,
+       |             $bucket AS bucket
+       |      FROM events),
+       |c AS (SELECT event_type, bucket,
+       |             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+       |             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+       |      FROM b GROUP BY event_type, bucket),
+       |t AS (SELECT event_type, sum(c1) AS n1, sum(c2) AS n2
+       |      FROM c GROUP BY event_type)
+       |SELECT c.event_type,
+       |       CAST(t.n1 AS BIGINT) AS n_first,
+       |       CAST(t.n2 AS BIGINT) AS n_second,
+       |       CAST(sum(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS DOUBLE)
+       |         / CAST(2 * t.n1 * t.n2 AS DOUBLE) AS tvd
+       |FROM c JOIN t ON c.event_type = t.event_type
+       |GROUP BY c.event_type, t.n1, t.n2
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc"         -> auc _,
     "q_calibration" -> calibration _,
+    "q_drift_tvd"   -> driftTvd _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_auc"         -> aucSql,
     "q_calibration" -> calibrationSql,
+    "q_drift_tvd"   -> driftTvdSql,
   )
 }
