@@ -190,14 +190,72 @@ object Eval {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // Precision/recall/F1 threshold sweep (PR-curve table): one row per
+  // candidate decision threshold (the 10 bin lower bounds), with the
+  // confusion counts and ratios a pipeline reads to PICK the gating
+  // threshold for a quality classifier. Counts fold from the same
+  // (bin, count, positives) grain as the calibration table; TP/FP at each
+  // threshold are SUFFIX sums over the 10-row bin relation (descending
+  // running-total window — bounded grain, same argument as q_auc), and
+  // precision/recall/F1 are exact integer ratios: F1 = 2·TP/(2·TP+FP+FN)
+  // — one division per output column, no intermediate float compounding.
+  // ---------------------------------------------------------------------------
+  def prCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binned = Tables.events(s, dir)
+      .selectExpr("value AS score",
+        "CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END AS y")
+      .selectExpr(s"$calBucket AS bucket", "y")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("c"), sum($"y").as("p"))
+    val wSuffix = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("npred", sum($"c").over(wSuffix))
+      .withColumn("tp", sum($"p").over(wSuffix))
+      .withColumn("pos", sum($"p").over(wAll))
+      .selectExpr(
+        "cast(bucket * 50 as bigint) AS threshold",
+        "npred AS n_pred_pos", "tp",
+        "cast(tp as double) / cast(npred as double) AS precision",
+        "cast(tp as double) / cast(pos as double) AS recall",
+        "cast(2 * tp as double) / cast(npred + pos as double) AS f1")
+  }
+  val prCurveSql: String =
+    s"""WITH s AS (
+       |  SELECT value AS score,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events),
+       |b AS (SELECT $calBucket AS bucket, count(*) AS c, sum(y) AS p
+       |      FROM s GROUP BY 1),
+       |r AS (SELECT bucket,
+       |             sum(c) OVER (ORDER BY bucket DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS npred,
+       |             sum(p) OVER (ORDER BY bucket DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |             sum(p) OVER () AS pos
+       |      FROM b)
+       |SELECT CAST(bucket * 50 AS BIGINT) AS threshold,
+       |       CAST(npred AS BIGINT) AS n_pred_pos,
+       |       CAST(tp AS BIGINT) AS tp,
+       |       CAST(tp AS DOUBLE) / CAST(npred AS DOUBLE) AS precision,
+       |       CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) AS recall,
+       |       CAST(2 * tp AS DOUBLE) / CAST(npred + pos AS DOUBLE) AS f1
+       |FROM r
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc"         -> auc _,
     "q_calibration" -> calibration _,
     "q_drift_tvd"   -> driftTvd _,
+    "q_pr_curve"    -> prCurve _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_auc"         -> aucSql,
     "q_calibration" -> calibrationSql,
     "q_drift_tvd"   -> driftTvdSql,
+    "q_pr_curve"    -> prCurveSql,
   )
 }
