@@ -96,8 +96,11 @@ object Eval {
   // DECIMAL(18,2) (never raw doubles — summation order), one division
   // per output column.
   // ---------------------------------------------------------------------------
-  private val calBucket =
-    "least(cast(9 as bigint), cast(floor(score / cast(50 as double)) as bigint))"
+  /** Fixed-width score bin (the q_histogram explicit-formula rule) —
+    * package-visible so the streaming drift monitor bins identically. */
+  private[graft] def bucketExpr(c: String): String =
+    s"least(cast(9 as bigint), cast(floor($c / cast(50 as double)) as bigint))"
+  private val calBucket = bucketExpr("score")
   def calibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
