@@ -249,16 +249,75 @@ object Eval {
        |FROM r
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Volume-trend detection: per event type, the OLS slope and intercept of
+  // DAILY event counts against the epoch-day index — the ingest-health
+  // trend a pipeline watches for a decaying source (negative slope) or a
+  // runaway crawler (positive). Same exactness recipe as q_corr_stats:
+  // (day, count) pairs are exact integers, the five moment sums accumulate
+  // in DECIMAL(38,0), and the closed-form slope/intercept text is spliced
+  // into both engines verbatim. The day index derivation differs per
+  // engine (unix_date vs epoch seconds / 86400 — both exact integers);
+  // only the FLOAT formula must be textually identical.
+  //
+  // Scale shape: one partial+final count to the (type, day) grain — the
+  // only pass over raw events — then moments over types × days rows.
+  // ---------------------------------------------------------------------------
+  private val olsFormulas = Seq(
+    "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope",
+    "(syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd AS intercept")
+
+  def trendSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .selectExpr("event_type", "unix_date(cast(ts as date)) AS x")
+      .groupBy($"event_type", $"x")
+      .agg(count(lit(1)).as("y"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum($"y".cast("decimal(38,0)")).as("sy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
+      .selectExpr("event_type", "n AS n_days",
+        "cast(n as double) AS nd", "cast(sx as double) AS sxd",
+        "cast(sy as double) AS syd", "cast(sxx as double) AS sxxd",
+        "cast(sxy as double) AS sxyd")
+      .selectExpr(Seq("event_type", "n_days") ++ olsFormulas: _*)
+  }
+  val trendSlopeSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |         CAST(date_part('epoch', CAST(ts AS DATE)) AS BIGINT) // 86400 AS x
+       |  FROM events),
+       |g AS (SELECT event_type, x, count(*) AS y FROM d GROUP BY 1, 2),
+       |m AS (SELECT event_type, count(*) AS n,
+       |             sum(x) AS sx, sum(y) AS sy,
+       |             sum(x * x) AS sxx, sum(x * y) AS sxy
+       |      FROM g GROUP BY event_type),
+       |f AS (SELECT event_type, n AS n_days,
+       |             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+       |             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+       |             CAST(sxy AS DOUBLE) AS sxyd
+       |      FROM m)
+       |SELECT event_type, n_days,
+       |       ${olsFormulas.mkString(",\n       ")}
+       |FROM f
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc"         -> auc _,
     "q_calibration" -> calibration _,
     "q_drift_tvd"   -> driftTvd _,
     "q_pr_curve"    -> prCurve _,
+    "q_trend_slope" -> trendSlope _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_auc"         -> aucSql,
     "q_calibration" -> calibrationSql,
     "q_drift_tvd"   -> driftTvdSql,
     "q_pr_curve"    -> prCurveSql,
+    "q_trend_slope" -> trendSlopeSql,
   )
 }
