@@ -41,7 +41,10 @@ object Graph {
   private val Scale = 1000000000000L // rank mass: 1e12 micro-units
   private val Iters = 5
 
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
+  /** (symmetrized trade edges, per-node degrees) — the undirected bipartite
+    * customer↔supplier graph both rank queries walk; each caller
+    * materializes its own copy (the two queries never share a job). */
+  private def tradeGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     // distinct trading pairs; customer keys even, supplier keys odd
     val pairs = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
@@ -53,6 +56,12 @@ object Graph {
       pairs.union(pairs.select($"dst".as("src"), $"src".as("dst"))))
     val deg = graft.Materialize.eager(
       edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")))
+    (edges, deg)
+  }
+
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (edges, deg) = tradeGraph(s, dir)
     // |V| as a broadcast 1-row relation — the constant stays distributed
     // (no driver collect), and BASE = (3·Scale) div (20·|V|) is computed
     // with the same integer expression text on both engines.
@@ -295,13 +304,103 @@ object Graph {
        |FROM d
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Personalized PageRank from a seed set: teleport mass restarts at the
+  // BUILDING-segment customers instead of uniformly, so rank measures
+  // proximity-to-seeds — the graph-propagation primitive behind
+  // seed-based curation (score every document by its kNN-graph proximity
+  // to a small trusted set, then keep/up-weight the top mass). Same
+  // integer-exact machinery as q_pagerank: scaled 1e12 mass, integer
+  // per-edge divisions, integer sums — bit-reproducible in any engine and
+  // under any partitioning. Non-seed nodes get ZERO teleport: their rank
+  // is entirely flowed-in proximity (nodes unreachable from the seeds in
+  // 3 hops legitimately read 0).
+  //
+  // Scale shape: identical to pagerank — one materialized edge relation,
+  // one broadcast scalar (|seeds ∩ graph|), and per iteration one
+  // fact-sized join + one aggregation; seed membership rides the rank
+  // state (no per-iteration re-join against the customer dim).
+  // ---------------------------------------------------------------------------
+  private val PprIters = 3
+
+  def ppr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (edges, deg) = tradeGraph(s, dir)
+    val seeds = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select(($"c_custkey" * 2).as("node"), lit(1L).as("is_seed"))
+    val base0 = graft.Materialize.eager(
+      deg.join(seeds, Seq("node"), "left")
+        .select($"node", $"deg", coalesce($"is_seed", lit(0L)).as("is_seed")))
+    val ns = base0.agg(sum($"is_seed").as("ns"))
+    val base = base0.crossJoin(broadcast(ns))
+    var state = graft.Materialize.eager(
+      base.selectExpr("node", "deg", "is_seed", "ns",
+        s"IF(is_seed = 1, ${Scale}L div ns, 0L) AS r"))
+    for (_ <- 1 to PprIters) {
+      val contrib = state
+        .join(edges, $"node" === $"src")
+        .selectExpr("dst", "r div deg AS c")
+      val inSum = contrib.groupBy($"dst").agg(sum($"c").as("insum"))
+      state = graft.Materialize.eager(
+        base.join(inSum, base("node") === inSum("dst"), "left")
+          .selectExpr("node", "deg", "is_seed", "ns",
+            s"IF(is_seed = 1, (3L * ${Scale}L) div (20L * ns), 0L)" +
+              " + (17L * coalesce(insum, 0L)) div 20L AS r"))
+    }
+    state.selectExpr(
+      "node",
+      "IF(node % 2 = 0, 'customer', 'supplier') AS entity_type",
+      "node div 2 AS entity_key",
+      "is_seed",
+      "r AS rank_scaled")
+  }
+  val pprSql: String = {
+    val iters = (1 to PprIters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT b.node, b.deg, b.is_seed,
+         |         CASE WHEN b.is_seed = 1
+         |              THEN (3 * ${Scale}) // (20 * (SELECT ns FROM nn)) ELSE 0 END
+         |         + (17 * COALESCE(x.insum, 0)) // 20 AS r
+         |  FROM base b LEFT JOIN (SELECT e.dst AS node, sum(p.r // p.deg) AS insum
+         |                         FROM $prev p JOIN e ON e.src = p.node GROUP BY e.dst) x
+         |  ON b.node = x.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |seeds AS (SELECT c_custkey * 2 AS node FROM customer
+       |          WHERE c_mktsegment = 'BUILDING'),
+       |base AS (SELECT deg.node, deg.deg,
+       |                CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+       |         FROM deg LEFT JOIN seeds s ON deg.node = s.node),
+       |nn AS (SELECT sum(is_seed) AS ns FROM base),
+       |r0 AS (SELECT node, deg, is_seed,
+       |              CASE WHEN is_seed = 1
+       |                   THEN ${Scale} // (SELECT ns FROM nn) ELSE 0 END AS r
+       |       FROM base),
+       |$iters
+       |SELECT node,
+       |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity_type,
+       |       node // 2 AS entity_key,
+       |       CAST(is_seed AS BIGINT) AS is_seed,
+       |       CAST(r AS BIGINT) AS rank_scaled
+       |FROM r$PprIters
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"      -> pagerank _,
+    "q_ppr"           -> ppr _,
     "q_triangles"     -> triangles _,
     "q_assortativity" -> assortativity _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_pagerank"      -> pagerankSql,
+    "q_ppr"           -> pprSql,
     "q_triangles"     -> trianglesSql,
     "q_assortativity" -> assortativitySql,
   )
