@@ -62,4 +62,41 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_wedges") >= 3 * row.getAs[Long]("n_triangles"))
     e.unpersist()
   }
+
+  test("ppr: equals an independent driver-side synchronous integer reference") {
+    import spark.implicits._
+    // rebuild the sf0.001 trade graph driver-side and replay the exact
+    // integer recurrence with plain Scala Longs (/ on non-negative longs
+    // truncates like Spark's div) — the distributed plan must match every
+    // node's rank to the bit (the LPA reference-spec pattern)
+    val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1))
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val nodes = deg.keySet
+    val seedsIn = spark.read.parquet(s"$sf/customer.parquet")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select(($"c_custkey" * 2).as("n")).as[Long].collect().toSet & nodes
+    val ns = seedsIn.size.toLong
+    assert(ns > 0, "fixture must contain BUILDING customers in the graph")
+    val scale = 1000000000000L
+    var r: Map[Long, Long] =
+      nodes.map(n => n -> (if (seedsIn(n)) scale / ns else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s0, d0) <- edges) in(d0) += r(s0) / deg(s0)
+      r = nodes.map(n => n ->
+        ((if (seedsIn(n)) (3L * scale) / (20L * ns) else 0L) + (17L * in(n)) / 20L)).toMap
+    }
+    val got = Graph.ppr(spark, sf)
+      .select($"node", $"rank_scaled").as[(Long, Long)].collect().toMap
+    assert(got == r, "distributed PPR must equal the synchronous reference bit-for-bit")
+    // seed flag integrity
+    val flags = Graph.ppr(spark, sf)
+      .select($"node", $"is_seed").as[(Long, Long)].collect().toMap
+    assert(flags.filter(_._2 == 1L).keySet == seedsIn)
+  }
 }

@@ -293,4 +293,23 @@ class PlanSpec extends AnyFunSuite {
     val plan = executed(Graph.triangles(spark, sf))
     assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
   }
+
+  test("bloom probe: the delta joins the stored bitmap by broadcast") {
+    // the whole point of the bitmap artifact is that it broadcasts — a
+    // shuffle of the delta against the word relation would defeat the
+    // pre-filter; the exact companion's corpus join may shuffle, but the
+    // word join must be a BroadcastHashJoin with no SortMergeJoin anywhere
+    val plan = executed(Dedup.bloomDedup(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"bloom probe fell back to SMJ:\n$plan")
+  }
+
+  test("drift TVD: nothing after the binned count scales with the input") {
+    // one full-input pass (the map-side-combined (type, bucket) count,
+    // materialized); the totals join must broadcast — a shuffle there
+    // would mean the rollup re-keyed something input-sized
+    val plan = executed(Eval.driftTvd(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
