@@ -195,10 +195,96 @@ object Sources {
       |FROM events GROUP BY event_type
       |""".stripMargin
 
+  /** Recursively reclaim a temp directory a roundtrip query created —
+    * repeated bench/verify invocations must not accumulate disk. */
+  private def reclaim(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                      catch { case _: java.io.IOException => () })
+  }
+
+  // ---------------------------------------------------------------------------
+  // Oracle-gated ORC round-trip with PARTITIONED layout: events land in ORC
+  // partitioned by event_type (orc-core ships in spark-sql — no extra jar),
+  // are read back through a partition-pruned scan (the isin filter prunes
+  // directories before any ORC byte is read — the 100 TB point of a
+  // partitioned layout), and aggregated. The DuckDB oracle computes the
+  // identical aggregate from parquet, so the write→prune→read ORC surface
+  // is hash-gated end-to-end, same contract as q_jdbc_roundtrip. The
+  // result is materialized eagerly so the temp layout can be reclaimed
+  // before the DataFrame is returned.
+  // ---------------------------------------------------------------------------
+  private val orcKeepTypes = Seq("click", "purchase")
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+    try {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("event_type").orc(tmp.toString)
+      val agg = s.read.orc(tmp.toString)
+        .filter(col("event_type").isin(orcKeepTypes: _*))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      graft.Materialize.eager(agg)
+    } finally reclaim(tmp)
+  }
+  val orcRoundtripSql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |       count(DISTINCT user_id) AS n_users,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE event_type IN (${orcKeepTypes.map("'" + _ + "'").mkString(", ")})
+       |GROUP BY event_type
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Oracle-gated JSON-lines corpus round-trip: documents serialize to JSONL
+  // (the interchange format LLM corpus pipelines actually exchange — one
+  // JSON object per line), are re-ingested with an EXPLICIT schema (schema
+  // inference at 100 TB means reading the corpus twice; production JSONL
+  // readers always declare), and summarized per source. Escaping is the
+  // real content of this gate: any divergence in how quotes/newlines/
+  // non-ASCII survive the serialize→parse cycle changes text lengths and
+  // breaks the hash against the parquet-direct oracle.
+  // ---------------------------------------------------------------------------
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    try {
+      val docs = Tables.documents(s, dir)
+      docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .json(tmp.toString)
+      val agg = s.read.schema(docs.schema).json(tmp.toString)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("bigint")).as("sum_text_len"),
+          countDistinct(col("lang")).as("n_langs"))
+      graft.Materialize.eager(agg)
+    } finally reclaim(tmp)
+  }
+  val jsonlRoundtripSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       count(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY source
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
+    "q_orc_roundtrip" -> orcRoundtrip _,
+    "q_jsonl_roundtrip" -> jsonlRoundtrip _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
+    "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql,
   )
 }

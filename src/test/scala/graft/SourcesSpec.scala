@@ -83,6 +83,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(docs.exceptAll(js).isEmpty && js.exceptAll(docs).isEmpty)
   }
 
+  test("ORC roundtrip prunes partitions: the isin filter reaches the directory layout") {
+    // write the partitioned ORC layout exactly as the query does, then
+    // check the scan's partition count: a pruned read of 2 of 5
+    // event_type directories must touch only those partitions' files
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("orc_part").toString
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").orc(base)
+    val pruned = spark.read.orc(base)
+      .filter(col("event_type").isin("click", "purchase"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // FileSourceScanExec reports the pruned partition filters; the full
+    // 5-type read must not appear
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.contains(2), s"expected 2 pruned partitions, got $scanned")
+    // and the oracle-gated query itself returns exactly the kept types
+    val r = Sources.orcRoundtrip(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getString(0)).sorted
+    assert(r.toSeq == Seq("click", "purchase"))
+  }
+
+  test("JSONL roundtrip survives escaping: quotes, newlines, unicode, backslashes") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("jsonl_esc").toString
+    val tricky = Seq(
+      (1L, "plain text", "en", "srcA", 10L),
+      (2L, "quote \" backslash \\ tab\tend", "en", "srcA", 24L),
+      (3L, "newline\ninside and émojis ☃ ünïcode", "fr", "srcB", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sinks.jsonSink(tricky, s"$base/docs")
+    val back = spark.read.schema(tricky.schema).json(s"$base/docs")
+    assert(tricky.exceptAll(back).isEmpty && back.exceptAll(tricky).isEmpty)
+    // corrupt lines must not silently vanish at scale: PERMISSIVE default
+    // yields nulls, so production re-ingest counts must gate on them
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/docs/zz_corrupt.json"),
+      "{not valid json\n".getBytes("UTF-8"))
+    val withBad = spark.read.schema(tricky.schema).json(s"$base/docs")
+    assert(withBad.filter($"doc_id".isNull).count() == 1)
+  }
+
   test("catalog registration exposes a parquet path to spark.sql") {
     Sources.registerTable(spark, "nation_view", "/root/testdata/sf0.001/nation.parquet")
     assert(spark.sql("select count(*) from nation_view").first().getLong(0) == 25)
