@@ -1039,6 +1039,97 @@ object Dedup {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Within-document self-dedup: the intra-doc counterpart of segDedup.
+  // Scrapes repeat their own boilerplate INSIDE one document (nav blocks,
+  // cookie banners, templated footers), which corpus-level dedup cannot
+  // see — both occurrences live in the same doc. Segment the doc into
+  // SegW-token chunks, count duplicates within the doc, and report the
+  // post-trim size. `dup_ratio` is the Gopher-style self-repetition
+  // signal; `clean_chars` is the byte budget after keeping each segment
+  // once. Deliberately order-free: the kept-segment CHARACTER count is a
+  // multiset property, so no engine-specific list ordering can leak into
+  // the hash. Scale: pure per-row codegen'd HOFs — zero shuffles, zero
+  // joins; the corpus streams through the scan stage once.
+  // ---------------------------------------------------------------------------
+  def selfDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("segs", expr(
+        s"transform(sequence(0, (size(toks) - 1) div $SegW), i -> concat_ws(' ', slice(toks, i * $SegW + 1, $SegW)))"))
+      .selectExpr("doc_id",
+        "size(segs) AS n_segs",
+        "size(array_distinct(segs)) AS n_uniq_segs",
+        "cast(size(segs) - size(array_distinct(segs)) as double) / size(segs) AS dup_ratio",
+        "cast(length(concat_ws(' ', array_distinct(segs))) as bigint) AS clean_chars")
+  }
+  val selfDedupSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |sg AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, ((len(toks) - 1) // $SegW) + 1),
+       |                i -> array_to_string(toks[(i * $SegW + 1):(i * $SegW + $SegW)], ' ')) AS segs
+       |  FROM tok)
+       |SELECT doc_id, len(segs) AS n_segs,
+       |       len(list_distinct(segs)) AS n_uniq_segs,
+       |       CAST(len(segs) - len(list_distinct(segs)) AS DOUBLE) / len(segs) AS dup_ratio,
+       |       CAST(length(array_to_string(list_distinct(segs), ' ')) AS BIGINT) AS clean_chars
+       |FROM sg
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Leakage-safe train/val split: the eval-integrity primitive group-aware
+  // splitting provides. A per-document hash split routes the two halves of
+  // a near-dup pair independently, so duplicated text leaks from train
+  // into validation and inflates eval scores. The fix: split on the
+  // CLUSTER key — every member of a near-dup cluster (singleton clusters
+  // = the doc itself) hashes to the same side, by construction. Output is
+  // the per-split audit: doc/cluster counts plus `n_docs_rerouted`, the
+  // documents the naive per-doc split would have routed to the OTHER side
+  // (each one a leak edge this operator closed).
+  // Scale: the cluster labels are the stored resolution artifact (never
+  // re-paired here); assignment is a per-row md5 over ids; the rollup is
+  // one 2-group aggregate. The corpus text is never touched.
+  // ---------------------------------------------------------------------------
+  private def md5Bucket(idCol: String): String =
+    s"cast(conv(substr(md5(cast(cast($idCol as string) as binary)), 1, 4), 16, 10) as int) % 100"
+  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = dedupClusters(s, dir).select($"doc_id", $"cluster_id")
+    Tables.documents(s, dir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("keep_id"))
+      .selectExpr("doc_id", "keep_id",
+        s"CASE WHEN ${md5Bucket("keep_id")} < 90 THEN 'train' ELSE 'val' END AS split",
+        s"CASE WHEN ${md5Bucket("doc_id")} < 90 THEN 'train' ELSE 'val' END AS naive_split")
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"keep_id").as("n_clusters"),
+        sum(when($"naive_split" =!= $"split", 1L).otherwise(0L)).as("n_docs_rerouted"))
+  }
+  val leakageSplitSql: String =
+    s"""WITH labels AS (
+       |${dedupClustersSql.trim}
+       |),
+       |asg AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS keep_id
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+       |sp AS (
+       |  SELECT doc_id, keep_id,
+       |         CASE WHEN ('0x' || substr(md5(keep_id::VARCHAR), 1, 4))::INT % 100 < 90
+       |              THEN 'train' ELSE 'val' END AS split,
+       |         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 90
+       |              THEN 'train' ELSE 'val' END AS naive_split
+       |  FROM asg)
+       |SELECT split, count(*) AS n_docs,
+       |       count(DISTINCT keep_id) AS n_clusters,
+       |       CAST(sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_docs_rerouted
+       |FROM sp GROUP BY split
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Cross-source near-dup pairs: the leakage detector. A near-dup pair
   // WITHIN a source is redundancy; a near-dup pair ACROSS sources is
   // contamination (a benchmark document leaking into a training crawl, a
@@ -1300,6 +1391,8 @@ object Dedup {
     "q_crossdup"          -> crossSourceDups _,
     "q_cluster_sizes"     -> clusterSizes _,
     "q_dedup_weights"     -> dedupWeights _,
+    "q_leakage_split"     -> leakageSplit _,
+    "q_selfdedup"         -> selfDedup _,
     "q_source_overlap"    -> sourceOverlap _,
     "q_span_dedup_incr"   -> spanDedupIncremental _,
     "q_lsh_quality"       -> lshQuality _,
@@ -1323,6 +1416,8 @@ object Dedup {
     "q_crossdup"          -> crossSourceDupsSql,
     "q_cluster_sizes"     -> clusterSizesSql,
     "q_dedup_weights"     -> dedupWeightsSql,
+    "q_leakage_split"     -> leakageSplitSql,
+    "q_selfdedup"         -> selfDedupSql,
     "q_source_overlap"    -> sourceOverlapSql,
     "q_span_dedup_incr"   -> spanDedupIncrementalSql,
     "q_lsh_quality"       -> lshQualitySql,

@@ -1043,6 +1043,65 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------------
+  // Weighted quality-classifier score + per-source band report: the serving
+  // form of the Gopher rules. Filtering (q_gopher_rules) answers keep/drop;
+  // curation and mixing want a GRADED signal — a fasttext-style linear
+  // model over binary document features with integer weights, banded into
+  // low/mid/high, rolled up per source. Integer weights over
+  // cross-multiplied threshold features keep the score exact on any
+  // engine: no ratios, no floats until the final per-source mean. Each
+  // source's band histogram is what a mix planner consumes ("src7 is 40%
+  // low-band — downweight it").
+  // Scale: per-doc features are one codegen'd HOF pass (no shuffle); the
+  // rollup is a (source, band) partial+final aggregate — the only
+  // exchange, carrying ~sources×3 rows.
+  // ---------------------------------------------------------------------------
+  def qualityBands(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", "source", "size(toks) AS n",
+        "aggregate(transform(toks, t -> length(t)), 0, (a, b) -> a + b) AS clen",
+        "size(filter(toks, t -> t rlike '[^a-zA-Z0-9]')) AS n_sym",
+        s"size(array_intersect(array_distinct(toks), $stopArr)) AS n_stop_kinds")
+      .selectExpr("doc_id", "source",
+        // integer weights: word count and stopword diversity carry 2 each
+        // (the strongest natural-language signals), shape features 1 each
+        "cast(CASE WHEN n >= 50 AND n <= 100000 THEN 2 ELSE 0 END " +
+          "   + CASE WHEN n_stop_kinds >= 2 THEN 2 ELSE 0 END " +
+          "   + CASE WHEN 3 * n <= clen AND clen <= 10 * n THEN 1 ELSE 0 END " +
+          "   + CASE WHEN 10 * n_sym <= n THEN 1 ELSE 0 END as bigint) AS score")
+      .selectExpr("source", "score",
+        "CASE WHEN score >= 5 THEN 'high' WHEN score >= 3 THEN 'mid' ELSE 'low' END AS band")
+      .groupBy(col("source"), col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("score")).cast("double") / count(lit(1))).as("avg_score"))
+  }
+  val qualityBandsSql: String = {
+    s"""WITH tok AS (SELECT doc_id, source, $toksDuck AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, source, len(toks) AS n,
+       |         list_sum(list_transform(toks, t -> length(t))) AS clen,
+       |         len(list_filter(toks, t -> regexp_matches(t, '[^a-zA-Z0-9]'))) AS n_sym,
+       |         len(list_intersect(list_distinct(toks), [${stopwords.map("'" + _ + "'").mkString(", ")}])) AS n_stop_kinds
+       |  FROM tok),
+       |sc AS (
+       |  SELECT source,
+       |         CAST(CASE WHEN n >= 50 AND n <= 100000 THEN 2 ELSE 0 END
+       |            + CASE WHEN n_stop_kinds >= 2 THEN 2 ELSE 0 END
+       |            + CASE WHEN 3 * n <= clen AND clen <= 10 * n THEN 1 ELSE 0 END
+       |            + CASE WHEN 10 * n_sym <= n THEN 1 ELSE 0 END AS BIGINT) AS score
+       |  FROM m)
+       |SELECT source,
+       |       CASE WHEN score >= 5 THEN 'high' WHEN score >= 3 THEN 'mid' ELSE 'low' END AS band,
+       |       count(*) AS n_docs,
+       |       CAST(sum(score) AS DOUBLE) / count(*) AS avg_score
+       |FROM sc GROUP BY source, band
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // Deterministic eval-holdout construction: K docs per source selected by
   // hash rank (md5 of the doc id — reproducible on any engine, any run,
   // any partitioning; NOT rand(), which is neither cross-engine nor
@@ -1073,6 +1132,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules"  -> gopherRules _,
+    "q_quality_bands" -> qualityBands _,
     "q_eval_holdout"  -> evalHoldout _,
     "q_quality_by_source" -> qualityBySource _,
     "q_mix_plan"      -> mixPlan _,
@@ -1103,6 +1163,7 @@ object TextAnalysis {
   )
   val oracleSql: Map[String, String] = Map(
     "q_gopher_rules"  -> gopherRulesSql,
+    "q_quality_bands" -> qualityBandsSql,
     "q_eval_holdout"  -> evalHoldoutSql,
     "q_quality_by_source" -> qualityBySourceSql,
     "q_mix_plan"      -> mixPlanSql,

@@ -507,4 +507,60 @@ class TextDedupSpec extends AnyFunSuite {
       "bitmap must be read back from the parquet artifact")
     r.unpersist()
   }
+
+  test("leakage split: no near-dup cluster ever spans train and val") {
+    import spark.implicits._
+    // recompute the per-doc assignment exactly as the operator does and
+    // check its invariant directly: every cluster lands on ONE side
+    val labels = Dedup.dedupClusters(spark, sf).select($"doc_id", $"cluster_id")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id")
+    val asg = docs.join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("keep_id"))
+      .selectExpr("doc_id", "keep_id",
+        "CASE WHEN cast(conv(substr(md5(cast(cast(keep_id as string) as binary)), 1, 4), 16, 10) as int) % 100 < 90 THEN 'train' ELSE 'val' END AS split")
+      .cache()
+    val spanning = asg.groupBy($"keep_id")
+      .agg(countDistinct($"split").as("nsp")).filter($"nsp" > 1)
+    assert(spanning.count() == 0, "a cluster routed to both splits leaks")
+    // the report reconciles: doc counts cover the corpus, and rerouted
+    // docs only exist where a multi-doc cluster pulled members over
+    val report = Dedup.leakageSplit(spark, sf).cache()
+    assert(report.agg(sum($"n_docs")).head.getLong(0) == docs.count())
+    assert(report.select($"split").distinct().count() == report.count(),
+      "one row per split")
+    asg.unpersist(); report.unpersist()
+  }
+
+  test("self-dedup: within-doc repeated segments are counted and trimmed") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("selfdedup").toString
+    // doc 0: the same 5-token segment three times -> 2 dup segments
+    val seg = "alpha beta gamma delta epsilon"
+    Seq(
+      (0L, s"$seg $seg $seg", "en", "s", 1L),
+      (1L, "one two three four five six seven eight nine ten", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.selfDedup(spark, dir).orderBy($"doc_id").collect()
+    assert(r(0).getAs[Int]("n_segs") == 3 && r(0).getAs[Int]("n_uniq_segs") == 1)
+    assert(math.abs(r(0).getAs[Double]("dup_ratio") - 2.0 / 3) < 1e-12)
+    assert(r(0).getAs[Long]("clean_chars") == seg.length)
+    // doc 1: two distinct segments, nothing trimmed
+    assert(r(1).getAs[Int]("n_segs") == 2 && r(1).getAs[Int]("n_uniq_segs") == 2)
+    assert(r(1).getAs[Double]("dup_ratio") == 0.0)
+  }
+
+  test("quality bands: a graded, complete partition of the corpus per source") {
+    import spark.implicits._
+    val b = TextAnalysis.qualityBands(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(b.agg(sum($"n_docs")).head.getLong(0) == docs.count(),
+      "every document lands in exactly one (source, band) cell")
+    // avg_score stays inside the weight range and bands bound it
+    assert(b.filter($"avg_score" < 0 || $"avg_score" > 6).count() == 0)
+    assert(b.filter($"band" === "high" && $"avg_score" < 5.0).count() == 0)
+    assert(b.filter($"band" === "low" && $"avg_score" >= 3.0).count() == 0)
+    b.unpersist()
+  }
 }
