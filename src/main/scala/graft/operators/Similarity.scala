@@ -693,6 +693,147 @@ object Similarity {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Per-dimension embedding QA stats: n, mean, min, max for each of the DIM
+  // coordinates — the first report run on any embedding ingest (a dead
+  // dimension, a clipped range, or a mean far off zero flags an upstream
+  // encoder bug before anything downstream trains on it). Mean uses the
+  // [[twoLevelMean]] ordered fold (bit-identical between engines); min/max
+  // are order-free extremes, exact on any plan. Scale: one posexplode pass,
+  // shuffles carry (pos, bucket) partials — map-side combine applies.
+  // ---------------------------------------------------------------------------
+  def embedDimStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exploded = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "v")))
+      .select($"vec_id", ($"pos0" + 1).cast("long").as("pos"), $"v",
+        lit(0L).as("g"))
+    val means = twoLevelMean(exploded, Seq("g", "pos"))
+    val ext = exploded.groupBy($"pos")
+      .agg(
+        min($"v".cast("double")).as("min_val"),
+        max($"v".cast("double")).as("max_val"))
+    means.join(ext, "pos")
+      .selectExpr("pos", "n", "m AS mean_val", "min_val", "max_val")
+  }
+  val embedDimStatsSql: String =
+    s"""SELECT t.pos, t.n, t.m AS mean_val, x.min_val, x.max_val
+       |FROM (
+       |${twoLevelMeanDuck("g", "(SELECT 0 AS g, vec_id, embedding FROM embeddings) gs")}
+       |) t
+       |JOIN (
+       |  SELECT i AS pos,
+       |         min(embedding[i]::DOUBLE) AS min_val,
+       |         max(embedding[i]::DOUBLE) AS max_val
+       |  FROM embeddings, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+       |  GROUP BY i) x ON t.pos = x.pos
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Embedding anisotropy: how far the corpus sits from its own mean
+  // direction. Contextual encoders are notoriously anisotropic — vectors
+  // crowd a narrow cone, so cosine similarities are inflated corpus-wide
+  // and ANN thresholds tuned on one corpus break on the next. The standard
+  // one-number diagnostic: the corpus mean vector's norm (0 for an
+  // isotropic cloud) and the average cosine of each vector to that mean.
+  // Exactness: the mean vector is the [[twoLevelMean]] ordered fold per
+  // dimension; each per-vector cosine is a left-to-right kernel fold; the
+  // cosine AVERAGE re-uses the same two-level bucket tree over vec_id.
+  // Scale: one fold pass for the centroid (C·d partials), one broadcast of
+  // the d-vector against the corpus scan, one bucketed fold for the mean —
+  // nothing materializes beyond DIM doubles and bucket partials.
+  // ---------------------------------------------------------------------------
+  def anisotropy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val exploded = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "v")))
+      .select($"vec_id", ($"pos0" + 1).cast("long").as("pos"), $"v",
+        lit(0L).as("g"))
+    val cent = twoLevelMean(exploded, Seq("g", "pos"))
+      .groupBy($"g")
+      .agg(collect_list(struct($"pos", $"m")).as("pm"))
+      .selectExpr("transform(array_sort(pm), x -> x.m) AS ce")
+    val cos = withNorm(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .toDF("vec_id", "embedding", "vnrm")
+      .crossJoin(broadcast(cent))
+      .selectExpr("vec_id",
+        s"${dotFD("embedding", "ce")} / (vnrm * sqrt(${dotDD("ce", "ce")})) AS v",
+        "ce")
+    // the same fixed two-level bucket tree as the centroid fold, over the
+    // per-vector cosines (v is already double — cast in the fold is a no-op)
+    val meanCos = cos
+      .groupBy(expr(s"vec_id div $FoldW").as("bkt"))
+      .agg(collect_list(struct($"vec_id", $"v")).as("vals"),
+        count(lit(1)).as("c"))
+      .selectExpr("bkt",
+        "aggregate(transform(array_sort(vals), x -> cast(x.v as double)), cast(0.0 as double), (a, b) -> a + b) AS ps",
+        "c")
+      .agg(collect_list(struct($"bkt", $"ps")).as("pss"), sum($"c").as("n"))
+      .selectExpr(
+        "aggregate(transform(array_sort(pss), x -> x.ps), cast(0.0 as double), (a, b) -> a + b) / n AS mean_cos",
+        "n AS n_vecs")
+    meanCos.crossJoin(
+      cent.selectExpr(s"sqrt(${dotDD("ce", "ce")}) AS centroid_norm"))
+      .select($"n_vecs", $"centroid_norm", $"mean_cos")
+  }
+  val anisotropySql: String =
+    s"""WITH cg AS (
+       |${twoLevelMeanDuck("g", "(SELECT 0 AS g, vec_id, embedding FROM embeddings) gs")}
+       |),
+       |cent AS (SELECT list(m ORDER BY pos) AS ce FROM cg),
+       |cos AS (
+       |  SELECT e.vec_id,
+       |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS v
+       |  FROM embeddings e CROSS JOIN cent),
+       |lvl1 AS (
+       |  SELECT vec_id // $FoldW AS bkt,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY vec_id)), (x, y) -> x + y) AS ps,
+       |         count(*) AS c
+       |  FROM cos GROUP BY bkt),
+       |m AS (
+       |  SELECT list_reduce(list_prepend(0.0::DOUBLE, list(ps ORDER BY bkt)), (x, y) -> x + y)
+       |           / CAST(sum(c) AS BIGINT) AS mean_cos,
+       |         CAST(sum(c) AS BIGINT) AS n_vecs
+       |  FROM lvl1)
+       |SELECT m.n_vecs, sqrt(${dotD("ce", "ce")}) AS centroid_norm, m.mean_cos
+       |FROM m CROSS JOIN cent
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Coverage (diversity) sampling: one representative per IVF cell. Dedup
+  // removes redundancy; coverage sampling is its positive complement — a
+  // small subset that still touches every region of embedding space (seed
+  // sets for labeling, eval panels, k-center-style curation). The
+  // representative is the cell member with the smallest md5 hash rank — a
+  // deterministic "random" pick that is reproducible across engines, runs,
+  // and partitionings, unlike rand(). Scale: the assignment is the stored
+  // IVF artifact; the pick is one windowed pass partitioned by cell —
+  // shuffle carries (cell, id, 4-byte rank prefix), never vectors.
+  // ---------------------------------------------------------------------------
+  def coverageSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asg = ivfAssign(s, dir).select($"vec_id", $"centroid_id")
+      .withColumn("hk", expr("md5(cast(cast(vec_id as string) as binary))"))
+    val w = Window.partitionBy($"centroid_id").orderBy($"hk".asc, $"vec_id".asc)
+    asg
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy($"centroid_id")))
+      .filter($"rn" === 1)
+      .select($"centroid_id", $"vec_id".as("rep_vec_id"), $"cell_n")
+  }
+  val coverageSampleSql: String =
+    s"""WITH assign AS (${ivfAssignSql.trim}),
+       |ranked AS (
+       |  SELECT centroid_id, vec_id,
+       |         row_number() OVER (PARTITION BY centroid_id
+       |                            ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC) AS rn,
+       |         count(*) OVER (PARTITION BY centroid_id) AS cell_n
+       |  FROM assign)
+       |SELECT centroid_id, vec_id AS rep_vec_id, cell_n
+       |FROM ranked WHERE rn = 1
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Embedding-cosine near-duplicate pairs (dedup-family mandate): all pairs
   // with cosine ≥ 0.35 (corpus is near-orthogonal random; a real near-dup corpus would use ~0.95), blocked by IVF cluster — the vector analogue of
   // MinHash-LSH banding. Scale: pair work is per-cluster O((n/C)²) instead
@@ -1513,6 +1654,9 @@ object Similarity {
     "q_knn_pq"          -> knnPq _,
     "q_knn_ivfpq"       -> knnIvfPq _,
     "q_label_centroids" -> labelCentroids _,
+    "q_embed_dimstats"  -> embedDimStats _,
+    "q_anisotropy"      -> anisotropy _,
+    "q_coverage_sample" -> coverageSample _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_knn_accuracy"    -> knnAccuracySql,
@@ -1540,5 +1684,8 @@ object Similarity {
     "q_knn_pq"          -> knnPqSql,
     "q_knn_ivfpq"       -> knnIvfPqSql,
     "q_label_centroids" -> labelCentroidsSql,
+    "q_embed_dimstats"  -> embedDimStatsSql,
+    "q_anisotropy"      -> anisotropySql,
+    "q_coverage_sample" -> coverageSampleSql,
   )
 }

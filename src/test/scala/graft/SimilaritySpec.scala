@@ -380,4 +380,45 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"overlap@5: d16=${rows(16L)._2}/$truth d32=${rows(32L)._2}/$truth")
     m.unpersist()
   }
+
+  test("embed dimstats: one row per dimension, extremes bound the mean") {
+    import spark.implicits._
+    val d = Similarity.embedDimStats(spark, sf).cache()
+    val nvecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(d.count() == 64, "one row per embedding dimension")
+    assert(d.filter($"n" =!= nvecs).count() == 0,
+      "every dimension sees every vector")
+    assert(d.filter($"mean_val" < $"min_val" || $"mean_val" > $"max_val").count() == 0)
+    d.unpersist()
+  }
+
+  test("anisotropy: single-row diagnostic with cosines in range") {
+    import spark.implicits._
+    val a = Similarity.anisotropy(spark, sf).collect()
+    assert(a.length == 1)
+    val (n, nrm, mc) = (a(0).getAs[Long]("n_vecs"),
+      a(0).getAs[Double]("centroid_norm"), a(0).getAs[Double]("mean_cos"))
+    assert(n == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    assert(nrm >= 0.0 && mc >= -1.0 && mc <= 1.0 + 1e-12)
+    // a cloud with a planted mean direction correlates positively with it
+    assert(mc > 0.0, s"mean cosine to the corpus centroid must be positive, got $mc")
+  }
+
+  test("coverage sample: exactly one representative per cell, counts reconcile") {
+    import spark.implicits._
+    val c = Similarity.coverageSample(spark, sf).cache()
+    val asg = Similarity.ivfAssign(spark, sf).cache()
+    assert(c.select($"centroid_id").distinct().count() == c.count(),
+      "one rep per cell")
+    assert(c.count() == asg.select($"centroid_id").distinct().count(),
+      "every non-empty cell is represented")
+    assert(c.agg(org.apache.spark.sql.functions.sum($"cell_n")).head.getLong(0)
+      == asg.count(), "cell sizes partition the corpus")
+    // each representative genuinely belongs to its cell
+    val bad = c.join(
+      asg.select($"vec_id", $"centroid_id").toDF("rep_vec_id", "cid2"), "rep_vec_id")
+      .filter($"centroid_id" =!= $"cid2")
+    assert(bad.count() == 0)
+    c.unpersist(); asg.unpersist()
+  }
 }
