@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -392,16 +393,92 @@ object Graph {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // K-hop reachability (BFS frontier expansion) from a seed set over the
+  // co-purchase graph: how many parts are 1, 2, 3 hops from one brand's
+  // catalog — the blast-radius query behind recall expansion ("everything
+  // within 2 hops of the trusted set") and contamination tracing
+  // ("everything within 3 hops of a known-bad node"). Frontier BFS, not a
+  // 3-way self-join: each hop joins only the NEW frontier against the
+  // edge list and anti-joins the visited set, so per-hop work is
+  // O(frontier-degree sum), not O(paths) — the 3-way join enumerates every
+  // redundant path and explodes on hub nodes at scale. Visited/frontier
+  // states are materialized per hop (id-only rows); all counts are exact
+  // integers. The oracle replays the same frontier peeling as chained
+  // NOT-IN CTEs (counts are path-algorithm-independent).
+  // ---------------------------------------------------------------------------
+  private val KHops = 3
+  private val KhopBrand = "Brand#11"
+
+  def khop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = coPurchaseEdges(s, dir)
+    val sym = graft.Materialize.eager(
+      e.union(e.select($"v".as("u"), $"u".as("v"))))
+    val seeds = Tables.part(s, dir)
+      .filter($"p_brand" === KhopBrand)
+      .select($"p_partkey".as("node")).distinct()
+    var reached = graft.Materialize.eager(
+      seeds.withColumn("hop", lit(0)))
+    var frontier = reached.select($"node")
+    for (h <- 1 to KHops) {
+      val nxt = graft.Materialize.eager(
+        frontier.join(sym, frontier("node") === sym("u"))
+          .select(sym("v").as("node")).distinct()
+          .join(reached.select($"node"), Seq("node"), "left_anti"))
+      reached = graft.Materialize.eager(
+        reached.union(nxt.withColumn("hop", lit(h))))
+      frontier = nxt.select($"node")
+    }
+    // 4-row result: the unpartitioned window is over the hop levels only.
+    // A static hop spine keeps exhausted frontiers visible as 0 rows (a
+    // groupBy over `reached` alone would DROP a hop whose frontier died —
+    // the oracle's per-hop CTE counts emit 0 instead).
+    val spine = s.range(0, KHops + 1).select($"id".cast("int").as("hop"))
+    val levels = spine.join(
+        reached.groupBy($"hop").agg(count(lit(1)).as("c")), Seq("hop"), "left")
+      .select($"hop", coalesce($"c", lit(0L)).as("n_new"))
+    levels.withColumn("n_cum",
+      sum($"n_new").over(Window.orderBy($"hop")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"hop", $"n_new", $"n_cum")
+  }
+  val khopSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |h0 AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_brand = '$KhopBrand'),
+       |h1 AS (SELECT DISTINCT s.v AS node FROM sym s JOIN h0 ON s.u = h0.node
+       |       WHERE s.v NOT IN (SELECT node FROM h0)),
+       |h2 AS (SELECT DISTINCT s.v AS node FROM sym s JOIN h1 ON s.u = h1.node
+       |       WHERE s.v NOT IN (SELECT node FROM h0 UNION SELECT node FROM h1)),
+       |h3 AS (SELECT DISTINCT s.v AS node FROM sym s JOIN h2 ON s.u = h2.node
+       |       WHERE s.v NOT IN (SELECT node FROM h0 UNION SELECT node FROM h1
+       |                         UNION SELECT node FROM h2)),
+       |lv AS (
+       |  SELECT 0 AS hop, count(*) AS n_new FROM h0
+       |  UNION ALL SELECT 1 AS hop, count(*) AS n_new FROM h1
+       |  UNION ALL SELECT 2 AS hop, count(*) AS n_new FROM h2
+       |  UNION ALL SELECT 3 AS hop, count(*) AS n_new FROM h3)
+       |SELECT hop, n_new,
+       |       CAST(sum(n_new) OVER (ORDER BY hop
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+       |FROM lv
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"      -> pagerank _,
     "q_ppr"           -> ppr _,
     "q_triangles"     -> triangles _,
     "q_assortativity" -> assortativity _,
+    "q_khop"          -> khop _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_pagerank"      -> pagerankSql,
     "q_ppr"           -> pprSql,
     "q_triangles"     -> trianglesSql,
     "q_assortativity" -> assortativitySql,
+    "q_khop"          -> khopSql,
   )
 }

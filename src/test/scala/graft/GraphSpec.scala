@@ -99,4 +99,38 @@ class GraphSpec extends AnyFunSuite {
       .select($"node", $"is_seed").as[(Long, Long)].collect().toMap
     assert(flags.filter(_._2 == 1L).keySet == seedsIn)
   }
+
+  test("khop frontier BFS equals a driver-side synchronous reference") {
+    import spark.implicits._
+    // independent reference: adjacency map + set-based BFS over the same
+    // co-purchase edges and seed brand
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val byOrder = li.toSeq.distinct.groupBy(_._1).values
+    val edges = byOrder.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.size)
+        yield (parts(i), parts(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = spark.read.parquet(s"$sf/part.parquet")
+      .filter($"p_brand" === "Brand#11").select($"p_partkey").as[Long].collect().toSet
+    var visited = seeds
+    var frontier = seeds
+    var expect = Vector((0, seeds.size.toLong))
+    for (h <- 1 to 3) {
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- visited
+      visited ++= nxt
+      expect :+= (h, nxt.size.toLong)
+      frontier = nxt
+    }
+    val got = Graph.khop(spark, sf)
+      .select($"hop", $"n_new").as[(Int, Long)].collect().sortBy(_._1).toVector
+    assert(got == expect, s"BFS levels diverge: got $got expected $expect")
+    // cumulative column is the running sum of the levels
+    val cum = Graph.khop(spark, sf)
+      .select($"hop", $"n_cum").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(cum.toVector == expect.scanLeft(0L)(_ + _._2).tail.toVector)
+  }
 }
