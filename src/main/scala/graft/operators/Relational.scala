@@ -509,25 +509,42 @@ object Relational {
   // ---------------------------------------------------------------------------
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val one = lit(new java.math.BigDecimal(1))
-    // single-row-group trap, aggregate flavor: the decimal math lives in the
-    // agg PARTIALS, so a repartition alone parallelizes it (partials plan
-    // above the inserted exchange) — no checkpoint barrier needed, unlike
-    // the per-row-projection shapes (guarded off at real scale; Materialize)
-    graft.Materialize.spreadForAgg(Tables.lineitem(s, dir)
+    // Integer-cents kernel: every money column is a well-formed 2dp double
+    // in the source, so round(x*100) recovers its exact integer cents (raw
+    // parquet doubles never land on a .xx5 tie — only COMPUTED values do;
+    // see the winsorize note). Per-row work is then LONG multiply-adds in
+    // whole-stage codegen instead of precision-28 BigDecimal chains (the
+    // decimal form was the single most expensive per-row pipeline in the
+    // suite); the partial sums overflow-proof into DECIMAL(38,0) (exact at
+    // any corpus size — bigint partials would pass 9.2e18 by ~sf1e3 for
+    // the e6-scaled charge), and the final de-scaling multiplies by the
+    // exact decimal 1e-k, so the result is the SAME rational number the
+    // oracle's decimal arithmetic produces — identical double, same hash.
+    Tables.lineitem(s, dir)
       .select($"l_returnflag", $"l_linestatus", $"l_quantity",
-        $"l_extendedprice", $"l_discount", $"l_tax"))
+        $"l_extendedprice", $"l_discount", $"l_tax")
+      .selectExpr("l_returnflag", "l_linestatus",
+        "cast(round(l_quantity * 100) as long) AS qc",
+        "cast(round(l_extendedprice * 100) as long) AS pc",
+        "cast(round(l_discount * 100) as long) AS dc",
+        "cast(round(l_tax * 100) as long) AS tc")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(D($"l_quantity")).cast("double").as("sum_qty"),
-        sum(D($"l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(D($"l_extendedprice") * (one - D($"l_discount", 8))).cast("double")
-          .as("sum_disc_price"),
-        sum(D($"l_extendedprice") * (one - D($"l_discount", 8)) * (one + D($"l_tax", 8)))
-          .cast("double").as("sum_charge"),
-        (sum(D($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(D($"l_discount", 8)).cast("double") / count(lit(1))).as("avg_disc"),
+        sum($"qc".cast("decimal(38,0)")).as("s_qty_c"),
+        sum($"pc".cast("decimal(38,0)")).as("s_price_c"),
+        sum(($"pc" * (lit(100L) - $"dc")).cast("decimal(38,0)")).as("s_disc_e4"),
+        sum(($"pc" * (lit(100L) - $"dc") * (lit(100L) + $"tc")).cast("decimal(38,0)"))
+          .as("s_charge_e6"),
+        sum($"dc".cast("decimal(38,0)")).as("s_disc_c"),
         count(lit(1)).as("count_order"))
+      .selectExpr("l_returnflag", "l_linestatus",
+        "cast(s_qty_c * 0.01 as double) AS sum_qty",
+        "cast(s_price_c * 0.01 as double) AS sum_base_price",
+        "cast(s_disc_e4 * 0.0001 as double) AS sum_disc_price",
+        "cast(s_charge_e6 * 0.000001 as double) AS sum_charge",
+        "cast(s_qty_c * 0.01 as double) / count_order AS avg_qty",
+        "cast(s_disc_c * 0.01 as double) / count_order AS avg_disc",
+        "count_order")
       .orderBy($"l_returnflag", $"l_linestatus")
   }
   val pricingSummarySql: String =
