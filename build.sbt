@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally round-trips through sbt's logger, which
+// prefixes every line with "[info] " — that prefix has kept the driver
+// from json-parsing the Bench contract line two rounds running
+// (BENCH_r08/r09 "parsed": null). StdoutOutput passes the child's stdout
+// through verbatim so `{"metric":...}` reaches the driver bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -76,9 +76,11 @@ object Bench {
     // The full per-query map (~4.5 KB as one line) does not survive the
     // driver's tail capture of stdout, so it goes to a FILE and the
     // contract line stays compact: total + the 20 slowest queries inline.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_QUERIES.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs_per_query":$runs}""")
+    // Subset runs (BENCH_ONLY) must not clobber the full-suite record.
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_QUERIES.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs_per_query":$runs}""")
     val slowest = results.sortBy(-_._2).take(20)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(slowest)},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir","runs_per_query":$runs}""")
     spark.stop()

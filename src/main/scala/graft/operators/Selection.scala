@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-SELECTION operators for the training-data pipeline: importance
+  * weighting against a target distribution (DSIR), closed-form model
+  * fitting from distributed sufficient statistics (ridge regression), and
+  * Pareto-front document curation. These are the "which data do I keep"
+  * layer that sits between the quality/dedup passes and the shard writer.
+  *
+  * Scale shape shared by all three: ONE corpus scan producing tiny
+  * (O(buckets) / O(1) / O(distinct-value)) intermediates, never a
+  * corpus-sized shuffle. Cross-engine exactness follows the repo contract:
+  * integer sufficient statistics (order-independent sums), then closed-form
+  * double arithmetic spliced VERBATIM into both the Spark and DuckDB query
+  * texts so every IEEE operation happens in the same order.
+  */
+object Selection {
+  import Tok.{toksDuck, toksExpr}
+
+  // ---------------------------------------------------------------------------
+  // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): score each raw document by
+  // how much its hashed-unigram profile resembles a TARGET subcorpus (here
+  // the English slice) relative to the raw corpus. The published estimator
+  // is a product of per-feature probability ratios (a log-sum); libm `log`
+  // is not bit-portable across engines (same reason BM25 here uses a
+  // rational idf), so the score is the RATIO-OF-AVERAGES form — per-doc
+  // integer sums of target/raw bucket counts with add-one smoothing,
+  // finishing in exactly one double expression shared by both engines:
+  //   score = ((sum_ct + n) * (Nraw + B)) / ((sum_cr + n) * (Ntgt + B))
+  // which is > 1 iff the doc's tokens are on average more frequent in the
+  // target than in the raw corpus. Ranking by it reproduces the
+  // frequency-ratio family of DSIR at any corpus size.
+  //
+  // Scale: bucket count tables are B = 64 rows → broadcast joins; the only
+  // shuffle carries (doc_id, integer partial sums) with map-side combine.
+  // The count tables are exactly the "hashed n-gram statistics" DSIR
+  // persists once per target — at 100 TB they are a stored artifact and the
+  // scoring pass is a single scan + broadcast.
+  // ---------------------------------------------------------------------------
+  private val B = 64
+  /** Stable token → bucket hash, identical on both engines (md5 prefix as
+    * integer, mod B). Same construction as TextAnalysis's bigram hash. */
+  private val tokHashSpark =
+    s"cast(conv(substr(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint) % $B"
+  private val tokHashDuck = s"('0x' || substr(md5(tok), 1, 15))::BIGINT % $B"
+  private val TargetPred = "lang = 'en'"
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // One tokenize+hash pass feeds the raw counts, the target counts, and
+    // the per-doc scoring join — materialized so the chain runs once.
+    val toks = graft.Materialize.eager(
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .selectExpr("doc_id", TargetPred + " AS is_tgt", "explode(toks) AS tok")
+        .selectExpr("doc_id", "is_tgt", s"$tokHashSpark AS b"))
+    val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter($"is_tgt").groupBy($"b").agg(count(lit(1)).as("ct"))
+    // Bucket table: B rows, zero-filled where the target never saw the
+    // bucket (add-one smoothing handles the zeros).
+    val buckets = raw.join(tgt, Seq("b"), "left")
+      .selectExpr("b", "cr", "coalesce(ct, 0L) AS ct")
+    val totals = buckets.agg(
+      sum($"cr").cast("long").as("nraw"), sum($"ct").cast("long").as("ntgt"))
+    toks.join(broadcast(buckets), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum($"ct").cast("long").as("sum_ct"),
+        sum($"cr").cast("long").as("sum_cr"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("doc_id", "n_tokens",
+        s"(CAST(sum_ct + n_tokens AS DOUBLE) * CAST(nraw + $B AS DOUBLE)) / (CAST(sum_cr + n_tokens AS DOUBLE) * CAST(ntgt + $B AS DOUBLE)) AS dsir_score",
+        s"(CAST(sum_ct + n_tokens AS DOUBLE) * CAST(nraw + $B AS DOUBLE)) / (CAST(sum_cr + n_tokens AS DOUBLE) * CAST(ntgt + $B AS DOUBLE)) >= CAST(1.0 AS DOUBLE) AS selected")
+  }
+  val dsirWeightsSql: String =
+    s"""WITH tk AS (SELECT doc_id, $TargetPred AS is_tgt, unnest($toksDuck) AS tok
+       |            FROM documents),
+       |toks AS (SELECT doc_id, is_tgt, $tokHashDuck AS b FROM tk),
+       |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+       |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE is_tgt GROUP BY b),
+       |buckets AS (SELECT raw.b, cr, coalesce(ct, 0) AS ct
+       |            FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+       |totals AS (SELECT CAST(sum(cr) AS BIGINT) AS nraw,
+       |                  CAST(sum(ct) AS BIGINT) AS ntgt FROM buckets),
+       |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |                   CAST(sum(ct) AS BIGINT) AS sum_ct,
+       |                   CAST(sum(cr) AS BIGINT) AS sum_cr
+       |            FROM toks JOIN buckets USING (b) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |       (CAST(sum_ct + n_tokens AS DOUBLE) * CAST(nraw + $B AS DOUBLE)) / (CAST(sum_cr + n_tokens AS DOUBLE) * CAST(ntgt + $B AS DOUBLE)) AS dsir_score,
+       |       (CAST(sum_ct + n_tokens AS DOUBLE) * CAST(nraw + $B AS DOUBLE)) / (CAST(sum_cr + n_tokens AS DOUBLE) * CAST(ntgt + $B AS DOUBLE)) >= CAST(1.0 AS DOUBLE) AS selected
+       |FROM per_doc, totals
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Closed-form ridge regression from distributed sufficient statistics —
+  // the canonical "train a linear quality model at 100 TB" pattern: the
+  // corpus pass aggregates the 9 Gram/moment sums (all BIGINT-exact because
+  // the features are integers: token count, stopword count → char count),
+  // and the 3×3 ridge system (X'X + λI)β = X'y is solved in closed form by
+  // Cramer's rule on the driver-free single-row relation. The whole model
+  // fit is ONE map-side-combinable aggregate — no iteration, no collect, no
+  // gradient steps; adding features grows the aggregate quadratically in d
+  // (d ≤ a few dozen for quality models), never in corpus size.
+  // Exactness: integer sums are order-independent; the Cramer expressions
+  // are ONE shared SQL fragment evaluated in IEEE double identically by
+  // both engines.
+  // ---------------------------------------------------------------------------
+  private val Lambda = 1 // ridge strength on the two slope terms (not the intercept)
+
+  /** Cramer's-rule fragment for [[ridgeFit]], valid verbatim in Spark SQL
+    * and DuckDB over columns (n, s1, s2, sy, s11, s12, s22, s1y, s2y). */
+  private val cramer: Seq[String] = {
+    val a = Map(
+      "a11" -> "CAST(n AS DOUBLE)", "a12" -> "CAST(s1 AS DOUBLE)", "a13" -> "CAST(s2 AS DOUBLE)",
+      "a22" -> s"CAST(s11 + $Lambda AS DOUBLE)", "a23" -> "CAST(s12 AS DOUBLE)",
+      "a33" -> s"CAST(s22 + $Lambda AS DOUBLE)",
+      "b1" -> "CAST(sy AS DOUBLE)", "b2" -> "CAST(s1y AS DOUBLE)", "b3" -> "CAST(s2y AS DOUBLE)")
+    def det3(c1: (String, String, String), c2: (String, String, String), c3: (String, String, String)) =
+      s"(${a(c1._1)} * (${a(c2._2)} * ${a(c3._3)} - ${a(c2._3)} * ${a(c3._2)}) - ${a(c2._1)} * (${a(c1._2)} * ${a(c3._3)} - ${a(c1._3)} * ${a(c3._2)}) + ${a(c3._1)} * (${a(c1._2)} * ${a(c2._3)} - ${a(c1._3)} * ${a(c2._2)}))"
+    // columns of A (symmetric) and the rhs b, as (row1,row2,row3) triples
+    val cA1 = ("a11", "a12", "a13"); val cA2 = ("a12", "a22", "a23"); val cA3 = ("a13", "a23", "a33")
+    val cB = ("b1", "b2", "b3")
+    val det = det3(cA1, cA2, cA3)
+    Seq(
+      "CAST(n AS BIGINT) AS n_docs",
+      s"${det3(cB, cA2, cA3)} / $det AS beta0",
+      s"${det3(cA1, cB, cA3)} / $det AS beta1",
+      s"${det3(cA1, cA2, cB)} / $det AS beta2")
+  }
+
+  private val stopPred =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString("t IN (", ",", ")")
+
+  def ridgeFit(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr(
+        "CAST(size(toks) AS BIGINT) AS x1",
+        s"CAST(size(filter(toks, t -> $stopPred)) AS BIGINT) AS x2",
+        "CAST(length(text) AS BIGINT) AS y")
+      .selectExpr("x1", "x2", "y", "x1*x1 AS x11", "x1*x2 AS x12",
+        "x2*x2 AS x22", "x1*y AS x1y", "x2*y AS x2y")
+      .agg(
+        count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum("y").as("sy"), sum("x11").as("s11"), sum("x12").as("s12"),
+        sum("x22").as("s22"), sum("x1y").as("s1y"), sum("x2y").as("s2y"))
+      .selectExpr(cramer: _*)
+  }
+  val ridgeFitSql: String =
+    s"""WITH f AS (SELECT len(toks) AS x1,
+       |                  len(list_filter(toks, t -> $stopPred)) AS x2,
+       |                  length(text) AS y
+       |           FROM (SELECT text, $toksDuck AS toks FROM documents)),
+       |stats AS (SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+       |                 sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+       |                 sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+       |          FROM f)
+       |SELECT ${cramer.mkString(",\n       ")}
+       |FROM stats
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Pareto-front curation (the 2-D skyline): keep every document not
+  // DOMINATED on (token count, distinct-token count) — no other doc is ≥ on
+  // both axes and > on at least one. The classic curation question "which
+  // docs are on the efficient frontier of length vs lexical diversity".
+  //
+  // Scale: the naive skyline is the O(n²) NOT-EXISTS self-join (that is the
+  // oracle). The distributed plan exploits 2-D structure: group docs by x
+  // (token count) keeping only each x's max y — the relation collapses to
+  // |distinct x| rows (value-compressed, independent of corpus size) — then
+  // one window pass in x-DESC order keeps the points whose y strictly
+  // exceeds every higher-x point's y (running max). Dominance ties are
+  // exact: equal (x, y) pairs never dominate each other, so every doc
+  // matching a surviving (x, ymax) pair is on the front. The only
+  // corpus-sized ops are the grouped max and the final semi-join back.
+  // ---------------------------------------------------------------------------
+  def paretoDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS distinct_tokens")
+    val byX = feats.groupBy($"n_tokens")
+      .agg(max($"distinct_tokens").as("ymax"))
+    // |distinct n_tokens| rows: the single-partition window is over a
+    // value-compressed relation whose size is bounded by the value domain
+    // (max doc length), not the corpus.
+    val w = Window.orderBy($"n_tokens".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = byX
+      .withColumn("prev_best", max($"ymax").over(w))
+      .filter($"prev_best".isNull || $"ymax" > $"prev_best")
+      .select($"n_tokens", $"ymax".as("distinct_tokens"))
+    feats.join(front, Seq("n_tokens", "distinct_tokens"))
+      .select($"doc_id", $"n_tokens", $"distinct_tokens")
+  }
+  val paretoDocsSql: String =
+    s"""WITH f AS (SELECT doc_id, len(toks) AS n_tokens,
+       |                  len(list_distinct(toks)) AS distinct_tokens
+       |           FROM (SELECT doc_id, $toksDuck AS toks FROM documents))
+       |SELECT doc_id, n_tokens, distinct_tokens
+       |FROM f a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM f b
+       |  WHERE b.n_tokens >= a.n_tokens AND b.distinct_tokens >= a.distinct_tokens
+       |    AND (b.n_tokens > a.n_tokens OR b.distinct_tokens > a.distinct_tokens))
+       |""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> dsirWeights _,
+    "q_ridge_fit"    -> ridgeFit _,
+    "q_pareto_docs"  -> paretoDocs _)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dsir_weights" -> dsirWeightsSql,
+    "q_ridge_fit"    -> ridgeFitSql,
+    "q_pareto_docs"  -> paretoDocsSql)
+}

@@ -1628,7 +1628,92 @@ object Similarity {
        |FROM sized WHERE rn = 1
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Embedding covariance — the sufficient statistic for distributed PCA.
+  // cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] over the corpus for dimension pairs
+  // i ≤ j. At scale this is THE way PCA runs on 100 TB of vectors: one scan
+  // accumulates the d(d+1)/2 second moments + d means (map-side combinable
+  // partials, O(d²) state per task, zero corpus-sized shuffle), and the
+  // eigen-decomposition happens on the d×d result — driver-side, because a
+  // d×d matrix is tiny no matter the corpus ([[pcaTop]] below; spec-gated).
+  // The oracle covers a fixed PDIM-dim prefix block to keep the SQL twin
+  // readable; the plan is identical at any d.
+  // Exactness: per-row products are one IEEE multiply of exactly-widened
+  // floats; cross-row sums replay [[twoLevelMean]]'s ordered fold tree on
+  // both engines; the finishing cov/mean arithmetic is shared text.
+  // ---------------------------------------------------------------------------
+  private val PDIM = 8
+
+  def embedCov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val pairs = e.selectExpr("vec_id",
+      s"""explode(flatten(transform(sequence(1, $PDIM), i ->
+         |  transform(sequence(i, $PDIM), j -> struct(
+         |    i AS i, j AS j,
+         |    cast(element_at(embedding, i) as double) * cast(element_at(embedding, j) as double) AS v))))) AS p""".stripMargin)
+      .selectExpr("cast(p.i as long) AS i", "cast(p.j as long) AS j", "vec_id", "p.v AS v")
+    val exy = twoLevelMean(pairs, Seq("i", "j"))
+      .selectExpr("i", "j", "n", "m AS exy")
+    val dims = e.select($"vec_id", posexplode($"embedding").as(Seq("pos0", "v")))
+      .filter($"pos0" < PDIM)
+      .select(($"pos0" + 1).cast("long").as("d"), $"vec_id", $"v")
+    val ex = twoLevelMean(dims, Seq("d")).selectExpr("d", "m")
+    exy
+      .join(ex.selectExpr("d AS i", "m AS ex"), "i")
+      .join(ex.selectExpr("d AS j", "m AS ey"), "j")
+      .selectExpr("i", "j", "n", "exy", "ex", "ey", "exy - ex * ey AS cov")
+  }
+  val embedCovSql: String =
+    s"""WITH exy AS (
+       |  SELECT i, j,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(ps ORDER BY bkt)), (x, y) -> x + y) / CAST(sum(c) AS BIGINT) AS exy,
+       |         CAST(sum(c) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT i, j, vec_id // $FoldW AS bkt,
+       |           list_reduce(list_prepend(0.0::DOUBLE, list(embedding[i]::DOUBLE * embedding[j]::DOUBLE ORDER BY vec_id)), (x, y) -> x + y) AS ps,
+       |           count(*) AS c
+       |    FROM embeddings,
+       |         (SELECT unnest(range(1, ${PDIM + 1})) AS i) a,
+       |         (SELECT unnest(range(1, ${PDIM + 1})) AS j) b
+       |    WHERE j >= i
+       |    GROUP BY i, j, bkt) lvl1
+       |  GROUP BY i, j),
+       |ex AS (
+       |  SELECT pos AS d, m FROM (
+       |${twoLevelMeanDuck("g", "(SELECT 0 AS g, vec_id, embedding FROM embeddings) gs", PDIM)}
+       |  ) t)
+       |SELECT exy.i, exy.j, exy.n, exy.exy, xi.m AS ex, xj.m AS ey,
+       |       exy.exy - xi.m * xj.m AS cov
+       |FROM exy JOIN ex xi ON exy.i = xi.d JOIN ex xj ON exy.j = xj.d
+       |""".stripMargin
+
+  /** Driver-side power iteration on the [[embedCov]] result — the standard
+    * finish for distributed PCA: the covariance is d×d (PDIM here) no
+    * matter the corpus size, so the eigenvector solve is a trivially small
+    * local computation, NOT a collect of data. Deterministic: fixed uniform
+    * start, fixed iteration count. Returns (eigenvalue, eigenvector). */
+  def pcaTop(s: SparkSession, dir: String, iters: Int = 300): (Double, Array[Double]) = {
+    val rows = embedCov(s, dir).selectExpr("i", "j", "cov").collect()
+    val d = PDIM
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    (1 to iters).foreach { _ =>
+      val av = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(av.map(x => x * x).sum)
+      lambda = (0 until d).map(i => v(i) * av(i)).sum
+      v = av.map(_ / nrm)
+    }
+    (lambda, v)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_cov"       -> embedCov _,
     "q_knn_accuracy"    -> knnAccuracy _,
     "q_cluster_purity"  -> clusterPurity _,
     "q_cluster_quality" -> clusterQuality _,
@@ -1659,6 +1744,7 @@ object Similarity {
     "q_coverage_sample" -> coverageSample _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_embed_cov"       -> embedCovSql,
     "q_knn_accuracy"    -> knnAccuracySql,
     "q_cluster_purity"  -> clusterPuritySql,
     "q_cluster_quality" -> clusterQualitySql,

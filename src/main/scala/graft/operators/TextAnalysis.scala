@@ -28,7 +28,7 @@ private[operators] object Tok {
 object TextAnalysis {
   import Tok.{toksDuck, toksExpr}
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ",", ")")
 
