@@ -134,36 +134,84 @@ object Selection {
       s"${det3(cA1, cA2, cB)} / $det AS beta2")
   }
 
+  /** Scala mirror of the [[cramer]] SQL — IDENTICAL operation structure so
+    * a JVM evaluation over the same integer sufficient statistics produces
+    * the bit-identical doubles (JVM fp is strict; no FMA fusion). This is
+    * what the STREAMING model-fit state fold finishes with, letting the
+    * stream's emitted coefficients equal the batch query exactly. */
+  def solveRidge(n: Long, s1: Long, s2: Long, sy: Long, s11: Long,
+                 s12: Long, s22: Long, s1y: Long, s2y: Long): (Double, Double, Double) = {
+    val a = Map(
+      "a11" -> n.toDouble, "a12" -> s1.toDouble, "a13" -> s2.toDouble,
+      "a22" -> (s11 + Lambda).toDouble, "a23" -> s12.toDouble,
+      "a33" -> (s22 + Lambda).toDouble,
+      "b1" -> sy.toDouble, "b2" -> s1y.toDouble, "b3" -> s2y.toDouble)
+    def det3(c1: (String, String, String), c2: (String, String, String), c3: (String, String, String)): Double =
+      a(c1._1) * (a(c2._2) * a(c3._3) - a(c2._3) * a(c3._2)) -
+        a(c2._1) * (a(c1._2) * a(c3._3) - a(c1._3) * a(c3._2)) +
+        a(c3._1) * (a(c1._2) * a(c2._3) - a(c1._3) * a(c2._2))
+    val cA1 = ("a11", "a12", "a13"); val cA2 = ("a12", "a22", "a23"); val cA3 = ("a13", "a23", "a33")
+    val cB = ("b1", "b2", "b3")
+    val det = det3(cA1, cA2, cA3)
+    (det3(cB, cA2, cA3) / det, det3(cA1, cB, cA3) / det, det3(cA1, cA2, cB) / det)
+  }
+
   private val stopPred =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("t IN (", ",", ")")
 
-  def ridgeFit(s: SparkSession, dir: String): DataFrame = {
+  private def ridgeStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
-      .selectExpr(
+      .selectExpr("source",
         "CAST(size(toks) AS BIGINT) AS x1",
         s"CAST(size(filter(toks, t -> $stopPred)) AS BIGINT) AS x2",
         "CAST(length(text) AS BIGINT) AS y")
-      .selectExpr("x1", "x2", "y", "x1*x1 AS x11", "x1*x2 AS x12",
+      .selectExpr("source", "x1", "x2", "y", "x1*x1 AS x11", "x1*x2 AS x12",
         "x2*x2 AS x22", "x1*y AS x1y", "x2*y AS x2y")
-      .agg(
-        count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
-        sum("y").as("sy"), sum("x11").as("s11"), sum("x12").as("s12"),
-        sum("x22").as("s22"), sum("x1y").as("s1y"), sum("x2y").as("s2y"))
-      .selectExpr(cramer: _*)
-  }
-  val ridgeFitSql: String =
-    s"""WITH f AS (SELECT len(toks) AS x1,
+
+  private def ridgeAggs = Seq(
+    count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+    sum("y").as("sy"), sum("x11").as("s11"), sum("x12").as("s12"),
+    sum("x22").as("s22"), sum("x1y").as("s1y"), sum("x2y").as("s2y"))
+
+  private def ridgeSqlBody(groupCols: Seq[String]): String = {
+    val sel = if (groupCols.isEmpty) "" else groupCols.mkString("", ", ", ",")
+    val grp = if (groupCols.isEmpty) "" else groupCols.mkString("GROUP BY ", ", ", "")
+    s"""WITH f AS (SELECT source, len(toks) AS x1,
        |                  len(list_filter(toks, t -> $stopPred)) AS x2,
        |                  length(text) AS y
-       |           FROM (SELECT text, $toksDuck AS toks FROM documents)),
-       |stats AS (SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+       |           FROM (SELECT source, text, $toksDuck AS toks FROM documents)),
+       |stats AS (SELECT $sel count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
        |                 sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
        |                 sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y
-       |          FROM f)
-       |SELECT ${cramer.mkString(",\n       ")}
+       |          FROM f $grp)
+       |SELECT $sel ${cramer.mkString(",\n       ")}
        |FROM stats
        |""".stripMargin
+  }
+
+  def ridgeFit(s: SparkSession, dir: String): DataFrame =
+    ridgeStats(s, dir).agg(ridgeAggs.head, ridgeAggs.tail: _*)
+      .selectExpr(cramer: _*)
+  val ridgeFitSql: String = ridgeSqlBody(Nil)
+
+  // ---------------------------------------------------------------------------
+  // Grouped model fitting — ONE corpus pass fits an independent ridge model
+  // per source. This is the at-scale shape for per-domain / per-language /
+  // per-tenant models: the sufficient statistics carry the GROUP BY key, so
+  // fitting 10,000 models costs exactly one scan plus a 10,000-row
+  // aggregate; the closed-form solve runs per row of the stats relation.
+  // The degenerate-group case is real here (a source whose docs all share
+  // a token count makes X'X singular) — ridge λ keeps the system
+  // invertible, which is WHY the regularized form is the grouped default.
+  // ---------------------------------------------------------------------------
+  def ridgeBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ridgeStats(s, dir).groupBy($"source")
+      .agg(ridgeAggs.head, ridgeAggs.tail: _*)
+      .selectExpr("source" +: cramer: _*)
+  }
+  val ridgeBySourceSql: String = ridgeSqlBody(Seq("source"))
 
   // ---------------------------------------------------------------------------
   // Pareto-front curation (the 2-D skyline): keep every document not
@@ -215,12 +263,14 @@ object Selection {
        |""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dsir_weights" -> dsirWeights _,
-    "q_ridge_fit"    -> ridgeFit _,
-    "q_pareto_docs"  -> paretoDocs _)
+    "q_dsir_weights"    -> dsirWeights _,
+    "q_ridge_fit"       -> ridgeFit _,
+    "q_ridge_by_source" -> ridgeBySource _,
+    "q_pareto_docs"     -> paretoDocs _)
 
   def oracleSql: Map[String, String] = Map(
-    "q_dsir_weights" -> dsirWeightsSql,
-    "q_ridge_fit"    -> ridgeFitSql,
-    "q_pareto_docs"  -> paretoDocsSql)
+    "q_dsir_weights"    -> dsirWeightsSql,
+    "q_ridge_fit"       -> ridgeFitSql,
+    "q_ridge_by_source" -> ridgeBySourceSql,
+    "q_pareto_docs"     -> paretoDocsSql)
 }
