@@ -572,6 +572,42 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
+  // Dedup method-agreement report: how much do the MinHash-LSH (Jaccard ≥
+  // 0.8) and SimHash (Hamming ≤ 3) near-dup passes agree? The one-row QA
+  // artifact a pipeline owner reads before trusting either method alone on
+  // a new corpus — low pair-set Jaccard means the two notions of "near
+  // duplicate" diverge on this data and thresholds need re-tuning.
+  // Scale: both pair sets are the already-bounded candidate outputs
+  // (O(near-dup pairs), never O(n²)); the agreement join keys on id pairs
+  // only, and the report is three single-row aggregates.
+  // ---------------------------------------------------------------------------
+  def dedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
+    val h = dedupSimhash(s, dir).select($"doc_a", $"doc_b")
+    val nm = m.agg(count(lit(1)).cast("long").as("n_minhash"))
+    val nh = h.agg(count(lit(1)).cast("long").as("n_simhash"))
+    val nb = m.join(h, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+    nm.crossJoin(nh).crossJoin(nb)
+      .selectExpr("n_minhash", "n_simhash", "n_both",
+        "CASE WHEN n_minhash + n_simhash - n_both = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_both AS DOUBLE) / (n_minhash + n_simhash - n_both) END AS pair_jaccard")
+  }
+  val dedupAgreementSql: String =
+    s"""WITH m0 AS ($dedupMinhashLshSql),
+       |h0 AS ($dedupSimhashSql),
+       |m AS (SELECT doc_a, doc_b FROM m0),
+       |h AS (SELECT doc_a, doc_b FROM h0),
+       |cm AS (SELECT CAST(count(*) AS BIGINT) AS n_minhash FROM m),
+       |ch AS (SELECT CAST(count(*) AS BIGINT) AS n_simhash FROM h),
+       |cb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+       |       FROM m JOIN h USING (doc_a, doc_b))
+       |SELECT n_minhash, n_simhash, n_both,
+       |       CASE WHEN n_minhash + n_simhash - n_both = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_both AS DOUBLE) / (n_minhash + n_simhash - n_both) END AS pair_jaccard
+       |FROM cm, ch, cb
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Near-dup CLUSTER resolution: LSH emits pairs, but a dedup pipeline must
   // pick one canonical doc per duplicate GROUP — pairs (a,b),(b,c) are one
   // cluster {a,b,c}, keep min(doc_id). Connected components via the
@@ -1387,6 +1423,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_agreement"   -> dedupAgreement _,
     "q_bloom_dedup"       -> bloomDedup _,
     "q_crossdup"          -> crossSourceDups _,
     "q_cluster_sizes"     -> clusterSizes _,
@@ -1412,6 +1449,7 @@ object Dedup {
     "q_seg_dedup"         -> segDedup _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_agreement"   -> dedupAgreementSql,
     "q_bloom_dedup"       -> bloomDedupSql,
     "q_crossdup"          -> crossSourceDupsSql,
     "q_cluster_sizes"     -> clusterSizesSql,

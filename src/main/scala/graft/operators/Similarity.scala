@@ -941,6 +941,64 @@ object Similarity {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Link prediction on the kNN graph — common-neighbor Jaccard: for every
+  // non-adjacent pair (u,v) sharing at least one neighbor, score =
+  // |N(u)∩N(v)| / |N(u)∪N(v)|; top-20 predicted links. The graph-side QA
+  // twin of the embedding-space kNN: pairs the index did NOT connect but
+  // whose neighborhoods overlap are likely missed near-neighbors (IVF
+  // blocking recall gaps surface here first).
+  // Scale: the undirected edge list is O(n·k); the common-neighbor join
+  // keys on the shared neighbor w, so per-w pair expansion is deg(w)² —
+  // out-degree is capped at k by construction, and a hub cap on in-degree
+  // (the DFCap idiom from the rare-shingle index) bounds the worst case if
+  // a corpus produces popularity hubs. Integer counts, one IEEE division,
+  // deterministic (score, u, v) ordering.
+  // ---------------------------------------------------------------------------
+  def linkPrediction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = knnGraph(s, dir).select($"src", $"nbr")
+    // one kNN-graph execution feeds the union's both branches + three
+    // consumers below
+    val und = graft.Materialize.eager(
+      g.selectExpr("src AS u", "nbr AS w")
+        .union(g.selectExpr("nbr AS u", "src AS w"))
+        .distinct())
+    val deg = und.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val cand = und.as("a").join(und.as("b"),
+        $"a.w" === $"b.w" && $"a.u" < $"b.u")
+      .groupBy($"a.u".as("u"), $"b.u".as("v"))
+      .agg(count(lit(1)).cast("long").as("cn"))
+    val adj = und.selectExpr("least(u, w) AS u", "greatest(u, w) AS v").distinct()
+    cand.join(adj, Seq("u", "v"), "left_anti")
+      .join(deg.selectExpr("u", "deg AS deg_u"), "u")
+      .join(deg.selectExpr("u AS v", "deg AS deg_v"), "v")
+      .selectExpr("u", "v", "cn",
+        "CAST(cn AS DOUBLE) / (deg_u + deg_v - cn) AS score")
+      .orderBy($"score".desc, $"u".asc, $"v".asc)
+      .limit(20)
+  }
+  val linkPredictionSql: String =
+    s"""WITH g0 AS ($knnGraphSql),
+       |g AS (SELECT src, nbr FROM g0),
+       |und AS (SELECT DISTINCT u, w FROM (
+       |  SELECT src AS u, nbr AS w FROM g
+       |  UNION ALL SELECT nbr AS u, src AS w FROM g)),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+       |cand AS (
+       |  SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS cn
+       |  FROM und a JOIN und b ON a.w = b.w AND a.u < b.u
+       |  GROUP BY a.u, b.u),
+       |adj AS (SELECT DISTINCT least(u, w) AS u, greatest(u, w) AS v FROM und)
+       |SELECT c.u, c.v, cn,
+       |       CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn) AS score
+       |FROM cand c
+       |JOIN deg du ON c.u = du.u
+       |JOIN deg dv ON c.v = dv.u
+       |WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.u = c.u AND adj.v = c.v)
+       |ORDER BY score DESC, c.u ASC, c.v ASC LIMIT 20
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // SemDeDup keep-list (Abbas et al. 2023): the end-to-end semantic-dedup
   // recipe composed from the machinery above — IVF-blocked cosine pairs
   // (the vector LSH analogue) feed the same distributed star-contraction
@@ -1714,6 +1772,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_cov"       -> embedCov _,
+    "q_link_prediction" -> linkPrediction _,
     "q_knn_accuracy"    -> knnAccuracy _,
     "q_cluster_purity"  -> clusterPurity _,
     "q_cluster_quality" -> clusterQuality _,
@@ -1745,6 +1804,7 @@ object Similarity {
   )
   val oracleSql: Map[String, String] = Map(
     "q_embed_cov"       -> embedCovSql,
+    "q_link_prediction" -> linkPredictionSql,
     "q_knn_accuracy"    -> knnAccuracySql,
     "q_cluster_purity"  -> clusterPuritySql,
     "q_cluster_quality" -> clusterQualitySql,

@@ -421,4 +421,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad.count() == 0)
     c.unpersist(); asg.unpersist()
   }
+
+  test("link prediction: only non-adjacent pairs, valid scores, correct jaccard") {
+    import spark.implicits._
+    val g = Similarity.knnGraph(spark, sf).select($"src", $"nbr").cache()
+    val und = g.selectExpr("src AS u", "nbr AS w")
+      .union(g.selectExpr("nbr AS u", "src AS w")).distinct().cache()
+    val nbrs = und.as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val preds = Similarity.linkPrediction(spark, sf).collect()
+    assert(preds.length == 20)
+    preds.foreach { r =>
+      val (u, v, cn, score) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(u < v)
+      // predicted links must not already be edges
+      assert(!nbrs(u).contains(v), s"($u,$v) is already adjacent")
+      val inter = nbrs(u).intersect(nbrs(v)).size
+      val union = nbrs(u).union(nbrs(v)).size
+      assert(cn == inter, s"($u,$v) cn=$cn but reference intersection=$inter")
+      assert(score == inter.toDouble / union)
+      assert(score > 0.0 && score <= 1.0)
+    }
+    // descending score order with deterministic tie-break
+    val scores = preds.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    g.unpersist(); und.unpersist()
+  }
 }

@@ -563,4 +563,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(b.filter($"band" === "low" && $"avg_score" >= 3.0).count() == 0)
     b.unpersist()
   }
+
+  test("dedup agreement: intersection bounds hold and jaccard is consistent") {
+    val r = Dedup.dedupAgreement(spark, sf).collect()
+    assert(r.length == 1)
+    val (nm, nh, nb, j) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getDouble(3))
+    // the intersection can never exceed either pair set
+    assert(nb <= math.min(nm, nh), s"n_both $nb > min($nm, $nh)")
+    assert(j >= 0.0 && j <= 1.0)
+    val union = nm + nh - nb
+    if (union > 0) assert(j == nb.toDouble / union)
+    // both methods find SOMETHING on the synthetic corpus (near-dups exist)
+    assert(nm > 0 && nh > 0)
+  }
 }
