@@ -62,9 +62,12 @@ object Selection {
     val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
     val tgt = toks.filter($"is_tgt").groupBy($"b").agg(count(lit(1)).as("ct"))
     // Bucket table: B rows, zero-filled where the target never saw the
-    // bucket (add-one smoothing handles the zeros).
-    val buckets = raw.join(tgt, Seq("b"), "left")
-      .selectExpr("b", "cr", "coalesce(ct, 0L) AS ct")
+    // bucket (add-one smoothing handles the zeros). Materialized: it feeds
+    // BOTH the per-doc scoring join and the totals row — without the
+    // barrier each consumer re-aggregates the full exploded corpus.
+    val buckets = graft.Materialize.eager(
+      raw.join(tgt, Seq("b"), "left")
+        .selectExpr("b", "cr", "coalesce(ct, 0L) AS ct"))
     val totals = buckets.agg(
       sum($"cr").cast("long").as("nraw"), sum($"ct").cast("long").as("ntgt"))
     toks.join(broadcast(buckets), "b")

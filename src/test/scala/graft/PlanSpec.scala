@@ -312,4 +312,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("dsir: bucket stats broadcast against the token stream; one doc rollup") {
+    // the scoring join keys every token row against the O(B) bucket table —
+    // it must broadcast (a shuffle would re-key the exploded corpus), and
+    // the materialized token relation is the only corpus-sized input: the
+    // documents table itself is never re-scanned after the explode pass
+    val plan = executed(Selection.dsirWeights(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
+  }
+
+  test("pareto: the frontier broadcasts back; the corpus never sorts") {
+    // the skyline window runs over the value-compressed (n_tokens, ymax)
+    // relation, then the surviving frontier joins back by broadcast — the
+    // corpus-sized side must see neither a global Sort nor an SMJ
+    val plan = executed(Selection.paretoDocs(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("grouped ridge: one scan, partial+final aggregation, no joins") {
+    // the many-models fit is a single map-side-combinable aggregate over
+    // one corpus pass — any join or extra parquet scan means the
+    // sufficient-statistics shape regressed
+    val plan = executed(Selection.ridgeBySource(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
