@@ -246,12 +246,60 @@ object CurationPipeline {
        |FROM flags
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Recipe diff — the governance artifact for a curation-recipe CHANGE: when
+  // v2 ships, the review question is "what exactly did the new gates drop,
+  // and how many tokens did each cost?". Every v1 survivor is attributed to
+  // kept / dropped_span / dropped_gini / dropped_both (overlap attributed
+  // explicitly — per-gate funnels can't see it), with doc and token totals
+  // per outcome. The funnel answers "how many survive each stage"; the diff
+  // answers "what would rolling this gate back buy".
+  // Scale: the v1 keep-list joins two id-only gate relations (left joins on
+  // doc_id); token counts come from the already-scrubbed text in the same
+  // pass; output is ≤ 4 rows.
+  // ---------------------------------------------------------------------------
+  def curationDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spanOk = Dedup.spanDedup(s, dir).filter($"dup_ratio" <= 0.5)
+      .select($"doc_id", lit(true).as("f_span"))
+    val diverseOk = TextAnalysis.giniDiversity(s, dir).filter($"gini" >= 0.9)
+      .select($"doc_id", lit(true).as("f_gini"))
+    curate(s, dir)
+      .join(spanOk, Seq("doc_id"), "left")
+      .join(diverseOk, Seq("doc_id"), "left")
+      .selectExpr(
+        """CASE WHEN coalesce(f_span, false) AND coalesce(f_gini, false) THEN 'kept'
+          |     WHEN NOT coalesce(f_span, false) AND coalesce(f_gini, false) THEN 'dropped_span'
+          |     WHEN coalesce(f_span, false) AND NOT coalesce(f_gini, false) THEN 'dropped_gini'
+          |     ELSE 'dropped_both' END AS status""".stripMargin,
+        "cast(size(split(trim(clean_text), '\\\\s+')) as bigint) AS n_tok")
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+  }
+  val curationDiffSql: String =
+    s"""WITH base AS (${curateSql.trim}),
+       |span_ok AS (SELECT doc_id FROM (${Dedup.spanDedupSql.trim}) sdd WHERE dup_ratio <= 0.5),
+       |diverse_ok AS (SELECT doc_id FROM (${TextAnalysis.giniDiversitySql.trim}) gd WHERE gini >= 0.9),
+       |attributed AS (
+       |  SELECT CASE WHEN so.doc_id IS NOT NULL AND dv.doc_id IS NOT NULL THEN 'kept'
+       |              WHEN so.doc_id IS NULL AND dv.doc_id IS NOT NULL THEN 'dropped_span'
+       |              WHEN so.doc_id IS NOT NULL AND dv.doc_id IS NULL THEN 'dropped_gini'
+       |              ELSE 'dropped_both' END AS status,
+       |         CAST(len(string_split_regex(trim(base.clean_text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM base
+       |  LEFT JOIN span_ok so ON base.doc_id = so.doc_id
+       |  LEFT JOIN diverse_ok dv ON base.doc_id = dv.doc_id)
+       |SELECT status, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM attributed GROUP BY status
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation"        -> curate _,
     "q_curation_incr"   -> curateIncremental _,
     "q_curation_v2"     -> curateV2 _,
     "q_curation_shards" -> curationShards _,
     "q_curation_funnel" -> curationFunnel _,
+    "q_curation_diff"   -> curationDiff _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_curation"        -> curateSql,
@@ -260,5 +308,6 @@ object CurationPipeline {
     "q_curation_v2"     -> curateV2Sql,
     "q_curation_shards" -> curationShardsSql,
     "q_curation_funnel" -> curationFunnelSql,
+    "q_curation_diff"   -> curationDiffSql,
   )
 }

@@ -65,4 +65,21 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"train shards should balance within 50%: [${mm.getLong(0)}, ${mm.getLong(1)}]")
     p.unpersist()
   }
+
+  test("recipe diff reconciles with the funnel: kept = after-diversity, total = after-quality") {
+    val sf = "/root/testdata/sf0.001"
+    val diff = CurationPipeline.curationDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val f = CurationPipeline.curationFunnel(spark, sf).collect().head
+    val (afterQuality, afterDiversity) =
+      (f.getAs[Long]("n_after_quality"), f.getAs[Long]("n_after_diversity"))
+    // every v1 survivor is attributed to exactly one outcome
+    assert(diff.values.sum == afterQuality,
+      s"diff rows ${diff.values.sum} != v1 survivors $afterQuality")
+    // the docs both gates keep are exactly the funnel's final stage
+    assert(diff.getOrElse("kept", 0L) == afterDiversity,
+      s"kept ${diff.get("kept")} != funnel final $afterDiversity")
+    // v2 dropped something on this corpus (the gates are not vacuous)
+    assert(diff.keys.exists(_.startsWith("dropped")), diff.toString)
+  }
 }
