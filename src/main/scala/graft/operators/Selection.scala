@@ -45,10 +45,50 @@ object Selection {
   private val B = 64
   /** Stable token → bucket hash, identical on both engines (md5 prefix as
     * integer, mod B). Same construction as TextAnalysis's bigram hash. */
-  private val tokHashSpark =
-    s"cast(conv(substr(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint) % $B"
+  private def tokHashSparkOn(v: String) =
+    s"cast(conv(substr(md5(cast($v as binary)), 1, 15), 16, 10) as bigint) % $B"
+  private val tokHashSpark = tokHashSparkOn("tok")
   private val tokHashDuck = s"('0x' || substr(md5(tok), 1, 15))::BIGINT % $B"
   private val TargetPred = "lang = 'en'"
+
+  /** The finishing score expression — ONE shared text so the batch query,
+    * the DuckDB oracle, and the streaming scorer produce the bit-identical
+    * double from the same integer sufficient statistics. */
+  private[graft] val dsirScoreExpr =
+    s"(CAST(sum_ct + n_tokens AS DOUBLE) * CAST(nraw + $B AS DOUBLE)) / (CAST(sum_cr + n_tokens AS DOUBLE) * CAST(ntgt + $B AS DOUBLE))"
+
+  /** The DSIR statistics as a ONE-ROW at-rest artifact: dense per-bucket
+    * count arrays (index b+1) + totals. This is what DSIR persists once per
+    * target corpus; scoring any stream or shard of raw docs is then a
+    * stateless broadcast of ~2·B longs — see [[graft.streaming.DsirScore]]. */
+  private[graft] def dsirArtifact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("doc_id", TargetPred + " AS is_tgt", "explode(toks) AS tok")
+      .selectExpr("doc_id", "is_tgt", s"$tokHashSpark AS b")
+    val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter($"is_tgt").groupBy($"b").agg(count(lit(1)).as("ct"))
+    // dense 0..B-1 bucket domain so array indexing needs no join at read time
+    s.range(0, B).toDF("b")
+      .join(raw, Seq("b"), "left").join(tgt, Seq("b"), "left")
+      .selectExpr("b", "coalesce(cr, 0L) AS cr", "coalesce(ct, 0L) AS ct")
+      .agg(collect_list(struct($"b", $"cr", $"ct")).as("rows"))
+      .selectExpr(
+        "transform(array_sort(rows), x -> x.cr) AS cr_arr",
+        "transform(array_sort(rows), x -> x.ct) AS ct_arr")
+      .selectExpr("cr_arr", "ct_arr",
+        "aggregate(cr_arr, 0L, (a, x) -> a + x) AS nraw",
+        "aggregate(ct_arr, 0L, (a, x) -> a + x) AS ntgt")
+  }
+
+  /** Per-row integer sufficient statistics from the artifact arrays — the
+    * stateless scoring kernel (token array + broadcast arrays → three
+    * longs). Exact integer folds, so ordering cannot matter. */
+  private[graft] val dsirRowStats = Seq(
+    "CAST(size(toks) AS BIGINT) AS n_tokens",
+    s"aggregate(transform(toks, t -> element_at(ct_arr, cast(${tokHashSparkOn("t")} as int) + 1)), 0L, (a, x) -> a + x) AS sum_ct",
+    s"aggregate(transform(toks, t -> element_at(cr_arr, cast(${tokHashSparkOn("t")} as int) + 1)), 0L, (a, x) -> a + x) AS sum_cr")
 
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -77,8 +117,8 @@ object Selection {
         sum($"cr").cast("long").as("sum_cr"))
       .crossJoin(broadcast(totals))
       .selectExpr("doc_id", "n_tokens",
-        s"(CAST(sum_ct + n_tokens AS DOUBLE) * CAST(nraw + $B AS DOUBLE)) / (CAST(sum_cr + n_tokens AS DOUBLE) * CAST(ntgt + $B AS DOUBLE)) AS dsir_score",
-        s"(CAST(sum_ct + n_tokens AS DOUBLE) * CAST(nraw + $B AS DOUBLE)) / (CAST(sum_cr + n_tokens AS DOUBLE) * CAST(ntgt + $B AS DOUBLE)) >= CAST(1.0 AS DOUBLE) AS selected")
+        s"$dsirScoreExpr AS dsir_score",
+        s"$dsirScoreExpr >= CAST(1.0 AS DOUBLE) AS selected")
   }
   val dsirWeightsSql: String =
     s"""WITH tk AS (SELECT doc_id, $TargetPred AS is_tgt, unnest($toksDuck) AS tok

@@ -19,7 +19,7 @@ import graft.sources.Tables
 /** The Spark/DuckDB tokenizer pair — the load-bearing contract shared by
   * every text/dedup oracle query. ONE definition: a drift between the two
   * fragments, or between modules, silently changes what a "token" is. */
-private[operators] object Tok {
+private[graft] object Tok {
   /** Whitespace tokens of trimmed text — `split(trim(text), '\s+')`. */
   val toksExpr = "split(trim(text), '\\\\s+')"
   val toksDuck = "string_split_regex(trim(text), '\\s+')"
