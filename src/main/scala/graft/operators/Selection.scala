@@ -210,14 +210,16 @@ object Selection {
         s"CAST(size(filter(toks, t -> $stopPred)) AS BIGINT) AS x2",
         "CAST(length(text) AS BIGINT) AS y")
       .selectExpr("source", "x1", "x2", "y", "x1*x1 AS x11", "x1*x2 AS x12",
-        "x2*x2 AS x22", "x1*y AS x1y", "x2*y AS x2y")
+        "x2*x2 AS x22", "x1*y AS x1y", "x2*y AS x2y", "y*y AS yy")
 
   private def ridgeAggs = Seq(
     count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
     sum("y").as("sy"), sum("x11").as("s11"), sum("x12").as("s12"),
-    sum("x22").as("s22"), sum("x1y").as("s1y"), sum("x2y").as("s2y"))
+    sum("x22").as("s22"), sum("x1y").as("s1y"), sum("x2y").as("s2y"),
+    sum("yy").as("syy"))
 
-  private def ridgeSqlBody(groupCols: Seq[String]): String = {
+  /** DuckDB stats CTE shared by the fit and eval oracles. */
+  private def ridgeStatsCte(groupCols: Seq[String]): String = {
     val sel = if (groupCols.isEmpty) "" else groupCols.mkString("", ", ", ",")
     val grp = if (groupCols.isEmpty) "" else groupCols.mkString("GROUP BY ", ", ", "")
     s"""WITH f AS (SELECT source, len(toks) AS x1,
@@ -226,8 +228,14 @@ object Selection {
        |           FROM (SELECT source, text, $toksDuck AS toks FROM documents)),
        |stats AS (SELECT $sel count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
        |                 sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
-       |                 sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y
-       |          FROM f $grp)
+       |                 sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+       |                 sum(y*y) AS syy
+       |          FROM f $grp)""".stripMargin
+  }
+
+  private def ridgeSqlBody(groupCols: Seq[String]): String = {
+    val sel = if (groupCols.isEmpty) "" else groupCols.mkString("", ", ", ",")
+    s"""${ridgeStatsCte(groupCols)}
        |SELECT $sel ${cramer.mkString(",\n       ")}
        |FROM stats
        |""".stripMargin
@@ -255,6 +263,49 @@ object Selection {
       .selectExpr("source" +: cramer: _*)
   }
   val ridgeBySourceSql: String = ridgeSqlBody(Seq("source"))
+
+  // ---------------------------------------------------------------------------
+  // Model evaluation from the SAME sufficient statistics — for linear
+  // models the training statistics are also the evaluation: the residual
+  // sum of squares expands algebraically over (Σy², Σy, Σx·y, X'X, β), so
+  // per-source R² and RMSE cost ZERO additional passes — the one scan that
+  // fit 10k models also scored them. ss_res can go slightly negative only
+  // through fp cancellation (guarded with greatest); ridge β is not the OLS
+  // minimizer, so r2 may be < 1 even on perfectly linear groups — that gap
+  // IS the regularization cost, worth seeing in the report.
+  // ---------------------------------------------------------------------------
+  private val ssResExpr =
+    "CAST(syy AS DOUBLE) + CAST(n_docs AS DOUBLE) * beta0 * beta0 + beta1 * beta1 * CAST(s11 AS DOUBLE) + beta2 * beta2 * CAST(s22 AS DOUBLE) + CAST(2.0 AS DOUBLE) * (beta0 * beta1 * CAST(s1 AS DOUBLE) + beta0 * beta2 * CAST(s2 AS DOUBLE) + beta1 * beta2 * CAST(s12 AS DOUBLE)) - CAST(2.0 AS DOUBLE) * (beta0 * CAST(sy AS DOUBLE) + beta1 * CAST(s1y AS DOUBLE) + beta2 * CAST(s2y AS DOUBLE))"
+  private val ssTotExpr =
+    "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+  private val ridgeEvalFinal = Seq(
+    "source", "n_docs", "beta0", "beta1", "beta2",
+    "CASE WHEN ss_tot > CAST(0.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) - ss_res / ss_tot ELSE CAST(0.0 AS DOUBLE) END AS r2",
+    "sqrt(greatest(ss_res, CAST(0.0 AS DOUBLE)) / CAST(n_docs AS DOUBLE)) AS rmse")
+
+  def ridgeEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ridgeStats(s, dir).groupBy($"source")
+      .agg(ridgeAggs.head, ridgeAggs.tail: _*)
+      .selectExpr(Seq("source", "sy", "syy", "s1", "s2", "s11", "s12",
+        "s22", "s1y", "s2y") ++ cramer: _*)
+      .selectExpr("source", "n_docs", "beta0", "beta1", "beta2",
+        s"$ssTotExpr AS ss_tot", s"$ssResExpr AS ss_res")
+      .selectExpr(ridgeEvalFinal: _*)
+  }
+  val ridgeEvalSql: String =
+    s"""${ridgeStatsCte(Seq("source"))},
+       |solved AS (
+       |  SELECT source, sy, syy, s1, s2, s11, s12, s22, s1y, s2y,
+       |         ${cramer.mkString(",\n         ")}
+       |  FROM stats),
+       |scored AS (
+       |  SELECT source, n_docs, beta0, beta1, beta2,
+       |         $ssTotExpr AS ss_tot, $ssResExpr AS ss_res
+       |  FROM solved)
+       |SELECT ${ridgeEvalFinal.mkString(",\n       ")}
+       |FROM scored
+       |""".stripMargin
 
   // ---------------------------------------------------------------------------
   // Pareto-front curation (the 2-D skyline): keep every document not
@@ -309,11 +360,13 @@ object Selection {
     "q_dsir_weights"    -> dsirWeights _,
     "q_ridge_fit"       -> ridgeFit _,
     "q_ridge_by_source" -> ridgeBySource _,
+    "q_ridge_eval"      -> ridgeEval _,
     "q_pareto_docs"     -> paretoDocs _)
 
   def oracleSql: Map[String, String] = Map(
     "q_dsir_weights"    -> dsirWeightsSql,
     "q_ridge_fit"       -> ridgeFitSql,
     "q_ridge_by_source" -> ridgeBySourceSql,
+    "q_ridge_eval"      -> ridgeEvalSql,
     "q_pareto_docs"     -> paretoDocsSql)
 }

@@ -49,6 +49,32 @@ class SelectionSpec extends AnyFunSuite {
     assert(ssRes < 0.2 * ssTot, s"R2 too low: ssRes=$ssRes ssTot=$ssTot")
   }
 
+  test("ridge eval: closed-form per-source R2/RMSE match explicit residuals") {
+    import spark.implicits._
+    val feats = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "size(split(trim(text), '\\\\s+')) AS x1",
+        "size(filter(split(trim(text), '\\\\s+'), t -> t in ('the','a','of','and','to','in','is'))) AS x2",
+        "length(text) AS y")
+      .as[(String, Int, Int, Int)].collect().groupBy(_._1)
+    val eval = Selection.ridgeEval(spark, sf).collect()
+    assert(eval.map(_.getString(0)).toSet == feats.keySet)
+    eval.foreach { r =>
+      val (src, n, b0, b1, b2, r2, rmse) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val fs = feats(src)
+      assert(n == fs.length)
+      val ssRes = fs.map(f => math.pow(f._4 - (b0 + b1 * f._2 + b2 * f._3), 2)).sum
+      val ybar = fs.map(_._4.toDouble).sum / n
+      val ssTot = fs.map(f => math.pow(f._4 - ybar, 2)).sum
+      val refR2 = if (ssTot > 0) 1.0 - ssRes / ssTot else 0.0
+      // the algebraic expansion cancels catastrophically only in theory;
+      // on integer-exact stats it agrees with the explicit residual sum
+      assert(math.abs(r2 - refR2) < 1e-6, s"$src r2 $r2 vs ref $refR2")
+      assert(math.abs(rmse - math.sqrt(ssRes / n)) < 1e-6, s"$src rmse")
+      assert(rmse >= 0.0)
+    }
+  }
+
   test("pareto front equals the naive quadratic skyline") {
     import spark.implicits._
     val feats = spark.read.parquet(s"$sf/documents.parquet")
