@@ -323,13 +323,17 @@ object Selection {
   // matching a surviving (x, ymax) pair is on the front. The only
   // corpus-sized ops are the grouped max and the final semi-join back.
   // ---------------------------------------------------------------------------
-  def paretoDocs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val feats = Tables.documents(s, dir)
+  private def paretoFeats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .selectExpr("doc_id",
         "CAST(size(toks) AS BIGINT) AS n_tokens",
         "CAST(size(array_distinct(toks)) AS BIGINT) AS distinct_tokens")
+
+  /** 2-D skyline of a (doc_id, n_tokens, distinct_tokens) relation. */
+  private def skylineDocs(feats: DataFrame): DataFrame = {
+    val s = feats.sparkSession
+    import s.implicits._
     val byX = feats.groupBy($"n_tokens")
       .agg(max($"distinct_tokens").as("ymax"))
     // |distinct n_tokens| rows: the single-partition window is over a
@@ -343,6 +347,33 @@ object Selection {
       .select($"n_tokens", $"ymax".as("distinct_tokens"))
     feats.join(front, Seq("n_tokens", "distinct_tokens"))
       .select($"doc_id", $"n_tokens", $"distinct_tokens")
+  }
+
+  def paretoDocs(s: SparkSession, dir: String): DataFrame =
+    skylineDocs(paretoFeats(s, dir))
+
+  // ---------------------------------------------------------------------------
+  // Incremental Pareto-front maintenance: skylines satisfy
+  //   front(C ∪ D) = front(front(C) ∪ D)
+  // (a point dominated within C stays dominated in any superset, and an
+  // undominated point of C ∪ D from C is by definition in front(C)), so a
+  // delta batch only competes against the STORED front — O(|front| + |Δ|)
+  // work per ingest, never a corpus re-scan. Same 90/10 doc_id split
+  // convention as the other incremental passes; the stored front is the
+  // pinned at-rest artifact. The oracle is the FULL-corpus naive skyline —
+  // hash equality IS the merge-property proof at every scale factor.
+  // ---------------------------------------------------------------------------
+  def paretoIncr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = paretoFeats(s, dir)
+    val split = Tables.documents(s, dir)
+      .selectExpr("((max(doc_id) + 1) * 9) div 10 AS sp")
+    val corpus = feats.join(broadcast(split), $"doc_id" < $"sp", "inner")
+      .select($"doc_id", $"n_tokens", $"distinct_tokens")
+    val delta = feats.join(broadcast(split), $"doc_id" >= $"sp", "inner")
+      .select($"doc_id", $"n_tokens", $"distinct_tokens")
+    val storedFront = graft.Materialize.eager(skylineDocs(corpus))
+    skylineDocs(storedFront.union(delta))
   }
   val paretoDocsSql: String =
     s"""WITH f AS (SELECT doc_id, len(toks) AS n_tokens,
@@ -361,12 +392,15 @@ object Selection {
     "q_ridge_fit"       -> ridgeFit _,
     "q_ridge_by_source" -> ridgeBySource _,
     "q_ridge_eval"      -> ridgeEval _,
-    "q_pareto_docs"     -> paretoDocs _)
+    "q_pareto_docs"     -> paretoDocs _,
+    "q_pareto_incr"     -> paretoIncr _)
 
   def oracleSql: Map[String, String] = Map(
     "q_dsir_weights"    -> dsirWeightsSql,
     "q_ridge_fit"       -> ridgeFitSql,
     "q_ridge_by_source" -> ridgeBySourceSql,
     "q_ridge_eval"      -> ridgeEvalSql,
-    "q_pareto_docs"     -> paretoDocsSql)
+    "q_pareto_docs"     -> paretoDocsSql,
+    // incremental maintenance must reproduce the full-corpus skyline
+    "q_pareto_incr"     -> paretoDocsSql)
 }
