@@ -1746,6 +1746,37 @@ object Similarity {
        |FROM exy JOIN ex xi ON exy.i = xi.d JOIN ex xj ON exy.j = xj.d
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // IVF occupancy balance — the ANN serving-latency report: probe cost is
+  // bounded by the LARGEST cell a query can land in, so the imbalance
+  // factor max/mean (1.0 = perfectly balanced) is the number that decides
+  // whether the index needs re-training or cell splitting before serving.
+  // One O(corpus) assignment pass (shared trained centroids), then an
+  // O(cells) rollup; integer counts with one shared IEEE division.
+  // ---------------------------------------------------------------------------
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfAssign(s, dir)
+      .groupBy($"centroid_id").agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).cast("long").as("n_cells"),
+        min($"c").cast("long").as("min_occ"),
+        max($"c").cast("long").as("max_occ"),
+        sum($"c").cast("long").as("n_vecs"))
+      .selectExpr("n_cells", "min_occ", "max_occ", "n_vecs",
+        "CAST(max_occ * n_cells AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS imbalance")
+  }
+  val ivfBalanceSql: String =
+    s"""WITH assign AS (${ivfAssignSql.trim}),
+       |occ AS (SELECT centroid_id, count(*) AS c FROM assign GROUP BY centroid_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |       CAST(min(c) AS BIGINT) AS min_occ,
+       |       CAST(max(c) AS BIGINT) AS max_occ,
+       |       CAST(sum(c) AS BIGINT) AS n_vecs,
+       |       CAST(max(c) * count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS imbalance
+       |FROM occ
+       |""".stripMargin
+
   /** Driver-side power iteration on the [[embedCov]] result — the standard
     * finish for distributed PCA: the covariance is d×d (PDIM here) no
     * matter the corpus size, so the eigenvector solve is a trivially small
@@ -1773,6 +1804,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_cov"       -> embedCov _,
     "q_link_prediction" -> linkPrediction _,
+    "q_ivf_balance"     -> ivfBalance _,
     "q_knn_accuracy"    -> knnAccuracy _,
     "q_cluster_purity"  -> clusterPurity _,
     "q_cluster_quality" -> clusterQuality _,
@@ -1805,6 +1837,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "q_embed_cov"       -> embedCovSql,
     "q_link_prediction" -> linkPredictionSql,
+    "q_ivf_balance"     -> ivfBalanceSql,
     "q_knn_accuracy"    -> knnAccuracySql,
     "q_cluster_purity"  -> clusterPuritySql,
     "q_cluster_quality" -> clusterQualitySql,
