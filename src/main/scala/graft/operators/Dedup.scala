@@ -581,6 +581,65 @@ object Dedup {
   // (O(near-dup pairs), never O(n²)); the agreement join keys on id pairs
   // only, and the report is three single-row aggregates.
   // ---------------------------------------------------------------------------
+  // ---------------------------------------------------------------------------
+  // Dedup ROI report — what each method would remove, measured
+  // independently: exact (non-keeper copies), near-dup (non-canonical LSH
+  // cluster members), and span (corpus-duplicated 8-token spans). The
+  // capacity-planning numbers behind choosing which passes to run on a new
+  // corpus: docs affected + tokens at stake per method (for `span`, the
+  // token column counts duplicated spans — the waterfall attribution
+  // across methods lives in q_curation_funnel / q_curation_diff).
+  // Scale: three already-bounded passes (hash groupBy, LSH clusters, span
+  // index) reduced to three single-row aggregates; the doc-token join is a
+  // broadcast of the affected-id sets.
+  // ---------------------------------------------------------------------------
+  def dedupRoi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docTok = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"CAST(size($toksExpr) AS BIGINT) AS n_tok")
+    def rollup(ids: DataFrame, method: String) =
+      docTok.join(ids, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum($"n_tok"), lit(0L)).cast("long").as("n_tokens"))
+        .selectExpr(s"'$method' AS method", "n_docs", "n_tokens")
+    val exactDropped = Tables.documents(s, dir)
+      .join(dedupExact(s, dir).select($"keep_id".as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+    val nonCanon = dedupClusters(s, dir)
+      .filter(!$"is_canonical").select($"doc_id")
+    val spanRows = spanDedup(s, dir).filter($"n_dup_spans" >= 1)
+      .selectExpr("doc_id", "n_dup_spans")
+    val spanRollup = spanRows
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum($"n_dup_spans"), lit(0L)).cast("long").as("n_tokens"))
+      .selectExpr("'span' AS method", "n_docs", "n_tokens")
+    rollup(exactDropped, "exact")
+      .union(rollup(nonCanon, "neardup"))
+      .union(spanRollup)
+  }
+  // lazy: references dedupClustersSql/spanDedupSql declared later in this
+  // object — an eager val would read them as null at class init
+  lazy val dedupRoiSql: String =
+    s"""WITH tok AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS n_tok
+       |            FROM documents),
+       |ex AS (SELECT keep_id AS doc_id FROM (${dedupExactSql.trim}) e),
+       |exd AS (SELECT t.doc_id, t.n_tok FROM tok t
+       |        WHERE t.doc_id NOT IN (SELECT doc_id FROM ex)),
+       |nc AS (SELECT doc_id FROM (${dedupClustersSql.trim}) c WHERE NOT is_canonical),
+       |ncd AS (SELECT t.doc_id, t.n_tok FROM tok t JOIN nc ON t.doc_id = nc.doc_id),
+       |sp AS (SELECT doc_id, n_dup_spans FROM (${spanDedupSql.trim}) s
+       |       WHERE n_dup_spans >= 1)
+       |SELECT 'exact' AS method, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM exd
+       |UNION ALL
+       |SELECT 'neardup', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM ncd
+       |UNION ALL
+       |SELECT 'span', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(n_dup_spans), 0) AS BIGINT) FROM sp
+       |""".stripMargin
+
   def dedupAgreement(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
@@ -1424,6 +1483,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_agreement"   -> dedupAgreement _,
+    "q_dedup_roi"         -> dedupRoi _,
     "q_bloom_dedup"       -> bloomDedup _,
     "q_crossdup"          -> crossSourceDups _,
     "q_cluster_sizes"     -> clusterSizes _,
@@ -1450,6 +1510,7 @@ object Dedup {
   )
   val oracleSql: Map[String, String] = Map(
     "q_dedup_agreement"   -> dedupAgreementSql,
+    "q_dedup_roi"         -> dedupRoiSql,
     "q_bloom_dedup"       -> bloomDedupSql,
     "q_crossdup"          -> crossSourceDupsSql,
     "q_cluster_sizes"     -> clusterSizesSql,

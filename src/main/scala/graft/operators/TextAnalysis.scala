@@ -82,6 +82,84 @@ object TextAnalysis {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Vocabulary growth curve (Heaps' law check): distinct-token count after
+  // each successive tenth of the corpus in doc_id order — the saturation
+  // curve that decides whether a tokenizer's vocab budget fits the corpus
+  // or more data keeps buying new types. One pass: each distinct token
+  // reduces to its FIRST document (min doc_id — order-free integer min),
+  // first-docs bucket into deciles by pure integer arithmetic, and the
+  // cumulative sum runs over ≤ 10 rows. The shuffle carries one row per
+  // distinct token; nothing else scales with the corpus.
+  // ---------------------------------------------------------------------------
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // bigram grain: the unigram vocabulary of the synthetic corpus
+    // saturates inside the first decile, which demonstrates nothing; the
+    // phrase vocabulary keeps growing, which is the curve the query is for
+    val firsts = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select(explode(expr(allNgramsExpr(2))).as("tok"), $"doc_id")
+      .groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+    val n = Tables.documents(s, dir)
+      .agg((max($"doc_id") + 1).cast("long").as("n"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firsts.crossJoin(broadcast(n))
+      .selectExpr("least(first_doc * 10 div n + 1, 10) AS decile")
+      .groupBy($"decile").agg(count(lit(1)).as("new_tokens"))
+      .select($"decile".cast("long").as("decile"), $"new_tokens",
+        sum($"new_tokens").over(w).cast("long").as("vocab_cum"))
+  }
+  val vocabGrowthSql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |t AS (SELECT doc_id, unnest(${allNgramsDuck(2)}) AS tok FROM tk),
+       |f AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok),
+       |nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |d AS (SELECT least(first_doc * 10 // n + 1, 10) AS decile FROM f, nn),
+       |g AS (SELECT decile, count(*) AS new_tokens FROM d GROUP BY decile)
+       |SELECT CAST(decile AS BIGINT) AS decile, new_tokens,
+       |       CAST(sum(new_tokens) OVER (ORDER BY decile
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+       |FROM g
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Tokenizer fertility by language: regex-subtokens per whitespace word
+  // and characters per word — the per-language cost numbers a tokenizer
+  // budget review reads (a language with high fertility pays more sequence
+  // length per sentence). Exact integer sums per language, one shared IEEE
+  // division per ratio.
+  // ---------------------------------------------------------------------------
+  def fertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("lang",
+        s"CAST(size($toksExpr) AS BIGINT) AS ws",
+        """CAST(regexp_count(text, '\\w+|[^\\w\\s]') AS BIGINT) AS re""",
+        "CAST(length(text) AS BIGINT) AS ch")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"ws").as("ws_tokens"),
+        sum($"re").as("re_tokens"), sum($"ch").as("n_chars"))
+      .selectExpr("lang", "n_docs", "ws_tokens", "re_tokens", "n_chars",
+        "CAST(re_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS fertility",
+        "CAST(n_chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS chars_per_word")
+  }
+  val fertilitySql: String =
+    s"""WITH f AS (SELECT lang,
+       |                  CAST(len($toksDuck) AS BIGINT) AS ws,
+       |                  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS re,
+       |                  CAST(length(text) AS BIGINT) AS ch
+       |           FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |       CAST(sum(re) AS BIGINT) AS re_tokens,
+       |       CAST(sum(ch) AS BIGINT) AS n_chars,
+       |       CAST(sum(re) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility,
+       |       CAST(sum(ch) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS chars_per_word
+       |FROM f GROUP BY lang
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Lexical-diversity signal: per-doc type-token ratio + Gini impurity of
   // the unigram distribution (1 - Σcᵢ²/N²). Gini is the RATIONAL
   // diversity measure — Shannon entropy needs libm log, which is not
@@ -1143,6 +1221,8 @@ object TextAnalysis {
     "q_zipf"          -> zipfProfile _,
     "q_bm25"          -> bm25 _,
     "q_text_stats"    -> textStats _,
+    "q_vocab_growth"  -> vocabGrowth _,
+    "q_fertility"     -> fertility _,
     "q_token_count"   -> tokenCount _,
     "q_gini"          -> giniDiversity _,
     "q_lang_id"       -> langId _,
@@ -1174,6 +1254,8 @@ object TextAnalysis {
     "q_zipf"          -> zipfProfileSql,
     "q_bm25"          -> bm25Sql,
     "q_text_stats"    -> textStatsSql,
+    "q_vocab_growth"  -> vocabGrowthSql,
+    "q_fertility"     -> fertilitySql,
     "q_token_count"   -> tokenCountSql,
     "q_gini"          -> giniDiversitySql,
     "q_lang_id"       -> langIdSql,
