@@ -306,7 +306,83 @@ object Eval {
        |FROM f
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Deterministic Poisson-bootstrap confidence interval — error bars for a
+  // corpus statistic in ONE pass, no resampling loop: the classic
+  // large-scale bootstrap (per (row, replicate) weight ~ Poisson(1),
+  // within-replicate weighted mean, percentile CI over replicates), made
+  // engine-reproducible by drawing the weights from md5 instead of an RNG.
+  // The 48-bit hash of (doc_id, replicate) compares against PRECOMPUTED
+  // integer thresholds floor(CDF_Poisson(1)(k)·2^48) — pure integer
+  // comparisons, no libm exp at query time (the e^-1 family is baked into
+  // the literals below). Metric here: mean document length in chars.
+  // Scale: the replicate dimension multiplies COMPUTE, not shuffle — the
+  // per-replicate integer sums combine map-side, so the exchange carries
+  // B rows per partition; the percentile window runs over B rows total.
+  // ---------------------------------------------------------------------------
+  private val BootB = 200
+  /** floor(P(Poisson(1) ≤ k) · 2^48) for k = 0..6; u ≥ last → weight 7.
+    * Constants from the exact cumulative sums of e^-1/k! — computed once
+    * here, integer literals in both engines' SQL. */
+  private val poissonThresholds = Seq(
+    103548857136060L, 207097714272121L, 258872142840152L, 276130285696162L,
+    280444821410164L, 281307728552965L, 281451546410098L)
+
+  private def bootWeightCase(u: String): String =
+    poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 7L END")
+  private def bootWeightCaseDuck(u: String): String =
+    poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uExpr = "cast(conv(substr(md5(cast(concat(cast(doc_id as string), '#', cast(b as string)) as binary)), 1, 12), 16, 10) as bigint)"
+    val reps = Tables.documents(s, dir)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS y")
+      .selectExpr("doc_id", "y", s"explode(sequence(1, $BootB)) AS b")
+      .selectExpr("b", "y", s"${bootWeightCase(uExpr)} AS w")
+      .groupBy($"b")
+      .agg(sum($"w" * $"y").as("swy"), sum($"w").as("sw"))
+      .selectExpr("b",
+        "CASE WHEN sw = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) END AS mean_b")
+    // B rows: the rank window is over the replicate relation, never the corpus
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy($"mean_b".asc, $"b".asc)))
+    val lo = ranked.filter($"rn" === BootB / 20).selectExpr("mean_b AS ci_lo")
+    val hi = ranked.filter($"rn" === BootB - BootB / 20).selectExpr("mean_b AS ci_hi")
+    val point = Tables.documents(s, dir)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length($"text").cast("long")).as("sy"))
+      .selectExpr("n_docs", "CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_len")
+    point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+  }
+  val bootstrapCiSql: String = {
+    val uDuck = "('0x' || substr(md5(doc_id::VARCHAR || '#' || b::VARCHAR), 1, 12))::BIGINT"
+    s"""WITH reps AS (
+       |  SELECT b, CAST(sum(w * y) AS BIGINT) AS swy, CAST(sum(w) AS BIGINT) AS sw
+       |  FROM (
+       |    SELECT b, CAST(length(text) AS BIGINT) AS y,
+       |           ${bootWeightCaseDuck(uDuck)} AS w
+       |    FROM documents, (SELECT unnest(range(1, ${BootB + 1})) AS b) bs)
+       |  GROUP BY b),
+       |means AS (
+       |  SELECT b, CASE WHEN sw = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) END AS mean_b
+       |  FROM reps),
+       |ranked AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b ASC, b ASC) AS rn FROM means),
+       |lo AS (SELECT mean_b AS ci_lo FROM ranked WHERE rn = ${BootB / 20}),
+       |hi AS (SELECT mean_b AS ci_hi FROM ranked WHERE rn = ${BootB - BootB / 20}),
+       |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(CAST(length(text) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS BIGINT) AS mean_len
+       |       FROM documents)
+       |SELECT n_docs, mean_len, ci_lo, ci_hi FROM pt, lo, hi
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci"  -> bootstrapCi _,
     "q_auc"         -> auc _,
     "q_calibration" -> calibration _,
     "q_drift_tvd"   -> driftTvd _,
@@ -314,6 +390,7 @@ object Eval {
     "q_trend_slope" -> trendSlope _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_bootstrap_ci" -> bootstrapCiSql,
     "q_auc"         -> aucSql,
     "q_calibration" -> calibrationSql,
     "q_drift_tvd"   -> driftTvdSql,
