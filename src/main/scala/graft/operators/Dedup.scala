@@ -582,6 +582,36 @@ object Dedup {
   // only, and the report is three single-row aggregates.
   // ---------------------------------------------------------------------------
   // ---------------------------------------------------------------------------
+  // Near-dup threshold sweep: pair counts per Jaccard band and the
+  // cumulative pairs-at-or-above curve — the tuning artifact for choosing
+  // the dedup threshold on a new corpus (how many pairs does moving
+  // 0.8 → 0.7 add?). One verified pair set (the 0.3-threshold join the
+  // library already builds) feeds a 8-row bin rollup + suffix-sum window;
+  // nothing here rescans the corpus. Bin edges are exact (floor of a
+  // shared-value double), so both engines bin identically.
+  // ---------------------------------------------------------------------------
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ngramJaccard(s, dir)
+      .selectExpr("CAST(floor(jaccard * 10) AS BIGINT) AS bin")
+      .groupBy($"bin").agg(count(lit(1)).as("n_pairs"))
+      .select($"bin", $"n_pairs",
+        sum($"n_pairs").over(w).cast("long").as("n_pairs_ge"))
+      .selectExpr("CAST(bin AS DOUBLE) / 10 AS threshold", "n_pairs", "n_pairs_ge")
+  }
+  val dedupThresholdSweepSql: String =
+    s"""WITH pairs AS ($ngramJaccardSql),
+       |bins AS (SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bin FROM pairs),
+       |g AS (SELECT bin, count(*) AS n_pairs FROM bins GROUP BY bin)
+       |SELECT CAST(bin AS DOUBLE) / 10 AS threshold, n_pairs,
+       |       CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+       |FROM g
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Dedup ROI report — what each method would remove, measured
   // independently: exact (non-keeper copies), near-dup (non-canonical LSH
   // cluster members), and span (corpus-duplicated 8-token spans). The
@@ -1484,6 +1514,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_agreement"   -> dedupAgreement _,
     "q_dedup_roi"         -> dedupRoi _,
+    "q_dedup_sweep"       -> dedupThresholdSweep _,
     "q_bloom_dedup"       -> bloomDedup _,
     "q_crossdup"          -> crossSourceDups _,
     "q_cluster_sizes"     -> clusterSizes _,
@@ -1511,6 +1542,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_agreement"   -> dedupAgreementSql,
     "q_dedup_roi"         -> dedupRoiSql,
+    "q_dedup_sweep"       -> dedupThresholdSweepSql,
     "q_bloom_dedup"       -> bloomDedupSql,
     "q_crossdup"          -> crossSourceDupsSql,
     "q_cluster_sizes"     -> clusterSizesSql,

@@ -160,6 +160,62 @@ object TextAnalysis {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Token-budget mix allocation — greedy fractional knapsack by quality:
+  // given a training-token budget (half the corpus here), fill it from the
+  // highest-quality-fraction sources first, taking each source whole until
+  // the budget truncates the marginal one. This is the optimal solution to
+  // "maximize quality tokens under a budget" when sources are divisible —
+  // the allocation a mix planner acts on. All integers: per-source token
+  // sums, an integer running cumsum over the O(sources) relation, and
+  // greatest/least clamping; the quality ranking divides once into a
+  // double used only for ORDER BY (same value both engines → same order,
+  // with a source tie-break).
+  // ---------------------------------------------------------------------------
+  def mixBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr("source", "CAST(size(toks) AS BIGINT) AS n_tok",
+        s"(size(toks) >= 15 AND cast(size(filter(toks, t -> t in ${inList(stopwords)})) as double) / size(toks) <= 0.5) AS is_q")
+      .groupBy($"source")
+      .agg(sum($"n_tok").as("tokens"),
+        sum(when($"is_q", $"n_tok").otherwise(lit(0L))).as("q_tokens"))
+      .selectExpr("source", "tokens", "q_tokens",
+        "CAST(q_tokens AS DOUBLE) / CAST(tokens AS DOUBLE) AS quality_frac")
+    val budget = perSource.agg((sum($"tokens") / 2).cast("long").as("budget"))
+    val w = Window.orderBy($"quality_frac".desc, $"source".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perSource
+      .crossJoin(broadcast(budget))
+      .withColumn("cum_before", coalesce(sum($"tokens").over(w), lit(0L)))
+      .selectExpr("source", "tokens", "quality_frac",
+        "greatest(0L, least(tokens, budget - cum_before)) AS alloc_tokens")
+  }
+  val mixBudgetSql: String = {
+    val stop = inList(stopwords)
+    s"""WITH f AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tok,
+       |                  (len(toks) >= 15 AND CAST(len(list_filter(toks, t -> t IN $stop)) AS DOUBLE) / len(toks) <= 0.5) AS is_q
+       |           FROM (SELECT source, $toksDuck AS toks FROM documents)),
+       |per_source AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens,
+       |         CAST(sum(CASE WHEN is_q THEN n_tok ELSE 0 END) AS BIGINT) AS q_tokens
+       |  FROM f GROUP BY source),
+       |scored AS (SELECT source, tokens, q_tokens,
+       |                  CAST(q_tokens AS DOUBLE) / CAST(tokens AS DOUBLE) AS quality_frac
+       |           FROM per_source),
+       |b AS (SELECT CAST(sum(tokens) // 2 AS BIGINT) AS budget FROM scored),
+       |ranked AS (
+       |  SELECT source, tokens, quality_frac, budget,
+       |         CAST(coalesce(sum(tokens) OVER (ORDER BY quality_frac DESC, source ASC
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM scored, b)
+       |SELECT source, tokens, quality_frac,
+       |       greatest(0, least(tokens, budget - cum_before)) AS alloc_tokens
+       |FROM ranked
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // Lexical-diversity signal: per-doc type-token ratio + Gini impurity of
   // the unigram distribution (1 - Σcᵢ²/N²). Gini is the RATIONAL
   // diversity measure — Shannon entropy needs libm log, which is not
@@ -1223,6 +1279,7 @@ object TextAnalysis {
     "q_text_stats"    -> textStats _,
     "q_vocab_growth"  -> vocabGrowth _,
     "q_fertility"     -> fertility _,
+    "q_mix_budget"    -> mixBudget _,
     "q_token_count"   -> tokenCount _,
     "q_gini"          -> giniDiversity _,
     "q_lang_id"       -> langId _,
@@ -1256,6 +1313,7 @@ object TextAnalysis {
     "q_text_stats"    -> textStatsSql,
     "q_vocab_growth"  -> vocabGrowthSql,
     "q_fertility"     -> fertilitySql,
+    "q_mix_budget"    -> mixBudgetSql,
     "q_token_count"   -> tokenCountSql,
     "q_gini"          -> giniDiversitySql,
     "q_lang_id"       -> langIdSql,
