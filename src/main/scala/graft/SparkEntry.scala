@@ -23,7 +23,8 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
       Temporal.queries ++ CurationPipeline.queries ++ DecisionSupport.queries ++
       Collections.queries ++ Graph.queries ++ ZOrder.queries ++
-      Eval.queries ++ Selection.queries ++ graft.sources.Sources.queries
+      Eval.queries ++ Selection.queries ++ Classify.queries ++
+      Lakehouse.queries ++ graft.sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       Similarity.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++
       Temporal.oracleSql ++ CurationPipeline.oracleSql ++ DecisionSupport.oracleSql ++
       Collections.oracleSql ++ Graph.oracleSql ++ ZOrder.oracleSql ++
-      Eval.oracleSql ++ Selection.oracleSql ++ graft.sources.Sources.oracleSql
+      Eval.oracleSql ++ Selection.oracleSql ++ Classify.oracleSql ++
+      Lakehouse.oracleSql ++ graft.sources.Sources.oracleSql
 }

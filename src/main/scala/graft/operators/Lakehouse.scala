@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Lakehouse MAINTENANCE planning — the table-service layer every 100 TB
+  * deployment runs nightly. The planner operates on the FILE LISTING (here
+  * simulated from `documents` by striping doc_ids into files), never the
+  * data: at scale the input is the transaction-log manifest — thousands to
+  * millions of rows regardless of table bytes — so planning cost is
+  * independent of corpus size, and only the EXECUTION of the plan touches
+  * data files.
+  *
+  * Small-file compaction uses the deterministic running-sum packing rule:
+  * within each partition (source), files in id order are assigned to bin
+  * ⌊cumulative-bytes-before / target⌋ — every bin except possibly the last
+  * holds ≥ target bytes once closed, bins are CONTIGUOUS id ranges (so a
+  * compaction rewrite preserves clustering/z-order locality instead of
+  * shuffling arbitrary files together, the reason real table services pack
+  * adjacent files rather than first-fit-decreasing by size), and the rule
+  * is a single window + integer division — exact in any engine. The
+  * per-source window shuffles only the listing keyed by source.
+  */
+object Lakehouse {
+
+  /** Simulated file granularity: a "file" is a 100-doc_id stripe of one
+    * source (≈5 docs per stripe per source in the testdata layout). */
+  private val StripeW = 100
+  /** Compaction target bytes per output bin. */
+  private val TargetB = 4096L
+
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Tables.documents(s, dir)
+      .groupBy($"source", (($"doc_id" / StripeW).cast("long")).as("file_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(n_chars AS BIGINT)")).cast("long").as("bytes"))
+    val w = Window.partitionBy($"source").orderBy($"file_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum($"bytes").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $TargetB"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"n_docs").cast("long").as("n_docs"),
+        sum($"bytes").cast("long").as("bin_bytes"),
+        min($"file_id").as("first_file"), max($"file_id").as("last_file"))
+  }
+  val compactionPlanSql: String =
+    s"""WITH files AS (
+       |  SELECT source, CAST(doc_id // $StripeW AS BIGINT) AS file_id,
+       |         count(*) AS n_docs, CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |packed AS (
+       |  SELECT source, file_id, n_docs, bytes,
+       |         COALESCE(CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+       |  FROM files)
+       |SELECT source, cum_before // $TargetB AS bin,
+       |       count(*) AS n_files, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       |       min(file_id) AS first_file, max(file_id) AS last_file
+       |FROM packed GROUP BY source, cum_before // $TargetB
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Contiguous row-id assignment — the write-path primitive behind "give
+  // every record a stable dense ordinal" (shard offsets, sample frames,
+  // columnar row groups). The naive form is row_number() over a GLOBAL
+  // ORDER BY — a single-partition window that serializes the whole corpus
+  // through one task (the WindowExec warning in any log is this). The
+  // distributed shape is the classic two-phase count-then-offset: range-
+  // partition + local sort gives a globally ordered partition sequence,
+  // a COUNT pass sizes each partition, and a second pass adds the exclusive
+  // prefix-sum of counts to each partition's local index (`zipWithIndex` is
+  // precisely this pair of jobs). Cost: one range shuffle + one extra count
+  // job, zero single-task stages — the plan survives any corpus size. This
+  // is the rare genuinely-imperative per-partition op where the RDD escape
+  // hatch is the right tool (builder guide preference (d)).
+  //
+  // Exactness: ids are ranks in the unique total order (source, doc_id) —
+  // integer-determined, so ANY choice of range bounds (Spark samples them)
+  // yields the identical output relation the oracle's row_number computes.
+  // ---------------------------------------------------------------------------
+  def denseIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parted = Tables.documents(s, dir)
+      .select($"source", $"doc_id")
+      .repartitionByRange(32, $"source", $"doc_id")
+      .sortWithinPartitions($"source", $"doc_id")
+    parted.rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i) }
+      .toDF("source", "doc_id", "row_id")
+  }
+  val denseIdsSql: String =
+    """SELECT source, doc_id,
+      |       row_number() OVER (ORDER BY source, doc_id) - 1 AS row_id
+      |FROM documents
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Vacuum planning — the storage-reclamation ledger of the dedup pass:
+  // after exact dedup (keep = min doc_id per content hash, the q_dedup_exact
+  // rule), how many bytes does each file stripe shed? The planner joins the
+  // keep-list against the same stripe layout the compaction planner uses
+  // and reports per-stripe dropped/live bytes — the input a rewrite
+  // scheduler ranks stripes by (reclaim high, live low first). Scale: the
+  // hash-groupBy is the dedup pass itself; everything after is a stripe-
+  // grained aggregate over integer byte counts.
+  // ---------------------------------------------------------------------------
+  def vacuumPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"doc_id", expr("CAST(n_chars AS BIGINT)").as("bytes"),
+        md5($"text".cast("binary")).as("h"))
+    val keep = docs.groupBy($"h").agg(min($"doc_id").as("keep_id"))
+    docs.join(keep, "h")
+      .withColumn("dropped", $"doc_id" =!= $"keep_id")
+      .groupBy($"source", (($"doc_id" / StripeW).cast("long")).as("file_id"))
+      .agg(
+        sum(when($"dropped", 1L).otherwise(0L)).cast("long").as("n_dropped"),
+        sum(when($"dropped", $"bytes").otherwise(0L)).cast("long").as("reclaim_bytes"),
+        sum(when(!$"dropped", $"bytes").otherwise(0L)).cast("long").as("live_bytes"))
+  }
+  val vacuumPlanSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes, md5(text) AS h
+       |  FROM documents),
+       |keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h)
+       |SELECT source, CAST(doc_id // $StripeW AS BIGINT) AS file_id,
+       |       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(sum(CASE WHEN doc_id <> keep_id THEN bytes ELSE 0 END) AS BIGINT) AS reclaim_bytes,
+       |       CAST(sum(CASE WHEN doc_id = keep_id THEN bytes ELSE 0 END) AS BIGINT) AS live_bytes
+       |FROM d JOIN keep USING (h)
+       |GROUP BY 1, 2
+       |""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compaction_plan" -> compactionPlan _,
+    "q_dense_ids"       -> denseIds _,
+    "q_vacuum_plan"     -> vacuumPlan _)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_compaction_plan" -> compactionPlanSql,
+    "q_dense_ids"       -> denseIdsSql,
+    "q_vacuum_plan"     -> vacuumPlanSql)
+}

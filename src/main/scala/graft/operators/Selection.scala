@@ -387,7 +387,95 @@ object Selection {
        |    AND (b.n_tokens > a.n_tokens OR b.distinct_tokens > a.distinct_tokens))
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Priority sampling (Duffield, Lund & Thorup, JACM 2007): the weighted
+  // without-replacement sampling scheme whose k-sample supports unbiased
+  // subset-sum estimation with near-optimal variance — the right primitive
+  // for "estimate corpus statistics from a tiny stored sample" at 100 TB.
+  // Each row gets priority q = w / u with u uniform in (0,1]; the sample is
+  // the top-k by q per stratum, and with τ = the (k+1)-th priority the
+  // estimator ŵ = max(w, τ) is unbiased for every row's weight (rows beyond
+  // the sample estimate 0). Strata smaller than k+1 are taken whole (τ = 0,
+  // estimate exact).
+  //
+  // Cross-engine exactness: u is a DYADIC rational — a 52-bit md5-derived
+  // integer h mapped to (h+1)/2^52 — so u, q = w/u, and max(w, τ) are all
+  // single IEEE operations both engines perform identically; the estimator
+  // sum over the ≤k sampled rows is an ORDERED left fold (by doc_id) so
+  // summation order cannot matter — priorities are unbounded (w/u with u
+  // down to 2⁻⁵²), which rules out both decimal casts (Spark's
+  // double→decimal goes through the shortest string repr, not the exact
+  // value) and fixed-point integer accumulation (overflow): the k-element
+  // ordered fold is the only exact form, and k is tiny by construction.
+  // Randomness is the hash, so the "draw" is
+  // reproducible — the property tests re-check the estimator against the
+  // exact stratum totals on every run.
+  //
+  // Scale: ONE scan; the only shuffle carries (source, doc_id, w, q) into a
+  // per-stratum top-(k+1) — with a rank-k windowed filter Spark runs this
+  // as partial top-k inside each map task (WindowGroupLimit pushdown), so
+  // the exchange is k+1 rows per stratum per mapper, never the corpus.
+  // ---------------------------------------------------------------------------
+  private val SampleK = 10
+  private val U52 = "4503599627370496.0" // 2^52 as an exact double literal
+  private val uExprSpark =
+    s"(CAST(CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 13), 16, 10) AS BIGINT) AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST($U52 AS DOUBLE)"
+  private val uExprDuck =
+    s"(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST($U52 AS DOUBLE)"
+
+  def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pri = Tables.documents(s, dir)
+      .selectExpr("source", "doc_id", "CAST(n_chars AS BIGINT) AS w",
+        s"CAST(n_chars AS DOUBLE) / ($uExprSpark) AS q")
+    val w = Window.partitionBy($"source").orderBy($"q".desc, $"doc_id".asc)
+    val ranked = pri.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= SampleK + 1)
+    // τ per stratum = the (k+1)-th priority (0.0 when the stratum has ≤ k
+    // rows); the sample is ranks 1..k estimating ŵ = max(w, τ).
+    val tau = ranked.groupBy($"source")
+      .agg(max(when($"rk" === SampleK + 1, $"q").otherwise(lit(0.0))).as("tau"))
+    val est = ranked.filter($"rk" <= SampleK)
+      .join(broadcast(tau), "source")
+      .selectExpr("source", "doc_id",
+        "greatest(CAST(w AS DOUBLE), tau) AS w_est", "tau")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"), max($"tau").as("tau"),
+        expr("aggregate(transform(array_sort(collect_list(struct(doc_id, w_est))), x -> x.w_est), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("est_total"))
+    val truth = Tables.documents(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(n_chars AS BIGINT)")).cast("long").as("true_total"))
+    truth.join(est, "source")
+      .select($"source", $"n_rows", $"n_sampled", $"tau", $"est_total", $"true_total")
+  }
+  val prioritySampleSql: String =
+    s"""WITH pri AS (
+       |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+       |         CAST(n_chars AS DOUBLE) / ($uExprDuck) AS q
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rk
+       |  FROM pri),
+       |tau AS (
+       |  SELECT source, max(CASE WHEN rk = ${SampleK + 1} THEN q ELSE CAST(0.0 AS DOUBLE) END) AS tau
+       |  FROM ranked WHERE rk <= ${SampleK + 1} GROUP BY source),
+       |est AS (
+       |  SELECT r.source, count(*) AS n_sampled, max(t.tau) AS tau,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list(greatest(CAST(w AS DOUBLE), t.tau) ORDER BY doc_id)),
+       |           (a, x) -> a + x) AS est_total
+       |  FROM ranked r JOIN tau t ON r.source = t.source
+       |  WHERE rk <= $SampleK GROUP BY r.source),
+       |truth AS (
+       |  SELECT source, count(*) AS n_rows,
+       |         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS true_total
+       |  FROM documents GROUP BY source)
+       |SELECT source, n_rows, n_sampled, tau, est_total, true_total
+       |FROM truth JOIN est USING (source)
+       |""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priority_sample" -> prioritySample _,
     "q_dsir_weights"    -> dsirWeights _,
     "q_ridge_fit"       -> ridgeFit _,
     "q_ridge_by_source" -> ridgeBySource _,
@@ -396,6 +484,7 @@ object Selection {
     "q_pareto_incr"     -> paretoIncr _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_priority_sample" -> prioritySampleSql,
     "q_dsir_weights"    -> dsirWeightsSql,
     "q_ridge_fit"       -> ridgeFitSql,
     "q_ridge_by_source" -> ridgeBySourceSql,

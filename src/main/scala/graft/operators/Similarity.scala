@@ -1208,6 +1208,157 @@ object Similarity {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Int8 scalar quantization (SQ8) — the standard 4× compression step for
+  // embedding storage/serving (FAISS ScalarQuantizer, Milvus/pgvector SQ8):
+  // per-dimension min/max over the corpus define an affine grid; each float
+  // becomes an 8-bit code c = ⌊(v−mn)·255/span + ½⌋. The search path scores
+  // against DEQUANTIZED vectors (mn + c·span/255) so the stored index is
+  // pure int8 + a 2·d-double codebook, and q_sq8_recall reports per-query
+  // recall@k against the float brute-force truth — the quantization-loss
+  // twin of q_ann_recall's index-loss report.
+  //
+  // Exactness: min/max of floats are exact; the quantize and dequantize
+  // expressions are shared-order IEEE arithmetic (floor, not round —
+  // half-up rounding of a positive grid offset, identical both engines);
+  // codes are integers, so the dequantized doubles and their cosines are
+  // bit-identical across engines. Scale: the codebook is one 2·d-double
+  // row (broadcast); quantization is a map; at rest the codes column IS
+  // the stored index (4× smaller scans than float32).
+  // ---------------------------------------------------------------------------
+  /** One-row SQ8 codebook: per-dimension min and span as ordered arrays
+    * (see [[sq8CodebookOf]] for training on an arbitrary vector slice). */
+  private def sq8Codebook(s: SparkSession, dir: String): DataFrame =
+    sq8CodebookOf(Tables.embeddings(s, dir))
+  private val sq8CodeSpark =
+    "transform(embedding, (v, i) -> CASE WHEN element_at(span_arr, i+1) > CAST(0.0 AS DOUBLE)" +
+      " THEN CAST(floor((CAST(v AS DOUBLE) - element_at(mn_arr, i+1)) * CAST(255.0 AS DOUBLE) / element_at(span_arr, i+1) + CAST(0.5 AS DOUBLE)) AS BIGINT)" +
+      " ELSE CAST(0 AS BIGINT) END)"
+  private val sq8DeqSpark =
+    "transform(codes, (c, i) -> element_at(mn_arr, i+1) + CAST(c AS DOUBLE) * element_at(span_arr, i+1) / CAST(255.0 AS DOUBLE))"
+  private val sq8CodeDuck =
+    "list_transform(range(1, len(embedding)+1), i -> CASE WHEN span_arr[i] > CAST(0.0 AS DOUBLE)" +
+      " THEN CAST(floor((embedding[i]::DOUBLE - mn_arr[i]) * CAST(255.0 AS DOUBLE) / span_arr[i] + CAST(0.5 AS DOUBLE)) AS BIGINT)" +
+      " ELSE CAST(0 AS BIGINT) END)"
+  private val sq8DeqDuck =
+    "list_transform(range(1, len(codes)+1), i -> mn_arr[i] + CAST(codes[i] AS DOUBLE) * span_arr[i] / CAST(255.0 AS DOUBLE))"
+
+  def sq8Recall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val dq = Tables.embeddings(s, dir)
+      .crossJoin(broadcast(sq8Codebook(s, dir)))
+      .selectExpr("vec_id", s"$sq8CodeSpark AS codes", "mn_arr", "span_arr")
+      .selectExpr("vec_id", s"$sq8DeqSpark AS dq")
+      .selectExpr("vec_id", "dq", s"sqrt(${dotDD("dq", "dq")}) AS nrm")
+    val q = dq.filter($"vec_id" < NQUERY).toDF("qid", "qe", "qnrm")
+    val c = dq.toDF("nid", "ne", "nnrm")
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid".asc)
+    val sel = broadcast(q).join(c, $"qid" =!= $"nid")
+      .withColumn("cosine", expr(s"${dotDD("qe", "ne")} / (qnrm * nnrm)"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TOPK)
+      .select($"qid", $"nid")
+    val truth = knnBrute(s, dir).select($"qid", $"nid")
+    val hits = sel.join(truth, Seq("qid", "nid"))
+      .groupBy($"qid").agg(count(lit(1)).as("h"))
+    truth.select($"qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .selectExpr("qid", s"CAST($TOPK AS BIGINT) AS k",
+        "coalesce(h, 0L) AS hits",
+        s"CAST(coalesce(h, 0L) AS DOUBLE) / CAST($TOPK AS DOUBLE) AS recall")
+  }
+  val sq8RecallSql: String =
+    s"""WITH stats AS (
+       |  SELECT pos, min(v) AS mn, max(v) AS mx
+       |  FROM (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+       |        FROM embeddings) u
+       |  GROUP BY pos),
+       |art AS (
+       |  SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mn_arr,
+       |         list(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE) ORDER BY pos) AS span_arr
+       |  FROM stats),
+       |coded AS (
+       |  SELECT vec_id, $sq8CodeDuck AS codes, mn_arr, span_arr
+       |  FROM embeddings, art),
+       |dqt AS (
+       |  SELECT vec_id, $sq8DeqDuck AS dq FROM coded),
+       |nrm AS (
+       |  SELECT vec_id, dq, sqrt(${dotD("dq", "dq")}) AS nrm FROM dqt),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         ${dotD("q.dq", "c.dq")} / (q.nrm * c.nrm) AS cosine
+       |  FROM nrm q JOIN nrm c ON q.vec_id < $NQUERY AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+       |  FROM scored),
+       |sel AS (SELECT qid, nid FROM ranked WHERE rank <= $TOPK),
+       |truth AS (SELECT qid, nid FROM (${knnBruteSql.trim}) t),
+       |hits AS (SELECT qid, count(*) AS h FROM sel JOIN truth USING (qid, nid) GROUP BY qid)
+       |SELECT qid, CAST($TOPK AS BIGINT) AS k,
+       |       coalesce(h, 0) AS hits,
+       |       CAST(coalesce(h, 0) AS DOUBLE) / CAST($TOPK AS DOUBLE) AS recall
+       |FROM (SELECT DISTINCT qid FROM truth) q LEFT JOIN hits USING (qid)
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // SQ8 drift: quantize a DELTA batch against the STORED codebook — the
+  // incremental-maintenance twin of q_sq8_recall (same 90/10 vec_id split
+  // convention as the other _incr passes). New vectors whose components
+  // fall outside the frozen [mn, mn+span] grid produce out-of-range raw
+  // codes; the per-vector clip count is the retraining signal every
+  // quantized index needs (FAISS's "retrain when distribution shifts"
+  // rule made measurable). At rest the codebook is a 2·d-double artifact;
+  // scoring a delta is a stateless broadcast map — no corpus access.
+  // ---------------------------------------------------------------------------
+  private def sq8CodebookOf(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    src.select(posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"pos").agg(min($"v").as("mn"), max($"v").as("mx"))
+      .agg(collect_list(struct($"pos", $"mn", $"mx")).as("rows"))
+      .selectExpr(
+        "transform(array_sort(rows), x -> CAST(x.mn AS DOUBLE)) AS mn_arr",
+        "transform(array_sort(rows), x -> CAST(x.mx AS DOUBLE) - CAST(x.mn AS DOUBLE)) AS span_arr")
+  }
+
+  def sq8Drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val split = e.selectExpr("((max(vec_id) + 1) * 9) div 10 AS sp")
+    val corpus = e.join(broadcast(split), $"vec_id" < $"sp", "inner")
+      .select($"vec_id", $"embedding")
+    val delta = e.join(broadcast(split), $"vec_id" >= $"sp", "inner")
+      .select($"vec_id", $"embedding")
+    delta.crossJoin(broadcast(sq8CodebookOf(corpus)))
+      .selectExpr("vec_id", "size(embedding) AS dim", s"$sq8CodeSpark AS codes")
+      .selectExpr("vec_id", "CAST(dim AS BIGINT) AS dim",
+        "CAST(size(filter(codes, c -> c < 0 OR c > 255)) AS BIGINT) AS n_clipped")
+      .selectExpr("vec_id", "dim", "n_clipped",
+        "CAST(n_clipped AS DOUBLE) / CAST(dim AS DOUBLE) AS clip_rate")
+  }
+  val sq8DriftSql: String =
+    s"""WITH sp AS (SELECT ((max(vec_id) + 1) * 9) // 10 AS sp FROM embeddings),
+       |stats AS (
+       |  SELECT pos, min(v) AS mn, max(v) AS mx
+       |  FROM (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+       |        FROM embeddings, sp WHERE vec_id < sp) u
+       |  GROUP BY pos),
+       |art AS (
+       |  SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mn_arr,
+       |         list(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE) ORDER BY pos) AS span_arr
+       |  FROM stats),
+       |coded AS (
+       |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, $sq8CodeDuck AS codes
+       |  FROM embeddings, sp, art WHERE vec_id >= sp)
+       |SELECT vec_id, dim,
+       |       CAST(len(list_filter(codes, c -> c < 0 OR c > 255)) AS BIGINT) AS n_clipped,
+       |       CAST(CAST(len(list_filter(codes, c -> c < 0 OR c > 255)) AS BIGINT) AS DOUBLE)
+       |         / CAST(dim AS DOUBLE) AS clip_rate
+       |FROM coded
+       |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher
   // SIGIR 2009) of a lexical and a semantic ranking over the SAME corpus —
   // the testdata contract aligns doc_id ≡ vec_id, so a query document has
@@ -1817,6 +1968,8 @@ object Similarity {
     "q_srp_sig"         -> srpSig _,
     "q_knn_srp"         -> knnSrp _,
     "q_ann_recall"      -> annRecall _,
+    "q_sq8_recall"      -> sq8Recall _,
+    "q_sq8_drift"       -> sq8Drift _,
     "q_semdedup"        -> semdedup _,
     "q_knn_graph"       -> knnGraph _,
     "q_lpa_communities" -> lpaCommunities _,
@@ -1850,6 +2003,8 @@ object Similarity {
     "q_srp_sig"         -> srpSigSql,
     "q_knn_srp"         -> knnSrpSql,
     "q_ann_recall"      -> annRecallSql,
+    "q_sq8_recall"      -> sq8RecallSql,
+    "q_sq8_drift"       -> sq8DriftSql,
     "q_semdedup"        -> semdedupSql,
     "q_knn_graph"       -> knnGraphSql,
     "q_lpa_communities" -> lpaCommunitiesSql,

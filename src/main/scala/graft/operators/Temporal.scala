@@ -132,12 +132,56 @@ object Temporal {
       |GROUP BY e.event_id, e.user_id
       |""".stripMargin
 
+  /** First-touch revenue attribution: each purchase's value is credited to
+    * the event type that OPENED the user's preceding hour of activity — the
+    * marketing-attribution window query. Shape: one range-frame window
+    * (min ts over [t−1h, t] per user — a single shuffle on user_id, exactly
+    * the sessionizer's partitioning) finds the touch instant; the touch's
+    * type comes from a (user, ts)-deduped self-join (min event_type on ties,
+    * identically both engines). Revenue folds in integer cents (exact). */
+  def firstTouch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tsu"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy($"user_id").orderBy($"tsu".asc)
+      .rangeBetween(-HourUs, 0)
+    val touched = ev.withColumn("first_us", min($"tsu").over(w))
+      .filter($"event_type" === "purchase")
+    val touchType = ev.groupBy($"user_id", $"tsu".as("first_us"))
+      .agg(min($"event_type").as("touch_type"))
+    touched.join(touchType, Seq("user_id", "first_us"))
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"cents").cast("long").as("revenue_cents"))
+  }
+  val firstTouchSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_type, cents,
+      |         min(tsu) OVER (PARTITION BY user_id ORDER BY tsu
+      |           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS first_us
+      |  FROM ev),
+      |t AS (SELECT user_id, tsu AS first_us, min(event_type) AS touch_type
+      |      FROM ev GROUP BY 1, 2)
+      |SELECT touch_type, count(*) AS n_purchases,
+      |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM f JOIN t USING (user_id, first_us)
+      |WHERE f.event_type = 'purchase'
+      |GROUP BY touch_type
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join"  -> asofAttribution _,
-    "q_range_join" -> rangeJoinCount _,
+    "q_asof_join"   -> asofAttribution _,
+    "q_range_join"  -> rangeJoinCount _,
+    "q_attribution" -> firstTouch _,
   )
   val oracleSql: Map[String, String] = Map(
-    "q_asof_join"  -> asofAttributionSql,
-    "q_range_join" -> rangeJoinCountSql,
+    "q_asof_join"   -> asofAttributionSql,
+    "q_range_join"  -> rangeJoinCountSql,
+    "q_attribution" -> firstTouchSql,
   )
 }

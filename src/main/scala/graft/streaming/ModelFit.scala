@@ -53,4 +53,50 @@ object ModelFit {
           } else Iterator.empty
       }
   }
+
+  // -------------------------------------------------------------------------
+  // Streaming CLASSIFIER fit — the online twin of q_logit_fit's first
+  // Newton step: at the w = 0 linearization the logistic gradient and
+  // Hessian are INTEGER sufficient statistics (Σ(2y−1)xᵢ and X'X — see
+  // [[graft.operators.Classify]]), so the same state-fold-then-closed-form
+  // shape applies verbatim: 9 longs of state per source, exact under any
+  // arrival order or restart replay, finished by the Scala mirror of the
+  // batch Cramer SQL ([[Classify.solveLogit1]]) so emitted weights are
+  // bit-identical to the batch step-1 relation over the union of batches.
+  // The full damped second step needs the frozen w₁ to score every past
+  // row — inherently a second pass, so online serving uses the step-1
+  // model and the nightly batch refits both steps (spec-gated twin).
+  // -------------------------------------------------------------------------
+  case class LogitDoc(doc_id: Long, source: String, x1: Long, x2: Long, y: Long)
+  case class LogitState(n: Long, s1: Long, s2: Long, s11: Long, s12: Long,
+                        s22: Long, g0: Long, g1: Long, g2: Long)
+  case class LogitOut(source: String, n_docs: Long,
+                      w0: Double, w1: Double, w2: Double)
+
+  def fitLogit1(docs: Dataset[LogitDoc]): Dataset[LogitOut] = {
+    implicit val stateEnc = Encoders.product[LogitState]
+    implicit val outEnc = Encoders.product[LogitOut]
+    implicit val keyEnc = Encoders.STRING
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[LogitState, LogitOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[LogitDoc], state: GroupState[LogitState]) =>
+          var t = state.getOption.getOrElse(LogitState(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          var any = false
+          batch.foreach { d =>
+            any = true
+            val sgn = 2 * d.y - 1
+            t = LogitState(t.n + 1, t.s1 + d.x1, t.s2 + d.x2,
+              t.s11 + d.x1 * d.x1, t.s12 + d.x1 * d.x2, t.s22 + d.x2 * d.x2,
+              t.g0 + sgn, t.g1 + sgn * d.x1, t.g2 + sgn * d.x2)
+          }
+          if (any) {
+            state.update(t)
+            val (w0, w1, w2) = graft.operators.Classify.solveLogit1(
+              t.n, t.s1, t.s2, t.s11, t.s12, t.s22, t.g0, t.g1, t.g2)
+            Iterator(LogitOut(src, t.n, w0, w1, w2))
+          } else Iterator.empty
+      }
+  }
 }

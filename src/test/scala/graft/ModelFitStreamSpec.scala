@@ -64,4 +64,41 @@ class ModelFitStreamSpec extends AnyFunSuite {
     val emitted = spark.read.parquet(out).as[ModelOut].collect()
     assert(emitted.length > last.size, "expected per-batch emissions")
   }
+
+  test("streamed logit step-1 weights equal the batch SQL solve bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ModelFit.{LogitDoc, LogitOut}
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source",
+        "cast(size(split(trim(text), '\\\\s+')) as bigint) AS x1",
+        "cast(size(filter(split(trim(text), '\\\\s+'), t -> t in ('the','a','of','and','to','in','is'))) as bigint) AS x2",
+        "CASE WHEN lang = 'en' THEN 1L ELSE 0L END AS y")
+      .as[LogitDoc].collect().sortBy(_.doc_id)
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val cp = java.nio.file.Files.createTempDirectory("lf_cp").toString
+    val out = java.nio.file.Files.createTempDirectory("lf_out").toString
+    val mem = MemoryStream[LogitDoc]
+    def start() = ModelFit.fitLogit1(mem.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .option("path", out)
+      .format("parquet").start()
+    val q1 = start()
+    try { mem.addData(h1.toIndexedSeq); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(h2.toIndexedSeq); q2.processAllAvailable() } finally q2.stop()
+    val last = spark.read.parquet(out).as[LogitOut].collect()
+      .groupBy(_.source).map { case (s, rs) => s -> rs.maxBy(_.n_docs) }
+    // batch side: the step-1 SQL expression text over each source's slice —
+    // proves the Scala mirror (stream finisher) IS the SQL solve
+    last.foreach { case (src, m) =>
+      val f = graft.operators.Classify.feats(spark, sf)
+        .filter($"source" === src)
+      val b = graft.operators.Classify.step1(f).collect()(0)
+      assert(m.n_docs == b.getLong(0), s"source $src doc count")
+      assert(m.w0 == b.getDouble(1) && m.w1 == b.getDouble(2) && m.w2 == b.getDouble(3),
+        s"source $src: streamed (${m.w0},${m.w1},${m.w2}) != batch SQL (${b.getDouble(1)},${b.getDouble(2)},${b.getDouble(3)})")
+    }
+  }
 }
