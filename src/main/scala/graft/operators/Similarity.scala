@@ -1258,11 +1258,13 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= TOPK)
       .select($"qid", $"nid")
+    // truth is NQUERY·k rows by construction — broadcast both result-side
+    // joins so no stats-blind SMJ exchange appears between tiny relations
     val truth = knnBrute(s, dir).select($"qid", $"nid")
-    val hits = sel.join(truth, Seq("qid", "nid"))
+    val hits = sel.join(broadcast(truth), Seq("qid", "nid"))
       .groupBy($"qid").agg(count(lit(1)).as("h"))
     truth.select($"qid").distinct()
-      .join(hits, Seq("qid"), "left")
+      .join(broadcast(hits), Seq("qid"), "left")
       .selectExpr("qid", s"CAST($TOPK AS BIGINT) AS k",
         "coalesce(h, 0L) AS hits",
         s"CAST(coalesce(h, 0L) AS DOUBLE) / CAST($TOPK AS DOUBLE) AS recall")

@@ -134,11 +134,13 @@ object Temporal {
 
   /** First-touch revenue attribution: each purchase's value is credited to
     * the event type that OPENED the user's preceding hour of activity — the
-    * marketing-attribution window query. Shape: one range-frame window
-    * (min ts over [t−1h, t] per user — a single shuffle on user_id, exactly
-    * the sessionizer's partitioning) finds the touch instant; the touch's
-    * type comes from a (user, ts)-deduped self-join (min event_type on ties,
-    * identically both engines). Revenue folds in integer cents (exact). */
+    * marketing-attribution window query. Shape: ONE range-frame window per
+    * user (the sessionizer's partitioning) computing min(struct(ts, type))
+    * over [t−1h, t] — the struct-min carries the touch's type out of the
+    * frame directly, so there is no self-join back to resolve the touch
+    * instant and the only corpus exchange is the user_id hash. Struct
+    * ordering is lexicographic (ts, then type) in both engines, which
+    * makes equal-µs ties deterministic. Revenue folds in integer cents. */
   def firstTouch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -146,12 +148,9 @@ object Temporal {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val w = Window.partitionBy($"user_id").orderBy($"tsu".asc)
       .rangeBetween(-HourUs, 0)
-    val touched = ev.withColumn("first_us", min($"tsu").over(w))
+    ev.withColumn("touch", min(struct($"tsu", $"event_type")).over(w))
       .filter($"event_type" === "purchase")
-    val touchType = ev.groupBy($"user_id", $"tsu".as("first_us"))
-      .agg(min($"event_type").as("touch_type"))
-    touched.join(touchType, Seq("user_id", "first_us"))
-      .groupBy($"touch_type")
+      .groupBy($"touch.event_type".as("touch_type"))
       .agg(count(lit(1)).as("n_purchases"),
         sum($"cents").cast("long").as("revenue_cents"))
   }
@@ -162,16 +161,15 @@ object Temporal {
       |  FROM events),
       |f AS (
       |  SELECT user_id, event_type, cents,
-      |         min(tsu) OVER (PARTITION BY user_id ORDER BY tsu
-      |           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS first_us
-      |  FROM ev),
-      |t AS (SELECT user_id, tsu AS first_us, min(event_type) AS touch_type
-      |      FROM ev GROUP BY 1, 2)
-      |SELECT touch_type, count(*) AS n_purchases,
+      |         min(struct_pack(tsu := tsu, event_type := event_type)) OVER (
+      |           PARTITION BY user_id ORDER BY tsu
+      |           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS touch
+      |  FROM ev)
+      |SELECT touch.event_type AS touch_type, count(*) AS n_purchases,
       |       CAST(sum(cents) AS BIGINT) AS revenue_cents
-      |FROM f JOIN t USING (user_id, first_us)
+      |FROM f
       |WHERE f.event_type = 'purchase'
-      |GROUP BY touch_type
+      |GROUP BY touch.event_type
       |""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -342,4 +342,44 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("logit fit: two corpus passes (one per Newton step), weights broadcast") {
+    // a Newton step IS a corpus scan — two steps, two scans, never more;
+    // the step-1 weights reach the scoring pass by broadcast, not shuffle
+    val plan = executed(Classify.logitFit(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("priority sample: per-stratum top-(k+1) is map-side limited before the shuffle") {
+    // the rank filter must compile to WindowGroupLimit so each map task
+    // forwards only k+1 rows per stratum — without it the exchange carries
+    // the whole corpus to the window
+    val plan = executed(Selection.prioritySample(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("compaction plan: the listing aggregate shuffles once, the window reuses it") {
+    // files are (source, stripe) aggregates; the per-source running sum
+    // must not introduce a second corpus-sized exchange
+    val plan = executed(Lakehouse.compactionPlan(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("sq8: codebook broadcasts; quantization adds no exchange before the top-k window") {
+    val plan = executed(Similarity.sq8Recall(spark, sf))
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("attribution: one user-window exchange; the touch join keeps the window partitioning") {
+    // both window and touch-type dedup hash by user_id — the join must not
+    // add a third corpus exchange on a different key
+    val plan = executed(Temporal.firstTouch(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
