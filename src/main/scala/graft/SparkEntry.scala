@@ -24,7 +24,7 @@ object SparkEntry {
       Temporal.queries ++ CurationPipeline.queries ++ DecisionSupport.queries ++
       Collections.queries ++ Graph.queries ++ ZOrder.queries ++
       Eval.queries ++ Selection.queries ++ Classify.queries ++
-      Lakehouse.queries ++ graft.sources.Sources.queries
+      Lakehouse.queries ++ Governance.queries ++ graft.sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       Temporal.oracleSql ++ CurationPipeline.oracleSql ++ DecisionSupport.oracleSql ++
       Collections.oracleSql ++ Graph.oracleSql ++ ZOrder.oracleSql ++
       Eval.oracleSql ++ Selection.oracleSql ++ Classify.oracleSql ++
-      Lakehouse.oracleSql ++ graft.sources.Sources.oracleSql
+      Lakehouse.oracleSql ++ Governance.oracleSql ++ graft.sources.Sources.oracleSql
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-governance operators over the customer/part dimensions — the
+  * release-gate layer a training-data platform runs before data leaves the
+  * curated zone (reference analogue: the role-based masking view,
+  * `superset/init_superset.sh` dataset permissions, generalized here to the
+  * standard privacy/quality gates).
+  *
+  * Everything is exact integer arithmetic — class counts, distinct counts,
+  * edit distances — so the DuckDB oracle must agree bit-for-bit.
+  */
+object Governance {
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala 2007).
+    *
+    * Quasi-identifier = (c_nationkey, account-balance band); sensitive
+    * attribute = c_mktsegment. Every equivalence class reports its size k,
+    * its sensitive-value diversity l, and whether a k≥5 / l≥2 release
+    * policy would suppress it.
+    *
+    * Scale shape: ONE hash aggregate on the QI tuple — the class relation
+    * is bounded by the QI domain (nations × bands), not the table, so the
+    * audit output stays tiny at any corpus size; the only exchange is the
+    * groupBy. Banding note: balances can be negative and Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so cents are
+    * shifted into the positive range BEFORE the divide — the band rule
+    * must be engine-independent or the audit itself leaks rows across
+    * class boundaries. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 5
+    val L = 2
+    val classes = Tables.customer(s, dir)
+      .select($"c_nationkey", $"c_mktsegment",
+        // $2,000 bands over cents shifted by +$10,000 (balance floor is
+        // -$999.99): always-positive integer division, floor==truncate.
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) div 200000")
+          .as("bal_band"))
+      .groupBy($"c_nationkey", $"bal_band")
+      .agg(count(lit(1)).as("k"),
+        countDistinct($"c_mktsegment").as("l_div"))
+    classes.select($"c_nationkey", $"bal_band", $"k", $"l_div",
+      ($"k" < K || $"l_div" < L).as("suppress"))
+  }
+  val kAnonymitySql: String =
+    """SELECT c_nationkey,
+      |       (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 200000 AS bal_band,
+      |       count(*) AS k,
+      |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+      |       (count(*) < 5 OR count(DISTINCT c_mktsegment) < 2) AS suppress
+      |FROM customer
+      |GROUP BY 1, 2
+      |""".stripMargin
+
+  /** Blocked fuzzy entity resolution over the part catalog — the
+    * record-linkage primitive (Fellegi–Sunter blocking + edit-distance
+    * comparison): candidate pairs come ONLY from blocks sharing
+    * (name noun, brand, size decade), each pair is scored with exact
+    * Levenshtein distance, and the report aggregates match tiers per
+    * (noun, brand).
+    *
+    * Scale shape: blocking is the whole design — the quadratic pair space
+    * (n²/2 ≈ 25M at sf0.1 on the noun alone) is cut to the sum of
+    * per-block squares (~200k pairs) by the composite key, and block
+    * sizes are bounded by the key's selectivity, not the catalog size.
+    * The self-join shuffles once on the block key; the distance runs
+    * inside codegen (`levenshtein` is a native expression on both
+    * engines). At 100 TB the block key would add more components
+    * (sorted-neighborhood windows, phonetic keys) to keep the largest
+    * block's square bounded — same plan, richer key. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+      .select($"p_partkey", $"p_name", $"p_brand",
+        split($"p_name", " ").getItem(1).as("noun"),
+        expr("p_size div 10").as("size_band"))
+    val a = p.select($"p_partkey".as("ka"), $"p_name".as("na"),
+      $"noun", $"p_brand", $"size_band")
+    val b = p.select($"p_partkey".as("kb"), $"p_name".as("nb"),
+      $"noun", $"p_brand", $"size_band")
+    a.join(b, Seq("noun", "p_brand", "size_band"))
+      .filter($"ka" < $"kb")
+      .withColumn("d", levenshtein($"na", $"nb"))
+      .groupBy($"noun", $"p_brand")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"d" === 0, 1L).otherwise(0L)).cast("long").as("n_exact"),
+        sum(when($"d" >= 1 && $"d" <= 3, 1L).otherwise(0L)).cast("long").as("n_near"),
+        sum($"d").cast("long").as("sum_dist"))
+  }
+  val fuzzyMatchSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, p_brand,
+      |         split_part(p_name, ' ', 2) AS noun,
+      |         p_size // 10 AS size_band
+      |  FROM part)
+      |SELECT a.noun, a.p_brand,
+      |       count(*) AS n_pairs,
+      |       CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |       CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+      |       CAST(sum(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS sum_dist
+      |FROM p a JOIN p b
+      |  ON a.noun = b.noun AND a.p_brand = b.p_brand AND a.size_band = b.size_band
+      | AND a.p_partkey < b.p_partkey
+      |GROUP BY a.noun, a.p_brand
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anon"      -> kAnonymity _,
+    "q_fuzzy_match" -> fuzzyMatch _,
+  )
+  val oracleSql: Map[String, String] = Map(
+    "q_k_anon"      -> kAnonymitySql,
+    "q_fuzzy_match" -> fuzzyMatchSql,
+  )
+}

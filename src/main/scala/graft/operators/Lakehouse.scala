@@ -137,13 +137,92 @@ object Lakehouse {
        |GROUP BY 1, 2
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Incremental materialized-view maintenance (the counting algorithm,
+  // Gupta–Mumick): a per-user purchase rollup is maintained from a signed
+  // changelog — insertions carry +1/+cents, retractions −1/−cents — by
+  // merging the STORED base partials with the delta's partials and
+  // dropping groups whose multiplicity reaches zero. The view is never
+  // recomputed from raw history; the base partial relation is the at-rest
+  // artifact (same contract as the trained IVF centroids and stored
+  // cluster labels), so steady-state cost is O(delta) + a partial-sized
+  // merge, independent of corpus age. The oracle recomputes the view from
+  // scratch over (base ∖ deletes) ∪ inserts — maintenance and recompute
+  // must agree bit-for-bit, which is exactly the IVM correctness contract.
+  //
+  // The delta here is deterministic: rows after the cutoff are the insert
+  // batch; base rows in md5-bucket 0 (of 7) are the retraction batch —
+  // the engine-independent hash-bucket idiom q_ab_test established.
+  // ---------------------------------------------------------------------------
+  private val IvmCutoff = "2024-01-20 00:00:00"
+  private val ivmBaseCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ivmChangelog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+  }
+
+  /** Stored base partials: (user_id, n, cents) for the pre-cutoff view. */
+  private def ivmBasePartials(s: SparkSession, dir: String): DataFrame =
+    ivmBaseCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      graft.Materialize.eager(
+        ivmChangelog(s, dir)
+          .filter($"ts" < lit(java.sql.Timestamp.valueOf(IvmCutoff)))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), sum($"cents").cast("long").as("cents")),
+        pin = true)
+    })
+
+  def ivmAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit(java.sql.Timestamp.valueOf(IvmCutoff))
+    val ch = ivmChangelog(s, dir)
+    val bucket = expr(
+      "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+    val inserts = ch.filter($"ts" >= cutoff).withColumn("sign", lit(1L))
+    val deletes = ch.filter($"ts" < cutoff).filter(bucket === 0)
+      .withColumn("sign", lit(-1L))
+    val deltaPartials = inserts.union(deletes)
+      .groupBy($"user_id")
+      .agg(sum($"sign").cast("long").as("n"),
+        sum($"sign" * $"cents").cast("long").as("cents"))
+    ivmBasePartials(s, dir).union(deltaPartials)
+      .groupBy($"user_id")
+      .agg(sum($"n").cast("long").as("n_purchases"),
+        sum($"cents").cast("long").as("revenue_cents"))
+      .filter($"n_purchases" > 0)
+  }
+  val ivmAggSql: String =
+    s"""WITH ch AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |base AS (SELECT * FROM ch WHERE ts < TIMESTAMP '$IvmCutoff'),
+       |del AS (SELECT event_id FROM base
+       |        WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 = 0),
+       |live AS (
+       |  SELECT user_id, cents FROM base
+       |  WHERE event_id NOT IN (SELECT event_id FROM del)
+       |  UNION ALL
+       |  SELECT user_id, cents FROM ch WHERE ts >= TIMESTAMP '$IvmCutoff')
+       |SELECT user_id, count(*) AS n_purchases,
+       |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+       |FROM live GROUP BY user_id
+       |""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compaction_plan" -> compactionPlan _,
     "q_dense_ids"       -> denseIds _,
-    "q_vacuum_plan"     -> vacuumPlan _)
+    "q_vacuum_plan"     -> vacuumPlan _,
+    "q_ivm_agg"         -> ivmAgg _)
 
   def oracleSql: Map[String, String] = Map(
     "q_compaction_plan" -> compactionPlanSql,
     "q_dense_ids"       -> denseIdsSql,
-    "q_vacuum_plan"     -> vacuumPlanSql)
+    "q_vacuum_plan"     -> vacuumPlanSql,
+    "q_ivm_agg"         -> ivmAggSql)
 }

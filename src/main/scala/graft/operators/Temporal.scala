@@ -172,14 +172,69 @@ object Temporal {
       |GROUP BY touch.event_type
       |""".stripMargin
 
+  /** SCD2 point-in-time lookup (the temporal-dimension face of
+    * `q_scd2`): every click event is enriched with the purchase-dimension
+    * VERSION that was valid at the click's instant — the "what did this
+    * user's profile look like when they clicked" join every
+    * warehouse-with-history runs.
+    *
+    * Because SCD2 intervals per key are chained and non-overlapping, the
+    * interval-containment join (`valid_from <= ts < valid_to`) is exactly
+    * an AS-OF join on `valid_from` — so the distributed shape reuses
+    * [[asofJoin]]'s tag-union-window plan: one shuffle on the user key,
+    * no inequality pair explosion, regardless of how many versions a hot
+    * key accumulates. The oracle states the textbook interval predicate;
+    * two different algorithms must agree row-for-row.
+    *
+    * Versions are deduped to one per (user, ts) with the max event_id
+    * winning (`max_by` / `arg_max` — identical tie rule on both engines),
+    * which also removes the zero-length `[t, t)` intervals duplicate
+    * change timestamps would otherwise create. */
+  def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val versions = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("version_id"),
+        expr("max_by(value, event_id)").as("version_value"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    asofJoin(clicks, versions, "user_id", "ts",
+      Seq("version_id", "version_value"))
+      .select($"event_id", $"user_id", $"version_id", $"version_value",
+        (unix_micros($"ts") - unix_micros($"_rts")).as("age_us"))
+  }
+  val scd2LookupSql: String =
+    """WITH v AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+      |         max(event_id) AS version_id,
+      |         arg_max(value, event_id) AS version_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+      |dim AS (
+      |  SELECT user_id, valid_from, version_id, version_value,
+      |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+      |  FROM v),
+      |c AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, dim.version_id, dim.version_value,
+      |       epoch_us(c.ts) - epoch_us(dim.valid_from) AS age_us
+      |FROM c LEFT JOIN dim
+      |  ON dim.user_id = c.user_id AND dim.valid_from <= c.ts
+      | AND (dim.valid_to IS NULL OR c.ts < dim.valid_to)
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"   -> asofAttribution _,
     "q_range_join"  -> rangeJoinCount _,
     "q_attribution" -> firstTouch _,
+    "q_scd2_lookup" -> scd2Lookup _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_asof_join"   -> asofAttributionSql,
     "q_range_join"  -> rangeJoinCountSql,
     "q_attribution" -> firstTouchSql,
+    "q_scd2_lookup" -> scd2LookupSql,
   )
 }
