@@ -183,10 +183,16 @@ object Lakehouse {
     val ch = ivmChangelog(s, dir)
     val bucket = expr(
       "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
-    val inserts = ch.filter($"ts" >= cutoff).withColumn("sign", lit(1L))
-    val deletes = ch.filter($"ts" < cutoff).filter(bucket === 0)
-      .withColumn("sign", lit(-1L))
-    val deltaPartials = inserts.union(deletes)
+    // One scan for both delta batches: post-cutoff rows are inserts (+1),
+    // bucket-0 pre-cutoff rows are retractions (−1), everything else is
+    // not part of this delta. A union of two filters would scan the
+    // changelog twice (once per branch) — plan-gated at one scan.
+    val deltaPartials = ch
+      .withColumn("sign",
+        when($"ts" >= cutoff, 1L)
+          .when(bucket === 0, -1L)
+          .otherwise(lit(null).cast("long")))
+      .filter($"sign".isNotNull)
       .groupBy($"user_id")
       .agg(sum($"sign").cast("long").as("n"),
         sum($"sign" * $"cents").cast("long").as("cents"))

@@ -382,4 +382,34 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("k-anonymity audit: one scan, pure aggregation, no joins") {
+    val plan = executed(Governance.kAnonymity(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("fuzzy match: blocked equi-join — never a cartesian pair explosion") {
+    // the blocking key must reach the join condition; an unkeyed similarity
+    // join would compile to a nested-loop product and die at scale
+    val plan = executed(Governance.fuzzyMatch(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("scd2 lookup: the interval join is a window, not a join") {
+    // chained non-overlapping intervals let the point-in-time lookup run as
+    // an as-of tag-union-window — the executed plan must contain NO join
+    // operator at all (an inequality interval join explodes on hot keys)
+    val plan = executed(Temporal.scd2Lookup(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"), plan)
+  }
+
+  test("IVM: maintenance scans only the delta — base partials come from the artifact") {
+    // the whole point of the counting algorithm: the raw pre-cutoff history
+    // is never re-read; one changelog scan feeds both signed delta batches
+    val plan = executed(Lakehouse.ivmAgg(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
 }
