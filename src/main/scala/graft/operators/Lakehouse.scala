@@ -220,15 +220,69 @@ object Lakehouse {
        |FROM live GROUP BY user_id
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Bitmap-index audience overlap (the roaring-bitmap segment primitive):
+  // each event type's audience is folded into a packed-word bitmap relation
+  // (word_idx → bit_or of 1 << (user_id mod 63)) — ONE distinct pass over
+  // the fact table builds every segment's bitmap — and all pairwise
+  // intersection cardinalities come from word-aligned AND + popcount over
+  // the bitmaps alone. The oracle computes the same overlap by the direct
+  // m⋈m distinct-pair join, so two completely different set algebras must
+  // agree on every |A|, |B|, |A∩B|, |A∪B|.
+  //
+  // Scale: a segment bitmap is |keyspace|/63 rows regardless of fact
+  // volume (the at-rest index artifact); intersections never touch the
+  // fact table, and the bitmap join keys are (word_idx) — dense integers
+  // that co-partition for free. 63-bit words keep shifts off the sign bit
+  // (the bloom-filter packing rule). Pairs with an empty intersection are
+  // dropped on both engines (the word join can surface AND=0 rows the
+  // oracle's inner join never sees).
+  // ---------------------------------------------------------------------------
+  def bitmapOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.events(s, dir).select($"event_type", $"user_id").distinct()
+    val bm = graft.Materialize.eager(
+      m.selectExpr("event_type", "user_id div 63 AS wi",
+          "shiftleft(1L, cast(user_id % 63 as int)) AS b")
+        .groupBy($"event_type", $"wi")
+        .agg(expr("bit_or(b)").as("w")))
+    val counts = bm.selectExpr("event_type", "cast(bit_count(w) as bigint) AS c")
+      .groupBy($"event_type").agg(sum($"c").cast("long").as("n"))
+    val a = bm.select($"event_type".as("type_a"), $"wi", $"w".as("wa"))
+    val b = bm.select($"event_type".as("type_b"), $"wi", $"w".as("wb"))
+    val inter = a.join(b, Seq("wi")).filter($"type_a" < $"type_b")
+      .selectExpr("type_a", "type_b", "cast(bit_count(wa & wb) as bigint) AS c")
+      .groupBy($"type_a", $"type_b").agg(sum($"c").cast("long").as("n_inter"))
+      .filter($"n_inter" > 0)
+    inter
+      .join(broadcast(counts.select($"event_type".as("type_a"), $"n".as("n_a"))), Seq("type_a"))
+      .join(broadcast(counts.select($"event_type".as("type_b"), $"n".as("n_b"))), Seq("type_b"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_inter",
+        ($"n_a" + $"n_b" - $"n_inter").as("n_union"))
+  }
+  val bitmapOverlapSql: String =
+    """WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+      |c AS (SELECT event_type, count(*) AS n FROM m GROUP BY 1),
+      |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_inter
+      |      FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT i.type_a, i.type_b, ca.n AS n_a, cb.n AS n_b, i.n_inter,
+      |       ca.n + cb.n - i.n_inter AS n_union
+      |FROM i JOIN c ca ON ca.event_type = i.type_a
+      |       JOIN c cb ON cb.event_type = i.type_b
+      |""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compaction_plan" -> compactionPlan _,
     "q_dense_ids"       -> denseIds _,
     "q_vacuum_plan"     -> vacuumPlan _,
-    "q_ivm_agg"         -> ivmAgg _)
+    "q_ivm_agg"         -> ivmAgg _,
+    "q_bitmap_overlap"  -> bitmapOverlap _)
 
   def oracleSql: Map[String, String] = Map(
     "q_compaction_plan" -> compactionPlanSql,
     "q_dense_ids"       -> denseIdsSql,
     "q_vacuum_plan"     -> vacuumPlanSql,
-    "q_ivm_agg"         -> ivmAggSql)
+    "q_ivm_agg"         -> ivmAggSql,
+    "q_bitmap_overlap"  -> bitmapOverlapSql)
 }

@@ -717,6 +717,71 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Ordered-set aggregates with DISCRETE selection semantics — mode and
+  // percentile_disc, the aggregates whose engine-default tie rules differ
+  // (and so must be spelled out): mode breaks count ties toward the
+  // SMALLEST value; median/p90 are the smallest value whose cumulative
+  // count reaches the rank (percentile_disc, never interpolation).
+  //
+  // Scale shape: everything runs on the VALUE-COMPRESSED distribution —
+  // one corpus aggregate to (type, cents, cnt), then windows/argmax over
+  // that relation, which is bounded by distinct values per group, not rows.
+  // The corpus is never globally sorted; exact selection at 100 TB is a
+  // two-pass rank-then-probe over the compressed counts, which is exactly
+  // this plan.
+  // ---------------------------------------------------------------------------
+  def orderedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.Materialize.eager(
+      Tables.events(s, dir)
+        .select($"event_type", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy($"event_type", $"cents").agg(count(lit(1)).as("cnt")))
+    val cum = counts
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"event_type").orderBy($"cents".asc)))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"event_type")))
+    val med = cum.filter($"cum" >= expr("(n + 1) div 2"))
+      .groupBy($"event_type").agg(min($"cents").as("median_cents"))
+    val p90 = cum.filter($"cum" >= expr("(9 * n + 9) div 10"))
+      .groupBy($"event_type").agg(min($"cents").as("p90_cents"))
+    val mode = counts
+      .groupBy($"event_type")
+      .agg(max(struct($"cnt", (-$"cents").as("neg"))).as("m"))
+      .select($"event_type", $"m.cnt".as("mode_n"), (-$"m.neg").as("mode_cents"))
+    val n = counts.groupBy($"event_type").agg(sum($"cnt").cast("long").as("n"))
+    n.join(broadcast(mode), Seq("event_type"))
+      .join(broadcast(med), Seq("event_type"))
+      .join(broadcast(p90), Seq("event_type"))
+      .select($"event_type", $"n", $"mode_cents", $"mode_n",
+        $"median_cents", $"p90_cents")
+  }
+  val orderedStatsSql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |counts AS (SELECT event_type, cents, count(*) AS cnt FROM v GROUP BY 1, 2),
+      |cum AS (SELECT *,
+      |               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+      |               sum(cnt) OVER (PARTITION BY event_type) AS n
+      |        FROM counts),
+      |med AS (SELECT event_type, min(cents) AS median_cents
+      |        FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |p90 AS (SELECT event_type, min(cents) AS p90_cents
+      |        FROM cum WHERE cum >= (9 * n + 9) // 10 GROUP BY 1),
+      |mx AS (SELECT event_type, max(cnt) AS mode_n FROM counts GROUP BY 1),
+      |mode AS (SELECT counts.event_type, min(cents) AS mode_cents, mx.mode_n
+      |         FROM counts JOIN mx ON counts.event_type = mx.event_type
+      |                            AND counts.cnt = mx.mode_n
+      |         GROUP BY counts.event_type, mx.mode_n),
+      |nrel AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM counts GROUP BY 1)
+      |SELECT nrel.event_type, nrel.n, mode.mode_cents, mode.mode_n,
+      |       med.median_cents, p90.p90_cents
+      |FROM nrel JOIN mode USING (event_type)
+      |          JOIN med USING (event_type)
+      |          JOIN p90 USING (event_type)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Inter-arrival cadence profile: per event_type, the p50/p95 of the
   // per-user gap between consecutive events of that type — the
   // arrival-rate signal behind rate limiting, bot detection, and
@@ -2464,6 +2529,7 @@ object Relational {
     "q_mad_anomalies"  -> madAnomalies _,
     "q_interarrival"   -> interarrival _,
     "q_quantiles"      -> quantiles _,
+    "q_ordered_stats"  -> orderedStats _,
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
     "q_cube"           -> cubeSummary _,
@@ -2513,6 +2579,7 @@ object Relational {
     "q_mad_anomalies"  -> madAnomaliesSql,
     "q_interarrival"   -> interarrivalSql,
     "q_quantiles"      -> quantilesSql,
+    "q_ordered_stats"  -> orderedStatsSql,
     "q_rollup"         -> rollupSummarySql,
     "q_cube"           -> cubeSummarySql,
     "q_ntile"          -> ntileBucketsSql,
