@@ -225,16 +225,112 @@ object Temporal {
       | AND (dim.valid_to IS NULL OR c.ts < dim.valid_to)
       |""".stripMargin
 
+  /** Time-weighted average (TWAP): each user's purchase value integrated
+    * over the time it was "in effect" — Σ cents·Δt / Σ Δt, where Δt is the
+    * µs gap to the NEXT purchase (step-function integration, the
+    * finance/metrics standard). Users need ≥ 2 purchases spanning > 0 µs.
+    *
+    * Exactness: numerator and span are BIGINT (cents ≤ 10⁵ × month-scale
+    * µs gaps ≈ 2.6e17 per user — inside int64); the final twap is ONE
+    * int64→double conversion + one IEEE division, both correctly rounded
+    * and identical across engines. One user-keyed window + one aggregate —
+    * the sessionizer's exact shuffle shape. */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("next_us", lead(unix_micros($"ts"), 1).over(w))
+      .filter($"next_us".isNotNull)
+      .withColumn("gap_us", $"next_us" - unix_micros($"ts"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"gap_us").cast("long").as("span_us"),
+        sum($"cents" * $"gap_us").cast("long").as("twap_num"))
+      .filter($"span_us" > 0)
+      .withColumn("twap_cents",
+        $"twap_num".cast("double") / $"span_us".cast("double"))
+  }
+  val twapSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT user_id, cents,
+      |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           - epoch_us(ts) AS gap_us
+      |  FROM p)
+      |SELECT user_id, count(*) AS n_intervals,
+      |       CAST(sum(gap_us) AS BIGINT) AS span_us,
+      |       CAST(sum(cents * gap_us) AS BIGINT) AS twap_num,
+      |       CAST(sum(cents * gap_us) AS DOUBLE) / CAST(sum(gap_us) AS DOUBLE) AS twap_cents
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY user_id
+      |HAVING sum(gap_us) > 0
+      |""".stripMargin
+
+  /** Out-of-orderness profile — the watermark-sizing query: with
+    * `event_id` as the arrival (ingestion) order, how far behind each
+    * user's running-max event time do events arrive? `lateness =
+    * running_max(ts) − ts` per user stream, aggregated per event type
+    * (n, max, p50, p95). This is the empirical distribution
+    * `withWatermark` delays should be read from — every streaming twin in
+    * `graft.streaming` picks its watermark from exactly this curve.
+    *
+    * Scale: the running max is a user-keyed window (arbitrarily parallel),
+    * not a global one; the final rollup is 5 rows. Lateness is integer µs;
+    * interpolated percentiles of integers are exact binary rationals (the
+    * q_interarrival determinism argument). */
+  def outOfOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("late_us", max($"us").over(w) - $"us")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"late_us" > 0, 1L).otherwise(0L)).cast("long").as("n_late"),
+        max($"late_us").as("max_late_us"),
+        expr("percentile(late_us, 0.5)").as("p50_late_us"),
+        expr("percentile(late_us, 0.95)").as("p95_late_us"))
+  }
+  val outOfOrderSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |         max(us) OVER (PARTITION BY user_id ORDER BY event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - us AS late_us
+      |  FROM e)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |       CAST(max(late_us) AS BIGINT) AS max_late_us,
+      |       quantile_cont(late_us, 0.5) AS p50_late_us,
+      |       quantile_cont(late_us, 0.95) AS p95_late_us
+      |FROM l GROUP BY event_type
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join"   -> asofAttribution _,
-    "q_range_join"  -> rangeJoinCount _,
-    "q_attribution" -> firstTouch _,
-    "q_scd2_lookup" -> scd2Lookup _,
+    "q_asof_join"    -> asofAttribution _,
+    "q_range_join"   -> rangeJoinCount _,
+    "q_attribution"  -> firstTouch _,
+    "q_scd2_lookup"  -> scd2Lookup _,
+    "q_twap"         -> twap _,
+    "q_out_of_order" -> outOfOrder _,
   )
   val oracleSql: Map[String, String] = Map(
-    "q_asof_join"   -> asofAttributionSql,
-    "q_range_join"  -> rangeJoinCountSql,
-    "q_attribution" -> firstTouchSql,
-    "q_scd2_lookup" -> scd2LookupSql,
+    "q_asof_join"    -> asofAttributionSql,
+    "q_range_join"   -> rangeJoinCountSql,
+    "q_attribution"  -> firstTouchSql,
+    "q_scd2_lookup"  -> scd2LookupSql,
+    "q_twap"         -> twapSql,
+    "q_out_of_order" -> outOfOrderSql,
   )
 }
