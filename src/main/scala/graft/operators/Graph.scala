@@ -564,6 +564,61 @@ object Graph {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // Item-item cosine recommender (Sarwar et al. 2001): for every part, its
+  // top-3 most-similar parts by co-purchase cosine — n_uv / √(n_u·n_v)
+  // over shared-order counts. The pair-count pass reuses the co-purchase
+  // generation shape (one shuffle on the order key + map-side pair
+  // expansion over each order's small part list); item degrees broadcast
+  // back; the per-item top-3 is a WindowGroupLimit rank, never a global
+  // sort. √ is IEEE-correctly-rounded on both engines (the
+  // q_temperature_sample precedent), and ties break on neighbor id, so
+  // the emitted ranking is engine-exact.
+  // ---------------------------------------------------------------------------
+  private val CosineK = 3
+
+  def itemCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairCnt = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      .groupBy($"o").agg(sort_array(collect_set($"p")).as("ps"))
+      .selectExpr(
+        "explode(flatten(transform(ps, (a, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), b -> struct(a AS u, b AS v))))) AS pr")
+      .groupBy($"pr.u".as("u"), $"pr.v".as("v"))
+      .agg(count(lit(1)).as("n_uv"))
+    val itemCnt = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_partkey".as("item")).agg(count(lit(1)).as("n_item"))
+    val sym = pairCnt.union(pairCnt.select($"v".as("u"), $"u".as("v"), $"n_uv"))
+    val scored = sym
+      .join(broadcast(itemCnt.select($"item".as("u"), $"n_item".as("n_u"))), Seq("u"))
+      .join(broadcast(itemCnt.select($"item".as("v"), $"n_item".as("n_v"))), Seq("v"))
+      .withColumn("cos", $"n_uv".cast("double") /
+        sqrt($"n_u".cast("double") * $"n_v".cast("double")))
+    val w = Window.partitionBy($"u").orderBy($"cos".desc, $"v".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= CosineK)
+      .select($"u".as("item"), $"v".as("neighbor"), $"n_uv", $"cos", $"rank")
+  }
+  val itemCosineSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pc AS (SELECT a.p AS u, b.p AS v, count(*) AS n_uv
+       |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |ic AS (SELECT p AS item, count(*) AS n_item FROM op GROUP BY 1),
+       |sym AS (SELECT u, v, n_uv FROM pc
+       |        UNION ALL SELECT v AS u, u AS v, n_uv FROM pc),
+       |sc AS (SELECT sym.u, sym.v, sym.n_uv,
+       |              CAST(sym.n_uv AS DOUBLE) /
+       |                sqrt(CAST(cu.n_item AS DOUBLE) * CAST(cv.n_item AS DOUBLE)) AS cos
+       |       FROM sym JOIN ic cu ON cu.item = sym.u
+       |                JOIN ic cv ON cv.item = sym.v),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY u ORDER BY cos DESC, v ASC) AS rank
+       |      FROM sc)
+       |SELECT u AS item, v AS neighbor, n_uv, cos, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= $CosineK
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"      -> pagerank _,
     "q_ppr"           -> ppr _,
@@ -571,6 +626,7 @@ object Graph {
     "q_assortativity" -> assortativity _,
     "q_khop"          -> khop _,
     "q_shortest_path" -> shortestPath _,
+    "q_item_cosine"   -> itemCosine _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_pagerank"      -> pagerankSql,
@@ -579,5 +635,6 @@ object Graph {
     "q_assortativity" -> assortativitySql,
     "q_khop"          -> khopSql,
     "q_shortest_path" -> shortestPathSql,
+    "q_item_cosine"   -> itemCosineSql,
   )
 }

@@ -317,20 +317,70 @@ object Temporal {
       |FROM l GROUP BY event_type
       |""".stripMargin
 
+  /** Point-in-time-correct training-matrix assembly — the feature-store
+    * operator: every purchase becomes a training row whose label is its
+    * value and whose features are the user's click/view/error counts
+    * STRICTLY BEFORE that instant. "Strictly before" is the leakage
+    * boundary: a feature computed at-or-after the label's timestamp trains
+    * on the future.
+    *
+    * Distributed shape: NOT a per-label correlated join (O(labels ×
+    * history) pair blowup on hot users) — one user-keyed window pass with
+    * `RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` over epoch-µs
+    * computes every running count in the same shuffle the sessionizer
+    * pays. The oracle runs the textbook correlated left-join aggregation —
+    * two different algorithms, one result. Same-µs events of other types
+    * are excluded by both (the range frame ends 1 µs before the label). */
+  def featureMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("n_click_before",
+        coalesce(sum(when($"event_type" === "click", 1L)).over(w), lit(0L)))
+      .withColumn("n_view_before",
+        coalesce(sum(when($"event_type" === "view", 1L)).over(w), lit(0L)))
+      .withColumn("n_error_before",
+        coalesce(sum(when($"event_type" === "error", 1L)).over(w), lit(0L)))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"n_click_before", $"n_view_before",
+        $"n_error_before", $"cents".as("label_cents"))
+  }
+  val featureMatrixSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |       CAST(count(*) FILTER (h.event_type = 'click') AS BIGINT) AS n_click_before,
+      |       CAST(count(*) FILTER (h.event_type = 'view') AS BIGINT) AS n_view_before,
+      |       CAST(count(*) FILTER (h.event_type = 'error') AS BIGINT) AS n_error_before,
+      |       p.cents AS label_cents
+      |FROM p LEFT JOIN e h
+      |  ON h.user_id = p.user_id AND h.us < p.us
+      |GROUP BY p.event_id, p.user_id, p.cents
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join"    -> asofAttribution _,
-    "q_range_join"   -> rangeJoinCount _,
-    "q_attribution"  -> firstTouch _,
-    "q_scd2_lookup"  -> scd2Lookup _,
-    "q_twap"         -> twap _,
-    "q_out_of_order" -> outOfOrder _,
+    "q_asof_join"      -> asofAttribution _,
+    "q_range_join"     -> rangeJoinCount _,
+    "q_attribution"    -> firstTouch _,
+    "q_scd2_lookup"    -> scd2Lookup _,
+    "q_twap"           -> twap _,
+    "q_out_of_order"   -> outOfOrder _,
+    "q_feature_matrix" -> featureMatrix _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_asof_join"    -> asofAttributionSql,
     "q_range_join"   -> rangeJoinCountSql,
     "q_attribution"  -> firstTouchSql,
     "q_scd2_lookup"  -> scd2LookupSql,
-    "q_twap"         -> twapSql,
-    "q_out_of_order" -> outOfOrderSql,
+    "q_twap"           -> twapSql,
+    "q_out_of_order"   -> outOfOrderSql,
+    "q_feature_matrix" -> featureMatrixSql,
   )
 }
