@@ -474,12 +474,98 @@ object Selection {
        |FROM truth JOIN est USING (source)
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // K-fold cross-validation from ONE corpus pass — the sufficient-statistic
+  // algebra taken to its conclusion: per-fold statistics are a K-row
+  // aggregate, the TOTAL is their sum, and fold k's training statistics are
+  // total − fold_k (integer subtraction — leave-one-fold-out costs nothing).
+  // Each fold's model solves the same Cramer fragment over its train stats
+  // and scores the HELD-OUT fold via the algebraic residual expansion, so
+  // K models are trained AND evaluated leakage-free in a single scan plus
+  // a K-row computation. At 100 TB this is the only affordable CV shape:
+  // the naive form re-scans the corpus K times.
+  //
+  // Folds are md5 buckets of doc_id (the q_ab_test idiom) —
+  // engine/run/partitioning-independent assignment.
+  // ---------------------------------------------------------------------------
+  private val KFolds = 5
+  private val foldSpark =
+    s"cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as int) % $KFolds"
+  private val foldDuck =
+    s"('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % $KFolds"
+  private val statNames =
+    Seq("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+
+  /** [[ssResExpr]] over prefixed held-out-fold stat columns. */
+  private def ssResOver(p: String): String =
+    s"CAST(${p}syy AS DOUBLE) + CAST(${p}n AS DOUBLE) * beta0 * beta0 + beta1 * beta1 * CAST(${p}s11 AS DOUBLE) + beta2 * beta2 * CAST(${p}s22 AS DOUBLE) + CAST(2.0 AS DOUBLE) * (beta0 * beta1 * CAST(${p}s1 AS DOUBLE) + beta0 * beta2 * CAST(${p}s2 AS DOUBLE) + beta1 * beta2 * CAST(${p}s12 AS DOUBLE)) - CAST(2.0 AS DOUBLE) * (beta0 * CAST(${p}sy AS DOUBLE) + beta1 * CAST(${p}s1y AS DOUBLE) + beta2 * CAST(${p}s2y AS DOUBLE))"
+  private def ssTotOver(p: String): String =
+    s"CAST(${p}syy AS DOUBLE) - CAST(${p}sy AS DOUBLE) * CAST(${p}sy AS DOUBLE) / CAST(${p}n AS DOUBLE)"
+  private val kfoldFinal = Seq(
+    "fold", "n_train", "n_test", "beta0", "beta1", "beta2",
+    "CASE WHEN ss_tot > CAST(0.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) - ss_res / ss_tot ELSE CAST(0.0 AS DOUBLE) END AS r2",
+    "sqrt(greatest(ss_res, CAST(0.0 AS DOUBLE)) / CAST(n_test AS DOUBLE)) AS rmse")
+
+  def kfoldRidge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .selectExpr(s"$foldSpark AS fold",
+        "CAST(size(toks) AS BIGINT) AS x1",
+        s"CAST(size(filter(toks, t -> $stopPred)) AS BIGINT) AS x2",
+        "CAST(length(text) AS BIGINT) AS y")
+      .selectExpr("fold", "x1", "x2", "y", "x1*x1 AS x11", "x1*x2 AS x12",
+        "x2*x2 AS x22", "x1*y AS x1y", "x2*y AS x2y", "y*y AS yy")
+    val stats = graft.Materialize.eager(
+      feats.groupBy($"fold").agg(ridgeAggs.head, ridgeAggs.tail: _*))
+    val totAggs = statNames.map(c => sum(col(c)).cast("long").as(s"t_$c"))
+    val tot = stats.agg(totAggs.head, totAggs.tail: _*)
+    val train = stats.crossJoin(broadcast(tot)).selectExpr(
+      Seq("fold") ++ statNames.map(c => s"t_$c - $c AS $c") ++
+        statNames.map(c => s"$c AS h$c"): _*)
+    train
+      .selectExpr(Seq("fold") ++ statNames.map(c => s"h$c") ++ cramer: _*)
+      .selectExpr("fold", "n_docs AS n_train", "hn AS n_test",
+        "beta0", "beta1", "beta2",
+        s"${ssTotOver("h")} AS ss_tot", s"${ssResOver("h")} AS ss_res")
+      .selectExpr(kfoldFinal: _*)
+  }
+  val kfoldRidgeSql: String = {
+    val sums = statNames.map(c => s"sum($c) AS t_$c").mkString(", ")
+    val trainCols = statNames.map(c => s"t_$c - $c AS $c").mkString(", ")
+    val holdCols = statNames.map(c => s"$c AS h$c").mkString(", ")
+    val hNames = statNames.map(c => s"h$c").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT $foldDuck AS fold, len(toks) AS x1,
+       |         len(list_filter(toks, t -> $stopPred)) AS x2,
+       |         length(text) AS y
+       |  FROM (SELECT doc_id, text, $toksDuck AS toks FROM documents)),
+       |stats AS (SELECT fold, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+       |                 sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+       |                 sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+       |                 sum(y*y) AS syy
+       |          FROM f GROUP BY fold),
+       |tot AS (SELECT ${statNames.map(c => s"CAST(sum($c) AS BIGINT) AS t_$c").mkString(", ")} FROM stats),
+       |train AS (SELECT fold, $trainCols, $holdCols FROM stats, tot),
+       |solved AS (SELECT fold, $hNames,
+       |                  ${cramer.mkString(",\n                  ")}
+       |           FROM train),
+       |ev AS (SELECT fold, n_docs AS n_train, hn AS n_test,
+       |              beta0, beta1, beta2,
+       |              ${ssTotOver("h")} AS ss_tot, ${ssResOver("h")} AS ss_res
+       |       FROM solved)
+       |SELECT ${kfoldFinal.mkString(",\n       ")}
+       |FROM ev
+       |""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_priority_sample" -> prioritySample _,
     "q_dsir_weights"    -> dsirWeights _,
     "q_ridge_fit"       -> ridgeFit _,
     "q_ridge_by_source" -> ridgeBySource _,
     "q_ridge_eval"      -> ridgeEval _,
+    "q_kfold_ridge"     -> kfoldRidge _,
     "q_pareto_docs"     -> paretoDocs _,
     "q_pareto_incr"     -> paretoIncr _)
 
@@ -489,6 +575,7 @@ object Selection {
     "q_ridge_fit"       -> ridgeFitSql,
     "q_ridge_by_source" -> ridgeBySourceSql,
     "q_ridge_eval"      -> ridgeEvalSql,
+    "q_kfold_ridge"     -> kfoldRidgeSql,
     "q_pareto_docs"     -> paretoDocsSql,
     // incremental maintenance must reproduce the full-corpus skyline
     "q_pareto_incr"     -> paretoDocsSql)
