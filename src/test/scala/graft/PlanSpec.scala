@@ -412,4 +412,37 @@ class PlanSpec extends AnyFunSuite {
     val plan = executed(Lakehouse.ivmAgg(spark, sf))
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("feature matrix: all three strictly-before counters share one user window exchange") {
+    val plan = executed(Temporal.featureMatrix(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("twap: the user window's partitioning is reused by the rollup — one exchange") {
+    val plan = executed(Temporal.twap(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("item cosine: degree joins broadcast and the top-k is group-limited map-side") {
+    val plan = executed(Graph.itemCosine(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("bitmap overlap: intersections never re-touch the fact table") {
+    // counts, both join sides, and the word-AND all read the materialized
+    // bitmap artifact — zero parquet scans downstream of it
+    val plan = executed(Lakehouse.bitmapOverlap(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
+  }
+
+  test("k-fold CV: all K models derive from the materialized fold statistics") {
+    // one corpus pass built the K-row stats relation; training/eval math is
+    // pure expression work over it — no further parquet scans, no shuffles
+    val plan = executed(Selection.kfoldRidge(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
