@@ -108,12 +108,70 @@ object Governance {
       |GROUP BY a.noun, a.p_brand
       |""".stripMargin
 
+  /** End-to-end entity resolution: the [[fuzzyMatch]] blocking+scoring pass
+    * emits match pairs (Levenshtein ≤ 3 within a block), transitive closure
+    * over the pair graph groups them into entities (pairs (a,b),(b,c) are
+    * ONE vendor item listed three ways), and each entity canonicalizes to
+    * its min part key. The closure reuses the dedup layer's alternating
+    * star contraction ([[Dedup.resolveClusters]] — O(log²) rounds,
+    * fixpoint unique), so ER rides the exact machinery the text-dedup
+    * pipeline already proves at scale; the oracle recomputes components
+    * with a recursive CTE — two different algorithms, identical entities.
+    * Output: one row per multi-member entity with its canonical name. */
+  def erEntities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+      .select($"p_partkey", $"p_name",
+        split($"p_name", " ").getItem(1).as("noun"),
+        $"p_brand", expr("p_size div 10").as("size_band"))
+    val a = p.select($"p_partkey".as("ka"), $"p_name".as("na"),
+      $"noun", $"p_brand", $"size_band")
+    val b = p.select($"p_partkey".as("kb"), $"p_name".as("nb"),
+      $"noun", $"p_brand", $"size_band")
+    val pairs = a.join(b, Seq("noun", "p_brand", "size_band"))
+      .filter($"ka" < $"kb" && levenshtein($"na", $"nb") <= 3)
+      .select($"ka".as("doc_a"), $"kb".as("doc_b"))
+    val (labels, _) = Dedup.resolveClusters(pairs)
+    labels.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_name"),
+        $"cluster_id" === $"p_partkey")
+      .select($"cluster_id".as("entity_id"), $"p_name".as("entity_name"),
+        $"n_members")
+  }
+  val erEntitiesSql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun,
+      |         p_brand, p_size // 10 AS size_band
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+      |  FROM p a JOIN p b
+      |    ON a.noun = b.noun AND a.p_brand = b.p_brand
+      |   AND a.size_band = b.size_band AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS comp FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+      |SELECT lab.comp AS entity_id, pt.p_name AS entity_name,
+      |       count(*) AS n_members
+      |FROM lab JOIN part pt ON pt.p_partkey = lab.comp
+      |GROUP BY 1, 2
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anon"      -> kAnonymity _,
     "q_fuzzy_match" -> fuzzyMatch _,
+    "q_er_entities" -> erEntities _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_k_anon"      -> kAnonymitySql,
     "q_fuzzy_match" -> fuzzyMatchSql,
+    "q_er_entities" -> erEntitiesSql,
   )
 }

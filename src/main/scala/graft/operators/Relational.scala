@@ -717,6 +717,48 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Native session-window aggregation — the SAME 30-minute-gap semantics as
+  // q_sessionize, expressed through Spark's built-in `session_window`
+  // (dynamic gap windows merged inside the aggregate) instead of the
+  // gaps-and-islands window chain. Two engine paths, one relation: the
+  // oracle replays the islands form and must produce identical sessions
+  // with `sess_close = last event + gap` (the session_window upper bound).
+  // This is also the exact aggregate the STREAMING sessionizer emits, so
+  // batch/stream parity holds through a single native operator. One
+  // shuffle on user_id; the merge of overlapping windows is map-side.
+  // ---------------------------------------------------------------------------
+  def sessionWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(D($"value")).cast("double").as("sum_value"))
+      .select($"user_id", $"sw.start".as("sess_start"), $"sw.end".as("sess_close"),
+        $"n_events", $"sum_value")
+  }
+  val sessionWindowAggSql: String =
+    """WITH x AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+      |         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      |  FROM events),
+      |y AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1
+      |                 ELSE 0 END AS new_sess
+      |  FROM x),
+      |z AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM y)
+      |SELECT user_id, min(ts) AS sess_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS sess_close,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM z GROUP BY user_id, sess_seq
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Ordered-set aggregates with DISCRETE selection semantics — mode and
   // percentile_disc, the aggregates whose engine-default tie rules differ
   // (and so must be spelled out): mode breaks count ties toward the
@@ -2530,6 +2572,7 @@ object Relational {
     "q_interarrival"   -> interarrival _,
     "q_quantiles"      -> quantiles _,
     "q_ordered_stats"  -> orderedStats _,
+    "q_session_window" -> sessionWindowAgg _,
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
     "q_cube"           -> cubeSummary _,
@@ -2580,6 +2623,7 @@ object Relational {
     "q_interarrival"   -> interarrivalSql,
     "q_quantiles"      -> quantilesSql,
     "q_ordered_stats"  -> orderedStatsSql,
+    "q_session_window" -> sessionWindowAggSql,
     "q_rollup"         -> rollupSummarySql,
     "q_cube"           -> cubeSummarySql,
     "q_ntile"          -> ntileBucketsSql,
