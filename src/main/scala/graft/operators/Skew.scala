@@ -74,12 +74,51 @@ object Skew {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |""".stripMargin
 
+  /** Join-size / skew estimator — the optimizer-statistics pass that
+    * decides WHEN the salted rewrites above are worth their overhead: per
+    * join key column, the degree histogram in log₂ buckets plus the exact
+    * self-join cardinality contribution Σd² per bucket (the quantity a
+    * skew-join planner compares against the per-task budget; one hot key's
+    * d² dominating the sum is the signal to salt).
+    *
+    * Shape: ONE fact scan (both key columns melt through a single explode),
+    * one aggregate to per-key degrees, one tiny rollup. Exact BIGINT
+    * throughout; the log₂ bucket is `length(bin(d)) − 1` — identical
+    * base-2 string semantics on both engines, no floating log. */
+  def joinEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val deg = Tables.lineitem(s, dir)
+      .selectExpr("explode(array(struct('l_partkey' AS join_col, l_partkey AS k)," +
+        " struct('l_suppkey' AS join_col, l_suppkey AS k))) AS e")
+      .select($"e.join_col", $"e.k")
+      .groupBy($"join_col", $"k").agg(count(lit(1)).as("d"))
+    deg.withColumn("bucket", expr("length(bin(d)) - 1"))
+      .groupBy($"join_col", $"bucket")
+      .agg(count(lit(1)).as("n_keys"),
+        sum($"d").cast("long").as("rows"),
+        sum($"d" * $"d").cast("long").as("est_pairs"))
+  }
+  val joinEstimateSql: String =
+    """WITH m AS (
+      |  SELECT 'l_partkey' AS join_col, l_partkey AS k FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_suppkey' AS join_col, l_suppkey AS k FROM lineitem),
+      |deg AS (SELECT join_col, k, count(*) AS d FROM m GROUP BY 1, 2)
+      |SELECT join_col, CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+      |       count(*) AS n_keys,
+      |       CAST(sum(d) AS BIGINT) AS rows,
+      |       CAST(sum(d * d) AS BIGINT) AS est_pairs
+      |FROM deg GROUP BY 1, 2
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_salted_agg"  -> saltedAgg _,
-    "q_salted_join" -> saltedJoinQ _,
+    "q_salted_agg"    -> saltedAgg _,
+    "q_salted_join"   -> saltedJoinQ _,
+    "q_join_estimate" -> joinEstimate _,
   )
   val oracleSql: Map[String, String] = Map(
-    "q_salted_agg"  -> saltedAggSql,
-    "q_salted_join" -> saltedJoinSql,
+    "q_salted_agg"    -> saltedAggSql,
+    "q_salted_join"   -> saltedJoinSql,
+    "q_join_estimate" -> joinEstimateSql,
   )
 }

@@ -365,7 +365,66 @@ object Temporal {
       |GROUP BY p.event_id, p.user_id, p.cents
       |""".stripMargin
 
+  /** Bitemporal time travel — "what did we BELIEVE at transaction time K
+    * about the state valid at V": purchases carry two time axes (valid
+    * time = ts, transaction time = the monotone ingestion id), and the
+    * query reconstructs the latest-valid version under BOTH cutoffs for a
+    * 2×2 grid of (knowledge, validity) checkpoints — the audit query
+    * behind "reproduce the report as it was published" (K = then) vs
+    * "as corrected today" (K = now).
+    *
+    * Shape: the 4-row checkpoint grid broadcasts against the fact table
+    * (one scan, no per-checkpoint rescans); one (user, checkpoint)-keyed
+    * rank window picks each belief. Cutoff K1 is derived from the data
+    * ((min+max) div 2 of the ingestion ids — engine-exact integers), so
+    * the query is self-contained at any scale factor. */
+  def bitemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir).filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val kBounds = p.agg(
+      expr("(min(event_id) + max(event_id)) div 2").as("k1"),
+      max($"event_id").as("k2"))
+    val grid = kBounds.selectExpr(
+      "explode(array(struct('k1' AS k_label, k1 AS k_id), struct('k2' AS k_label, k2 AS k_id))) AS kg")
+      .select($"kg.k_label", $"kg.k_id")
+      .crossJoin(s.sql(
+        """SELECT explode(array(
+          |  struct('v1' AS v_label, TIMESTAMP '2024-01-15 00:00:00' AS v_ts),
+          |  struct('v2' AS v_label, TIMESTAMP '2024-02-01 00:00:00' AS v_ts))) AS vg
+          |""".stripMargin).select($"vg.v_label", $"vg.v_ts"))
+    val w = Window.partitionBy($"user_id", $"k_label", $"v_label")
+      .orderBy($"ts".desc, $"event_id".desc)
+    p.crossJoin(broadcast(grid))
+      .filter($"event_id" <= $"k_id" && $"ts" <= $"v_ts")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"k_label", $"v_label", $"cents", $"event_id")
+  }
+  val bitemporalSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |kb AS (SELECT (min(event_id) + max(event_id)) // 2 AS k1,
+      |              max(event_id) AS k2 FROM p),
+      |kg AS (SELECT 'k1' AS k_label, k1 AS k_id FROM kb
+      |       UNION ALL SELECT 'k2', k2 FROM kb),
+      |vg AS (SELECT 'v1' AS v_label, TIMESTAMP '2024-01-15 00:00:00' AS v_ts
+      |       UNION ALL SELECT 'v2', TIMESTAMP '2024-02-01 00:00:00'),
+      |r AS (
+      |  SELECT p.user_id, kg.k_label, vg.v_label, p.cents, p.event_id,
+      |         row_number() OVER (PARTITION BY p.user_id, kg.k_label, vg.v_label
+      |                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      |  FROM p, kg, vg
+      |  WHERE p.event_id <= kg.k_id AND p.ts <= vg.v_ts)
+      |SELECT user_id, k_label, v_label, cents, event_id
+      |FROM r WHERE rn = 1
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitemporal"     -> bitemporal _,
     "q_asof_join"      -> asofAttribution _,
     "q_range_join"     -> rangeJoinCount _,
     "q_attribution"    -> firstTouch _,
@@ -375,6 +434,7 @@ object Temporal {
     "q_feature_matrix" -> featureMatrix _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_bitemporal"   -> bitemporalSql,
     "q_asof_join"    -> asofAttributionSql,
     "q_range_join"   -> rangeJoinCountSql,
     "q_attribution"  -> firstTouchSql,
