@@ -579,17 +579,22 @@ object Graph {
 
   def itemCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairCnt = Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-      .groupBy($"o").agg(sort_array(collect_set($"p")).as("ps"))
+    // one fact scan: the per-order part-set relation feeds BOTH the pair
+    // counts (map-side pair expansion) and the item degrees (explode) —
+    // the sets are dedup'd, so exploding them counts each (order, part)
+    // once, exactly the DISTINCT the degree needs
+    val ps = graft.Materialize.eager(
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+        .groupBy($"o").agg(sort_array(collect_set($"p")).as("ps")))
+    val pairCnt = ps
       .selectExpr(
         "explode(flatten(transform(ps, (a, i) -> " +
           "transform(slice(ps, i + 2, size(ps) - i - 1), b -> struct(a AS u, b AS v))))) AS pr")
       .groupBy($"pr.u".as("u"), $"pr.v".as("v"))
       .agg(count(lit(1)).as("n_uv"))
-    val itemCnt = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-      .groupBy($"l_partkey".as("item")).agg(count(lit(1)).as("n_item"))
+    val itemCnt = ps.selectExpr("explode(ps) AS item")
+      .groupBy($"item").agg(count(lit(1)).as("n_item"))
     val sym = pairCnt.union(pairCnt.select($"v".as("u"), $"u".as("v"), $"n_uv"))
     val scored = sym
       .join(broadcast(itemCnt.select($"item".as("u"), $"n_item".as("n_u"))), Seq("u"))

@@ -429,6 +429,9 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // one fact scan total: pairs AND degrees derive from the materialized
+    // per-order part-set relation
+    assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
   }
 
   test("bitmap overlap: intersections never re-touch the fact table") {
