@@ -423,8 +423,65 @@ object Temporal {
       |FROM r WHERE rn = 1
       |""".stripMargin
 
+  private val DayUs = 86400000000L
+
+  /** Conversion-window funnel: of each day's signups, how many converted
+    * to a purchase WITHIN 24 HOURS — the time-bounded funnel product
+    * analytics runs (the unbounded `q_funnel` answers "ever converted";
+    * this answers "converted inside the SLA window", a different number).
+    *
+    * Distributed shape: the bounded-bucket band join (the
+    * [[rangeJoinCount]] plan) — each signup replicates to the ≤ 2
+    * day-buckets its window overlaps, purchases join on (user, bucket),
+    * the precise µs predicate trims the boundary, and min() picks the
+    * first conversion. Never an unbounded inequality join. Day keys are
+    * epoch-day integers (µs div 86400e6) — engine-exact, no date-type
+    * round-trips. */
+  def funnelWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val su = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("sid"), $"user_id", unix_micros($"ts").as("s_us"))
+    val pu = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p_us"))
+      .withColumn("bucket", expr(s"p_us div $DayUs"))
+    val repl = su.select($"sid", $"user_id", $"s_us",
+      explode(array_distinct(array(
+        expr(s"s_us div $DayUs"),
+        expr(s"(s_us + ${DayUs - 1}) div $DayUs")))).as("bucket"))
+    val firstConv = repl.join(pu, Seq("user_id", "bucket"))
+      .filter($"p_us" >= $"s_us" && $"p_us" < $"s_us" + DayUs)
+      .groupBy($"sid").agg(min($"p_us").as("c_us"))
+    su.join(firstConv, Seq("sid"), "left")
+      .groupBy(expr(s"s_us div $DayUs").as("signup_day"))
+      .agg(count(lit(1)).as("n_signups"),
+        count($"c_us").as("n_converted"),
+        sum($"c_us" - $"s_us").cast("long").as("sum_lag_us"))
+  }
+  val funnelWindowSql: String =
+    s"""WITH su AS (
+       |  SELECT event_id AS sid, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
+       |  FROM events WHERE event_type = 'signup'),
+       |pu AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+       |  FROM events WHERE event_type = 'purchase'),
+       |conv AS (
+       |  SELECT su.sid, min(pu.p_us) AS c_us
+       |  FROM su JOIN pu
+       |    ON pu.user_id = su.user_id
+       |   AND pu.p_us >= su.s_us AND pu.p_us < su.s_us + $DayUs
+       |  GROUP BY su.sid)
+       |SELECT su.s_us // $DayUs AS signup_day,
+       |       count(*) AS n_signups,
+       |       CAST(count(conv.c_us) AS BIGINT) AS n_converted,
+       |       CAST(sum(conv.c_us - su.s_us) AS BIGINT) AS sum_lag_us
+       |FROM su LEFT JOIN conv ON conv.sid = su.sid
+       |GROUP BY 1
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bitemporal"     -> bitemporal _,
+    "q_funnel_window"  -> funnelWindow _,
     "q_asof_join"      -> asofAttribution _,
     "q_range_join"     -> rangeJoinCount _,
     "q_attribution"    -> firstTouch _,
@@ -435,6 +492,7 @@ object Temporal {
   )
   val oracleSql: Map[String, String] = Map(
     "q_bitemporal"   -> bitemporalSql,
+    "q_funnel_window" -> funnelWindowSql,
     "q_asof_join"    -> asofAttributionSql,
     "q_range_join"   -> rangeJoinCountSql,
     "q_attribution"  -> firstTouchSql,
