@@ -759,6 +759,48 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Running DISTINCT count over a window — SQL engines (Spark and DuckDB
+  // both) reject COUNT(DISTINCT) OVER, so the standard rewrite is spelled
+  // out as an operator: flag each row that is the FIRST occurrence of its
+  // (user, event_type), then running-sum the flags over the user's
+  // timeline. Per-user "how many distinct behaviors has this user shown by
+  // now" — the engagement-breadth feature. Two window passes (the flag
+  // partitioning refines the timeline partitioning, so the second exchange
+  // is key-prefix-local at scale); total (ts, event_id) tie order keeps
+  // both engines on the identical row sequence.
+  // ---------------------------------------------------------------------------
+  def runningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wFirst = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val wRun = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .withColumn("first_flag",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_so_far", sum($"first_flag").over(wRun))
+      .select($"event_id", $"user_id", $"n_types_so_far")
+  }
+  val runningDistinctSql: String =
+    """WITH f AS (
+      |  SELECT event_id, user_id,
+      |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |                ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+      |              THEN 1 ELSE 0 END AS first_flag,
+      |         CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |       CAST(sum(first_flag) OVER (PARTITION BY user_id
+      |              ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS n_types_so_far
+      |FROM f
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Ordered-set aggregates with DISCRETE selection semantics — mode and
   // percentile_disc, the aggregates whose engine-default tie rules differ
   // (and so must be spelled out): mode breaks count ties toward the
@@ -2572,6 +2614,7 @@ object Relational {
     "q_interarrival"   -> interarrival _,
     "q_quantiles"      -> quantiles _,
     "q_ordered_stats"  -> orderedStats _,
+    "q_running_distinct" -> runningDistinct _,
     "q_session_window" -> sessionWindowAgg _,
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
@@ -2623,6 +2666,7 @@ object Relational {
     "q_interarrival"   -> interarrivalSql,
     "q_quantiles"      -> quantilesSql,
     "q_ordered_stats"  -> orderedStatsSql,
+    "q_running_distinct" -> runningDistinctSql,
     "q_session_window" -> sessionWindowAggSql,
     "q_rollup"         -> rollupSummarySql,
     "q_cube"           -> cubeSummarySql,
