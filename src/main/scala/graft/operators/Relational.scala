@@ -759,6 +759,80 @@ object Relational {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Ordered string aggregation (the STRING_AGG ... ORDER BY shape): each
+  // user's full event-type journey as one '>'-joined string — the
+  // clickstream-path relation sequence-mining and UX funnels read. Spark
+  // has no ordered string_agg, so the deterministic rewrite collects
+  // (ts, event_id, type) structs, sorts the ARRAY (struct order =
+  // lexicographic on the total (ts, id) key — partitioning-independent),
+  // and joins map-side; DuckDB uses its native ORDER BY clause. Both must
+  // emit byte-identical paths. One shuffle on user_id.
+  // ---------------------------------------------------------------------------
+  def eventPath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", struct(unix_micros($"ts").as("us"),
+        $"event_id", $"event_type").as("e"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"e")).as("es"))
+      .selectExpr("user_id",
+        "CAST(size(es) AS BIGINT) AS n_events",
+        "array_join(transform(es, x -> x.event_type), '>') AS path")
+  }
+  val eventPathSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       string_agg(event_type, '>'
+      |         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS path
+      |FROM events
+      |GROUP BY user_id
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // DAU / MAU engagement ("stickiness"): per calendar month, the distinct
+  // monthly actives, the per-day active sum, and their ratio — the
+  // product-health number every activity dashboard leads with. Exact
+  // shape: dedup to (user, day) once (the cohort-retention contract —
+  // the shuffled relation is bounded by user-days, not events), derive
+  // BOTH grains from that relation, and finish with one shared division.
+  // Month keys are integer year*100+month — no date-type round-trips.
+  // ---------------------------------------------------------------------------
+  def dauMau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val userDays = graft.Materialize.eager(
+      Tables.events(s, dir)
+        .select($"user_id",
+          expr("unix_micros(ts) div 86400000000").as("epoch_day"),
+          expr("year(ts) * 100 + month(ts)").as("ym"))
+        .distinct())
+    val dau = userDays.groupBy($"ym", $"epoch_day")
+      .agg(count(lit(1)).as("dau"))
+      .groupBy($"ym")
+      .agg(sum($"dau").cast("long").as("sum_dau"),
+        count(lit(1)).as("n_days"))
+    val mau = userDays.select($"ym", $"user_id").distinct()
+      .groupBy($"ym").agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("ym"))
+      .select($"ym", $"mau", $"sum_dau", $"n_days",
+        ($"sum_dau".cast("double") / ($"n_days" * $"mau").cast("double"))
+          .as("stickiness"))
+  }
+  val dauMauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS epoch_day,
+      |         year(CAST(ts AS TIMESTAMP)) * 100 + month(CAST(ts AS TIMESTAMP)) AS ym
+      |  FROM events),
+      |d AS (SELECT ym, CAST(sum(dau) AS BIGINT) AS sum_dau, count(*) AS n_days
+      |      FROM (SELECT ym, epoch_day, count(*) AS dau FROM ud GROUP BY 1, 2)
+      |      GROUP BY ym),
+      |m AS (SELECT ym, count(*) AS mau
+      |      FROM (SELECT DISTINCT ym, user_id FROM ud) GROUP BY ym)
+      |SELECT d.ym, m.mau, d.sum_dau, d.n_days,
+      |       CAST(d.sum_dau AS DOUBLE) / CAST(d.n_days * m.mau AS DOUBLE) AS stickiness
+      |FROM d JOIN m ON d.ym = m.ym
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Running DISTINCT count over a window — SQL engines (Spark and DuckDB
   // both) reject COUNT(DISTINCT) OVER, so the standard rewrite is spelled
   // out as an operator: flag each row that is the FIRST occurrence of its
@@ -2615,6 +2689,8 @@ object Relational {
     "q_quantiles"      -> quantiles _,
     "q_ordered_stats"  -> orderedStats _,
     "q_running_distinct" -> runningDistinct _,
+    "q_event_path"     -> eventPath _,
+    "q_dau_mau"        -> dauMau _,
     "q_session_window" -> sessionWindowAgg _,
     "q_approx_stats"   -> approxStats _,
     "q_rollup"         -> rollupSummary _,
@@ -2667,6 +2743,8 @@ object Relational {
     "q_quantiles"      -> quantilesSql,
     "q_ordered_stats"  -> orderedStatsSql,
     "q_running_distinct" -> runningDistinctSql,
+    "q_event_path"     -> eventPathSql,
+    "q_dau_mau"        -> dauMauSql,
     "q_session_window" -> sessionWindowAggSql,
     "q_rollup"         -> rollupSummarySql,
     "q_cube"           -> cubeSummarySql,

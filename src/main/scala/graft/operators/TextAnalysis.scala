@@ -1264,7 +1264,46 @@ object TextAnalysis {
        |WHERE rank <= $HoldoutK
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Per-source feature standardization — the train-prep z-score pass: each
+  // document's length feature is centered/scaled by ITS SOURCE's moments,
+  // so sources with different length regimes become comparable before a
+  // global quality model sees them. Shape: exact integer moments per
+  // source (n, Σx, Σx²) in one aggregate, broadcast back, and ONE double
+  // expression per row — the corpus never reshuffles (the winsorize
+  // contract). The z expression is shared verbatim with the oracle:
+  //   z = (n·x − Σx) / sqrt(n·Σx² − Σx·Σx)
+  // (algebraically the plain population z-score — multiply numerator and
+  // denominator of (x−μ)/σ by n) — every term an int64 product converted
+  // once, so both engines run the identical IEEE sequence; the usual
+  // x−mean/σ form would divide twice and drift in the last ulp.
+  // ---------------------------------------------------------------------------
+  private val zExpr =
+    "CAST(n * x - sx AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+
+  def zscoreNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = Tables.documents(s, dir)
+      .select($"doc_id", $"source", expr("CAST(n_chars AS BIGINT)").as("x"))
+    val moments = x.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"x").cast("long").as("sx"),
+        sum($"x" * $"x").cast("long").as("sxx"))
+    x.join(broadcast(moments), Seq("source"))
+      .filter($"n" > 1 && $"n" * $"sxx" > $"sx" * $"sx")
+      .select($"doc_id", $"source", $"x", expr(s"$zExpr AS z"))
+  }
+  val zscoreNormalizeSql: String =
+    s"""WITH x AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
+       |m AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |             CAST(sum(x * x) AS BIGINT) AS sxx
+       |      FROM x GROUP BY source)
+       |SELECT x.doc_id, x.source, x.x, $zExpr AS z
+       |FROM x JOIN m USING (source)
+       |WHERE m.n > 1 AND m.n * m.sxx > m.sx * m.sx
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zscore"            -> zscoreNormalize _,
     "q_gopher_rules"  -> gopherRules _,
     "q_quality_bands" -> qualityBands _,
     "q_eval_holdout"  -> evalHoldout _,
@@ -1299,6 +1338,7 @@ object TextAnalysis {
     "q_inverted_index" -> invertedIndex _,
   )
   val oracleSql: Map[String, String] = Map(
+    "q_zscore"        -> zscoreNormalizeSql,
     "q_gopher_rules"  -> gopherRulesSql,
     "q_quality_bands" -> qualityBandsSql,
     "q_eval_holdout"  -> evalHoldoutSql,
