@@ -441,6 +441,32 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
   }
 
+  test("conversion-window funnel: the band join stays an equi-join") {
+    // day-bucket replication must reach the join key — an inequality-only
+    // condition would compile to a nested-loop pair explosion
+    val plan = executed(Temporal.funnelWindow(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("z-score: moments broadcast back — the corpus never reshuffles") {
+    val plan = executed(TextAnalysis.zscoreNormalize(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only exchange is the per-source moments aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("event path: one user exchange builds the ordered journey") {
+    val plan = executed(Relational.eventPath(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("dau/mau: both grains derive from the materialized user-day relation") {
+    val plan = executed(Relational.dauMau(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
+  }
+
   test("k-fold CV: all K models derive from the materialized fold statistics") {
     // one corpus pass built the K-row stats relation; training/eval math is
     // pure expression work over it — no further parquet scans, no shuffles
