@@ -10,10 +10,12 @@ object Verify {
       sys.exit(2)
     }
     val (sfDir, outDir) = (args(0), args(1))
-    // optional substring filter for fast single-query iteration; the driver
-    // always calls with 2 args → full run
+    // optional comma-separated substring filter for fast multi-query
+    // iteration; the driver always calls with 2 args → full run
     val keep: String => Boolean =
-      if (args.length == 3) _.contains(args(2)) else _ => true
+      if (args.length == 3) { val subs = args(2).split(',').toSeq
+        name => subs.exists(name.contains) }
+      else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)

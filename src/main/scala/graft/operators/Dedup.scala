@@ -105,8 +105,7 @@ object Dedup {
     * relation — the at-rest LSH index schema, and the probe-side projection
     * the streaming near-dup detector appends per ingest batch. */
   private[graft] def bandRows(docs: DataFrame): DataFrame =
-    signaturesFrom(docs).filter(col("sig0").isNotNull).selectExpr("doc_id",
-      "stack(4, 0, concat_ws('|', sig0, sig1), 1, concat_ws('|', sig2, sig3), 2, concat_ws('|', sig4, sig5), 3, concat_ws('|', sig6, sig7)) AS (band_id, band_key)")
+    bandRowsFromSigs(signaturesFrom(docs))
 
   private def signaturesFromHashes(hrows: DataFrame): DataFrame = {
     // Signatures are computed by EXPLODING the per-doc shingle-hash array and
@@ -168,23 +167,41 @@ object Dedup {
   private[graft] def lshCandidatesFrom(docs: DataFrame): DataFrame =
     lshCandidatesFromSigs(signaturesFrom(docs))
 
-  private def lshCandidatesFromSigs(sig: DataFrame): DataFrame = {
-    val s = sig.sparkSession
-    import s.implicits._
-    // Docs with no shingles (<3 tokens) have NULL signatures: they must be
-    // excluded from banding, or Spark's concat_ws would fold them all into
-    // one shared "" bucket (quadratic pair blowup) while SQL `||` NULL keys
-    // drop out of the join — divergent semantics. Filter them on BOTH sides.
-    // '|' separator avoids concat ambiguity between adjacent int signatures.
-    val bands = sig.filter(col("sig0").isNotNull).selectExpr("doc_id",
+  /** Per-bucket expansion cap: at most the `LshBucketCap` smallest doc_ids
+    * of a band bucket enter the pair expansion, so a pathological bucket of
+    * k identical docs (boilerplate mega-clusters are GUARANTEED on a real
+    * web corpus) costs O(cap²) pairs and O(cap) agg memory instead of
+    * O(k²)/O(k). Deterministic (smallest ids, engine-independent) and
+    * replayed by the oracle's QUALIFY-ranked bands, so the cap is part of
+    * the operator's SEMANTICS, not a Spark-side approximation. Docs ranked
+    * out of one bucket still surface through their other 3 bands, and the
+    * skipped volume is reported by [[lshQuality]]'s overflow columns. */
+  private[graft] val LshBucketCap = 256
+
+  private def lshCandidatesFromSigs(sig: DataFrame): DataFrame =
+    lshCandidatesFromBands(bandRowsFromSigs(sig), LshBucketCap)
+
+  /** Band rows (doc_id, band_id, band_key) from a signature relation.
+    * Docs with no shingles (<3 tokens) have NULL signatures: they must be
+    * excluded from banding, or Spark's concat_ws would fold them all into
+    * one shared "" bucket (quadratic pair blowup) while SQL `||` NULL keys
+    * drop out of the join — divergent semantics. Filter them on BOTH sides.
+    * '|' separator avoids concat ambiguity between adjacent int signatures. */
+  private def bandRowsFromSigs(sig: DataFrame): DataFrame =
+    sig.filter(col("sig0").isNotNull).selectExpr("doc_id",
       "stack(4, 0, concat_ws('|', sig0, sig1), 1, concat_ws('|', sig2, sig3), 2, concat_ws('|', sig4, sig5), 3, concat_ws('|', sig6, sig7)) AS (band_id, band_key)")
-    // Candidate pairs via groupBy + in-bucket pair expansion, NOT a self-join:
-    // a self-join would execute the (expensive) signature pipeline twice —
-    // and under AQE a broadcast conversion defeats exchange reuse. One
-    // aggregation computes signatures exactly once; buckets are near-dup
-    // groups, so the pair expansion is O(candidates). (A pathological bucket
-    // of k identical docs still expands k²/2 — the standard LSH caveat;
-    // cap or salt if a corpus has mega-clusters.)
+
+  private[graft] def lshCandidatesFromBands(bands: DataFrame, cap: Int): DataFrame = {
+    val s = bands.sparkSession
+    import s.implicits._
+    // Candidate pairs via rank-cap + groupBy + in-bucket pair expansion, NOT
+    // a self-join: a self-join would execute the (expensive) signature
+    // pipeline twice — and under AQE a broadcast conversion defeats exchange
+    // reuse. The row_number pass bounds every bucket BEFORE collect_list, so
+    // no agg buffer ever holds an unbounded id array (WindowExec spills;
+    // an uncapped collect_list over a 10M-doc bucket is a pure-heap array);
+    // the groupBy that follows reuses the window's (band_id, band_key)
+    // partitioning — one exchange total.
     // The candidate set is small relative to the corpus (≈ near-dup pair
     // count) but its lineage is the whole signature pipeline, and it feeds
     // three consumers below. Materialize it DISTRIBUTED via the
@@ -194,7 +211,10 @@ object Dedup {
     // fit in driver memory (a 100 TB web corpus has billions of dup pairs)
     // and re-enters the plan with its full partitioning, not as 1 partition.
     // (Churn-prone clusters set Materialize.impl = TempParquet; same shape.)
+    val w = Window.partitionBy($"band_id", $"band_key").orderBy($"doc_id")
     graft.Materialize.eager(bands
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= cap)
       .groupBy($"band_id", $"band_key")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") >= 2)
@@ -203,6 +223,19 @@ object Dedup {
       .select($"p.doc_a", $"p.doc_b")
       .distinct())
   }
+
+  /** Overflow accounting for the bucket cap: how many buckets exceeded
+    * `cap` and how many pairs the cap skipped — the quality-report
+    * counterpart of the bounded expansion (silent truncation would read as
+    * "covered everything"). One count aggregate over the band relation. */
+  private[graft] def lshOverflowStats(bands: DataFrame, cap: Int): DataFrame =
+    bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .selectExpr(
+        s"CASE WHEN c > $cap THEN 1 ELSE 0 END AS ob",
+        s"CASE WHEN c > $cap THEN c * (c - 1) DIV 2 - ${cap.toLong * (cap - 1) / 2} ELSE 0 END AS sk")
+      .agg(coalesce(sum(col("ob")), lit(0L)).as("n_overflow_buckets"),
+        coalesce(sum(col("sk")), lit(0L)).as("n_pairs_skipped"))
 
   /** Exact-Jaccard verification of LSH candidate pairs: compute shingle
     * sets ONLY for candidate docs (left_semi against the candidate-id set),
@@ -247,6 +280,11 @@ object Dedup {
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band_id, sig${2 * b} || '|' || sig${2 * b + 1} AS band_key FROM sig WHERE sig0 IS NOT NULL"
     }.mkString("\n  UNION ALL ")
+    // The BATCH candidate expansion is bucket-capped ([[LshBucketCap]] —
+    // ranked bands, smallest doc_ids kept); the INCREMENTAL probe form
+    // (candPred non-empty) replays the Spark-side stored-index join, which
+    // is uncapped (its per-delta-doc fan-out is bucket-bounded, not k²).
+    val capSrc = if (candPred.isEmpty) ("bandsc", LshBucketCap) else ("bands", 0)
     s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
        |shs AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
        |shh AS (SELECT doc_id, sh, $shingleHashDuck AS shh FROM shs),
@@ -256,9 +294,13 @@ object Dedup {
        |bands AS (
        |  $bandRows
        |),
+       |bandsc AS (
+       |  SELECT doc_id, band_id, band_key FROM bands
+       |  QUALIFY row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) <= ${capSrc._2}
+       |),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM ${capSrc._1} a JOIN ${capSrc._1} b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id$candPred
        |)""".stripMargin
   }
@@ -714,13 +756,42 @@ object Dedup {
   // in 2-3. The fixpoint is unique, so the result is independent of round
   // count/partitioning and DuckDB's recursive CTE reproduces it exactly.
   // Scale: each round shuffles only the (≈dup-pair-sized) edge relation,
-  // materialized per round so lineage stays flat. The driver's only role is
-  // the convergence probe: both rewrites only ever move an edge's parent
-  // DOWN (or merge duplicate edges), so the exact decimal sum of
-  // (parent + 1) strictly decreases iff the edge set changed — one 1-row
-  // aggregate per round, no label collect, and the +1 keeps an id-0 parent
-  // from hiding a merge.
+  // materialized per round so lineage stays flat. Convergence is detected
+  // from the SAME action that materializes the round — accumulators folded
+  // into the checkpoint job record (count, Σ(parent+1), Σ mix-hash) as the
+  // rows stream past, so a round costs exactly ONE job (previously a
+  // second 1-row aggregate job per round probed the sum). Both rewrites
+  // only ever move an edge's parent DOWN (or merge duplicate edges), so
+  // the exact Σ(parent+1) strictly decreases iff the edge set changed; the
+  // count and an order-independent mix-hash ride along as witnesses so a
+  // wrapped int64 sum (possible at 10¹²-edge scale) or a task-retry
+  // over-count cannot silently fake a fixpoint — a spurious MISmatch at
+  // the fixpoint merely costs one extra (idempotent) round, and a
+  // three-way collision on (count, sum, hash) is ~2⁻¹²⁸.
   // ---------------------------------------------------------------------------
+  private final case class RoundStat(n: Long, sum: Long, mix: Long)
+
+  /** Materialize an oriented edge relation and, inside the same job, fold
+    * its (count, Σ(parent+1), Σ mix) convergence statistics — the star
+    * rounds' zero-extra-job fixpoint probe. Schema is preserved (int or
+    * long ids). */
+  private def materializeWithStat(df: DataFrame): (DataFrame, RoundStat) = {
+    val sc = df.sparkSession.sparkContext
+    val nAcc = sc.longAccumulator("stars.n")
+    val sAcc = sc.longAccumulator("stars.sum")
+    val hAcc = sc.longAccumulator("stars.mix")
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val tracked = df.map { r =>
+      val c = r.getAs[Number](0).longValue()
+      val p = r.getAs[Number](1).longValue()
+      nAcc.add(1L)
+      sAcc.add(p + 1L)
+      hAcc.add((p + 1L) * 0x9E3779B97F4A7C15L + c * 0xC2B2AE3D27D4EB4FL)
+      r
+    }(enc)
+    val out = graft.Materialize.eager(tracked)
+    (out, RoundStat(nAcc.value, sAcc.value, hAcc.value))
+  }
   /** Resolve duplicate clusters from an LSH pair relation
     * (doc_a < doc_b per row). Returns (labels, rounds): labels =
     * (doc_id, cluster_id = component min, is_canonical), one row per doc
@@ -728,7 +799,7 @@ object Dedup {
   def resolveClusters(pairs: DataFrame): (DataFrame, Int) = {
     val s = pairs.sparkSession
     import s.implicits._
-    var stars = graft.Materialize.eager(
+    var (stars, stat) = materializeWithStat(
       pairs.select($"doc_b".as("child"), $"doc_a".as("parent")).distinct())
     // node universe off the MATERIALIZED stars, not the pairs input — the
     // input's lineage is the whole LSH verification pipeline, and reading
@@ -769,21 +840,16 @@ object Dedup {
         .distinct()
     }
 
-    def potential(e: DataFrame): java.math.BigDecimal =
-      e.agg(coalesce(sum(($"parent" + 1).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
-    var prev = potential(stars)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      // one materialization per round: small-star consumes the large-star
-      // output exactly once (single window pass), so no intermediate
-      // materialization is needed
-      val next = graft.Materialize.eager(smallStar(largeStar(stars)))
-      val p = potential(next)
+      // ONE job per round: small-star consumes the large-star output in a
+      // single window pass, and the convergence statistics fold into the
+      // materialization action itself — no separate aggregate probe.
+      val (next, nextStat) = materializeWithStat(smallStar(largeStar(stars)))
       stars = next
-      converged = p.compareTo(prev) == 0
-      prev = p
+      converged = nextStat == stat
+      stat = nextStat
       rounds += 1
     }
     // The 50-round cap is a runaway backstop far above the O(log² n) star
@@ -792,7 +858,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"resolveClusters: star contraction did not converge in $rounds rounds " +
-          s"(potential still $prev) — input graph is beyond the expected regime")
+          s"(potential still ${stat.sum}) — input graph is beyond the expected regime")
     val labels = nodes
       .join(stars.select($"child".as("id"), $"parent"), Seq("id"), "left")
       .select($"id".as("doc_id"), coalesce($"parent", $"id").as("cluster_id"),
@@ -1025,17 +1091,23 @@ object Dedup {
       .select($"da".as("doc_a"), $"db".as("doc_b"))
     // candidates from the PRODUCTION banding path, fed by the SAME
     // materialized hash rows as the truth side (the corpus is tokenized
-    // and hashed exactly once); lshCandidatesFromSigs materializes its
-    // result internally — no second checkpoint here
-    val cand = lshCandidatesFromSigs(signaturesFromHashes(hrows))
+    // and hashed exactly once). The band relation is materialized here
+    // because TWO consumers read it — the capped candidate expansion and
+    // the overflow accounting; elsewhere bands have a single consumer and
+    // flow straight into the expansion.
+    val bands = graft.Materialize.eager(
+      bandRowsFromSigs(signaturesFromHashes(hrows)))
+    val cand = lshCandidatesFromBands(bands, LshBucketCap)
     val tp = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_true_pairs"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
       .crossJoin(tp.agg(count(lit(1)).as("n_true_candidates")))
+      .crossJoin(lshOverflowStats(bands, LshBucketCap))
       .selectExpr(
         "n_true_pairs", "n_candidate_pairs", "n_true_candidates",
         "IF(n_true_pairs = 0, cast(1.0 AS double), cast(n_true_candidates AS double) / n_true_pairs) AS recall",
-        "IF(n_candidate_pairs = 0, cast(1.0 AS double), cast(n_true_candidates AS double) / n_candidate_pairs) AS precision")
+        "IF(n_candidate_pairs = 0, cast(1.0 AS double), cast(n_true_candidates AS double) / n_candidate_pairs) AS precision",
+        "n_overflow_buckets", "n_pairs_skipped")
   }
   val lshQualitySql: String =
     s"""${lshCteSql()},
@@ -1052,6 +1124,10 @@ object Dedup {
        |  JOIN ns nb ON nb.doc_id = doc_b
        |  WHERE CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared) >= 0.8),
        |tp AS (SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b)),
+       |ovf AS (
+       |  SELECT COALESCE(SUM(CASE WHEN c > $LshBucketCap THEN 1 ELSE 0 END), 0) AS n_overflow_buckets,
+       |         COALESCE(SUM(CASE WHEN c > $LshBucketCap THEN c * (c - 1) // 2 - ${LshBucketCap.toLong * (LshBucketCap - 1) / 2} ELSE 0 END), 0) AS n_pairs_skipped
+       |  FROM (SELECT band_id, band_key, count(*) AS c FROM bands GROUP BY 1, 2) bc),
        |tot AS (SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
        |               (SELECT count(*) FROM cand) AS n_candidate_pairs,
        |               (SELECT n FROM tp) AS n_true_candidates)
@@ -1059,8 +1135,10 @@ object Dedup {
        |       CASE WHEN n_true_pairs = 0 THEN CAST(1.0 AS DOUBLE)
        |            ELSE CAST(n_true_candidates AS DOUBLE) / n_true_pairs END AS recall,
        |       CASE WHEN n_candidate_pairs = 0 THEN CAST(1.0 AS DOUBLE)
-       |            ELSE CAST(n_true_candidates AS DOUBLE) / n_candidate_pairs END AS precision
-       |FROM tot
+       |            ELSE CAST(n_true_candidates AS DOUBLE) / n_candidate_pairs END AS precision,
+       |       CAST(n_overflow_buckets AS BIGINT) AS n_overflow_buckets,
+       |       CAST(n_pairs_skipped AS BIGINT) AS n_pairs_skipped
+       |FROM tot CROSS JOIN ovf
        |""".stripMargin
 
   // ---------------------------------------------------------------------------

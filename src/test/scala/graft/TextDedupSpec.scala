@@ -9,6 +9,27 @@ class TextDedupSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("lsh bucket cap bounds pair expansion on a 10k-identical-doc mega-cluster") {
+    import spark.implicits._
+    // the adversarial web-corpus shape: one boilerplate mega-cluster. All
+    // 10k docs share every band bucket; uncapped expansion would emit
+    // ~50M pairs (and collect a 10k-id array per agg buffer) — the cap
+    // bounds output to C(cap, 2) pairs over the cap smallest doc_ids and
+    // the overflow accounting reports exactly what was skipped.
+    val cap = Dedup.LshBucketCap
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = spark.range(10000).select($"id".as("doc_id"), lit(txt).as("text"))
+    val bands = graft.Materialize.eager(Dedup.bandRows(docs))
+    val cand = Dedup.lshCandidatesFromBands(bands, cap)
+    assert(cand.count() == cap.toLong * (cap - 1) / 2)
+    assert(cand.filter($"doc_a" >= cap || $"doc_b" >= cap).count() == 0,
+      "capped expansion must keep only the cap smallest doc_ids")
+    val ovf = Dedup.lshOverflowStats(bands, cap).collect()(0)
+    assert(ovf.getLong(0) == 4L, "all 4 band buckets overflow")
+    assert(ovf.getLong(1) ==
+      4L * (10000L * 9999 / 2 - cap.toLong * (cap - 1) / 2))
+  }
+
   test("exact dedup keeps one id per content hash") {
     import spark.implicits._
     val d = Dedup.dedupExact(spark, sf).cache()
