@@ -587,30 +587,42 @@ object DecisionSupport {
       |""".stripMargin
   def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Seq("part", "supplier", "nation", "region").foreach { t =>
-      graft.sources.Sources.registerTable(s, t, s"$dir/$t.parquet")
-    }
+    graft.sources.Sources.registerTable(s, "part", s"$dir/part.parquet")
     // one lineitem scan, ever: aggregate to the (part, supplier, min-cost)
-    // offers relation and pin its rows; both SQL consumers below read the
-    // materialized leaf
-    val offers = graft.Materialize.eager(
+    // offers relation, pre-join the EUROPE supplier dim chain (broadcast —
+    // supplier⋈nation⋈region is dim-sized), and pin the result. Both SQL
+    // consumers — the outer block AND the correlated min-cost subquery —
+    // previously re-joined the full 4-relation chain each; now both read
+    // ONE materialized EU-offers leaf, so the duplicated dim joins and the
+    // second offers shuffle disappear while the correlated scalar subquery
+    // stays verbatim in the query text (Catalyst still must decorrelate it
+    // — the PlanSpec gate on RewriteCorrelatedScalarSubquery holds).
+    val euSupp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.region(s, dir).filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_acctbal", $"s_name", $"n_name")
+    // EU filter BELOW the aggregation: only EU offers are ever consumed, so
+    // broadcast-joining suppliers before the groupBy drops ~4/5 of the
+    // offer shuffle at the map side (min per (part, supp) commutes with a
+    // supplier-level filter).
+    val euOffers = graft.Materialize.eager(
       Tables.lineitem(s, dir)
         .select($"l_partkey", $"l_suppkey", ($"l_extendedprice" / $"l_quantity").as("c"))
-        .groupBy($"l_partkey", $"l_suppkey")
+        .join(broadcast(euSupp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey", $"s_suppkey", $"s_acctbal", $"s_name", $"n_name")
         .agg(min($"c").as("ps_cost"))
-        .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"), $"ps_cost"))
-    offers.createOrReplaceTempView("ps_offers")
+        .select($"l_partkey".as("ps_partkey"), $"s_suppkey".as("ps_suppkey"),
+          $"ps_cost", $"s_acctbal", $"s_name", $"n_name"))
+    euOffers.createOrReplaceTempView("ps_eu_offers")
     s.sql(
       """SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost
-        |FROM part, ps_offers, supplier, nation, region
-        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |FROM part, ps_eu_offers
+        |WHERE p_partkey = ps_partkey
         |  AND p_type = 'STANDARD' AND p_size <= 25
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
         |  AND ps_cost = (SELECT min(ps2.ps_cost)
-        |                 FROM ps_offers ps2, supplier s2, nation n2, region r2
-        |                 WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
-        |                   AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-        |                   AND r2.r_name = 'EUROPE')
+        |                 FROM ps_eu_offers ps2
+        |                 WHERE ps2.ps_partkey = p_partkey)
         |ORDER BY s_acctbal DESC, s_name, p_partkey
         |LIMIT 100
         |""".stripMargin)

@@ -735,68 +735,82 @@ object Similarity {
   // and ANN thresholds tuned on one corpus break on the next. The standard
   // one-number diagnostic: the corpus mean vector's norm (0 for an
   // isotropic cloud) and the average cosine of each vector to that mean.
-  // Exactness: the mean vector is the [[twoLevelMean]] ordered fold per
-  // dimension; each per-vector cosine is a left-to-right kernel fold; the
-  // cosine AVERAGE re-uses the same two-level bucket tree over vec_id.
-  // Scale: one fold pass for the centroid (C·d partials), one broadcast of
-  // the d-vector against the corpus scan, one bucketed fold for the mean —
-  // nothing materializes beyond DIM doubles and bucket partials.
+  //
+  // ONE corpus pass, by algebra: the mean cosine to the centroid c factors
+  //   (1/n) Σᵢ (vᵢ·c)/(|vᵢ||c|)  =  ((1/n) Σᵢ vᵢ/|vᵢ|) · c / |c|  =  nm · c / |c|
+  // so the scan only needs TWO per-dimension means — the raw centroid
+  // (c = mean of v) and the normalized mean (nm = mean of v/|v|) — which
+  // fold in the SAME two-level ordered bucket tree over one posexplode.
+  // Everything after is d-vector arithmetic on one row. Exactness: the
+  // per-row norm is the codegen'd left-to-right dot fold, the division
+  // v/|v| is one IEEE op, and both fold trees and the final dot are
+  // replayed verbatim by the oracle. (The previous two-pass form —
+  // centroid, then per-vector cosines re-scanning the corpus — computed
+  // the same diagnostic with twice the scans and a broadcast join.)
   // ---------------------------------------------------------------------------
   def anisotropy(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val exploded = Tables.embeddings(s, dir)
-      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "v")))
-      .select($"vec_id", ($"pos0" + 1).cast("long").as("pos"), $"v",
-        lit(0L).as("g"))
-    val cent = twoLevelMean(exploded, Seq("g", "pos"))
-      .groupBy($"g")
-      .agg(collect_list(struct($"pos", $"m")).as("pm"))
-      .selectExpr("transform(array_sort(pm), x -> x.m) AS ce")
-    val cos = withNorm(Tables.embeddings(s, dir), "vec_id", "embedding")
+    val exploded = withNorm(Tables.embeddings(s, dir), "vec_id", "embedding")
       .toDF("vec_id", "embedding", "vnrm")
-      .crossJoin(broadcast(cent))
-      .selectExpr("vec_id",
-        s"${dotFD("embedding", "ce")} / (vnrm * sqrt(${dotDD("ce", "ce")})) AS v",
-        "ce")
-    // the same fixed two-level bucket tree as the centroid fold, over the
-    // per-vector cosines (v is already double — cast in the fold is a no-op)
-    val meanCos = cos
-      .groupBy(expr(s"vec_id div $FoldW").as("bkt"))
-      .agg(collect_list(struct($"vec_id", $"v")).as("vals"),
+      .select($"vec_id", $"vnrm", posexplode($"embedding").as(Seq("pos0", "v")))
+      .selectExpr("vec_id", "cast(pos0 + 1 as long) AS pos",
+        "cast(v as double) AS v", "cast(v as double) / vnrm AS vn")
+    val lvl1 = exploded
+      .groupBy($"pos", expr(s"vec_id div $FoldW").as("bkt"))
+      .agg(collect_list(struct($"vec_id", $"v", $"vn")).as("vals"),
         count(lit(1)).as("c"))
-      .selectExpr("bkt",
-        "aggregate(transform(array_sort(vals), x -> cast(x.v as double)), cast(0.0 as double), (a, b) -> a + b) AS ps",
+      .selectExpr("pos", "bkt",
+        "aggregate(transform(array_sort(vals), x -> x.v), cast(0.0 as double), (a, b) -> a + b) AS psv",
+        "aggregate(transform(array_sort(vals), x -> x.vn), cast(0.0 as double), (a, b) -> a + b) AS psn",
         "c")
-      .agg(collect_list(struct($"bkt", $"ps")).as("pss"), sum($"c").as("n"))
+    val lvl2 = lvl1.groupBy($"pos")
+      .agg(collect_list(struct($"bkt", $"psv", $"psn")).as("pss"),
+        sum($"c").as("n"))
+      .selectExpr("pos",
+        "aggregate(transform(array_sort(pss), x -> x.psv), cast(0.0 as double), (a, b) -> a + b) / n AS mv",
+        "aggregate(transform(array_sort(pss), x -> x.psn), cast(0.0 as double), (a, b) -> a + b) / n AS mn",
+        "n")
+    lvl2
+      .agg(collect_list(struct($"pos", $"mv", $"mn")).as("pm"),
+        min($"n").as("n_vecs"))
       .selectExpr(
-        "aggregate(transform(array_sort(pss), x -> x.ps), cast(0.0 as double), (a, b) -> a + b) / n AS mean_cos",
-        "n AS n_vecs")
-    meanCos.crossJoin(
-      cent.selectExpr(s"sqrt(${dotDD("ce", "ce")}) AS centroid_norm"))
-      .select($"n_vecs", $"centroid_norm", $"mean_cos")
+        "transform(array_sort(pm), x -> x.mv) AS ce",
+        "transform(array_sort(pm), x -> x.mn) AS nm",
+        "n_vecs")
+      .selectExpr("n_vecs",
+        s"sqrt(${dotDD("ce", "ce")}) AS centroid_norm",
+        s"${dotDD("nm", "ce")} AS dnc")
+      .selectExpr("n_vecs", "centroid_norm", "dnc / centroid_norm AS mean_cos")
   }
   val anisotropySql: String =
-    s"""WITH cg AS (
-       |${twoLevelMeanDuck("g", "(SELECT 0 AS g, vec_id, embedding FROM embeddings) gs")}
-       |),
-       |cent AS (SELECT list(m ORDER BY pos) AS ce FROM cg),
-       |cos AS (
-       |  SELECT e.vec_id,
-       |         ${dotD("e.embedding", "ce")} / (sqrt(${dotD("e.embedding", "e.embedding")}) * sqrt(${dotD("ce", "ce")})) AS v
-       |  FROM embeddings e CROSS JOIN cent),
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotD("embedding", "embedding")}) AS vnrm
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v,
+       |         embedding[i]::DOUBLE / vnrm AS vn
+       |  FROM base, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx),
        |lvl1 AS (
-       |  SELECT vec_id // $FoldW AS bkt,
-       |         list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY vec_id)), (x, y) -> x + y) AS ps,
+       |  SELECT pos, vec_id // $FoldW AS bkt,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY vec_id)), (x, y) -> x + y) AS psv,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(vn ORDER BY vec_id)), (x, y) -> x + y) AS psn,
        |         count(*) AS c
-       |  FROM cos GROUP BY bkt),
-       |m AS (
-       |  SELECT list_reduce(list_prepend(0.0::DOUBLE, list(ps ORDER BY bkt)), (x, y) -> x + y)
-       |           / CAST(sum(c) AS BIGINT) AS mean_cos,
-       |         CAST(sum(c) AS BIGINT) AS n_vecs
-       |  FROM lvl1)
-       |SELECT m.n_vecs, sqrt(${dotD("ce", "ce")}) AS centroid_norm, m.mean_cos
-       |FROM m CROSS JOIN cent
+       |  FROM ex GROUP BY pos, bkt),
+       |lvl2 AS (
+       |  SELECT pos,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(psv ORDER BY bkt)), (x, y) -> x + y) / CAST(sum(c) AS BIGINT) AS mv,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(psn ORDER BY bkt)), (x, y) -> x + y) / CAST(sum(c) AS BIGINT) AS mn,
+       |         CAST(sum(c) AS BIGINT) AS n
+       |  FROM lvl1 GROUP BY pos),
+       |vecs AS (
+       |  SELECT list(mv ORDER BY pos) AS ce, list(mn ORDER BY pos) AS nm,
+       |         min(n) AS n_vecs
+       |  FROM lvl2)
+       |SELECT n_vecs, sqrt(${dotD("ce", "ce")}) AS centroid_norm,
+       |       ${dotD("nm", "ce")} / sqrt(${dotD("ce", "ce")}) AS mean_cos
+       |FROM vecs
        |""".stripMargin
 
   // ---------------------------------------------------------------------------

@@ -274,6 +274,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("anisotropy reads the embeddings corpus exactly once") {
+    // the fused form: raw-centroid and normalized-mean folds share one
+    // posexplode — the old two-pass shape showed two scans + a broadcast
+    val plan = executed(graft.operators.Similarity.anisotropy(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("gopher rule filter is a mapper-only pass — no exchange at all") {
     val plan = executed(TextAnalysis.gopherRules(spark, sf))
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
