@@ -122,6 +122,21 @@ object Materialize {
       try r.getFooter.getBlocks.size finally r.close()
     } catch { case _: Throwable => Int.MaxValue } // unreadable ⇒ do not rebalance
 
+  /** Unpersist the checkpoint RDDs behind ONE seam-produced DataFrame —
+    * the loser of an artifact-cache publish race, or an explicitly
+    * invalidated artifact. Unlike [[releaseTransient]] this frees pinned
+    * materializations too (the caller is declaring this specific copy
+    * dead). No-op on plans with no LogicalRDD leaf (TempParquet impl or a
+    * never-materialized frame). */
+  def release(out: DataFrame): Unit = {
+    val persisted = out.sparkSession.sparkContext.getPersistentRDDs
+    checkpointRddIds(out).foreach { id =>
+      pinned.remove(id)
+      transient_.remove(id)
+      persisted.get(id).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Unpersist every non-pinned checkpoint THIS seam created (pinned shared
     * indexes survive). Benchmark hygiene: eager checkpoints are freed by
     * the ContextCleaner only when GC proves them unreachable, so without an

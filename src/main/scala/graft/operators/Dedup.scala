@@ -876,12 +876,12 @@ object Dedup {
   private val labelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def storedClusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(labelCache, s, dir) {
       import s.implicits._
       graft.Materialize.eager(
         resolveClusters(dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b"))._1,
         pin = true)
-    })
+    }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     storedClusterLabels(s, dir)
@@ -909,7 +909,7 @@ object Dedup {
   private val prevLabelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def storedPrevLabels(s: SparkSession, dir: String): DataFrame =
-    prevLabelCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(prevLabelCache, s, dir) {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       graft.Materialize.eager(
@@ -917,7 +917,7 @@ object Dedup {
           lshPairsFrom(s, dir, docs.filter($"doc_id" < IncrSplit), threshold = 0.8)
             .select($"doc_a", $"doc_b"))._1,
         pin = true)
-    })
+    }
 
   def dedupClustersIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1170,7 +1170,7 @@ object Dedup {
     * (max_id + 1) * 9 / 10 in integer arithmetic, so both engines compute
     * the identical boundary. */
   private def corpusSpanIndex(s: SparkSession, dir: String): (DataFrame, Long) =
-    spanIdxCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(spanIdxCache, s, dir) {
       import s.implicits._
       val all = Tables.documents(s, dir).select($"doc_id", $"text")
       val split = (all.agg(max($"doc_id")).first().getLong(0) + 1L) * 9L / 10L
@@ -1181,7 +1181,7 @@ object Dedup {
           .groupBy($"h").agg(count(lit(1)).as("df_c")),
         pin = true)
       (idx, split)
-    })
+    }
 
   /** The delta boundary the incremental span operators use — exposed so
     * specs can restrict the batch report to the same docs. */
@@ -1523,7 +1523,7 @@ object Dedup {
     * (session, dir), parquet round-trip — probes consume stored bytes.
     * Package-visible so the spec can gate the file-backed lineage. */
   private[graft] def bloomArtifact(s: SparkSession, dir: String): (DataFrame, Long) =
-    bloomCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(bloomCache, s, dir) {
       import s.implicits._
       val all = normHashRows(s, dir)
       val split = (Tables.documents(s, dir).agg(max($"doc_id")).first().getLong(0) + 1L) * 9L / 10L
@@ -1537,7 +1537,7 @@ object Dedup {
         .agg(expr("bit_or(b)").as("w"))
         .write.mode("overwrite").parquet(path)
       (s.read.parquet(path), split)
-    })
+    }
 
   /** Delta-batch probe: per delta document, the bloom verdict (all K bits
     * set in the stored bitmap) and the exact verdict (normalized hash

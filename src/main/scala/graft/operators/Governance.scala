@@ -76,7 +76,10 @@ object Governance {
     import s.implicits._
     val p = Tables.part(s, dir)
       .select($"p_partkey", $"p_name", $"p_brand",
-        split($"p_name", " ").getItem(1).as("noun"),
+        // coalesce to '': getItem(1) is NULL for single-token names (NULL
+        // never equi-joins) while the oracle's split_part yields '' (which
+        // does) — pin the blocking semantics engine-independently
+        coalesce(split($"p_name", " ").getItem(1), lit("")).as("noun"),
         expr("p_size div 10").as("size_band"))
     val a = p.select($"p_partkey".as("ka"), $"p_name".as("na"),
       $"noun", $"p_brand", $"size_band")
@@ -122,7 +125,9 @@ object Governance {
     import s.implicits._
     val p = Tables.part(s, dir)
       .select($"p_partkey", $"p_name",
-        split($"p_name", " ").getItem(1).as("noun"),
+        // same NULL→'' pin as [[fuzzyMatch]] — blocking must not depend on
+        // the engine's single-token split semantics
+        coalesce(split($"p_name", " ").getItem(1), lit("")).as("noun"),
         $"p_brand", expr("p_size div 10").as("size_band"))
     val a = p.select($"p_partkey".as("ka"), $"p_name".as("na"),
       $"noun", $"p_brand", $"size_band")

@@ -52,7 +52,7 @@ object Graph {
   private val tradeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def tradeGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    tradeCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(tradeCache, s, dir) {
       import s.implicits._
       // distinct trading pairs; customer keys even, supplier keys odd
       val pairs = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
@@ -65,7 +65,7 @@ object Graph {
       val deg = graft.Materialize.eager(
         edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")), pin = true)
       (edges, deg)
-    })
+    }
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -160,7 +160,7 @@ object Graph {
   private val coPurchaseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    coPurchaseCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(coPurchaseCache, s, dir) {
       import s.implicits._
       graft.Materialize.eager(
         Tables.lineitem(s, dir)
@@ -170,7 +170,7 @@ object Graph {
             "explode(flatten(transform(ps, (a, i) -> " +
               "transform(slice(ps, i + 2, size(ps) - i - 1), b -> struct(a AS u, b AS v))))) AS pr")
           .select($"pr.u", $"pr.v").distinct(), pin = true)
-    })
+    }
 
   def triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

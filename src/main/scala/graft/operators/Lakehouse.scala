@@ -167,7 +167,7 @@ object Lakehouse {
 
   /** Stored base partials: (user_id, n, cents) for the pre-cutoff view. */
   private def ivmBasePartials(s: SparkSession, dir: String): DataFrame =
-    ivmBaseCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(ivmBaseCache, s, dir) {
       import s.implicits._
       graft.Materialize.eager(
         ivmChangelog(s, dir)
@@ -175,7 +175,7 @@ object Lakehouse {
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n"), sum($"cents").cast("long").as("cents")),
         pin = true)
-    })
+    }
 
   def ivmAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -1748,7 +1748,7 @@ object Relational {
     * as the span-hash index / trained IVF layout: built once per
     * (session, dir), maintained between ingests in a real pipeline. */
   def hllDailyAtRest(s: SparkSession, dir: String): DataFrame =
-    hllDailyCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(hllDailyCache, s, dir) {
       import s.implicits._
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_hll_daily_" +
         java.lang.Integer.toHexString(dir.hashCode)
@@ -1758,7 +1758,7 @@ object Relational {
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
-    })
+    }
 
   def hllReagg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1809,7 +1809,7 @@ object Relational {
     * any binding), never raw rows. Same at-rest contract as
     * hllDailyAtRest. */
   def kllDailyAtRest(s: SparkSession, dir: String): DataFrame =
-    kllDailyCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(kllDailyCache, s, dir) {
       import s.implicits._
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_kll_daily_" +
         java.lang.Integer.toHexString(dir.hashCode)
@@ -1819,7 +1819,7 @@ object Relational {
         .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
-    })
+    }
 
   def kllReagg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1872,7 +1872,7 @@ object Relational {
   /** Stored daily theta sketch artifact (per event_type, per day, over
     * user_id) — parquet round-trip, same at-rest contract as kllDailyAtRest. */
   def thetaDailyAtRest(s: SparkSession, dir: String): DataFrame =
-    thetaDailyCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(thetaDailyCache, s, dir) {
       import s.implicits._
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_theta_daily_" +
         java.lang.Integer.toHexString(dir.hashCode)
@@ -1882,7 +1882,7 @@ object Relational {
         .agg(expr("theta_sketch_agg(user_id)").as("sk"))
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
-    })
+    }
 
   def thetaIntersect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1998,7 +1998,7 @@ object Relational {
     * over user_id) — parquet round-trip, same at-rest contract as
     * kllDailyAtRest/thetaDailyAtRest. */
   def freqDailyAtRest(s: SparkSession, dir: String): DataFrame =
-    freqDailyCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(freqDailyCache, s, dir) {
       graft.functions.GraftFunctions.register(s)
       import s.implicits._
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_freq_daily_" +
@@ -2009,7 +2009,7 @@ object Relational {
         .agg(expr("freq_sketch_agg(user_id)").as("sk"))
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
-    })
+    }
 
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

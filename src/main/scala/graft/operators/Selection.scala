@@ -212,6 +212,11 @@ object Selection {
       .selectExpr("source", "x1", "x2", "y", "x1*x1 AS x11", "x1*x2 AS x12",
         "x2*x2 AS x22", "x1*y AS x1y", "x2*y AS x2y", "y*y AS yy")
 
+  // Supported scale bound for the BIGINT moment sums: Σx² < 2^63 holds up
+  // to ~10^10 docs of ~10^4 tokens (n·x̄² ≈ 10^18 < 9.2·10^18); past that
+  // Spark wraps while DuckDB promotes to HUGEINT — divergent, so beyond
+  // the bound widen these sums to DECIMAL(38,0) (a one-line change: every
+  // consumer, the Cramer fragment included, casts them to DOUBLE anyway).
   private def ridgeAggs = Seq(
     count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
     sum("y").as("sy"), sum("x11").as("s11"), sum("x12").as("s12"),

@@ -150,7 +150,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def lloydCentroids(s: SparkSession, dir: String): DataFrame =
-    centCache.getOrElseUpdate((s, dir), trainLloyd(s, dir))
+    graft.Artifacts.cached(centCache, s, dir)(trainLloyd(s, dir))
 
   private def trainLloyd(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -427,7 +427,7 @@ object Similarity {
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    pqCache.getOrElseUpdate((s, dir), trainPq(s, dir))
+    graft.Artifacts.cached(pqCache, s, dir)(trainPq(s, dir))
 
   private def trainPq(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -460,7 +460,7 @@ object Similarity {
   private val pqCodesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def pqAssignRaw(s: SparkSession, dir: String): DataFrame =
-    pqCodesCache.getOrElseUpdate((s, dir), {
+    graft.Artifacts.cached(pqCodesCache, s, dir) {
       graft.functions.GraftFunctions.register(s)
       import s.implicits._
       val sv = subvecs(Tables.embeddings(s, dir))
@@ -471,7 +471,7 @@ object Similarity {
         scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
           .select($"vec_id", $"sub_id", $"code", $"dist"),
         pin = true)
-    })
+    }
 
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

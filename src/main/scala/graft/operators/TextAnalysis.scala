@@ -1278,8 +1278,18 @@ object TextAnalysis {
   // once, so both engines run the identical IEEE sequence; the usual
   // x−mean/σ form would divide twice and drift in the last ulp.
   // ---------------------------------------------------------------------------
+  // All moment products in DOUBLE, not int64: n·Σx² overflows BIGINT on a
+  // large source (x≈1e4 chars, 1e9 docs ⇒ n·sxx ≈ 1e26), and overflow
+  // semantics DIVERGE across engines (DuckDB errors, Spark wraps). Each
+  // int64→double conversion and product is exact below 2^53 — true at
+  // every tested SF, so hashes are unchanged — and degrades to 1-ulp
+  // relative error beyond, instead of wrapping. Both engines run this
+  // identical IEEE sequence (the string is shared verbatim).
   private val zExpr =
-    "CAST(n * x - sx AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    "(CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) / " +
+      "sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private val zGuard =
+    "n > 1 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
 
   def zscoreNormalize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1289,7 +1299,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), sum($"x").cast("long").as("sx"),
         sum($"x" * $"x").cast("long").as("sxx"))
     x.join(broadcast(moments), Seq("source"))
-      .filter($"n" > 1 && $"n" * $"sxx" > $"sx" * $"sx")
+      .filter(expr(zGuard))
       .select($"doc_id", $"source", $"x", expr(s"$zExpr AS z"))
   }
   val zscoreNormalizeSql: String =
@@ -1299,7 +1309,7 @@ object TextAnalysis {
        |      FROM x GROUP BY source)
        |SELECT x.doc_id, x.source, x.x, $zExpr AS z
        |FROM x JOIN m USING (source)
-       |WHERE m.n > 1 AND m.n * m.sxx > m.sx * m.sx
+       |WHERE $zGuard
        |""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
