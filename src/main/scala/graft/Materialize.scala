@@ -122,6 +122,26 @@ object Materialize {
       try r.getFooter.getBlocks.size finally r.close()
     } catch { case _: Throwable => Int.MaxValue } // unreadable ⇒ do not rebalance
 
+  // Lazily-shared frames (persist, no action) — drained by releaseTransient.
+  private val sharedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Lazy shared materialization: persist (memory+disk) WITHOUT forcing an
+    * action. The consuming query's single action computes the relation once
+    * and every other consumer in that action reads the cache — same
+    * compute-once guarantee as [[eager]], but zero extra driver actions,
+    * which is the whole cost of small iterative states at low data volume
+    * (each eager action pays scheduling + AQE planning that dwarfs its
+    * task work). Trade-off vs eager: lineage is NOT truncated (the plan
+    * under the cache stays visible to the optimizer — fine for
+    * self-contained subtrees) and blocks are recomputable on executor
+    * loss. Tracked transient: [[releaseTransient]] unpersists these like
+    * any checkpoint, so per-run benchmark accounting stays honest. */
+  def shared(df: DataFrame): DataFrame = {
+    val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sharedFrames.add(out)
+    out
+  }
+
   /** Unpersist the checkpoint RDDs behind ONE seam-produced DataFrame —
     * the loser of an artifact-cache publish race, or an explicitly
     * invalidated artifact. Unlike [[releaseTransient]] this frees pinned
@@ -150,6 +170,11 @@ object Materialize {
       val id = it.next()
       persisted.get(id).foreach(_.unpersist(blocking = true))
       it.remove()
+    }
+    val fs = sharedFrames.iterator()
+    while (fs.hasNext) {
+      val f = fs.next()
+      if (f.sparkSession eq s) { f.unpersist(blocking = false); fs.remove() }
     }
   }
 }

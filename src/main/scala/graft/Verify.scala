@@ -40,6 +40,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free per-query transient checkpoints/caches (pinned artifacts
+      // survive) so a 240-query dump doesn't accumulate storage
+      Materialize.releaseTransient(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
