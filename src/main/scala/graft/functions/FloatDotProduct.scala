@@ -117,6 +117,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "sorted_intersect_count",
         exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "kafka_batch_encode", exprs => KafkaBatchEncode(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "kafka_batch_decode", exprs => KafkaBatchDecode(exprs.head), "built-in")
     }
   }
 }
@@ -171,6 +175,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    // Kafka RecordBatch v2 wire framing (streaming/KafkaFraming.scala)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("kafka_batch_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KafkaBatchEncode].getName, "kafka_batch_encode"),
+      (exprs: Seq[Expression]) => KafkaBatchEncode(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("kafka_batch_decode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KafkaBatchDecode].getName, "kafka_batch_decode"),
+      (exprs: Seq[Expression]) => KafkaBatchDecode(exprs.head)))
     // P11 session-role column masking as a resolution rule (see MaskingRule).
     e.injectResolutionRule(session => graft.mask.MaskingRule(session))
   }

@@ -21,7 +21,11 @@ object Sources {
     * no connector jar ships in /opt/spark/jars, so a live `format("kafka")`
     * load cannot run here: the call is the documented production seam
     * (tests use file/rate/memory sources — as does the reference's own
-    * fallback). */
+    * fallback). What DOES execute offline is the wire FORMAT: the
+    * RecordBatch v2 codec (streaming/KafkaFraming.scala) encodes/decodes
+    * real Kafka-framed batches distributed — oracle-gated by
+    * [[kafkaRoundtrip]] and stream-consumed in KafkaFramingSpec — so the
+    * only unexecuted surface is the TCP protocol inside the blocked jar. */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
                   groupId: String = "spark-graft-cdc"): DataFrame =
     spark.readStream
@@ -277,14 +281,65 @@ object Sources {
       |FROM documents GROUP BY source
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated Kafka RecordBatch v2 round-trip: events are packed into
+  // REAL Kafka wire frames (magic 2, CRC32C, zigzag-varint records — the
+  // byte layout a broker emits; see streaming/KafkaFraming.scala) and
+  // decoded back, all distributed via the kafka_batch_encode/decode
+  // expressions. This is the executable half of the S1 Kafka contract the
+  // offline container permits: the connector/broker jars cannot resolve
+  // (documented at kafkaStream above), but the framing every consumer
+  // ultimately decodes is pure public bytes — any encode/decode bit error
+  // (CRC section bounds, varint zigzag, delta bases) breaks the hash
+  // against the frame-free oracle. Scale shape: one shuffle groups events
+  // into 64-record batches; framing and parsing run where the groups
+  // live, never on the driver.
+  // ---------------------------------------------------------------------------
+  def kafkaRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .groupBy(expr("event_id div 64").as("bucket"))
+      .agg(sort_array(collect_list(
+        struct($"event_id", $"user_id", $"event_type", $"ts"))).as("recs"))
+      .selectExpr(
+        "kafka_batch_encode(transform(recs, r -> struct(" +
+          "unix_micros(r.ts) div 1000 AS ts, " +
+          "cast(cast(r.event_id as string) as binary) AS key, " +
+          "cast(concat(r.event_type, '|', cast(r.user_id as string)) as binary) AS value)), " +
+          "bucket * 64) AS frame")
+      .selectExpr("explode(kafka_batch_decode(frame)) AS r")
+      .selectExpr(
+        "r.offset AS offset",
+        "CAST(CAST(r.key AS STRING) AS BIGINT) AS event_id",
+        "CAST(r.value AS STRING) AS payload",
+        "r.ts_ms AS ts_ms")
+  }
+  val kafkaRoundtripSql: String =
+    """WITH r AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |         event_id // 64 AS bucket,
+      |         row_number() OVER (PARTITION BY event_id // 64
+      |                            ORDER BY event_id) - 1 AS off_delta
+      |  FROM events)
+      |SELECT bucket * 64 + off_delta AS offset,
+      |       event_id,
+      |       event_type || '|' || CAST(user_id AS VARCHAR) AS payload,
+      |       epoch_us(ts) // 1000 AS ts_ms
+      |FROM r
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
+    "q_kafka_roundtrip" -> kafkaRoundtrip _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_kafka_roundtrip" -> kafkaRoundtripSql,
   )
 }
