@@ -74,25 +74,46 @@ object Governance {
     * block's square bounded — same plan, richer key. */
   def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = Tables.part(s, dir)
+    // Exact-name collapse BEFORE comparison (the standard record-linkage
+    // optimization): catalogs with duplicates make raw blocks O(n²) in the
+    // clone count — the sf1 scale-sanity run measured 16.6× growth on 10×
+    // data for the naive form. Levenshtein now runs only between DISTINCT
+    // names per block (quadratic in name variety, which cloning does not
+    // grow), and the original all-pairs aggregates are recovered exactly
+    // from group multiplicities: a name group of k parts contributes
+    // k(k−1)/2 distance-0 pairs; a cross-group name pair contributes
+    // ka·kb pairs at its one computed distance. Same output bit-for-bit
+    // (hash-gated at all SFs), member-linear in duplicates.
+    val g = Tables.part(s, dir)
       .select($"p_partkey", $"p_name", $"p_brand",
         // coalesce to '': getItem(1) is NULL for single-token names (NULL
         // never equi-joins) while the oracle's split_part yields '' (which
         // does) — pin the blocking semantics engine-independently
         coalesce(split($"p_name", " ").getItem(1), lit("")).as("noun"),
         expr("p_size div 10").as("size_band"))
-    val a = p.select($"p_partkey".as("ka"), $"p_name".as("na"),
-      $"noun", $"p_brand", $"size_band")
-    val b = p.select($"p_partkey".as("kb"), $"p_name".as("nb"),
-      $"noun", $"p_brand", $"size_band")
-    a.join(b, Seq("noun", "p_brand", "size_band"))
-      .filter($"ka" < $"kb")
+      .groupBy($"noun", $"p_brand", $"size_band", $"p_name")
+      .agg(count(lit(1)).as("k"))
+    val a = g.select($"noun", $"p_brand", $"size_band",
+      $"p_name".as("na"), $"k".as("ka"))
+    val b = g.select($"noun", $"p_brand", $"size_band",
+      $"p_name".as("nb"), $"k".as("kb"))
+    val cross = a.join(b, Seq("noun", "p_brand", "size_band"))
+      .filter($"na" < $"nb")
       .withColumn("d", levenshtein($"na", $"nb"))
+      .withColumn("m", $"ka" * $"kb")
       .groupBy($"noun", $"p_brand")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when($"d" === 0, 1L).otherwise(0L)).cast("long").as("n_exact"),
-        sum(when($"d" >= 1 && $"d" <= 3, 1L).otherwise(0L)).cast("long").as("n_near"),
-        sum($"d").cast("long").as("sum_dist"))
+      .agg(sum($"m").cast("long").as("c_pairs"),
+        sum(when($"d" >= 1 && $"d" <= 3, $"m").otherwise(0L)).cast("long").as("c_near"),
+        sum($"m" * $"d").cast("long").as("c_dist"))
+    val within = g.groupBy($"noun", $"p_brand")
+      .agg(sum(expr("k * (k - 1) div 2")).cast("long").as("w_pairs"))
+    within.join(cross, Seq("noun", "p_brand"), "full_outer")
+      .select($"noun", $"p_brand",
+        (coalesce($"w_pairs", lit(0L)) + coalesce($"c_pairs", lit(0L))).as("n_pairs"),
+        coalesce($"w_pairs", lit(0L)).as("n_exact"),
+        coalesce($"c_near", lit(0L)).as("n_near"),
+        coalesce($"c_dist", lit(0L)).as("sum_dist"))
+      .filter($"n_pairs" > 0)
   }
   val fuzzyMatchSql: String =
     """WITH p AS (
@@ -123,20 +144,33 @@ object Governance {
     * Output: one row per multi-member entity with its canonical name. */
   def erEntities(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Same exact-name collapse as [[fuzzyMatch]]: comparison edges run
+    // between name-group REPRESENTATIVES only (distance-0 members attach
+    // to their rep by construction), so closure input is linear in
+    // duplicates and quadratic only in per-block name variety. The
+    // transitive closure is unchanged — identical entities, hash-gated.
     val p = Tables.part(s, dir)
       .select($"p_partkey", $"p_name",
-        // same NULL→'' pin as [[fuzzyMatch]] — blocking must not depend on
-        // the engine's single-token split semantics
+        // same NULL→'' pin — blocking must not depend on the engine's
+        // single-token split semantics
         coalesce(split($"p_name", " ").getItem(1), lit("")).as("noun"),
         $"p_brand", expr("p_size div 10").as("size_band"))
-    val a = p.select($"p_partkey".as("ka"), $"p_name".as("na"),
-      $"noun", $"p_brand", $"size_band")
-    val b = p.select($"p_partkey".as("kb"), $"p_name".as("nb"),
-      $"noun", $"p_brand", $"size_band")
-    val pairs = a.join(b, Seq("noun", "p_brand", "size_band"))
-      .filter($"ka" < $"kb" && levenshtein($"na", $"nb") <= 3)
-      .select($"ka".as("doc_a"), $"kb".as("doc_b"))
-    val (labels, _) = Dedup.resolveClusters(pairs)
+    val g = graft.Materialize.shared(
+      p.groupBy($"noun", $"p_brand", $"size_band", $"p_name")
+        .agg(min($"p_partkey").as("rep")))
+    // members ≠ rep: a distance-0 edge each (identical names always match)
+    val memberEdges = p.join(g,
+        Seq("noun", "p_brand", "size_band", "p_name"))
+      .filter($"p_partkey" =!= $"rep")
+      .select($"rep".as("doc_a"), $"p_partkey".as("doc_b"))
+    val a = g.select($"noun", $"p_brand", $"size_band",
+      $"p_name".as("na"), $"rep".as("ra"))
+    val b = g.select($"noun", $"p_brand", $"size_band",
+      $"p_name".as("nb"), $"rep".as("rb"))
+    val repEdges = a.join(b, Seq("noun", "p_brand", "size_band"))
+      .filter($"na" < $"nb" && levenshtein($"na", $"nb") <= 3)
+      .select($"ra".as("doc_a"), $"rb".as("doc_b"))
+    val (labels, _) = Dedup.resolveClusters(memberEdges.union(repEdges))
     labels.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
       .join(Tables.part(s, dir).select($"p_partkey", $"p_name"),
         $"cluster_id" === $"p_partkey")
