@@ -27,11 +27,14 @@ import graft.sources.Tables
   * materialized; each of the 5 iterations is one fact-sized hash join
   * (ranks ⨝ edges on the source key) plus one aggregation to the
   * destination key — Pregel's message pass expressed relationally. Rank
-  * state is materialized per iteration (`Materialize.eager`), so the plan
-  * stays O(1) deep and a lost executor recomputes one iteration, not the
-  * whole chain. At 1000 executors the edge relation would be
-  * pre-partitioned by src (bucketed), making each message pass a
-  * co-partitioned join; the iteration structure is unchanged.
+  * state chains lazily through the 5 unrolled passes (each round has ONE
+  * consumer, so the whole walk is a single action; per-round eager
+  * checkpoints measured as pure scheduling overhead at every tested SF).
+  * On a churn-prone 1000-executor cluster the state would go back through
+  * `Materialize.eager` per iteration — O(1) plan depth, one-iteration
+  * recovery — and the edge relation would be pre-partitioned by src
+  * (bucketed), making each message pass a co-partitioned join; the
+  * iteration structure is unchanged either way.
   *
   * The graph centrality signal is the same one used for influence-based
   * curation over document kNN graphs (select central/representative docs);
@@ -82,11 +85,14 @@ object Graph {
         .selectExpr("dst", "r div deg AS c", "n")
       val inSum = contrib.groupBy($"dst")
         .agg(sum($"c").as("insum"), first($"n").as("n"))
-      state = graft.Materialize.eager(
-        inSum.join(deg, $"dst" === $"node")
-          .selectExpr("node", "deg",
-            s"(3L * ${Scale}L) div (20L * n) + (17L * insum) div 20L AS r",
-            "n"))
+      // single consumer per round: a lazy chain keeps all 5 message
+      // passes in ONE action (per-round eager actions cost more in
+      // scheduling/AQE planning than their task work at tested SFs; on a
+      // churn-prone cluster swap this back to per-round Materialize.eager)
+      state = inSum.join(deg, $"dst" === $"node")
+        .selectExpr("node", "deg",
+          s"(3L * ${Scale}L) div (20L * n) + (17L * insum) div 20L AS r",
+          "n")
     }
     state.selectExpr(
       "node",
@@ -194,7 +200,7 @@ object Graph {
     // broadcast builds) — materialize them or every consumer re-runs the
     // underlying shuffle (the un-materialized form measured 4.5 s; this
     // one ~1.5 s).
-    val deg = graft.Materialize.eager(
+    val deg = graft.Materialize.shared(
       e.select($"u".as("n")).union(e.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("d")))
     // orient each edge from its lower-(degree, id) endpoint
@@ -219,7 +225,7 @@ object Graph {
     // sorted adjacency: the intersection kernel's contract (the native
     // sorted_intersect_count merge loop — size(array_intersect) allocates
     // a boxed hash set per edge row, which alone held this query at ~4.5 s)
-    val adj = graft.Materialize.eager(
+    val adj = graft.Materialize.shared(
       oriented.groupBy($"x").agg(sort_array(collect_set($"y")).as("ns")))
     val nTriDf = oriented
       .join(broadcast(adj), "x")
@@ -287,7 +293,7 @@ object Graph {
   def assortativity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = coPurchaseEdges(s, dir)
-    val deg = graft.Materialize.eager(
+    val deg = graft.Materialize.shared(
       e.select($"u".as("n")).union(e.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("d")))
     val directed = e.union(e.select($"v".as("u"), $"u".as("v")))
@@ -357,24 +363,23 @@ object Graph {
     val seeds = Tables.customer(s, dir)
       .filter($"c_mktsegment" === "BUILDING")
       .select(($"c_custkey" * 2).as("node"), lit(1L).as("is_seed"))
-    val base0 = graft.Materialize.eager(
+    val base0 = graft.Materialize.shared(
       deg.join(seeds, Seq("node"), "left")
         .select($"node", $"deg", coalesce($"is_seed", lit(0L)).as("is_seed")))
     val ns = base0.agg(sum($"is_seed").as("ns"))
     val base = base0.crossJoin(broadcast(ns))
-    var state = graft.Materialize.eager(
-      base.selectExpr("node", "deg", "is_seed", "ns",
-        s"IF(is_seed = 1, ${Scale}L div ns, 0L) AS r"))
+    var state = base.selectExpr("node", "deg", "is_seed", "ns",
+      s"IF(is_seed = 1, ${Scale}L div ns, 0L) AS r")
     for (_ <- 1 to PprIters) {
       val contrib = state
         .join(edges, $"node" === $"src")
         .selectExpr("dst", "r div deg AS c")
       val inSum = contrib.groupBy($"dst").agg(sum($"c").as("insum"))
-      state = graft.Materialize.eager(
-        base.join(inSum, base("node") === inSum("dst"), "left")
-          .selectExpr("node", "deg", "is_seed", "ns",
-            s"IF(is_seed = 1, (3L * ${Scale}L) div (20L * ns), 0L)" +
-              " + (17L * coalesce(insum, 0L)) div 20L AS r"))
+      // single consumer per round — lazy chain, one action (see pagerank)
+      state = base.join(inSum, base("node") === inSum("dst"), "left")
+        .selectExpr("node", "deg", "is_seed", "ns",
+          s"IF(is_seed = 1, (3L * ${Scale}L) div (20L * ns), 0L)" +
+            " + (17L * coalesce(insum, 0L)) div 20L AS r")
     }
     state.selectExpr(
       "node",
@@ -440,7 +445,7 @@ object Graph {
   def khop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = coPurchaseEdges(s, dir)
-    val sym = graft.Materialize.eager(
+    val sym = graft.Materialize.shared(
       e.union(e.select($"v".as("u"), $"u".as("v"))))
     val seeds = Tables.part(s, dir)
       .filter($"p_brand" === KhopBrand)
@@ -449,7 +454,7 @@ object Graph {
     // visited set is a lazy union over the already-materialized levels
     // (each input is checkpointed, so the union re-reads cached blocks,
     // never recomputes — half the jobs of materializing reached per hop)
-    var levels = Vector(graft.Materialize.eager(seeds.withColumn("hop", lit(0))))
+    var levels = Vector(graft.Materialize.shared(seeds.withColumn("hop", lit(0))))
     for (h <- 1 to KHops) {
       val frontier = levels.last.select($"node")
       val visited = levels.map(_.select($"node")).reduce(_ union _)
@@ -461,7 +466,7 @@ object Graph {
       // by the frontier's degree sum). If a frontier ever outgrows
       // broadcast reach (whole-graph floods), drop the hints and the same
       // plan runs shuffled.
-      val nxt = graft.Materialize.eager(
+      val nxt = graft.Materialize.shared(
         sym.join(broadcast(frontier), sym("u") === frontier("node"))
           .select(sym("v").as("node")).distinct()
           .join(broadcast(visited), Seq("node"), "left_anti")
