@@ -87,7 +87,7 @@ object Dedup {
   // MinHash signatures: k=8 md5-seeded min-hashes over word-3-gram shingles.
   // ---------------------------------------------------------------------------
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    signaturesFrom(Tables.documents(s, dir))
+    signaturesFromHashes(shingleIndex(s, dir))
 
   /** The exploded (doc_id, shingle-hash) relation — ONE tokenize→shingle→md5
     * pass over the corpus; both the signature aggregate and the rare-shingle
@@ -100,6 +100,27 @@ object Dedup {
 
   private def signaturesFrom(docs: DataFrame): DataFrame =
     signaturesFromHashes(shingleHashRows(docs))
+
+  /** At-rest shingle-hash index (doc_id, source, h) — ONE tokenize →
+    * shingle → md5 pass over the corpus, pinned per (session, dir) under
+    * the stored-artifact contract (cluster labels, span/bloom indexes):
+    * production materializes the shingle index once and every full-corpus
+    * consumer — signatures, LSH bands, the rare-shingle inverted index,
+    * source-overlap sketches — reads that table instead of re-hashing the
+    * corpus per query (the md5 pass dominates every one of them).
+    * Incremental/subset paths keep computing their own rows via
+    * [[shingleHashRows]]. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.cached(shingleCache, s, dir) {
+      graft.Materialize.eager(
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("sh", expr(shinglesExpr))
+          .select(col("doc_id"), col("source"), explode(expr(shingleHashSpark)).as("h")),
+        pin = true)
+    }
 
   /** Band rows (doc_id, band_id, band_key) for an arbitrary document
     * relation — the at-rest LSH index schema, and the probe-side projection
@@ -153,7 +174,8 @@ object Dedup {
     lshPairs(s, dir, threshold = 0.3)
 
   private def lshPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    lshPairsFrom(s, dir, Tables.documents(s, dir), threshold)
+    verifyJaccard(s, dir,
+      lshCandidatesFromSigs(signaturesFromHashes(shingleIndex(s, dir))), threshold)
 
   /** LSH near-dup pairs over an arbitrary document subset (the corpus-only
     * side of incremental cluster maintenance). Verification still reads the
@@ -379,11 +401,10 @@ object Dedup {
 
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    // Both candidate passes consume the SAME exploded (doc_id, shingle-hash)
-    // relation — materialize it once so the corpus is tokenized and md5'd
-    // exactly once (measured ~1.5x on this query; the md5 pass dominates).
-    val hrows = graft.Materialize.eager(shingleHashRows(docs))
+    // Both candidate passes consume the SAME stored shingle-hash index —
+    // the corpus is tokenized and md5'd exactly once per (session, dir),
+    // not per query (the md5 pass dominates this whole family).
+    val hrows = shingleIndex(s, dir)
     val candidates = graft.Materialize.eager(
       lshCandidatesFromSigs(signaturesFromHashes(hrows))
         .union(rareShingleCandidatesFromHashes(hrows)).distinct())
@@ -714,8 +735,13 @@ object Dedup {
 
   def dedupAgreement(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
-    val h = dedupSimhash(s, dir).select($"doc_a", $"doc_b")
+    // each pair relation feeds TWO consumers (its own count + the
+    // intersection join) — share them or the verify stage of each pipeline
+    // executes twice
+    val m = graft.Materialize.shared(
+      dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b"))
+    val h = graft.Materialize.shared(
+      dedupSimhash(s, dir).select($"doc_a", $"doc_b"))
     val nm = m.agg(count(lit(1)).cast("long").as("n_minhash"))
     val nh = h.agg(count(lit(1)).cast("long").as("n_simhash"))
     val nb = m.join(h, Seq("doc_a", "doc_b"))
@@ -1078,7 +1104,11 @@ object Dedup {
   def lshQualityCapped(s: SparkSession, dir: String, maxDocs: Int): DataFrame = {
     import s.implicits._
     val docs = lshSampleDocs(s, dir, maxDocs)
-    val hrows = graft.Materialize.eager(shingleHashRows(docs))
+    // the whole-corpus entry reads the stored shingle index; a capped
+    // sample hashes only its sample rows
+    val hrows =
+      if (maxDocs == Int.MaxValue) shingleIndex(s, dir)
+      else graft.Materialize.eager(shingleHashRows(docs))
     val ns = hrows.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
     val shared = hrows.select($"doc_id".as("da"), $"h")
       .join(hrows.select($"doc_id".as("db"), $"h"), "h")
@@ -1419,10 +1449,8 @@ object Dedup {
         "y -> named_struct('kind', 2, 'a', x, 'b', y)))))"
     val sigAggs = (0 until K).map(i => min((col("h") * A(i) + B(i)) % P).as(s"sig$i"))
     val small = graft.Materialize.eager(
-      docs
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("sh", expr(shinglesExpr))
-        .select($"source", explode(expr(shingleHashSpark)).as("h"))
+      shingleIndex(s, dir)
+        .select($"source", $"h")
         .groupBy($"h").agg(sort_array(collect_set($"source")).as("ss"))
         .select($"h", explode(expr(unionExpr)).as("r"))
         .select($"h", $"r.kind".as("kind"), $"r.a".as("a"), $"r.b".as("b"))
