@@ -121,6 +121,8 @@ object GraftFunctions {
         "kafka_batch_encode", exprs => KafkaBatchEncode(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "kafka_batch_decode", exprs => KafkaBatchDecode(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "xlsx_records", exprs => XlsxRecords(exprs.head), "built-in")
     }
   }
 }
@@ -186,6 +188,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[KafkaBatchDecode].getName, "kafka_batch_decode"),
       (exprs: Seq[Expression]) => KafkaBatchDecode(exprs.head)))
+    // native XLSX ingest (sources/Xlsx.scala — JDK zip + StAX, no POI jar)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("xlsx_records"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[XlsxRecords].getName, "xlsx_records"),
+      (exprs: Seq[Expression]) => XlsxRecords(exprs.head)))
     // P11 session-role column masking as a resolution rule (see MaskingRule).
     e.injectResolutionRule(session => graft.mask.MaskingRule(session))
   }

@@ -83,18 +83,47 @@ object Sources {
     "Moyen de déplacement" -> "transport_mode",
     "Nombre de jours de CP" -> "paid_leaved_days")
 
-  /** S5 — HR workbook ingest. The reference reads Excel via pandas
-    * (ref: commute_validation.py:187-209); the columnar equivalent is a
-    * header CSV export read with the same French→canonical column mapping
-    * and explicit types. Real `.xlsx` needs the spark-excel connector:
-    * resolution of `com.crealytics:spark-excel_2.13:3.5.1_0.20.4` was
-    * attempted in this build and fails offline ("Not found" in every
-    * configured repository — the zero-egress dependency cache holds only
-    * the test libraries), and no such jar ships in /opt/spark/jars. On a
-    * cluster with the jar, swap `.csv(path)` for
-    * `.format("com.crealytics.spark.excel").option("header", "true")
-    * .load(path)` — the header map and typed projection below are
-    * format-independent. */
+  /** S5 (binary path) — NATIVE `.xlsx` ingest of the French-header HR
+    * workbook, no spark-excel/POI jar (both were proven offline-
+    * unresolvable — see [[hrCsv]]): an .xlsx is a ZIP of SpreadsheetML
+    * XML (public ECMA-376), and the JDK ships both the zip codec and a
+    * StAX parser, so [[Xlsx]] reads the binary workbook directly.
+    * Distributed by construction: `binaryFile` lists the glob and each
+    * workbook parses WHERE ITS BYTES LAND via the `xlsx_records`
+    * expression — a directory of thousands of HR exports (the real shape
+    * of spreadsheet ingest) scales per-file, nothing on the driver. Same
+    * header map + typed projection as the CSV variant; both shared-string
+    * and inline-string workbooks are spec-gated end-to-end against real
+    * zip bytes (SourcesSpec). */
+  def hrXlsx(spark: SparkSession, pathGlob: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val recs = spark.read.format("binaryFile").load(pathGlob)
+      .selectExpr("explode(xlsx_records(content)) AS m")
+    val withCanon = hrHeaderMap.foldLeft(recs) { case (df, (fr, canon)) =>
+      // accept the French header (the workbook contract) or an already-
+      // canonical header (re-exported workbooks)
+      df.withColumn(canon,
+        coalesce(element_at(col("m"), fr), element_at(col("m"), canon)))
+    }
+    withCanon.select(
+      col("id_employee").cast("int"),
+      col("first_name"), col("last_name"),
+      to_date(col("birthday"), "yyyy-MM-dd").as("birthday"),
+      col("business_unity"),
+      to_date(col("hire_date"), "yyyy-MM-dd").as("hire_date"),
+      col("gross_salary").cast("int"),
+      col("constract_type"),
+      col("address"), col("transport_mode"),
+      col("paid_leaved_days").cast("int"))
+  }
+
+  /** S5 (text path) — HR workbook ingest from a header CSV export with the
+    * same French→canonical column mapping and explicit types. (Historical
+    * note kept for the jar record: resolution of
+    * `com.crealytics:spark-excel_2.13:3.5.1_0.20.4` was attempted in this
+    * build and fails offline — "Not found" in every configured repository;
+    * no such jar ships in /opt/spark/jars. That connector is now
+    * unnecessary: [[hrXlsx]] parses the binary workbook natively.) */
   def hrCsv(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read
       .option("header", "true")
