@@ -359,16 +359,65 @@ object Sources {
       |FROM r
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated transaction-log table: three append commits of disjoint
+  // md5-bucket slices of events (the q_ab_test split idiom), one OPTIMIZE
+  // rewrite, then every version read back via time travel and aggregated.
+  // The oracle replays the versions as cumulative bucket filters — and
+  // version 3 (post-OPTIMIZE) must equal version 2 exactly, which is the
+  // whole OPTIMIZE contract: file layout changes, contents don't. Any
+  // commit-fold bug (remove not masking an add, time travel leaking a
+  // later commit, optimize dropping/duplicating rows) breaks the hash.
+  // ---------------------------------------------------------------------------
+  def txnTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txn")
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          bucket.as("b"))
+      TxnTable.append(ev.filter($"b" <= 2), tmp.toString)                  // v0
+      TxnTable.append(ev.filter($"b" === 3 || $"b" === 4), tmp.toString)   // v1
+      TxnTable.append(ev.filter($"b" === 5), tmp.toString)                 // v2
+      TxnTable.optimize(s, tmp.toString, smallBytes = Long.MaxValue)       // v3
+      val per = (0L to 3L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per) // consume before the table dir is reclaimed
+    } finally reclaim(tmp)
+  }
+  val txnTimeTravelSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events),
+      |v AS (SELECT 0 AS version, 2 AS maxb UNION ALL SELECT 1, 4
+      |      UNION ALL SELECT 2, 5 UNION ALL SELECT 3, 5)
+      |SELECT CAST(version AS BIGINT) AS version,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM v JOIN ev ON ev.b <= v.maxb
+      |GROUP BY version
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
+    "q_txn_time_travel" -> txnTimeTravel _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_kafka_roundtrip" -> kafkaRoundtripSql,
+    "q_txn_time_travel" -> txnTimeTravelSql,
   )
 }

@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Minimal log-structured table format over parquet — the executable
+  * analogue of the Delta features the offline container blocks (the
+  * delta-spark jar is unresolvable; see [[graft.streaming.CdcIngest]]'s
+  * format seam). The protocol SHAPE follows the public lakehouse-log
+  * design (Delta/Iceberg papers): an ordered `_txn_log/<version>.json`
+  * of add/remove FILE ACTIONS is the table's source of truth — readers
+  * list the log, fold actions into a snapshot, and read only live files.
+  * That one idea buys, and this module implements:
+  *
+  *  - **snapshot isolation**: a commit is one atomically-renamed log file;
+  *    readers never see half a commit;
+  *  - **time travel** ([[readVersion]]): fold actions only up to v;
+  *  - **OPTIMIZE** ([[optimize]]): rewrite small files into compacted
+  *    ones and commit remove+add — contents identical, history intact
+  *    (older versions still resolve to the removed files until vacuumed);
+  *  - **VACUUM** ([[vacuum]]): delete files unreferenced by any retained
+  *    version — after which too-old time travel FAILS LOUDLY instead of
+  *    returning partial data;
+  *  - **history** ([[history]]): the commit audit table.
+  *
+  * Scale notes. Data files are written by Spark (distributed, any size);
+  * only the ACTION METADATA passes through the driver, exactly as in the
+  * production systems (a log entry is O(files touched), not O(rows)).
+  * Atomic rename is the local-FS/HDFS commit primitive; on S3-class
+  * stores the rename becomes a conditional put — the one seam to swap.
+  * Single-writer: concurrent commits would need the conditional-put CAS
+  * loop; readers are always safe.
+  */
+object TxnTable {
+
+  private val actionSchema = StructType(Seq(
+    StructField("version", LongType),
+    StructField("op", StringType),
+    StructField("action", StringType), // add | remove
+    StructField("file", StringType),   // path relative to table root
+    StructField("bytes", LongType)))
+
+  private def logDir(root: String): Path = Paths.get(root, "_txn_log")
+
+  private def versions(root: String): Seq[Long] = {
+    val d = logDir(root)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  /** Latest committed version, −1 for an empty/new table. */
+  def latestVersion(root: String): Long = versions(root).lastOption.getOrElse(-1L)
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  /** Write one commit atomically: actions → tmp json → rename into place. */
+  private def commit(root: String, version: Long, op: String,
+                     adds: Seq[(String, Long)], removes: Seq[String]): Unit = {
+    Files.createDirectories(logDir(root))
+    val lines =
+      adds.map { case (f, b) =>
+        s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(f)}","bytes":$b}"""
+      } ++ removes.map { f =>
+        s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0}"""
+      }
+    val tmp = logDir(root).resolve(s".$version.json.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+    val dst = logDir(root).resolve(f"$version%020d.json")
+    require(!Files.exists(dst), s"version $version already committed (single-writer contract)")
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def writeDataFiles(df: DataFrame, root: String, version: Long): Seq[(String, Long)] = {
+    val sub = s"data/v$version"
+    val dst = Paths.get(root, sub)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
+    Files.list(dst).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .map(n => (s"$sub/$n", Files.size(dst.resolve(n))))
+      .toSeq.sorted
+  }
+
+  /** Append `df` as a new commit; returns the committed version. */
+  def append(df: DataFrame, root: String): Long = {
+    val v = latestVersion(root) + 1
+    commit(root, v, "append", writeDataFiles(df, root, v), Seq.empty)
+    v
+  }
+
+  /** Replace the table contents with `df` (the batch overwrite sink shape,
+    * ref SaveDelta batch path): adds the new files, removes every
+    * previously-live one — in ONE commit, so readers flip atomically and
+    * the pre-overwrite version remains time-travelable. */
+  def overwrite(df: DataFrame, root: String): Long = {
+    val v = latestVersion(root) + 1
+    commit(root, v, "overwrite", writeDataFiles(df, root, v),
+      liveFiles(root, v - 1).map(_._1))
+    v
+  }
+
+  /** Log actions up to and including `asOf` (whole log when < 0). */
+  private def actions(root: String, asOf: Long): Seq[(Long, String, String, String, Long)] = {
+    val vs = versions(root).filter(v => asOf < 0 || v <= asOf)
+    vs.flatMap { v =>
+      Files.readAllLines(logDir(root).resolve(f"$v%020d.json")).asScala.map { line =>
+        // fixed field order written by [[commit]]; parsed positionally
+        val ver = line.split("\"version\":")(1).takeWhile(_ != ',').toLong
+        def str(k: String) = line.split(s""""$k":"""")(1).takeWhile(_ != '"')
+        val bytes = line.split("\"bytes\":")(1).takeWhile(c => c.isDigit).toLong
+        (ver, str("op"), str("action"), str("file"), bytes)
+      }
+    }
+  }
+
+  private def liveFiles(root: String, asOf: Long): Seq[(String, Long)] = {
+    val acts = actions(root, asOf)
+    val removed = acts.collect { case (_, _, "remove", f, _) => f }.toSet
+    acts.collect { case (_, _, "add", f, b) if !removed.contains(f) => (f, b) }
+  }
+
+  /** Read the latest snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, -1L)
+
+  /** Time travel: the table exactly as of commit `asOf` (−1 = latest).
+    * Fails loudly if a needed file was vacuumed away. */
+  def readVersion(spark: SparkSession, root: String, asOf: Long): DataFrame = {
+    val last = latestVersion(root)
+    require(last >= 0, s"$root is not a TxnTable (no _txn_log)")
+    require(asOf <= last, s"version $asOf does not exist (latest $last)")
+    val files = liveFiles(root, asOf)
+    val missing = files.filterNot { case (f, _) => Files.exists(Paths.get(root, f)) }
+    require(missing.isEmpty,
+      s"version ${if (asOf < 0) last else asOf} references vacuumed files: " +
+        missing.map(_._1).mkString(", "))
+    // every commit adds at least one part file (Spark writes schema-bearing
+    // empty parts), so a resolvable version always has files
+    require(files.nonEmpty, s"no live files at version $asOf")
+    spark.read.parquet(files.map { case (f, _) => Paths.get(root, f).toString }: _*)
+  }
+
+  /** OPTIMIZE: rewrite every live file smaller than `smallBytes` into
+    * `targetPartitions` compacted files; one commit of remove+add. Contents
+    * are bit-identical (no ordering guarantee — parquet tables are
+    * unordered sets); history stays time-travelable until [[vacuum]]. */
+  def optimize(spark: SparkSession, root: String,
+               smallBytes: Long = 8L << 20, targetPartitions: Int = 1): Long = {
+    val v = latestVersion(root) + 1
+    val small = liveFiles(root, v - 1).filter(_._2 < smallBytes)
+    require(small.nonEmpty, "nothing to optimize")
+    val df = spark.read.parquet(
+      small.map { case (f, _) => Paths.get(root, f).toString }: _*)
+    val adds = writeDataFiles(df.repartition(targetPartitions), root, v)
+    commit(root, v, "optimize", adds, small.map(_._1))
+    v
+  }
+
+  /** VACUUM: physically delete files not referenced by any version >
+    * `retainAfter`. Time travel to ≤ `retainAfter` then fails loudly. */
+  def vacuum(root: String, retainAfter: Long): Seq[String] = {
+    val keep = (math.max(retainAfter + 1, 0L) to latestVersion(root))
+      .flatMap(v => liveFiles(root, v).map(_._1)).toSet
+    val all = actions(root, -1L).collect { case (_, _, "add", f, _) => f }.distinct
+    val victims = all.filterNot(keep.contains)
+      .filter(f => Files.exists(Paths.get(root, f)))
+    victims.foreach(f => Files.delete(Paths.get(root, f)))
+    victims
+  }
+
+  /** Commit audit: one row per action, the DESCRIBE HISTORY analogue. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    actions(root, -1L)
+      .map { case (v, op, a, f, b) => (v, op, a, f, b) }
+      .toDF("version", "op", "action", "file", "bytes")
+  }
+}
