@@ -142,6 +142,19 @@ object Materialize {
     out
   }
 
+  /** Lazily-truncating checkpoint: the returned relation's PLAN is a leaf
+    * immediately (no exponential analyzer blow-up when an iterative loop
+    * references each round's state more than once), but no job runs now —
+    * the first consuming action materializes the blocks and every later
+    * consumer reads them. The iterative middle ground between [[eager]]
+    * (extra action per call) and [[shared]] (keeps the full lineage in the
+    * plan). Tracked transient like the others. */
+  def lazyCut(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = false)
+    checkpointRddIds(out).foreach(transient_.add(_))
+    out
+  }
+
   /** Unpersist the checkpoint RDDs behind ONE seam-produced DataFrame —
     * the loser of an artifact-cache publish race, or an explicitly
     * invalidated artifact. Unlike [[releaseTransient]] this frees pinned

@@ -667,6 +667,72 @@ object Graph {
        |FROM r WHERE rank <= $CosineK
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // k-core decomposition of the co-purchase graph (iterative peeling,
+  // Matula–Beck): repeatedly drop nodes of degree < k until the remaining
+  // subgraph — the k-core — is stable. The dense core is the standard
+  // "structurally important subgraph" extraction (template/hub detection
+  // in near-dup graphs, influence cores in interaction graphs). Peeling
+  // is BOUNDED-UNROLLED to [[KCoreRounds]] rounds on BOTH engines: after
+  // the fixpoint every extra round is a no-op, so the unroll count never
+  // changes the answer once convergence is reached (KCoreSpec proves
+  // rounds-1 has already converged at test scale), and a corpus needing
+  // more rounds changes both engines identically — never a silent
+  // divergence. Scale shape: each round is one degree aggregation + two
+  // semi-join filters over the shrinking edge set; rounds chain lazily
+  // with shared per-round state (one action, the pagerank contract). At
+  // 1000 executors the edge relation would be bucketed by u so every
+  // round's degree agg is co-partitioned.
+  // ---------------------------------------------------------------------------
+  private val KCoreK = 4
+  private[graft] val KCoreRounds = 6
+
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreRounds(s, dir, KCoreRounds)
+
+  private[graft] def kcoreRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    import s.implicits._
+    val e0 = coPurchaseEdges(s, dir)
+    var edges: DataFrame = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+    for (_ <- 1 to rounds) {
+      // lazyCut, not shared: each round references its state TWICE, so a
+      // full-lineage chain grows the ANALYZER plan 4^rounds — the
+      // truncated leaf keeps planning O(rounds) while the first action
+      // still computes each round exactly once
+      val cur = graft.Materialize.lazyCut(edges)
+      val keep = graft.Materialize.lazyCut(
+        cur.groupBy($"u").agg(count(lit(1)).as("d"))
+          .filter($"d" >= KCoreK).select($"u".as("n")))
+      edges = cur
+        .join(keep.select($"n".as("u")), Seq("u"), "left_semi")
+        .join(keep.select($"n".as("v")), Seq("v"), "left_semi")
+        .select($"u", $"v")
+    }
+    edges.groupBy($"u".as("node"))
+      .agg(count(lit(1)).cast("long").as("core_degree"))
+  }
+  val kcoreSql: String = {
+    // every CTE is MATERIALIZED: each round is referenced by the next
+    // round's keep-set AND edge filter, so an inlining planner would
+    // re-evaluate the chain 3^rounds times (measured: minutes at sf0.1 vs
+    // ~1 s materialized)
+    val rounds = (1 to KCoreRounds).map { i =>
+      val prev = if (i == 1) "sym" else s"r${i - 1}"
+      s"""k$i AS MATERIALIZED (SELECT u FROM $prev GROUP BY u HAVING count(*) >= $KCoreK),
+         |r$i AS MATERIALIZED (
+         |  SELECT s.u, s.v FROM $prev s
+         |  JOIN k$i a ON s.u = a.u JOIN k$i b ON s.v = b.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |$rounds
+       |SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM r$KCoreRounds GROUP BY u
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"      -> pagerank _,
     "q_ppr"           -> ppr _,
@@ -675,6 +741,7 @@ object Graph {
     "q_khop"          -> khop _,
     "q_shortest_path" -> shortestPath _,
     "q_item_cosine"   -> itemCosine _,
+    "q_kcore"         -> kcore _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_pagerank"      -> pagerankSql,
@@ -684,5 +751,6 @@ object Graph {
     "q_khop"          -> khopSql,
     "q_shortest_path" -> shortestPathSql,
     "q_item_cosine"   -> itemCosineSql,
+    "q_kcore"         -> kcoreSql,
   )
 }

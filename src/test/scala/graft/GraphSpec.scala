@@ -133,4 +133,16 @@ class GraphSpec extends AnyFunSuite {
       .select($"hop", $"n_cum").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
     assert(cum.toVector == expect.scanLeft(0L)(_ + _._2).tail.toVector)
   }
+  test("k-core peel has converged before the unroll bound at test scale") {
+    import spark.implicits._
+    val atBound = Graph.kcore(spark, sf)
+      .select($"node", $"core_degree").as[(Long, Long)].collect().toSet
+    val oneEarlier = Graph.kcoreRounds(spark, sf, Graph.KCoreRounds - 1)
+      .select($"node", $"core_degree").as[(Long, Long)].collect().toSet
+    assert(atBound == oneEarlier,
+      "round KCoreRounds-1 must already be the fixpoint - raise the bound if not")
+    // the core is a real subgraph: every surviving node keeps degree >= k
+    assert(atBound.forall(_._2 >= 4))
+  }
+
 }
