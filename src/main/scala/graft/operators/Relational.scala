@@ -2223,6 +2223,85 @@ object Relational {
        |FROM d
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Autocorrelation function (ACF) of the daily revenue series at lags
+  // 1..7 — the seasonality probe behind every forecasting dashboard (a
+  // weekly cycle shows as a lag-7 peak). The series is exact integer
+  // cents per day; each lag's Pearson correlation comes from the same
+  // exact-DECIMAL moment accumulation as q_corr_stats (built-in corr()
+  // streams doubles in partition order — not cross-engine-reproducible),
+  // with the closed form spliced verbatim into both engines. Scale shape:
+  // one orders scan to the daily rollup (shared by the lag spine and the
+  // shifted side), a 7-way lag explode of the DAY-GRAIN relation (bounded
+  // by days·7, not orders), one equi-join on the shifted day, one moment
+  // aggregate. Per-row products fit int64 while a day's cents stay under
+  // ~3e9 (true through sf1; the corr_stats DECIMAL note applies beyond).
+  // ---------------------------------------------------------------------------
+  private val AcfLags = 7
+  private val acfExpr =
+    "(nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) AS acf"
+
+  def acf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = graft.Materialize.shared(
+      Tables.orders(s, dir)
+        .selectExpr("o_orderdate AS day",
+          "cast(round(o_totalprice * cast(100 as double)) as bigint) AS cents")
+        .groupBy($"day")
+        .agg(sum($"cents").cast("long").as("x")))
+    daily
+      .selectExpr(s"explode(sequence(1, $AcfLags)) AS lag", "day", "x")
+      .selectExpr("lag", "date_add(day, lag) AS day2", "x")
+      .join(daily.select($"day".as("day2"), $"x".as("y")), "day2")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum($"y".cast("decimal(38,0)")).as("sy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
+      // moment sums pass 2^53 here (unlike q_corr_stats at tested SFs), and
+      // DuckDB's wide-int → double cast is two-step (upper·2^64 + lower:
+      // DOUBLE-rounded), while the JVM's is single-rounded — route BOTH
+      // engines through the exact decimal string, whose parse (strtod /
+      // Double.parseDouble) is correctly rounded by spec
+      .selectExpr("cast(lag as bigint) AS lag", "n_pairs",
+        "cast(n_pairs as double) AS nd",
+        "cast(cast(sx as string) as double) AS sxd",
+        "cast(cast(sy as string) as double) AS syd",
+        "cast(cast(sxx as string) as double) AS sxxd",
+        "cast(cast(syy as string) as double) AS syyd",
+        "cast(cast(sxy as string) as double) AS sxyd")
+      .selectExpr("lag", "n_pairs", acfExpr)
+  }
+  val acfSql: String =
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         CAST(sum(cast(round(o_totalprice * cast(100 as double)) as bigint)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |p AS (
+       |  SELECT l.lag, a.x AS x, b.x AS y
+       |  FROM daily a
+       |  CROSS JOIN (SELECT unnest(range(1, ${AcfLags + 1})) AS lag) l
+       |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+       |m AS (
+       |  SELECT lag, count(*) AS n_pairs,
+       |         sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |  FROM p GROUP BY lag),
+       |d AS (
+       |  SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |         CAST(n_pairs AS DOUBLE) AS nd,
+       |         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+       |         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+       |         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+       |         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+       |         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+       |  FROM m)
+       |SELECT lag, n_pairs, $acfExpr
+       |FROM d
+       |""".stripMargin
+
   /** Fixed-bin histogram (dashboard primitive): order totals into 20 equal
     * bins of width 30000 with an overflow bin — the bucket id is an explicit
     * floor-of-division formula (identical text on both engines) rather than
@@ -2710,6 +2789,7 @@ object Relational {
     "q_window_funcs"   -> windowFuncs _,
     "q_grouping_sets"  -> groupingSetsSummary _,
     "q_corr_stats"     -> corrStats _,
+    "q_acf"            -> acf _,
     "q_histogram"      -> histogram _,
     "q_json_extract"   -> jsonExtract _,
     "q_string_funcs"   -> stringFuncs _,
@@ -2784,6 +2864,7 @@ object Relational {
     "q_window_funcs"   -> windowFuncsSql,
     "q_grouping_sets"  -> groupingSetsSummarySql,
     "q_corr_stats"     -> corrStatsSql,
+    "q_acf"            -> acfSql,
     "q_histogram"      -> histogramSql,
     "q_json_extract"   -> jsonExtractSql,
     "q_string_funcs"   -> stringFuncsSql,

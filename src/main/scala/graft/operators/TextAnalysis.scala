@@ -713,6 +713,95 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------------
+  // NDCG@10 retrieval evaluation — the ranking-quality metric every search/
+  // RAG pipeline reports. Per query term: candidates rank by the rational-
+  // BM25 single-term score (score ties break on doc_id), graded relevance
+  // is an independent tf-band label (tf≥4 → 2, tf≥2 → 1, else 0 — length
+  // normalization makes score order genuinely disagree with tf order, so
+  // NDCG < 1), DCG folds gain·weight over the top 10, and IDCG re-ranks
+  // the same candidates by relevance. Determinism: the 1/log2(i+1)
+  // position weights are PRECOMPUTED double literals spliced into both
+  // engines (libm log is not bit-portable — the BM25 rule); gains 2^rel−1
+  // are exact CASE constants; both folds run in rank order over ≤10
+  // elements via the ordered-list idiom. Scale shape: one corpus scan
+  // (the tf explode filters to query terms in the scan), per-term window
+  // ranks bounded by candidates, a 3-row output.
+  // ---------------------------------------------------------------------------
+  private val NdcgK = 10
+  private val ndcgWeightCase: String =
+    (1 to NdcgK).map { i =>
+      val w = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+      s"WHEN $i THEN cast($w as double)"
+    }.mkString("CASE rank ", " ", " ELSE cast(0.0 as double) END")
+  private val ndcgGain =
+    "cast(CASE WHEN rel = 2 THEN 3.0 WHEN rel = 1 THEN 1.0 ELSE 0.0 END as double)"
+
+  def ndcg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+    val dl = docs.selectExpr("doc_id", "size(toks) AS dl")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl".cast("long")).as("n_toks"))
+    val tf = docs.select($"doc_id", explode($"toks").as("t"))
+      .filter($"t".isin(Bm25Query: _*))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(tf.groupBy($"t").agg(count(lit(1)).as("df")), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("t", "doc_id", s"$bm25TermScore AS score",
+        "CASE WHEN tf >= 4 THEN 2 WHEN tf >= 2 THEN 1 ELSE 0 END AS rel")
+    val ranked = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"t").orderBy($"score".desc, $"doc_id".asc)))
+      .withColumn("irank", row_number().over(
+        Window.partitionBy($"t").orderBy($"rel".desc, $"doc_id".asc)))
+    ranked.groupBy($"t")
+      .agg(count(lit(1)).as("n_candidates"),
+        expr(s"collect_list(CASE WHEN rank <= $NdcgK THEN struct(rank, $ndcgGain * ($ndcgWeightCase)) END)").as("dg"),
+        expr(s"collect_list(CASE WHEN irank <= $NdcgK THEN struct(irank AS rank, $ndcgGain * (CASE irank ${ndcgWeightCase.stripPrefix("CASE rank ")})) END)").as("ig"))
+      .selectExpr("t", "n_candidates",
+        "aggregate(transform(array_sort(dg), x -> x.col2), cast(0.0 as double), (a, b) -> a + b) AS dcg",
+        "aggregate(transform(array_sort(ig), x -> x.col2), cast(0.0 as double), (a, b) -> a + b) AS idcg")
+      .selectExpr("t", "n_candidates", "dcg", "idcg",
+        "CASE WHEN idcg > cast(0.0 as double) THEN dcg / idcg ELSE cast(0.0 as double) END AS ndcg")
+  }
+  val ndcgSql: String = {
+    val terms = inList(Bm25Query)
+    val wIdeal = ndcgWeightCase.replace("CASE rank ", "CASE irank ")
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS t FROM tok) u
+       |  WHERE t IN $terms GROUP BY doc_id, t),
+       |dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |scored AS (
+       |  SELECT tf.t, doc_id, $bm25TermScore AS score,
+       |         CASE WHEN tf >= 4 THEN 2 WHEN tf >= 2 THEN 1 ELSE 0 END AS rel
+       |  FROM tf JOIN dfx USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY t ORDER BY score DESC, doc_id ASC) AS rank,
+       |         row_number() OVER (PARTITION BY t ORDER BY rel DESC, doc_id ASC) AS irank
+       |  FROM scored),
+       |folds AS (
+       |  SELECT t, count(*) AS n_candidates,
+       |         list_reduce(list_prepend(0.0::DOUBLE,
+       |           list($ndcgGain * ($ndcgWeightCase) ORDER BY rank)
+       |             FILTER (rank <= $NdcgK)), (a, b) -> a + b) AS dcg,
+       |         list_reduce(list_prepend(0.0::DOUBLE,
+       |           list($ndcgGain * ($wIdeal) ORDER BY irank)
+       |             FILTER (irank <= $NdcgK)), (a, b) -> a + b) AS idcg
+       |  FROM ranked GROUP BY t)
+       |SELECT t, n_candidates, dcg, idcg,
+       |       CASE WHEN idcg > cast(0.0 as double) THEN dcg / idcg ELSE cast(0.0 as double) END AS ndcg
+       |FROM folds
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // Sequence packing (training-batch planner): concatenate each source's
   // documents in stable doc_id order and chunk the token stream into
   // fixed-budget bins of 256 — the standard packed-pretraining layout
@@ -1325,6 +1414,7 @@ object TextAnalysis {
     "q_lm_score"      -> lmScore _,
     "q_zipf"          -> zipfProfile _,
     "q_bm25"          -> bm25 _,
+    "q_ndcg"          -> ndcg _,
     "q_text_stats"    -> textStats _,
     "q_vocab_growth"  -> vocabGrowth _,
     "q_fertility"     -> fertility _,
@@ -1360,6 +1450,7 @@ object TextAnalysis {
     "q_lm_score"      -> lmScoreSql,
     "q_zipf"          -> zipfProfileSql,
     "q_bm25"          -> bm25Sql,
+    "q_ndcg"          -> ndcgSql,
     "q_text_stats"    -> textStatsSql,
     "q_vocab_growth"  -> vocabGrowthSql,
     "q_fertility"     -> fertilitySql,
