@@ -203,14 +203,65 @@ object Governance {
       |GROUP BY 1, 2
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Benford first-digit audit of order totals — the classic fabricated-
+  // numbers screen (forensic accounting, synthetic-data QA): natural
+  // multi-scale amounts follow P(d) = log10(1 + 1/d); uniform or
+  // hand-typed values do not. The first significant digit comes from the
+  // exact integer-cents STRING (never from double formatting, which
+  // differs across engines), the expected shares are precomputed double
+  // literals spliced into both engine texts (libm log10 is not
+  // bit-portable — the NDCG-weights rule), and each digit's χ² term is
+  // one shared IEEE expression. One scan, one 9-row aggregate.
+  // ---------------------------------------------------------------------------
+  private val benfordExpected: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+  // STRING-literal casts, not bare decimal literals: Spark parses a
+  // 17-digit decimal literal through BigDecimal.doubleValue (not always
+  // correctly rounded — measured 1 ulp off strtod here), while
+  // cast('…' as double) is the spec-rounded parse on both engines.
+  private val benfordExpCase: String =
+    (1 to 9).map(d => s"WHEN $d THEN cast('${benfordExpected(d)}' as double)")
+      .mkString("CASE digit ", " ", " ELSE cast('0.0' as double) END")
+
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .selectExpr(
+        "cast(substr(cast(cast(round(o_totalprice * cast(100 as double)) as bigint) as string), 1, 1) as int) AS digit")
+      .groupBy($"digit")
+      .agg(count(lit(1)).as("n_orders"))
+      .selectExpr("digit", "n_orders",
+        "cast(n_orders as double) / sum(n_orders) OVER () AS share",
+        s"$benfordExpCase AS expected_share")
+      .selectExpr("cast(digit as bigint) AS digit", "n_orders", "share", "expected_share",
+        "(share - expected_share) * (share - expected_share) / expected_share AS chi2_term")
+  }
+  val benfordSql: String =
+    s"""WITH d AS (
+       |  SELECT cast(substr(cast(cast(round(o_totalprice * cast(100 as double)) as bigint) as varchar), 1, 1) as int) AS digit
+       |  FROM orders),
+       |g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY digit),
+       |sh AS (
+       |  SELECT digit, n_orders,
+       |         cast(n_orders as double) / sum(n_orders) OVER () AS share,
+       |         $benfordExpCase AS expected_share
+       |  FROM g)
+       |SELECT CAST(digit AS BIGINT) AS digit, n_orders, share, expected_share,
+       |       (share - expected_share) * (share - expected_share) / expected_share AS chi2_term
+       |FROM sh
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anon"      -> kAnonymity _,
     "q_fuzzy_match" -> fuzzyMatch _,
     "q_er_entities" -> erEntities _,
+    "q_benford"     -> benford _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_k_anon"      -> kAnonymitySql,
     "q_fuzzy_match" -> fuzzyMatchSql,
     "q_er_entities" -> erEntitiesSql,
+    "q_benford"     -> benfordSql,
   )
 }

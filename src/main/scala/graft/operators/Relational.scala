@@ -2302,6 +2302,59 @@ object Relational {
        |FROM d
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // One-sided CUSUM change-point detection over the daily revenue series —
+  // the standard drift alarm (Page 1954): S_t = max(0, S_{t−1} + (x_t − T))
+  // crossing a threshold flags a sustained upward shift. The recursion has
+  // a CLOSED WINDOW FORM — S_t = P_t − min(0, min_{j≤t} P_j) with
+  // P_t = Σ_{i≤t}(x_i − T) — so the whole detector is two window passes of
+  // EXACT integer arithmetic (no fold, no recursion, no doubles): the
+  // reference level T is the integer-division daily mean and the alarm
+  // threshold is 2T. Scale: day-grain relation (bounded by days, not
+  // orders); the unpartitioned windows run over that value-compressed
+  // series, the q_ewma contract.
+  // ---------------------------------------------------------------------------
+  def cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.Materialize.shared(
+      Tables.orders(s, dir)
+        .selectExpr("CAST(o_orderdate AS DATE) AS day",
+          "cast(round(o_totalprice * cast(100 as double)) as bigint) AS cents")
+        .groupBy($"day")
+        .agg(sum($"cents").cast("long").as("x")))
+    val target = daily.agg(
+      expr("sum(x) div count(*)").cast("long").as("t_cents"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(target))
+      .withColumn("p", sum($"x" - $"t_cents").over(w))
+      .withColumn("runmin", least(min($"p").over(w), lit(0L)))
+      .selectExpr("day", "x", "p - runmin AS s",
+        "(p - runmin) > 2 * t_cents AS alarm")
+  }
+  val cusumSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(cast(round(o_totalprice * cast(100 as double)) as bigint)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(x) // count(*) AS BIGINT) AS t_cents FROM daily),
+      |p AS (
+      |  SELECT day, x, t_cents,
+      |         CAST(sum(x - t_cents) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+      |  FROM daily CROSS JOIN t),
+      |r AS (
+      |  SELECT day, x, t_cents, p,
+      |         least(CAST(min(p) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+      |           CAST(0 AS BIGINT)) AS runmin
+      |  FROM p)
+      |SELECT day, x, CAST(p - runmin AS BIGINT) AS s,
+      |       (p - runmin) > 2 * t_cents AS alarm
+      |FROM r
+      |""".stripMargin
+
   /** Fixed-bin histogram (dashboard primitive): order totals into 20 equal
     * bins of width 30000 with an overflow bin — the bucket id is an explicit
     * floor-of-division formula (identical text on both engines) rather than
@@ -2790,6 +2843,7 @@ object Relational {
     "q_grouping_sets"  -> groupingSetsSummary _,
     "q_corr_stats"     -> corrStats _,
     "q_acf"            -> acf _,
+    "q_cusum"          -> cusum _,
     "q_histogram"      -> histogram _,
     "q_json_extract"   -> jsonExtract _,
     "q_string_funcs"   -> stringFuncs _,
@@ -2865,6 +2919,7 @@ object Relational {
     "q_grouping_sets"  -> groupingSetsSummarySql,
     "q_corr_stats"     -> corrStatsSql,
     "q_acf"            -> acfSql,
+    "q_cusum"          -> cusumSql,
     "q_histogram"      -> histogramSql,
     "q_json_extract"   -> jsonExtractSql,
     "q_string_funcs"   -> stringFuncsSql,

@@ -728,11 +728,14 @@ object TextAnalysis {
   // ranks bounded by candidates, a 3-row output.
   // ---------------------------------------------------------------------------
   private val NdcgK = 10
+  // string-literal casts (the q_benford rule): Spark's decimal-literal →
+  // double path is BigDecimal.doubleValue, which is not always correctly
+  // rounded; cast('…' as double) is the spec-rounded parse on both engines
   private val ndcgWeightCase: String =
     (1 to NdcgK).map { i =>
       val w = 1.0 / (math.log(i + 1.0) / math.log(2.0))
-      s"WHEN $i THEN cast($w as double)"
-    }.mkString("CASE rank ", " ", " ELSE cast(0.0 as double) END")
+      s"WHEN $i THEN cast('$w' as double)"
+    }.mkString("CASE rank ", " ", " ELSE cast('0.0' as double) END")
   private val ndcgGain =
     "cast(CASE WHEN rel = 2 THEN 3.0 WHEN rel = 1 THEN 1.0 ELSE 0.0 END as double)"
 
