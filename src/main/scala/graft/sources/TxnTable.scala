@@ -95,6 +95,23 @@ object TxnTable {
     v
   }
 
+  /** Idempotent append: commits `df` tagged with `token` unless a commit
+    * bearing the same token already exists, in which case that version is
+    * returned and NOTHING is written — the txnAppId/txnVersion exactly-once
+    * pattern with the commit log as the dedup ledger. This is what lets a
+    * restarted streaming query redeliver a micro-batch harmlessly (see
+    * [[graft.streaming.TxnSink]]). */
+  def appendOnce(df: DataFrame, root: String, token: String): Long = {
+    val op = s"append#$token"
+    actions(root, -1L).find(_._2 == op) match {
+      case Some((v, _, _, _, _)) => v
+      case None =>
+        val v = latestVersion(root) + 1
+        commit(root, v, op, writeDataFiles(df, root, v), Seq.empty)
+        v
+    }
+  }
+
   /** Replace the table contents with `df` (the batch overwrite sink shape,
     * ref SaveDelta batch path): adds the new files, removes every
     * previously-live one — in ONE commit, so readers flip atomically and
