@@ -805,6 +805,75 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------------
+  // Mean reciprocal rank — the first-relevant-hit metric reported next to
+  // NDCG for known-item retrieval. Same ranked relation as [[ndcg]]
+  // (rational-BM25 order, tf-band relevance); per query the reciprocal of
+  // the first rank with rel ≥ 1 (0.0 when nothing relevant), then the
+  // macro average folds per-term RRs in term order. 1/rank is one IEEE
+  // division of exact integers — bit-equal everywhere.
+  // ---------------------------------------------------------------------------
+  def mrr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
+    val dl = docs.selectExpr("doc_id", "size(toks) AS dl")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl".cast("long")).as("n_toks"))
+    val tf = docs.select($"doc_id", explode($"toks").as("t"))
+      .filter($"t".isin(Bm25Query: _*))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val ranked = tf
+      .join(tf.groupBy($"t").agg(count(lit(1)).as("df")), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("t", "doc_id", s"$bm25TermScore AS score",
+        "CASE WHEN tf >= 4 THEN 2 WHEN tf >= 2 THEN 1 ELSE 0 END AS rel")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"t").orderBy($"score".desc, $"doc_id".asc)))
+    val perTerm = ranked.groupBy($"t")
+      .agg(min(when($"rel" >= 1, $"rank")).as("first_rel"))
+      .selectExpr("t",
+        "CASE WHEN first_rel IS NULL THEN cast('0.0' as double) " +
+          "ELSE cast('1.0' as double) / first_rel END AS rr",
+        "coalesce(first_rel, 0L) AS first_rel_rank")
+    perTerm
+      .agg(collect_list(struct($"t", $"rr")).as("rrs"),
+        count(lit(1)).as("n_queries"))
+      .selectExpr(
+        "aggregate(transform(array_sort(rrs), x -> x.rr), cast('0.0' as double), (a, b) -> a + b) / n_queries AS mrr",
+        "n_queries")
+  }
+  val mrrSql: String = {
+    val terms = inList(Bm25Query)
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS t FROM tok) u
+       |  WHERE t IN $terms GROUP BY doc_id, t),
+       |dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |ranked AS (
+       |  SELECT tf.t, doc_id, $bm25TermScore AS score,
+       |         CASE WHEN tf >= 4 THEN 2 WHEN tf >= 2 THEN 1 ELSE 0 END AS rel,
+       |         row_number() OVER (PARTITION BY tf.t
+       |           ORDER BY $bm25TermScore DESC, doc_id ASC) AS rank
+       |  FROM tf JOIN dfx USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |pt AS (
+       |  SELECT t, min(CASE WHEN rel >= 1 THEN rank END) AS first_rel
+       |  FROM ranked GROUP BY t),
+       |rr AS (
+       |  SELECT t,
+       |         CASE WHEN first_rel IS NULL THEN cast('0.0' as double)
+       |              ELSE cast('1.0' as double) / first_rel END AS rr
+       |  FROM pt)
+       |SELECT list_reduce(list_prepend(cast('0.0' as double), list(rr ORDER BY t)), (a, b) -> a + b)
+       |         / count(*) AS mrr,
+       |       count(*) AS n_queries
+       |FROM rr
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // Sequence packing (training-batch planner): concatenate each source's
   // documents in stable doc_id order and chunk the token stream into
   // fixed-budget bins of 256 — the standard packed-pretraining layout
@@ -1418,6 +1487,7 @@ object TextAnalysis {
     "q_zipf"          -> zipfProfile _,
     "q_bm25"          -> bm25 _,
     "q_ndcg"          -> ndcg _,
+    "q_mrr"           -> mrr _,
     "q_text_stats"    -> textStats _,
     "q_vocab_growth"  -> vocabGrowth _,
     "q_fertility"     -> fertility _,
@@ -1454,6 +1524,7 @@ object TextAnalysis {
     "q_zipf"          -> zipfProfileSql,
     "q_bm25"          -> bm25Sql,
     "q_ndcg"          -> ndcgSql,
+    "q_mrr"           -> mrrSql,
     "q_text_stats"    -> textStatsSql,
     "q_vocab_growth"  -> vocabGrowthSql,
     "q_fertility"     -> fertilitySql,
