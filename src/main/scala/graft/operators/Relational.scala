@@ -2355,6 +2355,123 @@ object Relational {
       |FROM r
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Revenue-concentration audit: the economic Gini coefficient and the
+  // Lorenz decile table over per-customer lifetime spend — the "does 1% of
+  // accounts carry the corpus" question (and, over per-source token
+  // counts, the mix-concentration twin). Exactness: spend is integer
+  // cents; the Gini closed form G = (2·Σ(rank·x) − (n+1)·Σx) / (n·Σx)
+  // uses rank-weighted sums accumulated in exact DECIMAL, string-routed to
+  // double (the >2⁵³ rule) for ONE final division.
+  //
+  // Scale shape — DISTRIBUTED exact ranking, not a global-sort window
+  // (the ntile trap): rows bucket by value range (x div W), the
+  // unpartitioned prefix-count window runs over BUCKET AGGREGATES
+  // (bounded by value-range/W, ~thousands of rows at any corpus size),
+  // per-row ranks come from per-bucket windows (partition-parallel), and
+  // rank = bucket prefix + intra-bucket rank. Ties (same x) always land
+  // in one bucket, so the (x, custkey) total order is preserved exactly.
+  // Deciles use the explicit formula ((rank−1)·10) div n + 1 on both
+  // engines instead of ntile — same semantics everywhere, no global sort.
+  // ---------------------------------------------------------------------------
+  private val GiniBucketW = 1000000L // $10k value buckets
+
+  /** (o_custkey, x, r): exact dense ranks by (x, custkey), distributed. */
+  private def spendRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spend = graft.Materialize.shared(
+      Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * cast(100 as double)) AS BIGINT)"))
+          .cast("long").as("x"))
+        .withColumn("bkt", expr(s"x div ${GiniBucketW}L")))
+    val bstats = spend.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("c_lt", coalesce(
+        sum($"cnt").over(Window.orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"c_lt")
+    spend
+      .withColumn("ir", row_number().over(
+        Window.partitionBy($"bkt").orderBy($"x".asc, $"o_custkey".asc)))
+      .join(broadcast(bstats), "bkt")
+      .selectExpr("o_custkey", "x", "c_lt + ir AS r")
+  }
+  /** Shared DuckDB CTE prefix mirroring [[spendRanked]]. */
+  private val spendRankedCte =
+    s"""WITH spend AS MATERIALIZED (
+       |  SELECT o_custkey,
+       |         CAST(sum(CAST(round(o_totalprice * cast(100 as double)) AS BIGINT)) AS BIGINT) AS x,
+       |         CAST(sum(CAST(round(o_totalprice * cast(100 as double)) AS BIGINT)) AS BIGINT) // $GiniBucketW AS bkt
+       |  FROM orders GROUP BY o_custkey),
+       |bstats AS (
+       |  SELECT bkt, COALESCE(CAST(sum(cnt) OVER (ORDER BY bkt
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS c_lt
+       |  FROM (SELECT bkt, count(*) AS cnt FROM spend GROUP BY bkt) b),
+       |ranked AS (
+       |  SELECT o_custkey, x, c_lt + ir AS r
+       |  FROM (SELECT o_custkey, x, bkt,
+       |               row_number() OVER (PARTITION BY bkt ORDER BY x ASC, o_custkey ASC) AS ir
+       |        FROM spend) s JOIN bstats USING (bkt))""".stripMargin
+
+  def wealthGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spendRanked(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum(($"r" * $"x").cast("decimal(38,0)")).as("srx"))
+      .selectExpr("n",
+        "cast(cast(sx as string) as double) AS sxd",
+        "cast(cast(srx as string) as double) AS srxd")
+      .selectExpr("n AS n_customers",
+        "(cast('2.0' as double) * srxd - (n + 1) * sxd) / (n * sxd) AS gini")
+  }
+  val wealthGiniSql: String =
+    s"""$spendRankedCte,
+       |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(r * x) AS srx FROM ranked),
+       |d AS (SELECT n, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+       |             CAST(CAST(srx AS VARCHAR) AS DOUBLE) AS srxd FROM m)
+       |SELECT n AS n_customers,
+       |       (cast('2.0' as double) * srxd - (n + 1) * sxd) / (n * sxd) AS gini
+       |FROM d
+       |""".stripMargin
+
+  def lorenz(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ranked = spendRanked(s, dir)
+    val n1 = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n1))
+      .selectExpr("x", "((r - 1) * 10) div n + 1 AS decile")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"x".cast("decimal(38,0)")).as("cents"))
+      .withColumn("total", sum($"cents").over(Window.partitionBy()))
+      .withColumn("cum", sum($"cents").over(
+        Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .selectExpr("cast(decile as bigint) AS decile", "n_customers",
+        "cast(cents as long) AS cents",
+        "cast(cast(cents as string) as double) / cast(cast(total as string) as double) AS share",
+        "cast(cast(cum as string) as double) / cast(cast(total as string) as double) AS cum_share")
+  }
+  val lorenzSql: String =
+    s"""$spendRankedCte,
+       |nn AS (SELECT count(*) AS n FROM ranked),
+       |dec AS (SELECT x, ((r - 1) * 10) // n + 1 AS decile FROM ranked CROSS JOIN nn),
+       |g AS (SELECT decile, count(*) AS n_customers, sum(x) AS cents FROM dec GROUP BY decile),
+       |w AS (SELECT decile, n_customers, cents,
+       |             sum(cents) OVER () AS total,
+       |             sum(cents) OVER (ORDER BY decile
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM g)
+       |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+       |       CAST(cents AS BIGINT) AS cents,
+       |       CAST(CAST(cents AS VARCHAR) AS DOUBLE) / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS share,
+       |       CAST(CAST(cum AS VARCHAR) AS DOUBLE) / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS cum_share
+       |FROM w
+       |""".stripMargin
+
   /** Fixed-bin histogram (dashboard primitive): order totals into 20 equal
     * bins of width 30000 with an overflow bin — the bucket id is an explicit
     * floor-of-division formula (identical text on both engines) rather than
@@ -2844,6 +2961,8 @@ object Relational {
     "q_corr_stats"     -> corrStats _,
     "q_acf"            -> acf _,
     "q_cusum"          -> cusum _,
+    "q_wealth_gini"    -> wealthGini _,
+    "q_lorenz"         -> lorenz _,
     "q_histogram"      -> histogram _,
     "q_json_extract"   -> jsonExtract _,
     "q_string_funcs"   -> stringFuncs _,
@@ -2920,6 +3039,8 @@ object Relational {
     "q_corr_stats"     -> corrStatsSql,
     "q_acf"            -> acfSql,
     "q_cusum"          -> cusumSql,
+    "q_wealth_gini"    -> wealthGiniSql,
+    "q_lorenz"         -> lorenzSql,
     "q_histogram"      -> histogramSql,
     "q_json_extract"   -> jsonExtractSql,
     "q_string_funcs"   -> stringFuncsSql,

@@ -743,11 +743,13 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
-    val dl = docs.selectExpr("doc_id", "size(toks) AS dl")
+    // dl feeds the corpus stats AND the score join; tf feeds the df agg
+    // AND the scored relation — share both so the tokenize pass runs once
+    val dl = graft.Materialize.shared(docs.selectExpr("doc_id", "size(toks) AS dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl".cast("long")).as("n_toks"))
-    val tf = docs.select($"doc_id", explode($"toks").as("t"))
+    val tf = graft.Materialize.shared(docs.select($"doc_id", explode($"toks").as("t"))
       .filter($"t".isin(Bm25Query: _*))
-      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
     val scored = tf
       .join(tf.groupBy($"t").agg(count(lit(1)).as("df")), "t")
       .join(dl, "doc_id")
@@ -816,11 +818,11 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
-    val dl = docs.selectExpr("doc_id", "size(toks) AS dl")
+    val dl = graft.Materialize.shared(docs.selectExpr("doc_id", "size(toks) AS dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl".cast("long")).as("n_toks"))
-    val tf = docs.select($"doc_id", explode($"toks").as("t"))
+    val tf = graft.Materialize.shared(docs.select($"doc_id", explode($"toks").as("t"))
       .filter($"t".isin(Bm25Query: _*))
-      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
     val ranked = tf
       .join(tf.groupBy($"t").agg(count(lit(1)).as("df")), "t")
       .join(dl, "doc_id")

@@ -481,4 +481,44 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 0, plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+  // shared() relations surface as InMemoryTableScan nodes whose PRINTED
+  // repr includes the cached child plan — so "Scan parquet" text appears
+  // once per cache REFERENCE. The single-build invariant is therefore:
+  // every parquet-scan string lives inside a cache print (scans == IMR
+  // references), with at least one cache in play.
+  private def cachedSingleScan(plan: String): Unit = {
+    val imr = "InMemoryTableScan".r.findAllIn(plan).size
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(imr >= 1, s"expected a shared cached rollup:\n$plan")
+    assert(scans == imr, s"a scan escaped the shared rollup ($scans scans, $imr cache refs):\n$plan")
+  }
+
+  test("acf: one orders scan feeds both lag-join sides via the shared rollup") {
+    cachedSingleScan(executed(Relational.acf(spark, sf)))
+  }
+
+  test("cusum: day-grain windows over one shared rollup - single scan") {
+    cachedSingleScan(executed(Relational.cusum(spark, sf)))
+  }
+
+  test("benford: mapper-side digit extraction, one scan, one aggregate") {
+    val plan = executed(Governance.benford(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("wealth gini: ranks are bucket-partitioned - no row-grain global sort") {
+    val plan = executed(Relational.wealthGini(spark, sf))
+    cachedSingleScan(plan)
+    // the per-row rank window must be PARTITIONED by the value bucket; the
+    // only unpartitioned window runs over the bucket-grain aggregates
+    assert("windowspecdefinition\\(bkt".r.findAllIn(plan).nonEmpty,
+      s"row rank window lost its bucket partition:\n$plan")
+  }
+
+  test("ndcg/mrr: the tokenize pass is shared - no scan outside the caches") {
+    cachedSingleScan(executed(TextAnalysis.ndcg(spark, sf)))
+    cachedSingleScan(executed(TextAnalysis.mrr(spark, sf)))
+  }
+
 }
