@@ -2472,6 +2472,53 @@ object Relational {
        |FROM w
        |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Herfindahl–Hirschman market-concentration index per nation — the
+  // antitrust/marketplace-health scalar (Σ share², 1/n = perfectly split,
+  // 1.0 = monopoly) over supplier revenue shares. Exact rational form:
+  // HHI = Σ cents_s² / (Σ cents_s)² — both sums are exact integers, each
+  // squared in DECIMAL(38,0) on Spark / HUGEINT on DuckDB (per-supplier
+  // cents pass 2³¹·√(int64) territory at scale, so int64 squares would
+  // wrap), string-routed to double for ONE division (rule 9). Shape: the
+  // supplier dim broadcasts into the fact scan, then two hash aggregates
+  // (supplier grain → nation grain) — nothing shuffles wider than the
+  // supplier count.
+  // ---------------------------------------------------------------------------
+  def hhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_suppkey",
+        expr("CAST(round(l_extendedprice * cast(100 as double)) AS BIGINT)").as("c"))
+      .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey", $"s_suppkey")
+      .agg(sum($"c".cast("decimal(38,0)")).cast("decimal(38,0)").as("cents"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"cents").cast("decimal(38,0)").as("tot"),
+        sum($"cents" * $"cents").as("sq"))
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .selectExpr("n_name", "n_suppliers",
+        "cast(cast(sq as string) as double) / " +
+          "(cast(cast(tot as string) as double) * cast(cast(tot as string) as double)) AS hhi")
+  }
+  val hhiSql: String =
+    """WITH sup AS (
+      |  SELECT s_nationkey, l.l_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice * cast(100 as double)) AS BIGINT)) AS HUGEINT) AS cents
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY s_nationkey, l.l_suppkey),
+      |n AS (
+      |  SELECT s_nationkey, count(*) AS n_suppliers,
+      |         sum(cents) AS tot, sum(cents * cents) AS sq
+      |  FROM sup GROUP BY s_nationkey)
+      |SELECT n_name, n_suppliers,
+      |       CAST(CAST(sq AS VARCHAR) AS DOUBLE) /
+      |         (CAST(CAST(tot AS VARCHAR) AS DOUBLE) * CAST(CAST(tot AS VARCHAR) AS DOUBLE)) AS hhi
+      |FROM n JOIN nation ON s_nationkey = n_nationkey
+      |""".stripMargin
+
   /** Fixed-bin histogram (dashboard primitive): order totals into 20 equal
     * bins of width 30000 with an overflow bin — the bucket id is an explicit
     * floor-of-division formula (identical text on both engines) rather than
@@ -2963,6 +3010,7 @@ object Relational {
     "q_cusum"          -> cusum _,
     "q_wealth_gini"    -> wealthGini _,
     "q_lorenz"         -> lorenz _,
+    "q_hhi"            -> hhi _,
     "q_histogram"      -> histogram _,
     "q_json_extract"   -> jsonExtract _,
     "q_string_funcs"   -> stringFuncs _,
@@ -3041,6 +3089,7 @@ object Relational {
     "q_cusum"          -> cusumSql,
     "q_wealth_gini"    -> wealthGiniSql,
     "q_lorenz"         -> lorenzSql,
+    "q_hhi"            -> hhiSql,
     "q_histogram"      -> histogramSql,
     "q_json_extract"   -> jsonExtractSql,
     "q_string_funcs"   -> stringFuncsSql,
