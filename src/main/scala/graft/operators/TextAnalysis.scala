@@ -444,6 +444,17 @@ object TextAnalysis {
     s"if(size(toks) < $n, array(), array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))))"
   private def ngramsDuck(n: Int): String =
     s"list_distinct(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)), i -> array_to_string(toks[i:i+${n - 1}], ' ')))"
+  // Hashed variant: each n-gram becomes a 60-bit md5 projection INSIDE the
+  // transform, so everything downstream of tokenization — the distinct, the
+  // explode, the broadcast set, the join keys — carries 8-byte longs instead
+  // of ~30-byte strings. Same bit-width and conv() route as the verified
+  // bigram pattern (bghSpark/bghDuck below); collisions at 2^60 are
+  // negligible for a contamination SCREEN and the oracle applies the
+  // identical projection, so it is part of the contract.
+  private def ngramHashExpr(n: Int): String =
+    s"if(size(toks) < $n, array(), array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> cast(conv(substr(md5(cast(concat_ws(' ', slice(toks, i, $n)) as binary)), 1, 15), 16, 10) as bigint))))"
+  private def ngramHashDuck(n: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)), i -> ('0x' || substr(md5(array_to_string(toks[i:i+${n - 1}], ' ')), 1, 15))::BIGINT))"
 
   /** Rebalance a small, CPU-heavy input across all cores. The 5-gram build
     * costs far more CPU than the scan; when the input has fewer splits than
@@ -461,36 +472,37 @@ object TextAnalysis {
     import s.implicits._
     def grams(d: DataFrame) = d
       .withColumn("toks", expr(toksExpr))
-      .selectExpr("doc_id", s"${ngramsExpr(NGram)} AS ng")
+      .selectExpr("doc_id", s"${ngramHashExpr(NGram)} AS ng")
     // doc_id < 20 stands in for the held-out benchmark set; its gram-hash
-    // set is tiny (the eval set is, by definition) — materialize + broadcast.
-    val benchGrams = graft.Materialize.eager(
+    // set is tiny (the eval set is, by definition) — one distinct long
+    // array, materialized and broadcast as a single row.
+    val benchSet = graft.Materialize.eager(
       grams(Tables.documents(s, dir).filter($"doc_id" < 20))
         .selectExpr("explode(ng) AS g").distinct()
-        .withColumn("hit", lit(1)))
-    // ONE corpus pass: explode each training doc's distinct grams, LEFT
-    // join the broadcast bench set, count matches per doc. Every doc with
-    // >=1 gram keeps a row (left join), so no second corpus scan to
-    // restore zero-hit docs — the n-gram pipeline would otherwise be
-    // re-inlined per consumer (CollapseProject pushes through projects).
+        .agg(collect_list($"g").as("bench")))
+    // ONE mapper-only corpus pass, ZERO shuffle: each training doc
+    // intersects its distinct gram-hash array with the broadcast bench
+    // array in place (size(array_intersect(...))) — no explode of gram
+    // positions, no per-doc re-aggregation. The corpus relation never
+    // leaves its scan partitioning; output is one row per doc with >=1
+    // gram (matching the explode-era row contract).
     grams(parallelized(s, Tables.documents(s, dir).filter($"doc_id" >= 20)
         .select($"doc_id", $"text")))
-      .selectExpr("doc_id", "explode(ng) AS g") // explode drops empty arrays
-      .join(broadcast(benchGrams), Seq("g"), "left")
-      .groupBy($"doc_id")
-      .agg(sum(coalesce($"hit", lit(0))).cast("long").as("n_shared_ngrams"))
+      .filter(size($"ng") > 0)
+      .crossJoin(broadcast(benchSet))
+      .selectExpr("doc_id", "cast(size(array_intersect(ng, bench)) as bigint) AS n_shared_ngrams")
       .select($"doc_id", $"n_shared_ngrams", ($"n_shared_ngrams" > 0).as("contaminated"))
   }
   val contaminationSql: String =
     s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
-       |grams AS (SELECT doc_id, ${ngramsDuck(NGram)} AS ng FROM tok),
-       |bench AS (SELECT DISTINCT unnest(ng) AS g FROM grams WHERE doc_id < 20),
-       |t AS (SELECT doc_id, unnest(ng) AS g FROM grams WHERE doc_id >= 20 AND len(ng) > 0)
+       |grams AS (SELECT doc_id, ${ngramHashDuck(NGram)} AS ng FROM tok),
+       |bench AS (SELECT list(DISTINCT g) AS bg
+       |          FROM (SELECT unnest(ng) AS g FROM grams WHERE doc_id < 20)),
+       |t AS (SELECT doc_id, ng FROM grams WHERE doc_id >= 20 AND len(ng) > 0)
        |SELECT t.doc_id,
-       |       CAST(count(b.g) AS BIGINT) AS n_shared_ngrams,
-       |       (count(b.g) > 0) AS contaminated
-       |FROM t LEFT JOIN bench b ON t.g = b.g
-       |GROUP BY t.doc_id
+       |       CAST(len(list_intersect(t.ng, b.bg)) AS BIGINT) AS n_shared_ngrams,
+       |       (len(list_intersect(t.ng, b.bg)) > 0) AS contaminated
+       |FROM t CROSS JOIN bench b
        |""".stripMargin
 
   // ---------------------------------------------------------------------------

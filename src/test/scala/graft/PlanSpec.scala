@@ -82,8 +82,12 @@ class PlanSpec extends AnyFunSuite {
     val top = executed(TextAnalysis.topNgrams(spark, sf))
     assert(top.contains("TakeOrderedAndProject"), top)
     val cont = executed(TextAnalysis.contamination(spark, sf))
-    assert(cont.contains("BroadcastHashJoin"), cont)
+    // round 12: the bench set rides in as a broadcast one-row array and each
+    // doc intersects in place — the corpus pass must be shuffle-free (no
+    // explode+groupBy re-aggregation, no hash join on gram strings)
+    assert(cont.contains("BroadcastNestedLoopJoin"), cont)
     assert(!cont.contains("SortMergeJoin"), cont)
+    assert(!cont.contains("Exchange hashpartitioning"), cont)
   }
 
   test("norm materialization adds no exchange — brute-force kNN shuffles only for the top-k window") {
