@@ -2189,18 +2189,30 @@ object Relational {
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        // Spark BIGINT sums overflow at ~9.2e18 (yc² partials pass that by
-        // sf1); DECIMAL(38,0) accumulation is exact. DuckDB's HUGEINT sum
-        // is exact too — both sides then convert the same integer.
-        sum($"xc".cast("decimal(38,0)")).as("sx"),
-        sum($"yc".cast("decimal(38,0)")).as("sy"),
-        sum(($"xc" * $"xc").cast("decimal(38,0)")).as("sxx"),
-        sum(($"yc" * $"yc").cast("decimal(38,0)")).as("syy"),
-        sum(($"xc" * $"yc").cast("decimal(38,0)")).as("sxy"))
+        // xc ≤ 5e3 and yc ≤ ~1e7 cents, so sx/sy/sxx stay inside BIGINT
+        // through sf1000 — plain long sums, codegen primitive. The two
+        // sums whose per-row products reach 1e14 (yc², xc·yc) WOULD pass
+        // 2⁶³ by sf1/sf100; instead of per-row DECIMAL accumulation
+        // (BigDecimal per row — it was 75% of this query's wall), each is
+        // accumulated as TWO long sums — quotient and remainder by 2³⁰ —
+        // which are exact with headroom past sf100, and reassembled in
+        // DECIMAL on the handful of group rows. DuckDB's native HUGEINT
+        // sum produces the identical exact integer, so the oracle needs
+        // no split.
+        sum($"xc").as("sx"),
+        sum($"yc").as("sy"),
+        sum($"xc" * $"xc").as("sxx"),
+        sum(expr("(yc * yc) div 1073741824")).as("syy_hi"),
+        sum(expr("(yc * yc) % 1073741824")).as("syy_lo"),
+        sum(expr("(xc * yc) div 1073741824")).as("sxy_hi"),
+        sum(expr("(xc * yc) % 1073741824")).as("sxy_lo"))
       .selectExpr(Seq("l_returnflag", "n",
         "cast(n as double) AS nd", "cast(sx as double) AS sxd",
         "cast(sy as double) AS syd", "cast(sxx as double) AS sxxd",
-        "cast(syy as double) AS syyd", "cast(sxy as double) AS sxyd"): _*)
+        // same DECIMAL→double conversion path as before the split — the
+        // reassembled integers are bit-identical, so the hash contract holds
+        "cast(cast(syy_hi as decimal(38,0)) * 1073741824 + syy_lo as double) AS syyd",
+        "cast(cast(sxy_hi as decimal(38,0)) * 1073741824 + sxy_lo as double) AS sxyd"): _*)
       .selectExpr(Seq("l_returnflag", "n") ++ corrMoments: _*)
   }
   val corrStatsSql: String =

@@ -233,6 +233,17 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 2, s"expected 2 exchanges (orderkey, final), got $shuffles:\n$plan")
   }
 
+  test("corr stats: one lineitem scan, one aggregation exchange, no Decimal in the row loop") {
+    val plan = executed(Relational.corrStats(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected only the partial->final agg exchange, got $shuffles:\n$plan")
+    // the round-12 rewrite: moments accumulate in primitive longs (hi/lo
+    // split), DECIMAL appears only in the post-agg projection — the partial
+    // aggregate must carry no decimal sum buffers
+    assert(!plan.contains("sum(cast(xc"), s"per-row decimal accumulation crept back:\n$plan")
+  }
+
   test("shard plan: bucketed windows, no single-partition sort anywhere") {
     val plan = executed(TextAnalysis.shardPlan(spark, sf))
     // one corpus scan; window exchange on bucket + final shard agg exchange
