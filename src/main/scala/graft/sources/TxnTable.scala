@@ -45,6 +45,7 @@ object TxnTable {
     StructField("bytes", LongType)))
 
   private def logDir(root: String): Path = Paths.get(root, "_txn_log")
+  private def deltaDir(root: String): Path = Paths.get(root, "_delta_log")
 
   private def versions(root: String): Seq[Long] = {
     val d = logDir(root)
@@ -60,9 +61,15 @@ object TxnTable {
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
-  /** Write one commit atomically: actions → tmp json → rename into place. */
+  /** Write one commit atomically: actions → tmp json → rename into place.
+    * After the `_txn_log` rename lands (the commit point), the same commit
+    * is mirrored as a public Delta-protocol `_delta_log/<v>.json` entry —
+    * see [[deltaCommit]]. */
   private def commit(root: String, version: Long, op: String,
-                     adds: Seq[(String, Long)], removes: Seq[String]): Unit = {
+                     adds: Seq[(String, Long)], removes: Seq[String],
+                     schemaJson: Option[String] = None,
+                     dataChange: Boolean = true,
+                     txn: Option[(String, Long)] = None): Unit = {
     Files.createDirectories(logDir(root))
     val lines =
       adds.map { case (f, b) =>
@@ -75,6 +82,52 @@ object TxnTable {
     val dst = logDir(root).resolve(f"$version%020d.json")
     require(!Files.exists(dst), s"version $version already committed (single-writer contract)")
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn)
+  }
+
+  /** Deterministic table id for the Delta metaData action (stable across
+    * commits; derived from the table root, not wall-clock). */
+  private def tableId(root: String): String =
+    java.util.UUID.nameUUIDFromBytes(("graft-txn:" + root).getBytes(UTF_8)).toString
+
+  /** Mirror a committed version into the OPEN Delta transaction protocol
+    * (delta.io PROTOCOL.md): newline-delimited JSON actions in
+    * `_delta_log/%020d.json`. Version 0 carries `protocol` (reader 1 /
+    * writer 2 — no advanced table features used) and `metaData` with the
+    * Spark schema JSON as `schemaString` (the Delta schema serialization IS
+    * the Spark StructType JSON shape). Data files stay where [[commit]] put
+    * them — `add.path` is root-relative with subdirectories, which the
+    * protocol allows. OPTIMIZE commits carry `dataChange:false` so
+    * downstream streams skip them; idempotent appends carry the `txn`
+    * action with the dedup token as `appId`. Writing the format needs no
+    * jar; external readers (delta-spark, DuckDB delta, Trino) fold the
+    * same actions this module's `_txn_log` fold uses, so snapshots agree —
+    * DeltaLogSpec proves the fold equivalence version by version. */
+  private def deltaCommit(root: String, version: Long, op: String,
+                          adds: Seq[(String, Long)], removes: Seq[String],
+                          schemaJson: Option[String], dataChange: Boolean,
+                          txn: Option[(String, Long)]): Unit = {
+    Files.createDirectories(deltaDir(root))
+    val now = System.currentTimeMillis()
+    val head =
+      (if (version == 0L) Seq(
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"${tableId(root)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson.getOrElse(sys.error("first commit must carry a schema")))}","partitionColumns":[],"configuration":{},"createdTime":$now}}""")
+      else Seq.empty) ++
+      txn.map { case (app, v) => s"""{"txn":{"appId":"${esc(app)}","version":$v}}""" }.toSeq ++
+      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"${esc(op)}"}}""")
+    val lines = head ++
+      removes.map { f =>
+        s"""{"remove":{"path":"${esc(f)}","deletionTimestamp":$now,"dataChange":$dataChange}}"""
+      } ++
+      adds.map { case (f, b) =>
+        val mt = Files.getLastModifiedTime(Paths.get(root, f)).toMillis
+        s"""{"add":{"path":"${esc(f)}","partitionValues":{},"size":$b,"modificationTime":$mt,"dataChange":$dataChange}}"""
+      }
+    val tmp = deltaDir(root).resolve(s".$version.json.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, deltaDir(root).resolve(f"$version%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def writeDataFiles(df: DataFrame, root: String, version: Long): Seq[(String, Long)] = {
@@ -91,7 +144,8 @@ object TxnTable {
   /** Append `df` as a new commit; returns the committed version. */
   def append(df: DataFrame, root: String): Long = {
     val v = latestVersion(root) + 1
-    commit(root, v, "append", writeDataFiles(df, root, v), Seq.empty)
+    commit(root, v, "append", writeDataFiles(df, root, v), Seq.empty,
+      schemaJson = Some(df.schema.json))
     v
   }
 
@@ -107,7 +161,8 @@ object TxnTable {
       case Some((v, _, _, _, _)) => v
       case None =>
         val v = latestVersion(root) + 1
-        commit(root, v, op, writeDataFiles(df, root, v), Seq.empty)
+        commit(root, v, op, writeDataFiles(df, root, v), Seq.empty,
+          schemaJson = Some(df.schema.json), txn = Some((token, v)))
         v
     }
   }
@@ -119,7 +174,7 @@ object TxnTable {
   def overwrite(df: DataFrame, root: String): Long = {
     val v = latestVersion(root) + 1
     commit(root, v, "overwrite", writeDataFiles(df, root, v),
-      liveFiles(root, v - 1).map(_._1))
+      liveFiles(root, v - 1).map(_._1), schemaJson = Some(df.schema.json))
     v
   }
 
@@ -176,7 +231,7 @@ object TxnTable {
     val df = spark.read.parquet(
       small.map { case (f, _) => Paths.get(root, f).toString }: _*)
     val adds = writeDataFiles(df.repartition(targetPartitions), root, v)
-    commit(root, v, "optimize", adds, small.map(_._1))
+    commit(root, v, "optimize", adds, small.map(_._1), dataChange = false)
     v
   }
 

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+import graft.sources.TxnTable
+
+/** The Delta-protocol interop contract: every TxnTable commit mirrors into
+  * an OPEN-format `_delta_log/%020d.json` (delta.io PROTOCOL.md) that an
+  * EXTERNAL reader could fold without this library. This suite plays that
+  * external reader: it parses the action JSON by hand (no TxnTable fold
+  * involved), reconstructs each version's live-file snapshot, reads those
+  * parquet files directly, and proves the contents equal
+  * [[TxnTable.readVersion]] — version by version, through append,
+  * idempotent append, overwrite and OPTIMIZE. */
+class DeltaLogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tbl(): String = Files.createTempDirectory("delta_spec").toString
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+  }
+
+  private def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import spark.implicits._
+    d.select("id").as[Long].collect().sorted.toSeq
+  }
+
+  // -- a minimal external Delta reader: list, parse, fold -------------------
+
+  private def logFiles(root: String): Seq[(Long, Path)] = {
+    val d = Paths.get(root, "_delta_log")
+    assert(Files.isDirectory(d), s"no _delta_log under $root")
+    Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => (p.getFileName.toString.stripSuffix(".json").toLong, p))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Pull the string/long/bool value of a top-level key inside the given
+    * single-line action object. Hand-rolled on purpose: the point is that
+    * the format is plain newline-delimited JSON any consumer can fold. */
+  private def field(obj: String, key: String): Option[String] = {
+    val at = obj.indexOf(s""""$key":""")
+    if (at < 0) None
+    else {
+      val rest = obj.substring(at + key.length + 3)
+      if (rest.startsWith("\"")) {
+        val sb = new StringBuilder
+        var i = 1
+        while (rest.charAt(i) != '"') {
+          if (rest.charAt(i) == '\\') { sb.append(rest.charAt(i + 1)); i += 2 }
+          else { sb.append(rest.charAt(i)); i += 1 }
+        }
+        Some(sb.toString)
+      } else Some(rest.takeWhile(c => c != ',' && c != '}'))
+    }
+  }
+
+  /** Fold add/remove actions up to and including version `asOf`; returns
+    * live root-relative paths. Later removes cancel earlier adds — the
+    * protocol's reconciliation rule. */
+  private def foldLive(root: String, asOf: Long): Seq[String] = {
+    val acts = logFiles(root).filter(_._1 <= asOf).flatMap { case (_, p) =>
+      Files.readAllLines(p).asScala
+    }
+    val removed = acts.filter(_.contains("\"remove\":"))
+      .flatMap(l => field(l, "path")).toSet
+    acts.filter(_.contains("\"add\":"))
+      .flatMap(l => field(l, "path")).filterNot(removed.contains).toSeq
+  }
+
+  private def readFold(root: String, asOf: Long) =
+    spark.read.parquet(foldLive(root, asOf).map(f => Paths.get(root, f).toString): _*)
+
+  test("version 0 carries protocol and a schemaString that round-trips") {
+    val root = tbl()
+    TxnTable.append(df(1 to 3), root)
+    val v0 = Files.readAllLines(logFiles(root).head._2).asScala
+    val proto = v0.find(_.contains("\"protocol\":")).get
+    assert(field(proto, "minReaderVersion").contains("1"), proto)
+    assert(field(proto, "minWriterVersion").contains("2"), proto)
+    val meta = v0.find(_.contains("\"metaData\":")).get
+    assert(field(meta, "provider").contains("parquet"), meta)
+    val schema = DataType.fromJson(field(meta, "schemaString").get)
+    assert(schema == df(1 to 1).schema, schema)
+    // stable table id: a second table at another root differs, same root
+    // would not — the id is content-addressed on the root, not wall-clock
+    assert(field(meta, "id").exists(_.length == 36), meta)
+  }
+
+  test("hand-folded snapshots equal readVersion through append/overwrite/optimize") {
+    val root = tbl()
+    TxnTable.append(df(1 to 50).repartition(4), root)   // v0
+    TxnTable.append(df(51 to 60), root)                 // v1
+    TxnTable.overwrite(df(100 to 120), root)            // v2
+    TxnTable.optimize(spark, root, smallBytes = Long.MaxValue) // v3
+    (0L to 3L).foreach { v =>
+      assert(ids(readFold(root, v)) == ids(TxnTable.readVersion(spark, root, v)),
+        s"fold mismatch at version $v")
+    }
+    // OPTIMIZE is layout-only: its actions must say dataChange:false
+    val v3 = Files.readAllLines(logFiles(root)(3)._2).asScala
+    assert(v3.filter(l => l.contains("\"add\":") || l.contains("\"remove\":"))
+      .forall(_.contains("\"dataChange\":false")), v3.mkString("\n"))
+  }
+
+  test("idempotent append mirrors exactly one delta commit with a txn action") {
+    val root = tbl()
+    TxnTable.append(df(1 to 3), root)
+    val v1 = TxnTable.appendOnce(df(4 to 6), root, "app-42")
+    val replay = TxnTable.appendOnce(df(4 to 6), root, "app-42")
+    assert(v1 == replay)
+    val logs = logFiles(root)
+    assert(logs.map(_._1) == Seq(0L, 1L), logs) // no third commit
+    val txn = Files.readAllLines(logs(1)._2).asScala.find(_.contains("\"txn\":")).get
+    assert(field(txn, "appId").contains("app-42"), txn)
+    assert(ids(readFold(root, 1)) == (1L to 6L))
+  }
+
+  test("delta log and txn log advance in lockstep") {
+    val root = tbl()
+    TxnTable.append(df(1 to 3), root)
+    TxnTable.overwrite(df(7 to 9), root)
+    val deltaVs = logFiles(root).map(_._1)
+    assert(deltaVs == (0L to TxnTable.latestVersion(root)), deltaVs)
+  }
+}
