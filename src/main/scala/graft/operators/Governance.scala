@@ -132,50 +132,105 @@ object Governance {
       |GROUP BY a.noun, a.p_brand
       |""".stripMargin
 
+  /** One name group per (block, exact name): its representative (min part
+    * key) and member count. The per-block resolution unit. */
+  final case class NameGroup(noun: String, p_brand: String, size_band: Long,
+                             p_name: String, rep: Long, k: Long)
+  final case class EntityAgg(entity_id: Long, n_members: Long)
+
+  /** Standard Levenshtein DP — same distance as the Spark/DuckDB builtin
+    * (unit costs, no transposition); runs on the block-local name lists. */
+  private def lev(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** Union-find closure over one block's name groups: groups whose names
+    * are within Levenshtein 3 merge; each resulting entity reports its min
+    * part key and total member count. Σk < 2 components are single parts
+    * that appear in NO match pair — not entities. Order-independent: the
+    * emitted (min rep, Σk) pairs are the same whatever order the groups
+    * arrive in. */
+  private def resolveBlock(gs: IndexedSeq[NameGroup]): Iterator[EntityAgg] = {
+    val n = gs.size
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (lev(gs(i).p_name, gs(j).p_name) <= 3) {
+          val ri = find(i); val rj = find(j)
+          if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val acc = scala.collection.mutable.LongMap.empty[(Long, Long)]
+    i = 0
+    while (i < n) {
+      val r = find(i).toLong
+      val (mn, sk) = acc.getOrElse(r, (Long.MaxValue, 0L))
+      acc(r) = (math.min(mn, gs(i).rep), sk + gs(i).k)
+      i += 1
+    }
+    acc.values.iterator.collect { case (mn, sk) if sk >= 2 => EntityAgg(mn, sk) }
+  }
+
   /** End-to-end entity resolution: the [[fuzzyMatch]] blocking+scoring pass
-    * emits match pairs (Levenshtein ≤ 3 within a block), transitive closure
-    * over the pair graph groups them into entities (pairs (a,b),(b,c) are
-    * ONE vendor item listed three ways), and each entity canonicalizes to
-    * its min part key. The closure reuses the dedup layer's alternating
-    * star contraction ([[Dedup.resolveClusters]] — O(log²) rounds,
-    * fixpoint unique), so ER rides the exact machinery the text-dedup
-    * pipeline already proves at scale; the oracle recomputes components
-    * with a recursive CTE — two different algorithms, identical entities.
-    * Output: one row per multi-member entity with its canonical name. */
+    * defines match pairs (Levenshtein ≤ 3 within a block), transitive
+    * closure groups them into entities (pairs (a,b),(b,c) are ONE vendor
+    * item listed three ways), and each entity canonicalizes to its min part
+    * key. Because every edge SHARES the blocking key, components are
+    * provably block-local — so the closure runs as a per-block union-find
+    * over name-group representatives inside ONE `flatMapGroups` pass (one
+    * shuffle on the block key, zero iteration), instead of the global
+    * star contraction the cross-block LSH graphs need
+    * ([[Dedup.resolveClusters]] stays the tool there). The per-group unit
+    * is the exact-name collapse of [[fuzzyMatch]]: union-find is quadratic
+    * only in per-block name VARIETY, member counts fold in as
+    * multiplicities — member-linear in duplicates, identical entities,
+    * hash-gated. The oracle recomputes components with a recursive CTE —
+    * two different algorithms, identical output. */
   def erEntities(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Same exact-name collapse as [[fuzzyMatch]]: comparison edges run
-    // between name-group REPRESENTATIVES only (distance-0 members attach
-    // to their rep by construction), so closure input is linear in
-    // duplicates and quadratic only in per-block name variety. The
-    // transitive closure is unchanged — identical entities, hash-gated.
-    val p = Tables.part(s, dir)
+    val g = Tables.part(s, dir)
       .select($"p_partkey", $"p_name",
-        // same NULL→'' pin — blocking must not depend on the engine's
+        // NULL→'' pin — blocking must not depend on the engine's
         // single-token split semantics
         coalesce(split($"p_name", " ").getItem(1), lit("")).as("noun"),
         $"p_brand", expr("p_size div 10").as("size_band"))
-    val g = graft.Materialize.shared(
-      p.groupBy($"noun", $"p_brand", $"size_band", $"p_name")
-        .agg(min($"p_partkey").as("rep")))
-    // members ≠ rep: a distance-0 edge each (identical names always match)
-    val memberEdges = p.join(g,
-        Seq("noun", "p_brand", "size_band", "p_name"))
-      .filter($"p_partkey" =!= $"rep")
-      .select($"rep".as("doc_a"), $"p_partkey".as("doc_b"))
-    val a = g.select($"noun", $"p_brand", $"size_band",
-      $"p_name".as("na"), $"rep".as("ra"))
-    val b = g.select($"noun", $"p_brand", $"size_band",
-      $"p_name".as("nb"), $"rep".as("rb"))
-    val repEdges = a.join(b, Seq("noun", "p_brand", "size_band"))
-      .filter($"na" < $"nb" && levenshtein($"na", $"nb") <= 3)
-      .select($"ra".as("doc_a"), $"rb".as("doc_b"))
-    val (labels, _) = Dedup.resolveClusters(memberEdges.union(repEdges))
-    labels.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+      .groupBy($"noun", $"p_brand", $"size_band", $"p_name")
+      .agg(min($"p_partkey").cast("long").as("rep"), count(lit(1)).as("k"))
+    val ents = g.as[NameGroup]
+      .groupByKey(ng => (ng.noun, ng.p_brand, ng.size_band))
+      .flatMapGroups((_, it) => resolveBlock(it.toIndexedSeq))
+    ents.toDF()
       .join(Tables.part(s, dir).select($"p_partkey", $"p_name"),
-        $"cluster_id" === $"p_partkey")
-      .select($"cluster_id".as("entity_id"), $"p_name".as("entity_name"),
-        $"n_members")
+        $"entity_id" === $"p_partkey")
+      .select($"entity_id", $"p_name".as("entity_name"), $"n_members")
   }
   val erEntitiesSql: String =
     """WITH RECURSIVE p AS (

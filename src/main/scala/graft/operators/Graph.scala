@@ -629,16 +629,21 @@ object Graph {
     // driver actions (the previous eager form paid one action per
     // relation, pure scheduling overhead at any tested SF).
     val ps = orderPartSets(s, dir)
-    val pairCnt = graft.Materialize.shared(ps
-      .selectExpr(
-        "explode(flatten(transform(ps, (a, i) -> " +
-          "transform(slice(ps, i + 2, size(ps) - i - 1), b -> struct(a AS u, b AS v))))) AS pr")
-      .groupBy($"pr.u".as("u"), $"pr.v".as("v"))
-      .agg(count(lit(1)).as("n_uv")))
+    // round 12: emit BOTH directions in the map-side expansion, so the
+    // symmetric pair counts come out of ONE shuffle — no persisted a<b
+    // relation, no union re-read. The expansion is two stacked explode
+    // GENERATORS (whole-stage-codegen'd) rather than nested higher-order
+    // transforms (per-element lambda interpretation — measured ~2x slower
+    // on the same row count).
+    val sym = ps
+      .select(explode($"ps").as("u"), $"ps")
+      .select($"u", explode($"ps").as("v"))
+      .filter($"u" =!= $"v")
+      .groupBy($"u", $"v")
+      .agg(count(lit(1)).as("n_uv"))
     val itemCnt = graft.Materialize.shared(
       ps.selectExpr("explode(ps) AS item")
         .groupBy($"item").agg(count(lit(1)).as("n_item")))
-    val sym = pairCnt.union(pairCnt.select($"v".as("u"), $"u".as("v"), $"n_uv"))
     val scored = sym
       .join(broadcast(itemCnt.select($"item".as("u"), $"n_item".as("n_u"))), Seq("u"))
       .join(broadcast(itemCnt.select($"item".as("v"), $"n_item".as("n_v"))), Seq("v"))
@@ -651,11 +656,9 @@ object Graph {
   }
   val itemCosineSql: String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |pc AS (SELECT a.p AS u, b.p AS v, count(*) AS n_uv
-       |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |sym AS (SELECT a.p AS u, b.p AS v, count(*) AS n_uv
+       |        FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p GROUP BY 1, 2),
        |ic AS (SELECT p AS item, count(*) AS n_item FROM op GROUP BY 1),
-       |sym AS (SELECT u, v, n_uv FROM pc
-       |        UNION ALL SELECT v AS u, u AS v, n_uv FROM pc),
        |sc AS (SELECT sym.u, sym.v, sym.n_uv,
        |              CAST(sym.n_uv AS DOUBLE) /
        |                sqrt(CAST(cu.n_item AS DOUBLE) * CAST(cv.n_item AS DOUBLE)) AS cos
