@@ -25,7 +25,9 @@ object Sources {
     * RecordBatch v2 codec (streaming/KafkaFraming.scala) encodes/decodes
     * real Kafka-framed batches distributed — oracle-gated by
     * [[kafkaRoundtrip]] and stream-consumed in KafkaFramingSpec — so the
-    * only unexecuted surface is the TCP protocol inside the blocked jar. */
+    * only unexecuted surface WAS the TCP protocol inside the blocked jar —
+    * which [[kafkaLiteStream]] now rebuilds from the public protocol spec
+    * and executes over a real socket. */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
                   groupId: String = "spark-graft-cdc"): DataFrame =
     spark.readStream
@@ -35,6 +37,21 @@ object Sources {
       .option("startingOffsets", "earliest")
       .option("failOnDataLoss", "false")
       .option("kafka.group.id", groupId)
+      .load()
+
+  /** S1, jar-free: the `kafka-lite` source ([[KafkaLite]]) speaks the real
+    * Kafka wire protocol in pure JDK — ApiVersions handshake, Metadata,
+    * ListOffsets, Fetch v4 returning RecordBatch v2 frames decoded by
+    * [[graft.streaming.KafkaFraming]] — with the stock connector's output
+    * schema, so [[graft.streaming.CdcIngest]] consumes either
+    * interchangeably. The driver plans [start, end) offset ranges per
+    * partition; each executor task opens its own socket to the partition
+    * leader. Exercised end-to-end over TCP in KafkaLiteStreamSpec. */
+  def kafkaLiteStream(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka-lite")
+      .option("bootstrap", bootstrap)
+      .option("topic", topic)
       .load()
 
   /** S2 — rate fallback source, 1 row/s (ref: SaveDelta.scala:123-127). */
