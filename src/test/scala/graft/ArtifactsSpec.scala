@@ -29,8 +29,13 @@ class ArtifactsSpec extends AnyFunSuite {
     try {
       def dirs(r: TrieMap[Artifacts.Key, DataFrame]) =
         r.keys.map(_._2).toSet
+      // count only pins THIS spec creates (RDD ids are monotonic): earlier
+      // suites' registry dirs get evicted by the tiny cap and non-registry
+      // pins linger, so absolute getPersistentRDDs counts aren't ours
+      val marker = (spark.sparkContext.getPersistentRDDs.keys ++ Seq(-1)).max
+      def livePins: Int =
+        spark.sparkContext.getPersistentRDDs.keys.count(_ > marker)
 
-      val before = spark.sparkContext.getPersistentRDDs.size
       Artifacts.cached(reg, spark, "/lru/a")(pinnedBuild("a"))
       Artifacts.cached(reg2, spark, "/lru/a")(pinnedBuild("a2")) // 2nd registry, same dir
       Artifacts.cached(reg, spark, "/lru/b")(pinnedBuild("b"))
@@ -40,8 +45,8 @@ class ArtifactsSpec extends AnyFunSuite {
       Artifacts.cached(reg, spark, "/lru/c")(pinnedBuild("c"))
       assert(dirs(reg) == Set("/lru/b", "/lru/c"), dirs(reg))
       assert(dirs(reg2).isEmpty, "eviction must reach every registry")
-      // storage: a+a2 released; b+c live ⇒ net +2 vs the baseline
-      assert(spark.sparkContext.getPersistentRDDs.size == before + 2)
+      // storage: a+a2 released; of this spec's pins only b+c stay live
+      assert(livePins == 2, spark.sparkContext.getPersistentRDDs)
 
       // recency, not insertion order: touch b, then add d ⇒ c is the victim
       Artifacts.cached(reg, spark, "/lru/b")(fail("b is cached — builder must not run"))
