@@ -2246,8 +2246,14 @@ object Relational {
   // one orders scan to the daily rollup (shared by the lag spine and the
   // shifted side), a 7-way lag explode of the DAY-GRAIN relation (bounded
   // by days·7, not orders), one equi-join on the shifted day, one moment
-  // aggregate. Per-row products fit int64 while a day's cents stay under
-  // ~3e9 (true through sf1; the corr_stats DECIMAL note applies beyond).
+  // aggregate. A day's cents pass ~3e9 once per-day order density grows
+  // 10× (the sf1 shape), so a raw x·y long multiply overflows int64; each
+  // operand splits by 2³⁰ (x = xq·2³⁰ + xr) and every moment accumulates
+  // as FOUR exact long sums — Σ xq·yq, Σ(xq·yr + yq·xr), and the xr·yr
+  // product split once more into div/mod-2³⁰ sums — reassembled in
+  // DECIMAL only on the 7 lag rows (the q_corr_stats primitive-long
+  // pattern, one level deeper because here the per-row PRODUCT itself
+  // overflows). Exact while a day's cents stay under 2⁶⁰ (≫ sf1000).
   // ---------------------------------------------------------------------------
   private val AcfLags = 7
   private val acfExpr =
@@ -2265,25 +2271,41 @@ object Relational {
       .selectExpr(s"explode(sequence(1, $AcfLags)) AS lag", "day", "x")
       .selectExpr("lag", "date_add(day, lag) AS day2", "x")
       .join(daily.select($"day".as("day2"), $"x".as("y")), "day2")
+      .selectExpr("lag",
+        "x div 1073741824 AS xq", "x % 1073741824 AS xr",
+        "y div 1073741824 AS yq", "y % 1073741824 AS yr")
       .groupBy($"lag")
       .agg(count(lit(1)).as("n_pairs"),
-        sum($"x".cast("decimal(38,0)")).as("sx"),
-        sum($"y".cast("decimal(38,0)")).as("sy"),
-        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
-        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
-        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
-      // moment sums pass 2^53 here (unlike q_corr_stats at tested SFs), and
-      // DuckDB's wide-int → double cast is two-step (upper·2^64 + lower:
-      // DOUBLE-rounded), while the JVM's is single-rounded — route BOTH
-      // engines through the exact decimal string, whose parse (strtod /
-      // Double.parseDouble) is correctly rounded by spec
-      .selectExpr("cast(lag as bigint) AS lag", "n_pairs",
+        sum(expr("xq * 1073741824 + xr")).as("sx"),
+        sum(expr("yq * 1073741824 + yr")).as("sy"),
+        sum(expr("xq * xq")).as("sxx_hi"),
+        sum(expr("2 * xq * xr")).as("sxx_mid"),
+        sum(expr("(xr * xr) div 1073741824")).as("sxx_lohi"),
+        sum(expr("(xr * xr) % 1073741824")).as("sxx_lolo"),
+        sum(expr("yq * yq")).as("syy_hi"),
+        sum(expr("2 * yq * yr")).as("syy_mid"),
+        sum(expr("(yr * yr) div 1073741824")).as("syy_lohi"),
+        sum(expr("(yr * yr) % 1073741824")).as("syy_lolo"),
+        sum(expr("xq * yq")).as("sxy_hi"),
+        sum(expr("xq * yr + yq * xr")).as("sxy_mid"),
+        sum(expr("(xr * yr) div 1073741824")).as("sxy_lohi"),
+        sum(expr("(xr * yr) % 1073741824")).as("sxy_lolo"))
+      // Σ x·y = 2⁶⁰·Σhi + 2³⁰·(Σmid + Σlohi) + Σlolo, reassembled in
+      // DECIMAL on the lag rows. The sums pass 2^53 (unlike q_corr_stats
+      // at tested SFs), and DuckDB's wide-int → double cast is two-step
+      // (upper·2^64 + lower: DOUBLE-rounded), while the JVM's is
+      // single-rounded — route BOTH engines through the exact decimal
+      // string, whose parse (strtod / Double.parseDouble) is correctly
+      // rounded by spec
+      .selectExpr(Seq("cast(lag as bigint) AS lag", "n_pairs",
         "cast(n_pairs as double) AS nd",
         "cast(cast(sx as string) as double) AS sxd",
-        "cast(cast(sy as string) as double) AS syd",
-        "cast(cast(sxx as string) as double) AS sxxd",
-        "cast(cast(syy as string) as double) AS syyd",
-        "cast(cast(sxy as string) as double) AS sxyd")
+        "cast(cast(sy as string) as double) AS syd") ++
+        Seq("sxx", "syy", "sxy").map { m =>
+          s"cast(cast(cast(${m}_hi as decimal(38,0)) * 1152921504606846976 + " +
+            s"(cast(${m}_mid as decimal(38,0)) + ${m}_lohi) * 1073741824 + " +
+            s"${m}_lolo as string) as double) AS ${m}d"
+        }: _*)
       .selectExpr("lag", "n_pairs", acfExpr)
   }
   val acfSql: String =
@@ -2299,7 +2321,12 @@ object Relational {
        |m AS (
        |  SELECT lag, count(*) AS n_pairs,
        |         sum(x) AS sx, sum(y) AS sy,
-       |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |         -- HUGEINT operand: the per-row product passes int64 once a
+       |         -- day's cents pass ~3e9 (10x per-day density); the exact
+       |         -- 128-bit sums equal the engine's split-long reassembly
+       |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy,
+       |         sum(CAST(x AS HUGEINT) * y) AS sxy
        |  FROM p GROUP BY lag),
        |d AS (
        |  SELECT CAST(lag AS BIGINT) AS lag, n_pairs,

@@ -46,9 +46,17 @@ object ScaleSanity {
     }
     println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
     names.foreach { n =>
-      val a = run(n, dirA)
-      val b = run(n, dirB)
-      println(f"$n%-24s $a%8.2f $b%8.2f ${b / a}%7.2f")
+      // a failure at either SF is itself the finding (sf1 overflow, OOM…);
+      // report it and keep sweeping — one bad query must not kill the run
+      try {
+        val a = run(n, dirA)
+        val b = run(n, dirB)
+        println(f"$n%-24s $a%8.2f $b%8.2f ${b / a}%7.2f")
+      } catch {
+        case e: Throwable =>
+          println(s"$n ERROR ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+      }
     }
     spark.stop()
   }
