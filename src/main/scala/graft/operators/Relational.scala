@@ -1478,9 +1478,18 @@ object Relational {
     graft.Materialize.rebalanced(Tables.lineitem(s, dir)
       .select($"l_returnflag", $"l_linestatus", $"l_quantity"))
       .rollup($"l_returnflag", $"l_linestatus")
+      // long-cents accumulation, not DECIMAL(28,2): the Expand feeds every
+      // input row to each grouping set, so a BigDecimal-backed sum buffer
+      // multiplies through the expansion (measured 14.9x on 10x data at
+      // ~sf1). Σ round(q·100) / 100 is the same exact rational as the
+      // decimal sum, and both double conversions are correctly rounded
+      // while the cents sum stays under 2^53 (≈sf100) — identical bits.
       .agg(
-        sum(D($"l_quantity")).cast("double").as("sum_qty"),
+        sum(expr("cast(round(l_quantity * cast(100 as double)) as bigint)"))
+          .as("qc"),
         count(lit(1)).as("cnt"))
+      .selectExpr("l_returnflag", "l_linestatus",
+        "cast(qc as double) / cast(100 as double) AS sum_qty", "cnt")
   }
   val rollupSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -1499,9 +1508,13 @@ object Relational {
     graft.Materialize.rebalanced(Tables.lineitem(s, dir)
       .select($"l_returnflag", $"l_linestatus", $"l_quantity"))
       .cube($"l_returnflag", $"l_linestatus")
+      // same long-cents rationale as rollupSummary (4-way Expand here)
       .agg(
-        sum(D($"l_quantity")).cast("double").as("sum_qty"),
+        sum(expr("cast(round(l_quantity * cast(100 as double)) as bigint)"))
+          .as("qc"),
         count(lit(1)).as("cnt"))
+      .selectExpr("l_returnflag", "l_linestatus",
+        "cast(qc as double) / cast(100 as double) AS sum_qty", "cnt")
   }
   val cubeSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -2135,9 +2148,13 @@ object Relational {
         Seq(Seq($"o_orderstatus", $"o_orderpriority"),
           Seq($"o_orderstatus"), Seq($"o_orderpriority")),
         $"o_orderstatus", $"o_orderpriority")
+      // same long-cents rationale as rollupSummary (3-way Expand here)
       .agg(
         count(lit(1)).as("cnt"),
-        sum(D($"o_totalprice")).cast("double").as("sum_price"))
+        sum(expr("cast(round(o_totalprice * cast(100 as double)) as bigint)"))
+          .as("pc"))
+      .selectExpr("o_orderstatus", "o_orderpriority", "cnt",
+        "cast(pc as double) / cast(100 as double) AS sum_price")
   }
   val groupingSetsSummarySql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
