@@ -1156,9 +1156,11 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .select(explode($"toks").as("t"))
-      .withColumn("cs", split($"t", ""))
+      // adjacent-char pairs as direct 2-char substrings: the former
+      // split-into-char-array + per-pair concat allocated an array and N
+      // small strings per token — pure GC load on a corpus-linear relation
       .selectExpr(
-        "explode(if(size(cs) < 2, array(), transform(sequence(1, size(cs) - 1), i -> concat(element_at(cs, i), element_at(cs, i + 1))))) AS pair")
+        "explode(if(length(t) < 2, array(), transform(sequence(1, length(t) - 1), i -> substring(t, i, 2)))) AS pair")
       .groupBy($"pair").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"pair".asc)
       .limit(20)
