@@ -123,6 +123,10 @@ object GraftFunctions {
         "kafka_batch_decode", exprs => KafkaBatchDecode(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "xlsx_records", exprs => XlsxRecords(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "avro_ocf_encode", exprs => AvroOcfEncode(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "avro_ocf_decode", exprs => AvroOcfDecode(exprs(0), exprs(1)), "built-in")
     }
   }
 }
@@ -194,6 +198,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[XlsxRecords].getName, "xlsx_records"),
       (exprs: Seq[Expression]) => XlsxRecords(exprs.head)))
+    // Avro Object Container File codec (sources/AvroOcf.scala — from-scratch
+    // wire format, avro-java interop spec-proved)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("avro_ocf_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[AvroOcfEncode].getName, "avro_ocf_encode"),
+      (exprs: Seq[Expression]) => AvroOcfEncode(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("avro_ocf_decode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[AvroOcfDecode].getName, "avro_ocf_decode"),
+      (exprs: Seq[Expression]) => AvroOcfDecode(exprs(0), exprs(1))))
     // P11 session-role column masking as a resolution rule (see MaskingRule).
     e.injectResolutionRule(session => graft.mask.MaskingRule(session))
   }

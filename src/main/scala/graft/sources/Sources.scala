@@ -377,6 +377,54 @@ object Sources {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Oracle-gated Avro Object Container File round-trip: documents are packed
+  // into REAL Avro OCFs (magic + schema metadata + zigzag-varint record
+  // blocks; see sources/AvroOcf.scala) and decoded back, all distributed via
+  // the avro_ocf_encode/decode expressions — the at-rest interchange format
+  // of the Kafka Connect ecosystem the reference's CDC feed lives in. The
+  // packed struct exercises every encoding branch that can corrupt silently:
+  // zigzag longs, UTF-8 text, IEEE doubles, and a deterministic null pattern
+  // through the ["null", T] union. The oracle computes the same aggregate
+  // straight from parquet, so one mis-encoded varint or union branch breaks
+  // the hash. Scale shape: one shuffle groups docs into 64-record files;
+  // encode/decode run where the groups live, never on the driver.
+  // ---------------------------------------------------------------------------
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id", "source",
+        "CASE WHEN n_chars % 7 = 0 THEN NULL ELSE lang END AS lang",
+        "cast(n_chars as bigint) AS n_chars", "text",
+        "cast(n_chars as double) * 0.25 AS score")
+      .groupBy(expr("doc_id div 64").as("bucket"))
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"source", $"lang", $"n_chars", $"text", $"score"))).as("recs"))
+      .selectExpr("avro_ocf_encode(recs) AS f")
+      .selectExpr("explode(avro_ocf_decode(f, " +
+        "'doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT, " +
+        "text STRING, score DOUBLE')) AS r")
+      .groupBy($"r.source".as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"r.n_chars").cast("long").as("sum_chars"),
+        sum(length($"r.text")).cast("long").as("sum_text_len"),
+        countDistinct($"r.lang").as("n_langs"),
+        sum(when($"r.lang".isNull, 1L).otherwise(0L)).cast("long").as("n_null_lang"),
+        sum($"r.score".cast("decimal(18,2)")).cast("double").as("sum_score"))
+  }
+  val avroRoundtripSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       count(DISTINCT CASE WHEN n_chars % 7 = 0 THEN NULL ELSE lang END) AS n_langs,
+      |       CAST(sum(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+      |       CAST(sum(CAST(n_chars * 0.25 AS DECIMAL(18,2))) AS DOUBLE) AS sum_score
+      |FROM documents GROUP BY source
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Oracle-gated transaction-log table: three append commits of disjoint
   // md5-bucket slices of events (the q_ab_test split idiom), one OPTIMIZE
   // rewrite, then every version read back via time travel and aggregated.
@@ -428,6 +476,7 @@ object Sources {
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
+    "q_avro_roundtrip" -> avroRoundtrip _,
     "q_txn_time_travel" -> txnTimeTravel _,
   )
   val oracleSql: Map[String, String] = Map(
@@ -435,6 +484,7 @@ object Sources {
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_kafka_roundtrip" -> kafkaRoundtripSql,
+    "q_avro_roundtrip" -> avroRoundtripSql,
     "q_txn_time_travel" -> txnTimeTravelSql,
   )
 }
