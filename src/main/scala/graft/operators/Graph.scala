@@ -696,22 +696,39 @@ object Graph {
   private[graft] def kcoreRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     import s.implicits._
     val e0 = coPurchaseEdges(s, dir)
-    var edges: DataFrame = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+    // Carry the ALIVE-NODE SET between rounds, never the edge relation.
+    // The keep sets are nested (a node filtered out has degree 0 ever
+    // after), so filtering the BASE edges by the latest set is provably
+    // equal to the iterative edge filter — per-round state drops from
+    // O(edges) to O(alive nodes) (bounded by |part|), which is what blew
+    // the heap at ~sf1 when 6 checkpointed edge copies stacked up
+    // (115 s → the sweep's one true superlinearity). The node set is
+    // BROADCAST into both semi-joins: the symmetrized edge relation is
+    // persisted once and never reshuffled — each round is one cached scan
+    // + broadcast semi-filters + a partial degree agg. That is the 1000-
+    // executor shape: the frontier travels, the graph stays put.
+    val sym = graft.Materialize.shared(
+      e0.union(e0.select($"v".as("u"), $"u".as("v"))))
+    var alive: Option[DataFrame] = None // None = every node alive (round 1)
     for (_ <- 1 to rounds) {
-      // lazyCut, not shared: each round references its state TWICE, so a
-      // full-lineage chain grows the ANALYZER plan 4^rounds — the
-      // truncated leaf keeps planning O(rounds) while the first action
+      val cur = alive match {
+        case None => sym
+        case Some(a) =>
+          sym.join(broadcast(a.select($"n".as("u"))), Seq("u"), "left_semi")
+            .join(broadcast(a.select($"n".as("v"))), Seq("v"), "left_semi")
+      }
+      // lazyCut the per-round node set: each set is referenced by the next
+      // round TWICE, so an uncut lineage grows the analyzer plan 4^rounds;
+      // the truncated leaf keeps planning O(rounds) while the first action
       // still computes each round exactly once
-      val cur = graft.Materialize.lazyCut(edges)
-      val keep = graft.Materialize.lazyCut(
+      alive = Some(graft.Materialize.lazyCut(
         cur.groupBy($"u").agg(count(lit(1)).as("d"))
-          .filter($"d" >= KCoreK).select($"u".as("n")))
-      edges = cur
-        .join(keep.select($"n".as("u")), Seq("u"), "left_semi")
-        .join(keep.select($"n".as("v")), Seq("v"), "left_semi")
-        .select($"u", $"v")
+          .filter($"d" >= KCoreK).select($"u".as("n"))))
     }
-    edges.groupBy($"u".as("node"))
+    val a = alive.get
+    sym.join(broadcast(a.select($"n".as("u"))), Seq("u"), "left_semi")
+      .join(broadcast(a.select($"n".as("v"))), Seq("v"), "left_semi")
+      .groupBy($"u".as("node"))
       .agg(count(lit(1)).cast("long").as("core_degree"))
   }
   val kcoreSql: String = {
