@@ -127,6 +127,10 @@ object GraftFunctions {
         "avro_ocf_encode", exprs => AvroOcfEncode(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "avro_ocf_decode", exprs => AvroOcfDecode(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "xml_encode", exprs => XmlEncode(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "xml_records", exprs => XmlRecords(exprs(0), exprs(1)), "built-in")
     }
   }
 }
@@ -210,6 +214,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[AvroOcfDecode].getName, "avro_ocf_decode"),
       (exprs: Seq[Expression]) => AvroOcfDecode(exprs(0), exprs(1))))
+    // XML corpus codec (sources/XmlCorpus.scala — JDK StAX, no extra jar)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("xml_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[XmlEncode].getName, "xml_encode"),
+      (exprs: Seq[Expression]) => XmlEncode(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("xml_records"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[XmlRecords].getName, "xml_records"),
+      (exprs: Seq[Expression]) => XmlRecords(exprs(0), exprs(1))))
     // P11 session-role column masking as a resolution rule (see MaskingRule).
     e.injectResolutionRule(session => graft.mask.MaskingRule(session))
   }

@@ -425,6 +425,60 @@ object Sources {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Oracle-gated XML corpus round-trip: documents are serialized into XML
+  // dump documents (the format large text corpora actually arrive in —
+  // Wikipedia/Stack Exchange dumps, TEI archives) and parsed back, all
+  // distributed via the xml_encode/xml_records expressions over the JDK
+  // StAX codec (sources/XmlCorpus.scala). The gates XML can fail silently
+  // on: text escaping (& < > quotes must survive writer→parser), the
+  // absent-element idiom (NULL lang omits the element; the reader must
+  // surface a missing map key, counted per source), and attribute
+  // round-trip (@id carries the doc id). The oracle computes the same
+  // aggregate straight from parquet. Scale shape: one shuffle groups docs
+  // into 64-record documents; encode/parse run where the groups live.
+  // ---------------------------------------------------------------------------
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang", $"n_chars", $"text")
+      .groupBy(expr("doc_id div 64").as("bucket"))
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"source", $"lang", $"n_chars", $"text"))).as("rs"))
+      .selectExpr(
+        """xml_encode(transform(rs, r -> struct(
+          |  cast(r.doc_id as string) AS `@id`,
+          |  r.source AS source,
+          |  CASE WHEN r.n_chars % 5 = 0 THEN NULL ELSE r.lang END AS lang,
+          |  cast(r.n_chars as string) AS n_chars,
+          |  r.text AS text))) AS x""".stripMargin)
+      .selectExpr("explode(xml_records(x, 'doc')) AS m")
+      .selectExpr(
+        "m['source'] AS source",
+        "element_at(m, 'lang') AS lang",
+        "cast(m['n_chars'] as bigint) AS n_chars",
+        "m['text'] AS text",
+        "cast(m['@id'] as bigint) AS doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        sum(length($"text")).cast("long").as("sum_text_len"),
+        countDistinct($"lang").as("n_langs"),
+        sum(when($"lang".isNull, 1L).otherwise(0L)).cast("long").as("n_omitted_lang"),
+        max($"doc_id").cast("long").as("max_id"))
+  }
+  val xmlRoundtripSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       count(DISTINCT CASE WHEN n_chars % 5 = 0 THEN NULL ELSE lang END) AS n_langs,
+      |       CAST(sum(CASE WHEN n_chars % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_omitted_lang,
+      |       CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM documents GROUP BY source
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Oracle-gated transaction-log table: three append commits of disjoint
   // md5-bucket slices of events (the q_ab_test split idiom), one OPTIMIZE
   // rewrite, then every version read back via time travel and aggregated.
@@ -477,6 +531,7 @@ object Sources {
     "q_jsonl_roundtrip" -> jsonlRoundtrip _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_avro_roundtrip" -> avroRoundtrip _,
+    "q_xml_roundtrip" -> xmlRoundtrip _,
     "q_txn_time_travel" -> txnTimeTravel _,
   )
   val oracleSql: Map[String, String] = Map(
@@ -485,6 +540,7 @@ object Sources {
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_kafka_roundtrip" -> kafkaRoundtripSql,
     "q_avro_roundtrip" -> avroRoundtripSql,
+    "q_xml_roundtrip" -> xmlRoundtripSql,
     "q_txn_time_travel" -> txnTimeTravelSql,
   )
 }
