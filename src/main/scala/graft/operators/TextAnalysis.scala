@@ -1175,6 +1175,116 @@ object TextAnalysis {
        |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) — not just the
+  // one-round pair count (q_bpe_pairs) but the actual loop: count weighted
+  // adjacent pairs over the vocabulary, merge the argmax, RECOUNT, repeat.
+  // The encoding trick that makes this exact on both engines: every merged
+  // pair becomes a FRESH SINGLE CHARACTER (private codepoints 257, 258, …),
+  // so a word's symbol sequence is always a plain string of 1-char symbols.
+  // Then (a) adjacent pairs are 2-char substrings (the q_bpe_pairs kernel
+  // unchanged), and (b) applying a merge is string `replace`, whose
+  // left-to-right non-overlapping scan IS BPE's greedy application —
+  // 'aaa' under merge (a,a) becomes [aa, a] on both engines by the same
+  // rule. No separator-boundary false matches, no missed consecutive
+  // merges. Ties break on the raw pair string (binary UTF-8 collation in
+  // both engines). The report expands merge chars back to readable text
+  // via chained replaces through the earlier rounds' (fully expanded)
+  // merges.
+  //
+  // Scale shape: BPE trains on the WEIGHTED VOCABULARY (word, count), not
+  // the corpus — one corpus scan builds it, then every round is one pair
+  // aggregation over O(vocab) rows + a 1-row broadcast argmax + a mapper
+  // replace. At 100 TB the vocab relation is millions of rows, not
+  // billions; rounds chain with lazyCut so planning stays O(rounds) and
+  // the first action computes each round once.
+  // ---------------------------------------------------------------------------
+  private[graft] val BpeRounds = 6
+
+  /** The training loop over an explicit (rep, cnt) vocabulary — spec-tested
+    * on the classic corpus; [[bpeTrain]] wires it to the documents table.
+    * Returns (round, merged, n): the learned merge table in order, with
+    * merge characters expanded to readable text. */
+  private[graft] def bpeMerges(words0: DataFrame, rounds: Int): DataFrame = {
+    val s = words0.sparkSession
+    import s.implicits._
+    var words = graft.Materialize.lazyCut(words0)
+    // env: one-row frame accumulating fully-expanded merge texts e1..e_{r-1}
+    var env: DataFrame = null
+    var report: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pairs = words
+        .selectExpr(
+          "explode(if(length(rep) < 2, array(), " +
+            "transform(sequence(1, length(rep) - 1), i -> substring(rep, i, 2)))) AS pair",
+          "cnt")
+        .groupBy($"pair").agg(sum($"cnt").cast("long").as("n"))
+      val top = graft.Materialize.lazyCut(
+        pairs.orderBy($"n".desc, $"pair".asc).limit(1))
+      // merge char spliced as a string LITERAL (codepoint 256+r, a plain
+      // Latin-Extended letter): Spark's char(n) wraps at 256 (chr(n % 256))
+      // while DuckDB's chr(n) is the real codepoint — a literal is the one
+      // spelling both engines read identically (the README rule-9 idiom)
+      words = graft.Materialize.lazyCut(
+        words.crossJoin(broadcast(top.select($"pair".as("mp"))))
+          .selectExpr(s"replace(rep, mp, '${(256 + r).toChar}') AS rep", "cnt"))
+      // expand this round's pair through every earlier merge (each earlier
+      // expansion is already merge-char-free, so one pass suffices)
+      val expExpr = (1 until r).foldLeft("pair") { (acc, k) =>
+        s"replace($acc, '${(256 + k).toChar}', e$k)"
+      }
+      val expanded =
+        (if (env == null) top else top.crossJoin(broadcast(env)))
+          .selectExpr(s"$r AS round", s"$expExpr AS merged", "n",
+            s"$expExpr AS e$r")
+      val row = graft.Materialize.lazyCut(expanded)
+      env = if (env == null) row.select($"e$r")
+        else graft.Materialize.lazyCut(env.crossJoin(broadcast(row.select(col(s"e$r")))))
+      val rep = row.selectExpr("cast(round as int) AS round", "merged", "n")
+      report = if (report == null) rep else report.union(rep)
+    }
+    report
+  }
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words0 = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select(explode($"toks").as("rep"))
+      .groupBy($"rep").agg(count(lit(1)).cast("long").as("cnt"))
+    bpeMerges(words0, BpeRounds)
+  }
+  val bpeTrainSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT cs[i] || cs[i+1] AS pair, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT string_split(rep, '') AS cs, cnt,
+         |               unnest(range(1, length(rep))) AS i FROM $prev) x
+         |  GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(rep, (SELECT pair FROM m$r), '${(256 + r).toChar}') AS rep, cnt
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val exps = (1 to BpeRounds).map { r =>
+      val expExpr = (1 until r).foldLeft("pair") { (acc, k) =>
+        s"replace($acc, '${(256 + k).toChar}', (SELECT merged FROM e$k))"
+      }
+      s"e$r AS MATERIALIZED (SELECT $expExpr AS merged, n FROM m$r)"
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, merged, n FROM e$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT rep, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($toksDuck) AS rep FROM documents) t GROUP BY rep),
+       |$rounds,
+       |$exps
+       |$sel
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // Training-shard planner: assign every document to one of NShards output
   // shards so per-shard TOKEN totals balance — the write-side layout step
   // before a tokenizer/packing run. Exact LPT greedy needs a sequential
@@ -1499,6 +1609,7 @@ object TextAnalysis {
     "q_corpus_card"   -> corpusCard _,
     "q_shard_plan"    -> shardPlan _,
     "q_bpe_pairs"     -> bpePairs _,
+    "q_bpe_train"     -> bpeTrain _,
     "q_lm_score"      -> lmScore _,
     "q_zipf"          -> zipfProfile _,
     "q_bm25"          -> bm25 _,
@@ -1536,6 +1647,7 @@ object TextAnalysis {
     "q_corpus_card"   -> corpusCardSql,
     "q_shard_plan"    -> shardPlanSql,
     "q_bpe_pairs"     -> bpePairsSql,
+    "q_bpe_train"     -> bpeTrainSql,
     "q_lm_score"      -> lmScoreSql,
     "q_zipf"          -> zipfProfileSql,
     "q_bm25"          -> bm25Sql,
