@@ -1235,25 +1235,33 @@ object TextAnalysis {
       val expanded =
         (if (env == null) top else top.crossJoin(broadcast(env)))
           .selectExpr(s"$r AS round", s"$expExpr AS merged", "n",
-            s"$expExpr AS e$r")
+            "pair AS pair_raw", s"$expExpr AS e$r")
       val row = graft.Materialize.lazyCut(expanded)
       env = if (env == null) row.select($"e$r")
         else graft.Materialize.lazyCut(env.crossJoin(broadcast(row.select(col(s"e$r")))))
-      val rep = row.selectExpr("cast(round as int) AS round", "merged", "n")
+      val rep = row.selectExpr(
+        "cast(round as int) AS round", "merged", "n", "pair_raw")
       report = if (report == null) rep else report.union(rep)
     }
     report
   }
 
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The corpus-weighted vocabulary the trainer runs on. */
+  private def bpeWords0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words0 = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .select(explode($"toks").as("rep"))
       .groupBy($"rep").agg(count(lit(1)).cast("long").as("cnt"))
-    bpeMerges(words0, BpeRounds)
   }
-  val bpeTrainSql: String = {
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(bpeWords0(s, dir), BpeRounds)
+      .selectExpr("round", "merged", "n") // pair_raw is q_bpe_apply's input
+
+  /** Shared CTE chain: vocabulary w0, then per round r the pair counts
+    * p$r, argmax m$r, and merged vocabulary w$r. */
+  private val bpeRoundsSql: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val prev = if (r == 1) "w0" else s"w${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -1266,6 +1274,13 @@ object TextAnalysis {
          |  SELECT replace(rep, (SELECT pair FROM m$r), '${(256 + r).toChar}') AS rep, cnt
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT rep, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($toksDuck) AS rep FROM documents) t GROUP BY rep),
+       |$rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
     val exps = (1 to BpeRounds).map { r =>
       val expExpr = (1 until r).foldLeft("pair") { (acc, k) =>
         s"replace($acc, '${(256 + k).toChar}', (SELECT merged FROM e$k))"
@@ -1275,12 +1290,58 @@ object TextAnalysis {
     val sel = (1 to BpeRounds)
       .map(r => s"SELECT $r AS round, merged, n FROM e$r")
       .mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT rep, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest($toksDuck) AS rep FROM documents) t GROUP BY rep),
-       |$rounds,
+    s"""WITH $bpeRoundsSql,
        |$exps
        |$sel
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // BPE tokenizer APPLICATION — the consumer side of q_bpe_train: re-apply
+  // the learned merge table to every token occurrence (6 chained replaces,
+  // mapper-only — no vocab join, nothing shuffles before the final per-
+  // source aggregate) and report the numbers a tokenizer rollout is judged
+  // by: symbols per token (fertility) and chars per symbol (compression).
+  // Exactness: replace's greedy scan is the BPE apply rule (see
+  // q_bpe_train); the ratios are single IEEE divisions of exact integers.
+  // ---------------------------------------------------------------------------
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMerges(bpeWords0(s, dir), BpeRounds)
+    // one-row merge table in codepoint space: m1..mR
+    val mCols = (1 to BpeRounds).map(r =>
+      max(when($"round" === r, $"pair_raw")).as(s"m$r"))
+    val env = merges.agg(mCols.head, mCols.tail: _*)
+    val applied = (1 to BpeRounds).foldLeft("tok") { (acc, k) =>
+      s"replace($acc, m$k, '${(256 + k).toChar}')"
+    }
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select($"source", explode($"toks").as("tok"))
+      .crossJoin(broadcast(env))
+      .selectExpr("source", "length(tok) AS n_char", s"length($applied) AS n_sym")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum($"n_char").cast("long").as("sum_chars"),
+        sum($"n_sym").cast("long").as("sum_symbols"))
+      .selectExpr("source", "n_tokens", "sum_chars", "sum_symbols",
+        "cast(sum_symbols as double) / cast(n_tokens as double) AS fertility",
+        "cast(sum_chars as double) / cast(sum_symbols as double) AS chars_per_symbol")
+  }
+  val bpeApplySql: String = {
+    val applied = (1 to BpeRounds).foldLeft("tok") { (acc, k) =>
+      s"replace($acc, (SELECT pair FROM m$k), '${(256 + k).toChar}')"
+    }
+    s"""WITH $bpeRoundsSql,
+       |tok AS (SELECT source, unnest($toksDuck) AS tok FROM documents),
+       |app AS (SELECT source, length(tok) AS n_char, length($applied) AS n_sym FROM tok)
+       |SELECT source, count(*) AS n_tokens,
+       |       CAST(sum(n_char) AS BIGINT) AS sum_chars,
+       |       CAST(sum(n_sym) AS BIGINT) AS sum_symbols,
+       |       CAST(sum(n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+       |       CAST(sum(n_char) AS DOUBLE) / CAST(sum(n_sym) AS DOUBLE) AS chars_per_symbol
+       |FROM app GROUP BY source
        |""".stripMargin
   }
 
@@ -1610,6 +1671,7 @@ object TextAnalysis {
     "q_shard_plan"    -> shardPlan _,
     "q_bpe_pairs"     -> bpePairs _,
     "q_bpe_train"     -> bpeTrain _,
+    "q_bpe_apply"     -> bpeApply _,
     "q_lm_score"      -> lmScore _,
     "q_zipf"          -> zipfProfile _,
     "q_bm25"          -> bm25 _,
@@ -1648,6 +1710,7 @@ object TextAnalysis {
     "q_shard_plan"    -> shardPlanSql,
     "q_bpe_pairs"     -> bpePairsSql,
     "q_bpe_train"     -> bpeTrainSql,
+    "q_bpe_apply"     -> bpeApplySql,
     "q_lm_score"      -> lmScoreSql,
     "q_zipf"          -> zipfProfileSql,
     "q_bm25"          -> bm25Sql,
