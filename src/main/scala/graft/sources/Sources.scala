@@ -525,6 +525,56 @@ object Sources {
       |GROUP BY version
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated MERGE INTO on the transaction-log table: two appends of
+  // disjoint md5-bucket slices, then one keyed upsert whose delta UPDATES
+  // bucket 3 (cents doubled) and INSERTS buckets 4 — Delta-lake merge
+  // mechanics (copy-on-write: only files containing matched keys rewrite;
+  // TxnTableSpec proves the pruning), committed atomically so every
+  // pre-merge version stays time-travelable. The oracle replays all three
+  // versions as bucket algebra; a merge that drops a carried row, double-
+  // applies an update, or loses an insert breaks the hash.
+  // ---------------------------------------------------------------------------
+  def txnMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge")
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          bucket.as("b"))
+      TxnTable.append(ev.filter($"b" <= 1).select($"event_id", $"cents"), tmp.toString) // v0
+      TxnTable.append(ev.filter($"b" === 2 || $"b" === 3)
+        .select($"event_id", $"cents"), tmp.toString)                                   // v1
+      val delta = ev.filter($"b" === 3 || $"b" === 4)
+        .select($"event_id", ($"cents" * 2).as("cents"))
+      TxnTable.merge(s, delta, tmp.toString, Seq("event_id"))                           // v2
+      val per = (0L to 2L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnMergeSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev WHERE b <= 1
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM ev WHERE b <= 3
+      |UNION ALL
+      |SELECT 2, count(*),
+      |       CAST(sum(CASE WHEN b >= 3 THEN 2 * cents ELSE cents END) AS BIGINT)
+      |FROM ev WHERE b <= 4
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -533,6 +583,7 @@ object Sources {
     "q_avro_roundtrip" -> avroRoundtrip _,
     "q_xml_roundtrip" -> xmlRoundtrip _,
     "q_txn_time_travel" -> txnTimeTravel _,
+    "q_txn_merge" -> txnMerge _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -542,5 +593,6 @@ object Sources {
     "q_avro_roundtrip" -> avroRoundtripSql,
     "q_xml_roundtrip" -> xmlRoundtripSql,
     "q_txn_time_travel" -> txnTimeTravelSql,
+    "q_txn_merge" -> txnMergeSql,
   )
 }

@@ -178,6 +178,47 @@ object TxnTable {
     v
   }
 
+  /** MERGE INTO (keyed upsert, copy-on-write): apply `delta` to the
+    * current snapshot — delta rows whose key matches an existing row
+    * REPLACE it, the rest INSERT — in ONE commit. The Delta-lake merge
+    * mechanics, not an overwrite in disguise: only the live files that
+    * actually CONTAIN a matched key are rewritten (their unmatched rows
+    * copied forward + every delta row); untouched files stay in place, so
+    * a merge that hits one hot partition of a 100 TB table rewrites that
+    * partition, not the table. File attribution rides `_metadata.file_path`
+    * (no extra scan); the touched-file list is O(files) driver metadata,
+    * same as the commit itself, and AQE broadcasts the delta key set when
+    * it is small (the typical CDC upsert batch). Pre-merge versions stay time-travelable.
+    * `delta` must carry distinct keys (the upsert set) and the table
+    * schema. */
+  def merge(spark: SparkSession, delta: DataFrame, root: String,
+            keys: Seq[String]): Long = {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val live = liveFiles(root, v - 1)
+    val cols = delta.columns.toSeq
+    val cur = spark.read.parquet(live.map { case (f, _) =>
+      Paths.get(root, f).toString }: _*)
+      .select(col("_metadata.file_path").as("_file"), struct(cols.map(col): _*).as("_r"))
+    val dKeys = delta.select(keys.map(col): _*).distinct()
+    val onKeys = keys.map(k => col(s"_r.$k") === dKeys(k)).reduce(_ && _)
+    // touched = live files containing at least one delta key — O(files) rows
+    val touchedUris = cur.join(dKeys, onKeys, "left_semi")
+      .select(col("_file")).distinct().collect().map(_.getString(0)).toSeq.sorted
+    val touchedRel = live.map(_._1).filter(f => touchedUris.exists(_.endsWith(f)))
+    val carried =
+      if (touchedRel.isEmpty) delta
+      else {
+        cur.filter(col("_file").isin(touchedUris: _*))
+          .join(dKeys, onKeys, "left_anti")
+          .select(cols.map(c => col(s"_r.$c").as(c)): _*)
+          .unionByName(delta)
+      }
+    commit(root, v, "merge", writeDataFiles(carried, root, v), touchedRel,
+      schemaJson = Some(delta.schema.json))
+    v
+  }
+
   /** Log actions up to and including `asOf` (whole log when < 0). */
   private def actions(root: String, asOf: Long): Seq[(Long, String, String, String, Long)] = {
     val vs = versions(root).filter(v => asOf < 0 || v <= asOf)

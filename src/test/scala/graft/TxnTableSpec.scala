@@ -70,6 +70,47 @@ class TxnTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"))
   }
 
+  test("MERGE rewrites only the files containing matched keys (copy-on-write)") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 100).coalesce(1), root)   // v0: one file, keys 1-100
+    TxnTable.append(df(101 to 200).coalesce(1), root) // v1: one file, keys 101-200
+    val v0Files = TxnTable.history(spark, root)
+      .where("version = 0 and action = 'add'")
+      .select("file").as[String].collect().toSet
+    // delta: update keys 101-110, insert 201-205 — touches only v1's file
+    val delta = ((101 to 110).map(i => (i.toLong, s"UPD$i")) ++
+      (201 to 205).map(i => (i.toLong, s"NEW$i"))).toDF("id", "payload")
+    assert(TxnTable.merge(spark, delta, root, Seq("id")) == 2L)
+    val removed = TxnTable.history(spark, root)
+      .where("version = 2 and action = 'remove'")
+      .select("file").as[String].collect().toSet
+    assert(removed.nonEmpty && removed.intersect(v0Files).isEmpty,
+      "the untouched v0 file must NOT be rewritten by the merge")
+    val snap = TxnTable.read(spark, root)
+    assert(ids(snap) == (1L to 205L))
+    assert(snap.where("payload like 'UPD%'").count() == 10, "updates applied")
+    assert(snap.where("payload like 'NEW%'").count() == 5, "inserts applied")
+    assert(snap.where("id = 105 and payload = 'v105'").count() == 0,
+      "an updated key must not keep its old row")
+    assert(ids(TxnTable.readVersion(spark, root, 1)) == (1L to 200L),
+      "the pre-merge version stays time-travelable")
+    assert(TxnTable.readVersion(spark, root, 1)
+      .where("payload like 'UPD%'").count() == 0)
+  }
+
+  test("MERGE into a table with no matching keys is a pure insert") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 10).coalesce(1), root)
+    val delta = (11 to 12).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    TxnTable.merge(spark, delta, root, Seq("id"))
+    assert(ids(TxnTable.read(spark, root)) == (1L to 12L))
+    val removed = TxnTable.history(spark, root)
+      .where("version = 1 and action = 'remove'").count()
+    assert(removed == 0, "no file contained a matched key, none rewrites")
+  }
+
   test("commits are atomic renames: a version cannot be committed twice") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)
