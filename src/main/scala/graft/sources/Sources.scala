@@ -575,6 +575,121 @@ object Sources {
       |FROM ev WHERE b <= 4
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated DELETE WHERE on the transaction-log table: append the whole
+  // events slice, copy-on-write delete a cents range, report both versions.
+  // Survivor semantics are exact (pred FALSE or NULL rows stay), and the
+  // delete's stats pruning means only files whose [min,max] straddles the
+  // range are even scanned — the spec proves that; the oracle proves the
+  // row algebra: v0 = everything, v1 = everything outside [5000,15000].
+  // ---------------------------------------------------------------------------
+  def txnDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delete")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      TxnTable.append(ev, tmp.toString)                                          // v0
+      TxnTable.delete(s, tmp.toString, $"cents" >= 5000L && $"cents" <= 15000L)  // v1
+      val per = (0L to 1L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnDeleteSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(cents) AS BIGINT)
+      |FROM ev WHERE cents < 5000 OR cents > 15000 OR cents IS NULL
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Oracle-gated data-skipping read: events written range-partitioned on
+  // cents (so commit-log file stats carry near-disjoint ranges), then read
+  // back through readWhere — the pruner drops every file whose [min,max]
+  // misses [10000,20000] before a single footer opens. Pruning is invisible
+  // to the rows (the oracle is the plain WHERE); TxnTableSpec gates that
+  // files actually get skipped.
+  // ---------------------------------------------------------------------------
+  def txnSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skip")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      TxnTable.append(ev.repartitionByRange(8, $"cents"), tmp.toString)
+      val hit = TxnTable.readWhere(s, tmp.toString,
+        $"cents" >= 10000L && $"cents" <= 20000L)
+      graft.Materialize.eager(hit.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum($"cents").cast("long").as("sum_cents"),
+        min($"cents").cast("long").as("min_cents"),
+        max($"cents").cast("long").as("max_cents")))
+    } finally reclaim(tmp)
+  }
+  val txnSkipSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |WHERE cents BETWEEN 10000 AND 20000
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Oracle-gated change data feed over the merge scenario: the keyed diff
+  // between the pre-merge and post-merge versions must emit exactly the
+  // merge's effects — bucket-4 rows as inserts, bucket-3 rows as update
+  // pre/post image pairs (EXCEPT cents=0, where doubling changes nothing and
+  // a faithful CDF stays silent), and no deletes. The oracle rebuilds that
+  // ledger from bucket algebra alone.
+  // ---------------------------------------------------------------------------
+  def txnCdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf")
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          bucket.as("b"))
+      TxnTable.append(ev.filter($"b" <= 1).select($"event_id", $"cents"), tmp.toString) // v0
+      TxnTable.append(ev.filter($"b" === 2 || $"b" === 3)
+        .select($"event_id", $"cents"), tmp.toString)                                   // v1
+      val delta = ev.filter($"b" === 3 || $"b" === 4)
+        .select($"event_id", ($"cents" * 2).as("cents"))
+      TxnTable.merge(s, delta, tmp.toString, Seq("event_id"))                           // v2
+      val agg = TxnTable.changeFeed(s, tmp.toString, 1L, 2L, Seq("event_id"))
+        .groupBy($"_change_type".as("change_type"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum($"cents").cast("long").as("sum_cents"))
+      graft.Materialize.eager(agg)
+    } finally reclaim(tmp)
+  }
+  val txnCdfSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events)
+      |SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(2 * cents) AS BIGINT) AS sum_cents
+      |FROM ev WHERE b = 4
+      |UNION ALL
+      |SELECT 'update_preimage', count(*), CAST(sum(cents) AS BIGINT)
+      |FROM ev WHERE b = 3 AND cents IS NOT NULL AND cents <> 0
+      |UNION ALL
+      |SELECT 'update_postimage', count(*), CAST(sum(2 * cents) AS BIGINT)
+      |FROM ev WHERE b = 3 AND cents IS NOT NULL AND cents <> 0
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -584,6 +699,9 @@ object Sources {
     "q_xml_roundtrip" -> xmlRoundtrip _,
     "q_txn_time_travel" -> txnTimeTravel _,
     "q_txn_merge" -> txnMerge _,
+    "q_txn_delete" -> txnDelete _,
+    "q_txn_skip" -> txnSkip _,
+    "q_txn_cdf" -> txnCdf _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -594,5 +712,8 @@ object Sources {
     "q_xml_roundtrip" -> xmlRoundtripSql,
     "q_txn_time_travel" -> txnTimeTravelSql,
     "q_txn_merge" -> txnMergeSql,
+    "q_txn_delete" -> txnDeleteSql,
+    "q_txn_skip" -> txnSkipSql,
+    "q_txn_cdf" -> txnCdfSql,
   )
 }

@@ -2,9 +2,13 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction => UFn}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import scala.jdk.CollectionConverters._
 
 /** Minimal log-structured table format over parquet — the executable
@@ -44,6 +48,91 @@ object TxnTable {
     StructField("file", StringType),   // path relative to table root
     StructField("bytes", LongType)))
 
+  /** One `add` action: a data file plus its per-file column statistics —
+    * the metadata data skipping folds over. `stats` is the Delta-shaped
+    * JSON `{"numRecords":N,"minValues":{…},"maxValues":{…},"nullCount":{…}}`
+    * (absent for pre-stats commits; readers must treat absence as
+    * "cannot prune"). Numeric/boolean min-max are exact decimal numbers,
+    * strings are JSON strings — the encodings the open Delta protocol uses,
+    * so the `_delta_log` mirror carries the identical payload. Temporal
+    * columns are left out of stats (their protocol encoding is a rendered
+    * string; pruning on them can be added by widening `statsEligible`). */
+  final case class AddFile(file: String, bytes: Long, stats: Option[String])
+
+  /** Per-file stats decoded for pruning. Map values: BigDecimal | String |
+    * Boolean | null (all-null column). A column absent from the maps means
+    * "unknown" (ineligible type) — never prune on it. */
+  final case class FileStats(numRecords: Long,
+                             minV: Map[String, Any], maxV: Map[String, Any],
+                             nullC: Map[String, Long])
+
+  // ---- minimal JSON codec for the stats payload ---------------------------
+  // The stats object is machine-written by THIS module (strings, exact
+  // decimal numbers, bools, nulls, one level of nesting), so a tiny
+  // recursive-descent parser is enough — no library, deterministic.
+  private object MiniJson {
+    def escape(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    final class P(val s: String) { var i = 0
+      def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      def expect(c: Char): Unit = { ws(); require(s.charAt(i) == c, s"expected $c at $i in $s"); i += 1 }
+    }
+    def parse(s: String): Any = { val p = new P(s); value(p) }
+    private def value(p: P): Any = { p.ws(); p.s.charAt(p.i) match {
+      case '{' => obj(p)
+      case '"' => str(p)
+      case 't' => p.i += 4; true
+      case 'f' => p.i += 5; false
+      case 'n' => p.i += 4; null
+      case _ => num(p)
+    }}
+    private def obj(p: P): Map[String, Any] = {
+      p.expect('{'); p.ws()
+      if (p.s.charAt(p.i) == '}') { p.i += 1; return Map.empty }
+      val b = Map.newBuilder[String, Any]
+      var more = true
+      while (more) {
+        p.ws(); val k = str(p); p.expect(':'); b += (k -> value(p)); p.ws()
+        if (p.s.charAt(p.i) == ',') p.i += 1 else more = false
+      }
+      p.expect('}'); b.result()
+    }
+    private def str(p: P): String = {
+      p.expect('"'); val sb = new StringBuilder
+      while (p.s.charAt(p.i) != '"') {
+        if (p.s.charAt(p.i) == '\\') {
+          p.s.charAt(p.i + 1) match {
+            case 'n' => sb.append('\n'); p.i += 2
+            case 'r' => sb.append('\r'); p.i += 2
+            case 't' => sb.append('\t'); p.i += 2
+            case 'u' => sb.append(Integer.parseInt(p.s.substring(p.i + 2, p.i + 6), 16).toChar); p.i += 6
+            case c => sb.append(c); p.i += 2
+          }
+        } else { sb.append(p.s.charAt(p.i)); p.i += 1 }
+      }
+      p.i += 1; sb.toString
+    }
+    private def num(p: P): BigDecimal = {
+      val st = p.i
+      while (p.i < p.s.length && "+-0123456789.eE".indexOf(p.s.charAt(p.i)) >= 0) p.i += 1
+      BigDecimal(p.s.substring(st, p.i))
+    }
+  }
+
+  private def decodeStats(json: String): FileStats = {
+    val m = MiniJson.parse(json).asInstanceOf[Map[String, Any]]
+    FileStats(
+      m("numRecords").asInstanceOf[BigDecimal].toLongExact,
+      m.getOrElse("minValues", Map.empty).asInstanceOf[Map[String, Any]],
+      m.getOrElse("maxValues", Map.empty).asInstanceOf[Map[String, Any]],
+      m.getOrElse("nullCount", Map.empty).asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[BigDecimal].toLongExact })
+  }
+
   private def logDir(root: String): Path = Paths.get(root, "_txn_log")
   private def deltaDir(root: String): Path = Paths.get(root, "_delta_log")
 
@@ -66,14 +155,19 @@ object TxnTable {
     * is mirrored as a public Delta-protocol `_delta_log/<v>.json` entry —
     * see [[deltaCommit]]. */
   private def commit(root: String, version: Long, op: String,
-                     adds: Seq[(String, Long)], removes: Seq[String],
+                     adds: Seq[AddFile], removes: Seq[String],
                      schemaJson: Option[String] = None,
                      dataChange: Boolean = true,
                      txn: Option[(String, Long)] = None): Unit = {
     Files.createDirectories(logDir(root))
     val lines =
-      adds.map { case (f, b) =>
-        s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(f)}","bytes":$b}"""
+      adds.map { case AddFile(f, b, st) =>
+        // stats ride base64-encoded so the positional line parser stays
+        // oblivious to nested-JSON quoting; the _delta_log mirror carries
+        // the same payload in the protocol's escaped-string form
+        val stField = st.map(j => s""","stats64":"${java.util.Base64.getEncoder
+          .encodeToString(j.getBytes(UTF_8))}"""").getOrElse("")
+        s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(f)}","bytes":$b$stField}"""
       } ++ removes.map { f =>
         s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0}"""
       }
@@ -104,7 +198,7 @@ object TxnTable {
     * same actions this module's `_txn_log` fold uses, so snapshots agree —
     * DeltaLogSpec proves the fold equivalence version by version. */
   private def deltaCommit(root: String, version: Long, op: String,
-                          adds: Seq[(String, Long)], removes: Seq[String],
+                          adds: Seq[AddFile], removes: Seq[String],
                           schemaJson: Option[String], dataChange: Boolean,
                           txn: Option[(String, Long)]): Unit = {
     Files.createDirectories(deltaDir(root))
@@ -120,9 +214,10 @@ object TxnTable {
       removes.map { f =>
         s"""{"remove":{"path":"${esc(f)}","deletionTimestamp":$now,"dataChange":$dataChange}}"""
       } ++
-      adds.map { case (f, b) =>
+      adds.map { case AddFile(f, b, st) =>
         val mt = Files.getLastModifiedTime(Paths.get(root, f)).toMillis
-        s"""{"add":{"path":"${esc(f)}","partitionValues":{},"size":$b,"modificationTime":$mt,"dataChange":$dataChange}}"""
+        val stField = st.map(j => s""","stats":"${esc(j)}"""").getOrElse("")
+        s"""{"add":{"path":"${esc(f)}","partitionValues":{},"size":$b,"modificationTime":$mt,"dataChange":$dataChange$stField}}"""
       }
     val tmp = deltaDir(root).resolve(s".$version.json.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
@@ -130,15 +225,69 @@ object TxnTable {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def writeDataFiles(df: DataFrame, root: String, version: Long): Seq[(String, Long)] = {
+  private def statsEligible(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  /** JSON-encode one stat value as it came out of the read-back Row. */
+  private def statJson(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + MiniJson.escape(s) + "\""
+    case b: Boolean => b.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case f: Float => // route through the exact shortest decimal form
+      if (f.isNaN || f.isInfinite) "null" else f.toString
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) "null" else d.toString
+    case n => n.toString // Byte/Short/Int/Long
+  }
+
+  /** Write `df` under `data/v<version>` and compute per-file column stats
+    * with ONE distributed read-back pass grouped on `_metadata.file_path`
+    * (O(files) rows reach the driver — same order as the commit metadata
+    * itself). Production engines fold these stats out of the write tasks
+    * in-flight; the read-back is this module's single-writer analogue and
+    * keeps the numbers exact, not parquet-footer-truncated. */
+  private def writeDataFiles(df: DataFrame, root: String, version: Long): Seq[AddFile] = {
     val sub = s"data/v$version"
     val dst = Paths.get(root, sub)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
-    Files.list(dst).iterator().asScala
+    val names = Files.list(dst).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .map(n => (s"$sub/$n", Files.size(dst.resolve(n))))
       .toSeq.sorted
+    val eligible = df.schema.fields.filter(f => statsEligible(f.dataType)).toSeq
+    val statsByName: Map[String, String] = {
+      val written = df.sparkSession.read.schema(df.schema).parquet(dst.toString)
+      val aggs = count(lit(1)).as("__n") +: eligible.flatMap { f =>
+        Seq(min(col(f.name)).as(s"__min_${f.name}"),
+          max(col(f.name)).as(s"__max_${f.name}"),
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__null_${f.name}"))
+      }
+      val perFile = written
+        .groupBy(col("_metadata.file_path").as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+          val mins = eligible.map(f => s""""${MiniJson.escape(f.name)}":${statJson(r.get(r.fieldIndex(s"__min_${f.name}")))}""")
+          val maxs = eligible.map(f => s""""${MiniJson.escape(f.name)}":${statJson(r.get(r.fieldIndex(s"__max_${f.name}")))}""")
+          val nulls = eligible.map(f => s""""${MiniJson.escape(f.name)}":${r.getLong(r.fieldIndex(s"__null_${f.name}"))}""")
+          name -> (s"""{"numRecords":${r.getLong(1)},""" +
+            s""""minValues":{${mins.mkString(",")}},""" +
+            s""""maxValues":{${maxs.mkString(",")}},""" +
+            s""""nullCount":{${nulls.mkString(",")}}}""")
+        }.toMap
+      perFile
+    }
+    names.map { n =>
+      // a part file the groupBy never saw holds zero rows — record that
+      // fact: numRecords:0 lets every pruning predicate skip it outright
+      val st = statsByName.getOrElse(n,
+        """{"numRecords":0,"minValues":{},"maxValues":{},"nullCount":{}}""")
+      AddFile(s"$sub/$n", Files.size(dst.resolve(n)), Some(st))
+    }
   }
 
   /** Append `df` as a new commit; returns the committed version. */
@@ -158,7 +307,7 @@ object TxnTable {
   def appendOnce(df: DataFrame, root: String, token: String): Long = {
     val op = s"append#$token"
     actions(root, -1L).find(_._2 == op) match {
-      case Some((v, _, _, _, _)) => v
+      case Some((v, _, _, _, _, _)) => v
       case None =>
         val v = latestVersion(root) + 1
         commit(root, v, op, writeDataFiles(df, root, v), Seq.empty,
@@ -220,7 +369,7 @@ object TxnTable {
   }
 
   /** Log actions up to and including `asOf` (whole log when < 0). */
-  private def actions(root: String, asOf: Long): Seq[(Long, String, String, String, Long)] = {
+  private def actions(root: String, asOf: Long): Seq[(Long, String, String, String, Long, Option[String])] = {
     val vs = versions(root).filter(v => asOf < 0 || v <= asOf)
     vs.flatMap { v =>
       Files.readAllLines(logDir(root).resolve(f"$v%020d.json")).asScala.map { line =>
@@ -228,15 +377,23 @@ object TxnTable {
         val ver = line.split("\"version\":")(1).takeWhile(_ != ',').toLong
         def str(k: String) = line.split(s""""$k":"""")(1).takeWhile(_ != '"')
         val bytes = line.split("\"bytes\":")(1).takeWhile(c => c.isDigit).toLong
-        (ver, str("op"), str("action"), str("file"), bytes)
+        val stats =
+          if (line.contains("\"stats64\":\""))
+            Some(new String(java.util.Base64.getDecoder.decode(str("stats64")), UTF_8))
+          else None
+        (ver, str("op"), str("action"), str("file"), bytes, stats)
       }
     }
   }
 
-  private def liveFiles(root: String, asOf: Long): Seq[(String, Long)] = {
+  private def liveFiles(root: String, asOf: Long): Seq[(String, Long)] =
+    liveAdds(root, asOf).map(a => (a.file, a.bytes))
+
+  private def liveAdds(root: String, asOf: Long): Seq[AddFile] = {
     val acts = actions(root, asOf)
-    val removed = acts.collect { case (_, _, "remove", f, _) => f }.toSet
-    acts.collect { case (_, _, "add", f, b) if !removed.contains(f) => (f, b) }
+    val removed = acts.collect { case (_, _, "remove", f, _, _) => f }.toSet
+    acts.collect { case (_, _, "add", f, b, st) if !removed.contains(f) =>
+      AddFile(f, b, st) }
   }
 
   /** Read the latest snapshot. */
@@ -281,18 +438,234 @@ object TxnTable {
   def vacuum(root: String, retainAfter: Long): Seq[String] = {
     val keep = (math.max(retainAfter + 1, 0L) to latestVersion(root))
       .flatMap(v => liveFiles(root, v).map(_._1)).toSet
-    val all = actions(root, -1L).collect { case (_, _, "add", f, _) => f }.distinct
+    val all = actions(root, -1L).collect { case (_, _, "add", f, _, _) => f }.distinct
     val victims = all.filterNot(keep.contains)
       .filter(f => Files.exists(Paths.get(root, f)))
     victims.foreach(f => Files.delete(Paths.get(root, f)))
     victims
   }
 
+  // ---- metadata data skipping ----------------------------------------------
+  // The 100 TB read path: before any parquet footer is opened, fold the
+  // commit log's per-file min/max/nullCount against the predicate's
+  // conjuncts and drop every file that PROVABLY contains no matching row.
+  // Pruning is advisory-safe: kept files still pass through the real
+  // `.filter(pred)`, so a conjunct the pruner does not understand costs
+  // I/O, never correctness.
+
+  private def conjuncts(e: Expression): Seq[Expression] = normalize(e) match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** A Column built from the fluent API converts to
+    * `UnresolvedFunction("and" | ">=" | "in" | …)` nodes (the Connect-era
+    * node shape); a Column lifted off a resolved plan converts to the
+    * binary catalyst operators directly. Fold the former into the latter so
+    * one matcher serves both. */
+  private def normalize(c: Expression): Expression = c match {
+    case f: UFn =>
+      val a = f.arguments
+      (f.nameParts.last.toLowerCase, a.size) match {
+        case ("and", 2)       => And(normalize(a(0)), normalize(a(1)))
+        case ("=" | "==", 2)  => EqualTo(a(0), a(1))
+        case (">", 2)         => GreaterThan(a(0), a(1))
+        case (">=", 2)        => GreaterThanOrEqual(a(0), a(1))
+        case ("<", 2)         => LessThan(a(0), a(1))
+        case ("<=", 2)        => LessThanOrEqual(a(0), a(1))
+        case ("in", n) if n >= 2 => In(a.head, a.tail)
+        case ("isnull", 1)    => IsNull(a(0))
+        case ("isnotnull", 1) => IsNotNull(a(0))
+        case _ => c
+      }
+    case _ => c
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  private def litNum(l: Literal): Option[BigDecimal] = l.value match {
+    case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+    case j: java.lang.Long    => Some(BigDecimal(j.longValue))
+    case s: java.lang.Short   => Some(BigDecimal(s.intValue))
+    case b: java.lang.Byte    => Some(BigDecimal(b.intValue))
+    case f: java.lang.Float   =>
+      if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toString))
+    case d: java.lang.Double  =>
+      if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d.toString))
+    case d: Decimal           => Some(BigDecimal(d.toJavaBigDecimal))
+    case _ => None
+  }
+
+  /** Exact three-way compare of a decoded stat value against a predicate
+    * literal; None = incomparable (never prune on it). Numerics compare in
+    * BigDecimal (no double rounding can mis-skip a file), strings in
+    * UTF8String binary order — the same order Spark's min/max used. */
+  private def cmpStat(statV: Any, l: Literal): Option[Int] = (statV, l.value) match {
+    case (null, _) | (_, null) => None
+    case (b: BigDecimal, _)    => litNum(l).map(b.compare)
+    case (s: String, u: UTF8String) => Some(UTF8String.fromString(s).compareTo(u))
+    case (b: java.lang.Boolean, v: java.lang.Boolean) => Some(b.compareTo(v))
+    case _ => None
+  }
+
+  /** Skip when the [min,max] range of `name` proves the comparison can
+    * never hold; `skipWhen(cmp(min,lit), cmp(max,lit))`. A column whose
+    * stats are (null,null) is all-null in this file, and no comparison
+    * matches a null — skip. A column ABSENT from the maps is unknown. */
+  private def rangeSkip(st: FileStats, name: String, l: Literal)
+                       (skipWhen: (Option[Int], Option[Int]) => Boolean): Boolean =
+    (st.minV.get(name), st.maxV.get(name)) match {
+      case (Some(null), Some(null)) => true
+      case (Some(mn), Some(mx)) => skipWhen(cmpStat(mn, l), cmpStat(mx, l))
+      case _ => false
+    }
+
+  private def eqSkips(st: FileStats, n: String, l: Literal): Boolean =
+    rangeSkip(st, n, l)((cm, cx) => cm.exists(_ > 0) || cx.exists(_ < 0))
+
+  /** True when this conjunct alone proves the file holds no matching row. */
+  private def skipConjunct(c0: Expression, st: FileStats): Boolean = {
+    if (st.numRecords == 0L) return true
+    normalize(c0) match {
+      case EqualTo(a, l: Literal) => attrName(a).exists(eqSkips(st, _, l))
+      case EqualTo(l: Literal, a) => attrName(a).exists(eqSkips(st, _, l))
+      case GreaterThan(a, l: Literal) => // rows need max > lit
+        attrName(a).exists(n => rangeSkip(st, n, l)((_, cx) => cx.exists(_ <= 0)))
+      case GreaterThan(l: Literal, a) => // lit > attr ≡ attr < lit
+        attrName(a).exists(n => rangeSkip(st, n, l)((cm, _) => cm.exists(_ >= 0)))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        attrName(a).exists(n => rangeSkip(st, n, l)((_, cx) => cx.exists(_ < 0)))
+      case GreaterThanOrEqual(l: Literal, a) =>
+        attrName(a).exists(n => rangeSkip(st, n, l)((cm, _) => cm.exists(_ > 0)))
+      case LessThan(a, l: Literal) =>
+        attrName(a).exists(n => rangeSkip(st, n, l)((cm, _) => cm.exists(_ >= 0)))
+      case LessThan(l: Literal, a) =>
+        attrName(a).exists(n => rangeSkip(st, n, l)((_, cx) => cx.exists(_ <= 0)))
+      case LessThanOrEqual(a, l: Literal) =>
+        attrName(a).exists(n => rangeSkip(st, n, l)((cm, _) => cm.exists(_ > 0)))
+      case LessThanOrEqual(l: Literal, a) =>
+        attrName(a).exists(n => rangeSkip(st, n, l)((_, cx) => cx.exists(_ < 0)))
+      case In(a, ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+        attrName(a).exists(n =>
+          ls.forall(l => eqSkips(st, n, l.asInstanceOf[Literal])))
+      case IsNull(a) =>
+        attrName(a).exists(n => st.nullC.get(n).contains(0L))
+      case IsNotNull(a) =>
+        attrName(a).exists(n => st.nullC.get(n).contains(st.numRecords))
+      case _ => false
+    }
+  }
+
+  /** (kept, skipped) partition of `adds` under `pred`'s provable conjuncts. */
+  private def pruneAdds(adds: Seq[AddFile], pred: Column): (Seq[AddFile], Seq[AddFile]) = {
+    val cs = conjuncts(org.apache.spark.sql.GraftColumnExpr.expr(pred))
+    adds.partition { a =>
+      a.stats.map(decodeStats) match {
+        case None => true
+        case Some(st) => !cs.exists(skipConjunct(_, st))
+      }
+    }
+  }
+
+  /** Snapshot read with log-level data skipping: files whose stats prove
+    * `pred` cannot match are never opened; the survivors still run through
+    * the real filter, so pruning can only save I/O, never change rows. */
+  def readWhere(spark: SparkSession, root: String, pred: Column,
+                asOf: Long = -1L): DataFrame = {
+    val last = latestVersion(root)
+    require(last >= 0, s"$root is not a TxnTable (no _txn_log)")
+    require(asOf <= last, s"version $asOf does not exist (latest $last)")
+    val adds = liveAdds(root, asOf)
+    val (kept0, _) = pruneAdds(adds, pred)
+    // keep one file when everything pruned: a schema-bearing empty scan
+    val kept = if (kept0.nonEmpty) kept0 else adds.take(1)
+    val missing = kept.filterNot(a => Files.exists(Paths.get(root, a.file)))
+    require(missing.isEmpty, s"readWhere references vacuumed files: " +
+      missing.map(_.file).mkString(", "))
+    spark.read.parquet(kept.map(a => Paths.get(root, a.file).toString): _*)
+      .filter(pred)
+  }
+
+  /** (filesRead, filesSkipped) the pruner would choose for `pred` — the
+    * observability hook the skipping specs and audits gate on. */
+  def skippingReport(root: String, pred: Column, asOf: Long = -1L): (Int, Int) = {
+    val (kept, skipped) = pruneAdds(liveAdds(root, asOf), pred)
+    (kept.size, skipped.size)
+  }
+
+  /** DELETE WHERE (copy-on-write): remove every row matching `pred` in ONE
+    * commit. Two-stage file pruning keeps the rewrite proportional to the
+    * data actually hit: stats skipping first (files whose min/max prove no
+    * match are never even scanned), then a scan of the candidates finds the
+    * files that truly CONTAIN a match — only those are rewritten, with
+    * their surviving rows (`pred` false or null) copied forward. Untouched
+    * files stay in place; pre-delete versions stay time-travelable. */
+  def delete(spark: SparkSession, root: String, pred: Column): Long = {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val adds = liveAdds(root, v - 1)
+    val (candidates, _) = pruneAdds(adds, pred)
+    val touchedRel =
+      if (candidates.isEmpty) Seq.empty[String]
+      else {
+        val cur = spark.read
+          .parquet(candidates.map(a => Paths.get(root, a.file).toString): _*)
+          .withColumn("__file", col("_metadata.file_path"))
+        val touchedUris = cur.filter(pred).select("__file").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (touchedUris.isEmpty) Seq.empty[String]
+        else {
+          val carried = cur.filter(col("__file").isin(touchedUris: _*))
+            .filter(!coalesce(pred, lit(false)))
+            .drop("__file")
+          val rel = adds.map(_.file).filter(f => touchedUris.exists(_.endsWith(f)))
+          commit(root, v, "delete", writeDataFiles(carried, root, v), rel)
+          rel
+        }
+      }
+    if (touchedRel.isEmpty) // no row matched: still a (file-free) commit,
+      commit(root, v, "delete", Seq.empty, Seq.empty) // so the op is audited
+    v
+  }
+
+  /** Change data feed between two committed versions: the keyed row-level
+    * diff an incremental consumer applies to stay in sync. Emits the table
+    * columns plus `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage (the open CDF vocabulary); unchanged rows emit
+    * nothing. Computed as a key-shuffled full-outer join of the two
+    * snapshots — the backfill path that needs no stored change files; a
+    * streaming CDF would persist per-commit change files at write time
+    * (the [[commit]] seam to extend). `keys` must be unique per snapshot. */
+  def changeFeed(spark: SparkSession, root: String, fromV: Long, toV: Long,
+                 keys: Seq[String]): DataFrame = {
+    val o = readVersion(spark, root, fromV)
+    val n = readVersion(spark, root, toV)
+    val cols = n.columns.toSeq
+    val os = o.select(struct(cols.map(col): _*).as("_o"))
+    val ns = n.select(struct(cols.map(col): _*).as("_n"))
+    val on = keys.map(k => col(s"_o.$k") === col(s"_n.$k")).reduce(_ && _)
+    val changed = os.join(ns, on, "full_outer")
+      .filter(col("_o").isNull || col("_n").isNull || !(col("_o") <=> col("_n")))
+    val events = changed.select(explode(
+      when(col("_o").isNull,
+        array(struct(col("_n").as("r"), lit("insert").as("t"))))
+      .when(col("_n").isNull,
+        array(struct(col("_o").as("r"), lit("delete").as("t"))))
+      .otherwise(array(
+        struct(col("_o").as("r"), lit("update_preimage").as("t")),
+        struct(col("_n").as("r"), lit("update_postimage").as("t"))))).as("e"))
+    events.select(cols.map(c => col(s"e.r.$c")) :+ col("e.t").as("_change_type"): _*)
+  }
+
   /** Commit audit: one row per action, the DESCRIBE HISTORY analogue. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     actions(root, -1L)
-      .map { case (v, op, a, f, b) => (v, op, a, f, b) }
-      .toDF("version", "op", "action", "file", "bytes")
+      .map { case (v, op, a, f, b, st) => (v, op, a, f, b, st.orNull) }
+      .toDF("version", "op", "action", "file", "bytes", "stats")
   }
 }

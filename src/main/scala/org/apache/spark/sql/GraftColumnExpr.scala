@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Accessor for the classic Column → catalyst Expression conversion, which
+  * Spark 4 scoped `private[sql]` during the Connect API unification
+  * (`org.apache.spark.sql.classic.ExpressionUtils`). Library code needs the
+  * unresolved Expression to fold predicate conjuncts against commit-log
+  * file statistics ([[graft.sources.TxnTable]] data skipping) — the same
+  * package-scoped seam other open-source Spark table formats reach through.
+  * Read-only: no plan is mutated, the expression is pattern-matched only.
+  */
+object GraftColumnExpr {
+  /** Eager conversion (the lazy `ExpressionUtils.expression` wrapper defers
+    * to resolution time, which never comes for a pattern-match-only use).
+    * Operators arrive as `analysis.UnresolvedFunction("and" | ">=" | …)`
+    * nodes; the caller normalizes those names. */
+  def expr(c: Column): Expression = classic.ColumnNodeToExpressionConverter(c.node)
+}

@@ -111,6 +111,81 @@ class TxnTableSpec extends AnyFunSuite {
     assert(removed == 0, "no file contained a matched key, none rewrites")
   }
 
+  test("data skipping prunes by commit-log stats; readWhere never opens pruned files") {
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    // three files with disjoint id ranges — the stats carry those ranges
+    TxnTable.append(df(1 to 100).coalesce(1), root)
+    TxnTable.append(df(101 to 200).coalesce(1), root)
+    TxnTable.append(df(201 to 300).coalesce(1), root)
+    val pred = col("id") >= 150L && col("id") < 180L
+    assert(TxnTable.skippingReport(root, pred) == ((1, 2)),
+      "only the middle file's [101,200] range intersects [150,180)")
+    assert(ids(TxnTable.readWhere(spark, root, pred)) == (150L to 179L))
+    // equality, IN-list, and string-range conjuncts prune too
+    assert(TxnTable.skippingReport(root, col("id") === 250L) == ((1, 2)))
+    assert(TxnTable.skippingReport(root,
+      col("id").isin(5L, 260L)) == ((2, 1)))
+    assert(TxnTable.skippingReport(root, col("payload") === "zzz") == ((0, 3)),
+      "every payload is below 'zzz' in binary order")
+    // IS NULL prunes on nullCount; an unparseable conjunct prunes nothing
+    assert(TxnTable.skippingReport(root, col("payload").isNull) == ((0, 3)))
+    assert(TxnTable.skippingReport(root, length(col("payload")) > 1) == ((3, 0)))
+    // everything pruned still returns a schema-correct empty result
+    val none = TxnTable.readWhere(spark, root, col("id") > 999L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "payload"))
+  }
+
+  test("DELETE WHERE rewrites only files containing matches; null predicate rows survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    TxnTable.append(df(1 to 100).coalesce(1), root)  // v0
+    // v1 carries a null payload row — pred on payload is NULL there → kept
+    TxnTable.append(((101 to 200).map(i => (i.toLong, s"v$i")) :+
+      (999L, null.asInstanceOf[String])).toDF("id", "payload").coalesce(1), root)
+    val v0Files = TxnTable.history(spark, root)
+      .where("version = 0 and action = 'add'")
+      .select("file").as[String].collect().toSet
+    assert(TxnTable.delete(spark, root, col("id") >= 150L && col("id") <= 160L) == 2L)
+    val removed = TxnTable.history(spark, root)
+      .where("version = 2 and action = 'remove'")
+      .select("file").as[String].collect().toSet
+    assert(removed.nonEmpty && removed.intersect(v0Files).isEmpty,
+      "v0's file provably holds no match (stats pruning) and must not rewrite")
+    val snap = TxnTable.read(spark, root)
+    assert(ids(snap) == ((1L to 149L) ++ (161L to 200L) :+ 999L))
+    assert(snap.where("id = 999").count() == 1, "NULL-predicate row kept")
+    assert(ids(TxnTable.readVersion(spark, root, 1)).contains(155L),
+      "pre-delete version stays time-travelable")
+    // a no-match delete commits an audited no-op: no add, no remove
+    TxnTable.delete(spark, root, col("id") === -1L)
+    assert(TxnTable.history(spark, root).where("version = 3").count() == 0)
+    assert(TxnTable.latestVersion(root) == 3L)
+    assert(ids(TxnTable.read(spark, root)) == ids(snap))
+  }
+
+  test("changeFeed emits the keyed row diff between versions") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 5).coalesce(1), root)                   // v0
+    val delta = ((3 to 4).map(i => (i.toLong, s"UPD$i")) :+
+      (9L, "NEW9")).toDF("id", "payload")
+    TxnTable.merge(spark, delta, root, Seq("id"))                   // v1
+    TxnTable.delete(spark, root,
+      org.apache.spark.sql.functions.col("id") === 1L)              // v2
+    val cdf = TxnTable.changeFeed(spark, root, 0L, 2L, Seq("id"))
+      .select("id", "payload", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(cdf == Set(
+      (1L, "v1", "delete"),
+      (3L, "v3", "update_preimage"), (3L, "UPD3", "update_postimage"),
+      (4L, "v4", "update_preimage"), (4L, "UPD4", "update_postimage"),
+      (9L, "NEW9", "insert")))
+    // adjacent identical versions diff to nothing
+    assert(TxnTable.changeFeed(spark, root, 2L, 2L, Seq("id")).count() == 0)
+  }
+
   test("commits are atomic renames: a version cannot be committed twice") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)
