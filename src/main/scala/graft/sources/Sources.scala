@@ -535,10 +535,19 @@ object Sources {
   // versions as bucket algebra; a merge that drops a carried row, double-
   // applies an update, or loses an insert breaks the hash.
   // ---------------------------------------------------------------------------
-  def txnMerge(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_merge")
-    try {
+  private val mergeScenarioCache =
+    scala.collection.concurrent.TrieMap[graft.Artifacts.Key, String]()
+
+  /** The merge-scenario table (v0/v1 bucket appends, v2 keyed upsert),
+    * built ONCE per (session, dir) and shared by the merge and CDF queries
+    * — an at-rest artifact like the dedup family's shingle index. The dir
+    * is reclaimed at JVM exit (eviction just forgets the path; these are
+    * tmp dirs sized O(events)). */
+  private def mergeScenario(s: SparkSession, dir: String): String =
+    graft.Artifacts.cached(mergeScenarioCache, s, dir) {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_merge")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => reclaim(tmp)))
       val bucket = expr(
         "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
       val ev = Tables.events(s, dir)
@@ -551,14 +560,19 @@ object Sources {
       val delta = ev.filter($"b" === 3 || $"b" === 4)
         .select($"event_id", ($"cents" * 2).as("cents"))
       TxnTable.merge(s, delta, tmp.toString, Seq("event_id"))                           // v2
-      val per = (0L to 2L).map { v =>
-        TxnTable.readVersion(s, tmp.toString, v)
-          .agg(count(lit(1)).cast("long").as("n_rows"),
-            sum($"cents").cast("long").as("sum_cents"))
-          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
-      }.reduce(_ union _)
-      graft.Materialize.eager(per)
-    } finally reclaim(tmp)
+      tmp.toString
+    }
+
+  def txnMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = mergeScenario(s, dir)
+    val per = (0L to 2L).map { v =>
+      TxnTable.readVersion(s, root, v)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum($"cents").cast("long").as("sum_cents"))
+        .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+    }.reduce(_ union _)
+    graft.Materialize.eager(per)
   }
   val txnMergeSql: String =
     """WITH ev AS (
@@ -653,26 +667,12 @@ object Sources {
   // ---------------------------------------------------------------------------
   def txnCdf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf")
-    try {
-      val bucket = expr(
-        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
-      val ev = Tables.events(s, dir)
-        .select($"event_id",
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-          bucket.as("b"))
-      TxnTable.append(ev.filter($"b" <= 1).select($"event_id", $"cents"), tmp.toString) // v0
-      TxnTable.append(ev.filter($"b" === 2 || $"b" === 3)
-        .select($"event_id", $"cents"), tmp.toString)                                   // v1
-      val delta = ev.filter($"b" === 3 || $"b" === 4)
-        .select($"event_id", ($"cents" * 2).as("cents"))
-      TxnTable.merge(s, delta, tmp.toString, Seq("event_id"))                           // v2
-      val agg = TxnTable.changeFeed(s, tmp.toString, 1L, 2L, Seq("event_id"))
-        .groupBy($"_change_type".as("change_type"))
-        .agg(count(lit(1)).cast("long").as("n_rows"),
-          sum($"cents").cast("long").as("sum_cents"))
-      graft.Materialize.eager(agg)
-    } finally reclaim(tmp)
+    val root = mergeScenario(s, dir)
+    val agg = TxnTable.changeFeed(s, root, 1L, 2L, Seq("event_id"))
+      .groupBy($"_change_type".as("change_type"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum($"cents").cast("long").as("sum_cents"))
+    graft.Materialize.eager(agg)
   }
   val txnCdfSql: String =
     """WITH ev AS (

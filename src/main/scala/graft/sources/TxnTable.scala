@@ -230,25 +230,100 @@ object TxnTable {
     case _ => false
   }
 
-  /** JSON-encode one stat value as it came out of the read-back Row. */
+  /** JSON-encode one stat value (String | Boolean | BigDecimal | null). */
   private def statJson(v: Any): String = v match {
     case null => "null"
     case s: String => "\"" + MiniJson.escape(s) + "\""
     case b: Boolean => b.toString
     case d: java.math.BigDecimal => d.toPlainString
-    case f: Float => // route through the exact shortest decimal form
-      if (f.isNaN || f.isInfinite) "null" else f.toString
-    case d: Double =>
-      if (d.isNaN || d.isInfinite) "null" else d.toString
-    case n => n.toString // Byte/Short/Int/Long
+    case n => n.toString
   }
 
-  /** Write `df` under `data/v<version>` and compute per-file column stats
-    * with ONE distributed read-back pass grouped on `_metadata.file_path`
-    * (O(files) rows reach the driver — same order as the commit metadata
-    * itself). Production engines fold these stats out of the write tasks
-    * in-flight; the read-back is this module's single-writer analogue and
-    * keeps the numbers exact, not parquet-footer-truncated. */
+  /** Three-way compare in stat-value space (both sides String | Boolean |
+    * java.math.BigDecimal); strings in UTF8 binary order. */
+  private def statOrd(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case _ => sys.error(s"incomparable stats $a / $b")
+  }
+
+  /** Per-file column stats straight from the parquet FOOTER — O(footer)
+    * driver metadata I/O, no Spark job, which is what keeps every commit's
+    * stats cost proportional to file COUNT, not data size, at 100 TB.
+    * Parquet chunk statistics are bounds by contract (binary truncation
+    * rounds min down and max up), and bounds are exactly what pruning
+    * needs. A column any row group lacks stats for is left out (= never
+    * pruned on); numRecords is always exact. */
+  private def footerStats(p: Path, schema: StructType): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val mins = Map.newBuilder[String, Any]
+      val maxs = Map.newBuilder[String, Any]
+      val nulls = Map.newBuilder[String, Long]
+      for (f <- schema.fields if statsEligible(f.dataType)) {
+        val chunks = blocks.map(b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == f.name))
+        if (chunks.nonEmpty && chunks.forall(_.isDefined)) {
+          val sts = chunks.flatten.map(_.getStatistics)
+          if (sts.forall(s => s != null && s.isNumNullsSet)) {
+            val nullTotal = sts.map(_.getNumNulls).sum
+            nulls += f.name -> nullTotal
+            val valued = sts.filter(_.hasNonNullValue)
+            val allNullChunksProven = // chunks without values are all-null
+              sts.zip(blocks).forall { case (s, b) =>
+                s.hasNonNullValue || s.getNumNulls == b.getRowCount }
+            if (valued.isEmpty && nullTotal == numRecords) {
+              mins += f.name -> null; maxs += f.name -> null
+            } else if (valued.nonEmpty && allNullChunksProven) {
+              val vs = valued.map(s => (statValue(f.dataType, s.genericGetMin),
+                statValue(f.dataType, s.genericGetMax)))
+              if (vs.forall { case (a, b) => a != null && b != null }) {
+                mins += f.name -> vs.map(_._1).reduce((a, b) => if (statOrd(a, b) <= 0) a else b)
+                maxs += f.name -> vs.map(_._2).reduce((a, b) => if (statOrd(a, b) >= 0) a else b)
+              }
+            }
+          }
+        }
+      }
+      def obj(m: Map[String, Any]) = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${MiniJson.escape(k)}":${statJson(v)}""" }
+        .mkString("{", ",", "}")
+      s"""{"numRecords":$numRecords,"minValues":${obj(mins.result())},""" +
+        s""""maxValues":${obj(maxs.result())},""" +
+        s""""nullCount":${obj(nulls.result().map { case (k, v) =>
+          k -> (java.math.BigDecimal.valueOf(v): Any) })}}"""
+    } finally rd.close()
+  }
+
+  /** Decode a footer min/max into stat-value space for the Spark type;
+    * null = undecodable (NaN, unexpected physical type) → drop the column. */
+  private def statValue(dt: DataType, v: Any): Any = (dt, v) match {
+    case (StringType, b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+    case (BooleanType, b: java.lang.Boolean) => b
+    case (d: DecimalType, i: java.lang.Integer) =>
+      java.math.BigDecimal.valueOf(i.longValue, d.scale)
+    case (d: DecimalType, l: java.lang.Long) =>
+      java.math.BigDecimal.valueOf(l.longValue, d.scale)
+    case (d: DecimalType, b: org.apache.parquet.io.api.Binary) =>
+      new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale)
+    case (FloatType, f: java.lang.Float) =>
+      if (f.isNaN || f.isInfinite) null else new java.math.BigDecimal(f.toString)
+    case (DoubleType, dd: java.lang.Double) =>
+      if (dd.isNaN || dd.isInfinite) null else new java.math.BigDecimal(dd.toString)
+    case (_: NumericType, n: Number) => new java.math.BigDecimal(n.toString)
+    case _ => null
+  }
+
+  /** Write `df` under `data/v<version>`; stats come off each file's footer
+    * (see [[footerStats]] — no second scan). */
   private def writeDataFiles(df: DataFrame, root: String, version: Long): Seq[AddFile] = {
     val sub = s"data/v$version"
     val dst = Paths.get(root, sub)
@@ -257,37 +332,13 @@ object TxnTable {
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .toSeq.sorted
-    val eligible = df.schema.fields.filter(f => statsEligible(f.dataType)).toSeq
-    val statsByName: Map[String, String] = {
-      val written = df.sparkSession.read.schema(df.schema).parquet(dst.toString)
-      val aggs = count(lit(1)).as("__n") +: eligible.flatMap { f =>
-        Seq(min(col(f.name)).as(s"__min_${f.name}"),
-          max(col(f.name)).as(s"__max_${f.name}"),
-          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__null_${f.name}"))
-      }
-      val perFile = written
-        .groupBy(col("_metadata.file_path").as("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
-          val mins = eligible.map(f => s""""${MiniJson.escape(f.name)}":${statJson(r.get(r.fieldIndex(s"__min_${f.name}")))}""")
-          val maxs = eligible.map(f => s""""${MiniJson.escape(f.name)}":${statJson(r.get(r.fieldIndex(s"__max_${f.name}")))}""")
-          val nulls = eligible.map(f => s""""${MiniJson.escape(f.name)}":${r.getLong(r.fieldIndex(s"__null_${f.name}"))}""")
-          name -> (s"""{"numRecords":${r.getLong(1)},""" +
-            s""""minValues":{${mins.mkString(",")}},""" +
-            s""""maxValues":{${maxs.mkString(",")}},""" +
-            s""""nullCount":{${nulls.mkString(",")}}}""")
-        }.toMap
-      perFile
-    }
-    names.map { n =>
-      // a part file the groupBy never saw holds zero rows — record that
-      // fact: numRecords:0 lets every pruning predicate skip it outright
-      val st = statsByName.getOrElse(n,
-        """{"numRecords":0,"minValues":{},"maxValues":{},"nullCount":{}}""")
-      AddFile(s"$sub/$n", Files.size(dst.resolve(n)), Some(st))
-    }
+    // footer reads are independent metadata I/O — fan out across the
+    // common pool; a commit's stats latency stays O(files / cores)
+    val stats = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    names.asJava.parallelStream()
+      .forEach(n => stats.put(n, footerStats(dst.resolve(n), df.schema)))
+    names.map(n => AddFile(s"$sub/$n", Files.size(dst.resolve(n)),
+      Some(stats.get(n))))
   }
 
   /** Append `df` as a new commit; returns the committed version. */
