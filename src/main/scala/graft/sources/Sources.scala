@@ -690,6 +690,42 @@ object Sources {
       |FROM ev WHERE b = 3 AND cents IS NOT NULL AND cents <> 0
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated PARTITIONED table: events land hive-partitioned by
+  // event_type (partitionValues recorded per add action, custom log +
+  // Delta mirror), then a partition-equality + cents-range read goes
+  // through readWhere — the partition conjunct prunes whole directories by
+  // metadata fold, the range conjunct prunes the survivors by footer
+  // stats. The oracle is the plain WHERE; TxnTableSpec gates the pruning.
+  // ---------------------------------------------------------------------------
+  def txnPartition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          $"event_type")
+      TxnTable.appendPartitioned(ev, tmp.toString, Seq("event_type"))
+      val hit = TxnTable.readWhere(s, tmp.toString,
+        $"event_type" === "purchase" && $"cents" >= 2000L && $"cents" <= 30000L)
+      graft.Materialize.eager(hit.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum($"cents").cast("long").as("sum_cents"),
+        min($"cents").cast("long").as("min_cents"),
+        max($"cents").cast("long").as("max_cents")))
+    } finally reclaim(tmp)
+  }
+  val txnPartitionSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type
+      |      FROM events)
+      |WHERE event_type = 'purchase' AND cents BETWEEN 2000 AND 30000
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -702,6 +738,7 @@ object Sources {
     "q_txn_delete" -> txnDelete _,
     "q_txn_skip" -> txnSkip _,
     "q_txn_cdf" -> txnCdf _,
+    "q_txn_partition" -> txnPartition _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -715,5 +752,6 @@ object Sources {
     "q_txn_delete" -> txnDeleteSql,
     "q_txn_skip" -> txnSkipSql,
     "q_txn_cdf" -> txnCdfSql,
+    "q_txn_partition" -> txnPartitionSql,
   )
 }

@@ -57,7 +57,8 @@ object TxnTable {
     * so the `_delta_log` mirror carries the identical payload. Temporal
     * columns are left out of stats (their protocol encoding is a rendered
     * string; pruning on them can be added by widening `statsEligible`). */
-  final case class AddFile(file: String, bytes: Long, stats: Option[String])
+  final case class AddFile(file: String, bytes: Long, stats: Option[String],
+                           partitionValues: Map[String, String] = Map.empty)
 
   /** Per-file stats decoded for pruning. Map values: BigDecimal | String |
     * Boolean | null (all-null column). A column absent from the maps means
@@ -84,12 +85,24 @@ object TxnTable {
     def parse(s: String): Any = { val p = new P(s); value(p) }
     private def value(p: P): Any = { p.ws(); p.s.charAt(p.i) match {
       case '{' => obj(p)
+      case '[' => arr(p)
       case '"' => str(p)
       case 't' => p.i += 4; true
       case 'f' => p.i += 5; false
       case 'n' => p.i += 4; null
       case _ => num(p)
     }}
+    private def arr(p: P): Seq[Any] = {
+      p.expect('['); p.ws()
+      if (p.s.charAt(p.i) == ']') { p.i += 1; return Seq.empty }
+      val b = Seq.newBuilder[Any]
+      var more = true
+      while (more) {
+        b += value(p); p.ws()
+        if (p.s.charAt(p.i) == ',') p.i += 1 else more = false
+      }
+      p.expect(']'); b.result()
+    }
     private def obj(p: P): Map[String, Any] = {
       p.expect('{'); p.ws()
       if (p.s.charAt(p.i) == '}') { p.i += 1; return Map.empty }
@@ -158,16 +171,24 @@ object TxnTable {
                      adds: Seq[AddFile], removes: Seq[String],
                      schemaJson: Option[String] = None,
                      dataChange: Boolean = true,
-                     txn: Option[(String, Long)] = None): Unit = {
+                     txn: Option[(String, Long)] = None,
+                     partCols: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir(root))
+    def partJson(a: AddFile): String = a.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s""""${MiniJson.escape(k)}":"${MiniJson.escape(v)}"""" }
+      .mkString("{", ",", "}")
     val lines =
-      adds.map { case AddFile(f, b, st) =>
-        // stats ride base64-encoded so the positional line parser stays
-        // oblivious to nested-JSON quoting; the _delta_log mirror carries
-        // the same payload in the protocol's escaped-string form
-        val stField = st.map(j => s""","stats64":"${java.util.Base64.getEncoder
+      adds.map { a =>
+        // stats/partitionValues ride base64-encoded so the positional line
+        // parser stays oblivious to nested-JSON quoting; the _delta_log
+        // mirror carries the same payloads in the protocol's native form
+        val stField = a.stats.map(j => s""","stats64":"${java.util.Base64.getEncoder
           .encodeToString(j.getBytes(UTF_8))}"""").getOrElse("")
-        s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(f)}","bytes":$b$stField}"""
+        val pField = if (a.partitionValues.isEmpty) ""
+          else s""","part64":"${java.util.Base64.getEncoder
+            .encodeToString(partJson(a).getBytes(UTF_8))}""""
+        s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(a.file)}","bytes":${a.bytes}$stField$pField}"""
       } ++ removes.map { f =>
         s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0}"""
       }
@@ -176,7 +197,7 @@ object TxnTable {
     val dst = logDir(root).resolve(f"$version%020d.json")
     require(!Files.exists(dst), s"version $version already committed (single-writer contract)")
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn)
+    deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn, partCols)
   }
 
   /** Deterministic table id for the Delta metaData action (stable across
@@ -200,13 +221,15 @@ object TxnTable {
   private def deltaCommit(root: String, version: Long, op: String,
                           adds: Seq[AddFile], removes: Seq[String],
                           schemaJson: Option[String], dataChange: Boolean,
-                          txn: Option[(String, Long)]): Unit = {
+                          txn: Option[(String, Long)],
+                          partCols: Seq[String] = Nil): Unit = {
     Files.createDirectories(deltaDir(root))
     val now = System.currentTimeMillis()
+    val pcJson = partCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     val head =
       (if (version == 0L) Seq(
         s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-        s"""{"metaData":{"id":"${tableId(root)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson.getOrElse(sys.error("first commit must carry a schema")))}","partitionColumns":[],"configuration":{},"createdTime":$now}}""")
+        s"""{"metaData":{"id":"${tableId(root)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson.getOrElse(sys.error("first commit must carry a schema")))}","partitionColumns":$pcJson,"configuration":{},"createdTime":$now}}""")
       else Seq.empty) ++
       txn.map { case (app, v) => s"""{"txn":{"appId":"${esc(app)}","version":$v}}""" }.toSeq ++
       Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"${esc(op)}"}}""")
@@ -214,10 +237,13 @@ object TxnTable {
       removes.map { f =>
         s"""{"remove":{"path":"${esc(f)}","deletionTimestamp":$now,"dataChange":$dataChange}}"""
       } ++
-      adds.map { case AddFile(f, b, st) =>
-        val mt = Files.getLastModifiedTime(Paths.get(root, f)).toMillis
-        val stField = st.map(j => s""","stats":"${esc(j)}"""").getOrElse("")
-        s"""{"add":{"path":"${esc(f)}","partitionValues":{},"size":$b,"modificationTime":$mt,"dataChange":$dataChange$stField}}"""
+      adds.map { a =>
+        val mt = Files.getLastModifiedTime(Paths.get(root, a.file)).toMillis
+        val stField = a.stats.map(j => s""","stats":"${esc(j)}"""").getOrElse("")
+        val pv = a.partitionValues.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+          .mkString("{", ",", "}")
+        s"""{"add":{"path":"${esc(a.file)}","partitionValues":$pv,"size":${a.bytes},"modificationTime":$mt,"dataChange":$dataChange$stField}}"""
       }
     val tmp = deltaDir(root).resolve(s".$version.json.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
@@ -343,10 +369,76 @@ object TxnTable {
 
   /** Append `df` as a new commit; returns the committed version. */
   def append(df: DataFrame, root: String): Long = {
+    requireUnpartitioned(root, "plain append")
     val v = latestVersion(root) + 1
     commit(root, v, "append", writeDataFiles(df, root, v), Seq.empty,
       schemaJson = Some(df.schema.json))
     v
+  }
+
+  /** Append into a HIVE-PARTITIONED layout (`data/vN/col=value/part…`):
+    * every add action records its partitionValues (custom log and Delta
+    * mirror alike), and reads prune on them BEFORE stats — the coarse
+    * 100 TB knife (a day-partitioned table's time-range query touches the
+    * matching directories' files only, by metadata fold alone). The first
+    * commit fixes the partition columns (recorded in the mirror's metaData
+    * action); later appends must match them. Partition column stats live
+    * in partitionValues, data-column stats in the footers — exactly the
+    * protocol's split. */
+  def appendPartitioned(df: DataFrame, root: String,
+                        partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "appendPartitioned needs partition columns")
+    require(partCols.forall(df.columns.contains),
+      s"partition columns ${partCols.mkString(",")} must exist in the schema")
+    val v = latestVersion(root) + 1
+    if (v > 0) readMeta(root).foreach { case (_, pcs) =>
+      require(pcs == partCols,
+        s"table is partitioned by ${pcs.mkString(",")}, got ${partCols.mkString(",")}")
+    }
+    commit(root, v, "append", writePartitionedFiles(df, root, v, partCols),
+      Seq.empty, schemaJson = Some(df.schema.json), partCols = partCols)
+    v
+  }
+
+  private def writePartitionedFiles(df: DataFrame, root: String, version: Long,
+                                    partCols: Seq[String]): Seq[AddFile] = {
+    val sub = s"data/v$version"
+    val dst = Paths.get(root, sub)
+    df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
+      .parquet(dst.toString)
+    // partition columns are path-encoded, not stored in the files
+    val dataSchema = StructType(
+      df.schema.fields.filterNot(f => partCols.contains(f.name)))
+    val rels = Files.walk(dst).iterator().asScala
+      .filter { p => val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") }
+      .map(p => dst.relativize(p).toString)
+      .toSeq.sorted
+    val stats = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    rels.asJava.parallelStream()
+      .forEach(r => stats.put(r, footerStats(dst.resolve(r), dataSchema)))
+    rels.map { r =>
+      val pvs = r.split('/').init.map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"unexpected non-partition dir in $r")
+        unescapePartValue(kv.substring(0, i)) -> unescapePartValue(kv.substring(i + 1))
+      }.toMap
+      AddFile(s"$sub/$r", Files.size(dst.resolve(r)), Some(stats.get(r)), pvs)
+    }
+  }
+
+  /** Undo Hive-style %XX path escaping of partition names/values. */
+  private def unescapePartValue(s: String): String = {
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 3 <= s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
   }
 
   /** Idempotent append: commits `df` tagged with `token` unless a commit
@@ -357,8 +449,8 @@ object TxnTable {
     * [[graft.streaming.TxnSink]]). */
   def appendOnce(df: DataFrame, root: String, token: String): Long = {
     val op = s"append#$token"
-    actions(root, -1L).find(_._2 == op) match {
-      case Some((v, _, _, _, _, _)) => v
+    actions(root, -1L).find(_.op == op) match {
+      case Some(a) => a.version
       case None =>
         val v = latestVersion(root) + 1
         commit(root, v, op, writeDataFiles(df, root, v), Seq.empty,
@@ -372,6 +464,7 @@ object TxnTable {
     * previously-live one — in ONE commit, so readers flip atomically and
     * the pre-overwrite version remains time-travelable. */
   def overwrite(df: DataFrame, root: String): Long = {
+    requireUnpartitioned(root, "overwrite")
     val v = latestVersion(root) + 1
     commit(root, v, "overwrite", writeDataFiles(df, root, v),
       liveFiles(root, v - 1).map(_._1), schemaJson = Some(df.schema.json))
@@ -393,6 +486,7 @@ object TxnTable {
     * schema. */
   def merge(spark: SparkSession, delta: DataFrame, root: String,
             keys: Seq[String]): Long = {
+    requireUnpartitioned(root, "merge")
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
     val live = liveFiles(root, v - 1)
@@ -419,20 +513,29 @@ object TxnTable {
     v
   }
 
+  /** One parsed log action. */
+  private final case class Action(version: Long, op: String, action: String,
+                                  add: AddFile)
+
   /** Log actions up to and including `asOf` (whole log when < 0). */
-  private def actions(root: String, asOf: Long): Seq[(Long, String, String, String, Long, Option[String])] = {
+  private def actions(root: String, asOf: Long): Seq[Action] = {
     val vs = versions(root).filter(v => asOf < 0 || v <= asOf)
     vs.flatMap { v =>
       Files.readAllLines(logDir(root).resolve(f"$v%020d.json")).asScala.map { line =>
         // fixed field order written by [[commit]]; parsed positionally
         val ver = line.split("\"version\":")(1).takeWhile(_ != ',').toLong
         def str(k: String) = line.split(s""""$k":"""")(1).takeWhile(_ != '"')
-        val bytes = line.split("\"bytes\":")(1).takeWhile(c => c.isDigit).toLong
-        val stats =
-          if (line.contains("\"stats64\":\""))
-            Some(new String(java.util.Base64.getDecoder.decode(str("stats64")), UTF_8))
+        def b64(k: String): Option[String] =
+          if (line.contains(s""""$k":""""))
+            Some(new String(java.util.Base64.getDecoder.decode(str(k)), UTF_8))
           else None
-        (ver, str("op"), str("action"), str("file"), bytes, stats)
+        val bytes = line.split("\"bytes\":")(1).takeWhile(c => c.isDigit).toLong
+        val pvs = b64("part64").map(j =>
+          MiniJson.parse(j).asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.asInstanceOf[String] })
+          .getOrElse(Map.empty[String, String])
+        Action(ver, str("op"), str("action"),
+          AddFile(str("file"), bytes, b64("stats64"), pvs))
       }
     }
   }
@@ -442,10 +545,34 @@ object TxnTable {
 
   private def liveAdds(root: String, asOf: Long): Seq[AddFile] = {
     val acts = actions(root, asOf)
-    val removed = acts.collect { case (_, _, "remove", f, _, _) => f }.toSet
-    acts.collect { case (_, _, "add", f, b, st) if !removed.contains(f) =>
-      AddFile(f, b, st) }
+    val removed = acts.collect { case Action(_, _, "remove", a) => a.file }.toSet
+    acts.collect { case Action(_, _, "add", a) if !removed.contains(a.file) => a }
   }
+
+  /** Table metadata straight from the `_delta_log` mirror's version-0
+    * metaData action — the mirror doubles as the metadata store, exactly
+    * as in the open protocol. None for pre-mirror tables. */
+  private def readMeta(root: String): Option[(StructType, Seq[String])] = {
+    val p = deltaDir(root).resolve(f"${0L}%020d.json")
+    if (!Files.exists(p)) None
+    else Files.readAllLines(p).asScala
+      .find(_.startsWith("""{"metaData":""")).map { line =>
+        val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]("metaData")
+          .asInstanceOf[Map[String, Any]]
+        val schema = DataType.fromJson(m("schemaString").asInstanceOf[String])
+          .asInstanceOf[StructType]
+        val pcs = m.getOrElse("partitionColumns", Seq.empty)
+          .asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
+        (schema, pcs)
+      }
+  }
+
+  private def requireUnpartitioned(root: String, what: String): Unit =
+    readMeta(root).foreach { case (_, pcs) =>
+      require(pcs.isEmpty,
+        s"$what on a PARTITIONED TxnTable is not supported " +
+          s"(partition columns: ${pcs.mkString(", ")})")
+    }
 
   /** Read the latest snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -465,8 +592,28 @@ object TxnTable {
     // every commit adds at least one part file (Spark writes schema-bearing
     // empty parts), so a resolvable version always has files
     require(files.nonEmpty, s"no live files at version $asOf")
-    spark.read.parquet(files.map { case (f, _) => Paths.get(root, f).toString }: _*)
+    readFiles(spark, root, files.map(_._1))
   }
+
+  /** Read a set of live files, partition-aware: on a partitioned table the
+    * files group by their version directory and each group reads with that
+    * directory as `basePath`, so Spark's partition discovery re-attaches
+    * the path-encoded columns under the metaData schema's types; groups
+    * union by name. Unpartitioned tables take the single flat scan. */
+  private def readFiles(spark: SparkSession, root: String,
+                        files: Seq[String]): DataFrame =
+    readMeta(root) match {
+      case Some((schema, pcs)) if pcs.nonEmpty =>
+        files.groupBy(_.split('/')(1)).toSeq.sortBy(_._1)
+          .map { case (vDir, fs) =>
+            spark.read.schema(schema)
+              .option("basePath", Paths.get(root, "data", vDir).toString)
+              .parquet(fs.map(f => Paths.get(root, f).toString): _*)
+              .select(schema.fieldNames.map(col).toSeq: _*)
+          }.reduce(_ unionByName _)
+      case _ =>
+        spark.read.parquet(files.map(f => Paths.get(root, f).toString): _*)
+    }
 
   /** OPTIMIZE: rewrite every live file smaller than `smallBytes` into
     * `targetPartitions` compacted files; one commit of remove+add. Contents
@@ -474,6 +621,7 @@ object TxnTable {
     * unordered sets); history stays time-travelable until [[vacuum]]. */
   def optimize(spark: SparkSession, root: String,
                smallBytes: Long = 8L << 20, targetPartitions: Int = 1): Long = {
+    requireUnpartitioned(root, "optimize")
     val v = latestVersion(root) + 1
     val small = liveFiles(root, v - 1).filter(_._2 < smallBytes)
     require(small.nonEmpty, "nothing to optimize")
@@ -489,7 +637,7 @@ object TxnTable {
   def vacuum(root: String, retainAfter: Long): Seq[String] = {
     val keep = (math.max(retainAfter + 1, 0L) to latestVersion(root))
       .flatMap(v => liveFiles(root, v).map(_._1)).toSet
-    val all = actions(root, -1L).collect { case (_, _, "add", f, _, _) => f }.distinct
+    val all = actions(root, -1L).collect { case Action(_, _, "add", a) => a.file }.distinct
     val victims = all.filterNot(keep.contains)
       .filter(f => Files.exists(Paths.get(root, f)))
     victims.foreach(f => Files.delete(Paths.get(root, f)))
@@ -560,8 +708,21 @@ object TxnTable {
     case (b: BigDecimal, _)    => litNum(l).map(b.compare)
     case (s: String, u: UTF8String) => Some(UTF8String.fromString(s).compareTo(u))
     case (b: java.lang.Boolean, v: java.lang.Boolean) => Some(b.compareTo(v))
+    case (PartVal(s), u: UTF8String) => Some(UTF8String.fromString(s).compareTo(u))
+    case (PartVal(s), _) if litNum(l).isDefined =>
+      // a path-encoded partition value probed by a numeric literal: a
+      // PartVal is a POINT (min = max = the value), so parsing it
+      // numerically is exact when it parses and harmless when it doesn't.
+      // (Never do this for real string-column stats: their lexicographic
+      // min/max need not bracket the numeric range.)
+      try Some(BigDecimal(s.trim).compare(litNum(l).get))
+      catch { case _: NumberFormatException => None }
     case _ => None
   }
+
+  /** A partition value folded into FileStats — string-typed in the path,
+    * point-ranged by construction. */
+  private final case class PartVal(s: String)
 
   /** Skip when the [min,max] range of `name` proves the comparison can
     * never hold; `skipWhen(cmp(min,lit), cmp(max,lit))`. A column whose
@@ -611,11 +772,27 @@ object TxnTable {
     }
   }
 
+  /** Fold an add's path-encoded partitionValues into its FileStats as
+    * point ranges (min = max = value): every value in the file IS the
+    * partition value, so the same conjunct machinery prunes partitions and
+    * data columns alike. The Hive null marker becomes an all-null column. */
+  private def withPartitionStats(st: FileStats,
+                                 pvs: Map[String, String]): FileStats =
+    if (pvs.isEmpty) st
+    else pvs.foldLeft(st) { case (s, (k, v)) =>
+      if (v == "__HIVE_DEFAULT_PARTITION__")
+        s.copy(minV = s.minV + (k -> null), maxV = s.maxV + (k -> null),
+          nullC = s.nullC + (k -> s.numRecords))
+      else
+        s.copy(minV = s.minV + (k -> PartVal(v)), maxV = s.maxV + (k -> PartVal(v)),
+          nullC = s.nullC + (k -> 0L))
+    }
+
   /** (kept, skipped) partition of `adds` under `pred`'s provable conjuncts. */
   private def pruneAdds(adds: Seq[AddFile], pred: Column): (Seq[AddFile], Seq[AddFile]) = {
     val cs = conjuncts(org.apache.spark.sql.GraftColumnExpr.expr(pred))
     adds.partition { a =>
-      a.stats.map(decodeStats) match {
+      a.stats.map(j => withPartitionStats(decodeStats(j), a.partitionValues)) match {
         case None => true
         case Some(st) => !cs.exists(skipConjunct(_, st))
       }
@@ -637,8 +814,7 @@ object TxnTable {
     val missing = kept.filterNot(a => Files.exists(Paths.get(root, a.file)))
     require(missing.isEmpty, s"readWhere references vacuumed files: " +
       missing.map(_.file).mkString(", "))
-    spark.read.parquet(kept.map(a => Paths.get(root, a.file).toString): _*)
-      .filter(pred)
+    readFiles(spark, root, kept.map(_.file)).filter(pred)
   }
 
   /** (filesRead, filesSkipped) the pruner would choose for `pred` — the
@@ -656,6 +832,7 @@ object TxnTable {
     * their surviving rows (`pred` false or null) copied forward. Untouched
     * files stay in place; pre-delete versions stay time-travelable. */
   def delete(spark: SparkSession, root: String, pred: Column): Long = {
+    requireUnpartitioned(root, "delete")
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
     val adds = liveAdds(root, v - 1)
@@ -716,7 +893,8 @@ object TxnTable {
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     actions(root, -1L)
-      .map { case (v, op, a, f, b, st) => (v, op, a, f, b, st.orNull) }
+      .map(x => (x.version, x.op, x.action, x.add.file, x.add.bytes,
+        x.add.stats.orNull))
       .toDF("version", "op", "action", "file", "bytes", "stats")
   }
 }

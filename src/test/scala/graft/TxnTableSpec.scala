@@ -186,6 +186,42 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.changeFeed(spark, root, 2L, 2L, Seq("id")).count() == 0)
   }
 
+  test("partitioned appends record partitionValues and prune before stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    val d = (1 to 90).map(i => (i.toLong, s"v$i", (i % 3).toString))
+      .toDF("id", "payload", "shard")
+    assert(TxnTable.appendPartitioned(d, root, Seq("shard")) == 0L)
+    TxnTable.appendPartitioned(
+      Seq((91L, "v91", "3")).toDF("id", "payload", "shard"), root, Seq("shard"))
+    // partition columns round-trip through the path encoding
+    val snap = TxnTable.read(spark, root)
+    assert(snap.columns.toSeq == Seq("id", "payload", "shard"))
+    assert(snap.count() == 91)
+    assert(snap.where("shard = '1'").count() == 30)
+    assert(ids(TxnTable.readVersion(spark, root, 0)) == (1L to 90L))
+    // partition pruning: a shard-equality predicate keeps only that
+    // shard's files, without any footer involvement
+    val (kept, skipped) = (TxnTable.skippingReport(root, col("shard") === "1"))
+    assert(kept >= 1 && skipped >= 3,
+      s"expected shard pruning, got kept=$kept skipped=$skipped")
+    assert(TxnTable.readWhere(spark, root, col("shard") === "3")
+      .select("id").as[Long].collect().toSeq == Seq(91L))
+    // partition AND data-column conjuncts compose
+    val both = TxnTable.readWhere(spark, root,
+      col("shard") === "2" && col("id") <= 10L)
+    assert(ids(both) == Seq(2L, 5L, 8L))
+    // numeric literal against the string-encoded partition value is exact
+    assert(TxnTable.skippingReport(root, col("shard") === 1)._2 >= 3)
+    // the log's partition columns are fixed at version 0
+    intercept[IllegalArgumentException](
+      TxnTable.appendPartitioned(d, root, Seq("payload")))
+    intercept[IllegalArgumentException](TxnTable.append(df(1 to 3), root))
+    intercept[IllegalArgumentException](
+      TxnTable.delete(spark, root, col("id") === 1L))
+  }
+
   test("commits are atomic renames: a version cannot be committed twice") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)
