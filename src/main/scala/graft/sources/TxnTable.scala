@@ -517,28 +517,44 @@ object TxnTable {
   private final case class Action(version: Long, op: String, action: String,
                                   add: AddFile)
 
-  /** Log actions up to and including `asOf` (whole log when < 0). */
-  private def actions(root: String, asOf: Long): Seq[Action] = {
-    val vs = versions(root).filter(v => asOf < 0 || v <= asOf)
-    vs.flatMap { v =>
-      Files.readAllLines(logDir(root).resolve(f"$v%020d.json")).asScala.map { line =>
-        // fixed field order written by [[commit]]; parsed positionally
-        val ver = line.split("\"version\":")(1).takeWhile(_ != ',').toLong
-        def str(k: String) = line.split(s""""$k":"""")(1).takeWhile(_ != '"')
-        def b64(k: String): Option[String] =
-          if (line.contains(s""""$k":""""))
-            Some(new String(java.util.Base64.getDecoder.decode(str(k)), UTF_8))
-          else None
-        val bytes = line.split("\"bytes\":")(1).takeWhile(c => c.isDigit).toLong
-        val pvs = b64("part64").map(j =>
-          MiniJson.parse(j).asInstanceOf[Map[String, Any]]
-            .map { case (k, v) => k -> v.asInstanceOf[String] })
-          .getOrElse(Map.empty[String, String])
-        Action(ver, str("op"), str("action"),
-          AddFile(str("file"), bytes, b64("stats64"), pvs))
-      }
+  /** Parse one committed version's log file. */
+  private def parseLog(root: String, v: Long): Seq[Action] =
+    Files.readAllLines(logDir(root).resolve(f"$v%020d.json")).asScala.toSeq.map { line =>
+      // fixed field order written by [[commit]]; parsed positionally
+      val ver = line.split("\"version\":")(1).takeWhile(_ != ',').toLong
+      def str(k: String) = line.split(s""""$k":"""")(1).takeWhile(_ != '"')
+      def b64(k: String): Option[String] =
+        if (line.contains(s""""$k":""""))
+          Some(new String(java.util.Base64.getDecoder.decode(str(k)), UTF_8))
+        else None
+      val bytes = line.split("\"bytes\":")(1).takeWhile(c => c.isDigit).toLong
+      val pvs = b64("part64").map(j =>
+        MiniJson.parse(j).asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.asInstanceOf[String] })
+        .getOrElse(Map.empty[String, String])
+      Action(ver, str("op"), str("action"),
+        AddFile(str("file"), bytes, b64("stats64"), pvs))
     }
+
+  /** Log actions up to and including `asOf` (whole log when < 0). */
+  private def actions(root: String, asOf: Long): Seq[Action] =
+    versions(root).filter(v => asOf < 0 || v <= asOf).flatMap(parseLog(root, _))
+
+  /** One committed version's (op, added files, rewrites-data?) — the
+    * streaming tail's planning unit. A version with removes under a
+    * data-changing op REWRITES rows; an append-only consumer must balk. */
+  private[sources] def commitActions(root: String, v: Long): (String, Seq[AddFile], Boolean) = {
+    val acts = parseLog(root, v)
+    val op = acts.headOption.map(_.op).getOrElse("?")
+    (op,
+      acts.collect { case Action(_, _, "add", a) => a },
+      acts.exists(_.action == "remove"))
   }
+
+  /** Table schema + partition columns for external consumers (the tail
+    * source); see [[readMeta]]. */
+  private[sources] def tableMeta(root: String): Option[(StructType, Seq[String])] =
+    readMeta(root)
 
   private def liveFiles(root: String, asOf: Long): Seq[(String, Long)] =
     liveAdds(root, asOf).map(a => (a.file, a.bytes))
@@ -629,6 +645,32 @@ object TxnTable {
       small.map { case (f, _) => Paths.get(root, f).toString }: _*)
     val adds = writeDataFiles(df.repartition(targetPartitions), root, v)
     commit(root, v, "optimize", adds, small.map(_._1), dataChange = false)
+    v
+  }
+
+  /** OPTIMIZE ZORDER BY: rewrite the live files CLUSTERED on the Morton
+    * interleave of two integral columns ([[graft.operators.ZOrder]]), so
+    * every file's (x, y) stats box is a small rectangle and 2-D slice
+    * predicates prune files the way 1-D sorts only prune their own column.
+    * Same contract as [[optimize]]: contents identical (tables are
+    * unordered sets), one remove+add commit, `dataChange:false`, history
+    * time-travelable until vacuum. Values are masked into `bits` bits for
+    * the clustering key only — correctness never depends on the layout. */
+  def optimizeZorder(spark: SparkSession, root: String,
+                     xCol: String, yCol: String,
+                     targetPartitions: Int, bits: Int = 16): Long = {
+    requireUnpartitioned(root, "optimizeZorder")
+    val v = latestVersion(root) + 1
+    val live = liveFiles(root, v - 1)
+    require(live.nonEmpty, "nothing to optimize")
+    val mask = (1L << bits) - 1
+    val z = expr(graft.operators.ZOrder.zExprSpark(
+      s"(CAST($xCol AS BIGINT) & $mask)", s"(CAST($yCol AS BIGINT) & $mask)", bits))
+    val df = readFiles(spark, root, live.map(_._1))
+    val clustered = df.repartitionByRange(targetPartitions, z)
+      .sortWithinPartitions(z)
+    val adds = writeDataFiles(clustered, root, v)
+    commit(root, v, "optimize-zorder", adds, live.map(_._1), dataChange = false)
     v
   }
 

@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `txn-tail` — a Structured Streaming micro-batch source that TAILS a
+  * [[TxnTable]] commit log: each micro-batch is the set of versions
+  * committed since the last checkpointed one, and each version
+  * contributes exactly the rows its `add` actions introduced. The
+  * version number IS the offset (one long of checkpoint state), so
+  * restart/replay is the standard exactly-once-source contract — the
+  * incremental-consumption loop that [[graft.streaming.TxnSink]] writes
+  * is closed by this source reading it back.
+  *
+  * Fidelity rules, mirroring the open lakehouse streaming sources:
+  *  - layout-only commits (`optimize*`, `dataChange:false` in the mirror)
+  *    are SKIPPED — compaction must not re-deliver rows;
+  *  - a data-changing commit that also REMOVES files (overwrite, merge,
+  *    delete) rewrites rows and breaks append-only semantics: the source
+  *    fails loudly unless `ignoreChanges=true`, in which case the
+  *    version's added files re-emit (carried rows duplicate — the
+  *    documented open-format tradeoff, consumers dedup on key);
+  *  - every output row carries `_commit_version` so downstream state can
+  *    attribute provenance.
+  *
+  * Scale: the DRIVER folds only commit metadata (two longs of offset
+  * state per batch, O(files-touched) planning); each EXECUTOR task reads
+  * one parquet file via the parquet-column record API — no Spark scan
+  * machinery needed inside a DSv2 reader, and file-level parallelism is
+  * the natural unit a 1000-executor tail wants. Supported column types:
+  * the integral/floating/boolean/string/binary primitives (the
+  * [[graft.streaming.TxnSink]] envelope shapes); nested types belong to
+  * batch reads.
+  *
+  * Options: `path` (table root, required), `startingVersion` (default 0),
+  * `ignoreChanges` (default false).
+  */
+class TxnTailProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "txn-tail"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TxnTail.outputSchema(TxnTail.conf(options.asCaseSensitiveMap()))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new TxnTailTable(properties)
+}
+
+object TxnTail {
+  final case class Conf(root: String, startingVersion: Long,
+                        ignoreChanges: Boolean)
+
+  def conf(properties: JMap[String, String]): Conf = {
+    def opt(k: String): Option[String] = Option(properties.get(k))
+    Conf(
+      opt("path").getOrElse(sys.error("txn-tail: option 'path' (table root) is required")),
+      opt("startingVersion").map(_.toLong).getOrElse(0L),
+      opt("ignoreChanges").exists(_.toBoolean))
+  }
+
+  /** Table schema (from the mirror's metaData action) + `_commit_version`. */
+  def outputSchema(c: Conf): StructType = {
+    val (schema, partCols) = TxnTable.tableMeta(c.root).getOrElse(
+      sys.error(s"txn-tail: ${c.root} has no _delta_log metaData to infer a schema from"))
+    require(partCols.isEmpty,
+      "txn-tail: partitioned tables are not supported (their rows are path-split)")
+    schema.fields.foreach { f =>
+      require(supported(f.dataType),
+        s"txn-tail: unsupported column type ${f.dataType} for ${f.name}")
+    }
+    StructType(schema.fields :+ StructField("_commit_version", LongType, nullable = false))
+  }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | BinaryType => true
+    case _ => false
+  }
+}
+
+final class TxnTailTable(properties: JMap[String, String])
+    extends Table with SupportsRead {
+  private val c = TxnTail.conf(properties)
+  override def name(): String = s"txn-tail:${c.root}"
+  override def schema(): StructType = TxnTail.outputSchema(c)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = TxnTail.outputSchema(c)
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new TxnTailStream(c)
+      }
+    }
+}
+
+/** The last fully-consumed version; −1 = nothing consumed yet. */
+final case class TxnTailOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+final class TxnTailStream(c: TxnTail.Conf) extends MicroBatchStream {
+  private lazy val dataSchemaJson: String = {
+    val full = TxnTail.outputSchema(c)
+    StructType(full.fields.dropRight(1)).json
+  }
+
+  override def initialOffset(): Offset = TxnTailOffset(c.startingVersion - 1)
+  override def latestOffset(): Offset =
+    TxnTailOffset(math.max(TxnTable.latestVersion(c.root), c.startingVersion - 1))
+  override def deserializeOffset(json: String): Offset =
+    TxnTailOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[TxnTailOffset].version
+    val hi = end.asInstanceOf[TxnTailOffset].version
+    ((lo + 1) to hi).flatMap { v =>
+      val (op, adds, rewrites) = TxnTable.commitActions(c.root, v)
+      if (op.startsWith("optimize")) Seq.empty // layout-only: no new rows
+      else {
+        require(!rewrites || c.ignoreChanges,
+          s"txn-tail: version $v ($op) rewrites data; the tail is " +
+            "append-only — set ignoreChanges=true to re-emit rewritten files")
+        adds.map(a => TxnTailPartition(
+          java.nio.file.Paths.get(c.root, a.file).toString, v, dataSchemaJson))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new TxnTailReader(partition.asInstanceOf[TxnTailPartition])
+    }
+}
+
+final case class TxnTailPartition(path: String, version: Long,
+                                  schemaJson: String) extends InputPartition
+
+/** Executor-side reader: one parquet file through the parquet-column
+  * record API (ColumnIO + GroupRecordConverter) — footer-driven, no Spark
+  * scan inside the reader, columns projected by the table schema. */
+final class TxnTailReader(p: TxnTailPartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.io.ColumnIOFactory
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+
+  private val schema =
+    DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+    new org.apache.hadoop.fs.Path(p.path),
+    new org.apache.hadoop.conf.Configuration()))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var remaining = 0L
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    while (remaining == 0L) {
+      val rg = reader.readNextRowGroup()
+      if (rg == null) return false
+      remaining = rg.getRowCount
+      recordReader = new ColumnIOFactory().getColumnIO(fileSchema)
+        .getRecordReader(rg, new GroupRecordConverter(fileSchema))
+    }
+    current = recordReader.read(); remaining -= 1; true
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](schema.length + 1)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      val fi = fileSchema.getFieldIndex(f.name)
+      vals(i) =
+        if (current.getFieldRepetitionCount(fi) == 0) null
+        else f.dataType match {
+          case LongType    => current.getLong(fi, 0)
+          case IntegerType => current.getInteger(fi, 0)
+          case DoubleType  => current.getDouble(fi, 0)
+          case FloatType   => current.getFloat(fi, 0)
+          case BooleanType => current.getBoolean(fi, 0)
+          case StringType  => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
+          case BinaryType  => current.getBinary(fi, 0).getBytes
+          case dt => sys.error(s"txn-tail: unsupported column type $dt")
+        }
+      i += 1
+    }
+    vals(schema.length) = p.version
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -222,6 +222,32 @@ class TxnTableSpec extends AnyFunSuite {
       TxnTable.delete(spark, root, col("id") === 1L))
   }
 
+  test("OPTIMIZE ZORDER tightens 2-D stats boxes so cross-column slices prune") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    // 128x128 grid written x-sorted into 8 files: every file spans ALL of
+    // y, so a y-only slice can skip nothing
+    val grid = (for (x <- 0 until 128; y <- 0 until 128)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    TxnTable.append(grid.repartitionByRange(8, $"x").sortWithinPartitions($"x"), root)
+    val ySlice = col("y") >= 0L && col("y") <= 31L
+    assert(TxnTable.skippingReport(root, ySlice)._2 == 0,
+      "x-sorted layout cannot prune a y-only slice")
+    TxnTable.optimizeZorder(spark, root, "x", "y", targetPartitions = 8, bits = 7)
+    val (kept, skipped) = TxnTable.skippingReport(root, ySlice)
+    assert(skipped >= 4,
+      s"z-ordered layout must prune most files for a y slice, got kept=$kept skipped=$skipped")
+    // contents identical, history intact, pre-zorder version travelable
+    val snap = TxnTable.read(spark, root)
+    assert(snap.count() == 128L * 128 &&
+      snap.agg(sum($"x" * 128L + $"y")).as[Long].head ==
+        (0L until 128L * 128).sum)
+    assert(TxnTable.readVersion(spark, root, 0).count() == 128L * 128)
+    // y-sliced read through the pruned layout returns exactly the slice
+    assert(TxnTable.readWhere(spark, root, ySlice).count() == 128L * 32)
+  }
+
   test("commits are atomic renames: a version cannot be committed twice") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)

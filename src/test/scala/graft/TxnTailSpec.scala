@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TxnTable
+
+/** The `txn-tail` streaming source: micro-batches tail the commit log
+  * version by version (the offset IS the version), layout-only commits
+  * never re-deliver rows, data rewrites fail loudly unless opted into,
+  * and a checkpointed restart resumes exactly after the last consumed
+  * version — the read half of the TxnSink ↔ TxnTable exactly-once loop. */
+class TxnTailSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tbl(): String = Files.createTempDirectory("txn_tail").toString
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+  }
+
+  test("tails appends version by version, skipping OPTIMIZE layout commits") {
+    val root = tbl()
+    TxnTable.append(df(1 to 3).coalesce(1), root)  // v0
+    TxnTable.append(df(4 to 5).coalesce(1), root)  // v1
+    val q = spark.readStream.format("txn-tail").option("path", root).load()
+      .writeStream.format("memory").queryName("tail1").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tail1").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(got.map(_._1) == (1L to 5L))
+      assert(got.map(_._3) == Seq(0L, 0L, 0L, 1L, 1L), "commit provenance")
+
+      // compaction between batches must not re-deliver rows
+      TxnTable.optimize(spark, root, targetPartitions = 1)       // v2, layout
+      TxnTable.append(df(6 to 6).coalesce(1), root)              // v3
+      q.processAllAvailable()
+      val all = spark.table("tail1").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+      assert(all.map(_._1) == (1L to 6L), s"optimize re-delivered rows: $all")
+      assert(all.last == ((6L, 3L)))
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes after the last consumed version") {
+    import spark.implicits._
+    val root = tbl()
+    val ckpt = Files.createTempDirectory("txn_tail_ckpt").toString
+    val out = Files.createTempDirectory("txn_tail_out").toString
+    TxnTable.append(df(1 to 2).coalesce(1), root)
+    def run(): Unit = {
+      val q = spark.readStream.format("txn-tail").option("path", root).load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    TxnTable.append(df(3 to 4).coalesce(1), root)
+    run() // restart from checkpoint: only version 1 is new
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (1L to 4L), s"restart must neither skip nor duplicate: $got")
+  }
+
+  test("a data rewrite fails loudly unless ignoreChanges is set") {
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    TxnTable.append(df(1 to 10).coalesce(1), root)
+    TxnTable.delete(spark, root, col("id") >= 9L) // rewrites v0's file
+    val q = spark.readStream.format("txn-tail").option("path", root).load()
+      .writeStream.format("memory").queryName("tail3").start()
+    val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+    q.stop()
+    assert(e.getMessage.contains("ignoreChanges") ||
+      Option(e.getCause).exists(_.getMessage.contains("ignoreChanges")))
+
+    val q2 = spark.readStream.format("txn-tail").option("path", root)
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("memory").queryName("tail3b").start()
+    try {
+      q2.processAllAvailable()
+      // v0's 10 rows + the delete version's rewritten file (8 survivors)
+      val ids = spark.table("tail3b").collect().map(_.getLong(0)).toSeq
+      assert(ids.length == 18 && ids.count(_ == 1L) == 2,
+        "ignoreChanges re-emits the rewritten file (documented duplication)")
+    } finally q2.stop()
+  }
+
+  test("startingVersion skips history; unsupported shapes are refused") {
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    TxnTable.append(df(1 to 3).coalesce(1), root)  // v0
+    TxnTable.append(df(4 to 5).coalesce(1), root)  // v1
+    val q = spark.readStream.format("txn-tail").option("path", root)
+      .option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("tail4").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail4").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(4L, 5L))
+    } finally q.stop()
+
+    // partitioned tables are path-split — refused at schema time
+    import spark.implicits._
+    val proot = tbl()
+    TxnTable.appendPartitioned(
+      Seq((1L, "a", "s1")).toDF("id", "payload", "shard"), proot, Seq("shard"))
+    val err = intercept[Exception] {
+      spark.readStream.format("txn-tail").option("path", proot).load()
+    }
+    assert(err.getMessage.contains("partitioned"))
+  }
+}
