@@ -34,10 +34,12 @@ import scala.jdk.CollectionConverters._
   * Scale notes. Data files are written by Spark (distributed, any size);
   * only the ACTION METADATA passes through the driver, exactly as in the
   * production systems (a log entry is O(files touched), not O(rows)).
-  * Atomic rename is the local-FS/HDFS commit primitive; on S3-class
-  * stores the rename becomes a conditional put — the one seam to swap.
-  * Single-writer: concurrent commits would need the conditional-put CAS
-  * loop; readers are always safe.
+  * The commit point is a hard-link CAS (fail-if-exists, see [[commit]]);
+  * on S3-class stores it becomes a conditional put — the one seam to
+  * swap. MULTI-WRITER safe: data files live in writer-private directories
+  * and become visible only through a won version claim; losers rebase on
+  * the new snapshot and retry ([[casRetry]]), losers' never-referenced
+  * files are vacuum-swept orphans. Readers are always safe.
   */
 object TxnTable {
 
@@ -192,12 +194,47 @@ object TxnTable {
       } ++ removes.map { f =>
         s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0}"""
       }
-    val tmp = logDir(root).resolve(s".$version.json.tmp")
+    // version claim is a true compare-and-set: the content is fully
+    // written to a writer-private tmp file, then HARD-LINKED into place —
+    // link(2) fails atomically if the version exists, where rename(2)
+    // silently REPLACES it (the classic lost-commit race). On S3-class
+    // stores this link is a conditional put (If-None-Match) — the one
+    // primitive to swap.
+    val tmp = logDir(root).resolve(
+      s".$version-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
     val dst = logDir(root).resolve(f"$version%020d.json")
-    require(!Files.exists(dst), s"version $version already committed (single-writer contract)")
-    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(dst, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new ConcurrentCommitException(root, version)
+    }
+    Files.deleteIfExists(tmp)
     deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn, partCols)
+  }
+
+  /** Another writer claimed this version first; the caller rebases on the
+    * new snapshot and retries (appends) or re-runs its read-modify-write
+    * body (merge/delete/overwrite/optimize) — see [[casRetry]]. */
+  final class ConcurrentCommitException(root: String, version: Long)
+    extends RuntimeException(
+      s"version $version of $root was committed concurrently")
+
+  /** Re-run `body` (which recomputes latest+1 and its snapshot basis each
+    * attempt) until its commit wins the version CAS. Orphaned data files a
+    * losing attempt wrote are unreferenced by any log entry, invisible to
+    * readers, and reclaimed by [[vacuum]] — the same garbage story as the
+    * open formats. */
+  private def casRetry[T](what: String)(body: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch { case _: ConcurrentCommitException =>
+        attempts += 1
+        require(attempts < 64, s"$what lost the commit race $attempts times")
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Deterministic table id for the Delta metaData action (stable across
@@ -348,10 +385,19 @@ object TxnTable {
     case _ => null
   }
 
-  /** Write `df` under `data/v<version>`; stats come off each file's footer
-    * (see [[footerStats]] — no second scan). */
+  /** Writer-private data directory: named for the version the writer was
+    * AIMING at plus a random tag, so concurrent writers never collide on a
+    * path and a commit that loses the version CAS can rebase and point its
+    * log entry at the files it already wrote. Files only become visible
+    * through a committed log entry; never-committed ones are orphans that
+    * [[vacuum]] sweeps. */
+  private def dataSub(version: Long): String =
+    s"data/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Write `df` under a fresh [[dataSub]] dir; stats come off each file's
+    * footer (see [[footerStats]] — no second scan). */
   private def writeDataFiles(df: DataFrame, root: String, version: Long): Seq[AddFile] = {
-    val sub = s"data/v$version"
+    val sub = dataSub(version)
     val dst = Paths.get(root, sub)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
     val names = Files.list(dst).iterator().asScala
@@ -367,13 +413,19 @@ object TxnTable {
       Some(stats.get(n))))
   }
 
-  /** Append `df` as a new commit; returns the committed version. */
+  /** Append `df` as a new commit; returns the committed version. Safe
+    * under CONCURRENT writers: the data files are written once (appends
+    * are snapshot-independent), then the version claim retries the CAS
+    * until it lands on a fresh latest+1. */
   def append(df: DataFrame, root: String): Long = {
     requireUnpartitioned(root, "plain append")
-    val v = latestVersion(root) + 1
-    commit(root, v, "append", writeDataFiles(df, root, v), Seq.empty,
-      schemaJson = Some(df.schema.json))
-    v
+    val adds = writeDataFiles(df, root, latestVersion(root) + 1)
+    casRetry("append") {
+      val v = latestVersion(root) + 1
+      commit(root, v, "append", adds, Seq.empty,
+        schemaJson = Some(df.schema.json))
+      v
+    }
   }
 
   /** Append into a HIVE-PARTITIONED layout (`data/vN/col=value/part…`):
@@ -390,19 +442,22 @@ object TxnTable {
     require(partCols.nonEmpty, "appendPartitioned needs partition columns")
     require(partCols.forall(df.columns.contains),
       s"partition columns ${partCols.mkString(",")} must exist in the schema")
-    val v = latestVersion(root) + 1
-    if (v > 0) readMeta(root).foreach { case (_, pcs) =>
-      require(pcs == partCols,
-        s"table is partitioned by ${pcs.mkString(",")}, got ${partCols.mkString(",")}")
+    val adds = writePartitionedFiles(df, root, latestVersion(root) + 1, partCols)
+    casRetry("appendPartitioned") {
+      val v = latestVersion(root) + 1
+      if (v > 0) readMeta(root).foreach { case (_, pcs) =>
+        require(pcs == partCols,
+          s"table is partitioned by ${pcs.mkString(",")}, got ${partCols.mkString(",")}")
+      }
+      commit(root, v, "append", adds, Seq.empty,
+        schemaJson = Some(df.schema.json), partCols = partCols)
+      v
     }
-    commit(root, v, "append", writePartitionedFiles(df, root, v, partCols),
-      Seq.empty, schemaJson = Some(df.schema.json), partCols = partCols)
-    v
   }
 
   private def writePartitionedFiles(df: DataFrame, root: String, version: Long,
                                     partCols: Seq[String]): Seq[AddFile] = {
-    val sub = s"data/v$version"
+    val sub = dataSub(version)
     val dst = Paths.get(root, sub)
     df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
       .parquet(dst.toString)
@@ -449,13 +504,20 @@ object TxnTable {
     * [[graft.streaming.TxnSink]]). */
   def appendOnce(df: DataFrame, root: String, token: String): Long = {
     val op = s"append#$token"
-    actions(root, -1L).find(_.op == op) match {
-      case Some(a) => a.version
-      case None =>
-        val v = latestVersion(root) + 1
-        commit(root, v, op, writeDataFiles(df, root, v), Seq.empty,
-          schemaJson = Some(df.schema.json), txn = Some((token, v)))
-        v
+    def existing: Option[Long] = actions(root, -1L).find(_.op == op).map(_.version)
+    existing.getOrElse {
+      val adds = writeDataFiles(df, root, latestVersion(root) + 1)
+      casRetry("appendOnce") {
+        // the same token may have won a concurrent race — re-check inside
+        // the loop so redelivery never double-commits (the written files
+        // become vacuum-swept orphans)
+        existing.getOrElse {
+          val v = latestVersion(root) + 1
+          commit(root, v, op, adds, Seq.empty,
+            schemaJson = Some(df.schema.json), txn = Some((token, v)))
+          v
+        }
+      }
     }
   }
 
@@ -463,7 +525,7 @@ object TxnTable {
     * ref SaveDelta batch path): adds the new files, removes every
     * previously-live one — in ONE commit, so readers flip atomically and
     * the pre-overwrite version remains time-travelable. */
-  def overwrite(df: DataFrame, root: String): Long = {
+  def overwrite(df: DataFrame, root: String): Long = casRetry("overwrite") {
     requireUnpartitioned(root, "overwrite")
     val v = latestVersion(root) + 1
     commit(root, v, "overwrite", writeDataFiles(df, root, v),
@@ -485,7 +547,7 @@ object TxnTable {
     * `delta` must carry distinct keys (the upsert set) and the table
     * schema. */
   def merge(spark: SparkSession, delta: DataFrame, root: String,
-            keys: Seq[String]): Long = {
+            keys: Seq[String]): Long = casRetry("merge") {
     requireUnpartitioned(root, "merge")
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
@@ -636,7 +698,7 @@ object TxnTable {
     * are bit-identical (no ordering guarantee — parquet tables are
     * unordered sets); history stays time-travelable until [[vacuum]]. */
   def optimize(spark: SparkSession, root: String,
-               smallBytes: Long = 8L << 20, targetPartitions: Int = 1): Long = {
+               smallBytes: Long = 8L << 20, targetPartitions: Int = 1): Long = casRetry("optimize") {
     requireUnpartitioned(root, "optimize")
     val v = latestVersion(root) + 1
     val small = liveFiles(root, v - 1).filter(_._2 < smallBytes)
@@ -658,7 +720,7 @@ object TxnTable {
     * the clustering key only — correctness never depends on the layout. */
   def optimizeZorder(spark: SparkSession, root: String,
                      xCol: String, yCol: String,
-                     targetPartitions: Int, bits: Int = 16): Long = {
+                     targetPartitions: Int, bits: Int = 16): Long = casRetry("optimizeZorder") {
     requireUnpartitioned(root, "optimizeZorder")
     val v = latestVersion(root) + 1
     val live = liveFiles(root, v - 1)
@@ -675,7 +737,12 @@ object TxnTable {
   }
 
   /** VACUUM: physically delete files not referenced by any version >
-    * `retainAfter`. Time travel to ≤ `retainAfter` then fails loudly. */
+    * `retainAfter` — both files a retained remove superseded AND orphans a
+    * losing CAS attempt wrote but never committed (referenced by no log
+    * entry, so invisible to every reader). Time travel to ≤ `retainAfter`
+    * then fails loudly. As in the open formats, vacuuming while a writer
+    * is mid-commit can sweep that writer's not-yet-committed files — run
+    * it with a retention window in shared settings. */
   def vacuum(root: String, retainAfter: Long): Seq[String] = {
     val keep = (math.max(retainAfter + 1, 0L) to latestVersion(root))
       .flatMap(v => liveFiles(root, v).map(_._1)).toSet
@@ -683,7 +750,17 @@ object TxnTable {
     val victims = all.filterNot(keep.contains)
       .filter(f => Files.exists(Paths.get(root, f)))
     victims.foreach(f => Files.delete(Paths.get(root, f)))
-    victims
+    val dataDir = Paths.get(root, "data")
+    val everAdded = all.toSet
+    val orphans =
+      if (!Files.isDirectory(dataDir)) Seq.empty[String]
+      else Files.walk(dataDir).iterator().asScala
+        .filter { p => val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") }
+        .map(p => Paths.get(root).relativize(p).toString)
+        .filterNot(everAdded.contains).toSeq
+    orphans.foreach(f => Files.delete(Paths.get(root, f)))
+    victims ++ orphans
   }
 
   // ---- metadata data skipping ----------------------------------------------
@@ -873,7 +950,7 @@ object TxnTable {
     * files that truly CONTAIN a match — only those are rewritten, with
     * their surviving rows (`pred` false or null) copied forward. Untouched
     * files stay in place; pre-delete versions stay time-travelable. */
-  def delete(spark: SparkSession, root: String, pred: Column): Long = {
+  def delete(spark: SparkSession, root: String, pred: Column): Long = casRetry("delete") {
     requireUnpartitioned(root, "delete")
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")

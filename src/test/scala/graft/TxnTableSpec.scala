@@ -248,6 +248,49 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.readWhere(spark, root, ySlice).count() == 128L * 32)
   }
 
+  test("concurrent appends all land on dense versions; no rows lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tbl()
+    val versions = Await.result(Future.sequence((0 until 6).map { w =>
+      Future(TxnTable.append(df(w * 100 + 1 to w * 100 + 10).coalesce(1), root))
+    }), 120.seconds)
+    assert(versions.sorted == (0L to 5L),
+      s"six writers must claim six DENSE versions, got $versions")
+    val snap = ids(TxnTable.read(spark, root))
+    assert(snap.size == 60 &&
+      snap == (0 until 6).flatMap(w => w * 100 + 1 to w * 100 + 10)
+        .map(_.toLong).sorted,
+      "every writer's rows present exactly once")
+    // each intermediate version is a consistent prefix of some commit order
+    assert((0L to 5L).map(v =>
+      TxnTable.readVersion(spark, root, v).count()) == (1 to 6).map(_ * 10L))
+  }
+
+  test("concurrent appendOnce with one token commits exactly once; vacuum sweeps orphans") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tbl()
+    TxnTable.append(df(1 to 5).coalesce(1), root)
+    val vs = Await.result(Future.sequence((0 until 4).map { _ =>
+      Future(TxnTable.appendOnce(df(6 to 8).coalesce(1), root, "batch-7"))
+    }), 120.seconds)
+    assert(vs.toSet.size == 1, s"one token must mean one commit, got $vs")
+    assert(ids(TxnTable.read(spark, root)) == (1L to 8L))
+    // losers' written-but-never-committed files are orphans: invisible to
+    // readers, absent from the log, reclaimed by vacuum — snapshot intact
+    val swept = TxnTable.vacuum(root, retainAfter = -1L)
+    assert(swept.nonEmpty, "the losing attempts' files must be swept")
+    import spark.implicits._
+    val logged = TxnTable.history(spark, root)
+      .where("action = 'add'").select("file").as[String].collect().toSet
+    assert(swept.forall(f => !logged.contains(f)),
+      "vacuum must only sweep files no log entry ever referenced")
+    assert(ids(TxnTable.read(spark, root)) == (1L to 8L))
+  }
+
   test("commits are atomic renames: a version cannot be committed twice") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)
