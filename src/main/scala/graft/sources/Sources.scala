@@ -726,6 +726,45 @@ object Sources {
       |WHERE event_type = 'purchase' AND cents BETWEEN 2000 AND 30000
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated SCHEMA EVOLUTION: the table starts as (event_id, cents),
+  // then an evolving append widens it with event_type — pre-evolution rows
+  // must read back NULL for the new column through the unified-schema scan,
+  // and both generations' money must survive intact. The oracle rebuilds
+  // the generation split from the same md5 buckets.
+  // ---------------------------------------------------------------------------
+  def txnEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve")
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          $"event_type", bucket.as("b"))
+      TxnTable.append(ev.filter($"b" <= 2)
+        .select($"event_id", $"cents"), tmp.toString)                 // v0 narrow
+      TxnTable.appendEvolve(ev.filter($"b" === 3 || $"b" === 4)
+        .select($"event_id", $"cents", $"event_type"), tmp.toString)  // v1 wide
+      val agg = TxnTable.read(s, tmp.toString)
+        .groupBy(coalesce($"event_type", lit("<pre-evolution>")).as("etype"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum($"cents").cast("long").as("sum_cents"))
+      graft.Materialize.eager(agg)
+    } finally reclaim(tmp)
+  }
+  val txnEvolveSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents, event_type,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events)
+      |SELECT CASE WHEN b <= 2 THEN '<pre-evolution>' ELSE event_type END AS etype,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM ev WHERE b <= 4 GROUP BY 1
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -739,6 +778,7 @@ object Sources {
     "q_txn_skip" -> txnSkip _,
     "q_txn_cdf" -> txnCdf _,
     "q_txn_partition" -> txnPartition _,
+    "q_txn_evolve" -> txnEvolve _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -753,5 +793,6 @@ object Sources {
     "q_txn_skip" -> txnSkipSql,
     "q_txn_cdf" -> txnCdfSql,
     "q_txn_partition" -> txnPartitionSql,
+    "q_txn_evolve" -> txnEvolveSql,
   )
 }

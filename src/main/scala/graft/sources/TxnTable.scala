@@ -263,9 +263,17 @@ object TxnTable {
     Files.createDirectories(deltaDir(root))
     val now = System.currentTimeMillis()
     val pcJson = partCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    // a metaData action rides version 0 AND any later commit whose schema
+    // shape evolved — latest-wins fold on the read side, per the protocol
+    val emitMeta = version == 0L || schemaJson.exists { j =>
+      readMeta(root).exists { case (cur, _) =>
+        !sameShape(cur, DataType.fromJson(j).asInstanceOf[StructType]) }
+    }
     val head =
-      (if (version == 0L) Seq(
-        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      (if (version == 0L)
+        Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      else Seq.empty) ++
+      (if (emitMeta) Seq(
         s"""{"metaData":{"id":"${tableId(root)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson.getOrElse(sys.error("first commit must carry a schema")))}","partitionColumns":$pcJson,"configuration":{},"createdTime":$now}}""")
       else Seq.empty) ++
       txn.map { case (app, v) => s"""{"txn":{"appId":"${esc(app)}","version":$v}}""" }.toSeq ++
@@ -416,14 +424,45 @@ object TxnTable {
   /** Append `df` as a new commit; returns the committed version. Safe
     * under CONCURRENT writers: the data files are written once (appends
     * are snapshot-independent), then the version claim retries the CAS
-    * until it lands on a fresh latest+1. */
-  def append(df: DataFrame, root: String): Long = {
+    * until it lands on a fresh latest+1. The batch schema must match the
+    * table's (names + types; order and nullability free) — for widening
+    * batches use [[appendEvolve]]. */
+  def append(df: DataFrame, root: String): Long =
+    appendImpl(df, root, evolve = false)
+
+  /** Append with SCHEMA EVOLUTION (the mergeSchema shape): new columns
+    * extend the table schema (a metaData action records the evolved shape
+    * at this commit — latest-wins on read, old versions keep theirs under
+    * time travel), columns the batch omits read back as null from the
+    * unified-schema scan, and type changes are refused. */
+  def appendEvolve(df: DataFrame, root: String): Long =
+    appendImpl(df, root, evolve = true)
+
+  private def appendImpl(df: DataFrame, root: String, evolve: Boolean): Long = {
     requireUnpartitioned(root, "plain append")
+    val unified: StructType = readMeta(root) match {
+      case None => df.schema
+      case Some((cur, _)) if sameShape(cur, df.schema) => cur
+      case Some((cur, _)) =>
+        require(evolve,
+          s"batch schema ${df.schema.simpleString} does not match table " +
+            s"schema ${cur.simpleString}; use appendEvolve to widen")
+        val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+        df.schema.fields.foreach { f =>
+          curTypes.get(f.name).foreach { dt =>
+            require(dt == f.dataType,
+              s"column ${f.name}: type change $dt -> ${f.dataType} is not supported")
+          }
+        }
+        StructType(cur.fields ++
+          df.schema.fields.filterNot(f => curTypes.contains(f.name))
+            .map(_.copy(nullable = true)))
+    }
     val adds = writeDataFiles(df, root, latestVersion(root) + 1)
     casRetry("append") {
       val v = latestVersion(root) + 1
       commit(root, v, "append", adds, Seq.empty,
-        schemaJson = Some(df.schema.json))
+        schemaJson = Some(unified.json))
       v
     }
   }
@@ -551,10 +590,15 @@ object TxnTable {
     requireUnpartitioned(root, "merge")
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    // a delta narrower than an evolved table would silently drop the new
+    // columns from the carried rows — refuse shape drift here
+    readMeta(root).foreach { case (cur, _) =>
+      require(sameShape(cur, delta.schema),
+        s"merge delta schema ${delta.schema.simpleString} must match the " +
+          s"table schema ${cur.simpleString}") }
     val live = liveFiles(root, v - 1)
     val cols = delta.columns.toSeq
-    val cur = spark.read.parquet(live.map { case (f, _) =>
-      Paths.get(root, f).toString }: _*)
+    val cur = readFiles(spark, root, live.map(_._1), v - 1)
       .select(col("_metadata.file_path").as("_file"), struct(cols.map(col): _*).as("_r"))
     val dKeys = delta.select(keys.map(col): _*).distinct()
     val onKeys = keys.map(k => col(s"_r.$k") === dKeys(k)).reduce(_ && _)
@@ -627,23 +671,36 @@ object TxnTable {
     acts.collect { case Action(_, _, "add", a) if !removed.contains(a.file) => a }
   }
 
-  /** Table metadata straight from the `_delta_log` mirror's version-0
-    * metaData action — the mirror doubles as the metadata store, exactly
-    * as in the open protocol. None for pre-mirror tables. */
-  private def readMeta(root: String): Option[(StructType, Seq[String])] = {
-    val p = deltaDir(root).resolve(f"${0L}%020d.json")
-    if (!Files.exists(p)) None
-    else Files.readAllLines(p).asScala
-      .find(_.startsWith("""{"metaData":""")).map { line =>
-        val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]("metaData")
-          .asInstanceOf[Map[String, Any]]
-        val schema = DataType.fromJson(m("schemaString").asInstanceOf[String])
-          .asInstanceOf[StructType]
-        val pcs = m.getOrElse("partitionColumns", Seq.empty)
-          .asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
-        (schema, pcs)
-      }
+  /** Table metadata from the `_delta_log` mirror's metaData actions — the
+    * mirror doubles as the metadata store, exactly as in the open
+    * protocol. LATEST-WINS fold over versions ≤ `asOf` (schema evolution
+    * re-emits metaData at the evolving commit; older versions keep their
+    * own schema under time travel). None for pre-mirror tables. */
+  private def readMeta(root: String, asOf: Long = -1L): Option[(StructType, Seq[String])] = {
+    val d = deltaDir(root)
+    if (!Files.isDirectory(d)) return None
+    val vs = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .filter(v => asOf < 0 || v <= asOf).toSeq.sorted
+    vs.reverseIterator.flatMap { v =>
+      Files.readAllLines(d.resolve(f"$v%020d.json")).asScala
+        .find(_.startsWith("""{"metaData":""")).map { line =>
+          val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]("metaData")
+            .asInstanceOf[Map[String, Any]]
+          val schema = DataType.fromJson(m("schemaString").asInstanceOf[String])
+            .asInstanceOf[StructType]
+          val pcs = m.getOrElse("partitionColumns", Seq.empty)
+            .asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
+          (schema, pcs)
+        }
+    }.nextOption()
   }
+
+  /** Same column names and types, order- and nullability-insensitive. */
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
 
   private def requireUnpartitioned(root: String, what: String): Unit =
     readMeta(root).foreach { case (_, pcs) =>
@@ -670,7 +727,7 @@ object TxnTable {
     // every commit adds at least one part file (Spark writes schema-bearing
     // empty parts), so a resolvable version always has files
     require(files.nonEmpty, s"no live files at version $asOf")
-    readFiles(spark, root, files.map(_._1))
+    readFiles(spark, root, files.map(_._1), asOf)
   }
 
   /** Read a set of live files, partition-aware: on a partitioned table the
@@ -679,8 +736,8 @@ object TxnTable {
     * the path-encoded columns under the metaData schema's types; groups
     * union by name. Unpartitioned tables take the single flat scan. */
   private def readFiles(spark: SparkSession, root: String,
-                        files: Seq[String]): DataFrame =
-    readMeta(root) match {
+                        files: Seq[String], asOf: Long = -1L): DataFrame =
+    readMeta(root, asOf) match {
       case Some((schema, pcs)) if pcs.nonEmpty =>
         files.groupBy(_.split('/')(1)).toSeq.sortBy(_._1)
           .map { case (vDir, fs) =>
@@ -689,7 +746,13 @@ object TxnTable {
               .parquet(fs.map(f => Paths.get(root, f).toString): _*)
               .select(schema.fieldNames.map(col).toSeq: _*)
           }.reduce(_ unionByName _)
-      case _ =>
+      case Some((schema, _)) =>
+        // unified-schema scan: files an evolution predates simply lack the
+        // new columns and read back null for them
+        spark.read
+          .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+          .parquet(files.map(f => Paths.get(root, f).toString): _*)
+      case None =>
         spark.read.parquet(files.map(f => Paths.get(root, f).toString): _*)
     }
 
@@ -703,8 +766,7 @@ object TxnTable {
     val v = latestVersion(root) + 1
     val small = liveFiles(root, v - 1).filter(_._2 < smallBytes)
     require(small.nonEmpty, "nothing to optimize")
-    val df = spark.read.parquet(
-      small.map { case (f, _) => Paths.get(root, f).toString }: _*)
+    val df = readFiles(spark, root, small.map(_._1), v - 1)
     val adds = writeDataFiles(df.repartition(targetPartitions), root, v)
     commit(root, v, "optimize", adds, small.map(_._1), dataChange = false)
     v
@@ -728,7 +790,7 @@ object TxnTable {
     val mask = (1L << bits) - 1
     val z = expr(graft.operators.ZOrder.zExprSpark(
       s"(CAST($xCol AS BIGINT) & $mask)", s"(CAST($yCol AS BIGINT) & $mask)", bits))
-    val df = readFiles(spark, root, live.map(_._1))
+    val df = readFiles(spark, root, live.map(_._1), v - 1)
     val clustered = df.repartitionByRange(targetPartitions, z)
       .sortWithinPartitions(z)
     val adds = writeDataFiles(clustered, root, v)
@@ -933,7 +995,7 @@ object TxnTable {
     val missing = kept.filterNot(a => Files.exists(Paths.get(root, a.file)))
     require(missing.isEmpty, s"readWhere references vacuumed files: " +
       missing.map(_.file).mkString(", "))
-    readFiles(spark, root, kept.map(_.file)).filter(pred)
+    readFiles(spark, root, kept.map(_.file), asOf).filter(pred)
   }
 
   /** (filesRead, filesSkipped) the pruner would choose for `pred` — the
@@ -959,8 +1021,7 @@ object TxnTable {
     val touchedRel =
       if (candidates.isEmpty) Seq.empty[String]
       else {
-        val cur = spark.read
-          .parquet(candidates.map(a => Paths.get(root, a.file).toString): _*)
+        val cur = readFiles(spark, root, candidates.map(_.file), v - 1)
           .withColumn("__file", col("_metadata.file_path"))
         val touchedUris = cur.filter(pred).select("__file").distinct()
           .collect().map(_.getString(0)).toSeq.sorted

@@ -248,6 +248,38 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.readWhere(spark, root, ySlice).count() == 128L * 32)
   }
 
+  test("schema evolution: new columns widen the table; old versions keep their shape") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 3).coalesce(1), root)                     // v0: (id, payload)
+    // a mismatched batch is refused without the evolve opt-in
+    val wide = Seq((4L, "v4", "en"), (5L, "v5", "fr"))
+      .toDF("id", "payload", "lang")
+    intercept[IllegalArgumentException](TxnTable.append(wide, root))
+    TxnTable.appendEvolve(wide.coalesce(1), root)                     // v1 evolves
+    val snap = TxnTable.read(spark, root)
+    assert(snap.columns.toSeq == Seq("id", "payload", "lang"))
+    assert(snap.where("lang IS NULL").count() == 3, "pre-evolution rows read null")
+    assert(snap.where("lang = 'fr'").count() == 1)
+    // a batch OMITTING a column reads back null for it (no evolve needed
+    // in the narrow direction either — the unified scan fills it)
+    TxnTable.appendEvolve(df(6 to 6).coalesce(1), root)               // v2, narrow batch
+    assert(TxnTable.read(spark, root).where("id = 6 and lang IS NULL").count() == 1)
+    // time travel keeps each version's own schema
+    assert(TxnTable.readVersion(spark, root, 0).columns.toSeq == Seq("id", "payload"))
+    assert(TxnTable.readVersion(spark, root, 1).columns.toSeq ==
+      Seq("id", "payload", "lang"))
+    // type changes are refused loudly
+    intercept[IllegalArgumentException](TxnTable.appendEvolve(
+      Seq(("x", "p")).toDF("id", "payload"), root))
+    // a narrower merge delta is refused (it would drop the new column)
+    intercept[IllegalArgumentException](TxnTable.merge(
+      spark, df(1 to 1), root, Seq("id")))
+    // stats-based skipping still prunes on the evolved column
+    import org.apache.spark.sql.functions.col
+    assert(TxnTable.skippingReport(root, col("lang") === "zz")._2 >= 1)
+  }
+
   test("concurrent appends all land on dense versions; no rows lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
