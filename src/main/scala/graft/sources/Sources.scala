@@ -765,6 +765,34 @@ object Sources {
       |FROM ev WHERE b <= 4 GROUP BY 1
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated BLOOM-INDEXED point lookup: events append with per-file
+  // Bloom filters over event_id, then an IN-list probe goes through
+  // readWhere — the blooms prove absence where min/max ranges cannot
+  // (high-cardinality unsorted keys). Pruning is invisible to the rows
+  // (the oracle is the plain WHERE IN); TxnTableSpec gates the pruning
+  // and the no-false-negative property.
+  // ---------------------------------------------------------------------------
+  def txnBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      TxnTable.appendBloom(ev.repartition(8), tmp.toString, Seq("event_id"))
+      val hit = TxnTable.readWhere(s, tmp.toString,
+        $"event_id".isin(7L, 123L, 999L, 4321L))
+      graft.Materialize.eager(hit.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum($"cents").cast("long").as("sum_cents")))
+    } finally reclaim(tmp)
+  }
+  val txnBloomSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE event_id IN (7, 123, 999, 4321)
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -779,6 +807,7 @@ object Sources {
     "q_txn_cdf" -> txnCdf _,
     "q_txn_partition" -> txnPartition _,
     "q_txn_evolve" -> txnEvolve _,
+    "q_txn_bloom" -> txnBloom _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -794,5 +823,6 @@ object Sources {
     "q_txn_cdf" -> txnCdfSql,
     "q_txn_partition" -> txnPartitionSql,
     "q_txn_evolve" -> txnEvolveSql,
+    "q_txn_bloom" -> txnBloomSql,
   )
 }

@@ -60,14 +60,16 @@ object TxnTable {
     * columns are left out of stats (their protocol encoding is a rendered
     * string; pruning on them can be added by widening `statsEligible`). */
   final case class AddFile(file: String, bytes: Long, stats: Option[String],
-                           partitionValues: Map[String, String] = Map.empty)
+                           partitionValues: Map[String, String] = Map.empty,
+                           bloom: Option[String] = None)
 
   /** Per-file stats decoded for pruning. Map values: BigDecimal | String |
     * Boolean | null (all-null column). A column absent from the maps means
     * "unknown" (ineligible type) — never prune on it. */
   final case class FileStats(numRecords: Long,
                              minV: Map[String, Any], maxV: Map[String, Any],
-                             nullC: Map[String, Long])
+                             nullC: Map[String, Long],
+                             blooms: Map[String, (Int, Array[Long])] = Map.empty)
 
   // ---- minimal JSON codec for the stats payload ---------------------------
   // The stats object is machine-written by THIS module (strings, exact
@@ -190,7 +192,9 @@ object TxnTable {
         val pField = if (a.partitionValues.isEmpty) ""
           else s""","part64":"${java.util.Base64.getEncoder
             .encodeToString(partJson(a).getBytes(UTF_8))}""""
-        s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(a.file)}","bytes":${a.bytes}$stField$pField}"""
+        val bField = a.bloom.map(j => s""","bloom64":"${java.util.Base64.getEncoder
+          .encodeToString(j.getBytes(UTF_8))}"""").getOrElse("")
+        s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(a.file)}","bytes":${a.bytes}$stField$pField$bField}"""
       } ++ removes.map { f =>
         s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0}"""
       }
@@ -639,7 +643,7 @@ object TxnTable {
           .map { case (k, v) => k -> v.asInstanceOf[String] })
         .getOrElse(Map.empty[String, String])
       Action(ver, str("op"), str("action"),
-        AddFile(str("file"), bytes, b64("stats64"), pvs))
+        AddFile(str("file"), bytes, b64("stats64"), pvs, b64("bloom64")))
     }
 
   /** Log actions up to and including `asOf` (whole log when < 0). */
@@ -923,9 +927,12 @@ object TxnTable {
   /** True when this conjunct alone proves the file holds no matching row. */
   private def skipConjunct(c0: Expression, st: FileStats): Boolean = {
     if (st.numRecords == 0L) return true
+    // range proof OR bloom proof — either suffices for = and IN
+    def eqOrBloomSkips(n: String, l: Literal): Boolean =
+      eqSkips(st, n, l) || bloomExcludes(st, n, l)
     normalize(c0) match {
-      case EqualTo(a, l: Literal) => attrName(a).exists(eqSkips(st, _, l))
-      case EqualTo(l: Literal, a) => attrName(a).exists(eqSkips(st, _, l))
+      case EqualTo(a, l: Literal) => attrName(a).exists(eqOrBloomSkips(_, l))
+      case EqualTo(l: Literal, a) => attrName(a).exists(eqOrBloomSkips(_, l))
       case GreaterThan(a, l: Literal) => // rows need max > lit
         attrName(a).exists(n => rangeSkip(st, n, l)((_, cx) => cx.exists(_ <= 0)))
       case GreaterThan(l: Literal, a) => // lit > attr ≡ attr < lit
@@ -944,7 +951,7 @@ object TxnTable {
         attrName(a).exists(n => rangeSkip(st, n, l)((_, cx) => cx.exists(_ < 0)))
       case In(a, ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
         attrName(a).exists(n =>
-          ls.forall(l => eqSkips(st, n, l.asInstanceOf[Literal])))
+          ls.forall(l => eqOrBloomSkips(n, l.asInstanceOf[Literal])))
       case IsNull(a) =>
         attrName(a).exists(n => st.nullC.get(n).contains(0L))
       case IsNotNull(a) =>
@@ -969,11 +976,26 @@ object TxnTable {
           nullC = s.nullC + (k -> 0L))
     }
 
+  private def decodeBloom(json: String): Map[String, (Int, Array[Long])] = {
+    val m = MiniJson.parse(json).asInstanceOf[Map[String, Any]]
+    val mBits = m("mBits").asInstanceOf[BigDecimal].toIntExact
+    m.getOrElse("cols", Map.empty).asInstanceOf[Map[String, Any]].map {
+      case (c, b64) =>
+        val bytes = java.util.Base64.getDecoder.decode(b64.asInstanceOf[String])
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val arr = Array.fill(bytes.length / 8)(bb.getLong)
+        c -> (mBits, arr)
+    }
+  }
+
   /** (kept, skipped) partition of `adds` under `pred`'s provable conjuncts. */
   private def pruneAdds(adds: Seq[AddFile], pred: Column): (Seq[AddFile], Seq[AddFile]) = {
     val cs = conjuncts(org.apache.spark.sql.GraftColumnExpr.expr(pred))
     adds.partition { a =>
-      a.stats.map(j => withPartitionStats(decodeStats(j), a.partitionValues)) match {
+      a.stats.map { j =>
+        withPartitionStats(decodeStats(j), a.partitionValues)
+          .copy(blooms = a.bloom.map(decodeBloom).getOrElse(Map.empty))
+      } match {
         case None => true
         case Some(st) => !cs.exists(skipConjunct(_, st))
       }
@@ -1003,6 +1025,109 @@ object TxnTable {
   def skippingReport(root: String, pred: Column, asOf: Long = -1L): (Int, Int) = {
     val (kept, skipped) = pruneAdds(liveAdds(root, asOf), pred)
     (kept.size, skipped.size)
+  }
+
+  // ---- per-file Bloom indexes ----------------------------------------------
+  // Point lookups on high-cardinality UNSORTED keys are the pruning class
+  // min/max cannot serve: every file's range spans everything, yet each
+  // file holds almost none of the keys. A small per-file Bloom filter
+  // (k=4 bit positions carved from one xxhash64) answers "can this file
+  // contain v?" with no false negatives, so = and IN conjuncts skip the
+  // files that provably lack the key — the open formats' bloom index,
+  // folded into the same conjunct machinery.
+
+  private val BloomK = 4
+
+  /** The k bit positions for a 64-bit hash in an m-bit filter — 16-bit
+    * slices of the hash, identical arithmetic on the build (SQL) and probe
+    * (driver) sides. */
+  private def bloomBits(h: Long, mBits: Int): Seq[Int] =
+    (0 until BloomK).map { i =>
+      val p = (h >>> (i * 16)) % mBits
+      (if (p < 0) p + mBits else p).toInt
+    }
+
+  /** Driver-side xxhash64 matching Spark's `xxhash64(col)` (seed 42);
+    * BloomSpec pins the equivalence against the SQL function. */
+  private def sparkHash(l: Literal): Option[Long] = l.value match {
+    case j: java.lang.Long => Some(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(j.longValue, 42L))
+    case i: java.lang.Integer => Some(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i.intValue, 42L))
+    case u: UTF8String => Some(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+    case _ => None
+  }
+
+  /** True when the file's Bloom for `name` PROVES `l` is absent. */
+  private def bloomExcludes(st: FileStats, name: String, l: Literal): Boolean =
+    st.blooms.get(name).exists { case (m, words) =>
+      sparkHash(l).exists { h =>
+        bloomBits(h, m).exists(p => (words(p >>> 6) & (1L << (p & 63))) == 0L)
+      }
+    }
+
+  /** Append with per-file Bloom indexes over `bloomCols` (LongType,
+    * IntegerType or StringType key columns). The build is ONE distributed
+    * pass over the just-written files — per row, k (word, bit) pairs;
+    * per (file, word), a `bit_or` — so O(files × mBits/64) words reach
+    * the driver, never rows. The filters ride the custom log's add
+    * actions only (the `_delta_log` mirror stays protocol-clean; Delta
+    * keeps bloom indexes outside stats too). */
+  def appendBloom(df: DataFrame, root: String,
+                  bloomCols: Seq[String], mBits: Int = 8192): Long = {
+    requireUnpartitioned(root, "appendBloom")
+    require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
+    bloomCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == LongType || dt == IntegerType || dt == StringType,
+        s"bloom column $c: $dt is not a supported key type (long/int/string)")
+    }
+    val base = writeDataFiles(df, root, latestVersion(root) + 1)
+    val spark = df.sparkSession
+    val subDir = base.head.file.substring(0, base.head.file.lastIndexOf('/'))
+    val written = spark.read.schema(df.schema)
+      .parquet(Paths.get(root, subDir).toString)
+    val words = mBits / 64
+    val perFile: Map[String, Map[String, Array[Long]]] = bloomCols.map { c =>
+      val entries = written
+        .select(col("_metadata.file_path").as("__f"), xxhash64(col(c)).as("__h"))
+        .select(col("__f"), explode(expr(
+          s"""transform(sequence(0, ${BloomK - 1}), i ->
+             |pmod(shiftrightunsigned(__h, i * 16), $mBits))""".stripMargin)).as("__p"))
+        .groupBy(col("__f"), (col("__p") / 64).cast("int").as("__w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(__p % 64 AS INT)))").as("__mask"))
+        .collect()
+      val byFile = entries.groupBy(_.getString(0)).map { case (uri, rows) =>
+        val arr = new Array[Long](words)
+        rows.foreach(r => arr(r.getInt(1)) |= r.getLong(2))
+        uri.substring(uri.lastIndexOf('/') + 1) -> arr
+      }
+      c -> byFile
+    }.foldLeft(Map.empty[String, Map[String, Array[Long]]]) { case (acc, (c, byFile)) =>
+      byFile.foldLeft(acc) { case (a, (f, arr)) =>
+        a + (f -> (a.getOrElse(f, Map.empty) + (c -> arr)))
+      }
+    }
+    def b64(arr: Array[Long]): String = {
+      val bb = java.nio.ByteBuffer.allocate(arr.length * 8)
+      arr.foreach(bb.putLong)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    val adds = base.map { a =>
+      val name = a.file.substring(a.file.lastIndexOf('/') + 1)
+      val bl = perFile.getOrElse(name, Map.empty)
+      if (bl.isEmpty) a
+      else a.copy(bloom = Some(
+        s"""{"mBits":$mBits,"cols":{${bl.toSeq.sortBy(_._1).map { case (c, arr) =>
+          s""""${MiniJson.escape(c)}":"${b64(arr)}"""" }.mkString(",")}}}"""))
+    }
+    casRetry("appendBloom") {
+      val v = latestVersion(root) + 1
+      commit(root, v, "append", adds, Seq.empty, schemaJson = Some(df.schema.json))
+      v
+    }
   }
 
   /** DELETE WHERE (copy-on-write): remove every row matching `pred` in ONE

@@ -248,6 +248,40 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.readWhere(spark, root, ySlice).count() == 128L * 32)
   }
 
+  test("bloom indexes prune point lookups that min/max ranges cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    // residue-interleaved keys: every file's [min,max] spans the whole
+    // domain, so RANGE skipping is provably useless here
+    val d = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "payload")
+    TxnTable.appendBloom(d.repartition(4, $"id" % 4), root,
+      bloomCols = Seq("id", "payload"), mBits = 8192)
+    assert(TxnTable.skippingReport(root, col("id") >= 0L)._2 == 0)
+    for (k <- Seq(17L, 98L, 255L, 396L)) {
+      val (kept, skipped) = TxnTable.skippingReport(root, col("id") === k)
+      assert(kept >= 1 && skipped >= 2,
+        s"bloom must prune most files for id=$k, got kept=$kept skipped=$skipped")
+      // and never a false negative: the row is always found (this also
+      // pins the driver-side xxhash64 to Spark's SQL function — a
+      // mismatch would mis-skip every lookup)
+      assert(TxnTable.readWhere(spark, root, col("id") === k).count() == 1)
+    }
+    // string keys prune too
+    val (ks, ss) = TxnTable.skippingReport(root, col("payload") === "v98")
+    assert(ss >= 2 && TxnTable.readWhere(spark, root,
+      col("payload") === "v98").count() == 1, s"kept=$ks skipped=$ss")
+    // IN-lists skip a file only when EVERY element misses its bloom
+    val (k2, s2) = TxnTable.skippingReport(root, col("id").isin(17L, 98L))
+    assert(s2 >= 1 &&
+      TxnTable.readWhere(spark, root, col("id").isin(17L, 98L)).count() == 2,
+      s"kept=$k2 skipped=$s2")
+    // unsupported key types are refused loudly
+    intercept[IllegalArgumentException](TxnTable.appendBloom(
+      (1 to 3).map(i => (i.toLong, i.toDouble)).toDF("id", "x"),
+      tbl(), Seq("x")))
+  }
+
   test("schema evolution: new columns widen the table; old versions keep their shape") {
     import spark.implicits._
     val root = tbl()
