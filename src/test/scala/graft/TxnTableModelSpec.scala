@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TxnTable
+
+/** MODEL-BASED check of the whole table format: a seeded random sequence
+  * of append / overwrite / merge / delete / optimize / zorder ops runs
+  * against both the real TxnTable and a trivial in-memory keyed model;
+  * after every op the snapshot must equal the model, after the whole run
+  * every historical version must time-travel to its model state, random
+  * range reads must agree with the model filter through the pruning read
+  * path, and a final vacuum must not change the latest snapshot. Layout
+  * ops (optimize, zorder) must be invisible throughout. This is the
+  * cross-feature interaction net the per-feature specs cannot cast. */
+class TxnTableModelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def toDf(rows: Map[Long, Long]) = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "v")
+  }
+
+  private def snap(root: String, asOf: Long = -1L): Map[Long, Long] =
+    TxnTable.readVersion(spark, root, asOf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("25 random ops match an in-memory model at every version") {
+    val root = Files.createTempDirectory("txn_model").toString
+    val rnd = new scala.util.Random(42)
+    var nextId = 0L
+    def freshRows(n: Int): Map[Long, Long] =
+      (0 until n).map { _ => nextId += 1; nextId -> rnd.nextLong(1000000) }.toMap
+
+    // model(i) = table contents as of version i
+    val model = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    def cur: Map[Long, Long] = model.lastOption.getOrElse(Map.empty)
+
+    val seed = freshRows(50)
+    TxnTable.append(toDf(seed).coalesce(2), root)
+    model += seed
+
+    val ops = scala.collection.mutable.ArrayBuffer("append(seed)")
+    for (step <- 1 to 24) {
+      rnd.nextInt(6) match {
+        case 0 => // append fresh rows
+          val rows = freshRows(20 + rnd.nextInt(30))
+          TxnTable.append(toDf(rows).coalesce(1 + rnd.nextInt(2)), root)
+          model += cur ++ rows; ops += s"append(${rows.size})"
+        case 1 => // overwrite with a fresh set
+          val rows = freshRows(30 + rnd.nextInt(20))
+          TxnTable.overwrite(toDf(rows), root)
+          model += rows; ops += s"overwrite(${rows.size})"
+        case 2 => // keyed merge: update a sample of existing + insert fresh
+          val updates = rnd.shuffle(cur.keys.toSeq).take(cur.size / 3)
+            .map(k => k -> rnd.nextLong(1000000)).toMap
+          val inserts = freshRows(10)
+          TxnTable.merge(spark, toDf(updates ++ inserts), root, Seq("id"))
+          model += cur ++ updates ++ inserts
+          ops += s"merge(u=${updates.size},i=${inserts.size})"
+        case 3 => // range delete
+          val ks = cur.keys.toSeq.sorted
+          val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(40)
+          TxnTable.delete(spark, root, col("id") >= lo && col("id") <= hi)
+          model += cur.filterNot { case (k, _) => k >= lo && k <= hi }
+          ops += s"delete[$lo,$hi]"
+        case 4 =>
+          TxnTable.optimize(spark, root, targetPartitions = 1 + rnd.nextInt(2))
+          model += cur; ops += "optimize"
+        case 5 =>
+          TxnTable.optimizeZorder(spark, root, "id", "v",
+            targetPartitions = 1 + rnd.nextInt(3))
+          model += cur; ops += "zorder"
+      }
+      assert(snap(root) == cur, s"snapshot diverged after step $step: ${ops.last}")
+      // a pruning read must agree with the model filter
+      val ks = cur.keys.toSeq.sorted
+      if (ks.nonEmpty) {
+        val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(60)
+        val got = TxnTable.readWhere(spark, root, col("id") >= lo && col("id") <= hi)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == cur.filter { case (k, _) => k >= lo && k <= hi },
+          s"readWhere diverged after step $step on [$lo,$hi]")
+      }
+    }
+    // every version in history time-travels to its model state
+    for (v <- model.indices)
+      assert(snap(root, v.toLong) == model(v),
+        s"version $v diverged (op ${ops(v)})")
+    // vacuum to the latest only: snapshot unchanged, old travel fails loudly
+    val latest = TxnTable.latestVersion(root)
+    TxnTable.vacuum(root, retainAfter = latest - 1)
+    assert(snap(root) == cur, "vacuum must not change the latest snapshot")
+  }
+}
