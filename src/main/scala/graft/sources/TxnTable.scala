@@ -1194,6 +1194,30 @@ object TxnTable {
     events.select(cols.map(c => col(s"e.r.$c")) :+ col("e.t").as("_change_type"): _*)
   }
 
+  /** Live-file inventory as of a version — the `.files` metadata-table
+    * analogue: one row per live file with size, row count, partition
+    * values, and the raw stats payload. Pure log fold, no data I/O. */
+  def files(spark: SparkSession, root: String, asOf: Long = -1L): DataFrame = {
+    import spark.implicits._
+    liveAdds(root, asOf).map { a =>
+      val n = a.stats.map(decodeStats(_).numRecords)
+      (a.file, a.bytes, n.getOrElse(-1L),
+        a.partitionValues, a.stats.orNull, a.bloom.isDefined)
+    }.toDF("file", "bytes", "num_records", "partition_values", "stats", "has_bloom")
+  }
+
+  /** One-row table summary — the DESCRIBE DETAIL analogue. */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val adds = liveAdds(root, -1L)
+    val (schema, pcs) = readMeta(root).getOrElse((StructType(Nil), Seq.empty))
+    Seq((latestVersion(root), adds.size.toLong, adds.map(_.bytes).sum,
+      adds.flatMap(a => a.stats.map(decodeStats(_).numRecords)).sum,
+      pcs.mkString(","), schema.simpleString))
+      .toDF("version", "num_files", "size_bytes", "num_records",
+        "partition_columns", "schema")
+  }
+
   /** Commit audit: one row per action, the DESCRIBE HISTORY analogue. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._

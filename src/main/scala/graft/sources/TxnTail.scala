@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,7 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * batch reads.
   *
   * Options: `path` (table root, required), `startingVersion` (default 0),
-  * `ignoreChanges` (default false).
+  * `ignoreChanges` (default false), `maxVersionsPerBatch` (default
+  * unlimited) — the admission-control knob: a tail starting against a
+  * long history must arrive as bounded micro-batches, not one giant
+  * backfill batch (the maxFilesPerTrigger analogue).
   */
 class TxnTailProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "txn-tail"
@@ -55,14 +58,16 @@ class TxnTailProvider extends TableProvider with DataSourceRegister {
 
 object TxnTail {
   final case class Conf(root: String, startingVersion: Long,
-                        ignoreChanges: Boolean)
+                        ignoreChanges: Boolean,
+                        maxVersionsPerBatch: Option[Long])
 
   def conf(properties: JMap[String, String]): Conf = {
     def opt(k: String): Option[String] = Option(properties.get(k))
     Conf(
       opt("path").getOrElse(sys.error("txn-tail: option 'path' (table root) is required")),
       opt("startingVersion").map(_.toLong).getOrElse(0L),
-      opt("ignoreChanges").exists(_.toBoolean))
+      opt("ignoreChanges").exists(_.toBoolean),
+      opt("maxVersionsPerBatch").map(_.toLong))
   }
 
   /** Table schema (from the mirror's metaData action) + `_commit_version`. */
@@ -107,15 +112,30 @@ final case class TxnTailOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-final class TxnTailStream(c: TxnTail.Conf) extends MicroBatchStream {
+final class TxnTailStream(c: TxnTail.Conf)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private lazy val dataSchemaJson: String = {
     val full = TxnTail.outputSchema(c)
     StructType(full.fields.dropRight(1)).json
   }
 
+  private def available: Long =
+    math.max(TxnTable.latestVersion(c.root), c.startingVersion - 1)
+
   override def initialOffset(): Offset = TxnTailOffset(c.startingVersion - 1)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = TxnTailOffset(available)
+  // admission control: cap how many versions one micro-batch admits, so a
+  // tail joining a long history backfills in bounded steps
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[TxnTailOffset].version
+    val hi = c.maxVersionsPerBatch
+      .map(m => math.min(available, lo + m)).getOrElse(available)
+    TxnTailOffset(math.max(hi, lo))
+  }
   override def latestOffset(): Offset =
-    TxnTailOffset(math.max(TxnTable.latestVersion(c.root), c.startingVersion - 1))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
   override def deserializeOffset(json: String): Offset =
     TxnTailOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()

@@ -357,6 +357,21 @@ class TxnTableSpec extends AnyFunSuite {
     assert(ids(TxnTable.read(spark, root)) == (1L to 8L))
   }
 
+  test("files() and detail() expose the metadata tables without data I/O") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 30).coalesce(2), root)
+    TxnTable.append(df(31 to 40).coalesce(1), root)
+    val f = TxnTable.files(spark, root)
+    assert(f.count() == 3)
+    assert(f.agg(org.apache.spark.sql.functions.sum($"num_records"))
+      .as[Long].head == 40L, "stats-backed row counts")
+    assert(TxnTable.files(spark, root, asOf = 0L).count() == 2)
+    val d = TxnTable.detail(spark, root).collect().head
+    assert(d.getLong(0) == 1L && d.getLong(1) == 3L && d.getLong(3) == 40L)
+    assert(d.getString(5).contains("id"))
+  }
+
   test("commits are atomic renames: a version cannot be committed twice") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)

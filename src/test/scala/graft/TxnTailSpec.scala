@@ -88,6 +88,24 @@ class TxnTailSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerBatch bounds the backfill: a long history arrives in steps") {
+    val root = tbl()
+    for (k <- 0 until 6) TxnTable.append(df(k * 10 + 1 to k * 10 + 10).coalesce(1), root)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("txn-tail").option("path", root)
+      .option("maxVersionsPerBatch", "2").load()
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += b.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size >= 3, s"6 versions at <=2 per batch need >=3 batches: $batches")
+    assert(nonEmpty.forall(_.size <= 2), s"a batch exceeded the cap: $batches")
+    assert(nonEmpty.flatten.toSet == (0L to 5L).toSet, "backfill must cover every version")
+  }
+
   test("startingVersion skips history; unsupported shapes are refused") {
     import org.apache.spark.sql.functions._
     val root = tbl()
