@@ -761,18 +761,27 @@ object TxnTable {
     }
 
   /** OPTIMIZE: rewrite every live file smaller than `smallBytes` into
-    * `targetPartitions` compacted files; one commit of remove+add. Contents
-    * are bit-identical (no ordering guarantee — parquet tables are
-    * unordered sets); history stays time-travelable until [[vacuum]]. */
+    * compacted files; one commit of remove+add. Contents are bit-identical
+    * (no ordering guarantee — parquet tables are unordered sets); history
+    * stays time-travelable until [[vacuum]]. On a PARTITIONED table the
+    * compaction respects the layout: the small files read back WITH their
+    * path-encoded columns, co-locate per partition value, and rewrite
+    * under fresh `col=value` directories in ONE partitionBy job — the
+    * small-file hygiene pass a streaming-fed hive layout needs, and the
+    * partition a file belongs to never changes. */
   def optimize(spark: SparkSession, root: String,
                smallBytes: Long = 8L << 20, targetPartitions: Int = 1): Long = casRetry("optimize") {
-    requireUnpartitioned(root, "optimize")
     val v = latestVersion(root) + 1
-    val small = liveFiles(root, v - 1).filter(_._2 < smallBytes)
+    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
+    val small = liveAdds(root, v - 1).filter(_.bytes < smallBytes)
     require(small.nonEmpty, "nothing to optimize")
-    val df = readFiles(spark, root, small.map(_._1), v - 1)
-    val adds = writeDataFiles(df.repartition(targetPartitions), root, v)
-    commit(root, v, "optimize", adds, small.map(_._1), dataChange = false)
+    val df = readFiles(spark, root, small.map(_.file), v - 1)
+    val adds =
+      if (pcs.isEmpty) writeDataFiles(df.repartition(targetPartitions), root, v)
+      else writePartitionedFiles(
+        df.repartition(targetPartitions, pcs.map(col): _*), root, v, pcs)
+    commit(root, v, "optimize", adds, small.map(_.file), dataChange = false,
+      partCols = pcs)
     v
   }
 

@@ -357,6 +357,28 @@ class TxnTableSpec extends AnyFunSuite {
     assert(ids(TxnTable.read(spark, root)) == (1L to 8L))
   }
 
+  test("OPTIMIZE on a partitioned table compacts within each partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    def part(ids: Range) = ids.map(i => (i.toLong, s"v$i", (i % 3).toString))
+      .toDF("id", "payload", "shard")
+    TxnTable.appendPartitioned(part(1 to 30), root, Seq("shard"))
+    TxnTable.appendPartitioned(part(31 to 60), root, Seq("shard"))
+    val before = TxnTable.files(spark, root).count()
+    assert(before >= 6, s"two appends x three shards should leave >=6 files, got $before")
+    TxnTable.optimize(spark, root, targetPartitions = 3)
+    val files = TxnTable.files(spark, root).collect()
+    assert(files.length == 3, s"one compacted file per shard, got ${files.length}")
+    assert(files.forall(_.getAs[Map[String, String]]("partition_values").contains("shard")),
+      "compacted files must stay under their shard directories")
+    val snap = TxnTable.read(spark, root)
+    assert(ids(snap) == (1L to 60L) && snap.where("shard = '1'").count() == 20)
+    // pruning and time travel survive the layout change
+    assert(TxnTable.skippingReport(root, col("shard") === "2")._2 >= 2)
+    assert(ids(TxnTable.readVersion(spark, root, 1)) == (1L to 60L))
+  }
+
   test("files() and detail() expose the metadata tables without data I/O") {
     import spark.implicits._
     val root = tbl()
