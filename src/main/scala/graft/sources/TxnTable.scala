@@ -670,9 +670,17 @@ object TxnTable {
     liveAdds(root, asOf).map(a => (a.file, a.bytes))
 
   private def liveAdds(root: String, asOf: Long): Seq[AddFile] = {
-    val acts = actions(root, asOf)
-    val removed = acts.collect { case Action(_, _, "remove", a) => a.file }.toSet
-    acts.collect { case Action(_, _, "add", a) if !removed.contains(a.file) => a }
+    // SEQUENTIAL reconciliation in version order (the protocol rule): a
+    // remove cancels the add before it, and a LATER re-add resurrects the
+    // file — which is exactly what a metadata-only [[restore]] commits.
+    // (An all-time remove set would wrongly kill resurrected files.)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    actions(root, asOf).foreach {
+      case Action(_, _, "add", a)    => live(a.file) = a
+      case Action(_, _, "remove", a) => live.remove(a.file)
+      case _                         => ()
+    }
+    live.values.toSeq
   }
 
   /** Table metadata from the `_delta_log` mirror's metaData actions — the
@@ -1201,6 +1209,32 @@ object TxnTable {
         struct(col("_o").as("r"), lit("update_preimage").as("t")),
         struct(col("_n").as("r"), lit("update_postimage").as("t"))))).as("e"))
     events.select(cols.map(c => col(s"e.r.$c")) :+ col("e.t").as("_change_type"): _*)
+  }
+
+  /** RESTORE the table to the contents of `toVersion` — a PURE METADATA
+    * commit: the restored version's files are re-added (with their
+    * original stats/partitionValues/blooms) and the current extras
+    * removed; not one byte of data is read or written, which is what
+    * makes rollback instant at any table size. History keeps advancing
+    * (the restore is itself a new version; the bad versions remain
+    * auditable and time-travelable until vacuum). Fails loudly if the
+    * target version's files were already vacuumed. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = casRetry("restore") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    require(toVersion >= 0 && toVersion < v,
+      s"cannot restore to version $toVersion (latest ${v - 1})")
+    val want = liveAdds(root, toVersion)
+    val missing = want.filterNot(a => Files.exists(Paths.get(root, a.file)))
+    require(missing.isEmpty,
+      s"restore target $toVersion references vacuumed files: " +
+        missing.map(_.file).mkString(", "))
+    val cur = liveAdds(root, v - 1).map(_.file).toSet
+    val wantFiles = want.map(_.file).toSet
+    commit(root, v, s"restore#$toVersion",
+      adds = want.filterNot(a => cur.contains(a.file)),
+      removes = (cur -- wantFiles).toSeq.sorted)
+    v
   }
 
   /** Live-file inventory as of a version — the `.files` metadata-table

@@ -62,16 +62,18 @@ class DeltaLogSpec extends AnyFunSuite {
   }
 
   /** Fold add/remove actions up to and including version `asOf`; returns
-    * live root-relative paths. Later removes cancel earlier adds — the
-    * protocol's reconciliation rule. */
+    * live root-relative paths. SEQUENTIAL reconciliation in version order
+    * — a remove cancels the add before it, a later re-add (RESTORE)
+    * resurrects — the protocol's rule. */
   private def foldLive(root: String, asOf: Long): Seq[String] = {
-    val acts = logFiles(root).filter(_._1 <= asOf).flatMap { case (_, p) =>
-      Files.readAllLines(p).asScala
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    logFiles(root).filter(_._1 <= asOf).foreach { case (_, p) =>
+      Files.readAllLines(p).asScala.foreach { l =>
+        if (l.contains("\"add\":")) field(l, "path").foreach(live.add)
+        else if (l.contains("\"remove\":")) field(l, "path").foreach(live.remove)
+      }
     }
-    val removed = acts.filter(_.contains("\"remove\":"))
-      .flatMap(l => field(l, "path")).toSet
-    acts.filter(_.contains("\"add\":"))
-      .flatMap(l => field(l, "path")).filterNot(removed.contains).toSeq
+    live.toSeq
   }
 
   private def readFold(root: String, asOf: Long) =

@@ -379,6 +379,33 @@ class TxnTableSpec extends AnyFunSuite {
     assert(ids(TxnTable.readVersion(spark, root, 1)) == (1L to 60L))
   }
 
+  test("RESTORE rolls back to an old version as pure metadata") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    TxnTable.append(df(1 to 10).coalesce(1), root)                    // v0
+    TxnTable.append(df(11 to 20).coalesce(1), root)                   // v1
+    TxnTable.delete(spark, root, col("id") >= 5L && col("id") <= 15L) // v2
+    val filesAtV1 = TxnTable.files(spark, root, asOf = 1L)
+      .select("file").as[String].collect().toSet
+    assert(TxnTable.restore(spark, root, 1L) == 3L)                   // v3
+    // contents are exactly v1's, through exactly v1's files — nothing new
+    assert(ids(TxnTable.read(spark, root)) == (1L to 20L))
+    val filesNow = TxnTable.files(spark, root)
+      .select("file").as[String].collect().toSet
+    assert(filesNow == filesAtV1, "restore must re-point, not rewrite")
+    // the rolled-back state stays auditable
+    assert(ids(TxnTable.readVersion(spark, root, 2)) ==
+      ((1L to 4L) ++ (16L to 20L)))
+    // a restored table keeps working: further ops, pruning, the lot
+    TxnTable.append(df(21 to 22).coalesce(1), root)                   // v4
+    assert(ids(TxnTable.read(spark, root)) == (1L to 22L))
+    assert(TxnTable.skippingReport(root, col("id") === 21L)._2 >= 2)
+    // vacuum keeping only recent versions must NOT sweep resurrected files
+    TxnTable.vacuum(root, retainAfter = 2L)
+    assert(ids(TxnTable.read(spark, root)) == (1L to 22L))
+  }
+
   test("files() and detail() expose the metadata tables without data I/O") {
     import spark.implicits._
     val root = tbl()
