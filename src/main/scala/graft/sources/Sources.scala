@@ -793,6 +793,54 @@ object Sources {
       |FROM events WHERE event_id IN (7, 123, 999, 4321)
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated RESTORE: build three versions (two bucket appends, then a
+  // cents-range delete), roll back to the pre-delete version as pure
+  // metadata, and report all four versions — the restored version must
+  // reproduce version 1's algebra exactly while the deleted state stays
+  // auditable at version 2. A restore that rewrote, lost, or resurrected
+  // the wrong rows breaks the hash.
+  // ---------------------------------------------------------------------------
+  def txnRestore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restore")
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          bucket.as("b"))
+      TxnTable.append(ev.filter($"b" <= 1).select($"event_id", $"cents"), tmp.toString) // v0
+      TxnTable.append(ev.filter($"b" === 2 || $"b" === 3)
+        .select($"event_id", $"cents"), tmp.toString)                                   // v1
+      TxnTable.delete(s, tmp.toString, $"cents" >= 3000L && $"cents" <= 20000L)         // v2
+      TxnTable.restore(s, tmp.toString, 1L)                                             // v3
+      val per = (0L to 3L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnRestoreSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev WHERE b <= 1
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM ev WHERE b <= 3
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM ev
+      |WHERE b <= 3 AND (cents < 3000 OR cents > 20000 OR cents IS NULL)
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM ev WHERE b <= 3
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -808,6 +856,7 @@ object Sources {
     "q_txn_partition" -> txnPartition _,
     "q_txn_evolve" -> txnEvolve _,
     "q_txn_bloom" -> txnBloom _,
+    "q_txn_restore" -> txnRestore _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -824,5 +873,6 @@ object Sources {
     "q_txn_partition" -> txnPartitionSql,
     "q_txn_evolve" -> txnEvolveSql,
     "q_txn_bloom" -> txnBloomSql,
+    "q_txn_restore" -> txnRestoreSql,
   )
 }
