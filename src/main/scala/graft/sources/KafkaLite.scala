@@ -147,14 +147,33 @@ final case class KafkaLitePartition(host: String, port: Int, topic: String,
   * cannot serve the planned range (data loss), never silently skips. */
 final class KafkaLiteReader(p: KafkaLitePartition)
     extends PartitionReader[InternalRow] {
-  private val client = new KafkaWire.Client(p.host, p.port)
+  private var client = new KafkaWire.Client(p.host, p.port)
   private var pos = p.start
   private var queue: Iterator[KafkaFraming.KRecord] = Iterator.empty
   private var current: KafkaFraming.KRecord = _
 
+  /** Fetch with RECONNECT on connection loss (broker restart, LB churn):
+    * a fetch at an offset is idempotent, so dropping the socket and
+    * re-issuing the same request is exactly what the stock consumer's
+    * network client does. Bounded — a persistently dead broker still
+    * fails the task loudly. */
+  private def fetchReconnecting(off: Long): KafkaWire.FetchResult = {
+    var attempt = 0
+    while (true) {
+      try return client.fetch(p.topic, p.partition, off, p.maxBytes)
+      catch { case e: java.io.IOException =>
+        attempt += 1
+        try client.close() catch { case _: Throwable => () }
+        if (attempt > 3) throw e
+        client = new KafkaWire.Client(p.host, p.port)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   override def next(): Boolean = {
     while (!queue.hasNext && pos < p.end) {
-      val res = client.fetch(p.topic, p.partition, pos, p.maxBytes)
+      val res = fetchReconnecting(pos)
       val recs = KafkaFraming.decode(res.recordSet)
         .filter(r => r.offset >= pos && r.offset < p.end)
       require(recs.nonEmpty,

@@ -841,6 +841,103 @@ object Sources {
       |SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM ev WHERE b <= 3
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated MERGE INTO a PARTITIONED table: events land hive-
+  // partitioned by event_type, then one keyed upsert (keys = event_id +
+  // event_type, so the partition columns ARE merge keys) updates bucket-3
+  // rows (cents doubled) and inserts bucket-4 rows. Because the partition
+  // tuple is part of the key, the candidate set prunes to the delta's
+  // partitions by metadata fold alone, the rewrite happens per touched
+  // partition, and untouched partitions' files stay byte-identical
+  // (TxnTableSpec gates both). The oracle replays v0/v1 per partition.
+  // ---------------------------------------------------------------------------
+  def txnMergePart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_part")
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          $"event_type", bucket.as("b"))
+      TxnTable.appendPartitioned(ev.filter($"b" <= 3)
+        .select($"event_id", $"cents", $"event_type"),
+        tmp.toString, Seq("event_type"))                                     // v0
+      val delta = ev.filter($"b" === 3 || $"b" === 4)
+        .select($"event_id",
+          when($"b" === 3, $"cents" * 2).otherwise($"cents").as("cents"),
+          $"event_type")
+      TxnTable.merge(s, delta, tmp.toString, Seq("event_id", "event_type"))  // v1
+      val per = (0L to 1L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "event_type", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnMergePartSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents, event_type,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events)
+      |SELECT CAST(0 AS BIGINT) AS version, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM ev WHERE b <= 3 GROUP BY event_type
+      |UNION ALL
+      |SELECT 1, event_type, count(*),
+      |       CAST(sum(CASE WHEN b = 3 THEN 2 * cents ELSE cents END) AS BIGINT)
+      |FROM ev WHERE b <= 4 GROUP BY event_type
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Oracle-gated DELETE WHERE on a PARTITIONED table: the predicate's
+  // partition-equality conjunct prunes every other partition's directory
+  // before a single footer opens (partitionValues fold in as point stats),
+  // the cents-range conjunct prunes the survivors by footer stats, and only
+  // files truly containing matches rewrite — within their partition.
+  // The oracle replays survivor semantics (pred FALSE or NULL stays).
+  // ---------------------------------------------------------------------------
+  def txnDeletePart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delete_part")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          $"event_type")
+      TxnTable.appendPartitioned(ev, tmp.toString, Seq("event_type"))          // v0
+      TxnTable.delete(s, tmp.toString,
+        $"event_type" === "purchase" && $"cents" >= 5000L && $"cents" <= 15000L) // v1
+      val per = (0L to 1L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "event_type", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnDeletePartSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type FROM events)
+      |SELECT CAST(0 AS BIGINT) AS version, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM ev GROUP BY event_type
+      |UNION ALL
+      |SELECT 1, event_type, count(*), CAST(sum(cents) AS BIGINT)
+      |FROM ev
+      |WHERE event_type IS DISTINCT FROM 'purchase'
+      |   OR cents < 5000 OR cents > 15000 OR cents IS NULL
+      |GROUP BY event_type
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -854,6 +951,8 @@ object Sources {
     "q_txn_skip" -> txnSkip _,
     "q_txn_cdf" -> txnCdf _,
     "q_txn_partition" -> txnPartition _,
+    "q_txn_merge_part" -> txnMergePart _,
+    "q_txn_delete_part" -> txnDeletePart _,
     "q_txn_evolve" -> txnEvolve _,
     "q_txn_bloom" -> txnBloom _,
     "q_txn_restore" -> txnRestore _,
@@ -871,6 +970,8 @@ object Sources {
     "q_txn_skip" -> txnSkipSql,
     "q_txn_cdf" -> txnCdfSql,
     "q_txn_partition" -> txnPartitionSql,
+    "q_txn_merge_part" -> txnMergePartSql,
+    "q_txn_delete_part" -> txnDeletePartSql,
     "q_txn_evolve" -> txnEvolveSql,
     "q_txn_bloom" -> txnBloomSql,
     "q_txn_restore" -> txnRestoreSql,

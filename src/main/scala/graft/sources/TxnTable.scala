@@ -298,6 +298,127 @@ object TxnTable {
     Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
     Files.move(tmp, deltaDir(root).resolve(f"$version%020d.json"),
       StandardCopyOption.ATOMIC_MOVE)
+    if (version > 0 && version % CheckpointInterval == 0)
+      writeDeltaCheckpoint(root, version)
+  }
+
+  /** Commits between Delta checkpoint parquet files. */
+  private[sources] val CheckpointInterval = 10L
+
+  /** Write a PROTOCOL.md checkpoint: one parquet file holding the complete
+    * replay state at `version` (latest protocol + metaData, per-appId txn
+    * high-water marks, every live add, current remove tombstones), plus the
+    * `_last_checkpoint` pointer. External readers then fold O(1) checkpoint
+    * rows + the JSON tail after it instead of every commit since version 0
+    * — without this, a 100k-commit table's LOG becomes the read bottleneck.
+    * The state is reconstructed by folding the mirror's own JSON (never the
+    * private `_txn_log`), so the checkpoint can only contain what an
+    * external reader would have computed itself. Checkpoint actions carry
+    * `dataChange:false` per the protocol. The pointer is written LAST and
+    * atomically: a crash mid-checkpoint leaves the previous pointer intact
+    * and readers just fold a longer tail. */
+  private def writeDeltaCheckpoint(root: String, version: Long): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(return)
+    val d = deltaDir(root)
+    var protocol: Map[String, Any] = null
+    var metaData: Map[String, Any] = null
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
+    val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
+    val vs = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).filter(_ <= version).toSeq.sorted
+    vs.foreach { v =>
+      Files.readAllLines(d.resolve(f"$v%020d.json")).asScala.foreach { line =>
+        val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]
+        m.get("protocol").foreach(p => protocol = p.asInstanceOf[Map[String, Any]])
+        m.get("metaData").foreach(p => metaData = p.asInstanceOf[Map[String, Any]])
+        m.get("txn").foreach { p => val t = p.asInstanceOf[Map[String, Any]]
+          txns(t("appId").asInstanceOf[String]) =
+            t("version").asInstanceOf[BigDecimal].toLongExact }
+        m.get("add").foreach { p => val a = p.asInstanceOf[Map[String, Any]]
+          val path = a("path").asInstanceOf[String]
+          adds(path) = a; tombs.remove(path) }
+        m.get("remove").foreach { p => val r = p.asInstanceOf[Map[String, Any]]
+          val path = r("path").asInstanceOf[String]
+          adds.remove(path); tombs(path) = r }
+      }
+    }
+    import org.apache.spark.sql.Row
+    def lng(m: Map[String, Any], k: String): java.lang.Long =
+      m.get(k).map(v => java.lang.Long.valueOf(
+        v.asInstanceOf[BigDecimal].toLongExact)).orNull
+    def str(m: Map[String, Any], k: String): String =
+      m.get(k).map(_.asInstanceOf[String]).orNull
+    val rows: Seq[Row] =
+      Seq(Row(null, null, null, null,
+        Row(Integer.valueOf(protocol("minReaderVersion").asInstanceOf[BigDecimal].toIntExact),
+            Integer.valueOf(protocol("minWriterVersion").asInstanceOf[BigDecimal].toIntExact)))) ++
+      Seq(Row(null, null, null,
+        Row(str(metaData, "id"), str(metaData, "name"), str(metaData, "description"),
+          Row("parquet", Map.empty[String, String]),
+          str(metaData, "schemaString"),
+          metaData.getOrElse("partitionColumns", Seq.empty).asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[String]),
+          Map.empty[String, String], lng(metaData, "createdTime")),
+        null)) ++
+      txns.toSeq.map { case (app, v) =>
+        Row(Row(app, java.lang.Long.valueOf(v), null), null, null, null, null) } ++
+      adds.values.toSeq.map { a =>
+        Row(null,
+          Row(str(a, "path"),
+            a.getOrElse("partitionValues", Map.empty).asInstanceOf[Map[String, Any]]
+              .map { case (k, v) => k -> v.asInstanceOf[String] },
+            lng(a, "size"), lng(a, "modificationTime"),
+            java.lang.Boolean.FALSE, str(a, "stats")),
+          null, null, null) } ++
+      tombs.values.toSeq.map { r =>
+        Row(null, null,
+          Row(str(r, "path"), lng(r, "deletionTimestamp"), java.lang.Boolean.FALSE),
+          null, null) }
+    val cpSchema = StructType(Seq(
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType), StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("description", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    val tmpDir = d.resolve(s".cp-$version")
+    spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+    val part = Files.list(tmpDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("checkpoint write produced no parquet part"))
+    Files.move(part, d.resolve(f"$version%020d.checkpoint.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(tmpDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val ptrTmp = d.resolve(s"._last_checkpoint.tmp")
+    Files.write(ptrTmp,
+      s"""{"version":$version,"size":${rows.size}}""".getBytes(UTF_8))
+    Files.move(ptrTmp, d.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def statsEligible(dt: DataType): Boolean = dt match {
@@ -442,28 +563,41 @@ object TxnTable {
   def appendEvolve(df: DataFrame, root: String): Long =
     appendImpl(df, root, evolve = true)
 
-  private def appendImpl(df: DataFrame, root: String, evolve: Boolean): Long = {
-    requireUnpartitioned(root, "plain append")
-    val unified: StructType = readMeta(root) match {
-      case None => df.schema
-      case Some((cur, _)) if sameShape(cur, df.schema) => cur
+  /** Unify the batch schema with the table's current one. `evolve = false`
+    * refuses any shape drift; `evolve = true` widens (new columns append,
+    * type changes are refused). Recomputed per CAS attempt — see
+    * [[appendImpl]]. */
+  private def unifiedSchema(root: String, batch: StructType,
+                            evolve: Boolean, what: String): StructType =
+    readMeta(root) match {
+      case None => batch
+      case Some((cur, _)) if sameShape(cur, batch) => cur
       case Some((cur, _)) =>
         require(evolve,
-          s"batch schema ${df.schema.simpleString} does not match table " +
+          s"$what batch schema ${batch.simpleString} does not match table " +
             s"schema ${cur.simpleString}; use appendEvolve to widen")
         val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
-        df.schema.fields.foreach { f =>
+        batch.fields.foreach { f =>
           curTypes.get(f.name).foreach { dt =>
             require(dt == f.dataType,
               s"column ${f.name}: type change $dt -> ${f.dataType} is not supported")
           }
         }
         StructType(cur.fields ++
-          df.schema.fields.filterNot(f => curTypes.contains(f.name))
+          batch.fields.filterNot(f => curTypes.contains(f.name))
             .map(_.copy(nullable = true)))
     }
+
+  private def appendImpl(df: DataFrame, root: String, evolve: Boolean): Long = {
+    requireUnpartitioned(root, "plain append")
     val adds = writeDataFiles(df, root, latestVersion(root) + 1)
     casRetry("append") {
+      // the unified schema is recomputed INSIDE the retry body: a lost CAS
+      // means another writer (possibly an evolving append) advanced the
+      // table, and committing a schema unified against the pre-race
+      // metadata would re-emit the stale shape as latest and regress the
+      // evolution for every later read
+      val unified = unifiedSchema(root, df.schema, evolve, "append")
       val v = latestVersion(root) + 1
       commit(root, v, "append", adds, Seq.empty,
         schemaJson = Some(unified.json))
@@ -546,6 +680,12 @@ object TxnTable {
     * restarted streaming query redeliver a micro-batch harmlessly (see
     * [[graft.streaming.TxnSink]]). */
   def appendOnce(df: DataFrame, root: String, token: String): Long = {
+    // tokens embed in one NDJSON log line: quotes/backslashes round-trip
+    // through esc()+MiniJson, but raw control characters would split the
+    // line — refuse them at the door
+    require(token.forall(c => c >= ' '),
+      s"appendOnce token must not contain control characters: ${token.trim}")
+    requireUnpartitioned(root, "appendOnce")
     val op = s"append#$token"
     def existing: Option[Long] = actions(root, -1L).find(_.op == op).map(_.version)
     existing.getOrElse {
@@ -555,9 +695,12 @@ object TxnTable {
         // the loop so redelivery never double-commits (the written files
         // become vacuum-swept orphans)
         existing.getOrElse {
+          // same rebase rule as appendImpl: a mismatched batch must not
+          // silently become the table's latest metaData
+          val unified = unifiedSchema(root, df.schema, evolve = false, "appendOnce")
           val v = latestVersion(root) + 1
           commit(root, v, op, adds, Seq.empty,
-            schemaJson = Some(df.schema.json), txn = Some((token, v)))
+            schemaJson = Some(unified.json), txn = Some((token, v)))
           v
         }
       }
@@ -569,10 +712,16 @@ object TxnTable {
     * previously-live one — in ONE commit, so readers flip atomically and
     * the pre-overwrite version remains time-travelable. */
   def overwrite(df: DataFrame, root: String): Long = casRetry("overwrite") {
-    requireUnpartitioned(root, "overwrite")
+    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
     val v = latestVersion(root) + 1
-    commit(root, v, "overwrite", writeDataFiles(df, root, v),
-      liveFiles(root, v - 1).map(_._1), schemaJson = Some(df.schema.json))
+    require(pcs.forall(df.columns.contains),
+      s"overwrite batch must carry the partition columns ${pcs.mkString(",")}")
+    val adds =
+      if (pcs.isEmpty) writeDataFiles(df, root, v)
+      else writePartitionedFiles(df, root, v, pcs)
+    commit(root, v, "overwrite", adds,
+      liveFiles(root, v - 1).map(_._1), schemaJson = Some(df.schema.json),
+      partCols = pcs)
     v
   }
 
@@ -591,7 +740,6 @@ object TxnTable {
     * schema. */
   def merge(spark: SparkSession, delta: DataFrame, root: String,
             keys: Seq[String]): Long = casRetry("merge") {
-    requireUnpartitioned(root, "merge")
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
     // a delta narrower than an evolved table would silently drop the new
@@ -600,26 +748,46 @@ object TxnTable {
       require(sameShape(cur, delta.schema),
         s"merge delta schema ${delta.schema.simpleString} must match the " +
           s"table schema ${cur.simpleString}") }
-    val live = liveFiles(root, v - 1)
+    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
+    val live = liveAdds(root, v - 1)
+    // partition pruning of the candidate set: when every partition column
+    // is a merge key, a file whose partitionValues tuple never appears in
+    // the delta cannot contain a matched key — whole untouched partitions
+    // drop out of the scan by metadata alone (the 100 TB shape: a
+    // day-keyed upsert touches its days' directories, not the table)
+    val candidates =
+      if (pcs.nonEmpty && pcs.forall(keys.contains)) {
+        val dTuples = delta
+          .select(pcs.map(c => col(c).cast("string")): _*).distinct()
+          .collect().map(r => pcs.indices.map(i =>
+            if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else r.getString(i)).toList)
+          .toSet
+        live.filter(a => dTuples.contains(pcs.map(c =>
+          a.partitionValues.getOrElse(c, "")).toList))
+      } else live
     val cols = delta.columns.toSeq
-    val cur = readFiles(spark, root, live.map(_._1), v - 1)
-      .select(col("_metadata.file_path").as("_file"), struct(cols.map(col): _*).as("_r"))
+    val cur = readFilesTagged(spark, root, candidates.map(_.file), v - 1)
+      .select(col("_file"), struct(cols.map(col): _*).as("_r"))
     val dKeys = delta.select(keys.map(col): _*).distinct()
     val onKeys = keys.map(k => col(s"_r.$k") === dKeys(k)).reduce(_ && _)
     // touched = live files containing at least one delta key — O(files) rows
-    val touchedUris = cur.join(dKeys, onKeys, "left_semi")
-      .select(col("_file")).distinct().collect().map(_.getString(0)).toSeq.sorted
-    val touchedRel = live.map(_._1).filter(f => touchedUris.exists(_.endsWith(f)))
+    val touchedRel =
+      if (candidates.isEmpty) Seq.empty[String]
+      else cur.join(dKeys, onKeys, "left_semi")
+        .select(col("_file")).distinct().collect().map(_.getString(0)).toSeq.sorted
     val carried =
       if (touchedRel.isEmpty) delta
       else {
-        cur.filter(col("_file").isin(touchedUris: _*))
+        cur.filter(col("_file").isin(touchedRel: _*))
           .join(dKeys, onKeys, "left_anti")
           .select(cols.map(c => col(s"_r.$c").as(c)): _*)
           .unionByName(delta)
       }
-    commit(root, v, "merge", writeDataFiles(carried, root, v), touchedRel,
-      schemaJson = Some(delta.schema.json))
+    val adds =
+      if (pcs.isEmpty) writeDataFiles(carried, root, v)
+      else writePartitionedFiles(carried, root, v, pcs)
+    commit(root, v, "merge", adds, touchedRel,
+      schemaJson = Some(delta.schema.json), partCols = pcs)
     v
   }
 
@@ -627,23 +795,25 @@ object TxnTable {
   private final case class Action(version: Long, op: String, action: String,
                                   add: AddFile)
 
-  /** Parse one committed version's log file. */
+  /** Parse one committed version's log file. Each line is a flat JSON
+    * object written by [[commit]]; parsed with [[MiniJson]] so escaped
+    * quotes/backslashes in caller-supplied op tokens round-trip exactly
+    * (a positional split would truncate at the first embedded quote and
+    * silently corrupt the idempotent-append dedup ledger). */
   private def parseLog(root: String, v: Long): Seq[Action] =
     Files.readAllLines(logDir(root).resolve(f"$v%020d.json")).asScala.toSeq.map { line =>
-      // fixed field order written by [[commit]]; parsed positionally
-      val ver = line.split("\"version\":")(1).takeWhile(_ != ',').toLong
-      def str(k: String) = line.split(s""""$k":"""")(1).takeWhile(_ != '"')
-      def b64(k: String): Option[String] =
-        if (line.contains(s""""$k":""""))
-          Some(new String(java.util.Base64.getDecoder.decode(str(k)), UTF_8))
-        else None
-      val bytes = line.split("\"bytes\":")(1).takeWhile(c => c.isDigit).toLong
+      val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]
+      def b64(k: String): Option[String] = m.get(k).map(s =>
+        new String(java.util.Base64.getDecoder.decode(s.asInstanceOf[String]), UTF_8))
       val pvs = b64("part64").map(j =>
         MiniJson.parse(j).asInstanceOf[Map[String, Any]]
           .map { case (k, v) => k -> v.asInstanceOf[String] })
         .getOrElse(Map.empty[String, String])
-      Action(ver, str("op"), str("action"),
-        AddFile(str("file"), bytes, b64("stats64"), pvs, b64("bloom64")))
+      Action(m("version").asInstanceOf[BigDecimal].toLongExact,
+        m("op").asInstanceOf[String], m("action").asInstanceOf[String],
+        AddFile(m("file").asInstanceOf[String],
+          m("bytes").asInstanceOf[BigDecimal].toLongExact,
+          b64("stats64"), pvs, b64("bloom64")))
     }
 
   /** Log actions up to and including `asOf` (whole log when < 0). */
@@ -768,6 +938,43 @@ object TxnTable {
         spark.read.parquet(files.map(f => Paths.get(root, f).toString): _*)
     }
 
+  /** [[readFiles]] plus a `_file` column carrying each row's source file as
+    * a ROOT-RELATIVE path (the commit log's file key) — the attribution
+    * column copy-on-write MERGE/DELETE group their touched-file analysis
+    * on. The `_metadata.file_path` URI must be captured INSIDE each scan
+    * (it does not survive a union of per-partition-group scans) and is
+    * normalized to the log's key space right there, so every downstream
+    * comparison is an exact Set lookup — no O(live × touched) suffix
+    * scans on the driver. */
+  private def readFilesTagged(spark: SparkSession, root: String,
+                              files: Seq[String], asOf: Long): DataFrame = {
+    val rootAbs = Paths.get(root).toAbsolutePath.toString
+    // file_path is a file: URI whose slash count varies by renderer
+    // (Hadoop says file:/p, java.nio file:///p) — collapse the scheme to a
+    // bare absolute path first, then strip the table root
+    val relExpr = regexp_replace(
+      regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
+      "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
+    readMeta(root, asOf) match {
+      case Some((schema, pcs)) if pcs.nonEmpty =>
+        files.groupBy(_.split('/')(1)).toSeq.sortBy(_._1)
+          .map { case (vDir, fs) =>
+            spark.read.schema(schema)
+              .option("basePath", Paths.get(root, "data", vDir).toString)
+              .parquet(fs.map(f => Paths.get(root, f).toString): _*)
+              .select(schema.fieldNames.map(col).toSeq :+ relExpr.as("_file"): _*)
+          }.reduce(_ unionByName _)
+      case Some((schema, _)) =>
+        spark.read
+          .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+          .parquet(files.map(f => Paths.get(root, f).toString): _*)
+          .withColumn("_file", relExpr)
+      case None =>
+        spark.read.parquet(files.map(f => Paths.get(root, f).toString): _*)
+          .withColumn("_file", relExpr)
+    }
+  }
+
   /** OPTIMIZE: rewrite every live file smaller than `smallBytes` into
     * compacted files; one commit of remove+add. Contents are bit-identical
     * (no ordering guarantee — parquet tables are unordered sets); history
@@ -804,18 +1011,25 @@ object TxnTable {
   def optimizeZorder(spark: SparkSession, root: String,
                      xCol: String, yCol: String,
                      targetPartitions: Int, bits: Int = 16): Long = casRetry("optimizeZorder") {
-    requireUnpartitioned(root, "optimizeZorder")
     val v = latestVersion(root) + 1
+    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
     val live = liveFiles(root, v - 1)
     require(live.nonEmpty, "nothing to optimize")
     val mask = (1L << bits) - 1
     val z = expr(graft.operators.ZOrder.zExprSpark(
       s"(CAST($xCol AS BIGINT) & $mask)", s"(CAST($yCol AS BIGINT) & $mask)", bits))
     val df = readFiles(spark, root, live.map(_._1), v - 1)
-    val clustered = df.repartitionByRange(targetPartitions, z)
-      .sortWithinPartitions(z)
-    val adds = writeDataFiles(clustered, root, v)
-    commit(root, v, "optimize-zorder", adds, live.map(_._1), dataChange = false)
+    // on a partitioned table the hive layout stays the outer key: rows
+    // range-cluster on (partition cols, z) so each partition directory's
+    // files get tight z-rectangles and no row changes partition
+    val keyCols = pcs.map(col) :+ z
+    val clustered = df.repartitionByRange(targetPartitions, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val adds =
+      if (pcs.isEmpty) writeDataFiles(clustered, root, v)
+      else writePartitionedFiles(clustered, root, v, pcs)
+    commit(root, v, "optimize-zorder", adds, live.map(_._1), dataChange = false,
+      partCols = pcs)
     v
   }
 
@@ -827,7 +1041,12 @@ object TxnTable {
     * is mid-commit can sweep that writer's not-yet-committed files — run
     * it with a retention window in shared settings. */
   def vacuum(root: String, retainAfter: Long): Seq[String] = {
-    val keep = (math.max(retainAfter + 1, 0L) to latestVersion(root))
+    val latest = latestVersion(root)
+    // the CURRENT snapshot is always retained (Delta's rule): a
+    // retainAfter at or past latest would otherwise compute an empty
+    // keep-set and delete every live file of a table the log still serves
+    val firstKept = math.max(math.min(retainAfter, latest - 1) + 1, 0L)
+    val keep = (firstKept to latest)
       .flatMap(v => liveFiles(root, v).map(_._1)).toSet
     val all = actions(root, -1L).collect { case Action(_, _, "add", a) => a.file }.distinct
     val victims = all.filterNot(keep.contains)
@@ -1093,18 +1312,28 @@ object TxnTable {
     * actions only (the `_delta_log` mirror stays protocol-clean; Delta
     * keeps bloom indexes outside stats too). */
   def appendBloom(df: DataFrame, root: String,
-                  bloomCols: Seq[String], mBits: Int = 8192): Long = {
-    requireUnpartitioned(root, "appendBloom")
+                  bloomCols: Seq[String], mBits: Int = 8192,
+                  partCols: Seq[String] = Nil): Long = {
     require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
     bloomCols.foreach { c =>
       val dt = df.schema(c).dataType
       require(dt == LongType || dt == IntegerType || dt == StringType,
         s"bloom column $c: $dt is not a supported key type (long/int/string)")
     }
-    val base = writeDataFiles(df, root, latestVersion(root) + 1)
+    // the table's layout wins: an existing partitioned table fixes the
+    // partition columns; partCols only seeds a FIRST commit
+    val pcs = readMeta(root).map(_._2).getOrElse(partCols)
+    require(partCols.isEmpty || pcs == partCols,
+      s"table is partitioned by ${pcs.mkString(",")}, got ${partCols.mkString(",")}")
+    require(pcs.forall(c => !bloomCols.contains(c)),
+      "partition columns already prune exactly; bloom-index data columns only")
+    val base =
+      if (pcs.isEmpty) writeDataFiles(df, root, latestVersion(root) + 1)
+      else writePartitionedFiles(df, root, latestVersion(root) + 1, pcs)
     val spark = df.sparkSession
-    val subDir = base.head.file.substring(0, base.head.file.lastIndexOf('/'))
+    val subDir = base.head.file.split('/').take(2).mkString("/")
     val written = spark.read.schema(df.schema)
+      .option("basePath", Paths.get(root, subDir).toString)
       .parquet(Paths.get(root, subDir).toString)
     val words = mBits / 64
     val perFile: Map[String, Map[String, Array[Long]]] = bloomCols.map { c =>
@@ -1141,8 +1370,12 @@ object TxnTable {
           s""""${MiniJson.escape(c)}":"${b64(arr)}"""" }.mkString(",")}}}"""))
     }
     casRetry("appendBloom") {
+      // same rebase rule as appendImpl: refuse shape drift instead of
+      // letting this commit's metaData silently replace the read schema
+      val unified = unifiedSchema(root, df.schema, evolve = false, "appendBloom")
       val v = latestVersion(root) + 1
-      commit(root, v, "append", adds, Seq.empty, schemaJson = Some(df.schema.json))
+      commit(root, v, "append", adds, Seq.empty,
+        schemaJson = Some(unified.json), partCols = pcs)
       v
     }
   }
@@ -1155,26 +1388,30 @@ object TxnTable {
     * their surviving rows (`pred` false or null) copied forward. Untouched
     * files stay in place; pre-delete versions stay time-travelable. */
   def delete(spark: SparkSession, root: String, pred: Column): Long = casRetry("delete") {
-    requireUnpartitioned(root, "delete")
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
     val adds = liveAdds(root, v - 1)
+    // on a partitioned table [[pruneAdds]] already prunes whole partitions:
+    // partitionValues fold in as point stats, so a partition-equality
+    // conjunct drops every other directory before any footer is touched
     val (candidates, _) = pruneAdds(adds, pred)
     val touchedRel =
       if (candidates.isEmpty) Seq.empty[String]
       else {
-        val cur = readFiles(spark, root, candidates.map(_.file), v - 1)
-          .withColumn("__file", col("_metadata.file_path"))
-        val touchedUris = cur.filter(pred).select("__file").distinct()
+        val cur = readFilesTagged(spark, root, candidates.map(_.file), v - 1)
+        val touched = cur.filter(pred).select("_file").distinct()
           .collect().map(_.getString(0)).toSeq.sorted
-        if (touchedUris.isEmpty) Seq.empty[String]
+        if (touched.isEmpty) Seq.empty[String]
         else {
-          val carried = cur.filter(col("__file").isin(touchedUris: _*))
+          val carried = cur.filter(col("_file").isin(touched: _*))
             .filter(!coalesce(pred, lit(false)))
-            .drop("__file")
-          val rel = adds.map(_.file).filter(f => touchedUris.exists(_.endsWith(f)))
-          commit(root, v, "delete", writeDataFiles(carried, root, v), rel)
-          rel
+            .drop("_file")
+          val rewritten =
+            if (pcs.isEmpty) writeDataFiles(carried, root, v)
+            else writePartitionedFiles(carried, root, v, pcs)
+          commit(root, v, "delete", rewritten, touched, partCols = pcs)
+          touched
         }
       }
     if (touchedRel.isEmpty) // no row matched: still a (file-free) commit,

@@ -204,18 +204,24 @@ final class TxnTailReader(p: TxnTailPartition)
     var i = 0
     while (i < schema.length) {
       val f = schema.fields(i)
-      val fi = fileSchema.getFieldIndex(f.name)
+      // data files committed BEFORE a schema evolution lack the new
+      // columns entirely — emit null for them, matching the batch
+      // unified-schema scan (getFieldIndex would throw on the backfill)
       vals(i) =
-        if (current.getFieldRepetitionCount(fi) == 0) null
-        else f.dataType match {
-          case LongType    => current.getLong(fi, 0)
-          case IntegerType => current.getInteger(fi, 0)
-          case DoubleType  => current.getDouble(fi, 0)
-          case FloatType   => current.getFloat(fi, 0)
-          case BooleanType => current.getBoolean(fi, 0)
-          case StringType  => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
-          case BinaryType  => current.getBinary(fi, 0).getBytes
-          case dt => sys.error(s"txn-tail: unsupported column type $dt")
+        if (!fileSchema.containsField(f.name)) null
+        else {
+          val fi = fileSchema.getFieldIndex(f.name)
+          if (current.getFieldRepetitionCount(fi) == 0) null
+          else f.dataType match {
+            case LongType    => current.getLong(fi, 0)
+            case IntegerType => current.getInteger(fi, 0)
+            case DoubleType  => current.getDouble(fi, 0)
+            case FloatType   => current.getFloat(fi, 0)
+            case BooleanType => current.getBoolean(fi, 0)
+            case StringType  => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
+            case BinaryType  => current.getBinary(fi, 0).getBytes
+            case dt => sys.error(s"txn-tail: unsupported column type $dt")
+          }
         }
       i += 1
     }

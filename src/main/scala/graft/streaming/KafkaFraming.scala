@@ -17,9 +17,11 @@ import java.nio.ByteBuffer
   * (encode → decode over the events table) executes distributed via the
   * `kafka_batch_encode` / `kafka_batch_decode` expressions.
   *
-  * Uncompressed batches only (attributes == 0): compression codecs are
-  * exactly the jar surface that is offline-blocked, and the decoder
-  * REJECTS compressed batches loudly rather than mis-parsing them.
+  * Compression: NONE (attributes 0) and GZIP (attributes 1 — the codec
+  * the JDK ships, so no jar needed; the compressed region is the records
+  * payload after the `count` field, per the protocol). Snappy/LZ4/ZSTD
+  * are exactly the jar surface that is offline-blocked, and the decoder
+  * REJECTS those loudly rather than mis-parsing them.
   */
 object KafkaFraming {
 
@@ -47,7 +49,8 @@ object KafkaFraming {
     * value) in offset order (offsetDelta = position); null key/value encode
     * as length −1. baseTimestamp is the batch minimum, as producers emit. */
   def encodeBatch(baseOffset: Long,
-                  recs: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+                  recs: Seq[(Long, Array[Byte], Array[Byte])],
+                  gzip: Boolean = false): Array[Byte] = {
     require(recs.nonEmpty, "empty batch")
     val baseTs = recs.iterator.map(_._1).min
     val maxTs = recs.iterator.map(_._1).max
@@ -66,10 +69,17 @@ object KafkaFraming {
       writeVarLong(recBytes, rb.length.toLong)
       recBytes.write(rb)
     }
-    val rb = recBytes.toByteArray
+    val rb =
+      if (!gzip) recBytes.toByteArray
+      else { // GZIP wraps the records payload only; count stays plaintext
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(recBytes.toByteArray); gz.close()
+        bos.toByteArray
+      }
     // CRC32C section: attributes .. records
     val sec = ByteBuffer.allocate(2 + 4 + 8 + 8 + 8 + 2 + 4 + 4 + rb.length)
-    sec.putShort(0)                 // attributes: uncompressed, CreateTime
+    sec.putShort(if (gzip) 1 else 0) // attributes: codec bits 0-2, CreateTime
     sec.putInt(recs.size - 1)       // lastOffsetDelta
     sec.putLong(baseTs)
     sec.putLong(maxTs)
@@ -113,15 +123,24 @@ object KafkaFraming {
       val crc = new java.util.zip.CRC32C
       crc.update(sec)
       require(crc.getValue.toInt == crcStored, "CRC32C mismatch")
-      val sb = ByteBuffer.wrap(sec)
-      val attributes = sb.getShort
-      require((attributes & 0x07) == 0,
-        "compressed batch — codecs are offline-blocked, refusing to mis-parse")
-      sb.getInt  // lastOffsetDelta
-      val baseTs = sb.getLong
-      sb.getLong // maxTimestamp
-      sb.getLong; sb.getShort; sb.getInt // producer id / epoch / baseSequence
-      val count = sb.getInt
+      val sb0 = ByteBuffer.wrap(sec)
+      val attributes = sb0.getShort
+      val codec = attributes & 0x07
+      require(codec == 0 || codec == 1,
+        s"codec $codec batch — snappy/lz4/zstd are offline-blocked, refusing to mis-parse")
+      sb0.getInt  // lastOffsetDelta
+      val baseTs = sb0.getLong
+      sb0.getLong // maxTimestamp
+      sb0.getLong; sb0.getShort; sb0.getInt // producer id / epoch / baseSequence
+      val count = sb0.getInt
+      val sb =
+        if (codec == 0) sb0
+        else { // GZIP: inflate the records payload that follows `count`
+          val packed = new Array[Byte](sb0.remaining()); sb0.get(packed)
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(packed))
+          ByteBuffer.wrap(gz.readAllBytes())
+        }
       var i = 0
       while (i < count) {
         readVarLong(sb) // record length (redundant with field walk)

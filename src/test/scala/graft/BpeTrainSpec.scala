@@ -29,6 +29,23 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("apply reads the stored merge artifact: one corpus scan, zero pair aggregations") {
+    val sf = "/root/testdata/sf0.001"
+    // build (or reuse) the artifact, then plan the apply query
+    graft.operators.TextAnalysis.bpeTrain(spark, sf).collect()
+    val applied = graft.operators.TextAnalysis.bpeApply(spark, sf)
+    val plan = applied.queryExecution.executedPlan.toString
+    // the training loop's signature is the 2-char pair explosion over the
+    // vocabulary — none of it may appear in apply's executed plan
+    assert(!plan.contains("substring(rep"),
+      "apply re-runs the pair-count training loop:\n" + plan)
+    // exactly ONE parquet scan: the corpus token pass; the merge env comes
+    // off the pinned artifact (an in-memory leaf), not a re-train
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n" + plan)
+    assert(applied.collect().nonEmpty)
+  }
+
   test("merge application is greedy left-to-right: 'aaaa' under (a,a) → two symbols") {
     import spark.implicits._
     val vocab = Seq(("aaaa", 1L)).toDF("rep", "cnt")

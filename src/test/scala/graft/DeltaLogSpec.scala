@@ -131,4 +131,48 @@ class DeltaLogSpec extends AnyFunSuite {
     val deltaVs = logFiles(root).map(_._1)
     assert(deltaVs == (0L to TxnTable.latestVersion(root)), deltaVs)
   }
+
+  test("checkpoint parquet + _last_checkpoint let a reader fold O(1) files, not O(versions)") {
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    // 13 commits: appends 0..9 (checkpoint lands at v10's commit below),
+    // an overwrite at 10 (the checkpointed version), then a 2-commit tail
+    (0 until 10).foreach(i => TxnTable.append(df(i * 10 + 1 to i * 10 + 10), root))
+    TxnTable.overwrite(df(500 to 540), root)  // v10 → writes the checkpoint
+    TxnTable.append(df(600 to 605), root)     // v11 (tail)
+    TxnTable.append(df(700 to 702), root)     // v12 (tail)
+    val d = Paths.get(root, "_delta_log")
+    val ptr = d.resolve("_last_checkpoint")
+    assert(Files.exists(ptr), "_last_checkpoint missing")
+    val ptrJson = new String(Files.readAllBytes(ptr))
+    assert(ptrJson.contains("\"version\":10"), ptrJson)
+    val cp = d.resolve(f"${10L}%020d.checkpoint.parquet")
+    assert(Files.exists(cp), "checkpoint parquet missing")
+    // -- external reader, checkpoint path: ONE parquet + the tail only ----
+    val cpDf = spark.read.parquet(cp.toString)
+    // exactly one protocol and one metaData row; schemaString round-trips
+    assert(cpDf.filter(col("protocol").isNotNull).count() == 1)
+    val metaRows = cpDf.filter(col("metaData").isNotNull)
+      .select("metaData.schemaString", "metaData.id").collect()
+    assert(metaRows.length == 1)
+    assert(DataType.fromJson(metaRows.head.getString(0)) == df(1 to 1).schema)
+    // checkpointed snapshot = add rows; fold the tail's JSON on top
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    cpDf.filter(col("add").isNotNull).select("add.path").collect()
+      .foreach(r => live.add(r.getString(0)))
+    logFiles(root).filter(_._1 > 10L).foreach { case (_, p) =>
+      Files.readAllLines(p).asScala.foreach { l =>
+        if (l.contains("\"add\":")) field(l, "path").foreach(live.add)
+        else if (l.contains("\"remove\":")) field(l, "path").foreach(live.remove)
+      }
+    }
+    val folded = spark.read.parquet(live.toSeq.map(f => Paths.get(root, f).toString): _*)
+    assert(ids(folded) == ids(TxnTable.readVersion(spark, root, -1L)),
+      "checkpoint+tail fold disagrees with the library snapshot")
+    // the checkpoint's remove tombstones cover the overwrite's victims
+    assert(cpDf.filter(col("remove").isNotNull).count() > 0,
+      "v10 overwrite tombstones missing from the checkpoint")
+    // checkpoint actions are dataChange:false per the protocol
+    assert(cpDf.filter(col("add.dataChange") === true).count() == 0)
+  }
 }

@@ -22,17 +22,24 @@ final class KafkaBrokerStub extends AutoCloseable {
     scala.collection.mutable.Map[(String, Int), Vector[(Long, Array[Byte], Int)]]()
   @volatile var apiVersionsCalls = 0
   @volatile var fetchCalls = 0
+  /** Fault injection: the next N Fetch requests get their connection
+    * dropped mid-request instead of a response — the restart-mid-fetch
+    * case the consumer's reconnect path must absorb. */
+  @volatile var dropNextFetches = 0
 
   def logEnd(topic: String, partition: Int): Long = synchronized {
     logs.getOrElse((topic, partition), Vector.empty).lastOption
       .map { case (b, _, n) => b + n }.getOrElse(0L)
   }
 
-  /** Append one producer batch; records are (timestampMs, key, value). */
+  /** Append one producer batch; records are (timestampMs, key, value).
+    * `gzip = true` commits a GZIP-compressed RecordBatch v2 frame — what a
+    * compression-enabled producer writes. */
   def append(topic: String, partition: Int,
-             recs: Seq[(Long, Array[Byte], Array[Byte])]): Unit = synchronized {
+             recs: Seq[(Long, Array[Byte], Array[Byte])],
+             gzip: Boolean = false): Unit = synchronized {
     val base = logEnd(topic, partition)
-    val bytes = KafkaFraming.encodeBatch(base, recs)
+    val bytes = KafkaFraming.encodeBatch(base, recs, gzip)
     logs((topic, partition)) =
       logs.getOrElse((topic, partition), Vector.empty) :+ ((base, bytes, recs.size))
   }
@@ -63,7 +70,9 @@ final class KafkaBrokerStub extends AutoCloseable {
         case (18, 0) => apiVersions(o)
         case (3, 0)  => metadata(req, o)
         case (2, 1)  => listOffsets(req, o)
-        case (1, 4)  => fetch(req, o)
+        case (1, 4)  =>
+          if (dropNextFetches > 0) { dropNextFetches -= 1; return } // mid-fetch hangup
+          fetch(req, o)
         case (k, v)  => sys.error(s"stub: unsupported api $k v$v")
       }
       KafkaWire.writeFrame(out, o.toBytes)

@@ -55,15 +55,26 @@ class KafkaFramingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC32C"))
   }
 
-  test("compressed batches are refused (codecs are the blocked jar surface)") {
+  test("jar-blocked codecs (snappy/lz4/zstd) are refused; GZIP round-trips") {
     val frame = KafkaFraming.encodeBatch(0L, Seq((1L, b("k"), b("v"))))
-    val gz = frame.clone()
-    gz(22) = 1.toByte // attributes low byte: gzip
+    val sn = frame.clone()
+    sn(22) = 2.toByte // attributes low byte: snappy — jar-blocked
     val crc = new java.util.zip.CRC32C
-    crc.update(gz, 21, gz.length - 21)
-    java.nio.ByteBuffer.wrap(gz).putInt(17, crc.getValue.toInt) // keep CRC valid
-    val e = intercept[IllegalArgumentException](KafkaFraming.decode(gz))
-    assert(e.getMessage.contains("compressed"))
+    crc.update(sn, 21, sn.length - 21)
+    java.nio.ByteBuffer.wrap(sn).putInt(17, crc.getValue.toInt) // keep CRC valid
+    val e = intercept[IllegalArgumentException](KafkaFraming.decode(sn))
+    assert(e.getMessage.contains("offline-blocked"))
+    // GZIP is JDK-native: a compressed producer batch decodes exactly
+    val recs = Seq((5L, b("k1"), b("v1")), (9L, null: Array[Byte], b("v2")),
+      (7L, b("k3"), null: Array[Byte]))
+    val gzFrame = KafkaFraming.encodeBatch(40L, recs, gzip = true)
+    // attributes short (bytes 21-22 of the frame) must say codec 1
+    assert((gzFrame(22) & 0x07) == 1, "gzip batch must set codec bits to 1")
+    val out = KafkaFraming.decode(gzFrame)
+    assert(out.map(r => (r.offset, r.timestampMs,
+      Option(r.key).map(new String(_)).orNull,
+      Option(r.value).map(new String(_)).orNull)) == Seq(
+      (40L, 5L, "k1", "v1"), (41L, 9L, null, "v2"), (42L, 7L, "k3", null)))
   }
 
   test("streaming consumption: Kafka-framed record batches decode to rows") {

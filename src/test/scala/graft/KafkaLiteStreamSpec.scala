@@ -54,6 +54,35 @@ class KafkaLiteStreamSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("GZIP producer batches and a mid-fetch connection drop are absorbed") {
+    val broker = new KafkaBrokerStub
+    try {
+      // a compression-enabled producer's batch (GZIP RecordBatch v2) plus
+      // an uncompressed one — mixed-codec logs are normal on real topics
+      broker.append("gz", 0, Seq(
+        (100L, b("a"), b("payload-1")),
+        (101L, b("b"), b("payload-2"))), gzip = true)
+      broker.append("gz", 0, Seq((102L, b("c"), b("payload-3"))))
+      // fault injection: the FIRST fetch attempt gets its connection
+      // dropped mid-request; the reader must reconnect and re-issue
+      broker.dropNextFetches = 1
+      val df = spark.readStream.format("kafka-lite")
+        .option("bootstrap", s"${broker.host}:${broker.port}")
+        .option("topic", "gz")
+        .load()
+      val q = df.selectExpr("offset", "cast(value as string) AS v")
+        .writeStream.format("memory").queryName("klite_gz").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("klite_gz")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        assert(got == Seq((0L, "payload-1"), (1L, "payload-2"), (2L, "payload-3")), got)
+        assert(broker.dropNextFetches == 0, "fault was never injected")
+        assert(broker.fetchCalls >= 1)
+      } finally q.stop()
+    } finally broker.close()
+  }
+
   test("Sources.kafkaLiteStream helper wires the same source") {
     val broker = new KafkaBrokerStub
     try {

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 import graft.sources.TxnTable
 
 /** Log-structured table format: snapshot reads, time travel, atomic
@@ -218,8 +219,10 @@ class TxnTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TxnTable.appendPartitioned(d, root, Seq("payload")))
     intercept[IllegalArgumentException](TxnTable.append(df(1 to 3), root))
-    intercept[IllegalArgumentException](
-      TxnTable.delete(spark, root, col("id") === 1L))
+    // DELETE on the partitioned table works (copy-on-write within the
+    // touched partition) — partitioned-merge/delete get their own test
+    TxnTable.delete(spark, root, col("id") === 91L)
+    assert(TxnTable.read(spark, root).where("shard = '3'").count() == 0)
   }
 
   test("OPTIMIZE ZORDER tightens 2-D stats boxes so cross-column slices prune") {
@@ -428,5 +431,103 @@ class TxnTableSpec extends AnyFunSuite {
     // the single-writer guard: re-creating version 0 is refused
     val log = java.nio.file.Paths.get(root, "_txn_log")
     assert(java.nio.file.Files.list(log).count() == 1)
+  }
+
+  private def liveFileRows(root: String) = {
+    import spark.implicits._
+    TxnTable.files(spark, root)
+      .select("file", "partition_values").as[(String, Map[String, String])]
+      .collect().toSeq
+  }
+
+  test("partitioned MERGE rewrites only touched partitions; untouched files stay byte-identical") {
+    import spark.implicits._
+    val root = tbl()
+    val d = (1 to 90).map(i => (i.toLong, s"v$i", (i % 3).toString))
+      .toDF("id", "payload", "shard")
+    TxnTable.appendPartitioned(d, root, Seq("shard"))                  // v0
+    val before = liveFileRows(root)
+    val untouched = before.filterNot(_._2.get("shard").contains("2"))
+    assert(untouched.nonEmpty)
+    val bytesBefore = untouched.map { case (f, _) =>
+      f -> java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(root, f)).toSeq
+    }.toMap
+    // upsert entirely within shard 2: update id=2 (payload flips), insert id=92
+    val delta = Seq((2L, "UPDATED", "2"), (92L, "NEW", "2"))
+      .toDF("id", "payload", "shard")
+    TxnTable.merge(spark, delta, root, Seq("id", "shard"))             // v1
+    val snap = TxnTable.read(spark, root)
+    assert(snap.count() == 91)
+    assert(snap.where("id = 2").select("payload").as[String].head() == "UPDATED")
+    assert(snap.where("id = 92").select("payload").as[String].head() == "NEW")
+    assert(ids(TxnTable.readVersion(spark, root, 0)) == (1L to 90L))
+    // every untouched partition's file survived the commit at the SAME
+    // path with the SAME bytes — copy-on-write touched shard 2 only
+    val after = liveFileRows(root).toMap
+    untouched.foreach { case (f, pv) =>
+      assert(after.contains(f), s"untouched file $f was rewritten")
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, f)).toSeq == bytesBefore(f),
+        s"untouched file $f changed bytes")
+    }
+    // the rewritten files carry their partitionValues; new rows stayed in
+    // the delta's partition
+    after.collect { case (f, pv) if !before.map(_._1).contains(f) =>
+      assert(pv.get("shard").contains("2"), s"merge wrote outside shard 2: $f -> $pv") }
+    // the open-format mirror's merge commit records partitionValues too
+    val v1 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_delta_log", f"${1L}%020d.json"))
+    assert(v1.asScala.exists(l =>
+      l.contains("\"add\":") && l.contains(""""partitionValues":{"shard":"2"}""")), v1)
+  }
+
+  test("partitioned DELETE prunes sibling partitions and rewrites in place") {
+    import spark.implicits._
+    val root = tbl()
+    val d = (1 to 90).map(i => (i.toLong, s"v$i", (i % 3).toString))
+      .toDF("id", "payload", "shard")
+    TxnTable.appendPartitioned(d, root, Seq("shard"))
+    val before = liveFileRows(root)
+    val untouched = before.filterNot(_._2.get("shard").contains("1"))
+    TxnTable.delete(spark, root,
+      org.apache.spark.sql.functions.col("shard") === "1" &&
+        org.apache.spark.sql.functions.col("id") <= 50L)
+    val snap = TxnTable.read(spark, root)
+    assert(snap.where("shard = '1' and id <= 50").count() == 0)
+    assert(snap.where("shard = '1'").count() ==
+      (1 to 90).count(i => i % 3 == 1 && i > 50))
+    assert(snap.where("shard <> '1'").count() == (1 to 90).count(_ % 3 != 1))
+    val after = liveFileRows(root).toMap
+    untouched.foreach { case (f, _) =>
+      assert(after.contains(f), s"sibling-partition file $f was rewritten") }
+  }
+
+  test("VACUUM always retains the current snapshot, even past latest") {
+    val root = tbl()
+    TxnTable.append(df(1 to 10), root)  // v0
+    TxnTable.overwrite(df(20 to 25), root) // v1
+    // a careless retainAfter at/above latest must NOT brick the table
+    TxnTable.vacuum(root, retainAfter = 99L)
+    assert(ids(TxnTable.read(spark, root)) == (20L to 25L))
+    intercept[IllegalArgumentException](TxnTable.readVersion(spark, root, 0))
+  }
+
+  test("appendOnce refuses schema drift; quoted tokens round-trip the dedup ledger") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 3), root)
+    // a batch with a different shape must not silently become the table
+    // schema via the commit's metaData action
+    intercept[IllegalArgumentException](TxnTable.appendOnce(
+      Seq((9L, 1.5)).toDF("id", "score"), root, "batch-1"))
+    // a token containing quotes/backslashes survives the log round-trip:
+    // the dedup ledger still recognizes the replay
+    val tok = """app"quote\back-7"""
+    val v = TxnTable.appendOnce(df(4 to 5), root, tok)
+    assert(TxnTable.appendOnce(df(4 to 5), root, tok) == v)
+    assert(ids(TxnTable.read(spark, root)) == (1L to 5L))
+    // control characters are refused at the door (they would split the line)
+    intercept[IllegalArgumentException](
+      TxnTable.appendOnce(df(6 to 7), root, "bad\ntoken"))
   }
 }
