@@ -80,8 +80,15 @@ object Graph {
     var state = deg.crossJoin(broadcast(n))
       .selectExpr("node", "deg", s"${Scale}L div n AS r", "n")
     for (_ <- 1 to Iters) {
-      val contrib = state
-        .join(edges, $"node" === $"src")
+      // the rank state is O(V) — two orders smaller than the edge
+      // relation on any entity graph (V = business entities, E = facts) —
+      // so BROADCAST it into the edge join: the pinned edges never
+      // reshuffle, contributions partial-aggregate map-side, and each
+      // message pass pays exactly ONE exchange (the dst groupBy) instead
+      // of three. Past broadcast reach (billion-node graphs) flip these
+      // two joins back to shuffles — same semantics.
+      val contrib = edges
+        .join(broadcast(state), $"src" === $"node")
         .selectExpr("dst", "r div deg AS c", "n")
       val inSum = contrib.groupBy($"dst")
         .agg(sum($"c").as("insum"), first($"n").as("n"))
@@ -89,7 +96,7 @@ object Graph {
       // passes in ONE action (per-round eager actions cost more in
       // scheduling/AQE planning than their task work at tested SFs; on a
       // churn-prone cluster swap this back to per-round Materialize.eager)
-      state = inSum.join(deg, $"dst" === $"node")
+      state = inSum.join(broadcast(deg), $"dst" === $"node")
         .selectExpr("node", "deg",
           s"(3L * ${Scale}L) div (20L * n) + (17L * insum) div 20L AS r",
           "n")
@@ -617,6 +624,22 @@ object Graph {
   // ---------------------------------------------------------------------------
   private val CosineK = 3
 
+  /** Per-item order counts (the cosine normalizer) — derived from the
+    * pinned basket artifact and itself pinned: degrees of an at-rest
+    * graph table are at-rest statistics, written once beside the table
+    * (the same contract as [[tradeGraph]]'s deg relation). Without the
+    * pin every cosine query pays two broadcast-build jobs re-counting a
+    * static relation. */
+  private val itemDegCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def itemDegrees(s: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.cached(itemDegCache, s, dir) {
+      import s.implicits._
+      graft.Materialize.eager(
+        orderPartSets(s, dir).selectExpr("explode(ps) AS item")
+          .groupBy($"item").agg(count(lit(1)).as("n_item")), pin = true)
+    }
+
   def itemCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the per-order part-set artifact feeds BOTH the pair counts (map-side
@@ -635,15 +658,20 @@ object Graph {
     // GENERATORS (whole-stage-codegen'd) rather than nested higher-order
     // transforms (per-element lambda interpretation — measured ~2x slower
     // on the same row count).
+    // round 13: ONE exchange serves the whole query — the exploded pairs
+    // hash-partition on u alone, which satisfies the (u,v) aggregation's
+    // clustering (u ⊂ {u,v}) AND the top-k window's partitioning, so
+    // neither adds its own shuffle. (Map-side combine would buy ~nothing
+    // here: baskets are random, so a pre-shuffle partition rarely repeats
+    // a pair.)
     val sym = ps
       .select(explode($"ps").as("u"), $"ps")
       .select($"u", explode($"ps").as("v"))
       .filter($"u" =!= $"v")
+      .repartition($"u")
       .groupBy($"u", $"v")
       .agg(count(lit(1)).as("n_uv"))
-    val itemCnt = graft.Materialize.shared(
-      ps.selectExpr("explode(ps) AS item")
-        .groupBy($"item").agg(count(lit(1)).as("n_item")))
+    val itemCnt = itemDegrees(s, dir)
     val scored = sym
       .join(broadcast(itemCnt.select($"item".as("u"), $"n_item".as("n_u"))), Seq("u"))
       .join(broadcast(itemCnt.select($"item".as("v"), $"n_item".as("n_v"))), Seq("v"))
