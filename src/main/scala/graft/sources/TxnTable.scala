@@ -171,6 +171,25 @@ object TxnTable {
     * After the `_txn_log` rename lands (the commit point), the same commit
     * is mirrored as a public Delta-protocol `_delta_log/<v>.json` entry —
     * see [[deltaCommit]]. */
+  /** One add action as a log line. stats/partitionValues/bloom ride
+    * base64-encoded so nested-JSON quoting never leaks into the line
+    * grammar; the `_delta_log` mirror carries the same payloads in the
+    * protocol's native form. Shared by [[commit]] and the `_txn_log`
+    * checkpoint writer, so a checkpointed add re-parses identically. */
+  private def addLine(version: Long, op: String, a: AddFile): String = {
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+    val partJson = a.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s""""${MiniJson.escape(k)}":"${MiniJson.escape(v)}"""" }
+      .mkString("{", ",", "}")
+    val stField = a.stats.map(j => s""","stats64":"${b64(j)}"""").getOrElse("")
+    val pField = if (a.partitionValues.isEmpty) ""
+      else s""","part64":"${b64(partJson)}""""
+    val bField = a.bloom.map(j => s""","bloom64":"${b64(j)}"""").getOrElse("")
+    s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(a.file)}","bytes":${a.bytes}$stField$pField$bField}"""
+  }
+
   private def commit(root: String, version: Long, op: String,
                      adds: Seq[AddFile], removes: Seq[String],
                      schemaJson: Option[String] = None,
@@ -178,24 +197,8 @@ object TxnTable {
                      txn: Option[(String, Long)] = None,
                      partCols: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir(root))
-    def partJson(a: AddFile): String = a.partitionValues.toSeq.sortBy(_._1)
-      .map { case (k, v) =>
-        s""""${MiniJson.escape(k)}":"${MiniJson.escape(v)}"""" }
-      .mkString("{", ",", "}")
     val lines =
-      adds.map { a =>
-        // stats/partitionValues ride base64-encoded so the positional line
-        // parser stays oblivious to nested-JSON quoting; the _delta_log
-        // mirror carries the same payloads in the protocol's native form
-        val stField = a.stats.map(j => s""","stats64":"${java.util.Base64.getEncoder
-          .encodeToString(j.getBytes(UTF_8))}"""").getOrElse("")
-        val pField = if (a.partitionValues.isEmpty) ""
-          else s""","part64":"${java.util.Base64.getEncoder
-            .encodeToString(partJson(a).getBytes(UTF_8))}""""
-        val bField = a.bloom.map(j => s""","bloom64":"${java.util.Base64.getEncoder
-          .encodeToString(j.getBytes(UTF_8))}"""").getOrElse("")
-        s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(a.file)}","bytes":${a.bytes}$stField$pField$bField}"""
-      } ++ removes.map { f =>
+      adds.map(addLine(version, op, _)) ++ removes.map { f =>
         s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0}"""
       }
     // version claim is a true compare-and-set: the content is fully
@@ -215,6 +218,108 @@ object TxnTable {
     }
     Files.deleteIfExists(tmp)
     deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn, partCols)
+    if (version > 0 && version % CheckpointInterval == 0)
+      writeTxnCheckpoint(root, version)
+  }
+
+  // ---- _txn_log checkpoints -------------------------------------------------
+  // The same O(versions) critique the Delta mirror faced applies to this
+  // module's OWN fold: without a checkpoint, every snapshot read parses
+  // every commit file since version 0 — at 100k commits the log, not the
+  // data, becomes the read bottleneck. Every CheckpointInterval commits
+  // the winner writes `<v>.ckpt`: the full fold state at v (live adds
+  // with their stats/bloom payloads, the idempotent-append token ledger,
+  // the current schema + partition columns), so any read at asOf ≥ some
+  // checkpoint folds ONE checkpoint + the tail. Older time travel still
+  // folds from the nearest earlier checkpoint (or 0). Checkpoints are
+  // derived state — deleting one only slows reads, never changes them.
+
+  private def ckptPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"$v%020d.ckpt")
+
+  private def ckptVersions(root: String): Seq[Long] = {
+    val d = logDir(root)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong).toSeq.sorted
+  }
+
+  /** Fold state at `upTo`: (live adds, token→version ledger). Seeds from
+    * the newest checkpoint ≤ upTo, then folds only the tail. */
+  private def foldState(root: String, upTo: Long): (Seq[AddFile], Map[String, Long]) = {
+    val ck = ckptVersions(root).filter(_ <= upTo).lastOption
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val tokens = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    ck.foreach { v =>
+      Files.readAllLines(ckptPath(root, v)).asScala.foreach { line =>
+        val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]
+        m("action").asInstanceOf[String] match {
+          case "add" =>
+            val a = parseAddFields(m)
+            live(a.file) = a
+          case "token" =>
+            tokens(m("op").asInstanceOf[String]) =
+              m("version").asInstanceOf[BigDecimal].toLongExact
+          case _ => () // meta — consumed by readMeta's short-circuit
+        }
+      }
+    }
+    versions(root).filter(v => v > ck.getOrElse(-1L) && v <= upTo)
+      .foreach { v =>
+        parseLog(root, v).foreach {
+          case Action(_, op, "add", a) =>
+            live(a.file) = a
+            if (op.startsWith("append#")) tokens(op) = v
+          case Action(_, op, "remove", a) =>
+            live.remove(a.file)
+            if (op.startsWith("append#")) tokens(op) = v
+          case _ => ()
+        }
+      }
+    (live.values.toSeq, tokens.toMap)
+  }
+
+  /** (checkpoint version used, tail commit files folded) for a read at
+    * `asOf` — the observability hook the checkpoint spec gates on. */
+  private[graft] def foldReport(root: String, asOf: Long = -1L): (Option[Long], Int) = {
+    val upTo = if (asOf < 0) latestVersion(root) else asOf
+    val ck = ckptVersions(root).filter(_ <= upTo).lastOption
+    (ck, versions(root).count(v => v > ck.getOrElse(-1L) && v <= upTo))
+  }
+
+  private def writeTxnCheckpoint(root: String, version: Long): Unit = {
+    val (live, tokens) = foldState(root, version)
+    val metaLine = readMeta(root, version).map { case (schema, pcs) =>
+      val s64 = java.util.Base64.getEncoder.encodeToString(schema.json.getBytes(UTF_8))
+      val p64 = java.util.Base64.getEncoder.encodeToString(
+        pcs.map(c => s""""${MiniJson.escape(c)}"""").mkString("[", ",", "]").getBytes(UTF_8))
+      s"""{"version":$version,"op":"meta","action":"meta","file":"","bytes":0,"schema64":"$s64","parts64":"$p64"}"""
+    }.toSeq
+    val lines = metaLine ++
+      live.map(addLine(version, "checkpoint", _)) ++
+      tokens.toSeq.sortBy(_._2).map { case (op, v) =>
+        s"""{"version":$v,"op":"${esc(op)}","action":"token","file":"","bytes":0}""" }
+    val tmp = logDir(root).resolve(
+      s".$version-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+    // derived state: lose the race, keep the winner's (identical) fold
+    try Files.createLink(ckptPath(root, version), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    Files.deleteIfExists(tmp)
+  }
+
+  /** Decode the AddFile fields of a parsed add-action line. */
+  private def parseAddFields(m: Map[String, Any]): AddFile = {
+    def b64(k: String): Option[String] = m.get(k).map(s =>
+      new String(java.util.Base64.getDecoder.decode(s.asInstanceOf[String]), UTF_8))
+    val pvs = b64("part64").map(j =>
+      MiniJson.parse(j).asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[String] })
+      .getOrElse(Map.empty[String, String])
+    AddFile(m("file").asInstanceOf[String],
+      m("bytes").asInstanceOf[BigDecimal].toLongExact,
+      b64("stats64"), pvs, b64("bloom64"))
   }
 
   /** Another writer claimed this version first; the caller rebases on the
@@ -687,7 +792,10 @@ object TxnTable {
       s"appendOnce token must not contain control characters: ${token.trim}")
     requireUnpartitioned(root, "appendOnce")
     val op = s"append#$token"
-    def existing: Option[Long] = actions(root, -1L).find(_.op == op).map(_.version)
+    // the dedup ledger rides checkpoints too (token lines), so redelivery
+    // detection folds checkpoint + tail, never the whole history
+    def existing: Option[Long] =
+      foldState(root, latestVersion(root))._2.get(op)
     existing.getOrElse {
       val adds = writeDataFiles(df, root, latestVersion(root) + 1)
       casRetry("appendOnce") {
@@ -803,17 +911,9 @@ object TxnTable {
   private def parseLog(root: String, v: Long): Seq[Action] =
     Files.readAllLines(logDir(root).resolve(f"$v%020d.json")).asScala.toSeq.map { line =>
       val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]
-      def b64(k: String): Option[String] = m.get(k).map(s =>
-        new String(java.util.Base64.getDecoder.decode(s.asInstanceOf[String]), UTF_8))
-      val pvs = b64("part64").map(j =>
-        MiniJson.parse(j).asInstanceOf[Map[String, Any]]
-          .map { case (k, v) => k -> v.asInstanceOf[String] })
-        .getOrElse(Map.empty[String, String])
       Action(m("version").asInstanceOf[BigDecimal].toLongExact,
         m("op").asInstanceOf[String], m("action").asInstanceOf[String],
-        AddFile(m("file").asInstanceOf[String],
-          m("bytes").asInstanceOf[BigDecimal].toLongExact,
-          b64("stats64"), pvs, b64("bloom64")))
+        parseAddFields(m))
     }
 
   /** Log actions up to and including `asOf` (whole log when < 0). */
@@ -844,13 +944,10 @@ object TxnTable {
     // remove cancels the add before it, and a LATER re-add resurrects the
     // file — which is exactly what a metadata-only [[restore]] commits.
     // (An all-time remove set would wrongly kill resurrected files.)
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    actions(root, asOf).foreach {
-      case Action(_, _, "add", a)    => live(a.file) = a
-      case Action(_, _, "remove", a) => live.remove(a.file)
-      case _                         => ()
-    }
-    live.values.toSeq
+    // Seeded from the newest checkpoint ≤ asOf, so the fold is
+    // O(checkpoint + tail), not O(versions) — see [[foldState]].
+    val upTo = if (asOf < 0) latestVersion(root) else asOf
+    foldState(root, upTo)._1
   }
 
   /** Table metadata from the `_delta_log` mirror's metaData actions — the
@@ -861,11 +958,16 @@ object TxnTable {
   private def readMeta(root: String, asOf: Long = -1L): Option[(StructType, Seq[String])] = {
     val d = deltaDir(root)
     if (!Files.isDirectory(d)) return None
+    // short-circuit via the _txn_log checkpoint's meta line: only the
+    // commits AFTER the newest checkpoint ≤ asOf can carry newer metaData,
+    // so a no-evolution 100k-commit table reads the tail + one line, not
+    // every commit since version 0
+    val ck = ckptVersions(root).filter(v => asOf < 0 || v <= asOf).lastOption
     val vs = Files.list(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong)
-      .filter(v => asOf < 0 || v <= asOf).toSeq.sorted
-    vs.reverseIterator.flatMap { v =>
+      .filter(v => (asOf < 0 || v <= asOf) && v > ck.getOrElse(-1L)).toSeq.sorted
+    val fromTail = vs.reverseIterator.flatMap { v =>
       Files.readAllLines(d.resolve(f"$v%020d.json")).asScala
         .find(_.startsWith("""{"metaData":""")).map { line =>
           val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]("metaData")
@@ -877,6 +979,18 @@ object TxnTable {
           (schema, pcs)
         }
     }.nextOption()
+    fromTail.orElse(ck.flatMap { v =>
+      Files.readAllLines(ckptPath(root, v)).asScala
+        .find(_.contains(""""action":"meta"""")).map { line =>
+          val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]
+          def dec(k: String) = new String(
+            java.util.Base64.getDecoder.decode(m(k).asInstanceOf[String]), UTF_8)
+          val schema = DataType.fromJson(dec("schema64")).asInstanceOf[StructType]
+          val pcs = MiniJson.parse(dec("parts64")).asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[String])
+          (schema, pcs)
+        }
+    })
   }
 
   /** Same column names and types, order- and nullability-insensitive. */

@@ -512,6 +512,37 @@ class TxnTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TxnTable.readVersion(spark, root, 0))
   }
 
+  test("log checkpoints bound the fold: reads parse one checkpoint + the tail") {
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    (0 until 9).foreach(i => TxnTable.append(df(i * 10 + 1 to i * 10 + 10), root)) // v0..v8
+    TxnTable.appendOnce(df(91 to 95), root, "tok-9")     // v9
+    TxnTable.delete(spark, root, col("id") <= 5L)        // v10 → checkpoint
+    TxnTable.append(df(200 to 203), root)                // v11 (tail)
+    // the fold for the latest snapshot uses the v10 checkpoint + 1 tail file
+    assert(TxnTable.foldReport(root) == (Some(10L), 1),
+      TxnTable.foldReport(root))
+    // contents agree with a from-zero fold (time travel below the
+    // checkpoint still folds raw commits — same rows, longer walk)
+    assert(ids(TxnTable.read(spark, root)) ==
+      ((6L to 95L) ++ (200L to 203L)).sorted)
+    assert(TxnTable.foldReport(root, 4L) == (None, 5))
+    assert(ids(TxnTable.readVersion(spark, root, 4)) == (1L to 50L))
+    // the token ledger rides the checkpoint: replaying tok-9 after the
+    // checkpoint still dedups without folding pre-checkpoint commits
+    assert(TxnTable.appendOnce(df(91 to 95), root, "tok-9") == 9L)
+    // stats survive the checkpoint round-trip: pruning still works
+    val (kept, skipped) = TxnTable.skippingReport(root, col("id") >= 200L)
+    assert(skipped > 0, s"checkpointed stats must still prune (kept=$kept)")
+    // checkpoints are DERIVED state: deleting them changes nothing but cost
+    java.nio.file.Files.list(java.nio.file.Paths.get(root, "_txn_log"))
+      .iterator().asScala.filter(_.getFileName.toString.endsWith(".ckpt"))
+      .toSeq.foreach(java.nio.file.Files.delete(_))
+    assert(TxnTable.foldReport(root) == (None, 12))
+    assert(ids(TxnTable.read(spark, root)) ==
+      ((6L to 95L) ++ (200L to 203L)).sorted)
+  }
+
   test("appendOnce refuses schema drift; quoted tokens round-trip the dedup ledger") {
     import spark.implicits._
     val root = tbl()
