@@ -842,6 +842,66 @@ object Sources {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Oracle-gated INCREMENTAL change data feed: appends, a CDF-enabled merge
+  // and a CDF-enabled delete, then changeFeedIncremental reads PER-COMMIT
+  // changes from O(delta) metadata + persisted change files — never a
+  // snapshot diff. The oracle rebuilds each commit's ledger from bucket
+  // algebra: v1's inserts, v2's insert/update pre+post images (silent on
+  // no-op updates), v3's deletes evaluated on the post-merge state.
+  // ---------------------------------------------------------------------------
+  def txnCdfInc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_inc")
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          bucket.as("b"))
+      TxnTable.append(ev.filter($"b" <= 1)
+        .select($"event_id", $"cents"), tmp.toString)                        // v0
+      TxnTable.append(ev.filter($"b" === 2 || $"b" === 3)
+        .select($"event_id", $"cents"), tmp.toString)                        // v1
+      val delta = ev.filter($"b" === 3 || $"b" === 4)
+        .select($"event_id",
+          when($"b" === 3, $"cents" * 2).otherwise($"cents").as("cents"))
+      TxnTable.merge(s, delta, tmp.toString, Seq("event_id"), cdf = true)    // v2
+      TxnTable.delete(s, tmp.toString,
+        $"cents" >= 3000L && $"cents" <= 20000L, cdf = true)                 // v3
+      val agg = TxnTable.changeFeedIncremental(s, tmp.toString, 0L, 3L)
+        .groupBy($"_commit_version".cast("long").as("commit_version"),
+          $"_change_type".as("change_type"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum($"cents").cast("long").as("sum_cents"))
+      graft.Materialize.eager(agg)
+    } finally reclaim(tmp)
+  }
+  val txnCdfIncSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events)
+      |SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM ev WHERE b = 2 OR b = 3
+      |UNION ALL
+      |SELECT 2, 'insert', count(*), CAST(sum(cents) AS BIGINT) FROM ev WHERE b = 4
+      |UNION ALL
+      |SELECT 2, 'update_preimage', count(*), CAST(sum(cents) AS BIGINT)
+      |FROM ev WHERE b = 3 AND cents IS NOT NULL AND cents <> 0
+      |UNION ALL
+      |SELECT 2, 'update_postimage', count(*), CAST(sum(2 * cents) AS BIGINT)
+      |FROM ev WHERE b = 3 AND cents IS NOT NULL AND cents <> 0
+      |UNION ALL
+      |SELECT 3, 'delete', count(*),
+      |       CAST(sum(CASE WHEN b = 3 THEN 2 * cents ELSE cents END) AS BIGINT)
+      |FROM ev WHERE b <= 4
+      |  AND (CASE WHEN b = 3 THEN 2 * cents ELSE cents END) BETWEEN 3000 AND 20000
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Oracle-gated MERGE INTO a PARTITIONED table: events land hive-
   // partitioned by event_type, then one keyed upsert (keys = event_id +
   // event_type, so the partition columns ARE merge keys) updates bucket-3
@@ -950,6 +1010,7 @@ object Sources {
     "q_txn_delete" -> txnDelete _,
     "q_txn_skip" -> txnSkip _,
     "q_txn_cdf" -> txnCdf _,
+    "q_txn_cdf_inc" -> txnCdfInc _,
     "q_txn_partition" -> txnPartition _,
     "q_txn_merge_part" -> txnMergePart _,
     "q_txn_delete_part" -> txnDeletePart _,
@@ -969,6 +1030,7 @@ object Sources {
     "q_txn_delete" -> txnDeleteSql,
     "q_txn_skip" -> txnSkipSql,
     "q_txn_cdf" -> txnCdfSql,
+    "q_txn_cdf_inc" -> txnCdfIncSql,
     "q_txn_partition" -> txnPartitionSql,
     "q_txn_merge_part" -> txnMergePartSql,
     "q_txn_delete_part" -> txnDeletePartSql,

@@ -195,11 +195,14 @@ object TxnTable {
                      schemaJson: Option[String] = None,
                      dataChange: Boolean = true,
                      txn: Option[(String, Long)] = None,
-                     partCols: Seq[String] = Nil): Unit = {
+                     partCols: Seq[String] = Nil,
+                     cdc: Seq[AddFile] = Nil): Unit = {
     Files.createDirectories(logDir(root))
     val lines =
       adds.map(addLine(version, op, _)) ++ removes.map { f =>
         s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0}"""
+      } ++ cdc.map { a =>
+        s"""{"version":$version,"op":"${esc(op)}","action":"cdc","file":"${esc(a.file)}","bytes":${a.bytes}}"""
       }
     // version claim is a true compare-and-set: the content is fully
     // written to a writer-private tmp file, then HARD-LINKED into place —
@@ -217,7 +220,8 @@ object TxnTable {
       throw new ConcurrentCommitException(root, version)
     }
     Files.deleteIfExists(tmp)
-    deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn, partCols)
+    deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn,
+      partCols, cdc)
     if (version > 0 && version % CheckpointInterval == 0)
       writeTxnCheckpoint(root, version)
   }
@@ -368,7 +372,8 @@ object TxnTable {
                           adds: Seq[AddFile], removes: Seq[String],
                           schemaJson: Option[String], dataChange: Boolean,
                           txn: Option[(String, Long)],
-                          partCols: Seq[String] = Nil): Unit = {
+                          partCols: Seq[String] = Nil,
+                          cdc: Seq[AddFile] = Nil): Unit = {
     Files.createDirectories(deltaDir(root))
     val now = System.currentTimeMillis()
     val pcJson = partCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
@@ -398,6 +403,12 @@ object TxnTable {
           .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
           .mkString("{", ",", "}")
         s"""{"add":{"path":"${esc(a.file)}","partitionValues":$pv,"size":${a.bytes},"modificationTime":$mt,"dataChange":$dataChange$stField}}"""
+      } ++
+      // change-data files (the protocol's AddCDCFile): CDF readers fold
+      // these from the version-range commit JSONs — per the protocol they
+      // do NOT enter checkpoints, so writeDeltaCheckpoint skips them
+      cdc.map { a =>
+        s"""{"cdc":{"path":"${esc(a.file)}","partitionValues":{},"size":${a.bytes},"dataChange":false}}"""
       }
     val tmp = deltaDir(root).resolve(s".$version.json.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
@@ -632,6 +643,21 @@ object TxnTable {
   private def dataSub(version: Long): String =
     s"data/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** Write per-commit CHANGE-DATA files (table columns + `_change_type`)
+    * under `cdc/v<version>-<tag>` — the persisted row-level diff an
+    * incremental CDF consumer reads instead of re-diffing snapshots. No
+    * stats (never pruned on; read whole by version). */
+  private def writeCdcFiles(df: DataFrame, root: String, version: Long): Seq[AddFile] = {
+    val sub = s"cdc/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dst = Paths.get(root, sub)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
+    Files.list(dst).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .toSeq.sorted
+      .map(n => AddFile(s"$sub/$n", Files.size(dst.resolve(n)), None))
+  }
+
   /** Write `df` under a fresh [[dataSub]] dir; stats come off each file's
     * footer (see [[footerStats]] — no second scan). */
   private def writeDataFiles(df: DataFrame, root: String, version: Long): Seq[AddFile] = {
@@ -847,7 +873,7 @@ object TxnTable {
     * `delta` must carry distinct keys (the upsert set) and the table
     * schema. */
   def merge(spark: SparkSession, delta: DataFrame, root: String,
-            keys: Seq[String]): Long = casRetry("merge") {
+            keys: Seq[String], cdf: Boolean = false): Long = casRetry("merge") {
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
     // a delta narrower than an evolved table would silently drop the new
@@ -891,11 +917,41 @@ object TxnTable {
           .select(cols.map(c => col(s"_r.$c").as(c)): _*)
           .unionByName(delta)
       }
+    // cdf = true persists this commit's row-level changes as change-data
+    // files (the streaming-CDF write side — [[changeFeedIncremental]]
+    // reads them): matched keys whose row actually changed emit
+    // update pre/post images, unmatched delta rows emit inserts.
+    // Opt-in: a merge without CDF consumers pays nothing extra.
+    val cdcAdds =
+      if (!cdf) Seq.empty[AddFile]
+      else {
+        val changes =
+          if (touchedRel.isEmpty) delta.withColumn("_change_type", lit("insert"))
+          else {
+            val old = cur.filter(col("_file").isin(touchedRel: _*))
+              .select(col("_r").as("_o"))
+            val nsj = delta.select(struct(cols.map(col): _*).as("_n"))
+            val on = keys.map(k => col(s"_o.$k") === col(s"_n.$k")).reduce(_ && _)
+            val joined = old.join(nsj, on, "full_outer")
+              // carried rows (_n null) and no-op updates stay silent
+              .filter(col("_o").isNull ||
+                (col("_n").isNotNull && !(col("_o") <=> col("_n"))))
+            joined.select(explode(
+              when(col("_o").isNull,
+                array(struct(col("_n").as("r"), lit("insert").as("t"))))
+              .otherwise(array(
+                struct(col("_o").as("r"), lit("update_preimage").as("t")),
+                struct(col("_n").as("r"), lit("update_postimage").as("t"))))).as("e"))
+              .select(cols.map(c => col(s"e.r.$c")) :+
+                col("e.t").as("_change_type"): _*)
+          }
+        writeCdcFiles(changes, root, v)
+      }
     val adds =
       if (pcs.isEmpty) writeDataFiles(carried, root, v)
       else writePartitionedFiles(carried, root, v, pcs)
     commit(root, v, "merge", adds, touchedRel,
-      schemaJson = Some(delta.schema.json), partCols = pcs)
+      schemaJson = Some(delta.schema.json), partCols = pcs, cdc = cdcAdds)
     v
   }
 
@@ -1163,18 +1219,25 @@ object TxnTable {
     val keep = (firstKept to latest)
       .flatMap(v => liveFiles(root, v).map(_._1)).toSet
     val all = actions(root, -1L).collect { case Action(_, _, "add", a) => a.file }.distinct
-    val victims = all.filterNot(keep.contains)
+    // change-data files age with their commit: a CDF range read reaches
+    // only retained versions, so cdc files of vacuumed-away versions go too
+    val cdcVictims = versions(root).filter(_ < firstKept)
+      .flatMap(v => parseLog(root, v).collect {
+        case Action(_, _, "cdc", a) => a.file })
+    val victims = (all.filterNot(keep.contains) ++ cdcVictims)
       .filter(f => Files.exists(Paths.get(root, f)))
     victims.foreach(f => Files.delete(Paths.get(root, f)))
-    val dataDir = Paths.get(root, "data")
-    val everAdded = all.toSet
-    val orphans =
-      if (!Files.isDirectory(dataDir)) Seq.empty[String]
-      else Files.walk(dataDir).iterator().asScala
+    val everAdded = all.toSet ++
+      actions(root, -1L).collect { case Action(_, _, "cdc", a) => a.file }
+    val orphans = Seq("data", "cdc").flatMap { sub =>
+      val d = Paths.get(root, sub)
+      if (!Files.isDirectory(d)) Seq.empty[String]
+      else Files.walk(d).iterator().asScala
         .filter { p => val n = p.getFileName.toString
           n.endsWith(".parquet") && !n.startsWith(".") }
         .map(p => Paths.get(root).relativize(p).toString)
         .filterNot(everAdded.contains).toSeq
+    }
     orphans.foreach(f => Files.delete(Paths.get(root, f)))
     victims ++ orphans
   }
@@ -1501,7 +1564,8 @@ object TxnTable {
     * files that truly CONTAIN a match — only those are rewritten, with
     * their surviving rows (`pred` false or null) copied forward. Untouched
     * files stay in place; pre-delete versions stay time-travelable. */
-  def delete(spark: SparkSession, root: String, pred: Column): Long = casRetry("delete") {
+  def delete(spark: SparkSession, root: String, pred: Column,
+             cdf: Boolean = false): Long = casRetry("delete") {
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
     val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
@@ -1518,13 +1582,21 @@ object TxnTable {
           .collect().map(_.getString(0)).toSeq.sorted
         if (touched.isEmpty) Seq.empty[String]
         else {
-          val carried = cur.filter(col("_file").isin(touched: _*))
+          val inTouched = cur.filter(col("_file").isin(touched: _*))
+          val carried = inTouched
             .filter(!coalesce(pred, lit(false)))
             .drop("_file")
+          // cdf = true persists the deleted rows as change-data files
+          val cdcAdds =
+            if (!cdf) Seq.empty[AddFile]
+            else writeCdcFiles(
+              inTouched.filter(coalesce(pred, lit(false))).drop("_file")
+                .withColumn("_change_type", lit("delete")), root, v)
           val rewritten =
             if (pcs.isEmpty) writeDataFiles(carried, root, v)
             else writePartitionedFiles(carried, root, v, pcs)
-          commit(root, v, "delete", rewritten, touched, partCols = pcs)
+          commit(root, v, "delete", rewritten, touched, partCols = pcs,
+            cdc = cdcAdds)
           touched
         }
       }
@@ -1560,6 +1632,49 @@ object TxnTable {
         struct(col("_o").as("r"), lit("update_preimage").as("t")),
         struct(col("_n").as("r"), lit("update_postimage").as("t"))))).as("e"))
     events.select(cols.map(c => col(s"e.r.$c")) :+ col("e.t").as("_change_type"): _*)
+  }
+
+  /** INCREMENTAL change data feed over (fromV, toV]: one row per change
+    * per COMMIT (table columns + `_change_type` + `_commit_version`),
+    * assembled from O(delta) metadata + files — never a snapshot diff:
+    *
+    *  - append commits synthesize `insert` rows from their own add files;
+    *  - merge/delete commits written with `cdf = true` read their
+    *    persisted change-data files;
+    *  - layout-only commits (OPTIMIZE / ZORDER) emit nothing;
+    *  - a row-rewriting commit WITHOUT change files (overwrite, restore,
+    *    non-CDF merge/delete) fails loudly — fall back to [[changeFeed]]'s
+    *    keyed snapshot diff for those ranges.
+    *
+    * This is the read side of the streaming-CDF contract: a downstream
+    * incremental consumer tails versions and applies exactly each commit's
+    * effects, at a cost proportional to what changed. */
+  def changeFeedIncremental(spark: SparkSession, root: String,
+                            fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"empty version range ($fromV, $toV]")
+    require(toV <= latestVersion(root), s"version $toV does not exist")
+    val perVersion = versions(root).filter(v => v > fromV && v <= toV).flatMap { v =>
+      val acts = parseLog(root, v)
+      val op = acts.headOption.map(_.op).getOrElse("?")
+      val cdcFiles = acts.collect { case Action(_, _, "cdc", a) => a.file }
+      val addFiles = acts.collect { case Action(_, _, "add", a) => a.file }
+      val hasRemove = acts.exists(_.action == "remove")
+      val layoutOnly = op == "optimize" || op == "optimize-zorder"
+      if (layoutOnly || acts.isEmpty) None
+      else if (cdcFiles.nonEmpty)
+        Some(spark.read.parquet(cdcFiles.map(f => Paths.get(root, f).toString): _*)
+          .withColumn("_commit_version", lit(v)))
+      else if (!hasRemove && (op == "append" || op.startsWith("append#")))
+        Some(readFiles(spark, root, addFiles, v)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      else if (addFiles.isEmpty && !hasRemove) None // audited no-op commit
+      else sys.error(
+        s"version $v ($op) rewrites rows without change files; " +
+          "use changeFeed's snapshot diff or commit with cdf = true")
+    }
+    require(perVersion.nonEmpty, s"no data-changing commits in ($fromV, $toV]")
+    perVersion.reduce(_ unionByName _)
   }
 
   /** RESTORE the table to the contents of `toVersion` — a PURE METADATA

@@ -543,6 +543,48 @@ class TxnTableSpec extends AnyFunSuite {
       ((6L to 95L) ++ (200L to 203L)).sorted)
   }
 
+  test("CDF-enabled commits persist change files; the incremental feed reads O(delta)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    TxnTable.append(df(1 to 50).repartition(4), root)                  // v0
+    val delta = Seq((1L, "CHANGED"), (99L, "NEW")).toDF("id", "payload")
+    TxnTable.merge(spark, delta, root, Seq("id"), cdf = true)          // v1
+    TxnTable.delete(spark, root, col("id") >= 40L && col("id") <= 45L,
+      cdf = true)                                                      // v2
+    // per-commit ledger: v1 = one changed-row pre/post pair + one insert
+    // (id 1's payload flips v1 -> CHANGED; unmatched carried rows silent)
+    val feed = TxnTable.changeFeedIncremental(spark, root, 0L, 2L)
+      .select("_commit_version", "_change_type", "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    assert(feed == Seq(
+      (1L, "update_postimage", 1L, "CHANGED"),
+      (1L, "update_preimage", 1L, "v1"),
+      (1L, "insert", 99L, "NEW")) ++
+      (40L to 45L).map(i => (2L, "delete", i, s"v$i")), feed)
+    // appends synthesize inserts from their own add files — whole range
+    val full = TxnTable.changeFeedIncremental(spark, root, -1L, 2L)
+    assert(full.where("_commit_version = 0 and _change_type = 'insert'").count() == 50)
+    // the open-format mirror carries the protocol's cdc action
+    val v1 = Files.readAllLines(
+      java.nio.file.Paths.get(root, "_delta_log", f"${1L}%020d.json")).asScala
+    assert(v1.exists(_.startsWith("""{"cdc":""")), v1)
+    // a rewriting commit WITHOUT change files refuses the incremental path
+    TxnTable.overwrite(df(1 to 5), root)                               // v3
+    val e = intercept[RuntimeException](
+      TxnTable.changeFeedIncremental(spark, root, 0L, 3L))
+    assert(e.getMessage.contains("without change files"))
+    // vacuum ages change files out with their commits
+    val cdcBefore = Files.walk(java.nio.file.Paths.get(root, "cdc"))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    assert(cdcBefore > 0)
+    TxnTable.vacuum(root, retainAfter = 2L)
+    val cdcAfter = Files.walk(java.nio.file.Paths.get(root, "cdc"))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    assert(cdcAfter == 0, s"cdc files not swept: $cdcAfter")
+  }
+
   test("appendOnce refuses schema drift; quoted tokens round-trip the dedup ledger") {
     import spark.implicits._
     val root = tbl()
