@@ -976,14 +976,16 @@ object TxnTable {
   private def actions(root: String, asOf: Long): Seq[Action] =
     versions(root).filter(v => asOf < 0 || v <= asOf).flatMap(parseLog(root, _))
 
-  /** One committed version's (op, added files, rewrites-data?) — the
-    * streaming tail's planning unit. A version with removes under a
-    * data-changing op REWRITES rows; an append-only consumer must balk. */
-  private[sources] def commitActions(root: String, v: Long): (String, Seq[AddFile], Boolean) = {
+  /** One committed version's (op, added files, change-data files,
+    * rewrites-data?) — the streaming tail's planning unit. A version with
+    * removes under a data-changing op REWRITES rows; an append-only
+    * consumer must balk, a change-feed consumer reads the cdc files. */
+  private[sources] def commitActions(root: String, v: Long): (String, Seq[AddFile], Seq[AddFile], Boolean) = {
     val acts = parseLog(root, v)
     val op = acts.headOption.map(_.op).getOrElse("?")
     (op,
       acts.collect { case Action(_, _, "add", a) => a },
+      acts.collect { case Action(_, _, "cdc", a) => a },
       acts.exists(_.action == "remove"))
   }
 

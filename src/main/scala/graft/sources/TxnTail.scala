@@ -59,7 +59,8 @@ class TxnTailProvider extends TableProvider with DataSourceRegister {
 object TxnTail {
   final case class Conf(root: String, startingVersion: Long,
                         ignoreChanges: Boolean,
-                        maxVersionsPerBatch: Option[Long])
+                        maxVersionsPerBatch: Option[Long],
+                        readChangeFeed: Boolean)
 
   def conf(properties: JMap[String, String]): Conf = {
     def opt(k: String): Option[String] = Option(properties.get(k))
@@ -67,10 +68,16 @@ object TxnTail {
       opt("path").getOrElse(sys.error("txn-tail: option 'path' (table root) is required")),
       opt("startingVersion").map(_.toLong).getOrElse(0L),
       opt("ignoreChanges").exists(_.toBoolean),
-      opt("maxVersionsPerBatch").map(_.toLong))
+      opt("maxVersionsPerBatch").map(_.toLong),
+      opt("readChangeFeed").exists(_.toBoolean))
   }
 
-  /** Table schema (from the mirror's metaData action) + `_commit_version`. */
+  /** Table schema (from the mirror's metaData action) + `_commit_version`;
+    * with `readChangeFeed=true` also `_change_type` — the STREAMING change
+    * feed: appends arrive as inserts off their own add files, CDF-enabled
+    * merge/delete commits arrive as their persisted change rows, and a
+    * rewrite without change files fails loudly instead of re-emitting
+    * carried rows (the dedup burden ignoreChanges pushes to consumers). */
   def outputSchema(c: Conf): StructType = {
     val (schema, partCols) = TxnTable.tableMeta(c.root).getOrElse(
       sys.error(s"txn-tail: ${c.root} has no _delta_log metaData to infer a schema from"))
@@ -80,7 +87,11 @@ object TxnTail {
       require(supported(f.dataType),
         s"txn-tail: unsupported column type ${f.dataType} for ${f.name}")
     }
-    StructType(schema.fields :+ StructField("_commit_version", LongType, nullable = false))
+    val withCt =
+      if (c.readChangeFeed)
+        schema.fields :+ StructField("_change_type", StringType, nullable = false)
+      else schema.fields
+    StructType(withCt :+ StructField("_commit_version", LongType, nullable = false))
   }
 
   private def supported(dt: DataType): Boolean = dt match {
@@ -145,9 +156,22 @@ final class TxnTailStream(c: TxnTail.Conf)
     val lo = start.asInstanceOf[TxnTailOffset].version
     val hi = end.asInstanceOf[TxnTailOffset].version
     ((lo + 1) to hi).flatMap { v =>
-      val (op, adds, rewrites) = TxnTable.commitActions(c.root, v)
+      val (op, adds, cdc, rewrites) = TxnTable.commitActions(c.root, v)
       if (op.startsWith("optimize")) Seq.empty // layout-only: no new rows
-      else {
+      else if (c.readChangeFeed) {
+        // change-feed mode: each commit contributes exactly its changes
+        if (cdc.nonEmpty)
+          cdc.map(a => TxnTailPartition(
+            java.nio.file.Paths.get(c.root, a.file).toString, v,
+            dataSchemaJson, changeType = null)) // _change_type is IN the file
+        else if (!rewrites)
+          adds.map(a => TxnTailPartition(
+            java.nio.file.Paths.get(c.root, a.file).toString, v,
+            dataSchemaJson, changeType = "insert"))
+        else sys.error(
+          s"txn-tail: version $v ($op) rewrites rows without change files; " +
+            "commit with cdf = true to stream its change feed")
+      } else {
         require(!rewrites || c.ignoreChanges,
           s"txn-tail: version $v ($op) rewrites data; the tail is " +
             "append-only — set ignoreChanges=true to re-emit rewritten files")
@@ -164,8 +188,13 @@ final class TxnTailStream(c: TxnTail.Conf)
     }
 }
 
+/** `changeType`: non-null = synthesize a constant `_change_type` for every
+  * row (append commits in change-feed mode, whose files predate the
+  * column); null = the column, if projected, is in the file (cdc files)
+  * or absent (plain tail mode). */
 final case class TxnTailPartition(path: String, version: Long,
-                                  schemaJson: String) extends InputPartition
+                                  schemaJson: String,
+                                  changeType: String = null) extends InputPartition
 
 /** Executor-side reader: one parquet file through the parquet-column
   * record API (ColumnIO + GroupRecordConverter) — footer-driven, no Spark
@@ -208,7 +237,10 @@ final class TxnTailReader(p: TxnTailPartition)
       // columns entirely — emit null for them, matching the batch
       // unified-schema scan (getFieldIndex would throw on the backfill)
       vals(i) =
-        if (!fileSchema.containsField(f.name)) null
+        if (!fileSchema.containsField(f.name))
+          if (f.name == "_change_type" && p.changeType != null)
+            UTF8String.fromString(p.changeType)
+          else null
         else {
           val fi = fileSchema.getFieldIndex(f.name)
           if (current.getFieldRepetitionCount(fi) == 0) null

@@ -130,4 +130,46 @@ class TxnTailSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("partitioned"))
   }
+
+  test("readChangeFeed streams each commit's changes: inserts, cdc rows, no re-emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    TxnTable.append(df(1 to 10).coalesce(1), root)                     // v0
+    val q = spark.readStream.format("txn-tail").option("path", root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdfTail").start()
+    try {
+      q.processAllAvailable()
+      val v0 = spark.table("cdfTail").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      assert(v0.length == 10 && v0.forall(t => t._2 == "insert" && t._3 == 0L), v0.toSeq)
+
+      // a CDF merge arrives as exactly its change rows; carried rows and
+      // the compaction that follows stay silent
+      val delta = Seq((3L, "UPD"), (42L, "NEW")).toDF("id", "payload")
+      TxnTable.merge(spark, delta, root, Seq("id"), cdf = true)        // v1
+      TxnTable.optimize(spark, root, targetPartitions = 1)             // v2, layout
+      TxnTable.delete(spark, root, col("id") === 5L, cdf = true)       // v3
+      q.processAllAvailable()
+      val tailRows = spark.table("cdfTail").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .filter(_._4 > 0L).sortBy(t => (t._4, t._1, t._3)).toSeq
+      assert(tailRows == Seq(
+        (3L, "UPD", "update_postimage", 1L),
+        (3L, "v3", "update_preimage", 1L),
+        (42L, "NEW", "insert", 1L),
+        (5L, "v5", "delete", 3L)), tailRows)
+    } finally q.stop()
+
+    // a rewrite without change files refuses the change-feed stream
+    TxnTable.overwrite(df(1 to 2), root)                               // v4
+    val q2 = spark.readStream.format("txn-tail").option("path", root)
+      .option("readChangeFeed", "true").option("startingVersion", "4").load()
+      .writeStream.format("memory").queryName("cdfTail2").start()
+    val e = intercept[StreamingQueryException](q2.processAllAvailable())
+    q2.stop()
+    assert(e.getMessage.contains("without change files") ||
+      Option(e.getCause).exists(_.getMessage.contains("without change files")))
+  }
 }
