@@ -196,7 +196,8 @@ object TxnTable {
                      dataChange: Boolean = true,
                      txn: Option[(String, Long)] = None,
                      partCols: Seq[String] = Nil,
-                     cdc: Seq[AddFile] = Nil): Unit = {
+                     cdc: Seq[AddFile] = Nil,
+                     extraConfig: Option[Map[String, String]] = None): Unit = {
     Files.createDirectories(logDir(root))
     val lines =
       adds.map(addLine(version, op, _)) ++ removes.map { f =>
@@ -221,7 +222,7 @@ object TxnTable {
     }
     Files.deleteIfExists(tmp)
     deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn,
-      partCols, cdc)
+      partCols, cdc, extraConfig)
     if (version > 0 && version % CheckpointInterval == 0)
       writeTxnCheckpoint(root, version)
   }
@@ -295,10 +296,16 @@ object TxnTable {
   private def writeTxnCheckpoint(root: String, version: Long): Unit = {
     val (live, tokens) = foldState(root, version)
     val metaLine = readMeta(root, version).map { case (schema, pcs) =>
-      val s64 = java.util.Base64.getEncoder.encodeToString(schema.json.getBytes(UTF_8))
-      val p64 = java.util.Base64.getEncoder.encodeToString(
-        pcs.map(c => s""""${MiniJson.escape(c)}"""").mkString("[", ",", "]").getBytes(UTF_8))
-      s"""{"version":$version,"op":"meta","action":"meta","file":"","bytes":0,"schema64":"$s64","parts64":"$p64"}"""
+      def b64(s: String) =
+        java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+      val s64 = b64(schema.json)
+      val p64 = b64(pcs.map(c => s""""${MiniJson.escape(c)}"""")
+        .mkString("[", ",", "]"))
+      val c64 = b64(readTableConfig(root).toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          s""""${MiniJson.escape(k)}":"${MiniJson.escape(v)}"""" }
+        .mkString("{", ",", "}"))
+      s"""{"version":$version,"op":"meta","action":"meta","file":"","bytes":0,"schema64":"$s64","parts64":"$p64","config64":"$c64"}"""
     }.toSeq
     val lines = metaLine ++
       live.map(addLine(version, "checkpoint", _)) ++
@@ -373,22 +380,36 @@ object TxnTable {
                           schemaJson: Option[String], dataChange: Boolean,
                           txn: Option[(String, Long)],
                           partCols: Seq[String] = Nil,
-                          cdc: Seq[AddFile] = Nil): Unit = {
+                          cdc: Seq[AddFile] = Nil,
+                          extraConfig: Option[Map[String, String]] = None): Unit = {
     Files.createDirectories(deltaDir(root))
     val now = System.currentTimeMillis()
     val pcJson = partCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
-    // a metaData action rides version 0 AND any later commit whose schema
-    // shape evolved — latest-wins fold on the read side, per the protocol
-    val emitMeta = version == 0L || schemaJson.exists { j =>
+    // a metaData action rides version 0, any commit whose schema shape
+    // evolved, and any configuration change (constraints) — latest-wins
+    // fold on the read side, per the protocol
+    val emitMeta = version == 0L || extraConfig.isDefined || schemaJson.exists { j =>
       readMeta(root).exists { case (cur, _) =>
         !sameShape(cur, DataType.fromJson(j).asInstanceOf[StructType]) }
     }
+    // configuration survives re-emission: a schema evolution must not drop
+    // the table's constraints
+    val config = extraConfig.getOrElse(
+      if (version == 0L) Map.empty[String, String] else readTableConfig(root))
+    val configJson = config.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    // CHECK constraints require writer feature level 3 (delta.io
+    // PROTOCOL.md); the commit that first sets one upgrades the protocol
+    val needsWriter3 = extraConfig.exists(_.keys.exists(_.startsWith("delta.constraints.")))
     val head =
       (if (version == 0L)
         Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      else if (needsWriter3)
+        Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""")
       else Seq.empty) ++
       (if (emitMeta) Seq(
-        s"""{"metaData":{"id":"${tableId(root)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson.getOrElse(sys.error("first commit must carry a schema")))}","partitionColumns":$pcJson,"configuration":{},"createdTime":$now}}""")
+        s"""{"metaData":{"id":"${tableId(root)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson.getOrElse(sys.error("first commit must carry a schema")))}","partitionColumns":$pcJson,"configuration":$configJson,"createdTime":$now}}""")
       else Seq.empty) ++
       txn.map { case (app, v) => s"""{"txn":{"appId":"${esc(app)}","version":$v}}""" }.toSeq ++
       Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"${esc(op)}"}}""")
@@ -659,8 +680,12 @@ object TxnTable {
   }
 
   /** Write `df` under a fresh [[dataSub]] dir; stats come off each file's
-    * footer (see [[footerStats]] — no second scan). */
-  private def writeDataFiles(df: DataFrame, root: String, version: Long): Seq[AddFile] = {
+    * footer (see [[footerStats]] — no second scan). `check = false` skips
+    * CHECK-constraint validation (layout-only rewrites of already-valid
+    * rows — OPTIMIZE/ZORDER — must not pay a validation pass). */
+  private def writeDataFiles(df: DataFrame, root: String, version: Long,
+                             check: Boolean = true): Seq[AddFile] = {
+    if (check) validateConstraints(df, root)
     val sub = dataSub(version)
     val dst = Paths.get(root, sub)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
@@ -764,7 +789,9 @@ object TxnTable {
   }
 
   private def writePartitionedFiles(df: DataFrame, root: String, version: Long,
-                                    partCols: Seq[String]): Seq[AddFile] = {
+                                    partCols: Seq[String],
+                                    check: Boolean = true): Seq[AddFile] = {
+    if (check) validateConstraints(df, root)
     val sub = dataSub(version)
     val dst = Paths.get(root, sub)
     df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
@@ -1051,6 +1078,102 @@ object TxnTable {
     })
   }
 
+  /** Latest metaData configuration (latest-wins fold, like [[readMeta]]).
+    * Short-circuits through the `_txn_log` checkpoint's config64. */
+  private def readTableConfig(root: String): Map[String, String] = {
+    val d = deltaDir(root)
+    if (!Files.isDirectory(d)) return Map.empty
+    val ck = ckptVersions(root).lastOption
+    val vs = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .filter(_ > ck.getOrElse(-1L)).toSeq.sorted
+    val fromTail = vs.reverseIterator.flatMap { v =>
+      Files.readAllLines(d.resolve(f"$v%020d.json")).asScala
+        .find(_.startsWith("""{"metaData":""")).map { line =>
+          MiniJson.parse(line).asInstanceOf[Map[String, Any]]("metaData")
+            .asInstanceOf[Map[String, Any]]
+            .getOrElse("configuration", Map.empty).asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.asInstanceOf[String] }
+        }
+    }.nextOption()
+    fromTail.orElse(ck.flatMap { v =>
+      Files.readAllLines(ckptPath(root, v)).asScala
+        .find(_.contains(""""action":"meta"""")).map { line =>
+          val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]
+          m.get("config64").map(s => MiniJson.parse(new String(
+            java.util.Base64.getDecoder.decode(s.asInstanceOf[String]), UTF_8))
+            .asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.asInstanceOf[String] })
+            .getOrElse(Map.empty[String, String])
+        }
+    }).getOrElse(Map.empty)
+  }
+
+  private val ConstraintPrefix = "delta.constraints."
+
+  /** The table's CHECK constraints (name → SQL expression). */
+  def constraints(root: String): Map[String, String] =
+    readTableConfig(root).collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** ADD a CHECK constraint: validates the CURRENT snapshot satisfies
+    * `exprSql` (Delta's rule — a constraint the data already violates is
+    * refused), then commits it as metaData configuration
+    * (`delta.constraints.<name>`, writer feature level 3 per the
+    * protocol). Every subsequent data write validates its batch; a
+    * violating batch is refused BEFORE anything commits. NULL passes, as
+    * in SQL CHECK. */
+  def setConstraint(spark: SparkSession, root: String,
+                    name: String, exprSql: String): Long = casRetry("setConstraint") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val bad = read(spark, root)
+      .filter(coalesce(expr(exprSql).cast("boolean"), lit(true)) === lit(false))
+      .limit(1).count()
+    require(bad == 0,
+      s"existing rows violate CHECK constraint $name ($exprSql); not adding")
+    val (schema, pcs) = readMeta(root).getOrElse(
+      sys.error(s"$root has no metaData to attach a constraint to"))
+    val cfg = readTableConfig(root) + (ConstraintPrefix + name -> exprSql)
+    commit(root, v, s"set-constraint#$name", Seq.empty, Seq.empty,
+      schemaJson = Some(schema.json), dataChange = false, partCols = pcs,
+      extraConfig = Some(cfg))
+    v
+  }
+
+  /** DROP a CHECK constraint (metadata-only commit). */
+  def dropConstraint(root: String, name: String): Long = casRetry("dropConstraint") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    require(constraints(root).contains(name), s"no CHECK constraint $name")
+    val (schema, pcs) = readMeta(root).getOrElse(sys.error("no metaData"))
+    commit(root, v, s"drop-constraint#$name", Seq.empty, Seq.empty,
+      schemaJson = Some(schema.json), dataChange = false, partCols = pcs,
+      extraConfig = Some(readTableConfig(root) - (ConstraintPrefix + name)))
+    v
+  }
+
+  /** Refuse a batch that violates any CHECK constraint — ONE combined
+    * pass naming every violated constraint, run BEFORE the data files are
+    * written so a bad batch never commits (and never orphans files). */
+  private def validateConstraints(df: DataFrame, root: String): Unit = {
+    val cs = constraints(root)
+    if (cs.isEmpty) return
+    val flags = cs.toSeq.sortBy(_._1).map { case (n, ex) =>
+      when(coalesce(expr(ex).cast("boolean"), lit(true)) === lit(false), lit(n))
+    }
+    val bad = df
+      .select(filter(array(flags: _*), c => c.isNotNull).as("violated"))
+      .filter(size(col("violated")) > 0)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"batch violates CHECK constraint(s) " +
+        s"${bad.head.getSeq[String](0).mkString(", ")} — nothing was committed")
+  }
+
   /** Same column names and types, order- and nullability-insensitive. */
   private def sameShape(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
@@ -1083,6 +1206,34 @@ object TxnTable {
     require(files.nonEmpty, s"no live files at version $asOf")
     readFiles(spark, root, files.map(_._1), asOf)
   }
+
+  /** Resolve a wall-clock timestamp (epoch ms) to the LATEST version whose
+    * commit landed at or before it — `timestampAsOf` time travel. The
+    * timestamp of record is the mirror's commitInfo (what external readers
+    * see). Fails loudly for instants before the first commit. */
+  def versionAsOf(root: String, tsMillis: Long): Long = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"$root is not a TxnTable (no _txn_log)")
+    // commitInfo stamps come off one writer-side clock and are read
+    // newest-first; the scan stops at the first (= latest) hit, so the
+    // common "read the table as of just now" costs one file
+    vs.reverseIterator.find(v => commitTimestamp(root, v) <= tsMillis)
+      .getOrElse(sys.error(
+        s"no commit at or before $tsMillis (first commit at " +
+          s"${commitTimestamp(root, vs.head)})"))
+  }
+
+  private def commitTimestamp(root: String, v: Long): Long =
+    Files.readAllLines(deltaDir(root).resolve(f"$v%020d.json")).asScala
+      .find(_.startsWith("""{"commitInfo":"""))
+      .map(l => MiniJson.parse(l).asInstanceOf[Map[String, Any]]("commitInfo")
+        .asInstanceOf[Map[String, Any]]("timestamp")
+        .asInstanceOf[BigDecimal].toLongExact)
+      .getOrElse(sys.error(s"version $v has no commitInfo"))
+
+  /** Time travel by TIMESTAMP: the table as of the last commit ≤ `tsMillis`. */
+  def readTimestamp(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(root, tsMillis))
 
   /** Read a set of live files, partition-aware: on a partitioned table the
     * files group by their version directory and each group reads with that
@@ -1164,9 +1315,11 @@ object TxnTable {
     require(small.nonEmpty, "nothing to optimize")
     val df = readFiles(spark, root, small.map(_.file), v - 1)
     val adds =
-      if (pcs.isEmpty) writeDataFiles(df.repartition(targetPartitions), root, v)
+      if (pcs.isEmpty) writeDataFiles(df.repartition(targetPartitions), root, v,
+        check = false)
       else writePartitionedFiles(
-        df.repartition(targetPartitions, pcs.map(col): _*), root, v, pcs)
+        df.repartition(targetPartitions, pcs.map(col): _*), root, v, pcs,
+        check = false)
     commit(root, v, "optimize", adds, small.map(_.file), dataChange = false,
       partCols = pcs)
     v
@@ -1198,8 +1351,8 @@ object TxnTable {
     val clustered = df.repartitionByRange(targetPartitions, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
     val adds =
-      if (pcs.isEmpty) writeDataFiles(clustered, root, v)
-      else writePartitionedFiles(clustered, root, v, pcs)
+      if (pcs.isEmpty) writeDataFiles(clustered, root, v, check = false)
+      else writePartitionedFiles(clustered, root, v, pcs, check = false)
     commit(root, v, "optimize-zorder", adds, live.map(_._1), dataChange = false,
       partCols = pcs)
     v
@@ -1594,9 +1747,11 @@ object TxnTable {
             else writeCdcFiles(
               inTouched.filter(coalesce(pred, lit(false))).drop("_file")
                 .withColumn("_change_type", lit("delete")), root, v)
+          // survivors were already valid — a delete introduces no rows,
+          // so the constraint pass is skipped like OPTIMIZE's
           val rewritten =
-            if (pcs.isEmpty) writeDataFiles(carried, root, v)
-            else writePartitionedFiles(carried, root, v, pcs)
+            if (pcs.isEmpty) writeDataFiles(carried, root, v, check = false)
+            else writePartitionedFiles(carried, root, v, pcs, check = false)
           commit(root, v, "delete", rewritten, touched, partCols = pcs,
             cdc = cdcAdds)
           touched

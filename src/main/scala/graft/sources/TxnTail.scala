@@ -79,10 +79,11 @@ object TxnTail {
     * rewrite without change files fails loudly instead of re-emitting
     * carried rows (the dedup burden ignoreChanges pushes to consumers). */
   def outputSchema(c: Conf): StructType = {
-    val (schema, partCols) = TxnTable.tableMeta(c.root).getOrElse(
+    val (schema, _) = TxnTable.tableMeta(c.root).getOrElse(
       sys.error(s"txn-tail: ${c.root} has no _delta_log metaData to infer a schema from"))
-    require(partCols.isEmpty,
-      "txn-tail: partitioned tables are not supported (their rows are path-split)")
+    // partitioned tables tail fine: partition columns are path-encoded,
+    // but every add action records its partitionValues, so the reader
+    // synthesizes them as per-file constants (see TxnTailReader)
     schema.fields.foreach { f =>
       require(supported(f.dataType),
         s"txn-tail: unsupported column type ${f.dataType} for ${f.name}")
@@ -167,7 +168,7 @@ final class TxnTailStream(c: TxnTail.Conf)
         else if (!rewrites)
           adds.map(a => TxnTailPartition(
             java.nio.file.Paths.get(c.root, a.file).toString, v,
-            dataSchemaJson, changeType = "insert"))
+            dataSchemaJson, changeType = "insert", partValues = a.partitionValues))
         else sys.error(
           s"txn-tail: version $v ($op) rewrites rows without change files; " +
             "commit with cdf = true to stream its change feed")
@@ -176,7 +177,8 @@ final class TxnTailStream(c: TxnTail.Conf)
           s"txn-tail: version $v ($op) rewrites data; the tail is " +
             "append-only — set ignoreChanges=true to re-emit rewritten files")
         adds.map(a => TxnTailPartition(
-          java.nio.file.Paths.get(c.root, a.file).toString, v, dataSchemaJson))
+          java.nio.file.Paths.get(c.root, a.file).toString, v, dataSchemaJson,
+          partValues = a.partitionValues))
       }
     }.toArray
   }
@@ -191,10 +193,13 @@ final class TxnTailStream(c: TxnTail.Conf)
 /** `changeType`: non-null = synthesize a constant `_change_type` for every
   * row (append commits in change-feed mode, whose files predate the
   * column); null = the column, if projected, is in the file (cdc files)
-  * or absent (plain tail mode). */
+  * or absent (plain tail mode). `partValues`: a partitioned table's
+  * path-encoded columns, synthesized as per-file constants. */
 final case class TxnTailPartition(path: String, version: Long,
                                   schemaJson: String,
-                                  changeType: String = null) extends InputPartition
+                                  changeType: String = null,
+                                  partValues: Map[String, String] = Map.empty)
+    extends InputPartition
 
 /** Executor-side reader: one parquet file through the parquet-column
   * record API (ColumnIO + GroupRecordConverter) — footer-driven, no Spark
@@ -240,6 +245,8 @@ final class TxnTailReader(p: TxnTailPartition)
         if (!fileSchema.containsField(f.name))
           if (f.name == "_change_type" && p.changeType != null)
             UTF8String.fromString(p.changeType)
+          else if (p.partValues.contains(f.name))
+            partConst(p.partValues(f.name), f.dataType)
           else null
         else {
           val fi = fileSchema.getFieldIndex(f.name)
@@ -260,6 +267,20 @@ final class TxnTailReader(p: TxnTailPartition)
     vals(schema.length) = p.version
     new GenericInternalRow(vals)
   }
+
+  /** A path-encoded partition value as a typed constant under the table
+    * schema (the Hive null marker decodes to null). */
+  private def partConst(s: String, dt: DataType): Any =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType  => UTF8String.fromString(s)
+      case LongType    => s.toLong
+      case IntegerType => s.toInt
+      case DoubleType  => s.toDouble
+      case FloatType   => s.toFloat
+      case BooleanType => s.toBoolean
+      case other => sys.error(s"txn-tail: unsupported partition type $other")
+    }
 
   override def close(): Unit = reader.close()
 }

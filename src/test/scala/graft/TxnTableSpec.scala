@@ -585,6 +585,58 @@ class TxnTableSpec extends AnyFunSuite {
     assert(cdcAfter == 0, s"cdc files not swept: $cdcAfter")
   }
 
+  test("timestampAsOf resolves to the last commit at or before the instant") {
+    val root = tbl()
+    TxnTable.append(df(1 to 3), root)          // v0
+    Thread.sleep(15)
+    val betwixt = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxnTable.overwrite(df(10 to 12), root)     // v1
+    assert(TxnTable.versionAsOf(root, betwixt) == 0L)
+    assert(TxnTable.versionAsOf(root, System.currentTimeMillis()) == 1L)
+    assert(ids(TxnTable.readTimestamp(spark, root, betwixt)) == (1L to 3L))
+    // an instant before the first commit fails loudly
+    val e = intercept[RuntimeException](TxnTable.versionAsOf(root, 1L))
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+
+  test("CHECK constraints: bad batches refused before commit; existing violations block ADD") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    TxnTable.append(df(1 to 10), root)                                   // v0
+    // a constraint the current data violates is refused (Delta's rule)
+    intercept[IllegalArgumentException](
+      TxnTable.setConstraint(spark, root, "big_ids", "id > 5"))
+    TxnTable.setConstraint(spark, root, "pos_id", "id > 0")              // v1
+    assert(TxnTable.constraints(root) == Map("pos_id" -> "id > 0"))
+    // a violating batch is refused and NOTHING commits — no new version,
+    // no orphan files
+    val before = TxnTable.latestVersion(root)
+    val e = intercept[IllegalArgumentException](
+      TxnTable.append(df(-3 to -1), root))
+    assert(e.getMessage.contains("pos_id"))
+    assert(TxnTable.latestVersion(root) == before)
+    // valid batches pass; NULL evaluates as pass (SQL CHECK semantics)
+    TxnTable.append(
+      Seq((11L, "v11"), (12L, null)).toDF("id", "payload"), root)
+    assert(ids(TxnTable.read(spark, root)) == (1L to 12L))
+    // merge validates its delta too
+    intercept[IllegalArgumentException](TxnTable.merge(spark,
+      Seq((-9L, "bad")).toDF("id", "payload"), root, Seq("id")))
+    // the mirror upgraded to writer 3 and carries the configuration
+    val logs = Files.list(java.nio.file.Paths.get(root, "_delta_log"))
+      .iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(logs.exists(_.contains(""""minWriterVersion":3""")), "no protocol upgrade")
+    assert(logs.exists(_.contains(""""delta.constraints.pos_id":"id > 0"""")), "config missing")
+    // DROP lifts enforcement; the config survives unrelated re-emission
+    TxnTable.dropConstraint(root, "pos_id")
+    assert(TxnTable.constraints(root).isEmpty)
+    TxnTable.append(df(-1 to -1).filter(col("id") === -1L), root)
+    assert(TxnTable.read(spark, root).where("id = -1").count() == 1)
+  }
+
   test("appendOnce refuses schema drift; quoted tokens round-trip the dedup ledger") {
     import spark.implicits._
     val root = tbl()

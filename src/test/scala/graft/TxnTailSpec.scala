@@ -120,15 +120,21 @@ class TxnTailSpec extends AnyFunSuite {
         Seq(4L, 5L))
     } finally q.stop()
 
-    // partitioned tables are path-split — refused at schema time
+    // partitioned tables tail too: path-encoded columns come back as
+    // per-file constants from the add actions' partitionValues
     import spark.implicits._
     val proot = tbl()
     TxnTable.appendPartitioned(
-      Seq((1L, "a", "s1")).toDF("id", "payload", "shard"), proot, Seq("shard"))
-    val err = intercept[Exception] {
-      spark.readStream.format("txn-tail").option("path", proot).load()
-    }
-    assert(err.getMessage.contains("partitioned"))
+      Seq((1L, "a", "s1"), (2L, "b", "s2"), (3L, "c", null))
+        .toDF("id", "payload", "shard"), proot, Seq("shard"))
+    val pq = spark.readStream.format("txn-tail").option("path", proot).load()
+      .writeStream.format("memory").queryName("tailPart").start()
+    try {
+      pq.processAllAvailable()
+      val rows = spark.table("tailPart").collect()
+        .map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+      assert(rows == Seq((1L, "s1"), (2L, "s2"), (3L, null)), rows)
+    } finally pq.stop()
   }
 
   test("readChangeFeed streams each commit's changes: inserts, cdc rows, no re-emits") {
