@@ -837,20 +837,27 @@ object TxnTable {
     * pattern with the commit log as the dedup ledger. This is what lets a
     * restarted streaming query redeliver a micro-batch harmlessly (see
     * [[graft.streaming.TxnSink]]). */
-  def appendOnce(df: DataFrame, root: String, token: String): Long = {
+  def appendOnce(df: DataFrame, root: String, token: String,
+                 partCols: Seq[String] = Nil): Long = {
     // tokens embed in one NDJSON log line: quotes/backslashes round-trip
     // through esc()+MiniJson, but raw control characters would split the
     // line — refuse them at the door
     require(token.forall(c => c >= ' '),
       s"appendOnce token must not contain control characters: ${token.trim}")
-    requireUnpartitioned(root, "appendOnce")
+    // the table's layout wins; partCols only seeds a FIRST commit (the
+    // streaming-sink path: batch 0 creates the partitioned table)
+    val pcs = readMeta(root).map(_._2).getOrElse(partCols)
+    require(partCols.isEmpty || pcs == partCols,
+      s"table is partitioned by ${pcs.mkString(",")}, got ${partCols.mkString(",")}")
     val op = s"append#$token"
     // the dedup ledger rides checkpoints too (token lines), so redelivery
     // detection folds checkpoint + tail, never the whole history
     def existing: Option[Long] =
       foldState(root, latestVersion(root))._2.get(op)
     existing.getOrElse {
-      val adds = writeDataFiles(df, root, latestVersion(root) + 1)
+      val adds =
+        if (pcs.isEmpty) writeDataFiles(df, root, latestVersion(root) + 1)
+        else writePartitionedFiles(df, root, latestVersion(root) + 1, pcs)
       casRetry("appendOnce") {
         // the same token may have won a concurrent race — re-check inside
         // the loop so redelivery never double-commits (the written files
@@ -861,7 +868,8 @@ object TxnTable {
           val unified = unifiedSchema(root, df.schema, evolve = false, "appendOnce")
           val v = latestVersion(root) + 1
           commit(root, v, op, adds, Seq.empty,
-            schemaJson = Some(unified.json), txn = Some((token, v)))
+            schemaJson = Some(unified.json), txn = Some((token, v)),
+            partCols = pcs)
           v
         }
       }
@@ -1382,7 +1390,10 @@ object TxnTable {
     val victims = (all.filterNot(keep.contains) ++ cdcVictims)
       .filter(f => Files.exists(Paths.get(root, f)))
     victims.foreach(f => Files.delete(Paths.get(root, f)))
-    val everAdded = all.toSet ++
+    // after expireLog, adds referenced only by a checkpoint are absent
+    // from the remaining commit files — the keep-set guards them from the
+    // orphan sweep (an orphan is on disk AND referenced by nothing)
+    val everAdded = all.toSet ++ keep ++
       actions(root, -1L).collect { case Action(_, _, "cdc", a) => a.file }
     val orphans = Seq("data", "cdc").flatMap { sub =>
       val d = Paths.get(root, sub)
@@ -1395,6 +1406,46 @@ object TxnTable {
     }
     orphans.foreach(f => Files.delete(Paths.get(root, f)))
     victims ++ orphans
+  }
+
+  /** EXPIRE the log below the newest `_txn_log` checkpoint — the
+    * bounded-metadata half of the lifecycle (VACUUM bounds data files,
+    * this bounds commit files; Delta's log-retention analogue). Deletes
+    * every commit file, old checkpoint, and mirror JSON below it. Reads
+    * at or above the checkpoint are unaffected (they seed from it —
+    * including the appendOnce token ledger and the table schema); time
+    * travel below it fails loudly afterwards, like vacuumed versions.
+    * Mirror JSONs are expired only when the mirror's own checkpoint
+    * parquet exists at that version, so an external reader always keeps a
+    * complete fold. Run [[vacuum]] for the expired versions'
+    * now-unreferenced data files. */
+  def expireLog(root: String): Seq[String] = {
+    val cv = ckptVersions(root).lastOption.getOrElse(sys.error(
+      s"$root has no checkpoint yet (one lands every $CheckpointInterval commits)"))
+    val victims = Seq.newBuilder[String]
+    versions(root).filter(_ < cv).foreach { v =>
+      Files.delete(logDir(root).resolve(f"$v%020d.json"))
+      victims += f"_txn_log/$v%020d.json"
+    }
+    ckptVersions(root).filter(_ < cv).foreach { v =>
+      Files.delete(ckptPath(root, v))
+      victims += f"_txn_log/$v%020d.ckpt"
+    }
+    val mirrorCp = deltaDir(root).resolve(f"$cv%020d.checkpoint.parquet")
+    if (Files.exists(mirrorCp)) {
+      val d = deltaDir(root)
+      Files.list(d).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.endsWith(".json") && n.stripSuffix(".json").toLong < cv) ||
+            (n.endsWith(".checkpoint.parquet") &&
+              n.stripSuffix(".checkpoint.parquet").toLong < cv)
+        }.toSeq.foreach { p =>
+          Files.delete(p)
+          victims += s"_delta_log/${p.getFileName}"
+        }
+    }
+    victims.result()
   }
 
   // ---- metadata data skipping ----------------------------------------------

@@ -21,18 +21,23 @@ object TxnSink {
     * a RESTART of the same query (same checkpoint ⇒ same appId, replayed
     * batch ids) dedupes, while a different writer appending to the same
     * table never collides with someone else's batch numbering. */
+  /** `partCols` nonEmpty lands every micro-batch hive-partitioned (batch 0
+    * fixes the table's partition columns) — the day-partitioned CDC table
+    * shape, and what [[graft.sources.TxnTail]] tails back out. */
   def ingest(
       parsed: DataFrame,
       outPath: String,
       checkpoint: String,
       appId: String = "cdc-ingest",
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      partCols: Seq[String] = Nil): StreamingQuery =
     parsed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        TxnTable.appendOnce(batch.toDF(), outPath, s"$appId#batch-$batchId")
+        TxnTable.appendOnce(batch.toDF(), outPath, s"$appId#batch-$batchId",
+          partCols)
         ()
       }
       .start()

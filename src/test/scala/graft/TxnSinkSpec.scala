@@ -72,4 +72,33 @@ class TxnSinkSpec extends AnyFunSuite {
     // the stream's history is time-travelable: version 0 is batch 1 alone
     assert(TxnTable.readVersion(spark, root, 0).count() == 1L)
   }
+
+  test("partitioned streaming ingest: batch 0 fixes the layout, redelivery dedups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("txnsink_part").toString
+    val ckpt = Files.createTempDirectory("txnsink_part_ckpt").toString
+    val mem = MemoryStream[SinkRow]
+    val q = TxnSink.ingest(mem.toDF(), root, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"), partCols = Seq("v"))
+    try {
+      mem.addData(SinkRow(1, "a"), SinkRow(2, "b"))
+      q.processAllAvailable()
+      mem.addData(SinkRow(3, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the table is hive-partitioned by v; partition pruning works on it
+    val snap = TxnTable.read(spark, root)
+    assert(snap.count() == 3)
+    assert(TxnTable.skippingReport(root,
+      org.apache.spark.sql.functions.col("v") === "a")._2 >= 1,
+      "streamed partitions must prune")
+    // redelivered batch writes nothing, and the layout is locked
+    val v = TxnTable.latestVersion(root)
+    TxnTable.appendOnce(Seq(SinkRow(1, "a"), SinkRow(2, "b")).toDF(), root,
+      "cdc-ingest#batch-0", Seq("v"))
+    assert(TxnTable.latestVersion(root) == v)
+    intercept[IllegalArgumentException](TxnTable.appendOnce(
+      Seq(SinkRow(9, "z")).toDF(), root, "other#batch-0", Seq("id")))
+  }
 }

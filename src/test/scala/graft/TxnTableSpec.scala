@@ -585,6 +585,33 @@ class TxnTableSpec extends AnyFunSuite {
     assert(cdcAfter == 0, s"cdc files not swept: $cdcAfter")
   }
 
+  test("expireLog bounds the metadata: reads seed from the checkpoint, history below fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    (0 until 10).foreach(i => TxnTable.append(df(i * 10 + 1 to i * 10 + 10), root))
+    TxnTable.appendOnce(df(101 to 103), root, "tok-x")   // v10 → checkpoint
+    TxnTable.append(df(200 to 201), root)                // v11 (tail)
+    val expired = TxnTable.expireLog(root)
+    assert(expired.exists(_.startsWith("_txn_log/")) &&
+      expired.exists(_.startsWith("_delta_log/")), expired)
+    // the snapshot and everything at/above the checkpoint still read
+    assert(ids(TxnTable.read(spark, root)) == ((1L to 103L) ++ (200L to 201L)).sorted)
+    assert(ids(TxnTable.readVersion(spark, root, 10)) == (1L to 103L))
+    assert(TxnTable.foldReport(root) == (Some(10L), 1))
+    // the checkpoint carries the token ledger and schema across the expiry
+    assert(TxnTable.appendOnce(df(101 to 103), root, "tok-x") == 10L)
+    intercept[IllegalArgumentException](TxnTable.append(
+      { import spark.implicits._
+        Seq((1L, 2.0)).toDF("id", "score") }, root))
+    // time travel below the expired range fails loudly
+    intercept[IllegalArgumentException](TxnTable.readVersion(spark, root, 3))
+    // vacuum after expiry must NOT sweep live files the checkpoint references
+    TxnTable.vacuum(root, retainAfter = 10L)
+    assert(ids(TxnTable.read(spark, root)) == ((1L to 103L) ++ (200L to 201L)).sorted)
+    // stats pruning still works off checkpointed adds
+    assert(TxnTable.skippingReport(root, col("id") >= 200L)._2 > 0)
+  }
+
   test("timestampAsOf resolves to the last commit at or before the instant") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)          // v0
