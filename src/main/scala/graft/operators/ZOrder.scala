@@ -21,18 +21,30 @@ import graft.sources.Tables
   */
 object ZOrder {
 
-  /** Unrolled 16-bit interleave: even bit positions take x's bits, odd
-    * take y's. Pure BIGINT shift/mask/add — exact in both engines; only
-    * the shift spelling differs (Spark `shiftleft`/`shiftright`
-    * functions, DuckDB `<<`/`>>` operators). */
+  /** Unrolled N-way interleave: bit i of column j lands at position
+    * i·n + j (round-robin), so contiguous z-ranges are small n-boxes.
+    * Pure BIGINT shift/mask/add — exact in both engines; only the shift
+    * spelling differs (Spark `shiftleft`/`shiftright` functions, DuckDB
+    * `<<`/`>>` operators). n·bits must stay below 63. */
+  def zExprSparkN(cols: Seq[String], bits: Int = 16): String = {
+    val n = cols.size
+    require(n >= 2 && n * bits < 63, s"$n dims × $bits bits overflows a BIGINT")
+    (for (i <- 0 until bits; (c, j) <- cols.zipWithIndex) yield
+      s"shiftleft(shiftright($c, $i) & 1, ${i * n + j})")
+      .mkString("(", " + ", ")")
+  }
+  def zExprDuckN(cols: Seq[String], bits: Int = 16): String = {
+    val n = cols.size
+    (for (i <- 0 until bits; (c, j) <- cols.zipWithIndex) yield
+      s"((($c >> $i) & 1) << ${i * n + j})")
+      .mkString("(", " + ", ")")
+  }
+
+  /** The classic 2-column Morton key (x even bits, y odd). */
   def zExprSpark(x: String, y: String, bits: Int = 16): String =
-    (0 until bits).map { i =>
-      s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})"
-    }.mkString("(", " + ", ")")
+    zExprSparkN(Seq(x, y), bits)
   def zExprDuck(x: String, y: String, bits: Int = 16): String =
-    (0 until bits).map { i =>
-      s"(((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1}))"
-    }.mkString("(", " + ", ")")
+    zExprDuckN(Seq(x, y), bits)
 
   /** Orders keyed by (customer, order epoch-day) — the classic "this
     * customer, this date range" slice — with the Morton key alongside. */
@@ -57,10 +69,38 @@ object ZOrder {
        |FROM k
        |""".stripMargin
 
+  /** Three-dimensional Morton key — customer × order day × order id
+    * lanes, the "this customer, this date range, this id band" slice.
+    * Same round-robin interleave, 48 bits total. */
+  def zorderKeys3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .selectExpr(
+        "o_orderkey",
+        "CAST(o_custkey & 65535 AS BIGINT) AS xk",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') & 65535 AS BIGINT) AS yk",
+        "CAST(o_orderkey & 65535 AS BIGINT) AS wk")
+      .selectExpr("o_orderkey", "xk", "yk", "wk",
+        s"${zExprSparkN(Seq("xk", "yk", "wk"))} AS zvalue")
+  }
+  val zorderKeys3Sql: String =
+    s"""WITH k AS (
+       |  SELECT o_orderkey,
+       |         CAST(o_custkey & 65535 AS BIGINT) AS xk,
+       |         CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 65535 AS BIGINT) AS yk,
+       |         CAST(o_orderkey & 65535 AS BIGINT) AS wk
+       |  FROM orders)
+       |SELECT o_orderkey, xk, yk, wk,
+       |       CAST(${zExprDuckN(Seq("xk", "yk", "wk"))} AS BIGINT) AS zvalue
+       |FROM k
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> zorderKeys _,
+    "q_zorder3" -> zorderKeys3 _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_zorder" -> zorderKeysSql,
+    "q_zorder3" -> zorderKeys3Sql,
   )
 }

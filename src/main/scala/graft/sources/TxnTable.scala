@@ -1343,14 +1343,20 @@ object TxnTable {
     * the clustering key only — correctness never depends on the layout. */
   def optimizeZorder(spark: SparkSession, root: String,
                      xCol: String, yCol: String,
-                     targetPartitions: Int, bits: Int = 16): Long = casRetry("optimizeZorder") {
+                     targetPartitions: Int, bits: Int = 16): Long =
+    optimizeZorderBy(spark, root, Seq(xCol, yCol), targetPartitions, bits)
+
+  /** N-column ZORDER (Delta allows any number; n·bits must fit a BIGINT —
+    * lower `bits` for more dimensions). */
+  def optimizeZorderBy(spark: SparkSession, root: String, zCols: Seq[String],
+                       targetPartitions: Int, bits: Int = 16): Long = casRetry("optimizeZorder") {
     val v = latestVersion(root) + 1
     val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
     val live = liveFiles(root, v - 1)
     require(live.nonEmpty, "nothing to optimize")
     val mask = (1L << bits) - 1
-    val z = expr(graft.operators.ZOrder.zExprSpark(
-      s"(CAST($xCol AS BIGINT) & $mask)", s"(CAST($yCol AS BIGINT) & $mask)", bits))
+    val z = expr(graft.operators.ZOrder.zExprSparkN(
+      zCols.map(c => s"(CAST($c AS BIGINT) & $mask)"), bits))
     val df = readFiles(spark, root, live.map(_._1), v - 1)
     // on a partitioned table the hive layout stays the outer key: rows
     // range-cluster on (partition cols, z) so each partition directory's

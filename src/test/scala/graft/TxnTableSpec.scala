@@ -251,6 +251,25 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.readWhere(spark, root, ySlice).count() == 128L * 32)
   }
 
+  test("N-column ZORDER: a third-dimension slice prunes after the rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tbl()
+    // 32³ cube written x-sorted: a w-only slice can skip nothing
+    val cube = (for (x <- 0 until 32; y <- 0 until 32; w <- 0 until 32)
+      yield (x.toLong, y.toLong, w.toLong)).toDF("x", "y", "w")
+    TxnTable.append(cube.repartitionByRange(8, $"x").sortWithinPartitions($"x"), root)
+    val wSlice = col("w") >= 0L && col("w") <= 7L
+    assert(TxnTable.skippingReport(root, wSlice)._2 == 0)
+    TxnTable.optimizeZorderBy(spark, root, Seq("x", "y", "w"),
+      targetPartitions = 8, bits = 5)
+    val (kept, skipped) = TxnTable.skippingReport(root, wSlice)
+    assert(skipped >= 4,
+      s"3-D z-order must prune a w slice, got kept=$kept skipped=$skipped")
+    assert(TxnTable.readWhere(spark, root, wSlice).count() == 32L * 32 * 8)
+    assert(TxnTable.read(spark, root).count() == 32L * 32 * 32)
+  }
+
   test("bloom indexes prune point lookups that min/max ranges cannot") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
