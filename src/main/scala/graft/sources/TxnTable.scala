@@ -1941,12 +1941,17 @@ object TxnTable {
         "partition_columns", "schema")
   }
 
-  /** Commit audit: one row per action, the DESCRIBE HISTORY analogue. */
+  /** Commit audit: one row per action, the DESCRIBE HISTORY analogue.
+    * `ts_millis` is the mirror's commitInfo timestamp (null when a
+    * version's mirror entry is unavailable). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    val ts: Map[Long, Option[Long]] = versions(root).map { v =>
+      v -> (try Some(commitTimestamp(root, v)) catch { case _: Exception => None })
+    }.toMap
     actions(root, -1L)
-      .map(x => (x.version, x.op, x.action, x.add.file, x.add.bytes,
-        x.add.stats.orNull))
-      .toDF("version", "op", "action", "file", "bytes", "stats")
+      .map(x => (x.version, ts.getOrElse(x.version, None),
+        x.op, x.action, x.add.file, x.add.bytes, x.add.stats.orNull))
+      .toDF("version", "ts_millis", "op", "action", "file", "bytes", "stats")
   }
 }
