@@ -94,4 +94,85 @@ class TxnTableModelSpec extends AnyFunSuite {
     TxnTable.vacuum(root, retainAfter = latest - 1)
     assert(snap(root) == cur, "vacuum must not change the latest snapshot")
   }
+
+  test("PARTITIONED table: 25 random ops including restore match the model") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("txn_model_part").toString
+    val rnd = new scala.util.Random(7)
+    var nextId = 0L
+    def shard(k: Long): String = s"s${k % 4}"
+    def fresh(n: Int): Map[Long, Long] =
+      (0 until n).map { _ => nextId += 1; nextId -> rnd.nextLong(1000000) }.toMap
+    def toPDf(rows: Map[Long, Long]) =
+      rows.toSeq.map { case (k, v) => (k, v, shard(k)) }.toDF("id", "v", "shard")
+    def psnap(asOf: Long = -1L): Map[Long, (Long, String)] =
+      TxnTable.readVersion(spark, root, asOf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    def asModel(rows: Map[Long, Long]): Map[Long, (Long, String)] =
+      rows.map { case (k, v) => k -> ((v, shard(k))) }
+
+    val model = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    def cur: Map[Long, Long] = model.lastOption.getOrElse(Map.empty)
+    val seed = fresh(60)
+    TxnTable.appendPartitioned(toPDf(seed).coalesce(2), root, Seq("shard"))
+    model += seed
+    val ops = scala.collection.mutable.ArrayBuffer("append(seed)")
+
+    for (step <- 1 to 24) {
+      rnd.nextInt(6) match {
+        case 0 =>
+          val rows = fresh(15 + rnd.nextInt(25))
+          TxnTable.appendPartitioned(toPDf(rows).coalesce(1), root, Seq("shard"))
+          model += cur ++ rows; ops += s"append(${rows.size})"
+        case 1 => // partition-keyed merge: keys ⊇ partition cols
+          val updates = rnd.shuffle(cur.keys.toSeq).take(cur.size / 3)
+            .map(k => k -> rnd.nextLong(1000000)).toMap
+          val inserts = fresh(8)
+          TxnTable.merge(spark, toPDf(updates ++ inserts), root,
+            Seq("id", "shard"), cdf = rnd.nextBoolean())
+          model += cur ++ updates ++ inserts
+          ops += s"merge(u=${updates.size},i=${inserts.size})"
+        case 2 => // id-range delete across partitions
+          val ks = cur.keys.toSeq.sorted
+          val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(30)
+          TxnTable.delete(spark, root, col("id") >= lo && col("id") <= hi,
+            cdf = rnd.nextBoolean())
+          model += cur.filterNot { case (k, _) => k >= lo && k <= hi }
+          ops += s"delete[$lo,$hi]"
+        case 3 => // shard-scoped delete: the partition-pruned rewrite path
+          val sh = s"s${rnd.nextInt(4)}"
+          val ks = cur.keys.toSeq.sorted
+          val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(50)
+          TxnTable.delete(spark, root,
+            col("shard") === sh && col("id") >= lo && col("id") <= hi)
+          model += cur.filterNot { case (k, _) =>
+            shard(k) == sh && k >= lo && k <= hi }
+          ops += s"delete($sh,[$lo,$hi])"
+        case 4 =>
+          TxnTable.optimize(spark, root, targetPartitions = 1 + rnd.nextInt(2))
+          model += cur; ops += "optimize"
+        case 5 => // metadata-only rollback to a random earlier version
+          val t = rnd.nextInt(model.size)
+          TxnTable.restore(spark, root, t.toLong)
+          model += model(t); ops += s"restore($t)"
+      }
+      assert(psnap() == asModel(cur),
+        s"partitioned snapshot diverged after step $step: ${ops.last}")
+      // a partition-pruned range read agrees with the model filter
+      if (cur.nonEmpty) {
+        val sh = s"s${rnd.nextInt(4)}"
+        val ks = cur.keys.toSeq.sorted
+        val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(60)
+        val got = TxnTable.readWhere(spark, root,
+          col("shard") === sh && col("id") >= lo && col("id") <= hi)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == cur.filter { case (k, _) =>
+          shard(k) == sh && k >= lo && k <= hi },
+          s"partitioned readWhere diverged after step $step ($sh,[$lo,$hi])")
+      }
+    }
+    for (v <- model.indices)
+      assert(psnap(v.toLong) == asModel(model(v)),
+        s"partitioned version $v diverged (op ${ops(v)})")
+  }
 }
