@@ -174,5 +174,23 @@ class DeltaLogSpec extends AnyFunSuite {
       "v10 overwrite tombstones missing from the checkpoint")
     // checkpoint actions are dataChange:false per the protocol
     assert(cpDf.filter(col("add.dataChange") === true).count() == 0)
+
+    // EXPIRE the log below the checkpoint: the external fold must still
+    // reconstruct the snapshot from checkpoint parquet + remaining tail
+    TxnTable.expireLog(root)
+    assert(logFiles(root).map(_._1).forall(_ >= 10L),
+      "mirror JSONs below the checkpoint must be expired")
+    val live2 = scala.collection.mutable.LinkedHashSet.empty[String]
+    spark.read.parquet(cp.toString).filter(col("add").isNotNull)
+      .select("add.path").collect().foreach(r => live2.add(r.getString(0)))
+    logFiles(root).filter(_._1 > 10L).foreach { case (_, p) =>
+      Files.readAllLines(p).asScala.foreach { l =>
+        if (l.contains("\"add\":")) field(l, "path").foreach(live2.add)
+        else if (l.contains("\"remove\":")) field(l, "path").foreach(live2.remove)
+      }
+    }
+    val folded2 = spark.read.parquet(live2.toSeq.map(f => Paths.get(root, f).toString): _*)
+    assert(ids(folded2) == ids(TxnTable.readVersion(spark, root, -1L)),
+      "post-expiry external fold disagrees with the library snapshot")
   }
 }
