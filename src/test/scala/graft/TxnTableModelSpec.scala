@@ -175,4 +175,38 @@ class TxnTableModelSpec extends AnyFunSuite {
       assert(psnap(v.toLong) == asModel(model(v)),
         s"partitioned version $v diverged (op ${ops(v)})")
   }
+
+  test("concurrent mixed writers: merges rebase through the CAS and nothing is lost") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("txn_race").toString
+    // seed: 4 writer lanes × 20 keys, value 0
+    val lanes = 4
+    val seed = (0 until lanes).flatMap(l =>
+      (0 until 20).map(i => (l * 100L + i) -> 0L)).toMap
+    TxnTable.append(toDf(seed), root)
+    // each lane concurrently (a) merges ITS OWN keys to value lane+1 and
+    // (b) appends 5 fresh lane-tagged rows — losers must rebase and re-run
+    // their read-modify-write bodies, so no lane's effect can vanish
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(lanes)
+    val futs = (0 until lanes).map { l =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          val updates = (0 until 20).map(i => (l * 100L + i) -> (l + 1L)).toMap
+          TxnTable.merge(spark, toDf(updates), root, Seq("id"))
+          val fresh = (0 until 5).map(i => (1000L + l * 10 + i) -> (l + 1L)).toMap
+          TxnTable.append(toDf(fresh), root)
+        }
+      })
+    }
+    futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // versions are dense 0..8 (1 seed + 4 merges + 4 appends, any order)
+    assert(TxnTable.latestVersion(root) == 8L)
+    val got = snap(root)
+    val want = (0 until lanes).flatMap { l =>
+      (0 until 20).map(i => (l * 100L + i) -> (l + 1L)) ++
+        (0 until 5).map(i => (1000L + l * 10 + i) -> (l + 1L))
+    }.toMap
+    assert(got == want, "a racing writer's effect was lost or duplicated")
+  }
 }
