@@ -153,6 +153,15 @@ object TxnTable {
   private def logDir(root: String): Path = Paths.get(root, "_txn_log")
   private def deltaDir(root: String): Path = Paths.get(root, "_delta_log")
 
+  /** Resolve a log file entry against the table root. Entries are
+    * normally root-relative; a SHALLOW CLONE's version 0 re-adds the
+    * source's files by ABSOLUTE path (the Delta clone shape), which
+    * resolves as itself. */
+  private def filePath(root: String, f: String): Path = {
+    val p = Paths.get(f)
+    if (p.isAbsolute) p else Paths.get(root, f)
+  }
+
   private def versions(root: String): Seq[Long] = {
     val d = logDir(root)
     if (!Files.isDirectory(d)) Seq.empty
@@ -418,7 +427,7 @@ object TxnTable {
         s"""{"remove":{"path":"${esc(f)}","deletionTimestamp":$now,"dataChange":$dataChange}}"""
       } ++
       adds.map { a =>
-        val mt = Files.getLastModifiedTime(Paths.get(root, a.file)).toMillis
+        val mt = Files.getLastModifiedTime(filePath(root, a.file)).toMillis
         val stField = a.stats.map(j => s""","stats":"${esc(j)}"""").getOrElse("")
         val pv = a.partitionValues.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -1205,7 +1214,7 @@ object TxnTable {
     require(last >= 0, s"$root is not a TxnTable (no _txn_log)")
     require(asOf <= last, s"version $asOf does not exist (latest $last)")
     val files = liveFiles(root, asOf)
-    val missing = files.filterNot { case (f, _) => Files.exists(Paths.get(root, f)) }
+    val missing = files.filterNot { case (f, _) => Files.exists(filePath(root, f)) }
     require(missing.isEmpty,
       s"version ${if (asOf < 0) last else asOf} references vacuumed files: " +
         missing.map(_._1).mkString(", "))
@@ -1213,6 +1222,33 @@ object TxnTable {
     // empty parts), so a resolvable version always has files
     require(files.nonEmpty, s"no live files at version $asOf")
     readFiles(spark, root, files.map(_._1), asOf)
+  }
+
+  /** SHALLOW CLONE: create a new table at `dstRoot` whose version 0
+    * re-adds the SOURCE's live files by ABSOLUTE path — zero data bytes
+    * copied or read; stats, bloom indexes, schema, and constraints carry
+    * over, so the clone prunes like the source from birth. The clone then
+    * evolves INDEPENDENTLY: copy-on-write rewrites land under the clone's
+    * own root, and neither writes nor [[vacuum]] through the clone ever
+    * touch the source (vacuum skips absolute entries). The usual
+    * dev/test-sandbox shape: branch a 100 TB table in O(files) metadata.
+    * Unpartitioned sources only — a hive layout's path-encoded columns
+    * are keyed to their own root. Source files vacuumed AWAY later make
+    * the clone's reads fail loudly, exactly like the source's own
+    * too-old time travel (pin the source's retention accordingly). */
+  def cloneShallow(srcRoot: String, dstRoot: String): Long = {
+    require(latestVersion(srcRoot) >= 0, s"$srcRoot is not a TxnTable (no _txn_log)")
+    require(latestVersion(dstRoot) < 0, s"$dstRoot already has a _txn_log")
+    val (schema, pcs) = readMeta(srcRoot).getOrElse(
+      sys.error(s"$srcRoot has no metaData to clone"))
+    require(pcs.isEmpty, "cloneShallow: partitioned sources are not supported")
+    val srcAbs = Paths.get(srcRoot).toAbsolutePath
+    val adds = liveAdds(srcRoot, -1L)
+      .map(a => a.copy(file = srcAbs.resolve(a.file).toString))
+    commit(dstRoot, 0L, "clone", adds, Seq.empty,
+      schemaJson = Some(schema.json),
+      extraConfig = Some(readTableConfig(srcRoot)))
+    0L
   }
 
   /** Resolve a wall-clock timestamp (epoch ms) to the LATEST version whose
@@ -1264,9 +1300,9 @@ object TxnTable {
         // new columns and read back null for them
         spark.read
           .schema(StructType(schema.fields.map(_.copy(nullable = true))))
-          .parquet(files.map(f => Paths.get(root, f).toString): _*)
+          .parquet(files.map(f => filePath(root, f).toString): _*)
       case None =>
-        spark.read.parquet(files.map(f => Paths.get(root, f).toString): _*)
+        spark.read.parquet(files.map(f => filePath(root, f).toString): _*)
     }
 
   /** [[readFiles]] plus a `_file` column carrying each row's source file as
@@ -1298,10 +1334,10 @@ object TxnTable {
       case Some((schema, _)) =>
         spark.read
           .schema(StructType(schema.fields.map(_.copy(nullable = true))))
-          .parquet(files.map(f => Paths.get(root, f).toString): _*)
+          .parquet(files.map(f => filePath(root, f).toString): _*)
           .withColumn("_file", relExpr)
       case None =>
-        spark.read.parquet(files.map(f => Paths.get(root, f).toString): _*)
+        spark.read.parquet(files.map(f => filePath(root, f).toString): _*)
           .withColumn("_file", relExpr)
     }
   }
@@ -1393,7 +1429,10 @@ object TxnTable {
     val cdcVictims = versions(root).filter(_ < firstKept)
       .flatMap(v => parseLog(root, v).collect {
         case Action(_, _, "cdc", a) => a.file })
+    // absolute entries are a shallow clone's references INTO its source —
+    // vacuum through the clone must never reclaim the source's bytes
     val victims = (all.filterNot(keep.contains) ++ cdcVictims)
+      .filterNot(f => Paths.get(f).isAbsolute)
       .filter(f => Files.exists(Paths.get(root, f)))
     victims.foreach(f => Files.delete(Paths.get(root, f)))
     // after expireLog, adds referenced only by a checkpoint are absent
@@ -1639,7 +1678,7 @@ object TxnTable {
     val (kept0, _) = pruneAdds(adds, pred)
     // keep one file when everything pruned: a schema-bearing empty scan
     val kept = if (kept0.nonEmpty) kept0 else adds.take(1)
-    val missing = kept.filterNot(a => Files.exists(Paths.get(root, a.file)))
+    val missing = kept.filterNot(a => Files.exists(filePath(root, a.file)))
     require(missing.isEmpty, s"readWhere references vacuumed files: " +
       missing.map(_.file).mkString(", "))
     readFiles(spark, root, kept.map(_.file), asOf).filter(pred)
@@ -1876,7 +1915,7 @@ object TxnTable {
       val layoutOnly = op == "optimize" || op == "optimize-zorder"
       if (layoutOnly || acts.isEmpty) None
       else if (cdcFiles.nonEmpty)
-        Some(spark.read.parquet(cdcFiles.map(f => Paths.get(root, f).toString): _*)
+        Some(spark.read.parquet(cdcFiles.map(f => filePath(root, f).toString): _*)
           .withColumn("_commit_version", lit(v)))
       else if (!hasRemove && (op == "append" || op.startsWith("append#")))
         Some(readFiles(spark, root, addFiles, v)
@@ -1905,7 +1944,7 @@ object TxnTable {
     require(toVersion >= 0 && toVersion < v,
       s"cannot restore to version $toVersion (latest ${v - 1})")
     val want = liveAdds(root, toVersion)
-    val missing = want.filterNot(a => Files.exists(Paths.get(root, a.file)))
+    val missing = want.filterNot(a => Files.exists(filePath(root, a.file)))
     require(missing.isEmpty,
       s"restore target $toVersion references vacuumed files: " +
         missing.map(_.file).mkString(", "))

@@ -95,6 +95,11 @@ object TxnTail {
     StructType(withCt :+ StructField("_commit_version", LongType, nullable = false))
   }
 
+  private[sources] def resolve(root: String, f: String): String = {
+    val p = java.nio.file.Paths.get(f)
+    (if (p.isAbsolute) p else java.nio.file.Paths.get(root, f)).toString
+  }
+
   private def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
          StringType | BinaryType => true
@@ -163,11 +168,11 @@ final class TxnTailStream(c: TxnTail.Conf)
         // change-feed mode: each commit contributes exactly its changes
         if (cdc.nonEmpty)
           cdc.map(a => TxnTailPartition(
-            java.nio.file.Paths.get(c.root, a.file).toString, v,
+            TxnTail.resolve(c.root, a.file), v,
             dataSchemaJson, changeType = null)) // _change_type is IN the file
         else if (!rewrites)
           adds.map(a => TxnTailPartition(
-            java.nio.file.Paths.get(c.root, a.file).toString, v,
+            TxnTail.resolve(c.root, a.file), v,
             dataSchemaJson, changeType = "insert", partValues = a.partitionValues))
         else sys.error(
           s"txn-tail: version $v ($op) rewrites rows without change files; " +
@@ -177,7 +182,7 @@ final class TxnTailStream(c: TxnTail.Conf)
           s"txn-tail: version $v ($op) rewrites data; the tail is " +
             "append-only — set ignoreChanges=true to re-emit rewritten files")
         adds.map(a => TxnTailPartition(
-          java.nio.file.Paths.get(c.root, a.file).toString, v, dataSchemaJson,
+          TxnTail.resolve(c.root, a.file), v, dataSchemaJson,
           partValues = a.partitionValues))
       }
     }.toArray

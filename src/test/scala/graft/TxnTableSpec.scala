@@ -631,6 +631,48 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.skippingReport(root, col("id") >= 200L)._2 > 0)
   }
 
+  test("shallow clone: zero-copy branch, independent evolution, source untouchable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tbl()
+    TxnTable.append(df(1 to 50).repartition(4), src)   // v0
+    TxnTable.append(df(51 to 60), src)                 // v1
+    TxnTable.setConstraint(spark, src, "pos", "id > 0")
+    val srcFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(src, "data"))
+      .iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val srcBytes = srcFiles.map(p => p -> Files.readAllBytes(p).toSeq).toMap
+    val dst = tbl()
+    TxnTable.cloneShallow(src, dst)
+    // the clone reads the source's data without copying a byte
+    assert(ids(TxnTable.read(spark, dst)) == (1L to 60L))
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dst, "data")),
+      "a shallow clone must not copy data files")
+    // carried stats prune; carried constraints enforce
+    assert(TxnTable.skippingReport(dst, col("id") >= 51L)._2 > 0,
+      "clone must prune off the carried stats")
+    intercept[IllegalArgumentException](TxnTable.append(df(-2 to -1), dst))
+    // the clone evolves independently of the source
+    TxnTable.merge(spark, Seq((1L, "CHANGED"), (99L, "NEW")).toDF("id", "payload"),
+      dst, Seq("id"))
+    TxnTable.delete(spark, dst, col("id") >= 55L && col("id") <= 60L)
+    assert(ids(TxnTable.read(spark, dst)) ==
+      ((1L to 54L) ++ Seq(99L)).sorted)
+    assert(TxnTable.read(spark, dst).where("id = 1").select("payload")
+      .as[String].head() == "CHANGED")
+    assert(ids(TxnTable.read(spark, src)) == (1L to 60L), "source must not change")
+    // time travel on the clone reaches its v0 (the branch point)
+    assert(ids(TxnTable.readVersion(spark, dst, 0)) == (1L to 60L))
+    // vacuum through the clone reclaims only CLONE-local rewrites —
+    // never the source's bytes, even though the clone's log removed them
+    TxnTable.vacuum(dst, retainAfter = TxnTable.latestVersion(dst) - 1)
+    srcBytes.foreach { case (p, bytes) =>
+      assert(java.nio.file.Files.exists(p) &&
+        Files.readAllBytes(p).toSeq == bytes,
+        s"vacuum through the clone touched source file $p")
+    }
+    assert(ids(TxnTable.read(spark, src)) == (1L to 60L))
+  }
+
   test("timestampAsOf resolves to the last commit at or before the instant") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)          // v0
