@@ -1055,6 +1055,53 @@ object Sources {
       |GROUP BY event_type
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated SHALLOW CLONE: branch the merge-scenario table by
+  // metadata alone, copy-on-write delete a cents range ON THE CLONE, and
+  // report both sides — the clone must show the delete, the source must
+  // not (a clone-side write leaking into the source breaks the source
+  // row's hash). The zero-copy/vacuum-safety mechanics are TxnTableSpec's
+  // evidence; the oracle proves the divergent row algebra.
+  // ---------------------------------------------------------------------------
+  private val cloneScenarioCache =
+    scala.collection.concurrent.TrieMap[graft.Artifacts.Key, String]()
+
+  private def cloneScenario(s: SparkSession, dir: String): String =
+    graft.Artifacts.cached(cloneScenarioCache, s, dir) {
+      import s.implicits._
+      val src = mergeScenario(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_clone")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => reclaim(tmp)))
+      TxnTable.cloneShallow(src, tmp.toString)
+      TxnTable.delete(s, tmp.toString, $"cents" >= 1000L && $"cents" <= 9999L)
+      tmp.toString
+    }
+
+  def txnClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = mergeScenario(s, dir)
+    val cl = cloneScenario(s, dir)
+    def agg(root: String, side: String) =
+      TxnTable.read(s, root)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum($"cents").cast("long").as("sum_cents"))
+        .selectExpr(s"'$side' AS side", "n_rows", "sum_cents")
+    graft.Materialize.eager(agg(src, "source") union agg(cl, "clone"))
+  }
+  val txnCloneSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events),
+      |v2 AS (SELECT CASE WHEN b >= 3 THEN 2 * cents ELSE cents END AS c
+      |       FROM ev WHERE b <= 4)
+      |SELECT 'source' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(c) AS BIGINT) AS sum_cents FROM v2
+      |UNION ALL
+      |SELECT 'clone', count(*), CAST(sum(c) AS BIGINT)
+      |FROM v2 WHERE c < 1000 OR c > 9999 OR c IS NULL
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -1074,6 +1121,7 @@ object Sources {
     "q_txn_evolve" -> txnEvolve _,
     "q_txn_bloom" -> txnBloom _,
     "q_txn_restore" -> txnRestore _,
+    "q_txn_clone" -> txnClone _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -1094,5 +1142,6 @@ object Sources {
     "q_txn_evolve" -> txnEvolveSql,
     "q_txn_bloom" -> txnBloomSql,
     "q_txn_restore" -> txnRestoreSql,
+    "q_txn_clone" -> txnCloneSql,
   )
 }
