@@ -66,23 +66,45 @@ object Bench {
     // without paying for the whole suite; absent = full driver contract.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Storage snapshot AFTER a query (post-release): what survives between
+    // queries is exactly the pinned-artifact pressure every later query
+    // inherits — round-13's in-suite inflation made that pressure the top
+    // follow-up, so the bench now RECORDS it per query: cached MB in
+    // memory, MB on disk, live block count.
+    def storageNow(): (Double, Double, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum / 1e6, infos.map(_.diskSize).sum / 1e6,
+        infos.map(_.numCachedPartitions.toLong).sum)
+    }
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n))).map { n =>
-      n -> (1 to runs).map(_ => runOnce(n)).last
+      val times = (1 to runs).map(_ => runOnce(n))
+      val (memMb, diskMb, blocks) = storageNow()
+      // (steady, cold, post-query storage) — cold vs steady separates
+      // artifact BUILD cost from the read path the oracle comparison sees
+      (n, times.last, times.head, memMb, diskMb, blocks)
     }
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val steady = results.map(r => r._1 -> r._2)
+    val cold = results.map(r => r._1 -> r._3)
+    val total = steady.map(_._2).filter(_ >= 0).sum
+    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     // The full per-query map (~4.5 KB as one line) does not survive the
     // driver's tail capture of stdout, so it goes to a FILE and the
     // contract line stays compact: total + the 20 slowest queries inline.
     // Subset runs (BENCH_ONLY) must not clobber the full-suite record.
+    val storageAll = results.map { r =>
+      "\"" + r._1 + "\":[" + f"${r._4}%.1f,${r._5}%.1f,${r._6}]" }
     if (only.isEmpty)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_QUERIES.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs_per_query":$runs}""")
-    val slowest = results.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(slowest)},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir","runs_per_query":$runs}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(steady)},"queries_cold":${jmap(cold)},"cold_total":$coldTotal,"storage_mb_disk_blocks":${storageAll.mkString("{", ",", "}")},"sf":"$sfDir","runs_per_query":$runs}""")
+    val slowest = steady.sortBy(-_._2).take(20)
+    val slowNames = slowest.map(_._1).toSet
+    val storageSlow = results.filter(r => slowNames(r._1)).map { r =>
+      "\"" + r._1 + "\":[" + f"${r._4}%.0f,${r._5}%.0f,${r._6}]" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${steady.size},"queries":${jmap(slowest)},"storage":${storageSlow.mkString("{", ",", "}")},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir","runs_per_query":$runs}""")
     spark.stop()
   }
 }

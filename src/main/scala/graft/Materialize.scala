@@ -51,10 +51,26 @@ object Materialize {
 
   /** Materialize `df` eagerly and return a relation whose lineage starts at
     * the materialized data. The input plan executes exactly once no matter
-    * how many consumers read the result. */
+    * how many consumers read the result.
+    *
+    * Pinned artifacts are stored SERIALIZED (MEMORY_AND_DISK_SER): they
+    * outlive their creating query by design, so deserialized row objects
+    * would sit in the JVM old generation for the process lifetime — every
+    * later query then pays their GC-scan cost and their inflated storage-
+    * pool footprint squeezes execution memory (spill pressure). Round 13's
+    * bench showed exactly that: 31 queries regressed ≥0.2 s with no code
+    * change, clustered after pin-creation points. A serialized pin is a
+    * handful of byte-array blocks — near-zero GC cost — at the price of
+    * one deserialization per consumer read, which the artifacts (centroid
+    * tables, merge tables, degree tables) amortize across a whole query.
+    * Transients keep the default deserialized level: they are read hot
+    * within their own query and freed right after. */
   def eager(df: DataFrame, pin: Boolean = false): DataFrame = impl match {
     case LocalCheckpoint =>
-      val out = df.localCheckpoint(eager = true)
+      val out =
+        if (pin) df.localCheckpoint(eager = true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        else df.localCheckpoint(eager = true)
       val target = if (pin) pinned else transient_
       checkpointRddIds(out).foreach(target.add(_))
       out

@@ -160,12 +160,21 @@ final class KafkaLiteReader(p: KafkaLitePartition)
   private def fetchReconnecting(off: Long): KafkaWire.FetchResult = {
     var attempt = 0
     while (true) {
-      try return client.fetch(p.topic, p.partition, off, p.maxBytes)
-      catch { case e: java.io.IOException =>
+      // the reconnect's own `new Client` (TCP connect) must fail INSIDE the
+      // try — a connect-refused during a broker restart counts against the
+      // attempt budget like any fetch failure, it doesn't escape the loop
+      try {
+        if (client == null) client = new KafkaWire.Client(p.host, p.port)
+        return client.fetch(p.topic, p.partition, off, p.maxBytes)
+      } catch { case e: java.io.IOException =>
         attempt += 1
-        try client.close() catch { case _: Throwable => () }
-        if (attempt > 3) throw e
-        client = new KafkaWire.Client(p.host, p.port)
+        if (client != null)
+          try client.close() catch { case _: Throwable => () }
+        client = null
+        if (attempt > 5) throw e
+        // exponential backoff so the budget spans a realistic restart
+        // window (~0.1+0.2+0.4+0.8+1.6 ≈ 3 s) instead of microseconds
+        Thread.sleep(100L << (attempt - 1))
       }
     }
     sys.error("unreachable")

@@ -462,7 +462,14 @@ object TxnTable {
     * external reader would have computed itself. Checkpoint actions carry
     * `dataChange:false` per the protocol. The pointer is written LAST and
     * atomically: a crash mid-checkpoint leaves the previous pointer intact
-    * and readers just fold a longer tail. */
+    * and readers just fold a longer tail.
+    *
+    * The fold SEEDS from the newest prior checkpoint parquet (exactly like
+    * an external reader would) and replays only the JSON tail after it.
+    * Without the seed, the first checkpoint-boundary commit after
+    * [[expireLog]] — which deletes the JSONs below the previous checkpoint
+    * — would find no protocol/metaData line at all, or worse, silently
+    * drop every live add recorded only in the expired JSONs. */
   private def writeDeltaCheckpoint(root: String, version: Long): Unit = {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(return)
     val d = deltaDir(root)
@@ -471,9 +478,66 @@ object TxnTable {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
     val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
+    // -- seed from the newest prior checkpoint, if any ---------------------
+    val priorCp = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".checkpoint.parquet"))
+      .map(_.stripSuffix(".checkpoint.parquet").toLong).filter(_ < version)
+      .maxOption
+    priorCp.foreach { cv =>
+      def bd(l: Any): Any = l match {
+        case l: java.lang.Long    => BigDecimal(l.longValue)
+        case i: java.lang.Integer => BigDecimal(i.intValue)
+        case _                    => null
+      }
+      def noNull(m: Map[String, Any]): Map[String, Any] =
+        m.filter(_._2 != null)
+      spark.read.parquet(d.resolve(f"$cv%020d.checkpoint.parquet").toString)
+        .collect().foreach { r =>
+          if (!r.isNullAt(r.fieldIndex("protocol"))) {
+            val p = r.getStruct(r.fieldIndex("protocol"))
+            protocol = Map(
+              "minReaderVersion" -> bd(p.get(0)),
+              "minWriterVersion" -> bd(p.get(1)))
+          }
+          if (!r.isNullAt(r.fieldIndex("metaData"))) {
+            val m = r.getStruct(r.fieldIndex("metaData"))
+            metaData = noNull(Map(
+              "id" -> m.get(0), "name" -> m.get(1), "description" -> m.get(2),
+              "schemaString" -> m.get(4),
+              "partitionColumns" ->
+                (if (m.isNullAt(5)) null else m.getSeq[String](5)),
+              "configuration" ->
+                (if (m.isNullAt(6)) null else m.getMap[String, String](6).toMap),
+              "createdTime" -> bd(m.get(7))))
+          }
+          if (!r.isNullAt(r.fieldIndex("txn"))) {
+            val t = r.getStruct(r.fieldIndex("txn"))
+            txns(t.getString(0)) = t.getLong(1)
+          }
+          if (!r.isNullAt(r.fieldIndex("add"))) {
+            val a = r.getStruct(r.fieldIndex("add"))
+            adds(a.getString(0)) = noNull(Map(
+              "path" -> a.getString(0),
+              "partitionValues" ->
+                (if (a.isNullAt(1)) Map.empty[String, Any]
+                 else a.getMap[String, String](1).toMap),
+              "size" -> bd(a.get(2)), "modificationTime" -> bd(a.get(3)),
+              "stats" -> a.get(5)))
+          }
+          if (!r.isNullAt(r.fieldIndex("remove"))) {
+            val t = r.getStruct(r.fieldIndex("remove"))
+            val path = t.getString(0)
+            adds.remove(path)
+            tombs(path) = noNull(Map(
+              "path" -> path, "deletionTimestamp" -> bd(t.get(1))))
+          }
+        }
+    }
+    // -- fold only the JSON tail after the seed ----------------------------
     val vs = Files.list(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).filter(_ <= version).toSeq.sorted
+      .map(_.stripSuffix(".json").toLong)
+      .filter(v => v <= version && v > priorCp.getOrElse(-1L)).toSeq.sorted
     vs.foreach { v =>
       Files.readAllLines(d.resolve(f"$v%020d.json")).asScala.foreach { line =>
         val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]
@@ -506,7 +570,14 @@ object TxnTable {
           str(metaData, "schemaString"),
           metaData.getOrElse("partitionColumns", Seq.empty).asInstanceOf[Seq[Any]]
             .map(_.asInstanceOf[String]),
-          Map.empty[String, String], lng(metaData, "createdTime")),
+          // the real configuration (delta.constraints.* etc.) must survive
+          // into the checkpoint — after expireLog removes the
+          // metaData-bearing JSONs it is the only copy an external reader
+          // ever sees
+          metaData.getOrElse("configuration", Map.empty)
+            .asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.asInstanceOf[String] },
+          lng(metaData, "createdTime")),
         null)) ++
       txns.toSeq.map { case (app, v) =>
         Row(Row(app, java.lang.Long.valueOf(v), null), null, null, null, null) } ++
@@ -1896,14 +1967,22 @@ object TxnTable {
     *    persisted change-data files;
     *  - layout-only commits (OPTIMIZE / ZORDER) emit nothing;
     *  - a row-rewriting commit WITHOUT change files (overwrite, restore,
-    *    non-CDF merge/delete) fails loudly — fall back to [[changeFeed]]'s
-    *    keyed snapshot diff for those ranges.
+    *    non-CDF merge/delete): with `keys` provided, DEGRADES to
+    *    [[changeFeed]]'s keyed snapshot diff for just that one version
+    *    (cost proportional to the two adjacent snapshots, not the range)
+    *    — the output then carries a `_change_mode` column
+    *    (`cdf`/`append`/`snapshot_diff`) so consumers can see which
+    *    commits were reconstructed; without `keys` it fails loudly, as a
+    *    consumer with no row identity cannot diff.
     *
     * This is the read side of the streaming-CDF contract: a downstream
     * incremental consumer tails versions and applies exactly each commit's
-    * effects, at a cost proportional to what changed. */
+    * effects, at a cost proportional to what changed. Frames from before a
+    * schema evolution are null-backfilled to the widest schema in the
+    * range (`unionByName(allowMissingColumns)`). */
   def changeFeedIncremental(spark: SparkSession, root: String,
-                            fromV: Long, toV: Long): DataFrame = {
+                            fromV: Long, toV: Long,
+                            keys: Seq[String] = Seq.empty): DataFrame = {
     require(fromV < toV, s"empty version range ($fromV, $toV]")
     require(toV <= latestVersion(root), s"version $toV does not exist")
     val perVersion = versions(root).filter(v => v > fromV && v <= toV).flatMap { v =>
@@ -1913,21 +1992,28 @@ object TxnTable {
       val addFiles = acts.collect { case Action(_, _, "add", a) => a.file }
       val hasRemove = acts.exists(_.action == "remove")
       val layoutOnly = op == "optimize" || op == "optimize-zorder"
+      def tagged(df: DataFrame, mode: String): DataFrame =
+        if (keys.isEmpty) df else df.withColumn("_change_mode", lit(mode))
       if (layoutOnly || acts.isEmpty) None
       else if (cdcFiles.nonEmpty)
-        Some(spark.read.parquet(cdcFiles.map(f => filePath(root, f).toString): _*)
-          .withColumn("_commit_version", lit(v)))
+        Some(tagged(
+          spark.read.parquet(cdcFiles.map(f => filePath(root, f).toString): _*)
+            .withColumn("_commit_version", lit(v)), "cdf"))
       else if (!hasRemove && (op == "append" || op.startsWith("append#")))
-        Some(readFiles(spark, root, addFiles, v)
+        Some(tagged(readFiles(spark, root, addFiles, v)
           .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
+          .withColumn("_commit_version", lit(v)), "append"))
       else if (addFiles.isEmpty && !hasRemove) None // audited no-op commit
+      else if (keys.nonEmpty)
+        Some(tagged(changeFeed(spark, root, v - 1, v, keys)
+          .withColumn("_commit_version", lit(v)), "snapshot_diff"))
       else sys.error(
         s"version $v ($op) rewrites rows without change files; " +
-          "use changeFeed's snapshot diff or commit with cdf = true")
+          "pass keys= for a per-version snapshot-diff fallback, " +
+          "use changeFeed's snapshot diff, or commit with cdf = true")
     }
     require(perVersion.nonEmpty, s"no data-changing commits in ($fromV, $toV]")
-    perVersion.reduce(_ unionByName _)
+    perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** RESTORE the table to the contents of `toVersion` — a PURE METADATA

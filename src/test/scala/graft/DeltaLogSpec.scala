@@ -193,4 +193,63 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(ids(folded2) == ids(TxnTable.readVersion(spark, root, -1L)),
       "post-expiry external fold disagrees with the library snapshot")
   }
+
+  test("checkpoint after expireLog seeds from the prior checkpoint (no state loss)") {
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    (0 until 10).foreach(i => TxnTable.append(df(i * 10 + 1 to i * 10 + 10), root)) // v0..v9
+    TxnTable.setConstraint(spark, root, "pos_id", "id > 0") // v10 → checkpoint @10
+    TxnTable.expireLog(root) // JSONs (and nothing else) below v10 are gone
+    assert(logFiles(root).map(_._1).min == 10L)
+    // ten more appends cross the NEXT checkpoint boundary (v20) — its fold
+    // can only learn the 100 pre-expiry rows' adds from the v10 checkpoint
+    (0 until 10).foreach(i =>
+      TxnTable.append(df(1000 + i * 10 to 1000 + i * 10 + 5), root)) // v11..v20
+    val d = Paths.get(root, "_delta_log")
+    val cp20 = d.resolve(f"${20L}%020d.checkpoint.parquet")
+    assert(Files.exists(cp20), "v20 checkpoint missing")
+    val cpDf = spark.read.parquet(cp20.toString)
+    assert(cpDf.filter(col("protocol").isNotNull).count() == 1,
+      "protocol row lost across expiry")
+    val meta = cpDf.filter(col("metaData").isNotNull)
+      .select("metaData.configuration", "metaData.schemaString").collect()
+    assert(meta.length == 1, "metaData row lost across expiry")
+    // the CHECK constraint's configuration survives INTO the checkpoint —
+    // after the next expiry it is the only copy an external reader sees
+    assert(meta.head.getMap[String, String](0).get("delta.constraints.pos_id")
+      .contains("id > 0"), s"configuration lost: ${meta.head.getMap[String, String](0)}")
+    assert(DataType.fromJson(meta.head.getString(1)) == df(1 to 1).schema)
+    // external fold of checkpoint-only state (tail is empty at v20) must
+    // equal the library snapshot INCLUDING the 100 pre-expiry rows
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    cpDf.filter(col("add").isNotNull).select("add.path").collect()
+      .foreach(r => live.add(r.getString(0)))
+    logFiles(root).filter(_._1 > 20L).foreach { case (_, p) =>
+      Files.readAllLines(p).asScala.foreach { l =>
+        if (l.contains("\"add\":")) field(l, "path").foreach(live.add)
+        else if (l.contains("\"remove\":")) field(l, "path").foreach(live.remove)
+      }
+    }
+    val folded = spark.read.parquet(live.toSeq.map(f => Paths.get(root, f).toString): _*)
+    assert(ids(folded) == ids(TxnTable.readVersion(spark, root, -1L)),
+      "post-expiry next-boundary checkpoint lost pre-expiry adds")
+    assert(folded.count() == 160, "expected 100 pre-expiry + 60 post-expiry rows")
+    // a second expiry cycle: expire below v20, cross v30, fold again —
+    // the seed chain (cp10 → cp20 → cp30) must stay lossless
+    TxnTable.expireLog(root)
+    (0 until 10).foreach(i =>
+      TxnTable.append(df(2000 + i * 10 to 2000 + i * 10 + 1), root)) // v21..v30
+    val cp30 = d.resolve(f"${30L}%020d.checkpoint.parquet")
+    assert(Files.exists(cp30), "v30 checkpoint missing")
+    val cpDf3 = spark.read.parquet(cp30.toString)
+    assert(cpDf3.filter(col("metaData.configuration")("delta.constraints.pos_id")
+      .isNotNull).count() == 1, "configuration lost on second expiry cycle")
+    val live3 = scala.collection.mutable.LinkedHashSet.empty[String]
+    cpDf3.filter(col("add").isNotNull).select("add.path").collect()
+      .foreach(r => live3.add(r.getString(0)))
+    val folded3 = spark.read.parquet(live3.toSeq.map(f => Paths.get(root, f).toString): _*)
+    assert(ids(folded3) == ids(TxnTable.readVersion(spark, root, -1L)),
+      "second expiry cycle lost state")
+    assert(folded3.count() == 180)
+  }
 }

@@ -604,6 +604,42 @@ class TxnTableSpec extends AnyFunSuite {
     assert(cdcAfter == 0, s"cdc files not swept: $cdcAfter")
   }
 
+  test("incremental feed with keys degrades to a snapshot diff across rewrites and evolutions") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 10), root)            // v0
+    TxnTable.append(df(11 to 15), root)           // v1
+    TxnTable.overwrite(df(1 to 12), root)         // v2 — rewrite, NO change files
+    TxnTable.appendEvolve(                        // v3 — schema evolution
+      Seq((100L, "wide", 1.5)).toDF("id", "payload", "score"), root)
+    TxnTable.restore(spark, root, 1L)             // v4 — rewrite, NO change files
+    // keyless call still fails loudly at the rewriting commit
+    val e = intercept[RuntimeException](
+      TxnTable.changeFeedIncremental(spark, root, -1L, 4L))
+    assert(e.getMessage.contains("without change files"))
+    // keyed call degrades the two rewrites to per-version snapshot diffs
+    val feed = TxnTable.changeFeedIncremental(spark, root, -1L, 4L, keys = Seq("id"))
+    assert(feed.columns.contains("_change_mode"))
+    assert(feed.columns.contains("score"), "evolved column missing from the feed")
+    val byV = feed.select("_commit_version", "_change_mode", "_change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(t => (t._4, t._3))).toMap
+    assert(byV(0L).forall(t => t._2 == "append" && t._3 == "insert") &&
+      byV(0L).size == 10)
+    assert(byV(1L).map(_._4) == (11L to 15L), byV(1L))
+    // v2 overwrite 1..15 → 1..12: snapshot diff sees the three deletes only
+    assert(byV(2L) == (13L to 15L).map(i => (2L, "snapshot_diff", "delete", i)), byV(2L))
+    // v3 evolving append: one insert, null-backfilled nowhere (it HAS score)
+    assert(byV(3L) == Seq((3L, "append", "insert", 100L)), byV(3L))
+    assert(feed.where("_commit_version = 3").select("score")
+      .as[Double].collect().toSeq == Seq(1.5))
+    // v4 restore to v1 (1..15, no 100): re-inserts 13..15, deletes 100
+    assert(byV(4L) == ((13L to 15L).map(i => (4L, "snapshot_diff", "insert", i)) :+
+      (4L, "snapshot_diff", "delete", 100L)), byV(4L))
+    // pre-evolution frames are null-backfilled on the evolved column
+    assert(feed.where("_commit_version = 0 and score is not null").count() == 0)
+  }
+
   test("expireLog bounds the metadata: reads seed from the checkpoint, history below fails loudly") {
     import org.apache.spark.sql.functions.col
     val root = tbl()
