@@ -61,7 +61,8 @@ object TxnTable {
     * string; pruning on them can be added by widening `statsEligible`). */
   final case class AddFile(file: String, bytes: Long, stats: Option[String],
                            partitionValues: Map[String, String] = Map.empty,
-                           bloom: Option[String] = None)
+                           bloom: Option[String] = None,
+                           dv: Option[DeletionVectors.DvDescriptor] = None)
 
   /** Per-file stats decoded for pruning. Map values: BigDecimal | String |
     * Boolean | null (all-null column). A column absent from the maps means
@@ -196,7 +197,23 @@ object TxnTable {
     val pField = if (a.partitionValues.isEmpty) ""
       else s""","part64":"${b64(partJson)}""""
     val bField = a.bloom.map(j => s""","bloom64":"${b64(j)}"""").getOrElse("")
-    s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(a.file)}","bytes":${a.bytes}$stField$pField$bField}"""
+    val dField = a.dv.map(d => s""","dv64":"${b64(dvJson(d))}"""").getOrElse("")
+    s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(a.file)}","bytes":${a.bytes}$stField$pField$bField$dField}"""
+  }
+
+  /** Spec-shaped deletionVector descriptor JSON (identical bytes in the
+    * internal log's dv64 payload and the `_delta_log` mirror). */
+  private def dvJson(d: DeletionVectors.DvDescriptor): String =
+    s"""{"storageType":"${esc(d.storageType)}","pathOrInlineDv":"${esc(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+
+  private def parseDvJson(j: String): DeletionVectors.DvDescriptor = {
+    val m = MiniJson.parse(j).asInstanceOf[Map[String, Any]]
+    DeletionVectors.DvDescriptor(
+      m("storageType").asInstanceOf[String],
+      m("pathOrInlineDv").asInstanceOf[String],
+      m.get("offset").map(_.asInstanceOf[BigDecimal].toIntExact).getOrElse(0),
+      m("sizeInBytes").asInstanceOf[BigDecimal].toIntExact,
+      m("cardinality").asInstanceOf[BigDecimal].toLongExact)
   }
 
   private def commit(root: String, version: Long, op: String,
@@ -208,10 +225,13 @@ object TxnTable {
                      cdc: Seq[AddFile] = Nil,
                      extraConfig: Option[Map[String, String]] = None): Unit = {
     Files.createDirectories(logDir(root))
+    // removes BEFORE adds (the mirror's order too): a merge-on-read commit
+    // removes and re-adds the SAME path (new deletion vector), and the
+    // line-ordered fold must land on the re-add
     val lines =
-      adds.map(addLine(version, op, _)) ++ removes.map { f =>
+      removes.map { f =>
         s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0}"""
-      } ++ cdc.map { a =>
+      } ++ adds.map(addLine(version, op, _)) ++ cdc.map { a =>
         s"""{"version":$version,"op":"${esc(op)}","action":"cdc","file":"${esc(a.file)}","bytes":${a.bytes}}"""
       }
     // version claim is a true compare-and-set: the content is fully
@@ -339,7 +359,8 @@ object TxnTable {
       .getOrElse(Map.empty[String, String])
     AddFile(m("file").asInstanceOf[String],
       m("bytes").asInstanceOf[BigDecimal].toLongExact,
-      b64("stats64"), pvs, b64("bloom64"))
+      b64("stats64"), pvs, b64("bloom64"),
+      b64("dv64").map(parseDvJson))
   }
 
   /** Another writer claimed this version first; the caller rebases on the
@@ -409,11 +430,35 @@ object TxnTable {
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     // CHECK constraints require writer feature level 3 (delta.io
-    // PROTOCOL.md); the commit that first sets one upgrades the protocol
+    // PROTOCOL.md); the commit that first sets one upgrades the protocol.
+    // Deletion vectors are a TABLE FEATURE: reader 3 / writer 7 with
+    // explicit readerFeatures/writerFeatures. Feature state is derived
+    // from the FOLDED config (already in hand — O(1)): once
+    // delta.enableDeletionVectors landed, every later protocol emission
+    // keeps the feature lists, so a later constraint commit can never
+    // fold-downgrade the protocol below what the DV files require.
     val needsWriter3 = extraConfig.exists(_.keys.exists(_.startsWith("delta.constraints.")))
+    val dvActive = adds.exists(_.dv.isDefined) ||
+      config.get("delta.enableDeletionVectors").contains("true")
+    // name-mode column mapping needs reader 2 / writer 5 (legacy levels);
+    // under table features it must be LISTED alongside deletionVectors
+    val mappingActive = config.get("delta.columnMapping.mode").contains("name")
+    val featureProtocol = {
+      val mapF = if (mappingActive) Seq("columnMapping") else Nil
+      val rf = Seq("deletionVectors") ++ mapF
+      val wf = Seq("deletionVectors") ++ mapF ++
+        (if (config.keys.exists(_.startsWith("delta.constraints.")) || needsWriter3)
+          Seq("checkConstraints") else Nil)
+      def arr(fs: Seq[String]) = fs.map(f => s""""$f"""").mkString("[", ",", "]")
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(rf)},"writerFeatures":${arr(wf)}}}"""
+    }
     val head =
-      (if (version == 0L)
+      (if (dvActive && (adds.exists(_.dv.isDefined) || needsWriter3 || extraConfig.isDefined))
+        Seq(featureProtocol)
+      else if (version == 0L)
         Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      else if (mappingActive && extraConfig.isDefined)
+        Seq(s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
       else if (needsWriter3)
         Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""")
       else Seq.empty) ++
@@ -429,10 +474,11 @@ object TxnTable {
       adds.map { a =>
         val mt = Files.getLastModifiedTime(filePath(root, a.file)).toMillis
         val stField = a.stats.map(j => s""","stats":"${esc(j)}"""").getOrElse("")
+        val dvField = a.dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
         val pv = a.partitionValues.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
           .mkString("{", ",", "}")
-        s"""{"add":{"path":"${esc(a.file)}","partitionValues":$pv,"size":${a.bytes},"modificationTime":$mt,"dataChange":$dataChange$stField}}"""
+        s"""{"add":{"path":"${esc(a.file)}","partitionValues":$pv,"size":${a.bytes},"modificationTime":$mt,"dataChange":$dataChange$stField$dvField}}"""
       } ++
       // change-data files (the protocol's AddCDCFile): CDF readers fold
       // these from the version-range commit JSONs — per the protocol they
@@ -493,11 +539,22 @@ object TxnTable {
         m.filter(_._2 != null)
       spark.read.parquet(d.resolve(f"$cv%020d.checkpoint.parquet").toString)
         .collect().foreach { r =>
+          def optField(row: org.apache.spark.sql.Row, name: String): Option[Any] =
+            if (row.schema != null && row.schema.fieldNames.contains(name) &&
+              !row.isNullAt(row.fieldIndex(name)))
+              Some(row.get(row.fieldIndex(name)))
+            else None
           if (!r.isNullAt(r.fieldIndex("protocol"))) {
             val p = r.getStruct(r.fieldIndex("protocol"))
             protocol = Map(
               "minReaderVersion" -> bd(p.get(0)),
-              "minWriterVersion" -> bd(p.get(1)))
+              "minWriterVersion" -> bd(p.get(1))) ++
+              optField(p, "readerFeatures").map(f =>
+                "readerFeatures" -> (f.asInstanceOf[scala.collection.Seq[String]]
+                  .toSeq.map(x => x: Any): Any)) ++
+              optField(p, "writerFeatures").map(f =>
+                "writerFeatures" -> (f.asInstanceOf[scala.collection.Seq[String]]
+                  .toSeq.map(x => x: Any): Any))
           }
           if (!r.isNullAt(r.fieldIndex("metaData"))) {
             val m = r.getStruct(r.fieldIndex("metaData"))
@@ -505,7 +562,7 @@ object TxnTable {
               "id" -> m.get(0), "name" -> m.get(1), "description" -> m.get(2),
               "schemaString" -> m.get(4),
               "partitionColumns" ->
-                (if (m.isNullAt(5)) null else m.getSeq[String](5)),
+                (if (m.isNullAt(5)) null else m.getSeq[String](5).toSeq),
               "configuration" ->
                 (if (m.isNullAt(6)) null else m.getMap[String, String](6).toMap),
               "createdTime" -> bd(m.get(7))))
@@ -516,13 +573,23 @@ object TxnTable {
           }
           if (!r.isNullAt(r.fieldIndex("add"))) {
             val a = r.getStruct(r.fieldIndex("add"))
+            val dvSeed = optField(a, "deletionVector").map { d0 =>
+              val d = d0.asInstanceOf[org.apache.spark.sql.Row]
+              "deletionVector" -> (Map(
+                "storageType" -> d.getString(0),
+                "pathOrInlineDv" -> d.getString(1),
+                "sizeInBytes" -> bd(d.get(3)),
+                "cardinality" -> bd(d.get(4))) ++
+                (if (d.isNullAt(2)) Map.empty[String, Any]
+                 else Map("offset" -> bd(d.get(2)))): Any)
+            }
             adds(a.getString(0)) = noNull(Map(
               "path" -> a.getString(0),
               "partitionValues" ->
                 (if (a.isNullAt(1)) Map.empty[String, Any]
                  else a.getMap[String, String](1).toMap),
               "size" -> bd(a.get(2)), "modificationTime" -> bd(a.get(3)),
-              "stats" -> a.get(5)))
+              "stats" -> a.get(5)) ++ dvSeed)
           }
           if (!r.isNullAt(r.fieldIndex("remove"))) {
             val t = r.getStruct(r.fieldIndex("remove"))
@@ -560,10 +627,23 @@ object TxnTable {
         v.asInstanceOf[BigDecimal].toLongExact)).orNull
     def str(m: Map[String, Any], k: String): String =
       m.get(k).map(_.asInstanceOf[String]).orNull
+    def strSeq(m: Map[String, Any], k: String): Seq[String] =
+      m.get(k).map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).orNull
+    def dvRow(m: Map[String, Any]): Row =
+      m.get("deletionVector").map { d0 =>
+        val d = d0.asInstanceOf[Map[String, Any]]
+        Row(str(d, "storageType"), str(d, "pathOrInlineDv"),
+          d.get("offset").map(x =>
+            Integer.valueOf(x.asInstanceOf[BigDecimal].toIntExact)).orNull,
+          Integer.valueOf(d("sizeInBytes").asInstanceOf[BigDecimal].toIntExact),
+          java.lang.Long.valueOf(d("cardinality").asInstanceOf[BigDecimal].toLongExact))
+      }.orNull
     val rows: Seq[Row] =
       Seq(Row(null, null, null, null,
         Row(Integer.valueOf(protocol("minReaderVersion").asInstanceOf[BigDecimal].toIntExact),
-            Integer.valueOf(protocol("minWriterVersion").asInstanceOf[BigDecimal].toIntExact)))) ++
+            Integer.valueOf(protocol("minWriterVersion").asInstanceOf[BigDecimal].toIntExact),
+            strSeq(protocol, "readerFeatures"),
+            strSeq(protocol, "writerFeatures")))) ++
       Seq(Row(null, null, null,
         Row(str(metaData, "id"), str(metaData, "name"), str(metaData, "description"),
           Row("parquet", Map.empty[String, String]),
@@ -587,7 +667,7 @@ object TxnTable {
             a.getOrElse("partitionValues", Map.empty).asInstanceOf[Map[String, Any]]
               .map { case (k, v) => k -> v.asInstanceOf[String] },
             lng(a, "size"), lng(a, "modificationTime"),
-            java.lang.Boolean.FALSE, str(a, "stats")),
+            java.lang.Boolean.FALSE, str(a, "stats"), dvRow(a)),
           null, null, null) } ++
       tombs.values.toSeq.map { r =>
         Row(null, null,
@@ -603,7 +683,13 @@ object TxnTable {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -621,7 +707,9 @@ object TxnTable {
         StructField("createdTime", LongType)))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType))))))
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
     val tmpDir = d.resolve(s".cp-$version")
     spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
@@ -763,9 +851,16 @@ object TxnTable {
     * footer (see [[footerStats]] — no second scan). `check = false` skips
     * CHECK-constraint validation (layout-only rewrites of already-valid
     * rows — OPTIMIZE/ZORDER — must not pay a validation pass). */
-  private def writeDataFiles(df: DataFrame, root: String, version: Long,
+  private def writeDataFiles(df0: DataFrame, root: String, version: Long,
                              check: Boolean = true): Seq[AddFile] = {
-    if (check) validateConstraints(df, root)
+    if (check) validateConstraints(df0, root)
+    // under column mapping the FILES carry the stable physical names (the
+    // logical batch columns rename just before the write); stats therefore
+    // key by physical name, matching what pruning translates to
+    val mapping = readMeta(root).map(m => colMapping(m._1)).getOrElse(Map.empty)
+    val df = if (mapping.isEmpty) df0
+      else df0.select(df0.columns.toSeq.map(c =>
+        col(c).as(mapping.getOrElse(c, c))): _*)
     val sub = dataSub(version)
     val dst = Paths.get(root, sub)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
@@ -968,8 +1063,19 @@ object TxnTable {
     val adds =
       if (pcs.isEmpty) writeDataFiles(df, root, v)
       else writePartitionedFiles(df, root, v, pcs)
+    // keep column-mapping metadata (stable physical names / ids) across an
+    // overwrite: matching columns inherit the table's field metadata, so
+    // the just-written physically-named files stay readable
+    val schemaOut = readMeta(root).map(_._1) match {
+      case Some(cur) if sameShape(cur, df.schema) => cur
+      case Some(cur) =>
+        StructType(df.schema.fields.map(f =>
+          cur.fields.find(_.name == f.name)
+            .map(o => f.copy(metadata = o.metadata)).getOrElse(f)))
+      case None => df.schema
+    }
     commit(root, v, "overwrite", adds,
-      liveFiles(root, v - 1).map(_._1), schemaJson = Some(df.schema.json),
+      liveFiles(root, v - 1).map(_._1), schemaJson = Some(schemaOut.json),
       partCols = pcs)
     v
   }
@@ -1015,7 +1121,7 @@ object TxnTable {
           a.partitionValues.getOrElse(c, "")).toList))
       } else live
     val cols = delta.columns.toSeq
-    val cur = readFilesTagged(spark, root, candidates.map(_.file), v - 1)
+    val cur = readFilesTagged(spark, root, candidates, v - 1)
       .select(col("_file"), struct(cols.map(col): _*).as("_r"))
     val dKeys = delta.select(keys.map(col): _*).distinct()
     val onKeys = keys.map(k => col(s"_r.$k") === dKeys(k)).reduce(_ && _)
@@ -1065,8 +1171,11 @@ object TxnTable {
     val adds =
       if (pcs.isEmpty) writeDataFiles(carried, root, v)
       else writePartitionedFiles(carried, root, v, pcs)
+    // commit the TABLE's schema (same shape was required above): the
+    // delta frame has no column-mapping metadata to preserve
+    val schemaOut = readMeta(root).map(_._1).getOrElse(delta.schema)
     commit(root, v, "merge", adds, touchedRel,
-      schemaJson = Some(delta.schema.json), partCols = pcs, cdc = cdcAdds)
+      schemaJson = Some(schemaOut.json), partCols = pcs, cdc = cdcAdds)
     v
   }
 
@@ -1111,6 +1220,10 @@ object TxnTable {
 
   private def liveFiles(root: String, asOf: Long): Seq[(String, Long)] =
     liveAdds(root, asOf).map(a => (a.file, a.bytes))
+
+  /** Test observability: the live adds with their stats/bloom/DV payloads. */
+  private[graft] def liveAddsForTest(root: String, asOf: Long = -1L): Seq[AddFile] =
+    liveAdds(root, asOf)
 
   private def liveAdds(root: String, asOf: Long): Seq[AddFile] = {
     // SEQUENTIAL reconciliation in version order (the protocol rule): a
@@ -1267,6 +1380,89 @@ object TxnTable {
     a.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
       b.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
 
+  // ---- column mapping (metadata-only rename) --------------------------------
+  // The open protocol's name-mode column mapping
+  // (delta.columnMapping.mode=name): parquet files keep a STABLE physical
+  // column name recorded in per-field schema metadata; a logical rename
+  // only rewrites the schemaString — zero data bytes at any table size.
+  // physicalName defaults to the field name when no mapping metadata is
+  // present, so pre-mapping tables and files cost nothing.
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private val ColIdKey = "delta.columnMapping.id"
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  /** logical → physical map, EMPTY when the identity holds (fast path). */
+  private def colMapping(schema: StructType): Map[String, String] =
+    schema.fields.iterator.map(f => f.name -> physicalName(f))
+      .filter { case (l, p) => l != p }.toMap
+
+  /** Rewrite predicate attribute names logical → physical so file-stats /
+    * bloom pruning keys match what the footers were written with. */
+  private def mapPredNames(e: Expression,
+                           nameMap: Map[String, String]): Expression =
+    if (nameMap.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if nameMap.contains(a.name) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(nameMap(a.name)))
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if nameMap.contains(a.name) => a.withName(nameMap(a.name))
+    }
+
+  /** RENAME a column — metadata-only (no data rewrite). The first rename
+    * upgrades the table to name-mode column mapping: every field is
+    * stamped with its CURRENT name as `physicalName` plus a stable column
+    * id (existing files already carry those physical names, so they keep
+    * reading), the config records the mode, and the mirror protocol
+    * upgrades to reader 2 / writer 5 (the mapping level, delta.io
+    * PROTOCOL.md). Refused for partition columns (their name is
+    * path-encoded in the hive layout), for columns referenced by CHECK
+    * constraints (the stored SQL would silently stop matching rows), and
+    * for collisions. Time travel below the rename reads with that
+    * version's own names. */
+  def renameColumn(spark: SparkSession, root: String,
+                   oldName: String, newName: String): Long = casRetry("renameColumn") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val (schema, pcs) = readMeta(root).getOrElse(
+      sys.error(s"$root has no metaData to rename in"))
+    require(schema.fieldNames.contains(oldName), s"no column $oldName")
+    require(!schema.fieldNames.contains(newName),
+      s"column $newName already exists")
+    // a hive layout path-encodes partition column names; the data columns
+    // of a partitioned table also bypass the mapping-aware writer — both
+    // wait on the partitioned write path learning physical names
+    require(pcs.isEmpty,
+      s"renameColumn on a PARTITIONED TxnTable is not supported " +
+        s"(partition columns: ${pcs.mkString(", ")})")
+    val offending = constraints(root).filter { case (_, sql) =>
+      sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*") }
+    require(offending.isEmpty,
+      s"column $oldName is referenced by CHECK constraint(s) " +
+        s"${offending.keys.mkString(", ")}; drop them first")
+    val stamped = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      if (!f.metadata.contains(PhysNameKey)) b.putString(PhysNameKey, f.name)
+      if (!f.metadata.contains(ColIdKey)) b.putLong(ColIdKey, i + 1L)
+      f.copy(metadata = b.build())
+    })
+    val renamed = StructType(stamped.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val cfg = readTableConfig(root) +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> renamed.fields.length.toString)
+    commit(root, v, s"rename-column#$oldName", Seq.empty, Seq.empty,
+      schemaJson = Some(renamed.json), dataChange = false, partCols = pcs,
+      extraConfig = Some(cfg))
+    v
+  }
+
   private def requireUnpartitioned(root: String, what: String): Unit =
     readMeta(root).foreach { case (_, pcs) =>
       require(pcs.isEmpty,
@@ -1284,15 +1480,15 @@ object TxnTable {
     val last = latestVersion(root)
     require(last >= 0, s"$root is not a TxnTable (no _txn_log)")
     require(asOf <= last, s"version $asOf does not exist (latest $last)")
-    val files = liveFiles(root, asOf)
-    val missing = files.filterNot { case (f, _) => Files.exists(filePath(root, f)) }
+    val adds = liveAdds(root, asOf)
+    val missing = adds.filterNot(a => Files.exists(filePath(root, a.file)))
     require(missing.isEmpty,
       s"version ${if (asOf < 0) last else asOf} references vacuumed files: " +
-        missing.map(_._1).mkString(", "))
+        missing.map(_.file).mkString(", "))
     // every commit adds at least one part file (Spark writes schema-bearing
     // empty parts), so a resolvable version always has files
-    require(files.nonEmpty, s"no live files at version $asOf")
-    readFiles(spark, root, files.map(_._1), asOf)
+    require(adds.nonEmpty, s"no live files at version $asOf")
+    readFiles(spark, root, adds, asOf)
   }
 
   /** SHALLOW CLONE: create a new table at `dstRoot` whose version 0
@@ -1303,21 +1499,24 @@ object TxnTable {
     * own root, and neither writes nor [[vacuum]] through the clone ever
     * touch the source (vacuum skips absolute entries). The usual
     * dev/test-sandbox shape: branch a 100 TB table in O(files) metadata.
-    * Unpartitioned sources only — a hive layout's path-encoded columns
-    * are keyed to their own root. Source files vacuumed AWAY later make
-    * the clone's reads fail loudly, exactly like the source's own
-    * too-old time travel (pin the source's retention accordingly). */
+    * PARTITIONED sources clone too: every re-add carries its
+    * partitionValues, the clone's metaData records the partition columns,
+    * and reads group by the SOURCE's version directories (each group's
+    * basePath re-attaches the path-encoded columns) — so the clone prunes
+    * partitions exactly like the source from birth. Source files vacuumed
+    * AWAY later make the clone's reads fail loudly, exactly like the
+    * source's own too-old time travel (pin the source's retention
+    * accordingly). */
   def cloneShallow(srcRoot: String, dstRoot: String): Long = {
     require(latestVersion(srcRoot) >= 0, s"$srcRoot is not a TxnTable (no _txn_log)")
     require(latestVersion(dstRoot) < 0, s"$dstRoot already has a _txn_log")
     val (schema, pcs) = readMeta(srcRoot).getOrElse(
       sys.error(s"$srcRoot has no metaData to clone"))
-    require(pcs.isEmpty, "cloneShallow: partitioned sources are not supported")
     val srcAbs = Paths.get(srcRoot).toAbsolutePath
     val adds = liveAdds(srcRoot, -1L)
       .map(a => a.copy(file = srcAbs.resolve(a.file).toString))
     commit(dstRoot, 0L, "clone", adds, Seq.empty,
-      schemaJson = Some(schema.json),
+      schemaJson = Some(schema.json), partCols = pcs,
       extraConfig = Some(readTableConfig(srcRoot)))
     0L
   }
@@ -1350,31 +1549,89 @@ object TxnTable {
   def readTimestamp(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     readVersion(spark, root, versionAsOf(root, tsMillis))
 
+  private def fileNameOf(f: String): String = {
+    val i = f.lastIndexOf('/')
+    if (i < 0) f else f.substring(i + 1)
+  }
+
+  /** The hive-layout scan group of a log entry: its `data/<vN-uuid>`
+    * version directory, resolved against whichever root the path lives
+    * under — the table's own for relative entries, the SOURCE's for a
+    * shallow clone's absolute re-adds. Each group scans with this as
+    * `basePath` so partition discovery re-attaches the path-encoded
+    * columns. (Partition dirs are `name=value`, so a bare `data` ancestor
+    * is unambiguous.) */
+  private def versionDirOf(root: String, f: String): String = {
+    var p = filePath(root, f).toAbsolutePath
+    while (p.getParent != null && (p.getParent.getFileName == null ||
+      p.getParent.getFileName.toString != "data")) p = p.getParent
+    require(p.getParent != null, s"no data/ ancestor in log entry $f")
+    p.toString
+  }
+
+  /** Merge-on-read row filter: drop rows a live add's deletion vector
+    * marks. None when no add carries a DV — non-DV tables pay zero (no
+    * metadata column, no probe, unchanged plan). Keyed by parquet file
+    * NAME (`_metadata.file_name`) — Spark part names embed a UUID, so the
+    * key is unique across version dirs and even across a clone's absolute
+    * re-adds. The probe is a codegen'd O(1) bitmap lookup per row
+    * ([[graft.functions.DvRowDeleted]]); deleted positions never join or
+    * shuffle, which is what keeps a 10M-row DV as cheap as a 10-row one. */
+  private def dvAliveFilter(root: String,
+                            adds: Seq[AddFile]): Option[Column] = {
+    val dvAdds = adds.filter(_.dv.isDefined)
+    if (dvAdds.isEmpty) None
+    else {
+      val blobs = dvAdds.map { a =>
+        fileNameOf(a.file) -> DeletionVectors.readDvData(root, a.dv.get)
+      }.toMap
+      val lookup = new graft.functions.DvLookup(blobs)
+      Some(org.apache.spark.sql.GraftColumnExpr.column(
+        org.apache.spark.sql.catalyst.expressions.Not(
+          graft.functions.DvRowDeleted(
+            org.apache.spark.sql.GraftColumnExpr.expr(col("_metadata.file_name")),
+            org.apache.spark.sql.GraftColumnExpr.expr(col("_metadata.row_index")),
+            lookup))))
+    }
+  }
+
   /** Read a set of live files, partition-aware: on a partitioned table the
     * files group by their version directory and each group reads with that
     * directory as `basePath`, so Spark's partition discovery re-attaches
     * the path-encoded columns under the metaData schema's types; groups
-    * union by name. Unpartitioned tables take the single flat scan. */
+    * union by name. Unpartitioned tables take the single flat scan.
+    * Deletion-vector adds filter their marked rows out INSIDE each scan
+    * (the metadata columns don't survive a union). */
   private def readFiles(spark: SparkSession, root: String,
-                        files: Seq[String], asOf: Long = -1L): DataFrame =
+                        adds: Seq[AddFile], asOf: Long = -1L): DataFrame = {
+    val files = adds.map(_.file)
+    val alive = dvAliveFilter(root, adds)
+    def dvf(df: DataFrame): DataFrame = alive.map(df.filter).getOrElse(df)
     readMeta(root, asOf) match {
       case Some((schema, pcs)) if pcs.nonEmpty =>
-        files.groupBy(_.split('/')(1)).toSeq.sortBy(_._1)
+        files.groupBy(versionDirOf(root, _)).toSeq.sortBy(_._1)
           .map { case (vDir, fs) =>
-            spark.read.schema(schema)
-              .option("basePath", Paths.get(root, "data", vDir).toString)
-              .parquet(fs.map(f => Paths.get(root, f).toString): _*)
+            dvf(spark.read.schema(schema)
+              .option("basePath", vDir)
+              .parquet(fs.map(f => filePath(root, f).toString): _*))
               .select(schema.fieldNames.map(col).toSeq: _*)
           }.reduce(_ unionByName _)
       case Some((schema, _)) =>
         // unified-schema scan: files an evolution predates simply lack the
-        // new columns and read back null for them
-        spark.read
-          .schema(StructType(schema.fields.map(_.copy(nullable = true))))
-          .parquet(files.map(f => filePath(root, f).toString): _*)
+        // new columns and read back null for them. Under column mapping
+        // the scan uses the files' PHYSICAL names and the select re-attaches
+        // the logical ones — still one scan, zero extra I/O.
+        val phys = StructType(schema.fields.map(f =>
+          f.copy(name = physicalName(f), nullable = true)))
+        val scan = dvf(spark.read.schema(phys)
+          .parquet(files.map(f => filePath(root, f).toString): _*))
+        if (colMapping(schema).isEmpty) scan
+        else scan.select(schema.fields.toSeq.map(f =>
+          col(physicalName(f)).as(f.name)): _*)
       case None =>
-        spark.read.parquet(files.map(f => filePath(root, f).toString): _*)
+        dvf(spark.read.parquet(files.map(f => filePath(root, f).toString): _*))
     }
+  }
 
   /** [[readFiles]] plus a `_file` column carrying each row's source file as
     * a ROOT-RELATIVE path (the commit log's file key) — the attribution
@@ -1385,7 +1642,11 @@ object TxnTable {
     * comparison is an exact Set lookup — no O(live × touched) suffix
     * scans on the driver. */
   private def readFilesTagged(spark: SparkSession, root: String,
-                              files: Seq[String], asOf: Long): DataFrame = {
+                              adds: Seq[AddFile], asOf: Long,
+                              rowIndex: Boolean = false): DataFrame = {
+    val files = adds.map(_.file)
+    val alive = dvAliveFilter(root, adds)
+    def dvf(df: DataFrame): DataFrame = alive.map(df.filter).getOrElse(df)
     val rootAbs = Paths.get(root).toAbsolutePath.toString
     // file_path is a file: URI whose slash count varies by renderer
     // (Hadoop says file:/p, java.nio file:///p) — collapse the scheme to a
@@ -1393,23 +1654,28 @@ object TxnTable {
     val relExpr = regexp_replace(
       regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
       "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
+    // merge-on-read DELETE needs each row's physical position too
+    val extra = relExpr.as("_file") +:
+      (if (rowIndex) Seq(col("_metadata.row_index").as("_ri")) else Nil)
     readMeta(root, asOf) match {
       case Some((schema, pcs)) if pcs.nonEmpty =>
-        files.groupBy(_.split('/')(1)).toSeq.sortBy(_._1)
+        files.groupBy(versionDirOf(root, _)).toSeq.sortBy(_._1)
           .map { case (vDir, fs) =>
-            spark.read.schema(schema)
-              .option("basePath", Paths.get(root, "data", vDir).toString)
-              .parquet(fs.map(f => Paths.get(root, f).toString): _*)
-              .select(schema.fieldNames.map(col).toSeq :+ relExpr.as("_file"): _*)
+            dvf(spark.read.schema(schema)
+              .option("basePath", vDir)
+              .parquet(fs.map(f => filePath(root, f).toString): _*))
+              .select(schema.fieldNames.map(col).toSeq ++ extra: _*)
           }.reduce(_ unionByName _)
       case Some((schema, _)) =>
-        spark.read
-          .schema(StructType(schema.fields.map(_.copy(nullable = true))))
-          .parquet(files.map(f => filePath(root, f).toString): _*)
-          .withColumn("_file", relExpr)
+        val phys = StructType(schema.fields.map(f =>
+          f.copy(name = physicalName(f), nullable = true)))
+        dvf(spark.read.schema(phys)
+          .parquet(files.map(f => filePath(root, f).toString): _*))
+          .select(schema.fields.toSeq.map(f =>
+            col(physicalName(f)).as(f.name)) ++ extra: _*)
       case None =>
-        spark.read.parquet(files.map(f => filePath(root, f).toString): _*)
-          .withColumn("_file", relExpr)
+        dvf(spark.read.parquet(files.map(f => filePath(root, f).toString): _*))
+          .select(col("*") +: extra: _*)
     }
   }
 
@@ -1428,7 +1694,7 @@ object TxnTable {
     val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
     val small = liveAdds(root, v - 1).filter(_.bytes < smallBytes)
     require(small.nonEmpty, "nothing to optimize")
-    val df = readFiles(spark, root, small.map(_.file), v - 1)
+    val df = readFiles(spark, root, small, v - 1)
     val adds =
       if (pcs.isEmpty) writeDataFiles(df.repartition(targetPartitions), root, v,
         check = false)
@@ -1459,12 +1725,12 @@ object TxnTable {
                        targetPartitions: Int, bits: Int = 16): Long = casRetry("optimizeZorder") {
     val v = latestVersion(root) + 1
     val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
-    val live = liveFiles(root, v - 1)
+    val live = liveAdds(root, v - 1)
     require(live.nonEmpty, "nothing to optimize")
     val mask = (1L << bits) - 1
     val z = expr(graft.operators.ZOrder.zExprSparkN(
       zCols.map(c => s"(CAST($c AS BIGINT) & $mask)"), bits))
-    val df = readFiles(spark, root, live.map(_._1), v - 1)
+    val df = readFiles(spark, root, live, v - 1)
     // on a partitioned table the hive layout stays the outer key: rows
     // range-cluster on (partition cols, z) so each partition directory's
     // files get tight z-rectangles and no row changes partition
@@ -1474,7 +1740,7 @@ object TxnTable {
     val adds =
       if (pcs.isEmpty) writeDataFiles(clustered, root, v, check = false)
       else writePartitionedFiles(clustered, root, v, pcs, check = false)
-    commit(root, v, "optimize-zorder", adds, live.map(_._1), dataChange = false,
+    commit(root, v, "optimize-zorder", adds, live.map(_.file), dataChange = false,
       partCols = pcs)
     v
   }
@@ -1521,7 +1787,33 @@ object TxnTable {
         .filterNot(everAdded.contains).toSeq
     }
     orphans.foreach(f => Files.delete(Paths.get(root, f)))
-    victims ++ orphans
+    // deletion-vector files age like data files: a DV referenced only by
+    // vacuumed-away versions (a later deleteDv superseded it, or the file
+    // was compacted) is reclaimed; DVs any retained version references
+    // stay. Absolute ("p") and inline ("i") descriptors never resolve to
+    // a relative path here, mirroring the clone rule above.
+    def dvRel(d: DeletionVectors.DvDescriptor): Option[String] =
+      if (d.storageType != "u") None
+      else Some(Paths.get(root).toAbsolutePath
+        .relativize(d.resolveFile(root).toAbsolutePath).toString)
+    val allDv = actions(root, -1L)
+      .collect { case Action(_, _, "add", a) => a.dv }
+      .flatten.flatMap(dvRel).distinct
+    val keepDv = (firstKept to latest)
+      .flatMap(v => liveAdds(root, v).flatMap(_.dv).flatMap(dvRel)).toSet
+    val dvVictims = allDv.filterNot(keepDv.contains)
+      .filter(f => Files.exists(Paths.get(root, f)))
+    dvVictims.foreach(f => Files.delete(Paths.get(root, f)))
+    val dvDir = Paths.get(root, "dv")
+    val dvOrphans =
+      if (!Files.isDirectory(dvDir)) Seq.empty[String]
+      else Files.walk(dvDir).iterator().asScala
+        .filter { p => val n = p.getFileName.toString
+          n.endsWith(".bin") && !n.startsWith(".") }
+        .map(p => Paths.get(root).relativize(p).toString)
+        .filterNot((allDv.toSet ++ keepDv).contains).toSeq
+    dvOrphans.foreach(f => Files.delete(Paths.get(root, f)))
+    victims ++ orphans ++ dvVictims ++ dvOrphans
   }
 
   /** EXPIRE the log below the newest `_txn_log` checkpoint — the
@@ -1724,8 +2016,10 @@ object TxnTable {
   }
 
   /** (kept, skipped) partition of `adds` under `pred`'s provable conjuncts. */
-  private def pruneAdds(adds: Seq[AddFile], pred: Column): (Seq[AddFile], Seq[AddFile]) = {
-    val cs = conjuncts(org.apache.spark.sql.GraftColumnExpr.expr(pred))
+  private def pruneAdds(adds: Seq[AddFile], pred: Column,
+                        nameMap: Map[String, String] = Map.empty): (Seq[AddFile], Seq[AddFile]) = {
+    val cs = conjuncts(mapPredNames(
+      org.apache.spark.sql.GraftColumnExpr.expr(pred), nameMap))
     adds.partition { a =>
       a.stats.map { j =>
         withPartitionStats(decodeStats(j), a.partitionValues)
@@ -1746,19 +2040,21 @@ object TxnTable {
     require(last >= 0, s"$root is not a TxnTable (no _txn_log)")
     require(asOf <= last, s"version $asOf does not exist (latest $last)")
     val adds = liveAdds(root, asOf)
-    val (kept0, _) = pruneAdds(adds, pred)
+    val nameMap = readMeta(root, asOf).map(m => colMapping(m._1)).getOrElse(Map.empty)
+    val (kept0, _) = pruneAdds(adds, pred, nameMap)
     // keep one file when everything pruned: a schema-bearing empty scan
     val kept = if (kept0.nonEmpty) kept0 else adds.take(1)
     val missing = kept.filterNot(a => Files.exists(filePath(root, a.file)))
     require(missing.isEmpty, s"readWhere references vacuumed files: " +
       missing.map(_.file).mkString(", "))
-    readFiles(spark, root, kept.map(_.file), asOf).filter(pred)
+    readFiles(spark, root, kept, asOf).filter(pred)
   }
 
   /** (filesRead, filesSkipped) the pruner would choose for `pred` — the
     * observability hook the skipping specs and audits gate on. */
   def skippingReport(root: String, pred: Column, asOf: Long = -1L): (Int, Int) = {
-    val (kept, skipped) = pruneAdds(liveAdds(root, asOf), pred)
+    val (kept, skipped) = pruneAdds(liveAdds(root, asOf), pred,
+      readMeta(root, asOf).map(m => colMapping(m._1)).getOrElse(Map.empty))
     (kept.size, skipped.size)
   }
 
@@ -1890,16 +2186,18 @@ object TxnTable {
              cdf: Boolean = false): Long = casRetry("delete") {
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
-    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
+    val meta = readMeta(root)
+    val pcs = meta.map(_._2).getOrElse(Seq.empty)
     val adds = liveAdds(root, v - 1)
     // on a partitioned table [[pruneAdds]] already prunes whole partitions:
     // partitionValues fold in as point stats, so a partition-equality
     // conjunct drops every other directory before any footer is touched
-    val (candidates, _) = pruneAdds(adds, pred)
+    val (candidates, _) = pruneAdds(adds, pred,
+      meta.map(m => colMapping(m._1)).getOrElse(Map.empty))
     val touchedRel =
       if (candidates.isEmpty) Seq.empty[String]
       else {
-        val cur = readFilesTagged(spark, root, candidates.map(_.file), v - 1)
+        val cur = readFilesTagged(spark, root, candidates, v - 1)
         val touched = cur.filter(pred).select("_file").distinct()
           .collect().map(_.getString(0)).toSeq.sorted
         if (touched.isEmpty) Seq.empty[String]
@@ -1926,6 +2224,93 @@ object TxnTable {
       }
     if (touchedRel.isEmpty) // no row matched: still a (file-free) commit,
       commit(root, v, "delete", Seq.empty, Seq.empty) // so the op is audited
+    v
+  }
+
+  /** MERGE-ON-READ DELETE via deletion vectors: matching rows are MARKED
+    * deleted in per-file bitmaps ([[DeletionVectors]]) — the touched data
+    * files are re-added unchanged with a `deletionVector` descriptor, and
+    * every read filters the marked positions out with an O(1)-per-row
+    * probe. This is the write-amplification fix copy-on-write [[delete]]
+    * lacks: deleting 0.1% of a 1 GB file commits a few-KB bitmap instead
+    * of rewriting the gigabyte — at 100 TB the difference IS the DELETE
+    * cost. Trade-off: reads carry the probe until [[optimize]] compacts
+    * the file (compaction reads through the DV and drops it).
+    *
+    * Bitmaps are built DISTRIBUTED: each executor group folds its file's
+    * matched row positions into a roaring bitmap; only the serialized
+    * bitmaps (KBs) reach the driver, never row data. A file with an
+    * existing DV gets the union (already-marked rows can't re-match — the
+    * matching scan reads through the current DVs). Stats carry over
+    * unchanged: min/max/null bounds stay valid (possibly loose) over the
+    * surviving rows, numRecords becomes an upper bound — pruning remains
+    * sound. The commit removes and re-adds the SAME path; the fold lands
+    * on the re-add (removes order before adds). First use records
+    * `delta.enableDeletionVectors=true` and upgrades the mirror protocol
+    * to reader 3 / writer 7 with the deletionVectors feature, per the
+    * public Delta protocol. `cdf = true` additionally persists the
+    * deleted rows as change-data files for the incremental feed. */
+  def deleteDv(spark: SparkSession, root: String, pred: Column,
+               cdf: Boolean = false): Long = casRetry("deleteDv") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val meta = readMeta(root)
+    val pcs = meta.map(_._2).getOrElse(Seq.empty)
+    val adds = liveAdds(root, v - 1)
+    val (candidates, _) = pruneAdds(adds, pred,
+      meta.map(m => colMapping(m._1)).getOrElse(Map.empty))
+    val committed =
+      if (candidates.isEmpty) false
+      else {
+        val cur = readFilesTagged(spark, root, candidates, v - 1,
+          rowIndex = true)
+        val matched = cur.filter(pred)
+          .select(col("_file").cast("string"), col("_ri").cast("long"))
+        import org.apache.spark.sql.Encoders
+        val perFile = matched
+          .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+          .groupByKey(_._1)(Encoders.STRING)
+          .mapGroups { (f, it) =>
+            val b = new DeletionVectors.RoaringBitmapArray
+            it.foreach(t => b.add(t._2))
+            (f, b.serialize(), b.cardinality)
+          }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+          .collect()
+        if (perFile.isEmpty) false
+        else {
+          val byFile = candidates.map(a => (a.file, a)).toMap
+          val merged = perFile.toSeq.sortBy(_._1).map { case (f, blob, _) =>
+            val bm = DeletionVectors.RoaringBitmapArray.deserialize(blob)
+            val a = byFile(f)
+            a.dv.foreach(d => bm.or(DeletionVectors.readBitmap(root, d)))
+            (a, bm)
+          }
+          val descs = DeletionVectors.writeDvFile(root, merged.map(_._2))
+          val newAdds = merged.zip(descs).map { case ((a, _), d) =>
+            a.copy(dv = Some(d)) }
+          val cdcAdds =
+            if (!cdf) Seq.empty[AddFile]
+            else writeCdcFiles(
+              cur.filter(col("_file").isin(perFile.map(_._1).toSeq: _*))
+                .filter(coalesce(pred, lit(false)))
+                .drop("_file", "_ri")
+                .withColumn("_change_type", lit("delete")), root, v)
+          // schema + config ride the commit so the first DV use records
+          // delta.enableDeletionVectors (idempotent afterwards)
+          val cfg = readTableConfig(root)
+          val (schemaJson, withCfg) =
+            if (cfg.get("delta.enableDeletionVectors").contains("true"))
+              (None, None)
+            else (readMeta(root).map(_._1.json),
+              Some(cfg + ("delta.enableDeletionVectors" -> "true")))
+          commit(root, v, "delete-dv", newAdds, newAdds.map(_.file),
+            schemaJson = schemaJson, partCols = pcs, cdc = cdcAdds,
+            extraConfig = withCfg)
+          true
+        }
+      }
+    if (!committed) // no row matched: still a (file-free) commit,
+      commit(root, v, "delete-dv", Seq.empty, Seq.empty) // audited
     v
   }
 
@@ -1989,7 +2374,7 @@ object TxnTable {
       val acts = parseLog(root, v)
       val op = acts.headOption.map(_.op).getOrElse("?")
       val cdcFiles = acts.collect { case Action(_, _, "cdc", a) => a.file }
-      val addFiles = acts.collect { case Action(_, _, "add", a) => a.file }
+      val addFiles = acts.collect { case Action(_, _, "add", a) => a }
       val hasRemove = acts.exists(_.action == "remove")
       val layoutOnly = op == "optimize" || op == "optimize-zorder"
       def tagged(df: DataFrame, mode: String): DataFrame =

@@ -16,4 +16,10 @@ object GraftColumnExpr {
     * Operators arrive as `analysis.UnresolvedFunction("and" | ">=" | …)`
     * nodes; the caller normalizes those names. */
   def expr(c: Column): Expression = classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** The inverse seam: wrap a catalyst Expression as a classic Column —
+    * needed for expressions that carry non-Expression state (the
+    * deletion-vector probe's bitmap table) and therefore cannot go
+    * through the SQL function registry. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }

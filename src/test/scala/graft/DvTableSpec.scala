@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+import graft.sources.TxnTable
+
+/** Merge-on-read DELETE (deletion vectors) on the transaction-log table:
+  * row semantics, DV union on repeated deletes, time travel through DV
+  * commits, compaction materializing the deletes, the `_delta_log`
+  * mirror's deletionVector descriptors + feature protocol, checkpoint
+  * round-trip, vacuum of superseded DV files, and the CDF path. */
+class DvTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tbl(): String = Files.createTempDirectory("dv_tbl").toString
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+  }
+
+  private def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import spark.implicits._
+    d.select("id").as[Long].collect().sorted.toSeq
+  }
+
+  test("deleteDv marks rows without rewriting data files") {
+    val root = tbl()
+    TxnTable.append(df(1 to 100).repartition(3), root) // v0
+    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    TxnTable.deleteDv(spark, root, col("id") % 10 === 0L) // v1
+    // no data file was rewritten or added — only the DV sidecar landed
+    val dataAfter = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    assert(dataAfter == dataBefore, "MoR delete must not touch data files")
+    assert(Files.list(Paths.get(root, "dv")).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".bin")) == 1)
+    // row semantics: multiples of 10 are gone; time travel sees them
+    assert(ids(TxnTable.read(spark, root)) ==
+      (1L to 100L).filterNot(_ % 10 == 0))
+    assert(ids(TxnTable.readVersion(spark, root, 0L)) == (1L to 100L))
+    // readWhere composes with the DV filter
+    assert(ids(TxnTable.readWhere(spark, root, col("id") <= 30L)) ==
+      (1L to 30L).filterNot(_ % 10 == 0))
+  }
+
+  test("repeated deleteDv unions bitmaps; already-deleted rows never re-match") {
+    val root = tbl()
+    TxnTable.append(df(1 to 50), root)                    // v0
+    TxnTable.deleteDv(spark, root, col("id") <= 10L)      // v1
+    TxnTable.deleteDv(spark, root, col("id") <= 20L)      // v2 (5..20 re-covered)
+    assert(ids(TxnTable.read(spark, root)) == (21L to 50L))
+    assert(ids(TxnTable.readVersion(spark, root, 1L)) == (11L to 50L))
+    // live add carries ONE descriptor with the union's cardinality
+    val live = TxnTable.read(spark, root)
+    assert(live.count() == 30)
+    // a no-match deleteDv still audits a commit
+    val v3 = TxnTable.deleteDv(spark, root, col("id") > 999L)
+    assert(v3 == 3L && ids(TxnTable.read(spark, root)) == (21L to 50L))
+  }
+
+  test("optimize compacts through DVs and drops them; CoW delete composes") {
+    val root = tbl()
+    TxnTable.append(df(1 to 60).repartition(4), root)     // v0
+    TxnTable.deleteDv(spark, root, col("id") % 2 === 0L)  // v1
+    TxnTable.optimize(spark, root)                        // v2 — materializes
+    val after = TxnTable.liveAddsForTest(root)
+    assert(after.forall(_.dv.isEmpty), "compaction must drop DVs")
+    assert(ids(TxnTable.read(spark, root)) == (1L to 59L by 2))
+    // CoW delete on top of a fresh DV: carried rows must respect the DV
+    TxnTable.deleteDv(spark, root, col("id") === 1L)      // v3
+    TxnTable.delete(spark, root, col("id") >= 50L)        // v4 rewrites
+    assert(ids(TxnTable.read(spark, root)) == (3L to 49L by 2))
+  }
+
+  test("mirror carries spec deletionVector descriptors and the feature protocol") {
+    val root = tbl()
+    TxnTable.append(df(1 to 40), root)                    // v0
+    TxnTable.deleteDv(spark, root, col("id") <= 4L)       // v1
+    val v1 = Files.readAllLines(
+      Paths.get(root, "_delta_log", f"${1L}%020d.json")).asScala
+    val protoLine = v1.find(_.startsWith("""{"protocol":"""))
+    assert(protoLine.exists(l => l.contains(""""minReaderVersion":3""") &&
+      l.contains(""""minWriterVersion":7""") &&
+      l.contains(""""readerFeatures":["deletionVectors"]""")), protoLine)
+    val addLine = v1.find(l => l.startsWith("""{"add":""") )
+    assert(addLine.exists(l => l.contains(""""deletionVector":{"storageType":"u"""") &&
+      l.contains(""""cardinality":4""") && l.contains(""""offset":1""")), addLine)
+    // metaData records delta.enableDeletionVectors
+    assert(v1.exists(l => l.contains("delta.enableDeletionVectors")), v1)
+    // the descriptor round-trips through this module's own parser AND the
+    // path encoding resolves to the real sidecar
+    val add = TxnTable.liveAddsForTest(root).find(_.dv.isDefined).get
+    val d = add.dv.get
+    assert(Files.exists(d.resolveFile(root)))
+    assert(graft.sources.DeletionVectors.readBitmap(root, d).cardinality == 4)
+  }
+
+  test("DV adds survive the checkpoint fold (internal and mirror) and expiry") {
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    (0 until 9).foreach(i => TxnTable.append(df(i * 10 + 1 to i * 10 + 10), root)) // v0..v8
+    TxnTable.deleteDv(spark, root, col("id") % 7 === 0L)   // v9
+    TxnTable.append(df(200 to 205), root)                  // v10 → checkpoints
+    val expect = ((1L to 90L).filterNot(_ % 7 == 0) ++ (200L to 205L)).sorted
+    assert(ids(TxnTable.read(spark, root)) == expect)
+    // the mirror checkpoint carries the descriptor
+    val cp = Paths.get(root, "_delta_log", f"${10L}%020d.checkpoint.parquet")
+    assert(Files.exists(cp))
+    val cpDv = spark.read.parquet(cp.toString)
+      .filter(col("add.deletionVector").isNotNull)
+      .select("add.path", "add.deletionVector.cardinality",
+        "add.deletionVector.storageType").collect()
+    assert(cpDv.length > 0 && cpDv.map(_.getLong(1)).sum == 12 &&
+      cpDv.forall(_.getString(2) == "u"), cpDv.toSeq)
+    // protocol features fold into the checkpoint
+    assert(spark.read.parquet(cp.toString)
+      .filter(col("protocol.readerFeatures").isNotNull)
+      .selectExpr("protocol.readerFeatures[0]").collect()
+      .map(_.getString(0)).toSeq == Seq("deletionVectors"))
+    // expire below the checkpoint; reads still honor the DV
+    TxnTable.expireLog(root)
+    assert(ids(TxnTable.read(spark, root)) == expect)
+    // and the NEXT checkpoint (seeded from cp10) keeps the DV state
+    (0 until 10).foreach(i => TxnTable.append(df(300 + i to 300 + i), root)) // v11..v20
+    val cp20 = Paths.get(root, "_delta_log", f"${20L}%020d.checkpoint.parquet")
+    assert(Files.exists(cp20))
+    assert(spark.read.parquet(cp20.toString)
+      .filter(col("add.deletionVector").isNotNull).count() == cpDv.length,
+      "DV descriptors lost across the seeded checkpoint")
+    assert(ids(TxnTable.read(spark, root)) ==
+      (expect ++ (300L to 309L)).sorted)
+  }
+
+  test("vacuum reclaims superseded DV files, keeps referenced ones") {
+    val root = tbl()
+    TxnTable.append(df(1 to 30), root)                   // v0
+    TxnTable.deleteDv(spark, root, col("id") === 1L)     // v1 → dv file A
+    TxnTable.deleteDv(spark, root, col("id") === 2L)     // v2 → dv file B (union)
+    def dvFiles = Files.list(Paths.get(root, "dv")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".bin")).toSeq
+    assert(dvFiles.size == 2)
+    val swept = TxnTable.vacuum(root, retainAfter = 1L)
+    assert(swept.exists(_.startsWith("dv/")), s"DV file A not swept: $swept")
+    assert(dvFiles.size == 1, "exactly the superseded DV file goes")
+    assert(ids(TxnTable.read(spark, root)) == (3L to 30L))
+    // v1 is no longer readable (its DV vacuumed) — loud failure, like data
+    intercept[Exception](
+      TxnTable.readVersion(spark, root, 1L).collect())
+  }
+
+  test("deleteDv with cdf=true feeds the incremental change feed") {
+    val root = tbl()
+    TxnTable.append(df(1 to 20), root)                          // v0
+    TxnTable.deleteDv(spark, root, col("id") <= 3L, cdf = true) // v1
+    val feed = TxnTable.changeFeedIncremental(spark, root, 0L, 1L)
+    val got = feed.select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    assert(got == (1L to 3L).map(i => ("delete", i)))
+  }
+}

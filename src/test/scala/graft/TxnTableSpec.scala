@@ -709,6 +709,36 @@ class TxnTableSpec extends AnyFunSuite {
     assert(ids(TxnTable.read(spark, src)) == (1L to 60L))
   }
 
+  test("shallow clone of a PARTITIONED table: pruning and independent DML") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tbl()
+    val dst = tbl() + "/clone"
+    def pdf(ids: Range, p: String) =
+      ids.map(i => (i.toLong, s"v$i", p)).toDF("id", "payload", "p")
+    TxnTable.appendPartitioned(pdf(1 to 20, "a").union(pdf(21 to 40, "b")),
+      src, Seq("p"))                                       // v0
+    TxnTable.appendPartitioned(pdf(41 to 50, "c"), src, Seq("p")) // v1
+    TxnTable.cloneShallow(src, dst)
+    // zero copy; full content equality including the path-encoded column
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dst, "data")))
+    assert(ids(TxnTable.read(spark, dst)) == (1L to 50L))
+    assert(TxnTable.read(spark, dst).where("p = 'b'").count() == 20)
+    // partition pruning works ON THE CLONE before any footer is read
+    val (kept, skipped) = TxnTable.skippingReport(dst, col("p") === "c")
+    assert(skipped > 0 && kept > 0, s"clone must prune partitions ($kept/$skipped)")
+    // the clone evolves independently: partitioned append + CoW delete
+    TxnTable.appendPartitioned(pdf(100 to 104, "d"), dst, Seq("p"))
+    TxnTable.delete(spark, dst, col("p") === "b")
+    assert(ids(TxnTable.read(spark, dst)) ==
+      ((1L to 20L) ++ (41L to 50L) ++ (100L to 104L)).sorted)
+    assert(ids(TxnTable.read(spark, src)) == (1L to 50L), "source must not change")
+    // vacuum through the clone leaves every source byte alone
+    TxnTable.vacuum(dst, retainAfter = TxnTable.latestVersion(dst) - 1)
+    assert(ids(TxnTable.read(spark, src)) == (1L to 50L))
+    assert(ids(TxnTable.readVersion(spark, dst, 0L)) == (1L to 50L))
+  }
+
   test("timestampAsOf resolves to the last commit at or before the instant") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)          // v0
