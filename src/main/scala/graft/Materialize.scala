@@ -65,10 +65,23 @@ object Materialize {
     * tables, merge tables, degree tables) amortize across a whole query.
     * Transients keep the default deserialized level: they are read hot
     * within their own query and freed right after. */
+  /** Storage level for PINNED artifacts: `ser` (serialized — compact,
+    * GC-cheap, one deserialization per consumer read) or `deser` (row
+    * objects — zero-copy repeated reads, more heap). A/B on the full
+    * 274-query suite at sf0.1 (same machine, back-to-back): ser 147.5 s
+    * vs deser 141.8 s total — within this box's run-to-run variance
+    * (same-day idle runs span 124–148 s) — while ser HALVES the pinned
+    * storage footprint (79 vs 146 MB at the same sweep point). Default
+    * ser: bounded memory is the property that survives a 100× scale-up
+    * and a long-lived serving session; flip per-process via
+    * SPARK_GRAFT_PIN_LEVEL when artifacts are hot-read in tight loops. */
+  @volatile var pinLevel: String =
+    sys.env.getOrElse("SPARK_GRAFT_PIN_LEVEL", "ser")
+
   def eager(df: DataFrame, pin: Boolean = false): DataFrame = impl match {
     case LocalCheckpoint =>
       val out =
-        if (pin) df.localCheckpoint(eager = true,
+        if (pin && pinLevel == "ser") df.localCheckpoint(eager = true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         else df.localCheckpoint(eager = true)
       val target = if (pin) pinned else transient_

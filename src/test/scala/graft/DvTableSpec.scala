@@ -155,6 +155,35 @@ class DvTableSpec extends AnyFunSuite {
       TxnTable.readVersion(spark, root, 1L).collect())
   }
 
+  test("deleteDv on a PARTITIONED table: prunes partitions, marks rows in place") {
+    import spark.implicits._
+    val root = tbl()
+    def pdf(ids: Range, p: String) =
+      ids.map(i => (i.toLong, s"v$i", p)).toDF("id", "payload", "p")
+    TxnTable.appendPartitioned(pdf(1 to 20, "a").union(pdf(21 to 40, "b")),
+      root, Seq("p"))
+    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    // the partition-equality conjunct prunes partition a's files before
+    // any footer opens; the id range marks rows inside partition b only
+    TxnTable.deleteDv(spark, root,
+      org.apache.spark.sql.functions.col("p") === "b" &&
+        org.apache.spark.sql.functions.col("id") <= 25L)
+    assert(Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap == dataBefore,
+      "partitioned MoR delete must not rewrite data files")
+    assert(ids(TxnTable.read(spark, root)) == ((1L to 20L) ++ (26L to 40L)).sorted)
+    // only partition b's files carry a DV
+    val dvAdds = TxnTable.liveAddsForTest(root).filter(_.dv.isDefined)
+    assert(dvAdds.nonEmpty &&
+      dvAdds.forall(_.partitionValues.get("p").contains("b")), dvAdds.map(_.file))
+    // partition-pruned read composes with the DV filter
+    assert(TxnTable.readWhere(spark, root,
+      org.apache.spark.sql.functions.col("p") === "b").count() == 15)
+  }
+
   test("deleteDv with cdf=true feeds the incremental change feed") {
     val root = tbl()
     TxnTable.append(df(1 to 20), root)                          // v0
