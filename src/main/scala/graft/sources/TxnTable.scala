@@ -963,10 +963,18 @@ object TxnTable {
     }
   }
 
-  private def writePartitionedFiles(df: DataFrame, root: String, version: Long,
+  private def writePartitionedFiles(df0: DataFrame, root: String, version: Long,
                                     partCols: Seq[String],
                                     check: Boolean = true): Seq[AddFile] = {
-    if (check) validateConstraints(df, root)
+    if (check) validateConstraints(df0, root)
+    // data columns rename logical → physical under column mapping, exactly
+    // like the flat writer; partition columns never rename (renameColumn
+    // refuses them — their name is the directory encoding), so partitionBy
+    // keys are untouched
+    val mapping = readMeta(root).map(m => colMapping(m._1)).getOrElse(Map.empty)
+    val df = if (mapping.isEmpty) df0
+      else df0.select(df0.columns.toSeq.map(c =>
+        col(c).as(mapping.getOrElse(c, c))): _*)
     val sub = dataSub(version)
     val dst = Paths.get(root, sub)
     df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
@@ -1434,12 +1442,11 @@ object TxnTable {
     require(schema.fieldNames.contains(oldName), s"no column $oldName")
     require(!schema.fieldNames.contains(newName),
       s"column $newName already exists")
-    // a hive layout path-encodes partition column names; the data columns
-    // of a partitioned table also bypass the mapping-aware writer — both
-    // wait on the partitioned write path learning physical names
-    require(pcs.isEmpty,
-      s"renameColumn on a PARTITIONED TxnTable is not supported " +
-        s"(partition columns: ${pcs.mkString(", ")})")
+    // a hive layout path-encodes partition column NAMES — renaming one
+    // would orphan every existing directory; data columns rename fine
+    // (both writers and both readers speak physical names)
+    require(!pcs.contains(oldName),
+      s"renaming partition column $oldName is not supported (path-encoded)")
     val offending = constraints(root).filter { case (_, sql) =>
       sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*") }
     require(offending.isEmpty,
@@ -1609,12 +1616,17 @@ object TxnTable {
     def dvf(df: DataFrame): DataFrame = alive.map(df.filter).getOrElse(df)
     readMeta(root, asOf) match {
       case Some((schema, pcs)) if pcs.nonEmpty =>
+        // data columns scan under their PHYSICAL names (partition columns
+        // never rename — their name IS the directory encoding)
+        val phys = StructType(schema.fields.map(f =>
+          f.copy(name = physicalName(f))))
         files.groupBy(versionDirOf(root, _)).toSeq.sortBy(_._1)
           .map { case (vDir, fs) =>
-            dvf(spark.read.schema(schema)
+            dvf(spark.read.schema(phys)
               .option("basePath", vDir)
               .parquet(fs.map(f => filePath(root, f).toString): _*))
-              .select(schema.fieldNames.map(col).toSeq: _*)
+              .select(schema.fields.toSeq.map(f =>
+                col(physicalName(f)).as(f.name)): _*)
           }.reduce(_ unionByName _)
       case Some((schema, _)) =>
         // unified-schema scan: files an evolution predates simply lack the
@@ -1659,12 +1671,15 @@ object TxnTable {
       (if (rowIndex) Seq(col("_metadata.row_index").as("_ri")) else Nil)
     readMeta(root, asOf) match {
       case Some((schema, pcs)) if pcs.nonEmpty =>
+        val phys = StructType(schema.fields.map(f =>
+          f.copy(name = physicalName(f))))
         files.groupBy(versionDirOf(root, _)).toSeq.sortBy(_._1)
           .map { case (vDir, fs) =>
-            dvf(spark.read.schema(schema)
+            dvf(spark.read.schema(phys)
               .option("basePath", vDir)
               .parquet(fs.map(f => filePath(root, f).toString): _*))
-              .select(schema.fieldNames.map(col).toSeq ++ extra: _*)
+              .select(schema.fields.toSeq.map(f =>
+                col(physicalName(f)).as(f.name)) ++ extra: _*)
           }.reduce(_ unionByName _)
       case Some((schema, _)) =>
         val phys = StructType(schema.fields.map(f =>

@@ -138,12 +138,42 @@ class ColumnMappingSpec extends AnyFunSuite {
     // constraint on the OTHER column doesn't block renaming payload
     TxnTable.renameColumn(spark, root, "payload", "body")
     assert(TxnTable.read(spark, root).columns.toSeq == Seq("id", "body"))
-    // partitioned tables refuse (the partitioned writer has no mapping)
+    // PARTITION columns refuse (path-encoded names)
     val proot = tbl()
     TxnTable.appendPartitioned(
       Seq((1L, "a", "x")).toDF("id", "payload", "p"), proot, Seq("p"))
     intercept[IllegalArgumentException](
-      TxnTable.renameColumn(spark, proot, "payload", "body"))
+      TxnTable.renameColumn(spark, proot, "p", "part"))
+  }
+
+  test("DATA-column rename on a PARTITIONED table: reads, writes, DML") {
+    import spark.implicits._
+    val root = tbl()
+    def pdf(ids: Range, p: String) =
+      ids.map(i => (i.toLong, s"v$i", p)).toDF("id", "payload", "p")
+    TxnTable.appendPartitioned(pdf(1 to 10, "a").union(pdf(11 to 20, "b")),
+      root, Seq("p"))                                          // v0
+    TxnTable.renameColumn(spark, root, "payload", "body")      // v1
+    val got = TxnTable.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "body", "p"))
+    assert(got.where($"body" === "v5").select($"p").as[String]
+      .collect().toSeq == Seq("a"))
+    // post-rename partitioned append under the new logical name: the
+    // FILES must carry the stable physical name
+    TxnTable.appendPartitioned(
+      Seq((100L, "new", "c")).toDF("id", "body", "p"), root, Seq("p")) // v2
+    assert(TxnTable.read(spark, root).where($"p" === "c")
+      .select($"body").as[String].collect().toSeq == Seq("new"))
+    // partition pruning + DML compose with the mapping
+    assert(TxnTable.skippingReport(root, $"p" === "c")._2 > 0)
+    TxnTable.delete(spark, root, $"body" === "v1")             // v3 CoW
+    TxnTable.deleteDv(spark, root, $"id" === 12L)              // v4 MoR
+    val fin = TxnTable.read(spark, root)
+    assert(fin.count() == 19)
+    assert(fin.where($"id".isin(1L, 12L)).count() == 0)
+    // time travel below the rename keeps the old name
+    assert(TxnTable.readVersion(spark, root, 0L).columns.toSeq ==
+      Seq("id", "payload", "p"))
   }
 
   test("rename survives the checkpoint fold and expiry") {
