@@ -223,14 +223,20 @@ object TxnTable {
                      txn: Option[(String, Long)] = None,
                      partCols: Seq[String] = Nil,
                      cdc: Seq[AddFile] = Nil,
-                     extraConfig: Option[Map[String, String]] = None): Unit = {
+                     extraConfig: Option[Map[String, String]] = None,
+                     removeDvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty): Unit = {
     Files.createDirectories(logDir(root))
     // removes BEFORE adds (the mirror's order too): a merge-on-read commit
     // removes and re-adds the SAME path (new deletion vector), and the
-    // line-ordered fold must land on the re-add
+    // line-ordered fold must land on the re-add. A remove of a DV-carrying
+    // instance names the descriptor it tombstones — strict protocol
+    // readers reconcile adds/removes by (path, dvId), not path alone.
     val lines =
       removes.map { f =>
-        s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0}"""
+        val dField = removeDvs.get(f)
+          .map(d => s""","dv64":"${java.util.Base64.getEncoder.encodeToString(dvJson(d).getBytes(UTF_8))}"""")
+          .getOrElse("")
+        s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0$dField}"""
       } ++ adds.map(addLine(version, op, _)) ++ cdc.map { a =>
         s"""{"version":$version,"op":"${esc(op)}","action":"cdc","file":"${esc(a.file)}","bytes":${a.bytes}}"""
       }
@@ -251,7 +257,7 @@ object TxnTable {
     }
     Files.deleteIfExists(tmp)
     deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn,
-      partCols, cdc, extraConfig)
+      partCols, cdc, extraConfig, removeDvs)
     if (version > 0 && version % CheckpointInterval == 0)
       writeTxnCheckpoint(root, version)
   }
@@ -411,7 +417,8 @@ object TxnTable {
                           txn: Option[(String, Long)],
                           partCols: Seq[String] = Nil,
                           cdc: Seq[AddFile] = Nil,
-                          extraConfig: Option[Map[String, String]] = None): Unit = {
+                          extraConfig: Option[Map[String, String]] = None,
+                          removeDvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty): Unit = {
     Files.createDirectories(deltaDir(root))
     val now = System.currentTimeMillis()
     val pcJson = partCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
@@ -469,7 +476,9 @@ object TxnTable {
       Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"${esc(op)}"}}""")
     val lines = head ++
       removes.map { f =>
-        s"""{"remove":{"path":"${esc(f)}","deletionTimestamp":$now,"dataChange":$dataChange}}"""
+        val dvF = removeDvs.get(f)
+          .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+        s"""{"remove":{"path":"${esc(f)}","deletionTimestamp":$now,"dataChange":$dataChange$dvF}}"""
       } ++
       adds.map { a =>
         val mt = Files.getLastModifiedTime(filePath(root, a.file)).toMillis
@@ -1082,9 +1091,10 @@ object TxnTable {
             .map(o => f.copy(metadata = o.metadata)).getOrElse(f)))
       case None => df.schema
     }
+    val dropped = liveAdds(root, v - 1)
     commit(root, v, "overwrite", adds,
-      liveFiles(root, v - 1).map(_._1), schemaJson = Some(schemaOut.json),
-      partCols = pcs)
+      dropped.map(_.file), schemaJson = Some(schemaOut.json),
+      partCols = pcs, removeDvs = dvTombstones(dropped))
     v
   }
 
@@ -1561,6 +1571,11 @@ object TxnTable {
     if (i < 0) f else f.substring(i + 1)
   }
 
+  /** file → descriptor for the DV-carrying members of a remove set, so
+    * the mirror's remove actions name the instance they tombstone. */
+  private def dvTombstones(adds: Seq[AddFile]): Map[String, DeletionVectors.DvDescriptor] =
+    adds.flatMap(a => a.dv.map(a.file -> _)).toMap
+
   /** The hive-layout scan group of a log entry: its `data/<vN-uuid>`
     * version directory, resolved against whichever root the path lives
     * under — the table's own for relative entries, the SOURCE's for a
@@ -1717,7 +1732,7 @@ object TxnTable {
         df.repartition(targetPartitions, pcs.map(col): _*), root, v, pcs,
         check = false)
     commit(root, v, "optimize", adds, small.map(_.file), dataChange = false,
-      partCols = pcs)
+      partCols = pcs, removeDvs = dvTombstones(small))
     v
   }
 
@@ -1756,6 +1771,7 @@ object TxnTable {
       if (pcs.isEmpty) writeDataFiles(clustered, root, v, check = false)
       else writePartitionedFiles(clustered, root, v, pcs, check = false)
     commit(root, v, "optimize-zorder", adds, live.map(_.file), dataChange = false,
+      removeDvs = dvTombstones(live),
       partCols = pcs)
     v
   }
@@ -2233,7 +2249,9 @@ object TxnTable {
             if (pcs.isEmpty) writeDataFiles(carried, root, v, check = false)
             else writePartitionedFiles(carried, root, v, pcs, check = false)
           commit(root, v, "delete", rewritten, touched, partCols = pcs,
-            cdc = cdcAdds)
+            cdc = cdcAdds,
+            removeDvs = dvTombstones(
+              candidates.filter(a => touched.contains(a.file))))
           touched
         }
       }
@@ -2320,7 +2338,8 @@ object TxnTable {
               Some(cfg + ("delta.enableDeletionVectors" -> "true")))
           commit(root, v, "delete-dv", newAdds, newAdds.map(_.file),
             schemaJson = schemaJson, partCols = pcs, cdc = cdcAdds,
-            extraConfig = withCfg)
+            extraConfig = withCfg,
+            removeDvs = dvTombstones(merged.map(_._1)))
           true
         }
       }
@@ -2434,11 +2453,23 @@ object TxnTable {
     require(missing.isEmpty,
       s"restore target $toVersion references vacuumed files: " +
         missing.map(_.file).mkString(", "))
-    val cur = liveAdds(root, v - 1).map(_.file).toSet
+    val curAdds = liveAdds(root, v - 1)
+    val curByFile = curAdds.map(a => a.file -> a).toMap
     val wantFiles = want.map(_.file).toSet
+    // re-add on ANY difference in the add's state, not just path presence:
+    // the same file can be live on both sides with DIFFERENT deletion
+    // vectors (a deleteDv between the target and now) — a path-only check
+    // would silently keep the current DV and the restore would lie. The
+    // superseded instance is explicitly removed first (strict protocol
+    // readers reconcile by (path, dvId)), with its descriptor on the
+    // tombstone.
+    val readds = want.filterNot(a => curByFile.get(a.file).contains(a))
+    val dropped = (curByFile.keySet -- wantFiles).toSeq ++
+      readds.map(_.file).filter(curByFile.contains)
     commit(root, v, s"restore#$toVersion",
-      adds = want.filterNot(a => cur.contains(a.file)),
-      removes = (cur -- wantFiles).toSeq.sorted)
+      adds = readds,
+      removes = dropped.sorted,
+      removeDvs = dvTombstones(dropped.flatMap(curByFile.get)))
     v
   }
 

@@ -81,7 +81,8 @@ class DvTableSpec extends AnyFunSuite {
 
   test("mirror carries spec deletionVector descriptors and the feature protocol") {
     val root = tbl()
-    TxnTable.append(df(1 to 40), root)                    // v0
+    TxnTable.append(df(1 to 40).coalesce(1), root)        // v0 — ONE file,
+    // so both deletes below hit the same instance deterministically
     TxnTable.deleteDv(spark, root, col("id") <= 4L)       // v1
     val v1 = Files.readAllLines(
       Paths.get(root, "_delta_log", f"${1L}%020d.json")).asScala
@@ -100,6 +101,17 @@ class DvTableSpec extends AnyFunSuite {
     val d = add.dv.get
     assert(Files.exists(d.resolveFile(root)))
     assert(graft.sources.DeletionVectors.readBitmap(root, d).cardinality == 4)
+    // a SECOND deleteDv tombstones the first DV instance explicitly: the
+    // remove action names the descriptor it replaces (strict readers
+    // reconcile by (path, dvId), not path alone)
+    TxnTable.deleteDv(spark, root, col("id") === 40L)     // v2
+    val v2 = Files.readAllLines(
+      Paths.get(root, "_delta_log", f"${2L}%020d.json")).asScala
+    val rm = v2.find(_.startsWith("""{"remove":"""))
+    assert(rm.exists(l => l.contains(""""deletionVector":{"storageType":"u"""") &&
+      l.contains(""""cardinality":4""")), rm)
+    assert(v2.find(l => l.startsWith("""{"add":"""))
+      .exists(_.contains(""""cardinality":5""")), "union descriptor on the re-add")
   }
 
   test("DV adds survive the checkpoint fold (internal and mirror) and expiry") {
@@ -182,6 +194,24 @@ class DvTableSpec extends AnyFunSuite {
     // partition-pruned read composes with the DV filter
     assert(TxnTable.readWhere(spark, root,
       org.apache.spark.sql.functions.col("p") === "b").count() == 15)
+  }
+
+  test("restore across deleteDv commits re-points the deletion-vector state") {
+    val root = tbl()
+    TxnTable.append(df(1 to 30), root)                   // v0
+    TxnTable.deleteDv(spark, root, col("id") <= 5L)      // v1
+    TxnTable.deleteDv(spark, root, col("id") <= 10L)     // v2
+    // restore BELOW the DVs: the same files are live on both sides with
+    // different descriptors — all 30 rows must come back
+    TxnTable.restore(spark, root, 0L)                    // v3
+    assert(ids(TxnTable.read(spark, root)) == (1L to 30L),
+      "restore must drop the later deletion vectors")
+    // restore FORWARD onto a DV state: the deletions must return
+    TxnTable.restore(spark, root, 1L)                    // v4
+    assert(ids(TxnTable.read(spark, root)) == (6L to 30L))
+    // and history stays coherent throughout
+    assert(ids(TxnTable.readVersion(spark, root, 2L)) == (11L to 30L))
+    assert(ids(TxnTable.readVersion(spark, root, 3L)) == (1L to 30L))
   }
 
   test("deleteDv with cdf=true feeds the incremental change feed") {
