@@ -143,6 +143,18 @@ object DeletionVectors {
         else mine.or(m)
       }
 
+    /** Remove `other`'s values in place (set difference) — the CDF delta
+      * between two DV generations of the same file. */
+    def andNot(other: RoaringBitmapArray): Unit = {
+      other.maps.forEach { (k, m) =>
+        val mine = maps.get(k)
+        if (mine != null) {
+          mine.andNot(m)
+          if (mine.isEmpty) maps.remove(k)
+        }
+      }
+    }
+
     def cardinality: Long = {
       var c = 0L
       maps.forEach((_, m) => c += m.getLongCardinality)

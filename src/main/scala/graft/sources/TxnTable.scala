@@ -2384,6 +2384,9 @@ object TxnTable {
     *  - append commits synthesize `insert` rows from their own add files;
     *  - merge/delete commits written with `cdf = true` read their
     *    persisted change-data files;
+    *  - merge-on-read deletes ([[deleteDv]]) synthesize their deletes
+    *    from the BITMAP DELTA (new DV minus the tombstoned instance's) —
+    *    O(touched files), no change files needed;
     *  - layout-only commits (OPTIMIZE / ZORDER) emit nothing;
     *  - a row-rewriting commit WITHOUT change files (overwrite, restore,
     *    non-CDF merge/delete): with `keys` provided, DEGRADES to
@@ -2399,6 +2402,52 @@ object TxnTable {
     * effects, at a cost proportional to what changed. Frames from before a
     * schema evolution are null-backfilled to the widest schema in the
     * range (`unionByName(allowMissingColumns)`). */
+  /** The rows one delete-dv commit marked, synthesized from the bitmap
+    * delta between each re-added file's new DV and the removed instance's
+    * old one (the tombstone carries it). Reads only the touched files and
+    * emits only delta-marked positions — the O(delta) CDF merge-on-read
+    * deletes get for free, no stored change files. None for a no-match
+    * audit commit. */
+  /** file → serialized delta bitmap (new DV minus the tombstoned one) of
+    * one delete-dv commit — the positions that commit deleted. Shared by
+    * the batch CDF and the txn-tail streaming source. */
+  private[sources] def dvDeltaBlobs(root: String, v: Long): Map[String, Array[Byte]] = {
+    val acts = parseLog(root, v)
+    val newAdds = acts.collect { case Action(_, _, "add", a) => a }
+    val oldDv = acts.collect { case Action(_, _, "remove", a) => a.file -> a.dv }.toMap
+    newAdds.flatMap { a =>
+      a.dv.map { d =>
+        val bm = DeletionVectors.readBitmap(root, d)
+        oldDv.get(a.file).flatten.foreach(od =>
+          bm.andNot(DeletionVectors.readBitmap(root, od)))
+        a.file -> bm.serialize()
+      }
+    }.toMap
+  }
+
+  private def dvDeltaRows(spark: SparkSession, root: String, v: Long,
+                          acts: Seq[Action]): Option[DataFrame] = {
+    val newAdds = acts.collect { case Action(_, _, "add", a) => a }
+    if (newAdds.isEmpty) return None
+    val deltaBlobs = dvDeltaBlobs(root, v)
+      .map { case (f, blob) => fileNameOf(f) -> blob }
+    if (deltaBlobs.isEmpty) return None
+    // scan the touched files WITHOUT their current DVs: the delta rows are
+    // deleted now, so the usual alive filter would drop exactly the rows
+    // this feed must emit
+    val bare = newAdds.map(_.copy(dv = None))
+    val taggedScan = readFilesTagged(spark, root, bare, v, rowIndex = true)
+    val lookup = new graft.functions.DvLookup(deltaBlobs)
+    val marked = org.apache.spark.sql.GraftColumnExpr.column(
+      graft.functions.DvRowDeleted(
+        org.apache.spark.sql.GraftColumnExpr.expr(
+          regexp_extract(col("_file"), "[^/]+$", 0)),
+        org.apache.spark.sql.GraftColumnExpr.expr(col("_ri")), lookup))
+    Some(taggedScan.filter(marked).drop("_file", "_ri")
+      .withColumn("_change_type", lit("delete"))
+      .withColumn("_commit_version", lit(v)))
+  }
+
   def changeFeedIncremental(spark: SparkSession, root: String,
                             fromV: Long, toV: Long,
                             keys: Seq[String] = Seq.empty): DataFrame = {
@@ -2418,6 +2467,12 @@ object TxnTable {
         Some(tagged(
           spark.read.parquet(cdcFiles.map(f => filePath(root, f).toString): _*)
             .withColumn("_commit_version", lit(v)), "cdf"))
+      else if (op == "delete-dv")
+        // a merge-on-read delete needs NO stored change files: the rows it
+        // deleted are exactly the bitmap DELTA (new DV minus the removed
+        // instance's DV) of each re-added file — read just those files and
+        // keep only delta-marked positions. O(touched files), like cdf.
+        dvDeltaRows(spark, root, v, acts).map(df => tagged(df, "dv_delta"))
       else if (!hasRemove && (op == "append" || op.startsWith("append#")))
         Some(tagged(readFiles(spark, root, addFiles, v)
           .withColumn("_change_type", lit("insert"))

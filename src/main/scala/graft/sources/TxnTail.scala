@@ -170,6 +170,19 @@ final class TxnTailStream(c: TxnTail.Conf)
           cdc.map(a => TxnTailPartition(
             TxnTail.resolve(c.root, a.file), v,
             dataSchemaJson, changeType = null)) // _change_type is IN the file
+        else if (op == "delete-dv") {
+          // merge-on-read delete: stream the bitmap DELTA's rows as
+          // deletes — the reader keeps only delta-marked ordinals
+          val byFile = adds.map(a => a.file -> a).toMap
+          TxnTable.dvDeltaBlobs(c.root, v).toSeq.sortBy(_._1).map { case (f, blob) =>
+            TxnTailPartition(
+              TxnTail.resolve(c.root, f), v, dataSchemaJson,
+              changeType = "delete",
+              partValues = byFile.get(f).map(_.partitionValues)
+                .getOrElse(Map.empty),
+              dvDeltaB64 = java.util.Base64.getEncoder.encodeToString(blob))
+          }
+        }
         else if (!rewrites)
           adds.map(a => TxnTailPartition(
             TxnTail.resolve(c.root, a.file), v,
@@ -203,7 +216,8 @@ final class TxnTailStream(c: TxnTail.Conf)
 final case class TxnTailPartition(path: String, version: Long,
                                   schemaJson: String,
                                   changeType: String = null,
-                                  partValues: Map[String, String] = Map.empty)
+                                  partValues: Map[String, String] = Map.empty,
+                                  dvDeltaB64: String = null)
     extends InputPartition
 
 /** Executor-side reader: one parquet file through the parquet-column
@@ -226,16 +240,28 @@ final class TxnTailReader(p: TxnTailPartition)
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var remaining = 0L
   private var current: Group = _
+  // delete-dv change-feed partitions keep ONLY the delta-marked physical
+  // row positions; ordinal tracks the file-wide row index (the sequential
+  // record read makes it exactly _metadata.row_index)
+  private val dvKeep: graft.sources.DeletionVectors.RoaringBitmapArray =
+    if (p.dvDeltaB64 == null) null
+    else graft.sources.DeletionVectors.RoaringBitmapArray.deserialize(
+      java.util.Base64.getDecoder.decode(p.dvDeltaB64))
+  private var ordinal = -1L
 
   override def next(): Boolean = {
-    while (remaining == 0L) {
-      val rg = reader.readNextRowGroup()
-      if (rg == null) return false
-      remaining = rg.getRowCount
-      recordReader = new ColumnIOFactory().getColumnIO(fileSchema)
-        .getRecordReader(rg, new GroupRecordConverter(fileSchema))
+    while (true) {
+      while (remaining == 0L) {
+        val rg = reader.readNextRowGroup()
+        if (rg == null) return false
+        remaining = rg.getRowCount
+        recordReader = new ColumnIOFactory().getColumnIO(fileSchema)
+          .getRecordReader(rg, new GroupRecordConverter(fileSchema))
+      }
+      current = recordReader.read(); remaining -= 1; ordinal += 1
+      if (dvKeep == null || dvKeep.contains(ordinal)) return true
     }
-    current = recordReader.read(); remaining -= 1; true
+    false
   }
 
   override def get(): InternalRow = {

@@ -87,6 +87,21 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(a.cardinality == 3 && a.contains((1L << 32) + 1))
   }
 
+  test("andNot() is exact set difference across keys") {
+    trials { rnd =>
+      val xs = List.fill(rnd.nextInt(150))(rnd.nextLong() & ((1L << 36) - 1))
+      val ys = List.fill(rnd.nextInt(150))(rnd.nextLong() & ((1L << 36) - 1)) ++
+        xs.take(rnd.nextInt(xs.size + 1)) // guaranteed overlap
+      val a = new RoaringBitmapArray; xs.foreach(a.add)
+      val b = new RoaringBitmapArray; ys.foreach(b.add)
+      a.andNot(b)
+      val want = xs.toSet -- ys.toSet
+      assert(a.cardinality == want.size.toLong)
+      want.foreach(v => assert(a.contains(v)))
+      ys.foreach(v => assert(!a.contains(v)))
+    }
+  }
+
   // ---- DV file framing ---------------------------------------------------------
 
   test("DV file: version byte, BE size/data/crc blocks, offset-addressed reads") {

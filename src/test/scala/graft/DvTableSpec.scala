@@ -214,13 +214,24 @@ class DvTableSpec extends AnyFunSuite {
     assert(ids(TxnTable.readVersion(spark, root, 3L)) == (1L to 30L))
   }
 
-  test("deleteDv with cdf=true feeds the incremental change feed") {
+  test("MoR deletes feed the incremental CDF: stored change files OR bitmap delta") {
     val root = tbl()
     TxnTable.append(df(1 to 20), root)                          // v0
     TxnTable.deleteDv(spark, root, col("id") <= 3L, cdf = true) // v1
-    val feed = TxnTable.changeFeedIncremental(spark, root, 0L, 1L)
-    val got = feed.select("_change_type", "id").collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
-    assert(got == (1L to 3L).map(i => ("delete", i)))
+    def feed(fromV: Long, toV: Long) =
+      TxnTable.changeFeedIncremental(spark, root, fromV, toV)
+        .select("_change_type", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    assert(feed(0L, 1L) == (1L to 3L).map(i => ("delete", i)))
+    // WITHOUT cdf: the feed synthesizes deletes from the bitmap delta
+    TxnTable.deleteDv(spark, root, col("id") === 10L)           // v2
+    assert(feed(1L, 2L) == Seq(("delete", 10L)))
+    // overlapping second delete: the delta EXCLUDES already-marked rows,
+    // so re-covered ids (1..3, 10) stay silent
+    TxnTable.deleteDv(spark, root, col("id") <= 12L)            // v3
+    assert(feed(2L, 3L) ==
+      ((4L to 9L) ++ (11L to 12L)).map(i => ("delete", i)))
+    // the whole range stitches cdf + dv_delta frames
+    assert(feed(0L, 3L).map(_._2).sorted == (1L to 12L))
   }
 }

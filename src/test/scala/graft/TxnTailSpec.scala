@@ -178,4 +178,25 @@ class TxnTailSpec extends AnyFunSuite {
     assert(e.getMessage.contains("without change files") ||
       Option(e.getCause).exists(_.getMessage.contains("without change files")))
   }
+
+  test("readChangeFeed streams merge-on-read deletes from the bitmap delta") {
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    TxnTable.append(df(1 to 20).coalesce(1), root)                     // v0
+    TxnTable.deleteDv(spark, root, col("id") <= 3L)                    // v1
+    val q = spark.readStream.format("txn-tail").option("path", root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdfDvTail").start()
+    try {
+      q.processAllAvailable()
+      // a SECOND overlapping MoR delete mid-stream: only the delta arrives
+      TxnTable.deleteDv(spark, root, col("id") <= 6L)                  // v2
+      q.processAllAvailable()
+      val rows = spark.table("cdfDvTail").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+        .filter(_._3 > 0L).sortBy(t => (t._3, t._1)).toSeq
+      assert(rows == (1L to 3L).map(i => (i, "delete", 1L)) ++
+        (4L to 6L).map(i => (i, "delete", 2L)), rows)
+    } finally q.stop()
+  }
 }
