@@ -196,6 +196,28 @@ class DvTableSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("p") === "b").count() == 15)
   }
 
+  test("plan gates: DV probe runs inside codegen; DV-free tables pay nothing") {
+    val root = tbl()
+    TxnTable.append(df(1 to 100), root)
+    val clean = TxnTable.read(spark, root).queryExecution.executedPlan.toString
+    assert(!clean.contains("dv_row_deleted"),
+      s"DV-free read must not carry the probe:\n$clean")
+    TxnTable.deleteDv(spark, root, col("id") <= 5L)
+    val probed = TxnTable.read(spark, root).queryExecution.executedPlan.toString
+    assert(probed.contains("dv_row_deleted"), probed)
+    // the probe filter carries the whole-stage-codegen star (`*(n)`) — it
+    // compiles into the stage, not a UDF/interpreted island
+    assert("""\*\(\d+\) Filter NOT dv_row_deleted""".r
+      .findFirstIn(probed).isDefined, probed)
+    assert(!probed.contains("BatchEvalPython") && !probed.contains("ScalaUDF"),
+      probed)
+    // other predicates still push into the parquet scan THROUGH the probe
+    val pushed = TxnTable.readWhere(spark, root, col("id") >= 50L)
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: ") &&
+      pushed.contains("GreaterThanOrEqual(id,50)"), pushed)
+  }
+
   test("restore across deleteDv commits re-points the deletion-vector state") {
     val root = tbl()
     TxnTable.append(df(1 to 30), root)                   // v0
