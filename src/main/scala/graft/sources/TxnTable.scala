@@ -1566,6 +1566,35 @@ object TxnTable {
   def readTimestamp(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     readVersion(spark, root, versionAsOf(root, tsMillis))
 
+  /** DESCRIBE HISTORY: one row per retained commit, newest first —
+    * version, commit timestamp (the mirror's commitInfo, what external
+    * readers see), operation, and action counts. Pure metadata fold,
+    * O(retained versions) like Delta's own; history below [[expireLog]]'s
+    * horizon is gone with its commits, exactly like time travel. (The
+    * per-ACTION audit dump is [[history]].) */
+  def historySummary(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    require(latestVersion(root) >= 0, s"$root is not a TxnTable (no _txn_log)")
+    versions(root).map { v =>
+      val acts = parseLog(root, v)
+      val op = acts.headOption.map(_.op).getOrElse(
+        // metadata-only commits (rename, constraint) write no actions in
+        // the private log; the operation of record is the mirror's
+        mirrorOperation(root, v).getOrElse("?"))
+      (v, new java.sql.Timestamp(commitTimestamp(root, v)), op,
+        acts.count(_.action == "add"), acts.count(_.action == "remove"),
+        acts.count(_.action == "cdc"))
+    }.sortBy(-_._1)
+      .toDF("version", "timestamp", "operation", "num_added_files",
+        "num_removed_files", "num_change_files")
+  }
+
+  private def mirrorOperation(root: String, v: Long): Option[String] =
+    Files.readAllLines(deltaDir(root).resolve(f"$v%020d.json")).asScala
+      .find(_.startsWith("""{"commitInfo":"""))
+      .flatMap(l => MiniJson.parse(l).asInstanceOf[Map[String, Any]]("commitInfo")
+        .asInstanceOf[Map[String, Any]].get("operation").map(_.asInstanceOf[String]))
+
   private def fileNameOf(f: String): String = {
     val i = f.lastIndexOf('/')
     if (i < 0) f else f.substring(i + 1)

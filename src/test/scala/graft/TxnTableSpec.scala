@@ -739,6 +739,35 @@ class TxnTableSpec extends AnyFunSuite {
     assert(ids(TxnTable.readVersion(spark, dst, 0L)) == (1L to 50L))
   }
 
+  test("history lists every retained commit with its operation and counts") {
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    TxnTable.append(df(1 to 10).coalesce(1), root)                  // v0
+    TxnTable.merge(spark, df(5 to 12).coalesce(1), root, Seq("id")) // v1
+    TxnTable.delete(spark, root, col("id") === 1L, cdf = true)      // v2
+    TxnTable.deleteDv(spark, root, col("id") === 2L)                // v3
+    TxnTable.setConstraint(spark, root, "pos", "id > 0")            // v4 meta-only
+    val h = TxnTable.historySummary(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    assert(h.map(_._1).toSeq == Seq(4L, 3L, 2L, 1L, 0L), "newest first")
+    assert(h.map(_._2).toSeq ==
+      Seq("set-constraint#pos", "delete-dv", "delete", "merge", "append"), h.toSeq)
+    val byV = h.map(t => t._1 -> t).toMap
+    assert(byV(0L)._3 == 1 && byV(0L)._4 == 0)           // one add, no removes
+    assert(byV(1L)._4 > 0, "merge removes the touched file")
+    assert(byV(2L)._5 > 0, "cdf delete records change files")
+    assert(byV(3L)._3 == byV(3L)._4, "MoR delete re-adds what it removes")
+    // timestamps are monotone non-decreasing in version order
+    val ts = TxnTable.historySummary(spark, root).orderBy(col("version"))
+      .collect().map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // history truncates with the log, like time travel
+    (0 until 6).foreach(i => TxnTable.append(df(100 + i to 100 + i), root)) // →v10
+    TxnTable.expireLog(root)
+    assert(TxnTable.historySummary(spark, root).collect().map(_.getLong(0)).min == 10L)
+  }
+
   test("timestampAsOf resolves to the last commit at or before the instant") {
     val root = tbl()
     TxnTable.append(df(1 to 3), root)          // v0
