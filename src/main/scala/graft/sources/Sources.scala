@@ -1186,7 +1186,10 @@ object Sources {
       TxnTable.deleteDv(s, tmp.toString,
         $"cents" >= 5000L && $"cents" <= 15000L)                               // v1
       TxnTable.deleteDv(s, tmp.toString, $"cents" % 97L === 0L)                // v2
-      val per = (0L to 2L).map { v =>
+      // v3: REORG PURGE materializes DV-heavy files clean — the contents
+      // must be bit-identical to v2 (the oracle proves it: same algebra)
+      TxnTable.purgeDeletes(s, tmp.toString, minDeletedFraction = 0.01)        // v3
+      val per = (0L to 3L).map { v =>
         TxnTable.readVersion(s, tmp.toString, v)
           .agg(count(lit(1)).cast("long").as("n_rows"),
             sum($"cents").cast("long").as("sum_cents"))
@@ -1199,14 +1202,16 @@ object Sources {
     """WITH ev AS (
       |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
       |v1 AS (SELECT cents FROM ev
-      |       WHERE cents < 5000 OR cents > 15000 OR cents IS NULL)
+      |       WHERE cents < 5000 OR cents > 15000 OR cents IS NULL),
+      |v2 AS (SELECT cents FROM v1 WHERE cents % 97 <> 0 OR cents IS NULL)
       |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
       |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev
       |UNION ALL
       |SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
       |UNION ALL
-      |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v1
-      |WHERE cents % 97 <> 0 OR cents IS NULL
+      |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v2
       |""".stripMargin
 
   // ---------------------------------------------------------------------------

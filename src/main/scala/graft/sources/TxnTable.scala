@@ -1765,6 +1765,44 @@ object TxnTable {
     v
   }
 
+  /** REORG PURGE (Delta's `REORG TABLE … APPLY (PURGE)` analogue):
+    * materialize deletion vectors back into clean files, but ONLY where it
+    * pays — files whose deleted fraction is at least `minDeletedFraction`
+    * rewrite (through the DV-aware read, so the marked rows vanish and the
+    * sidecar drops); lightly-shaved files keep their cheap bitmap. This is
+    * the missing third of the MoR lifecycle: [[deleteDv]] defers the
+    * rewrite, the scan probe pays a little per read, and purge reclaims
+    * space + probe cost once the deleted mass is worth a write. At 100 TB
+    * the threshold IS the knob: purge at 2% rewrites 50× more bytes than
+    * the deletes shaved; purge at 30–50% amortizes. Layout-only commit
+    * (dataChange:false); the freed DV sidecars age out via [[vacuum]]. */
+  def purgeDeletes(spark: SparkSession, root: String,
+                   minDeletedFraction: Double = 0.1): Long = casRetry("purgeDeletes") {
+    require(minDeletedFraction > 0 && minDeletedFraction <= 1,
+      s"minDeletedFraction must be in (0,1], got $minDeletedFraction")
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
+    val heavy = liveAdds(root, v - 1).filter { a =>
+      a.dv.exists { d =>
+        // physical row count from the add's stats; a stats-less DV'd add
+        // (shouldn't exist — deleteDv carries stats over) purges to be safe
+        a.stats.map(decodeStats(_).numRecords) match {
+          case Some(n) if n > 0 => d.cardinality.toDouble / n >= minDeletedFraction
+          case _                => true
+        }
+      }
+    }
+    if (heavy.isEmpty) return v - 1 // nothing worth rewriting; no commit
+    val df = readFiles(spark, root, heavy, v - 1) // DV-aware: marked rows gone
+    val adds =
+      if (pcs.isEmpty) writeDataFiles(df, root, v, check = false)
+      else writePartitionedFiles(df, root, v, pcs, check = false)
+    commit(root, v, "purge-deletes", adds, heavy.map(_.file),
+      dataChange = false, partCols = pcs, removeDvs = dvTombstones(heavy))
+    v
+  }
+
   /** OPTIMIZE ZORDER BY: rewrite the live files CLUSTERED on the Morton
     * interleave of two integral columns ([[graft.operators.ZOrder]]), so
     * every file's (x, y) stats box is a small rectangle and 2-D slice
@@ -2488,7 +2526,8 @@ object TxnTable {
       val cdcFiles = acts.collect { case Action(_, _, "cdc", a) => a.file }
       val addFiles = acts.collect { case Action(_, _, "add", a) => a }
       val hasRemove = acts.exists(_.action == "remove")
-      val layoutOnly = op == "optimize" || op == "optimize-zorder"
+      val layoutOnly = op == "optimize" || op == "optimize-zorder" ||
+        op == "purge-deletes"
       def tagged(df: DataFrame, mode: String): DataFrame =
         if (keys.isEmpty) df else df.withColumn("_change_mode", lit(mode))
       if (layoutOnly || acts.isEmpty) None

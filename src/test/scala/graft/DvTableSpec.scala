@@ -196,6 +196,40 @@ class DvTableSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("p") === "b").count() == 15)
   }
 
+  test("purgeDeletes rewrites only DV-heavy files; light DVs keep their bitmap") {
+    val root = tbl()
+    // two files with disjoint ranges: one gets 50% deleted, one gets 2%
+    TxnTable.append(df(1 to 100).coalesce(1), root)    // v0
+    TxnTable.append(df(101 to 200).coalesce(1), root)  // v1
+    TxnTable.deleteDv(spark, root, col("id") <= 50L)          // v2: file A 50%
+    TxnTable.deleteDv(spark, root, col("id") === 150L)        // v3: file B 1%
+    val before = TxnTable.liveAddsForTest(root)
+    assert(before.count(_.dv.isDefined) == 2)
+    val v = TxnTable.purgeDeletes(spark, root, minDeletedFraction = 0.1) // v4
+    assert(v == 4L)
+    val after = TxnTable.liveAddsForTest(root)
+    // file A rewrote clean; file B keeps its cheap bitmap
+    assert(after.count(_.dv.isDefined) == 1, after.map(a => (a.file, a.dv.isDefined)))
+    assert(after.filter(_.dv.isDefined).forall(_.dv.get.cardinality == 1))
+    assert(ids(TxnTable.read(spark, root)) ==
+      ((51L to 149L) ++ (151L to 200L)).sorted)
+    // layout-only: history audits it, the incremental CDF stays silent —
+    // the (3,4] range holds ONLY the purge, so the feed reports an empty
+    // data-changing range instead of synthesizing phantom changes
+    val e = intercept[IllegalArgumentException](
+      TxnTable.changeFeedIncremental(spark, root, 3L, 4L))
+    assert(e.getMessage.contains("no data-changing commits"))
+    // nothing above threshold → no new commit
+    assert(TxnTable.purgeDeletes(spark, root, minDeletedFraction = 0.1) == 4L)
+    // time travel below the purge still reads through the old DV
+    assert(ids(TxnTable.readVersion(spark, root, 2L)) ==
+      ((51L to 200L)).sorted)
+    // vacuum reclaims the purged file's sidecar generation
+    TxnTable.vacuum(root, retainAfter = TxnTable.latestVersion(root) - 1)
+    assert(ids(TxnTable.read(spark, root)) ==
+      ((51L to 149L) ++ (151L to 200L)).sorted)
+  }
+
   test("plan gates: DV probe runs inside codegen; DV-free tables pay nothing") {
     val root = tbl()
     TxnTable.append(df(1 to 100), root)
