@@ -196,6 +196,28 @@ class DvTableSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("p") === "b").count() == 15)
   }
 
+  test("concurrent deleteDv writers: the CAS loser rebases and unions") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val root = tbl()
+    TxnTable.append(df(1 to 100).coalesce(1), root) // ONE file: max contention
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val preds = Seq(col("id") <= 10L, col("id") >= 91L)
+    val futures = preds.map { p =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await(); TxnTable.deleteDv(spark, root, p) }
+      })
+    }
+    gate.countDown()
+    val versions = futures.map(_.get())
+    pool.shutdown()
+    assert(versions.sorted == Seq(1L, 2L), versions)
+    // BOTH deletes landed: the loser re-read the winner's DV and unioned
+    assert(ids(TxnTable.read(spark, root)) == (11L to 90L))
+    val dv = TxnTable.liveAddsForTest(root).flatMap(_.dv)
+    assert(dv.map(_.cardinality).sum == 20, dv)
+  }
+
   test("purgeDeletes rewrites only DV-heavy files; light DVs keep their bitmap") {
     val root = tbl()
     // two files with disjoint ranges: one gets 50% deleted, one gets 2%
