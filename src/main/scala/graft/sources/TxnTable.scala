@@ -1531,7 +1531,19 @@ object TxnTable {
       sys.error(s"$srcRoot has no metaData to clone"))
     val srcAbs = Paths.get(srcRoot).toAbsolutePath
     val adds = liveAdds(srcRoot, -1L)
-      .map(a => a.copy(file = srcAbs.resolve(a.file).toString))
+      .map { a =>
+        // a deletion-vector sidecar lives under the SOURCE root; the
+        // clone's descriptor must say so explicitly (storageType "p",
+        // absolute path — the protocol's cross-root DV reference), or the
+        // relative "u" form would resolve under the clone and dangle
+        val dv = a.dv.map {
+          case d if d.storageType == "u" =>
+            d.copy(storageType = "p",
+              pathOrInlineDv = d.resolveFile(srcRoot).toAbsolutePath.toString)
+          case d => d
+        }
+        a.copy(file = srcAbs.resolve(a.file).toString, dv = dv)
+      }
     commit(dstRoot, 0L, "clone", adds, Seq.empty,
       schemaJson = Some(schema.json), partCols = pcs,
       extraConfig = Some(readTableConfig(srcRoot)))

@@ -196,6 +196,27 @@ class DvTableSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("p") === "b").count() == 15)
   }
 
+  test("shallow clone of a DV'd table: descriptors resolve into the source") {
+    val src = tbl()
+    val dst = tbl() + "/clone"
+    TxnTable.append(df(1 to 40).coalesce(1), src)        // v0
+    TxnTable.deleteDv(spark, src, col("id") <= 8L)       // v1
+    TxnTable.cloneShallow(src, dst)
+    // clone reads the SOURCE's bitmap: marked rows stay gone, zero copy
+    assert(ids(TxnTable.read(spark, dst)) == (9L to 40L))
+    val cloneDv = TxnTable.liveAddsForTest(dst).flatMap(_.dv)
+    assert(cloneDv.nonEmpty && cloneDv.forall(_.storageType == "p"),
+      s"clone must carry absolute DV references: $cloneDv")
+    // the clone diverges with its OWN merge-on-read deletes; source intact
+    TxnTable.deleteDv(spark, dst, col("id") === 20L)
+    assert(ids(TxnTable.read(spark, dst)) == ((9L to 19L) ++ (21L to 40L)).sorted)
+    assert(ids(TxnTable.read(spark, src)) == (9L to 40L), "source must not move")
+    // vacuum through the clone never reclaims the source's DV sidecar
+    TxnTable.vacuum(dst, retainAfter = TxnTable.latestVersion(dst) - 1)
+    assert(ids(TxnTable.read(spark, src)) == (9L to 40L))
+    assert(ids(TxnTable.read(spark, dst)) == ((9L to 19L) ++ (21L to 40L)).sorted)
+  }
+
   test("concurrent deleteDv writers: the CAS loser rebases and unions") {
     import java.util.concurrent.{CountDownLatch, Executors}
     val root = tbl()
