@@ -1192,8 +1192,10 @@ object TxnTable {
     // commit the TABLE's schema (same shape was required above): the
     // delta frame has no column-mapping metadata to preserve
     val schemaOut = readMeta(root).map(_._1).getOrElse(delta.schema)
+    val touchedSet = touchedRel.toSet
     commit(root, v, "merge", adds, touchedRel,
-      schemaJson = Some(schemaOut.json), partCols = pcs, cdc = cdcAdds)
+      schemaJson = Some(schemaOut.json), partCols = pcs, cdc = cdcAdds,
+      removeDvs = dvTombstones(candidates.filter(a => touchedSet(a.file))))
     v
   }
 
