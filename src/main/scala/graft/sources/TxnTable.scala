@@ -1667,8 +1667,19 @@ object TxnTable {
     * union by name. Unpartitioned tables take the single flat scan.
     * Deletion-vector adds filter their marked rows out INSIDE each scan
     * (the metadata columns don't survive a union). */
+  /** An add whose deletion vector covers EVERY physical row is logically
+    * empty — scanning it buys nothing (a fully-deleted 1 GB file would
+    * still decode end-to-end just to probe every row away). */
+  private def fullyDeleted(a: AddFile): Boolean =
+    a.dv.exists(d => a.stats.exists(s =>
+      decodeStats(s).numRecords == d.cardinality))
+
   private def readFiles(spark: SparkSession, root: String,
-                        adds: Seq[AddFile], asOf: Long = -1L): DataFrame = {
+                        adds0: Seq[AddFile], asOf: Long = -1L): DataFrame = {
+    // drop logically-empty files, keeping one if EVERYTHING is deleted
+    // (its probe yields zero rows but the scan stays schema-correct)
+    val kept = adds0.filterNot(fullyDeleted)
+    val adds = if (kept.nonEmpty) kept else adds0.take(1)
     val files = adds.map(_.file)
     val alive = dvAliveFilter(root, adds)
     def dvf(df: DataFrame): DataFrame = alive.map(df.filter).getOrElse(df)
@@ -1712,8 +1723,10 @@ object TxnTable {
     * comparison is an exact Set lookup — no O(live × touched) suffix
     * scans on the driver. */
   private def readFilesTagged(spark: SparkSession, root: String,
-                              adds: Seq[AddFile], asOf: Long,
+                              adds0: Seq[AddFile], asOf: Long,
                               rowIndex: Boolean = false): DataFrame = {
+    val kept = adds0.filterNot(fullyDeleted)
+    val adds = if (kept.nonEmpty) kept else adds0.take(1)
     val files = adds.map(_.file)
     val alive = dvAliveFilter(root, adds)
     def dvf(df: DataFrame): DataFrame = alive.map(df.filter).getOrElse(df)

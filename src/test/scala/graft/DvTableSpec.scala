@@ -196,6 +196,24 @@ class DvTableSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("p") === "b").count() == 15)
   }
 
+  test("fully-deleted files never scan; an all-deleted table reads empty") {
+    val root = tbl()
+    TxnTable.append(df(1 to 50).coalesce(1), root)    // file A: 1..50
+    TxnTable.append(df(51 to 99).coalesce(1), root)   // file B: 51..99
+    TxnTable.deleteDv(spark, root, col("id") <= 50L)  // A fully deleted
+    // the plan reads ONE file: A is logically empty and must not appear
+    val scanned = TxnTable.read(spark, root).inputFiles
+    assert(scanned.length == 1, scanned.toSeq)
+    assert(ids(TxnTable.read(spark, root)) == (51L to 99L))
+    // delete everything: reads stay schema-correct and empty
+    TxnTable.deleteDv(spark, root, col("id") >= 51L)
+    val empty = TxnTable.read(spark, root)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "payload"))
+    // purge then reclaims both
+    TxnTable.purgeDeletes(spark, root, minDeletedFraction = 0.01)
+    assert(TxnTable.read(spark, root).count() == 0)
+  }
+
   test("shallow clone of a DV'd table: descriptors resolve into the source") {
     val src = tbl()
     val dst = tbl() + "/clone"
