@@ -44,7 +44,7 @@ class TxnTableModelSpec extends AnyFunSuite {
 
     val ops = scala.collection.mutable.ArrayBuffer("append(seed)")
     for (step <- 1 to 24) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(8) match {
         case 0 => // append fresh rows
           val rows = freshRows(20 + rnd.nextInt(30))
           TxnTable.append(toDf(rows).coalesce(1 + rnd.nextInt(2)), root)
@@ -60,7 +60,7 @@ class TxnTableModelSpec extends AnyFunSuite {
           TxnTable.merge(spark, toDf(updates ++ inserts), root, Seq("id"))
           model += cur ++ updates ++ inserts
           ops += s"merge(u=${updates.size},i=${inserts.size})"
-        case 3 => // range delete
+        case 3 => // range delete (copy-on-write)
           val ks = cur.keys.toSeq.sorted
           val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(40)
           TxnTable.delete(spark, root, col("id") >= lo && col("id") <= hi)
@@ -73,6 +73,17 @@ class TxnTableModelSpec extends AnyFunSuite {
           TxnTable.optimizeZorder(spark, root, "id", "v",
             targetPartitions = 1 + rnd.nextInt(3))
           model += cur; ops += "zorder"
+        case 6 => // range delete (merge-on-read, deletion vectors)
+          val ks = cur.keys.toSeq.sorted
+          val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(40)
+          TxnTable.deleteDv(spark, root, col("id") >= lo && col("id") <= hi)
+          model += cur.filterNot { case (k, _) => k >= lo && k <= hi }
+          ops += s"deleteDv[$lo,$hi]"
+        case 7 => // REORG purge: layout-only, may be a no-op (no commit)
+          val before = TxnTable.latestVersion(root)
+          val after = TxnTable.purgeDeletes(spark, root, minDeletedFraction = 0.05)
+          if (after > before) { model += cur; ops += "purge" }
+          else ops += "purge(noop)"
       }
       assert(snap(root) == cur, s"snapshot diverged after step $step: ${ops.last}")
       // a pruning read must agree with the model filter
