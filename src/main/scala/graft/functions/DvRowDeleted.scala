@@ -48,10 +48,15 @@ case class DvRowDeleted(file: Expression, rowIndex: Expression,
 }
 
 /** Lazily-deserializing file-name → deletion-bitmap table (see
-  * [[DvRowDeleted]]). Safe under concurrent tasks: the bitmap cache is a
-  * ConcurrentHashMap and the last-file memo is one volatile immutable
-  * pair (a stale read just re-does a map lookup). */
-final class DvLookup(blobs: Map[String, Array[Byte]]) extends Serializable {
+  * [[DvRowDeleted]]). The blob map ships as a BROADCAST, not inside the
+  * serialized expression — a plan is re-serialized per task, a broadcast
+  * lands once per executor, and at 100 TB a DV map can be hundreds of MB.
+  * Safe under concurrent tasks: the bitmap cache is a ConcurrentHashMap
+  * and the last-file memo is one volatile immutable pair (a stale read
+  * just re-does a map lookup). */
+final class DvLookup(
+    blobsBc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+  extends Serializable {
   import graft.sources.DeletionVectors.RoaringBitmapArray
 
   @transient private lazy val cache =
@@ -65,7 +70,7 @@ final class DvLookup(blobs: Map[String, Array[Byte]]) extends Serializable {
       bm != null && bm.contains(idx)
     } else {
       val name = file.toString
-      val bm = blobs.get(name) match {
+      val bm = blobsBc.value.get(name) match {
         case Some(raw) =>
           var b = cache.get(name)
           if (b == null) {

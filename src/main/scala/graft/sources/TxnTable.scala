@@ -1642,7 +1642,7 @@ object TxnTable {
     * re-adds. The probe is a codegen'd O(1) bitmap lookup per row
     * ([[graft.functions.DvRowDeleted]]); deleted positions never join or
     * shuffle, which is what keeps a 10M-row DV as cheap as a 10-row one. */
-  private def dvAliveFilter(root: String,
+  private def dvAliveFilter(spark: SparkSession, root: String,
                             adds: Seq[AddFile]): Option[Column] = {
     val dvAdds = adds.filter(_.dv.isDefined)
     if (dvAdds.isEmpty) None
@@ -1650,7 +1650,8 @@ object TxnTable {
       val blobs = dvAdds.map { a =>
         fileNameOf(a.file) -> DeletionVectors.readDvData(root, a.dv.get)
       }.toMap
-      val lookup = new graft.functions.DvLookup(blobs)
+      val lookup = new graft.functions.DvLookup(
+        spark.sparkContext.broadcast(blobs))
       Some(org.apache.spark.sql.GraftColumnExpr.column(
         org.apache.spark.sql.catalyst.expressions.Not(
           graft.functions.DvRowDeleted(
@@ -1681,7 +1682,7 @@ object TxnTable {
     val kept = adds0.filterNot(fullyDeleted)
     val adds = if (kept.nonEmpty) kept else adds0.take(1)
     val files = adds.map(_.file)
-    val alive = dvAliveFilter(root, adds)
+    val alive = dvAliveFilter(spark, root, adds)
     def dvf(df: DataFrame): DataFrame = alive.map(df.filter).getOrElse(df)
     readMeta(root, asOf) match {
       case Some((schema, pcs)) if pcs.nonEmpty =>
@@ -1728,7 +1729,7 @@ object TxnTable {
     val kept = adds0.filterNot(fullyDeleted)
     val adds = if (kept.nonEmpty) kept else adds0.take(1)
     val files = adds.map(_.file)
-    val alive = dvAliveFilter(root, adds)
+    val alive = dvAliveFilter(spark, root, adds)
     def dvf(df: DataFrame): DataFrame = alive.map(df.filter).getOrElse(df)
     val rootAbs = Paths.get(root).toAbsolutePath.toString
     // file_path is a file: URI whose slash count varies by renderer
@@ -2531,7 +2532,8 @@ object TxnTable {
     // this feed must emit
     val bare = newAdds.map(_.copy(dv = None))
     val taggedScan = readFilesTagged(spark, root, bare, v, rowIndex = true)
-    val lookup = new graft.functions.DvLookup(deltaBlobs)
+    val lookup = new graft.functions.DvLookup(
+      spark.sparkContext.broadcast(deltaBlobs))
     val marked = org.apache.spark.sql.GraftColumnExpr.column(
       graft.functions.DvRowDeleted(
         org.apache.spark.sql.GraftColumnExpr.expr(
