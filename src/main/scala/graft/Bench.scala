@@ -56,6 +56,14 @@ object Bench {
       graft.sources.Tables.load(spark, sfDir, t).limit(1).count()
     }
 
+    // Run-condition stamp: the 1-min system load BEFORE and AFTER the
+    // suite. Same-day totals on this box spread ±15% with external load —
+    // recording it makes every bench record self-describing instead of a
+    // number whose context lives in a commit message.
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
+
     // Steady-state timing: each query runs `runs` times (default 2) and the
     // LAST run is reported — the first run of a codegen-heavy query pays
     // one-time Janino/JIT compilation of its generated code (3-8x at this
@@ -96,15 +104,16 @@ object Bench {
     // Subset runs (BENCH_ONLY) must not clobber the full-suite record.
     val storageAll = results.map { r =>
       "\"" + r._1 + "\":[" + f"${r._4}%.1f,${r._5}%.1f,${r._6}]" }
+    val loadField = f""","load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f"""
     if (only.isEmpty)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_QUERIES.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(steady)},"queries_cold":${jmap(cold)},"cold_total":$coldTotal,"storage_mb_disk_blocks":${storageAll.mkString("{", ",", "}")},"sf":"$sfDir","runs_per_query":$runs}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(steady)},"queries_cold":${jmap(cold)},"cold_total":$coldTotal,"storage_mb_disk_blocks":${storageAll.mkString("{", ",", "}")},"sf":"$sfDir","runs_per_query":$runs$loadField}""")
     val slowest = steady.sortBy(-_._2).take(20)
     val slowNames = slowest.map(_._1).toSet
     val storageSlow = results.filter(r => slowNames(r._1)).map { r =>
       "\"" + r._1 + "\":[" + f"${r._4}%.0f,${r._5}%.0f,${r._6}]" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${steady.size},"queries":${jmap(slowest)},"storage":${storageSlow.mkString("{", ",", "}")},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir","runs_per_query":$runs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${steady.size},"queries":${jmap(slowest)},"storage":${storageSlow.mkString("{", ",", "}")},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir","runs_per_query":$runs$loadField}""")
     spark.stop()
   }
 }

@@ -231,13 +231,17 @@ object DeletionVectors {
   /** Write ONE DV file carrying every bitmap of a commit; returns the
     * descriptors in input order. */
   def writeDvFile(tableRoot: String,
-                  bitmaps: Seq[RoaringBitmapArray]): Seq[DvDescriptor] = {
-    require(bitmaps.nonEmpty, "no bitmaps to write")
+                  bitmaps: Seq[RoaringBitmapArray]): Seq[DvDescriptor] =
+    writeDvFileBlobs(tableRoot,
+      bitmaps.map(b => (b.serialize(), b.cardinality)))
+
+  private def writeDvFileBlobs(tableRoot: String,
+                               blobs: Seq[(Array[Byte], Long)]): Seq[DvDescriptor] = {
+    require(blobs.nonEmpty, "no bitmaps to write")
     val uuid = UUID.randomUUID()
     val dir = Paths.get(tableRoot, DvPrefix)
     Files.createDirectories(dir)
     val path = dir.resolve(s"deletion_vector_$uuid.bin")
-    val blobs = bitmaps.map(b => (b.serialize(), b.cardinality))
     val total = 1 + blobs.map(_._1.length + 8).sum
     val buf = ByteBuffer.allocate(total) // framing ints are big-endian
     buf.put(1.toByte)
@@ -252,6 +256,30 @@ object DeletionVectors {
     }
     Files.write(path, buf.array())
     descs
+  }
+
+  /** Bitmaps at or under this serialized size inline into the add action
+    * itself (storageType "i") — a tiny DV should not cost a sidecar file
+    * open per scan. Run-compressed roaring makes band deletes over
+    * clustered files routinely land here. */
+  val InlineDvMaxBytes: Int = 512
+
+  /** Spec-complete write path: each bitmap becomes an INLINE descriptor
+    * when its serialized form fits [[InlineDvMaxBytes]]; the rest batch
+    * into one sidecar DV file. Descriptors return in input order; no file
+    * is written when everything inlines. */
+  def writeDescriptors(tableRoot: String,
+                       bitmaps: Seq[RoaringBitmapArray],
+                       inlineMaxBytes: Int = InlineDvMaxBytes): Seq[DvDescriptor] = {
+    val blobs = bitmaps.map(b => (b.serialize(), b.cardinality))
+    val big = blobs.filter(_._1.length > inlineMaxBytes)
+    val fileDescs =
+      if (big.isEmpty) Iterator.empty
+      else writeDvFileBlobs(tableRoot, big).iterator
+    blobs.zip(bitmaps).map { case ((data, _), bm) =>
+      if (data.length <= inlineMaxBytes) inlineDescriptor(bm)
+      else fileDescs.next()
+    }
   }
 
   /** Read the DV data bytes a descriptor points at (checksum-verified for

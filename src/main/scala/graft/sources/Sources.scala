@@ -1256,6 +1256,111 @@ object Sources {
       |      UNION ALL SELECT cents FROM ev WHERE cents > 20000)
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated MERGE-ON-READ MERGE (deletion vectors): append the events
+  // slice range-clustered on cents, then two keyed upserts that DV-mark the
+  // replaced rows instead of rewriting their files (v1: bucket-3 rows'
+  // cents doubled + bucket-4 inserts; v2: bucket-2 rows tripled — the
+  // second merge must UNION into the existing bitmaps), then REORG PURGE
+  // materializes the accumulated bitmaps clean (v3, bit-identical to v2).
+  // Replacement images + inserts land in NEW files; the touched files keep
+  // their bytes — DvTableSpec gates the no-rewrite property and the
+  // hybrid copy-on-write fallback; the oracle proves the row algebra.
+  // ---------------------------------------------------------------------------
+  def txnMergeDv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_dv")
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          bucket.as("b"))
+      TxnTable.append(ev.filter($"b" <= 3).select($"event_id", $"cents")
+        .repartitionByRange(8, $"cents"), tmp.toString)                     // v0
+      val delta1 = ev.filter($"b" === 3 || $"b" === 4)
+        .select($"event_id",
+          when($"b" === 3, $"cents" * 2).otherwise($"cents").as("cents"))
+      TxnTable.mergeDv(s, delta1, tmp.toString, Seq("event_id"),
+        rewriteFraction = 0.5)                                              // v1
+      val delta2 = ev.filter($"b" === 2)
+        .select($"event_id", ($"cents" * 3).as("cents"))
+      TxnTable.mergeDv(s, delta2, tmp.toString, Seq("event_id"),
+        rewriteFraction = 0.5)                                              // v2
+      TxnTable.purgeDeletes(s, tmp.toString, minDeletedFraction = 0.01)     // v3
+      val per = (0L to 3L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnMergeDvSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events),
+      |v1 AS (SELECT CASE WHEN b = 3 THEN 2 * cents ELSE cents END AS c, b
+      |       FROM ev WHERE b <= 4),
+      |v2 AS (SELECT CASE WHEN b = 2 THEN 3 * c ELSE c END AS c FROM v1)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev WHERE b <= 3
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(c) AS BIGINT) FROM v1
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(c) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(c) AS BIGINT) FROM v2
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Oracle-gated TYPE WIDENING: append events with cents as INT, widen the
+  // column to BIGINT by metadata alone (zero bytes rewritten — the INT
+  // files keep their physical type and the scan up-converts), then append
+  // rows whose values OVERFLOW int (cents * 100000 > 2^31) — only possible
+  // because the table type is now wide. Reads at every version must agree
+  // with the oracle's replay; time travel below the widen keeps INT (the
+  // v0/v1 frames aggregate the narrow column). TxnWidenSpec gates the
+  // no-rewrite property, the refusal matrix, and the mirror feature.
+  // ---------------------------------------------------------------------------
+  def txnWiden(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_widen")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS INT)").as("cents"))
+      TxnTable.append(ev, tmp.toString)                                     // v0
+      TxnTable.widenColumn(s, tmp.toString, "cents",
+        org.apache.spark.sql.types.LongType)                                // v1
+      TxnTable.append(ev.filter($"cents" > 20000)
+        .select($"event_id",
+          ($"cents".cast("long") * 100000L).as("cents")), tmp.toString)     // v2
+      val per = (0L to 2L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnWidenSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS INT) AS cents FROM events)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM ev
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(c) AS BIGINT)
+      |FROM (SELECT CAST(cents AS BIGINT) AS c FROM ev
+      |      UNION ALL
+      |      SELECT CAST(cents AS BIGINT) * 100000 FROM ev WHERE cents > 20000)
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -1279,6 +1384,8 @@ object Sources {
     "q_txn_dv" -> txnDv _,
     "q_txn_rename" -> txnRename _,
     "q_txn_clone_part" -> txnClonePart _,
+    "q_txn_merge_dv" -> txnMergeDv _,
+    "q_txn_widen" -> txnWiden _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -1303,5 +1410,7 @@ object Sources {
     "q_txn_dv" -> txnDvSql,
     "q_txn_rename" -> txnRenameSql,
     "q_txn_clone_part" -> txnClonePartSql,
+    "q_txn_merge_dv" -> txnMergeDvSql,
+    "q_txn_widen" -> txnWidenSql,
   )
 }

@@ -448,19 +448,25 @@ object TxnTable {
     val dvActive = adds.exists(_.dv.isDefined) ||
       config.get("delta.enableDeletionVectors").contains("true")
     // name-mode column mapping needs reader 2 / writer 5 (legacy levels);
-    // under table features it must be LISTED alongside deletionVectors
+    // under table features it must be LISTED alongside deletionVectors.
+    // typeWidening exists ONLY as a table feature (no legacy level), so a
+    // widened table emits the feature protocol even without DVs.
     val mappingActive = config.get("delta.columnMapping.mode").contains("name")
+    val wideningActive = config.get("delta.enableTypeWidening").contains("true")
     val featureProtocol = {
+      val dvF = if (dvActive) Seq("deletionVectors") else Nil
       val mapF = if (mappingActive) Seq("columnMapping") else Nil
-      val rf = Seq("deletionVectors") ++ mapF
-      val wf = Seq("deletionVectors") ++ mapF ++
+      val wideF = if (wideningActive) Seq("typeWidening") else Nil
+      val rf = dvF ++ mapF ++ wideF
+      val wf = dvF ++ mapF ++ wideF ++
         (if (config.keys.exists(_.startsWith("delta.constraints.")) || needsWriter3)
           Seq("checkConstraints") else Nil)
       def arr(fs: Seq[String]) = fs.map(f => s""""$f"""").mkString("[", ",", "]")
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(rf)},"writerFeatures":${arr(wf)}}}"""
     }
     val head =
-      (if (dvActive && (adds.exists(_.dv.isDefined) || needsWriter3 || extraConfig.isDefined))
+      (if ((dvActive || wideningActive) &&
+        (adds.exists(_.dv.isDefined) || needsWriter3 || extraConfig.isDefined))
         Seq(featureProtocol)
       else if (version == 0L)
         Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
@@ -604,8 +610,22 @@ object TxnTable {
             val t = r.getStruct(r.fieldIndex("remove"))
             val path = t.getString(0)
             adds.remove(path)
+            // the tombstone's deletionVector (the instance it superseded)
+            // must survive the seed: strict readers reconcile by (path,
+            // dvId) and a dropped descriptor would break that after
+            // expireLog removes the JSON that carried it
+            val dvSeed = optField(t, "deletionVector").map { d0 =>
+              val d = d0.asInstanceOf[org.apache.spark.sql.Row]
+              "deletionVector" -> (Map(
+                "storageType" -> d.getString(0),
+                "pathOrInlineDv" -> d.getString(1),
+                "sizeInBytes" -> bd(d.get(3)),
+                "cardinality" -> bd(d.get(4))) ++
+                (if (d.isNullAt(2)) Map.empty[String, Any]
+                 else Map("offset" -> bd(d.get(2)))): Any)
+            }
             tombs(path) = noNull(Map(
-              "path" -> path, "deletionTimestamp" -> bd(t.get(1))))
+              "path" -> path, "deletionTimestamp" -> bd(t.get(1))) ++ dvSeed)
           }
         }
     }
@@ -680,7 +700,8 @@ object TxnTable {
           null, null, null) } ++
       tombs.values.toSeq.map { r =>
         Row(null, null,
-          Row(str(r, "path"), lng(r, "deletionTimestamp"), java.lang.Boolean.FALSE),
+          Row(str(r, "path"), lng(r, "deletionTimestamp"), java.lang.Boolean.FALSE,
+            dvRow(r)),
           null, null) }
     val cpSchema = StructType(Seq(
       StructField("txn", StructType(Seq(
@@ -702,7 +723,13 @@ object TxnTable {
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
-        StructField("dataChange", BooleanType)))),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("name", StringType),
@@ -920,7 +947,9 @@ object TxnTable {
         batch.fields.foreach { f =>
           curTypes.get(f.name).foreach { dt =>
             require(dt == f.dataType,
-              s"column ${f.name}: type change $dt -> ${f.dataType} is not supported")
+              s"column ${f.name}: type change $dt -> ${f.dataType} is not " +
+                "supported in an append; widen the TABLE first with " +
+                "widenColumn (metadata-only), then append the wide batch")
           }
         }
         StructType(cur.fields ++
@@ -1195,6 +1224,142 @@ object TxnTable {
     val touchedSet = touchedRel.toSet
     commit(root, v, "merge", adds, touchedRel,
       schemaJson = Some(schemaOut.json), partCols = pcs, cdc = cdcAdds,
+      removeDvs = dvTombstones(candidates.filter(a => touchedSet(a.file))))
+    v
+  }
+
+  /** MERGE-ON-READ MERGE: the keyed upsert of [[merge]] with [[deleteDv]]'s
+    * write-amplification fix composed in. Rows a delta key REPLACES are
+    * DV-MARKED in place (their file re-adds unchanged with a new deletion
+    * vector); every delta row — replacement images and fresh inserts alike
+    * — lands in NEW files. A CDC-style merge touching 1% of the rows in
+    * many files therefore commits a few bitmaps plus the delta's own bytes
+    * where copy-on-write [[merge]] rewrites every touched file whole — at
+    * 100 TB that difference IS the merge cost. Files whose CUMULATIVE
+    * deleted fraction (existing DV + newly matched rows) reaches
+    * `rewriteFraction` take the copy-on-write path right here instead (the
+    * [[purgeDeletes]] threshold reused: past that mass a rewrite is
+    * cheaper than carrying the bitmap, and handling it in the merge means
+    * the commit never manufactures purge-bait). Same contract as [[merge]]
+    * otherwise: `delta` carries distinct keys and the table schema, ONE
+    * commit, whole-partition pruning when every partition column is a
+    * merge key, `cdf = true` persists row-level change files, pre-merge
+    * versions stay time-travelable. Bitmaps build distributed and stream
+    * to the driver under `driverDvBudgetBytes` ([[collectDvBlobs]]). */
+  def mergeDv(spark: SparkSession, delta: DataFrame, root: String,
+              keys: Seq[String], cdf: Boolean = false,
+              rewriteFraction: Double = 0.1,
+              driverDvBudgetBytes: Long = DvDriverBudgetBytes): Long = casRetry("mergeDv") {
+    require(rewriteFraction > 0 && rewriteFraction <= 1,
+      s"rewriteFraction must be in (0,1], got $rewriteFraction")
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    readMeta(root).foreach { case (cur, _) =>
+      require(sameShape(cur, delta.schema),
+        s"mergeDv delta schema ${delta.schema.simpleString} must match the " +
+          s"table schema ${cur.simpleString}") }
+    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
+    val live = liveAdds(root, v - 1)
+    val candidates =
+      if (pcs.nonEmpty && pcs.forall(keys.contains)) {
+        val dTuples = delta
+          .select(pcs.map(c => col(c).cast("string")): _*).distinct()
+          .collect().map(r => pcs.indices.map(i =>
+            if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else r.getString(i)).toList)
+          .toSet
+        live.filter(a => dTuples.contains(pcs.map(c =>
+          a.partitionValues.getOrElse(c, "")).toList))
+      } else live
+    val cols = delta.columns.toSeq
+    val dKeys = delta.select(keys.map(col): _*).distinct()
+    if (candidates.isEmpty) {
+      // nothing can match: the whole delta is an insert batch
+      val cdcAdds =
+        if (!cdf) Seq.empty[AddFile]
+        else writeCdcFiles(delta.withColumn("_change_type", lit("insert")), root, v)
+      val adds =
+        if (pcs.isEmpty) writeDataFiles(delta, root, v)
+        else writePartitionedFiles(delta, root, v, pcs)
+      val schemaOut = readMeta(root).map(_._1).getOrElse(delta.schema)
+      commit(root, v, "merge-dv", adds, Seq.empty,
+        schemaJson = Some(schemaOut.json), partCols = pcs, cdc = cdcAdds)
+      return v
+    }
+    val cur = readFilesTagged(spark, root, candidates, v - 1, rowIndex = true)
+      .select(col("_file"), col("_ri"), struct(cols.map(col): _*).as("_r"))
+    val onKeys = keys.map(k => col(s"_r.$k") === dKeys(k)).reduce(_ && _)
+    // per-file bitmaps of the REPLACED positions — O(files) driver metadata
+    // (the same shape as the commit itself), rows never leave the executors
+    val matched = collectDvBlobs(
+      cur.join(dKeys, onKeys, "left_semi")
+        .select(col("_file").cast("string"), col("_ri").cast("long")),
+      "mergeDv", driverDvBudgetBytes).sortBy(_._1)
+    val byFile = candidates.map(a => (a.file, a)).toMap
+    // lightly-hit files keep their bytes and gain a bitmap; files past the
+    // threshold (counting what earlier DVs already shaved) rewrite clean
+    val (dvSide, cowSide) = matched.partition { case (f, _, card) =>
+      val a = byFile(f)
+      val old = a.dv.map(_.cardinality).getOrElse(0L)
+      a.stats.map(decodeStats(_).numRecords) match {
+        case Some(n) if n > 0 => (old + card).toDouble / n < rewriteFraction
+        case _                => false // stats-less: rewrite to be safe
+      }
+    }
+    val cowFiles = cowSide.map(_._1)
+    val carried =
+      if (cowFiles.isEmpty) delta
+      else cur.filter(col("_file").isin(cowFiles: _*))
+        .join(dKeys, onKeys, "left_anti")
+        .select(cols.map(c => col(s"_r.$c").as(c)): _*)
+        .unionByName(delta)
+    val touchedAll = matched.map(_._1)
+    val cdcAdds =
+      if (!cdf) Seq.empty[AddFile]
+      else {
+        val changes =
+          if (touchedAll.isEmpty) delta.withColumn("_change_type", lit("insert"))
+          else {
+            val old = cur.filter(col("_file").isin(touchedAll: _*))
+              .select(col("_r").as("_o"))
+            val nsj = delta.select(struct(cols.map(col): _*).as("_n"))
+            val on = keys.map(k => col(s"_o.$k") === col(s"_n.$k")).reduce(_ && _)
+            val joined = old.join(nsj, on, "full_outer")
+              .filter(col("_o").isNull ||
+                (col("_n").isNotNull && !(col("_o") <=> col("_n"))))
+            joined.select(explode(
+              when(col("_o").isNull,
+                array(struct(col("_n").as("r"), lit("insert").as("t"))))
+              .otherwise(array(
+                struct(col("_o").as("r"), lit("update_preimage").as("t")),
+                struct(col("_n").as("r"), lit("update_postimage").as("t"))))).as("e"))
+              .select(cols.map(c => col(s"e.r.$c")) :+
+                col("e.t").as("_change_type"): _*)
+          }
+        writeCdcFiles(changes, root, v)
+      }
+    val dvMerged = dvSide.map { case (f, blob, _) =>
+      val bm = DeletionVectors.RoaringBitmapArray.deserialize(blob)
+      val a = byFile(f)
+      a.dv.foreach(d => bm.or(DeletionVectors.readBitmap(root, d)))
+      (a, bm)
+    }
+    val dvReadds =
+      if (dvMerged.isEmpty) Seq.empty[AddFile]
+      else DeletionVectors.writeDescriptors(root, dvMerged.map(_._2))
+        .zip(dvMerged).map { case (d, (a, _)) => a.copy(dv = Some(d)) }
+    val dataAdds =
+      if (pcs.isEmpty) writeDataFiles(carried, root, v)
+      else writePartitionedFiles(carried, root, v, pcs)
+    val schemaOut = readMeta(root).map(_._1).getOrElse(delta.schema)
+    // the first DV use flips the table feature on, exactly like deleteDv
+    val cfg = readTableConfig(root)
+    val withCfg =
+      if (dvReadds.isEmpty || cfg.get("delta.enableDeletionVectors").contains("true")) None
+      else Some(cfg + ("delta.enableDeletionVectors" -> "true"))
+    val touchedSet = touchedAll.toSet
+    commit(root, v, "merge-dv", dataAdds ++ dvReadds, touchedAll.sorted,
+      schemaJson = Some(schemaOut.json), partCols = pcs, cdc = cdcAdds,
+      extraConfig = withCfg,
       removeDvs = dvTombstones(candidates.filter(a => touchedSet(a.file))))
     v
   }
@@ -1478,6 +1643,73 @@ object TxnTable {
       ("delta.columnMapping.maxColumnId" -> renamed.fields.length.toString)
     commit(root, v, s"rename-column#$oldName", Seq.empty, Seq.empty,
       schemaJson = Some(renamed.json), dataChange = false, partCols = pcs,
+      extraConfig = Some(cfg))
+    v
+  }
+
+  // ---- type widening (metadata-only type evolution) --------------------------
+  // The open protocol's typeWidening table feature: a column that outgrows
+  // its type changes by SCHEMA METADATA ALONE — existing files keep their
+  // narrow physical type and the parquet readers up-convert at scan time
+  // (Spark's readers promote int→long / float→double / decimal scale-ups
+  // natively), new files write the wide type. Without this, the first
+  // INT column to cross 2^31 on a long-lived table forces a full rewrite —
+  // at 100 TB the same class of cost deletion vectors eliminate for DELETE.
+
+  /** The widenings the parquet scan applies losslessly at read time. */
+  private[graft] def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType)            => true
+    case (IntegerType, LongType)                        => true
+    case (FloatType, DoubleType)                        => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale &&
+        (t.precision > f.precision || t.scale > f.scale)
+    case _ => false
+  }
+
+  /** Per-field metadata key recording this column's type-change history
+    * (the mirror analogue of Delta's `delta.typeChanges`). */
+  private val TypeChangesKey = "delta.typeChanges"
+
+  /** WIDEN a column's type — metadata-only (zero data bytes rewritten).
+    * Allowed changes are the lossless promotions the parquet readers apply
+    * at scan time ([[widens]]): byte→short→int→long, float→double, and
+    * decimal precision/scale growth that keeps every old value exact.
+    * The field records its change history under `delta.typeChanges`, the
+    * config records `delta.enableTypeWidening`, and the mirror protocol
+    * lists the typeWidening table feature. Appends after the widen must
+    * carry the WIDE type; time travel below it keeps the narrow type
+    * (each version reads under its own schema). Refused for partition
+    * columns (their values are path-encoded under the narrow parse) and
+    * for any non-widening change — the add-only evolution rule stands for
+    * everything else. */
+  def widenColumn(spark: SparkSession, root: String,
+                  colName: String, to: DataType): Long = casRetry("widenColumn") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val (schema, pcs) = readMeta(root).getOrElse(
+      sys.error(s"$root has no metaData to widen in"))
+    val f = schema.fields.find(_.name == colName).getOrElse(
+      sys.error(s"no column $colName"))
+    require(!pcs.contains(colName),
+      s"widening partition column $colName is not supported (path-encoded)")
+    require(widens(f.dataType, to),
+      s"column $colName: ${f.dataType.simpleString} -> ${to.simpleString} " +
+        "is not a supported lossless widening")
+    val history = (if (f.metadata.contains(TypeChangesKey))
+      f.metadata.getString(TypeChangesKey).stripSuffix("]") + ","
+    else "[") +
+      s"""{"fromType":"${f.dataType.typeName}","toType":"${to.typeName}"}]"""
+    val widened = StructType(schema.fields.map { g =>
+      if (g.name != colName) g
+      else g.copy(dataType = to, metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(g.metadata).putString(TypeChangesKey, history).build())
+    })
+    val cfg = readTableConfig(root) + ("delta.enableTypeWidening" -> "true")
+    commit(root, v, s"widen-column#$colName", Seq.empty, Seq.empty,
+      schemaJson = Some(widened.json), dataChange = false, partCols = pcs,
       extraConfig = Some(cfg))
     v
   }
@@ -2378,8 +2610,47 @@ object TxnTable {
     * to reader 3 / writer 7 with the deletionVectors feature, per the
     * public Delta protocol. `cdf = true` additionally persists the
     * deleted rows as change-data files for the incremental feed. */
+  /** Default driver-side budget for per-commit DV blobs (256 MB). The
+    * commit is driver-side metadata, so SOME driver residency is inherent
+    * — the budget turns "a predicate touching millions of files silently
+    * balloons the driver" into a loud, actionable failure instead. */
+  private[sources] val DvDriverBudgetBytes: Long = 256L << 20
+
+  /** Fold (file, rowIndex) matches into per-file roaring bitmaps on the
+    * EXECUTORS and stream only the serialized blobs to the driver —
+    * partition by partition via toLocalIterator, aborting loudly the
+    * moment the accumulated bytes cross `budget` (never after the heap is
+    * already gone). Shared by [[deleteDv]] and [[mergeDv]]. */
+  private def collectDvBlobs(matched: DataFrame, what: String,
+                             budget: Long): Seq[(String, Array[Byte], Long)] = {
+    import org.apache.spark.sql.Encoders
+    val ds = matched
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (f, it) =>
+        val b = new DeletionVectors.RoaringBitmapArray
+        it.foreach(t => b.add(t._2))
+        (f, b.serialize(), b.cardinality)
+      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+    val buf = Seq.newBuilder[(String, Array[Byte], Long)]
+    var total = 0L
+    var n = 0
+    val it = ds.toLocalIterator()
+    while (it.hasNext) {
+      val t = it.next()
+      total += t._2.length; n += 1
+      require(total <= budget,
+        s"$what: deletion-vector blobs for $n+ touched files exceed the " +
+          s"driver budget ($total > $budget bytes) — narrow the predicate, " +
+          "raise driverDvBudgetBytes, or use the copy-on-write path")
+      buf += t
+    }
+    buf.result()
+  }
+
   def deleteDv(spark: SparkSession, root: String, pred: Column,
-               cdf: Boolean = false): Long = casRetry("deleteDv") {
+               cdf: Boolean = false,
+               driverDvBudgetBytes: Long = DvDriverBudgetBytes): Long = casRetry("deleteDv") {
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
     val meta = readMeta(root)
@@ -2394,26 +2665,17 @@ object TxnTable {
           rowIndex = true)
         val matched = cur.filter(pred)
           .select(col("_file").cast("string"), col("_ri").cast("long"))
-        import org.apache.spark.sql.Encoders
-        val perFile = matched
-          .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
-          .groupByKey(_._1)(Encoders.STRING)
-          .mapGroups { (f, it) =>
-            val b = new DeletionVectors.RoaringBitmapArray
-            it.foreach(t => b.add(t._2))
-            (f, b.serialize(), b.cardinality)
-          }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
-          .collect()
+        val perFile = collectDvBlobs(matched, "deleteDv", driverDvBudgetBytes)
         if (perFile.isEmpty) false
         else {
           val byFile = candidates.map(a => (a.file, a)).toMap
-          val merged = perFile.toSeq.sortBy(_._1).map { case (f, blob, _) =>
+          val merged = perFile.sortBy(_._1).map { case (f, blob, _) =>
             val bm = DeletionVectors.RoaringBitmapArray.deserialize(blob)
             val a = byFile(f)
             a.dv.foreach(d => bm.or(DeletionVectors.readBitmap(root, d)))
             (a, bm)
           }
-          val descs = DeletionVectors.writeDvFile(root, merged.map(_._2))
+          val descs = DeletionVectors.writeDescriptors(root, merged.map(_._2))
           val newAdds = merged.zip(descs).map { case ((a, _), d) =>
             a.copy(dv = Some(d)) }
           val cdcAdds =
@@ -2549,6 +2811,25 @@ object TxnTable {
                             keys: Seq[String] = Seq.empty): DataFrame = {
     require(fromV < toV, s"empty version range ($fromV, $toV]")
     require(toV <= latestVersion(root), s"version $toV does not exist")
+    // Frames from different versions union BY NAME — across a RENAME that
+    // would silently emit BOTH the old and the new column, each half-null,
+    // though they are the same physical column. Project every frame to the
+    // RANGE-END logical names through PHYSICAL identity first: a field's
+    // physicalName is stable across renames (it defaults to the name for
+    // never-renamed columns), so pre-rename `cents` re-labels to `amount`
+    // and the feed stays one seamless column. Columns added after v stay
+    // absent and null-backfill as before.
+    val toPhysToLogical = readMeta(root, toV).map(_._1.fields.iterator
+      .map(f => physicalName(f) -> f.name).toMap).getOrElse(Map.empty)
+    def toRangeEndNames(df: DataFrame, v: Long): DataFrame = {
+      if (toPhysToLogical.isEmpty) return df
+      val renames = readMeta(root, v).map(_._1.fields.iterator.flatMap { f =>
+        toPhysToLogical.get(physicalName(f)).filter(_ != f.name).map(f.name -> _)
+      }.toMap).getOrElse(Map.empty)
+      if (renames.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        renames.get(c).map(col(c).as(_)).getOrElse(col(c))): _*)
+    }
     val perVersion = versions(root).filter(v => v > fromV && v <= toV).flatMap { v =>
       val acts = parseLog(root, v)
       val op = acts.headOption.map(_.op).getOrElse("?")
@@ -2559,6 +2840,7 @@ object TxnTable {
         op == "purge-deletes"
       def tagged(df: DataFrame, mode: String): DataFrame =
         if (keys.isEmpty) df else df.withColumn("_change_mode", lit(mode))
+      val frame: Option[DataFrame] =
       if (layoutOnly || acts.isEmpty) None
       else if (cdcFiles.nonEmpty)
         Some(tagged(
@@ -2582,6 +2864,7 @@ object TxnTable {
         s"version $v ($op) rewrites rows without change files; " +
           "pass keys= for a per-version snapshot-diff fallback, " +
           "use changeFeed's snapshot diff, or commit with cdf = true")
+      frame.map(toRangeEndNames(_, v))
     }
     require(perVersion.nonEmpty, s"no data-changing commits in ($fromV, $toV]")
     perVersion.reduce(_.unionByName(_, allowMissingColumns = true))

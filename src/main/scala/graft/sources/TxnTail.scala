@@ -234,6 +234,15 @@ final class TxnTailReader(p: TxnTailPartition)
 
   private val schema =
     DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  // resolve file columns by their PHYSICAL name: under name-mode column
+  // mapping a renamed column's files keep the stable physical name, and
+  // the tail must stitch old-physical and new-logical files into ONE
+  // seamless column (matching the batch scan), not emit nulls
+  private val physNames: Array[String] = schema.fields.map { f =>
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+  }
   private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
     new org.apache.hadoop.fs.Path(p.path),
     new org.apache.hadoop.conf.Configuration()))
@@ -274,24 +283,34 @@ final class TxnTailReader(p: TxnTailPartition)
       // columns entirely — emit null for them, matching the batch
       // unified-schema scan (getFieldIndex would throw on the backfill)
       vals(i) =
-        if (!fileSchema.containsField(f.name))
+        if (!fileSchema.containsField(physNames(i)))
           if (f.name == "_change_type" && p.changeType != null)
             UTF8String.fromString(p.changeType)
           else if (p.partValues.contains(f.name))
             partConst(p.partValues(f.name), f.dataType)
           else null
         else {
-          val fi = fileSchema.getFieldIndex(f.name)
+          val fi = fileSchema.getFieldIndex(physNames(i))
           if (current.getFieldRepetitionCount(fi) == 0) null
-          else f.dataType match {
-            case LongType    => current.getLong(fi, 0)
-            case IntegerType => current.getInteger(fi, 0)
-            case DoubleType  => current.getDouble(fi, 0)
-            case FloatType   => current.getFloat(fi, 0)
-            case BooleanType => current.getBoolean(fi, 0)
-            case StringType  => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
-            case BinaryType  => current.getBinary(fi, 0).getBytes
-            case dt => sys.error(s"txn-tail: unsupported column type $dt")
+          else {
+            // files committed BEFORE a type widening keep their narrow
+            // physical type — up-convert here, like the batch parquet scan
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+            def prim = fileSchema.getType(fi).asPrimitiveType().getPrimitiveTypeName
+            f.dataType match {
+              case LongType =>
+                if (prim == PrimitiveTypeName.INT32) current.getInteger(fi, 0).toLong
+                else current.getLong(fi, 0)
+              case IntegerType => current.getInteger(fi, 0)
+              case DoubleType =>
+                if (prim == PrimitiveTypeName.FLOAT) current.getFloat(fi, 0).toDouble
+                else current.getDouble(fi, 0)
+              case FloatType   => current.getFloat(fi, 0)
+              case BooleanType => current.getBoolean(fi, 0)
+              case StringType  => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
+              case BinaryType  => current.getBinary(fi, 0).getBytes
+              case dt => sys.error(s"txn-tail: unsupported column type $dt")
+            }
           }
         }
       i += 1

@@ -188,4 +188,45 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(got.count() == 91)
     assert(got.where($"body" === "v42").count() == 1)
   }
+
+  test("incremental CDF across a rename emits ONE seamless column") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 5), root)                             // v0
+    TxnTable.renameColumn(spark, root, "payload", "body")         // v1
+    TxnTable.append(Seq((6L, "v6")).toDF("id", "body"), root)     // v2
+    TxnTable.deleteDv(spark, root, $"id" === 2L, cdf = true)      // v3
+    // pre-rename frames carried `payload`; the feed must project them to
+    // the range-end name through the stable physical identity — NOT union
+    // two half-null columns
+    val feed = TxnTable.changeFeedIncremental(spark, root, -1L, 3L)
+    assert(feed.columns.toSeq.sorted ==
+      Seq("_change_type", "_commit_version", "body", "id"),
+      feed.columns.toSeq)
+    val rows = feed.select("_change_type", "id", "body").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._2, t._1)).toSeq
+    assert(rows == Seq(
+      ("insert", 1L, "v1"), ("delete", 2L, "v2"), ("insert", 2L, "v2"),
+      ("insert", 3L, "v3"), ("insert", 4L, "v4"), ("insert", 5L, "v5"),
+      ("insert", 6L, "v6")).sortBy(t => (t._2, t._1)), rows)
+    assert(rows.forall(_._3 != null), "no half-null frankencolumn")
+  }
+
+  test("txn-tail across a rename stitches old-physical files seamlessly") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 3), root)                             // v0
+    TxnTable.renameColumn(spark, root, "payload", "body")         // v1
+    TxnTable.append(Seq((4L, "v4")).toDF("id", "body"), root)     // v2
+    val q = spark.readStream.format("txn-tail").option("path", root).load()
+      .writeStream.format("memory").queryName("rename_tail").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rename_tail").select("id", "body").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == (1L to 4L).map(i => (i, s"v$i")),
+        s"pre-rename files must read under the new logical name: $got")
+    } finally q.stop()
+  }
 }

@@ -252,4 +252,50 @@ class DeltaLogSpec extends AnyFunSuite {
       "second expiry cycle lost state")
     assert(folded3.count() == 180)
   }
+
+  test("checkpoint remove tombstones carry the superseded deletionVector (path, dvId)") {
+    import org.apache.spark.sql.functions.col
+    val root = tbl()
+    TxnTable.append(df(1 to 3000).coalesce(1), root)                    // v0
+    val file0 = TxnTable.liveAddsForTest(root).head.file
+    (1 to 7).foreach(i =>
+      TxnTable.append(df(3000 + i * 10 to 3000 + i * 10 + 9), root))    // v1..v7
+    TxnTable.deleteDv(spark, root,
+      col("id") % 2L === 0L && col("id") <= 3000L)                      // v8: DV A
+    TxnTable.deleteDv(spark, root,
+      col("id") % 3L === 0L && col("id") <= 3000L)                      // v9: union B
+    val bCard = (1 to 3000).count(i => i % 2 == 0 || i % 3 == 0)
+    // v10 PURGES file0 (2/3 deleted): its remove must name instance B —
+    // and v10 is the checkpoint boundary, so the tombstone lands in the
+    // checkpoint parquet's remove struct, not just the expired JSON
+    TxnTable.purgeDeletes(spark, root, minDeletedFraction = 0.5)        // v10
+    val d = Paths.get(root, "_delta_log")
+    val cp = d.resolve(f"${10L}%020d.checkpoint.parquet")
+    assert(Files.exists(cp), "v10 checkpoint missing")
+    val rm = spark.read.parquet(cp.toString)
+      .filter(col("remove").isNotNull && col("remove.deletionVector").isNotNull)
+      .select("remove.path", "remove.deletionVector.storageType",
+        "remove.deletionVector.cardinality").collect()
+    assert(rm.length == 1 && rm.head.getString(0) == file0 &&
+      rm.head.getString(1) == "u" && rm.head.getLong(2) == bCard,
+      s"strict (path, dvId) reconciliation needs the tombstoned descriptor: ${rm.toSeq}")
+    // after expiry the checkpoint is the ONLY copy; a strict external
+    // reader folds cp + tail and must see a coherent DV-aware state
+    TxnTable.expireLog(root)
+    val cpDf = spark.read.parquet(cp.toString)
+    assert(cpDf.filter(col("remove.deletionVector").isNotNull).count() == 1,
+      "tombstoned descriptor lost to expiry")
+    assert(cpDf.filter(col("add.path") === file0).count() == 0,
+      "purged file must not be live in the checkpoint")
+    // the NEXT checkpoint generation seeds the tombstone forward
+    (1 to 10).foreach(i => TxnTable.append(df(9000 + i to 9000 + i), root)) // v11..v20
+    val cp20 = d.resolve(f"${20L}%020d.checkpoint.parquet")
+    assert(Files.exists(cp20), "v20 checkpoint missing")
+    val rm20 = spark.read.parquet(cp20.toString)
+      .filter(col("remove.deletionVector").isNotNull)
+      .select("remove.path", "remove.deletionVector.cardinality").collect()
+    assert(rm20.length == 1 && rm20.head.getString(0) == file0 &&
+      rm20.head.getLong(1) == bCard,
+      s"seeded checkpoint dropped the tombstoned descriptor: ${rm20.toSeq}")
+  }
 }

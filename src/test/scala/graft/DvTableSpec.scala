@@ -39,8 +39,12 @@ class DvTableSpec extends AnyFunSuite {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => p -> Files.getLastModifiedTime(p)).toMap
     assert(dataAfter == dataBefore, "MoR delete must not touch data files")
-    assert(Files.list(Paths.get(root, "dv")).iterator().asScala
-      .count(_.getFileName.toString.endsWith(".bin")) == 1)
+    // tiny bitmaps INLINE into the add action itself (storageType "i" per
+    // the spec) — no sidecar file, no extra open per scan
+    val dvs = TxnTable.liveAddsForTest(root).flatMap(_.dv)
+    assert(dvs.nonEmpty && dvs.forall(_.storageType == "i"), dvs)
+    assert(!Files.isDirectory(Paths.get(root, "dv")),
+      "tiny DVs must not cost a sidecar file")
     // row semantics: multiples of 10 are gone; time travel sees them
     assert(ids(TxnTable.read(spark, root)) ==
       (1L to 100L).filterNot(_ % 10 == 0))
@@ -81,9 +85,11 @@ class DvTableSpec extends AnyFunSuite {
 
   test("mirror carries spec deletionVector descriptors and the feature protocol") {
     val root = tbl()
-    TxnTable.append(df(1 to 40).coalesce(1), root)        // v0 — ONE file,
-    // so both deletes below hit the same instance deterministically
-    TxnTable.deleteDv(spark, root, col("id") <= 4L)       // v1
+    // ONE file, and a bitmap BIG enough (2857 scattered marks, > the
+    // inline threshold) to exercise the "u" sidecar + Z85-path encoding
+    TxnTable.append(df(1 to 20000).coalesce(1), root)     // v0
+    TxnTable.deleteDv(spark, root, col("id") % 7L === 0L) // v1
+    val card1 = 20000 / 7 // 2857
     val v1 = Files.readAllLines(
       Paths.get(root, "_delta_log", f"${1L}%020d.json")).asScala
     val protoLine = v1.find(_.startsWith("""{"protocol":"""))
@@ -92,7 +98,7 @@ class DvTableSpec extends AnyFunSuite {
       l.contains(""""readerFeatures":["deletionVectors"]""")), protoLine)
     val addLine = v1.find(l => l.startsWith("""{"add":""") )
     assert(addLine.exists(l => l.contains(""""deletionVector":{"storageType":"u"""") &&
-      l.contains(""""cardinality":4""") && l.contains(""""offset":1""")), addLine)
+      l.contains(s""""cardinality":$card1""") && l.contains(""""offset":1""")), addLine)
     // metaData records delta.enableDeletionVectors
     assert(v1.exists(l => l.contains("delta.enableDeletionVectors")), v1)
     // the descriptor round-trips through this module's own parser AND the
@@ -100,18 +106,19 @@ class DvTableSpec extends AnyFunSuite {
     val add = TxnTable.liveAddsForTest(root).find(_.dv.isDefined).get
     val d = add.dv.get
     assert(Files.exists(d.resolveFile(root)))
-    assert(graft.sources.DeletionVectors.readBitmap(root, d).cardinality == 4)
+    assert(graft.sources.DeletionVectors.readBitmap(root, d).cardinality == card1)
     // a SECOND deleteDv tombstones the first DV instance explicitly: the
     // remove action names the descriptor it replaces (strict readers
     // reconcile by (path, dvId), not path alone)
-    TxnTable.deleteDv(spark, root, col("id") === 40L)     // v2
+    TxnTable.deleteDv(spark, root, col("id") === 6L)      // v2 (6 % 7 != 0)
     val v2 = Files.readAllLines(
       Paths.get(root, "_delta_log", f"${2L}%020d.json")).asScala
     val rm = v2.find(_.startsWith("""{"remove":"""))
     assert(rm.exists(l => l.contains(""""deletionVector":{"storageType":"u"""") &&
-      l.contains(""""cardinality":4""")), rm)
+      l.contains(s""""cardinality":$card1""")), rm)
     assert(v2.find(l => l.startsWith("""{"add":"""))
-      .exists(_.contains(""""cardinality":5""")), "union descriptor on the re-add")
+      .exists(_.contains(s""""cardinality":${card1 + 1}""")),
+      "union descriptor on the re-add")
   }
 
   test("DV adds survive the checkpoint fold (internal and mirror) and expiry") {
@@ -130,7 +137,7 @@ class DvTableSpec extends AnyFunSuite {
       .select("add.path", "add.deletionVector.cardinality",
         "add.deletionVector.storageType").collect()
     assert(cpDv.length > 0 && cpDv.map(_.getLong(1)).sum == 12 &&
-      cpDv.forall(_.getString(2) == "u"), cpDv.toSeq)
+      cpDv.forall(_.getString(2) == "i"), cpDv.toSeq) // tiny bitmaps inline
     // protocol features fold into the checkpoint
     assert(spark.read.parquet(cp.toString)
       .filter(col("protocol.readerFeatures").isNotNull)
@@ -152,16 +159,19 @@ class DvTableSpec extends AnyFunSuite {
 
   test("vacuum reclaims superseded DV files, keeps referenced ones") {
     val root = tbl()
-    TxnTable.append(df(1 to 30), root)                   // v0
-    TxnTable.deleteDv(spark, root, col("id") === 1L)     // v1 → dv file A
-    TxnTable.deleteDv(spark, root, col("id") === 2L)     // v2 → dv file B (union)
+    // bitmaps big enough to take the "u" sidecar path (inline DVs have no
+    // file to reclaim — their bytes die with their log entry)
+    TxnTable.append(df(1 to 3000).coalesce(1), root)      // v0
+    TxnTable.deleteDv(spark, root, col("id") % 2L === 0L) // v1 → dv file A
+    TxnTable.deleteDv(spark, root, col("id") % 3L === 0L) // v2 → dv file B (union)
     def dvFiles = Files.list(Paths.get(root, "dv")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".bin")).toSeq
     assert(dvFiles.size == 2)
     val swept = TxnTable.vacuum(root, retainAfter = 1L)
     assert(swept.exists(_.startsWith("dv/")), s"DV file A not swept: $swept")
     assert(dvFiles.size == 1, "exactly the superseded DV file goes")
-    assert(ids(TxnTable.read(spark, root)) == (3L to 30L))
+    val keep = (1L to 3000L).filter(i => i % 2 != 0 && i % 3 != 0)
+    assert(ids(TxnTable.read(spark, root)) == keep)
     // v1 is no longer readable (its DV vacuumed) — loud failure, like data
     intercept[Exception](
       TxnTable.readVersion(spark, root, 1L).collect())
@@ -217,22 +227,25 @@ class DvTableSpec extends AnyFunSuite {
   test("shallow clone of a DV'd table: descriptors resolve into the source") {
     val src = tbl()
     val dst = tbl() + "/clone"
-    TxnTable.append(df(1 to 40).coalesce(1), src)        // v0
-    TxnTable.deleteDv(spark, src, col("id") <= 8L)       // v1
+    // a sidecar-sized bitmap: the clone must re-point "u" references as
+    // absolute "p" paths into the SOURCE root (inline "i" carries as-is)
+    TxnTable.append(df(1 to 9000).coalesce(1), src)       // v0
+    TxnTable.deleteDv(spark, src, col("id") % 3L === 0L)  // v1
     TxnTable.cloneShallow(src, dst)
+    val keep = (1L to 9000L).filterNot(_ % 3 == 0)
     // clone reads the SOURCE's bitmap: marked rows stay gone, zero copy
-    assert(ids(TxnTable.read(spark, dst)) == (9L to 40L))
+    assert(ids(TxnTable.read(spark, dst)) == keep)
     val cloneDv = TxnTable.liveAddsForTest(dst).flatMap(_.dv)
     assert(cloneDv.nonEmpty && cloneDv.forall(_.storageType == "p"),
       s"clone must carry absolute DV references: $cloneDv")
     // the clone diverges with its OWN merge-on-read deletes; source intact
     TxnTable.deleteDv(spark, dst, col("id") === 20L)
-    assert(ids(TxnTable.read(spark, dst)) == ((9L to 19L) ++ (21L to 40L)).sorted)
-    assert(ids(TxnTable.read(spark, src)) == (9L to 40L), "source must not move")
+    assert(ids(TxnTable.read(spark, dst)) == keep.filterNot(_ == 20L))
+    assert(ids(TxnTable.read(spark, src)) == keep, "source must not move")
     // vacuum through the clone never reclaims the source's DV sidecar
     TxnTable.vacuum(dst, retainAfter = TxnTable.latestVersion(dst) - 1)
-    assert(ids(TxnTable.read(spark, src)) == (9L to 40L))
-    assert(ids(TxnTable.read(spark, dst)) == ((9L to 19L) ++ (21L to 40L)).sorted)
+    assert(ids(TxnTable.read(spark, src)) == keep)
+    assert(ids(TxnTable.read(spark, dst)) == keep.filterNot(_ == 20L))
   }
 
   test("concurrent deleteDv writers: the CAS loser rebases and unions") {
@@ -350,5 +363,105 @@ class DvTableSpec extends AnyFunSuite {
       ((4L to 9L) ++ (11L to 12L)).map(i => ("delete", i)))
     // the whole range stitches cdf + dv_delta frames
     assert(feed(0L, 3L).map(_._2).sorted == (1L to 12L))
+  }
+
+  test("mergeDv: replaced rows DV-mark in place, delta lands in new files") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 100).repartition(3), root)    // v0
+    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+    // update ids 1..5 (new payloads), insert 101..103
+    val delta = ((1 to 5).map(i => (i.toLong, s"upd$i")) ++
+      (101 to 103).map(i => (i.toLong, s"v$i"))).toDF("id", "payload")
+    TxnTable.mergeDv(spark, delta, root, Seq("id"))       // v1
+    // every pre-merge file survives byte-identical; new files carry delta
+    val dataAfter = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+    assert(dataBefore.subsetOf(dataAfter), "mergeDv must not rewrite touched files")
+    assert(dataAfter.size > dataBefore.size, "delta rows need new files")
+    // row semantics: updates replaced, inserts present, rest untouched
+    val got = TxnTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val want = ((1 to 5).map(i => (i.toLong, s"upd$i")) ++
+      (6 to 100).map(i => (i.toLong, s"v$i")) ++
+      (101 to 103).map(i => (i.toLong, s"v$i"))).sortBy(_._1)
+    assert(got == want)
+    // time travel below the merge sees the originals
+    assert(TxnTable.readVersion(spark, root, 0L)
+      .filter(col("id") <= 5L).as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      (1 to 5).map(i => (i.toLong, s"v$i")))
+    // the marked files carry descriptors summing to the replaced count
+    val dvs = TxnTable.liveAddsForTest(root).flatMap(_.dv)
+    assert(dvs.map(_.cardinality).sum == 5, dvs)
+  }
+
+  test("mergeDv hybrid: files past rewriteFraction copy-on-write instead") {
+    import spark.implicits._
+    val root = tbl()
+    // two files with disjoint ranges: A gets 60% of its rows replaced
+    // (rewrites clean), B gets 2% (keeps its bytes + a bitmap)
+    TxnTable.append(df(1 to 100).coalesce(1), root)       // v0: file A
+    TxnTable.append(df(101 to 200).coalesce(1), root)     // v1: file B
+    val before = TxnTable.liveAddsForTest(root).map(_.file).toSet
+    val delta = ((1 to 60).map(i => (i.toLong, s"upd$i")) ++
+      Seq((150L, "upd150"))).toDF("id", "payload")
+    TxnTable.mergeDv(spark, delta, root, Seq("id"), rewriteFraction = 0.5) // v2
+    val after = TxnTable.liveAddsForTest(root)
+    val keptOld = after.map(_.file).toSet.intersect(before)
+    assert(keptOld.size == 1, s"exactly file B survives in place: $after")
+    val bDv = after.filter(a => keptOld(a.file)).flatMap(_.dv)
+    assert(bDv.map(_.cardinality).sum == 1, "B carries the 1-row bitmap")
+    assert(after.filterNot(a => keptOld(a.file)).forall(_.dv.isEmpty),
+      "rewritten + delta files are clean")
+    val got = TxnTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val want = ((1 to 60).map(i => (i.toLong, s"upd$i")) ++
+      (61 to 149).map(i => (i.toLong, s"v$i")) ++ Seq((150L, "upd150")) ++
+      (151 to 200).map(i => (i.toLong, s"v$i"))).sortBy(_._1)
+    assert(got == want)
+    // a SECOND mergeDv on B counts the existing bitmap toward the
+    // threshold: cumulative fraction (1 old + 54 new of 100) crosses 0.5
+    // and B rewrites clean instead of stacking bitmaps
+    val delta2 = (101 to 155).map(i => (i.toLong, s"up2$i")).toDF("id", "payload")
+    TxnTable.mergeDv(spark, delta2, root, Seq("id"), rewriteFraction = 0.5) // v3
+    assert(TxnTable.liveAddsForTest(root).map(_.file).toSet
+      .intersect(keptOld).isEmpty, "cumulative-threshold must rewrite B clean")
+    assert(TxnTable.read(spark, root).filter(col("id") === 150L)
+      .as[(Long, String)].collect().toSeq == Seq((150L, "up2150")))
+    assert(TxnTable.read(spark, root).count() == 200)
+  }
+
+  test("mergeDv with cdf feeds the incremental CDF; no-match delta is pure insert") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 20), root)                    // v0
+    val delta = Seq((3L, "upd3"), (777L, "new")).toDF("id", "payload")
+    TxnTable.mergeDv(spark, delta, root, Seq("id"), cdf = true) // v1
+    val feed = TxnTable.changeFeedIncremental(spark, root, 0L, 1L)
+      .select("_change_type", "id", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(t => (t._2, t._1))
+    assert(feed.toSeq == Seq(
+      ("update_preimage", 3L, "v3"), ("update_postimage", 3L, "upd3"),
+      ("insert", 777L, "new")).sortBy(t => (t._2, t._1)), feed.toSeq)
+    // delta hitting NOTHING (fresh keys only) commits as a plain insert
+    val ins = Seq((900L, "i900")).toDF("id", "payload")
+    TxnTable.mergeDv(spark, ins, root, Seq("id"), cdf = true) // v2
+    assert(TxnTable.changeFeedIncremental(spark, root, 1L, 2L)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("insert"))
+    assert(TxnTable.read(spark, root).count() == 22)
+  }
+
+  test("deleteDv driver budget: a blob set past the budget fails loudly") {
+    val root = tbl()
+    TxnTable.append(df(1 to 5000).repartition(4), root)
+    val e = intercept[IllegalArgumentException](
+      TxnTable.deleteDv(spark, root, col("id") % 2L === 0L,
+        driverDvBudgetBytes = 64L))
+    assert(e.getMessage.contains("driver budget"), e.getMessage)
+    // nothing committed, nothing marked — the table is untouched
+    assert(TxnTable.latestVersion(root) == 0L)
+    assert(TxnTable.read(spark, root).count() == 5000)
   }
 }

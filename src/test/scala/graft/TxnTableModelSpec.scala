@@ -44,7 +44,7 @@ class TxnTableModelSpec extends AnyFunSuite {
 
     val ops = scala.collection.mutable.ArrayBuffer("append(seed)")
     for (step <- 1 to 24) {
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => // append fresh rows
           val rows = freshRows(20 + rnd.nextInt(30))
           TxnTable.append(toDf(rows).coalesce(1 + rnd.nextInt(2)), root)
@@ -84,6 +84,14 @@ class TxnTableModelSpec extends AnyFunSuite {
           val after = TxnTable.purgeDeletes(spark, root, minDeletedFraction = 0.05)
           if (after > before) { model += cur; ops += "purge" }
           else ops += "purge(noop)"
+        case 8 => // keyed merge-on-read: DV-mark replaced rows, delta in new files
+          val updates = rnd.shuffle(cur.keys.toSeq).take(cur.size / 4)
+            .map(k => k -> rnd.nextLong(1000000)).toMap
+          val inserts = freshRows(5 + rnd.nextInt(10))
+          TxnTable.mergeDv(spark, toDf(updates ++ inserts), root, Seq("id"),
+            rewriteFraction = 0.3 + rnd.nextDouble() * 0.7)
+          model += cur ++ updates ++ inserts
+          ops += s"mergeDv(u=${updates.size},i=${inserts.size})"
       }
       assert(snap(root) == cur, s"snapshot diverged after step $step: ${ops.last}")
       // a pruning read must agree with the model filter
