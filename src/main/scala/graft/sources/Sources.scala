@@ -1317,6 +1317,55 @@ object Sources {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Oracle-gated MERGE-ON-READ UPDATE (deletion vectors): append the
+  // events slice range-clustered on cents, UPDATE a cents band ×2 (v1 —
+  // the matched rows DV-mark in place, their doubled images land in new
+  // files), then a second update (+7 on multiples of 97) that must apply
+  // to the CURRENT state including v1's images and union into existing
+  // bitmaps (v2), then REORG PURGE materializes everything clean (v3,
+  // bit-identical to v2). The oracle replays the same row algebra with
+  // nested CASE WHENs; DvTableSpec gates the no-rewrite property and the
+  // constraint re-validation.
+  // ---------------------------------------------------------------------------
+  def txnUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_update")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      TxnTable.append(ev.repartitionByRange(8, $"cents"), tmp.toString)     // v0
+      TxnTable.updateDv(s, tmp.toString,
+        $"cents" >= 5000L && $"cents" <= 6000L,
+        Map("cents" -> ($"cents" * 2L)), rewriteFraction = 0.5)             // v1
+      TxnTable.updateDv(s, tmp.toString, $"cents" % 97L === 0L,
+        Map("cents" -> ($"cents" + 7L)), rewriteFraction = 0.5)             // v2
+      TxnTable.purgeDeletes(s, tmp.toString, minDeletedFraction = 0.01)     // v3
+      val per = (0L to 3L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnUpdateSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |v1 AS (SELECT CASE WHEN cents BETWEEN 5000 AND 6000
+      |              THEN 2 * cents ELSE cents END AS c FROM ev),
+      |v2 AS (SELECT CASE WHEN c % 97 = 0 THEN c + 7 ELSE c END AS c FROM v1)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(c) AS BIGINT) FROM v1
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(c) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(c) AS BIGINT) FROM v2
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Oracle-gated TYPE WIDENING: append events with cents as INT, widen the
   // column to BIGINT by metadata alone (zero bytes rewritten — the INT
   // files keep their physical type and the scan up-converts), then append
@@ -1386,6 +1435,7 @@ object Sources {
     "q_txn_clone_part" -> txnClonePart _,
     "q_txn_merge_dv" -> txnMergeDv _,
     "q_txn_widen" -> txnWiden _,
+    "q_txn_update" -> txnUpdate _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -1412,5 +1462,6 @@ object Sources {
     "q_txn_clone_part" -> txnClonePartSql,
     "q_txn_merge_dv" -> txnMergeDvSql,
     "q_txn_widen" -> txnWidenSql,
+    "q_txn_update" -> txnUpdateSql,
   )
 }

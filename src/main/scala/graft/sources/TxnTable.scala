@@ -285,6 +285,11 @@ object TxnTable {
       .map(_.stripSuffix(".ckpt").toLong).toSeq.sorted
   }
 
+  /** Ops carrying an idempotence token in the dedup ledger: tagged
+    * appends ([[appendOnce]]) and tagged merges ([[mergeDvOnce]]). */
+  private def tokenOp(op: String): Boolean =
+    op.startsWith("append#") || op.startsWith("merge-dv#")
+
   /** Fold state at `upTo`: (live adds, token→version ledger). Seeds from
     * the newest checkpoint ≤ upTo, then folds only the tail. */
   private def foldState(root: String, upTo: Long): (Seq[AddFile], Map[String, Long]) = {
@@ -310,10 +315,10 @@ object TxnTable {
         parseLog(root, v).foreach {
           case Action(_, op, "add", a) =>
             live(a.file) = a
-            if (op.startsWith("append#")) tokens(op) = v
+            if (tokenOp(op)) tokens(op) = v
           case Action(_, op, "remove", a) =>
             live.remove(a.file)
-            if (op.startsWith("append#")) tokens(op) = v
+            if (tokenOp(op)) tokens(op) = v
           case _ => ()
         }
       }
@@ -1250,6 +1255,41 @@ object TxnTable {
               keys: Seq[String], cdf: Boolean = false,
               rewriteFraction: Double = 0.1,
               driverDvBudgetBytes: Long = DvDriverBudgetBytes): Long = casRetry("mergeDv") {
+    mergeDvBody(spark, delta, root, keys, cdf, rewriteFraction,
+      driverDvBudgetBytes, op = "merge-dv", token = None)
+  }
+
+  /** IDEMPOTENT merge-on-read merge: [[mergeDv]] tagged with `token` — a
+    * commit bearing the same token already in the ledger returns that
+    * version and writes NOTHING. The exactly-once upsert twin of
+    * [[appendOnce]]: a restarted streaming query redelivering micro-batch
+    * N merges it zero times more, which is what lets
+    * [[graft.streaming.TxnUpsertSink]] land a CDC changelog as keyed
+    * upserts with exactly-once CONTENT. The token ledger rides the same
+    * checkpointed fold as appendOnce's (`merge-dv#` ops), so redelivery
+    * detection stays O(checkpoint + tail) at any history length. */
+  def mergeDvOnce(spark: SparkSession, delta: DataFrame, root: String,
+                  keys: Seq[String], token: String, cdf: Boolean = false,
+                  rewriteFraction: Double = 0.1,
+                  driverDvBudgetBytes: Long = DvDriverBudgetBytes): Long = {
+    require(token.forall(c => c >= ' '),
+      s"mergeDvOnce token must not contain control characters: ${token.trim}")
+    val op = s"merge-dv#$token"
+    def existing: Option[Long] =
+      foldState(root, latestVersion(root))._2.get(op)
+    existing.getOrElse(casRetry("mergeDvOnce") {
+      // the same token may have won a concurrent race — re-check inside
+      // the CAS loop so redelivery never double-merges
+      existing.getOrElse(mergeDvBody(spark, delta, root, keys, cdf,
+        rewriteFraction, driverDvBudgetBytes, op, Some(token)))
+    })
+  }
+
+  private def mergeDvBody(spark: SparkSession, delta: DataFrame, root: String,
+                          keys: Seq[String], cdf: Boolean,
+                          rewriteFraction: Double,
+                          driverDvBudgetBytes: Long,
+                          op: String, token: Option[String]): Long = {
     require(rewriteFraction > 0 && rewriteFraction <= 1,
       s"rewriteFraction must be in (0,1], got $rewriteFraction")
     val v = latestVersion(root) + 1
@@ -1281,8 +1321,9 @@ object TxnTable {
         if (pcs.isEmpty) writeDataFiles(delta, root, v)
         else writePartitionedFiles(delta, root, v, pcs)
       val schemaOut = readMeta(root).map(_._1).getOrElse(delta.schema)
-      commit(root, v, "merge-dv", adds, Seq.empty,
-        schemaJson = Some(schemaOut.json), partCols = pcs, cdc = cdcAdds)
+      commit(root, v, op, adds, Seq.empty,
+        schemaJson = Some(schemaOut.json), partCols = pcs, cdc = cdcAdds,
+        txn = token.map(t => (t, v)))
       return v
     }
     val cur = readFilesTagged(spark, root, candidates, v - 1, rowIndex = true)
@@ -1357,9 +1398,9 @@ object TxnTable {
       if (dvReadds.isEmpty || cfg.get("delta.enableDeletionVectors").contains("true")) None
       else Some(cfg + ("delta.enableDeletionVectors" -> "true"))
     val touchedSet = touchedAll.toSet
-    commit(root, v, "merge-dv", dataAdds ++ dvReadds, touchedAll.sorted,
+    commit(root, v, op, dataAdds ++ dvReadds, touchedAll.sorted,
       schemaJson = Some(schemaOut.json), partCols = pcs, cdc = cdcAdds,
-      extraConfig = withCfg,
+      extraConfig = withCfg, txn = token.map(t => (t, v)),
       removeDvs = dvTombstones(candidates.filter(a => touchedSet(a.file))))
     v
   }
@@ -2702,6 +2743,185 @@ object TxnTable {
       }
     if (!committed) // no row matched: still a (file-free) commit,
       commit(root, v, "delete-dv", Seq.empty, Seq.empty) // audited
+    v
+  }
+
+  /** Apply an UPDATE's SET map to a row frame: assigned columns take
+    * their expression (over the OLD row), cast back to the table type so
+    * `set cents = cents * 2` can never silently widen the schema;
+    * everything else passes through. Shared by [[update]]/[[updateDv]]. */
+  private def applySet(df: DataFrame, schema: StructType,
+                       set: Map[String, Column]): DataFrame = {
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"UPDATE sets unknown column $c"))
+    df.select(schema.fields.toSeq.map { f =>
+      set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+    }: _*)
+  }
+
+  /** UPDATE WHERE (copy-on-write): rows matching `pred` get the `set`
+    * expressions applied (each a Column over the OLD row), in ONE commit.
+    * Same two-stage pruning as [[delete]]: stats skip the candidates,
+    * then only files truly CONTAINING a match rewrite — their unmatched
+    * rows copied forward beside the updated images, inside their
+    * partition. NULL-predicate rows do not match (SQL UPDATE). Updated
+    * images re-validate CHECK constraints (an update can break what the
+    * original append proved); a violating update refuses BEFORE anything
+    * commits. `cdf = true` persists update pre/post image change files. */
+  def update(spark: SparkSession, root: String, pred: Column,
+             set: Map[String, Column], cdf: Boolean = false): Long = casRetry("update") {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val meta = readMeta(root)
+    val pcs = meta.map(_._2).getOrElse(Seq.empty)
+    set.keys.foreach(c => require(!pcs.contains(c),
+      s"UPDATE of partition column $c is not supported (rows would have " +
+        "to move directories — delete + append instead)"))
+    val schema = meta.map(_._1).getOrElse(
+      sys.error(s"$root has no metaData to update"))
+    val adds = liveAdds(root, v - 1)
+    val (candidates, _) = pruneAdds(adds, pred,
+      meta.map(m => colMapping(m._1)).getOrElse(Map.empty))
+    val touchedRel =
+      if (candidates.isEmpty) Seq.empty[String]
+      else {
+        val cur = readFilesTagged(spark, root, candidates, v - 1)
+        val touched = cur.filter(pred).select("_file").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (touched.isEmpty) Seq.empty[String]
+        else {
+          val inTouched = cur.filter(col("_file").isin(touched: _*))
+            .drop("_file")
+          val hit = coalesce(pred, lit(false))
+          val updated = applySet(inTouched.filter(hit), schema, set)
+          val carried = inTouched.filter(!hit)
+          val cdcAdds =
+            if (!cdf) Seq.empty[AddFile]
+            else writeCdcFiles(
+              inTouched.filter(hit)
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(updated
+                  .withColumn("_change_type", lit("update_postimage"))),
+              root, v)
+          // carried rows were already valid; only the updated images need
+          // the constraint pass — validate them alone, then write both
+          // without a second pass
+          validateConstraints(updated, root)
+          val out = carried.unionByName(updated)
+          val rewritten =
+            if (pcs.isEmpty) writeDataFiles(out, root, v, check = false)
+            else writePartitionedFiles(out, root, v, pcs, check = false)
+          commit(root, v, "update", rewritten, touched, partCols = pcs,
+            cdc = cdcAdds,
+            removeDvs = dvTombstones(
+              candidates.filter(a => touched.contains(a.file))))
+          touched
+        }
+      }
+    if (touchedRel.isEmpty) // no row matched: still a (file-free) commit,
+      commit(root, v, "update", Seq.empty, Seq.empty) // so the op is audited
+    v
+  }
+
+  /** MERGE-ON-READ UPDATE via deletion vectors: rows matching `pred` are
+    * DV-MARKED in their files and their UPDATED IMAGES (the `set`
+    * expressions over the old row) land in NEW files — updating 0.1% of
+    * the rows spread over many gigabyte files commits a few-KB bitmap
+    * plus the images' own bytes, where copy-on-write [[update]] rewrites
+    * every touched file whole. Files whose cumulative deleted fraction
+    * (existing DV + newly matched) reaches `rewriteFraction` take the
+    * copy-on-write path in the same commit (the [[purgeDeletes]]
+    * threshold reused — no purge-bait left behind). Updated images
+    * re-validate CHECK constraints before anything commits; `cdf = true`
+    * persists pre/post image change files; bitmaps stream to the driver
+    * under `driverDvBudgetBytes` ([[collectDvBlobs]]). */
+  def updateDv(spark: SparkSession, root: String, pred: Column,
+               set: Map[String, Column], cdf: Boolean = false,
+               rewriteFraction: Double = 0.1,
+               driverDvBudgetBytes: Long = DvDriverBudgetBytes): Long = casRetry("updateDv") {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    require(rewriteFraction > 0 && rewriteFraction <= 1,
+      s"rewriteFraction must be in (0,1], got $rewriteFraction")
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val meta = readMeta(root)
+    val pcs = meta.map(_._2).getOrElse(Seq.empty)
+    set.keys.foreach(c => require(!pcs.contains(c),
+      s"UPDATE of partition column $c is not supported (rows would have " +
+        "to move directories — delete + append instead)"))
+    val schema = meta.map(_._1).getOrElse(
+      sys.error(s"$root has no metaData to update"))
+    val adds = liveAdds(root, v - 1)
+    val (candidates, _) = pruneAdds(adds, pred,
+      meta.map(m => colMapping(m._1)).getOrElse(Map.empty))
+    val committed =
+      if (candidates.isEmpty) false
+      else {
+        val cur = readFilesTagged(spark, root, candidates, v - 1,
+          rowIndex = true)
+        val hit = coalesce(pred, lit(false))
+        val perFile = collectDvBlobs(
+          cur.filter(hit).select(col("_file").cast("string"), col("_ri").cast("long")),
+          "updateDv", driverDvBudgetBytes).sortBy(_._1)
+        if (perFile.isEmpty) false
+        else {
+          val byFile = candidates.map(a => (a.file, a)).toMap
+          val (dvSide, cowSide) = perFile.partition { case (f, _, card) =>
+            val a = byFile(f)
+            val old = a.dv.map(_.cardinality).getOrElse(0L)
+            a.stats.map(decodeStats(_).numRecords) match {
+              case Some(n) if n > 0 => (old + card).toDouble / n < rewriteFraction
+              case _                => false // stats-less: rewrite to be safe
+            }
+          }
+          val touchedAll = perFile.map(_._1)
+          val inTouched = cur.filter(col("_file").isin(touchedAll: _*))
+            .drop("_file", "_ri")
+          val updated = applySet(inTouched.filter(hit), schema, set)
+          validateConstraints(updated, root)
+          val carried = {
+            val cowFiles = cowSide.map(_._1)
+            if (cowFiles.isEmpty) updated
+            else cur.filter(col("_file").isin(cowFiles: _*)).filter(!hit)
+              .drop("_file", "_ri").unionByName(updated)
+          }
+          val cdcAdds =
+            if (!cdf) Seq.empty[AddFile]
+            else writeCdcFiles(
+              inTouched.filter(hit)
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(updated
+                  .withColumn("_change_type", lit("update_postimage"))),
+              root, v)
+          val dvMerged = dvSide.map { case (f, blob, _) =>
+            val bm = DeletionVectors.RoaringBitmapArray.deserialize(blob)
+            val a = byFile(f)
+            a.dv.foreach(d => bm.or(DeletionVectors.readBitmap(root, d)))
+            (a, bm)
+          }
+          val dvReadds =
+            if (dvMerged.isEmpty) Seq.empty[AddFile]
+            else DeletionVectors.writeDescriptors(root, dvMerged.map(_._2))
+              .zip(dvMerged).map { case (d, (a, _)) => a.copy(dv = Some(d)) }
+          val dataAdds =
+            if (pcs.isEmpty) writeDataFiles(carried, root, v, check = false)
+            else writePartitionedFiles(carried, root, v, pcs, check = false)
+          val cfg = readTableConfig(root)
+          val withCfg =
+            if (dvReadds.isEmpty ||
+              cfg.get("delta.enableDeletionVectors").contains("true")) None
+            else Some(cfg + ("delta.enableDeletionVectors" -> "true"))
+          val touchedSet = touchedAll.toSet
+          commit(root, v, "update-dv", dataAdds ++ dvReadds, touchedAll.sorted,
+            schemaJson = Some(schema.json), partCols = pcs, cdc = cdcAdds,
+            extraConfig = withCfg,
+            removeDvs = dvTombstones(candidates.filter(a => touchedSet(a.file))))
+          true
+        }
+      }
+    if (!committed) // no row matched: still a (file-free) commit,
+      commit(root, v, "update-dv", Seq.empty, Seq.empty) // audited
     v
   }
 

@@ -453,6 +453,84 @@ class DvTableSpec extends AnyFunSuite {
     assert(TxnTable.read(spark, root).count() == 22)
   }
 
+  test("updateDv: matched rows DV-mark in place, updated images land in new files") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 100).repartition(3), root)    // v0
+    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+    TxnTable.updateDv(spark, root, col("id") % 20L === 0L,
+      Map("payload" -> concat(col("payload"), lit("!"))))  // v1
+    val dataAfter = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+    assert(dataBefore.subsetOf(dataAfter), "updateDv must not rewrite touched files")
+    assert(dataAfter.size > dataBefore.size, "updated images need new files")
+    val got = TxnTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val want = (1 to 100).map(i =>
+      (i.toLong, if (i % 20 == 0) s"v$i!" else s"v$i"))
+    assert(got == want)
+    // time travel below the update sees the originals
+    assert(TxnTable.readVersion(spark, root, 0L)
+      .filter(col("id") === 20L).as[(Long, String)].collect().toSeq ==
+      Seq((20L, "v20")))
+    // a SECOND update applies to the CURRENT state (v1's images included)
+    // and unions into the existing bitmaps
+    TxnTable.updateDv(spark, root, col("payload").endsWith("!"),
+      Map("payload" -> concat(col("payload"), lit("?"))))  // v2
+    assert(TxnTable.read(spark, root).filter(col("id") === 20L)
+      .as[(Long, String)].collect().toSeq == Seq((20L, "v20!?")))
+    // cdf: pre/post images of a third update feed the incremental CDF
+    TxnTable.updateDv(spark, root, col("id") === 7L,
+      Map("payload" -> lit("seven")), cdf = true)          // v3
+    val feed = TxnTable.changeFeedIncremental(spark, root, 2L, 3L)
+      .select("_change_type", "id", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(feed == Seq(("update_postimage", 7L, "seven"),
+      ("update_preimage", 7L, "v7")), feed)
+    // purge composes: contents bit-identical after materialization
+    TxnTable.purgeDeletes(spark, root, minDeletedFraction = 0.01) // v4
+    assert(TxnTable.read(spark, root).count() == 100)
+    assert(TxnTable.liveAddsForTest(root).forall(_.dv.isEmpty))
+  }
+
+  test("update (CoW) + constraints: violating images refuse before committing") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 50).coalesce(1), root)
+    TxnTable.setConstraint(spark, root, "short_payload", "length(payload) <= 10")
+    // CoW update rewrites only the touched file, applies SET exactly
+    val v = TxnTable.update(spark, root, col("id") <= 3L,
+      Map("payload" -> upper(col("payload"))))
+    assert(v == 2L)
+    assert(TxnTable.read(spark, root).filter(col("id") <= 3L)
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("V1", "V2", "V3"))
+    // an update whose images VIOLATE a CHECK constraint refuses loudly,
+    // on both write paths, and commits nothing
+    val long = lit("waaaaaaaaay-too-long")
+    intercept[IllegalArgumentException](
+      TxnTable.update(spark, root, col("id") === 1L, Map("payload" -> long)))
+    intercept[IllegalArgumentException](
+      TxnTable.updateDv(spark, root, col("id") === 1L, Map("payload" -> long)))
+    assert(TxnTable.latestVersion(root) == 2L)
+    // unknown SET column and partition-column SET refuse
+    intercept[IllegalArgumentException](
+      TxnTable.update(spark, root, col("id") === 1L, Map("nope" -> lit(1))))
+    def pdf(ids: Range, p: String) =
+      ids.map(i => (i.toLong, s"v$i", p)).toDF("id", "payload", "p")
+    val proot = tbl()
+    TxnTable.appendPartitioned(pdf(1 to 10, "a"), proot, Seq("p"))
+    intercept[IllegalArgumentException](
+      TxnTable.update(spark, proot, col("id") === 1L, Map("p" -> lit("b"))))
+    // but a data-column update INSIDE a partition works and stays put
+    TxnTable.updateDv(spark, proot, col("id") === 1L,
+      Map("payload" -> lit("one")))
+    assert(TxnTable.read(spark, proot).filter(col("id") === 1L)
+      .select("payload", "p").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("one", "a")))
+  }
+
   test("deleteDv driver budget: a blob set past the budget fails loudly") {
     val root = tbl()
     TxnTable.append(df(1 to 5000).repartition(4), root)

@@ -44,7 +44,7 @@ class TxnTableModelSpec extends AnyFunSuite {
 
     val ops = scala.collection.mutable.ArrayBuffer("append(seed)")
     for (step <- 1 to 24) {
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 => // append fresh rows
           val rows = freshRows(20 + rnd.nextInt(30))
           TxnTable.append(toDf(rows).coalesce(1 + rnd.nextInt(2)), root)
@@ -92,6 +92,18 @@ class TxnTableModelSpec extends AnyFunSuite {
             rewriteFraction = 0.3 + rnd.nextDouble() * 0.7)
           model += cur ++ updates ++ inserts
           ops += s"mergeDv(u=${updates.size},i=${inserts.size})"
+        case 9 => // range UPDATE, randomly copy-on-write or merge-on-read
+          val ks = cur.keys.toSeq.sorted
+          val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(40)
+          val pred = col("id") >= lo && col("id") <= hi
+          val setV = Map("v" -> (col("v") + 1000000L))
+          val mor = rnd.nextBoolean()
+          if (mor) TxnTable.updateDv(spark, root, pred, setV,
+            rewriteFraction = 0.3 + rnd.nextDouble() * 0.7)
+          else TxnTable.update(spark, root, pred, setV)
+          model += cur.map { case (k, v) =>
+            k -> (if (k >= lo && k <= hi) v + 1000000L else v) }
+          ops += s"${if (mor) "updateDv" else "update"}[$lo,$hi]"
       }
       assert(snap(root) == cur, s"snapshot diverged after step $step: ${ops.last}")
       // a pruning read must agree with the model filter
