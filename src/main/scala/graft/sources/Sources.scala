@@ -1410,6 +1410,51 @@ object Sources {
       |      SELECT CAST(cents AS BIGINT) * 100000 FROM ev WHERE cents > 20000)
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated LIQUID CLUSTERING (incremental z-order maintenance):
+  // declare clustering columns once, run an optimizeCluster pass (full,
+  // first time), append MORE rows, run the pass again — the second pass
+  // folds ONLY the new files into the layout (ClusteringSpec gates that
+  // the first pass's outputs never rewrite). Contents must be
+  // bit-identical at every step — clustering is layout, never
+  // correctness — which is exactly what the oracle replays.
+  // ---------------------------------------------------------------------------
+  def txnCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cluster")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      TxnTable.append(ev.repartition(4), tmp.toString)                      // v0
+      TxnTable.setClustering(s, tmp.toString, Seq("user_id", "cents"))      // v1
+      TxnTable.optimizeCluster(s, tmp.toString, targetPartitions = 4)       // v2
+      TxnTable.append(ev.filter($"cents" > 20000L), tmp.toString)           // v3
+      TxnTable.optimizeCluster(s, tmp.toString, targetPartitions = 2)       // v4
+      val per = Seq(0L, 2L, 3L, 4L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnClusterSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |v3 AS (SELECT cents FROM ev
+      |       UNION ALL SELECT cents FROM ev WHERE cents > 20000)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM ev
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v3
+      |UNION ALL
+      |SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v3
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -1436,6 +1481,7 @@ object Sources {
     "q_txn_merge_dv" -> txnMergeDv _,
     "q_txn_widen" -> txnWiden _,
     "q_txn_update" -> txnUpdate _,
+    "q_txn_cluster" -> txnCluster _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -1463,5 +1509,6 @@ object Sources {
     "q_txn_merge_dv" -> txnMergeDvSql,
     "q_txn_widen" -> txnWidenSql,
     "q_txn_update" -> txnUpdateSql,
+    "q_txn_cluster" -> txnClusterSql,
   )
 }

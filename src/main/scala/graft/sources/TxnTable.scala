@@ -2144,6 +2144,91 @@ object TxnTable {
     v
   }
 
+  // ---- liquid clustering (incremental z-order maintenance) -------------------
+  // The OPTIMIZE ZORDER model rewrites the WHOLE table per pass — correct,
+  // but at 100 TB a nightly full rewrite is exactly the write-amplification
+  // class DVs and MoR merge just eliminated. The liquid-clustering shape
+  // fixes the maintenance cost: the table DECLARES its clustering columns
+  // once (metadata), and each OPTIMIZE pass clusters ONLY the files that
+  // arrived since the last pass — appends land unclustered, the pass folds
+  // them into z-ordered files, already-clustered bytes never rewrite. Cost
+  // per pass is proportional to the NEW data, not the table.
+
+  private val ClusteringKey = "delta.clusteringColumns"
+  private val ClusteringBitsKey = "graft.clustering.bits"
+
+  /** Declare the table's clustering columns — metadata-only, like Delta's
+    * `CLUSTER BY`. Numeric columns only (the Morton interleave masks each
+    * to `bits` bits; clustering is layout, never correctness). */
+  def setClustering(spark: SparkSession, root: String,
+                    cols: Seq[String], bits: Int = 16): Long = casRetry("setClustering") {
+    require(cols.nonEmpty, "setClustering needs at least one column")
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val (schema, pcs) = readMeta(root).getOrElse(
+      sys.error(s"$root has no metaData to cluster"))
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"no column $c"))
+      require(f.dataType.isInstanceOf[NumericType],
+        s"clustering column $c: ${f.dataType.simpleString} is not numeric")
+      require(!pcs.contains(c),
+        s"$c is a partition column — already the coarse layout key")
+    }
+    val cfg = readTableConfig(root) +
+      (ClusteringKey -> cols.mkString(",")) +
+      (ClusteringBitsKey -> bits.toString)
+    commit(root, v, s"set-clustering#${cols.mkString(",")}", Seq.empty, Seq.empty,
+      schemaJson = Some(schema.json), dataChange = false, partCols = pcs,
+      extraConfig = Some(cfg))
+    v
+  }
+
+  /** The declared clustering columns (empty when never set). */
+  def clusteringColumns(root: String): Seq[String] =
+    readTableConfig(root).get(ClusteringKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  /** INCREMENTAL clustering pass: z-order-rewrite ONLY the live files a
+    * previous pass did not produce (attribution by each file's add-action
+    * op). Appends since the last pass fold into clustered files; bytes a
+    * prior pass already placed never rewrite — the pass costs O(new
+    * data). Reads through deletion vectors (marked rows vanish, sidecars
+    * drop), respects the hive layout (clusters within partitions), and
+    * commits `dataChange:false` so streams skip it. No unclustered file →
+    * NO commit. After [[expireLog]] truncates the op attribution below a
+    * checkpoint, old files may re-cluster ONCE — wasted bytes, never
+    * wrong bytes. Returns the committed (or current) version. */
+  def optimizeCluster(spark: SparkSession, root: String,
+                      targetPartitions: Int = 1): Long = casRetry("optimizeCluster") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val zCols = clusteringColumns(root)
+    require(zCols.nonEmpty,
+      s"$root has no clustering columns (declare them with setClustering)")
+    val bits = readTableConfig(root).get(ClusteringBitsKey)
+      .map(_.toInt).getOrElse(16)
+    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
+    val clustered = actions(root, v - 1).collect {
+      case Action(_, op, "add", a) if op == "optimize-cluster" => a.file
+    }.toSet
+    val stale = liveAdds(root, v - 1).filterNot(a => clustered(a.file))
+    if (stale.isEmpty) return v - 1 // fully clustered; no commit
+    val mask = (1L << bits) - 1
+    val z = expr(graft.operators.ZOrder.zExprSparkN(
+      zCols.map(c => s"(CAST($c AS BIGINT) & $mask)"), bits))
+    val df = readFiles(spark, root, stale, v - 1) // DV-aware: marked rows gone
+    val keyCols = pcs.map(col) :+ z
+    val out = df.repartitionByRange(targetPartitions, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val adds =
+      if (pcs.isEmpty) writeDataFiles(out, root, v, check = false)
+      else writePartitionedFiles(out, root, v, pcs, check = false)
+    commit(root, v, "optimize-cluster", adds, stale.map(_.file),
+      dataChange = false, partCols = pcs, removeDvs = dvTombstones(stale))
+    v
+  }
+
   /** VACUUM: physically delete files not referenced by any version >
     * `retainAfter` — both files a retained remove superseded AND orphans a
     * losing CAS attempt wrote but never committed (referenced by no log
@@ -2151,7 +2236,11 @@ object TxnTable {
     * then fails loudly. As in the open formats, vacuuming while a writer
     * is mid-commit can sweep that writer's not-yet-committed files — run
     * it with a retention window in shared settings. */
-  def vacuum(root: String, retainAfter: Long): Seq[String] = {
+  /** `dryRun = true` reports every file vacuum WOULD delete without
+    * touching one byte — the sanity check an operator runs before
+    * pointing a retention window at a 100 TB table. */
+  def vacuum(root: String, retainAfter: Long,
+             dryRun: Boolean = false): Seq[String] = {
     val latest = latestVersion(root)
     // the CURRENT snapshot is always retained (Delta's rule): a
     // retainAfter at or past latest would otherwise compute an empty
@@ -2170,7 +2259,7 @@ object TxnTable {
     val victims = (all.filterNot(keep.contains) ++ cdcVictims)
       .filterNot(f => Paths.get(f).isAbsolute)
       .filter(f => Files.exists(Paths.get(root, f)))
-    victims.foreach(f => Files.delete(Paths.get(root, f)))
+    if (!dryRun) victims.foreach(f => Files.delete(Paths.get(root, f)))
     // after expireLog, adds referenced only by a checkpoint are absent
     // from the remaining commit files — the keep-set guards them from the
     // orphan sweep (an orphan is on disk AND referenced by nothing)
@@ -2185,7 +2274,7 @@ object TxnTable {
         .map(p => Paths.get(root).relativize(p).toString)
         .filterNot(everAdded.contains).toSeq
     }
-    orphans.foreach(f => Files.delete(Paths.get(root, f)))
+    if (!dryRun) orphans.foreach(f => Files.delete(Paths.get(root, f)))
     // deletion-vector files age like data files: a DV referenced only by
     // vacuumed-away versions (a later deleteDv superseded it, or the file
     // was compacted) is reclaimed; DVs any retained version references
@@ -2202,7 +2291,7 @@ object TxnTable {
       .flatMap(v => liveAdds(root, v).flatMap(_.dv).flatMap(dvRel)).toSet
     val dvVictims = allDv.filterNot(keepDv.contains)
       .filter(f => Files.exists(Paths.get(root, f)))
-    dvVictims.foreach(f => Files.delete(Paths.get(root, f)))
+    if (!dryRun) dvVictims.foreach(f => Files.delete(Paths.get(root, f)))
     val dvDir = Paths.get(root, "dv")
     val dvOrphans =
       if (!Files.isDirectory(dvDir)) Seq.empty[String]
@@ -2211,7 +2300,7 @@ object TxnTable {
           n.endsWith(".bin") && !n.startsWith(".") }
         .map(p => Paths.get(root).relativize(p).toString)
         .filterNot((allDv.toSet ++ keepDv).contains).toSeq
-    dvOrphans.foreach(f => Files.delete(Paths.get(root, f)))
+    if (!dryRun) dvOrphans.foreach(f => Files.delete(Paths.get(root, f)))
     victims ++ orphans ++ dvVictims ++ dvOrphans
   }
 
@@ -3057,7 +3146,7 @@ object TxnTable {
       val addFiles = acts.collect { case Action(_, _, "add", a) => a }
       val hasRemove = acts.exists(_.action == "remove")
       val layoutOnly = op == "optimize" || op == "optimize-zorder" ||
-        op == "purge-deletes"
+        op == "optimize-cluster" || op == "purge-deletes"
       def tagged(df: DataFrame, mode: String): DataFrame =
         if (keys.isEmpty) df else df.withColumn("_change_mode", lit(mode))
       val frame: Option[DataFrame] =
