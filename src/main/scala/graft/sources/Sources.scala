@@ -196,7 +196,9 @@ object Sources {
       val root = java.nio.file.Paths.get(db).getParent  // the derby_db tmp dir
       if (root != null && root.getFileName.toString.startsWith("derby_db")) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        val w = java.nio.file.Files.walk(root)
+        val all = try w.iterator().asScala.toSeq finally w.close()
+        all.reverse
           .foreach(p => try java.nio.file.Files.deleteIfExists(p)
                         catch { case _: java.io.IOException => () })
       }
@@ -264,10 +266,13 @@ object Sources {
     * repeated bench/verify invocations must not accumulate disk. */
   private def reclaim(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+    if (java.nio.file.Files.exists(root)) {
+      val w = java.nio.file.Files.walk(root)
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse
         .foreach(p => try java.nio.file.Files.deleteIfExists(p)
                       catch { case _: java.io.IOException => () })
+    }
   }
 
   // ---------------------------------------------------------------------------
@@ -1455,6 +1460,51 @@ object Sources {
       |SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v3
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated GENERATED COLUMNS with derived partition pruning: events
+  // land day-partitioned where `day` is DECLARED as
+  // date_format(ts, 'yyyy-MM-dd'); the query then filters on `ts` ALONE
+  // and aggregates per day — the pruner derives the day-directory bounds
+  // the user never wrote (GeneratedColumnsSpec gates the file counts; the
+  // oracle proves the row algebra). The 100 TB shape: time-range queries
+  // on a day-partitioned table prune by metadata without the analyst
+  // knowing the partitioning exists.
+  // ---------------------------------------------------------------------------
+  def txnGenerated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_generated")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"ts",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          date_format($"ts", "yyyy-MM-dd").as("day"))
+      TxnTable.appendPartitioned(ev.repartition(8, $"day"),
+        tmp.toString, Seq("day"))                                           // v0
+      TxnTable.setGeneratedColumn(s, tmp.toString, "day",
+        "date_format(ts, 'yyyy-MM-dd')")                                    // v1
+      val lo = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      graft.Materialize.eager(
+        TxnTable.readWhere(s, tmp.toString, $"ts" >= lo && $"ts" < hi)
+          .groupBy($"day")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents")))
+    } finally reclaim(tmp)
+  }
+  val txnGeneratedSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM ev
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY 1
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -1482,6 +1532,7 @@ object Sources {
     "q_txn_widen" -> txnWiden _,
     "q_txn_update" -> txnUpdate _,
     "q_txn_cluster" -> txnCluster _,
+    "q_txn_generated" -> txnGenerated _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -1510,5 +1561,6 @@ object Sources {
     "q_txn_widen" -> txnWidenSql,
     "q_txn_update" -> txnUpdateSql,
     "q_txn_cluster" -> txnClusterSql,
+    "q_txn_generated" -> txnGeneratedSql,
   )
 }

@@ -154,6 +154,28 @@ object TxnTable {
   private def logDir(root: String): Path = Paths.get(root, "_txn_log")
   private def deltaDir(root: String): Path = Paths.get(root, "_delta_log")
 
+  /** Files.list with DETERMINISTIC close: the JDK stream holds an open
+    * directory fd until closed, and GC-lazy reclamation let a long test
+    * suite hit EMFILE (error=24) — every directory listing in this module
+    * therefore materializes eagerly and closes before returning. Log/data
+    * directories are O(files) small; the eager Seq is never the cost. */
+  private def listClosed(d: Path): java.util.stream.Stream[Path] = {
+    val s = java.nio.file.Files.list(d)
+    try {
+      val all = s.iterator().asScala.toVector
+      java.util.Arrays.stream(all.toArray)
+    } finally s.close()
+  }
+
+  /** Files.walk with deterministic close — see [[listClosed]]. */
+  private def walkClosed(d: Path): java.util.stream.Stream[Path] = {
+    val s = java.nio.file.Files.walk(d)
+    try {
+      val all = s.iterator().asScala.toVector
+      java.util.Arrays.stream(all.toArray)
+    } finally s.close()
+  }
+
   /** Resolve a log file entry against the table root. Entries are
     * normally root-relative; a SHALLOW CLONE's version 0 re-adds the
     * source's files by ABSOLUTE path (the Delta clone shape), which
@@ -166,7 +188,7 @@ object TxnTable {
   private def versions(root: String): Seq[Long] = {
     val d = logDir(root)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
+    else listClosed(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong).toSeq.sorted
   }
@@ -280,7 +302,7 @@ object TxnTable {
   private def ckptVersions(root: String): Seq[Long] = {
     val d = logDir(root)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
+    else listClosed(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".ckpt"))
       .map(_.stripSuffix(".ckpt").toLong).toSeq.sorted
   }
@@ -458,25 +480,34 @@ object TxnTable {
     // widened table emits the feature protocol even without DVs.
     val mappingActive = config.get("delta.columnMapping.mode").contains("name")
     val wideningActive = config.get("delta.enableTypeWidening").contains("true")
+    val genActive = config.get("graft.generatedColumns").exists(_.nonEmpty)
+    val constraintsActive =
+      config.keys.exists(_.startsWith("delta.constraints.")) || needsWriter3
     val featureProtocol = {
       val dvF = if (dvActive) Seq("deletionVectors") else Nil
       val mapF = if (mappingActive) Seq("columnMapping") else Nil
       val wideF = if (wideningActive) Seq("typeWidening") else Nil
       val rf = dvF ++ mapF ++ wideF
       val wf = dvF ++ mapF ++ wideF ++
-        (if (config.keys.exists(_.startsWith("delta.constraints.")) || needsWriter3)
-          Seq("checkConstraints") else Nil)
+        (if (constraintsActive) Seq("checkConstraints") else Nil) ++
+        (if (genActive) Seq("generatedColumns") else Nil)
       def arr(fs: Seq[String]) = fs.map(f => s""""$f"""").mkString("[", ",", "]")
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(rf)},"writerFeatures":${arr(wf)}}}"""
     }
+    // legacy protocol levels are cumulative: mapping 2/5 ⊇ generated 1/4 ⊇
+    // constraints 1/3 ⊇ base 1/2 — a commit that activates any of them
+    // emits the MAX the folded config requires
+    val legacyWriter = Seq(2, if (constraintsActive) 3 else 2,
+      if (genActive) 4 else 2, if (mappingActive) 5 else 2).max
+    val legacyReader = if (mappingActive) 2 else 1
     val head =
       (if ((dvActive || wideningActive) &&
         (adds.exists(_.dv.isDefined) || needsWriter3 || extraConfig.isDefined))
         Seq(featureProtocol)
       else if (version == 0L)
-        Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-      else if (mappingActive && extraConfig.isDefined)
-        Seq(s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+        Seq(s"""{"protocol":{"minReaderVersion":$legacyReader,"minWriterVersion":$legacyWriter}}""")
+      else if (legacyWriter > 2 && extraConfig.isDefined)
+        Seq(s"""{"protocol":{"minReaderVersion":$legacyReader,"minWriterVersion":$legacyWriter}}""")
       else if (needsWriter3)
         Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""")
       else Seq.empty) ++
@@ -545,7 +576,7 @@ object TxnTable {
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
     val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
     // -- seed from the newest prior checkpoint, if any ---------------------
-    val priorCp = Files.list(d).iterator().asScala
+    val priorCp = listClosed(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".checkpoint.parquet"))
       .map(_.stripSuffix(".checkpoint.parquet").toLong).filter(_ < version)
       .maxOption
@@ -635,7 +666,7 @@ object TxnTable {
         }
     }
     // -- fold only the JSON tail after the seed ----------------------------
-    val vs = Files.list(d).iterator().asScala
+    val vs = listClosed(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong)
       .filter(v => v <= version && v > priorCp.getOrElse(-1L)).toSeq.sorted
@@ -754,12 +785,12 @@ object TxnTable {
     val tmpDir = d.resolve(s".cp-$version")
     spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-    val part = Files.list(tmpDir).iterator().asScala
+    val part = listClosed(tmpDir).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(sys.error("checkpoint write produced no parquet part"))
     Files.move(part, d.resolve(f"$version%020d.checkpoint.parquet"),
       StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(tmpDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    walkClosed(tmpDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     val ptrTmp = d.resolve(s"._last_checkpoint.tmp")
     Files.write(ptrTmp,
       s"""{"version":$version,"size":${rows.size}}""".getBytes(UTF_8))
@@ -881,7 +912,7 @@ object TxnTable {
     val sub = s"cdc/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val dst = Paths.get(root, sub)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
-    Files.list(dst).iterator().asScala
+    listClosed(dst).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .toSeq.sorted
@@ -905,7 +936,7 @@ object TxnTable {
     val sub = dataSub(version)
     val dst = Paths.get(root, sub)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
-    val names = Files.list(dst).iterator().asScala
+    val names = listClosed(dst).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .toSeq.sorted
@@ -1025,7 +1056,7 @@ object TxnTable {
     // partition columns are path-encoded, not stored in the files
     val dataSchema = StructType(
       df.schema.fields.filterNot(f => partCols.contains(f.name)))
-    val rels = Files.walk(dst).iterator().asScala
+    val rels = walkClosed(dst).iterator().asScala
       .filter { p => val n = p.getFileName.toString
         n.endsWith(".parquet") && !n.startsWith(".") }
       .map(p => dst.relativize(p).toString)
@@ -1475,7 +1506,7 @@ object TxnTable {
     // so a no-evolution 100k-commit table reads the tail + one line, not
     // every commit since version 0
     val ck = ckptVersions(root).filter(v => asOf < 0 || v <= asOf).lastOption
-    val vs = Files.list(d).iterator().asScala
+    val vs = listClosed(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong)
       .filter(v => (asOf < 0 || v <= asOf) && v > ck.getOrElse(-1L)).toSeq.sorted
@@ -1511,7 +1542,7 @@ object TxnTable {
     val d = deltaDir(root)
     if (!Files.isDirectory(d)) return Map.empty
     val ck = ckptVersions(root).lastOption
-    val vs = Files.list(d).iterator().asScala
+    val vs = listClosed(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong)
       .filter(_ > ck.getOrElse(-1L)).toSeq.sorted
@@ -1588,16 +1619,22 @@ object TxnTable {
     * written so a bad batch never commits (and never orphans files). */
   private def validateConstraints(df: DataFrame, root: String): Unit = {
     val cs = constraints(root)
-    if (cs.isEmpty) return
+    // generated columns validate like constraints: one combined pass,
+    // null-safe equality (g <=> expr), refused before anything commits
+    val gens = readMeta(root).map(m => generationMap(m._1)).getOrElse(Map.empty)
+      .filter { case (g, _) => df.columns.contains(g) }
+    if (cs.isEmpty && gens.isEmpty) return
     val flags = cs.toSeq.sortBy(_._1).map { case (n, ex) =>
       when(coalesce(expr(ex).cast("boolean"), lit(true)) === lit(false), lit(n))
+    } ++ gens.toSeq.sortBy(_._1).map { case (g, ex) =>
+      when(!(col(g) <=> expr(ex)), lit(s"generated($g)"))
     }
     val bad = df
       .select(filter(array(flags: _*), c => c.isNotNull).as("violated"))
       .filter(size(col("violated")) > 0)
       .limit(1).collect()
     require(bad.isEmpty,
-      s"batch violates CHECK constraint(s) " +
+      s"batch violates CHECK constraint(s) / generation rule(s) " +
         s"${bad.head.getSeq[String](0).mkString(", ")} — nothing was committed")
   }
 
@@ -1751,6 +1788,42 @@ object TxnTable {
     val cfg = readTableConfig(root) + ("delta.enableTypeWidening" -> "true")
     commit(root, v, s"widen-column#$colName", Seq.empty, Seq.empty,
       schemaJson = Some(widened.json), dataChange = false, partCols = pcs,
+      extraConfig = Some(cfg))
+    v
+  }
+
+  /** Declare `colName` as GENERATED: `colName <=> (exprSql)` must hold on
+    * every row — validated on the CURRENT snapshot first (a rule the data
+    * already violates is refused, Delta's contract), then on every
+    * subsequent batch alongside the CHECK constraints. The payoff is
+    * [[deriveGenConjuncts]]: for the monotonic forms (`src div N`,
+    * `date_format(src, 'yyyy[-MM[-dd]]')`, `substring(src, 1, n)`) a
+    * predicate on the SOURCE column prunes the generated column's
+    * PARTITIONS — `ts >= X` drops day directories the user never named.
+    * Records Delta's generationExpression field metadata + legacy writer
+    * version 4 in the mirror. */
+  def setGeneratedColumn(spark: SparkSession, root: String,
+                         colName: String, exprSql: String): Long = casRetry("setGeneratedColumn") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val (schema, pcs) = readMeta(root).getOrElse(
+      sys.error(s"$root has no metaData to declare a generated column in"))
+    require(schema.fieldNames.contains(colName), s"no column $colName")
+    require(!exprSql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(colName)}\\b.*"),
+      s"generation expression for $colName must not reference itself")
+    val bad = read(spark, root)
+      .filter(!(col(colName) <=> expr(exprSql))).limit(1).count()
+    require(bad == 0,
+      s"existing rows violate $colName = $exprSql; not declaring")
+    val stamped = StructType(schema.fields.map { f =>
+      if (f.name != colName) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(GenExprKey, exprSql).build())
+    })
+    val gens = (generationMap(stamped).keys.toSeq.sorted).mkString(",")
+    val cfg = readTableConfig(root) + ("graft.generatedColumns" -> gens)
+    commit(root, v, s"set-generated#$colName", Seq.empty, Seq.empty,
+      schemaJson = Some(stamped.json), dataChange = false, partCols = pcs,
       extraConfig = Some(cfg))
     v
   }
@@ -2268,7 +2341,7 @@ object TxnTable {
     val orphans = Seq("data", "cdc").flatMap { sub =>
       val d = Paths.get(root, sub)
       if (!Files.isDirectory(d)) Seq.empty[String]
-      else Files.walk(d).iterator().asScala
+      else walkClosed(d).iterator().asScala
         .filter { p => val n = p.getFileName.toString
           n.endsWith(".parquet") && !n.startsWith(".") }
         .map(p => Paths.get(root).relativize(p).toString)
@@ -2295,7 +2368,7 @@ object TxnTable {
     val dvDir = Paths.get(root, "dv")
     val dvOrphans =
       if (!Files.isDirectory(dvDir)) Seq.empty[String]
-      else Files.walk(dvDir).iterator().asScala
+      else walkClosed(dvDir).iterator().asScala
         .filter { p => val n = p.getFileName.toString
           n.endsWith(".bin") && !n.startsWith(".") }
         .map(p => Paths.get(root).relativize(p).toString)
@@ -2330,7 +2403,7 @@ object TxnTable {
     val mirrorCp = deltaDir(root).resolve(f"$cv%020d.checkpoint.parquet")
     if (Files.exists(mirrorCp)) {
       val d = deltaDir(root)
-      Files.list(d).iterator().asScala
+      listClosed(d).iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
           (n.endsWith(".json") && n.stripSuffix(".json").toLong < cv) ||
@@ -2503,11 +2576,129 @@ object TxnTable {
     }
   }
 
+  // ---- generated columns (derived partition pruning) -------------------------
+  // The day-partitioned-by-timestamp shape: `day` is DECLARED as
+  // `date_format(ts, 'yyyy-MM-dd')` (field metadata, Delta's
+  // generationExpression), writes must satisfy the generation rule, and —
+  // the point at 100 TB — a predicate on `ts` alone prunes the `day`
+  // DIRECTORIES: for the monotonic generation forms below, `ts >= lo`
+  // implies `day >= F(lo)`, so the pruner derives the partition conjunct
+  // the user never wrote. Derivation is advisory-safe like all pruning
+  // (survivors still run the real filter); unsupported forms derive
+  // nothing and cost only I/O.
+
+  private val GenExprKey = "delta.generationExpression"
+
+  /** genCol → generation SQL, from field metadata. */
+  private def generationMap(schema: StructType): Map[String, String] =
+    schema.fields.iterator.filter(_.metadata.contains(GenExprKey))
+      .map(f => f.name -> f.metadata.getString(GenExprKey)).toMap
+
+  /** A parsed monotonic generation form: maps a source-column literal to
+    * the generated column's literal. */
+  private sealed trait GenForm { def src: String; def apply(l: Literal): Option[Literal] }
+  private final case class GenDiv(src: String, n: Long) extends GenForm {
+    def apply(l: Literal): Option[Literal] =
+      litNum(l).filter(_.isWhole).map(v =>
+        Literal(v.toLongExact / n, LongType)) // trunc toward zero = Spark div
+  }
+  private final case class GenDateFmt(src: String, pat: String) extends GenForm {
+    def apply(l: Literal): Option[Literal] = l.value match {
+      case micros: java.lang.Long if l.dataType.isInstanceOf[TimestampType] =>
+        val ldt = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.EPOCH.plus(micros.longValue,
+            java.time.temporal.ChronoUnit.MICROS), java.time.ZoneOffset.UTC)
+        Some(Literal(UTF8String.fromString(
+          ldt.format(java.time.format.DateTimeFormatter.ofPattern(pat))), StringType))
+      case days: java.lang.Integer if l.dataType == DateType =>
+        Some(Literal(UTF8String.fromString(
+          java.time.LocalDate.ofEpochDay(days.longValue)
+            .format(java.time.format.DateTimeFormatter.ofPattern(pat))), StringType))
+      case _ => None
+    }
+  }
+  private final case class GenSubstr(src: String, n: Int) extends GenForm {
+    def apply(l: Literal): Option[Literal] = l.value match {
+      case u: UTF8String =>
+        Some(Literal(UTF8String.fromString(u.toString.take(n)), StringType))
+      case _ => None
+    }
+  }
+
+  private val DivRe = """(?i)^\s*(\w+)\s+div\s+(\d+)\s*$""".r
+  // only ISO prefixes are monotonic in string order; 'MM-dd' alone is not
+  private val DateFmtRe =
+    """(?i)^\s*date_format\(\s*(\w+)\s*,\s*'(yyyy(?:-MM(?:-dd)?)?)'\s*\)\s*$""".r
+  private val SubstrRe =
+    """(?i)^\s*substring\(\s*(\w+)\s*,\s*1\s*,\s*(\d+)\s*\)\s*$""".r
+
+  private def parseGenForm(sql: String): Option[GenForm] = sql match {
+    case DivRe(src, n) if n.toLong > 0 => Some(GenDiv(src, n.toLong))
+    case DateFmtRe(src, pat)           => Some(GenDateFmt(src, pat))
+    case SubstrRe(src, n)              => Some(GenSubstr(src, n.toInt))
+    case _                             => None
+  }
+
+  /** Conjuncts on GENERATED columns derived from conjuncts on their
+    * source columns. `F` is monotone non-decreasing for every supported
+    * form, so `src ≥ lo ⇒ gen ≥ F(lo)` (strict compares relax to ≥/≤ —
+    * F collapses distinct sources to one generated value). */
+  private def deriveGenConjuncts(schema: StructType, cs: Seq[Expression],
+                                 nameMap: Map[String, String]): Seq[Expression] = {
+    val gens = generationMap(schema)
+    if (gens.isEmpty) return Seq.empty
+    val forms = gens.toSeq.flatMap { case (g, sql) =>
+      parseGenForm(sql).map { f =>
+        (nameMap.getOrElse(f.src, f.src),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(nameMap.getOrElse(g, g))), f)
+      }
+    }
+    if (forms.isEmpty) return Seq.empty
+    def derived(src: String, mk: GenForm => Option[Expression]): Seq[Expression] =
+      forms.collect { case (s, _, f) if s == src => mk(f) }.flatten
+    cs.flatMap { c =>
+      def gAttr(f: GenForm) = forms.find(_._3 eq f).get._2
+      normalize(c) match {
+        case EqualTo(a, l: Literal) =>
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(EqualTo(gAttr(f), _))))
+        case EqualTo(l: Literal, a) =>
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(EqualTo(gAttr(f), _))))
+        case GreaterThan(a, l: Literal) =>
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(GreaterThanOrEqual(gAttr(f), _))))
+        case GreaterThanOrEqual(a, l: Literal) =>
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(GreaterThanOrEqual(gAttr(f), _))))
+        case LessThan(a, l: Literal) =>
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(LessThanOrEqual(gAttr(f), _))))
+        case LessThanOrEqual(a, l: Literal) =>
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(LessThanOrEqual(gAttr(f), _))))
+        case GreaterThan(l: Literal, a) => // lit > src ≡ src < lit
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(LessThanOrEqual(gAttr(f), _))))
+        case GreaterThanOrEqual(l: Literal, a) =>
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(LessThanOrEqual(gAttr(f), _))))
+        case LessThan(l: Literal, a) =>
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(GreaterThanOrEqual(gAttr(f), _))))
+        case LessThanOrEqual(l: Literal, a) =>
+          attrName(a).toSeq.flatMap(derived(_, f => f(l).map(GreaterThanOrEqual(gAttr(f), _))))
+        case In(a, ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+          attrName(a).toSeq.flatMap(derived(_, f => {
+            val mapped = ls.map(l => f(l.asInstanceOf[Literal]))
+            if (mapped.forall(_.isDefined)) Some(In(gAttr(f), mapped.map(_.get)))
+            else None
+          }))
+        case _ => Seq.empty
+      }
+    }
+  }
+
   /** (kept, skipped) partition of `adds` under `pred`'s provable conjuncts. */
   private def pruneAdds(adds: Seq[AddFile], pred: Column,
-                        nameMap: Map[String, String] = Map.empty): (Seq[AddFile], Seq[AddFile]) = {
-    val cs = conjuncts(mapPredNames(
+                        nameMap: Map[String, String] = Map.empty,
+                        genSchema: Option[StructType] = None): (Seq[AddFile], Seq[AddFile]) = {
+    val cs0 = conjuncts(mapPredNames(
       org.apache.spark.sql.GraftColumnExpr.expr(pred), nameMap))
+    val cs = cs0 ++ genSchema.map(deriveGenConjuncts(_, cs0, nameMap))
+      .getOrElse(Seq.empty)
     adds.partition { a =>
       a.stats.map { j =>
         withPartitionStats(decodeStats(j), a.partitionValues)
@@ -2528,8 +2719,9 @@ object TxnTable {
     require(last >= 0, s"$root is not a TxnTable (no _txn_log)")
     require(asOf <= last, s"version $asOf does not exist (latest $last)")
     val adds = liveAdds(root, asOf)
-    val nameMap = readMeta(root, asOf).map(m => colMapping(m._1)).getOrElse(Map.empty)
-    val (kept0, _) = pruneAdds(adds, pred, nameMap)
+    val meta = readMeta(root, asOf)
+    val nameMap = meta.map(m => colMapping(m._1)).getOrElse(Map.empty)
+    val (kept0, _) = pruneAdds(adds, pred, nameMap, genSchema = meta.map(_._1))
     // keep one file when everything pruned: a schema-bearing empty scan
     val kept = if (kept0.nonEmpty) kept0 else adds.take(1)
     val missing = kept.filterNot(a => Files.exists(filePath(root, a.file)))
@@ -2541,8 +2733,10 @@ object TxnTable {
   /** (filesRead, filesSkipped) the pruner would choose for `pred` — the
     * observability hook the skipping specs and audits gate on. */
   def skippingReport(root: String, pred: Column, asOf: Long = -1L): (Int, Int) = {
+    val meta = readMeta(root, asOf)
     val (kept, skipped) = pruneAdds(liveAdds(root, asOf), pred,
-      readMeta(root, asOf).map(m => colMapping(m._1)).getOrElse(Map.empty))
+      meta.map(m => colMapping(m._1)).getOrElse(Map.empty),
+      genSchema = meta.map(_._1))
     (kept.size, skipped.size)
   }
 
@@ -2681,7 +2875,8 @@ object TxnTable {
     // partitionValues fold in as point stats, so a partition-equality
     // conjunct drops every other directory before any footer is touched
     val (candidates, _) = pruneAdds(adds, pred,
-      meta.map(m => colMapping(m._1)).getOrElse(Map.empty))
+      meta.map(m => colMapping(m._1)).getOrElse(Map.empty),
+      genSchema = meta.map(_._1))
     val touchedRel =
       if (candidates.isEmpty) Seq.empty[String]
       else {
@@ -2787,7 +2982,8 @@ object TxnTable {
     val pcs = meta.map(_._2).getOrElse(Seq.empty)
     val adds = liveAdds(root, v - 1)
     val (candidates, _) = pruneAdds(adds, pred,
-      meta.map(m => colMapping(m._1)).getOrElse(Map.empty))
+      meta.map(m => colMapping(m._1)).getOrElse(Map.empty),
+      genSchema = meta.map(_._1))
     val committed =
       if (candidates.isEmpty) false
       else {
@@ -2871,7 +3067,8 @@ object TxnTable {
       sys.error(s"$root has no metaData to update"))
     val adds = liveAdds(root, v - 1)
     val (candidates, _) = pruneAdds(adds, pred,
-      meta.map(m => colMapping(m._1)).getOrElse(Map.empty))
+      meta.map(m => colMapping(m._1)).getOrElse(Map.empty),
+      genSchema = meta.map(_._1))
     val touchedRel =
       if (candidates.isEmpty) Seq.empty[String]
       else {
@@ -2943,7 +3140,8 @@ object TxnTable {
       sys.error(s"$root has no metaData to update"))
     val adds = liveAdds(root, v - 1)
     val (candidates, _) = pruneAdds(adds, pred,
-      meta.map(m => colMapping(m._1)).getOrElse(Map.empty))
+      meta.map(m => colMapping(m._1)).getOrElse(Map.empty),
+      genSchema = meta.map(_._1))
     val committed =
       if (candidates.isEmpty) false
       else {

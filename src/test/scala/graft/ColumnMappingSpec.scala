@@ -26,11 +26,11 @@ class ColumnMappingSpec extends AnyFunSuite {
     import spark.implicits._
     val root = tbl()
     TxnTable.append(df(1 to 50), root)                     // v0
-    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataBefore = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => p -> Files.getLastModifiedTime(p)).toMap
     TxnTable.renameColumn(spark, root, "payload", "body")  // v1
-    assert(Files.walk(Paths.get(root, "data")).iterator().asScala
+    assert(FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => p -> Files.getLastModifiedTime(p)).toMap == dataBefore,
       "rename must not touch data files")
@@ -48,9 +48,9 @@ class ColumnMappingSpec extends AnyFunSuite {
     TxnTable.renameColumn(spark, root, "payload", "body")    // v1
     // append with the LOGICAL name; the file must carry the PHYSICAL one
     TxnTable.append(Seq((100L, "new")).toDF("id", "body"), root) // v2
-    val newest = Files.list(Paths.get(root, "data")).iterator().asScala
+    val newest = FsTest.list(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.startsWith("v2-")).flatMap(d =>
-        Files.walk(d).iterator().asScala
+        FsTest.walk(d).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))).toSeq
     assert(newest.nonEmpty)
     assert(spark.read.parquet(newest.head.toString).columns.contains("payload"),

@@ -35,7 +35,7 @@ class DeltaLogSpec extends AnyFunSuite {
   private def logFiles(root: String): Seq[(Long, Path)] = {
     val d = Paths.get(root, "_delta_log")
     assert(Files.isDirectory(d), s"no _delta_log under $root")
-    Files.list(d).iterator().asScala
+    FsTest.list(d).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".json"))
       .map(p => (p.getFileName.toString.stripSuffix(".json").toLong, p))
       .toSeq.sortBy(_._1)

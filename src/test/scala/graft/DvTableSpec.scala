@@ -30,12 +30,12 @@ class DvTableSpec extends AnyFunSuite {
   test("deleteDv marks rows without rewriting data files") {
     val root = tbl()
     TxnTable.append(df(1 to 100).repartition(3), root) // v0
-    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataBefore = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => p -> Files.getLastModifiedTime(p)).toMap
     TxnTable.deleteDv(spark, root, col("id") % 10 === 0L) // v1
     // no data file was rewritten or added — only the DV sidecar landed
-    val dataAfter = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataAfter = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => p -> Files.getLastModifiedTime(p)).toMap
     assert(dataAfter == dataBefore, "MoR delete must not touch data files")
@@ -164,7 +164,7 @@ class DvTableSpec extends AnyFunSuite {
     TxnTable.append(df(1 to 3000).coalesce(1), root)      // v0
     TxnTable.deleteDv(spark, root, col("id") % 2L === 0L) // v1 → dv file A
     TxnTable.deleteDv(spark, root, col("id") % 3L === 0L) // v2 → dv file B (union)
-    def dvFiles = Files.list(Paths.get(root, "dv")).iterator().asScala
+    def dvFiles = FsTest.list(Paths.get(root, "dv")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".bin")).toSeq
     assert(dvFiles.size == 2)
     val swept = TxnTable.vacuum(root, retainAfter = 1L)
@@ -184,7 +184,7 @@ class DvTableSpec extends AnyFunSuite {
       ids.map(i => (i.toLong, s"v$i", p)).toDF("id", "payload", "p")
     TxnTable.appendPartitioned(pdf(1 to 20, "a").union(pdf(21 to 40, "b")),
       root, Seq("p"))
-    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataBefore = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => p -> Files.getLastModifiedTime(p)).toMap
     // the partition-equality conjunct prunes partition a's files before
@@ -192,7 +192,7 @@ class DvTableSpec extends AnyFunSuite {
     TxnTable.deleteDv(spark, root,
       org.apache.spark.sql.functions.col("p") === "b" &&
         org.apache.spark.sql.functions.col("id") <= 25L)
-    assert(Files.walk(Paths.get(root, "data")).iterator().asScala
+    assert(FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => p -> Files.getLastModifiedTime(p)).toMap == dataBefore,
       "partitioned MoR delete must not rewrite data files")
@@ -369,14 +369,14 @@ class DvTableSpec extends AnyFunSuite {
     import spark.implicits._
     val root = tbl()
     TxnTable.append(df(1 to 100).repartition(3), root)    // v0
-    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataBefore = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSet
     // update ids 1..5 (new payloads), insert 101..103
     val delta = ((1 to 5).map(i => (i.toLong, s"upd$i")) ++
       (101 to 103).map(i => (i.toLong, s"v$i"))).toDF("id", "payload")
     TxnTable.mergeDv(spark, delta, root, Seq("id"))       // v1
     // every pre-merge file survives byte-identical; new files carry delta
-    val dataAfter = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataAfter = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSet
     assert(dataBefore.subsetOf(dataAfter), "mergeDv must not rewrite touched files")
     assert(dataAfter.size > dataBefore.size, "delta rows need new files")
@@ -457,11 +457,11 @@ class DvTableSpec extends AnyFunSuite {
     import spark.implicits._
     val root = tbl()
     TxnTable.append(df(1 to 100).repartition(3), root)    // v0
-    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataBefore = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSet
     TxnTable.updateDv(spark, root, col("id") % 20L === 0L,
       Map("payload" -> concat(col("payload"), lit("!"))))  // v1
-    val dataAfter = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataAfter = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSet
     assert(dataBefore.subsetOf(dataAfter), "updateDv must not rewrite touched files")
     assert(dataAfter.size > dataBefore.size, "updated images need new files")
@@ -529,6 +529,32 @@ class DvTableSpec extends AnyFunSuite {
     assert(TxnTable.read(spark, proot).filter(col("id") === 1L)
       .select("payload", "p").collect().map(r => (r.getString(0), r.getString(1)))
       .toSeq == Seq(("one", "a")))
+  }
+
+  test("mergeDv on a PARTITIONED table: partition keys prune, files stay put") {
+    import spark.implicits._
+    val root = tbl()
+    def pdf(ids: Range, p: String) =
+      ids.map(i => (i.toLong, s"v$i", p)).toDF("id", "payload", "p")
+    TxnTable.appendPartitioned(pdf(1 to 500, "a").union(pdf(501 to 1000, "b")),
+      root, Seq("p"))
+    val dataBefore = FsTest.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+    // partition columns ⊆ merge keys: partition a's files drop out of the
+    // candidate scan by metadata alone; b's matched rows DV-mark in place
+    val delta = Seq((501L, "upd", "b"), (1001L, "new", "b"))
+      .toDF("id", "payload", "p")
+    TxnTable.mergeDv(spark, delta, root, Seq("id", "p"))
+    val dataAfter = FsTest.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+    assert(dataBefore.subsetOf(dataAfter), "no touched file rewrites")
+    val dvAdds = TxnTable.liveAddsForTest(root).filter(_.dv.isDefined)
+    assert(dvAdds.nonEmpty &&
+      dvAdds.forall(_.partitionValues.get("p").contains("b")),
+      s"only partition b may carry bitmaps: ${dvAdds.map(_.file)}")
+    assert(TxnTable.read(spark, root).count() == 1001)
+    assert(TxnTable.read(spark, root)
+      .filter(col("id") === 501L).select("payload").head().getString(0) == "upd")
   }
 
   test("deleteDv driver budget: a blob set past the budget fails loudly") {

@@ -449,7 +449,7 @@ class TxnTableSpec extends AnyFunSuite {
     assert(TxnTable.latestVersion(root) == 0L)
     // the single-writer guard: re-creating version 0 is refused
     val log = java.nio.file.Paths.get(root, "_txn_log")
-    assert(java.nio.file.Files.list(log).count() == 1)
+    assert(FsTest.list(log).count() == 1)
   }
 
   private def liveFileRows(root: String) = {
@@ -554,7 +554,7 @@ class TxnTableSpec extends AnyFunSuite {
     val (kept, skipped) = TxnTable.skippingReport(root, col("id") >= 200L)
     assert(skipped > 0, s"checkpointed stats must still prune (kept=$kept)")
     // checkpoints are DERIVED state: deleting them changes nothing but cost
-    java.nio.file.Files.list(java.nio.file.Paths.get(root, "_txn_log"))
+    FsTest.list(java.nio.file.Paths.get(root, "_txn_log"))
       .iterator().asScala.filter(_.getFileName.toString.endsWith(".ckpt"))
       .toSeq.foreach(java.nio.file.Files.delete(_))
     assert(TxnTable.foldReport(root) == (None, 12))
@@ -595,11 +595,11 @@ class TxnTableSpec extends AnyFunSuite {
       TxnTable.changeFeedIncremental(spark, root, 0L, 3L))
     assert(e.getMessage.contains("without change files"))
     // vacuum ages change files out with their commits
-    val cdcBefore = Files.walk(java.nio.file.Paths.get(root, "cdc"))
+    val cdcBefore = FsTest.walk(java.nio.file.Paths.get(root, "cdc"))
       .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
     assert(cdcBefore > 0)
     TxnTable.vacuum(root, retainAfter = 2L)
-    val cdcAfter = Files.walk(java.nio.file.Paths.get(root, "cdc"))
+    val cdcAfter = FsTest.walk(java.nio.file.Paths.get(root, "cdc"))
       .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
     assert(cdcAfter == 0, s"cdc files not swept: $cdcAfter")
   }
@@ -674,7 +674,7 @@ class TxnTableSpec extends AnyFunSuite {
     TxnTable.append(df(1 to 50).repartition(4), src)   // v0
     TxnTable.append(df(51 to 60), src)                 // v1
     TxnTable.setConstraint(spark, src, "pos", "id > 0")
-    val srcFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(src, "data"))
+    val srcFiles = FsTest.walk(java.nio.file.Paths.get(src, "data"))
       .iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     val srcBytes = srcFiles.map(p => p -> Files.readAllBytes(p).toSeq).toMap
     val dst = tbl()
@@ -808,7 +808,7 @@ class TxnTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TxnTable.merge(spark,
       Seq((-9L, "bad")).toDF("id", "payload"), root, Seq("id")))
     // the mirror upgraded to writer 3 and carries the configuration
-    val logs = Files.list(java.nio.file.Paths.get(root, "_delta_log"))
+    val logs = FsTest.list(java.nio.file.Paths.get(root, "_delta_log"))
       .iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
       .flatMap(p => Files.readAllLines(p).asScala).toSeq
     assert(logs.exists(_.contains(""""minWriterVersion":3""")), "no protocol upgrade")

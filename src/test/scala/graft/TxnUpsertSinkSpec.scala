@@ -37,11 +37,11 @@ class TxnUpsertSinkSpec extends AnyFunSuite {
     try {
       mem.addData((1L to 50L).map(i => UpsertRow(i, s"v$i", 0)): _*) // creates
       q.processAllAvailable()
-      val filesV0 = Files.walk(Paths.get(root, "data")).iterator().asScala
+      val filesV0 = FsTest.walk(Paths.get(root, "data")).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSet
       mem.addData(UpsertRow(3, "v3'", 0), UpsertRow(51, "v51", 0))   // merges
       q.processAllAvailable()
-      val filesV1 = Files.walk(Paths.get(root, "data")).iterator().asScala
+      val filesV1 = FsTest.walk(Paths.get(root, "data")).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSet
       assert(filesV0.subsetOf(filesV1), "upsert batch must not rewrite files")
     } finally q.stop()

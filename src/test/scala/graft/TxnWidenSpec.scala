@@ -27,11 +27,11 @@ class TxnWidenSpec extends AnyFunSuite {
     import spark.implicits._
     val root = tbl()
     TxnTable.append(intDf(1 to 100).repartition(2), root)        // v0
-    val dataBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataBefore = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => p -> Files.getLastModifiedTime(p)).toMap
     TxnTable.widenColumn(spark, root, "n", LongType)             // v1
-    val dataAfter = Files.walk(Paths.get(root, "data")).iterator().asScala
+    val dataAfter = FsTest.walk(Paths.get(root, "data")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => p -> Files.getLastModifiedTime(p)).toMap
     assert(dataAfter == dataBefore, "widen must not touch data files")
