@@ -908,7 +908,16 @@ object TxnTable {
     * under `cdc/v<version>-<tag>` — the persisted row-level diff an
     * incremental CDF consumer reads instead of re-diffing snapshots. No
     * stats (never pruned on; read whole by version). */
-  private def writeCdcFiles(df: DataFrame, root: String, version: Long): Seq[AddFile] = {
+  private def writeCdcFiles(df0: DataFrame, root: String, version: Long): Seq[AddFile] = {
+    // change files carry the STABLE physical names, exactly like data
+    // files — a post-rename cdc file written under the new logical name
+    // would read back null through every physical-name-resolving consumer
+    // (the txn-tail change feed); readers re-attach the logical names of
+    // their own range end. `_change_type` is a feed column, never mapped.
+    val mapping = readMeta(root).map(m => colMapping(m._1)).getOrElse(Map.empty)
+    val df = if (mapping.isEmpty) df0
+      else df0.select(df0.columns.toSeq.map(c =>
+        col(c).as(mapping.getOrElse(c, c))): _*)
     val sub = s"cdc/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val dst = Paths.get(root, sub)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
@@ -3328,6 +3337,15 @@ object TxnTable {
     // absent and null-backfill as before.
     val toPhysToLogical = readMeta(root, toV).map(_._1.fields.iterator
       .map(f => physicalName(f) -> f.name).toMap).getOrElse(Map.empty)
+    // change-data files carry PHYSICAL names (like data files) — re-attach
+    // the range end's logical names directly off the stable identity
+    def physToRangeEnd(df: DataFrame): DataFrame = {
+      val renames = df.columns.iterator
+        .flatMap(c => toPhysToLogical.get(c).filter(_ != c).map(c -> _)).toMap
+      if (renames.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        renames.get(c).map(col(c).as(_)).getOrElse(col(c))): _*)
+    }
     def toRangeEndNames(df: DataFrame, v: Long): DataFrame = {
       if (toPhysToLogical.isEmpty) return df
       val renames = readMeta(root, v).map(_._1.fields.iterator.flatMap { f =>
@@ -3350,8 +3368,8 @@ object TxnTable {
       val frame: Option[DataFrame] =
       if (layoutOnly || acts.isEmpty) None
       else if (cdcFiles.nonEmpty)
-        Some(tagged(
-          spark.read.parquet(cdcFiles.map(f => filePath(root, f).toString): _*)
+        Some(tagged(physToRangeEnd(
+          spark.read.parquet(cdcFiles.map(f => filePath(root, f).toString): _*))
             .withColumn("_commit_version", lit(v)), "cdf"))
       else if (op == "delete-dv")
         // a merge-on-read delete needs NO stored change files: the rows it

@@ -213,6 +213,31 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(rows.forall(_._3 != null), "no half-null frankencolumn")
   }
 
+  test("txn-tail CHANGE FEED across a rename: cdc files resolve physically") {
+    import spark.implicits._
+    val root = tbl()
+    TxnTable.append(df(1 to 3), root)                             // v0
+    TxnTable.renameColumn(spark, root, "payload", "body")         // v1
+    // a POST-rename cdf commit: its change file must carry the stable
+    // physical name so the tail (and any physical-name reader) sees the
+    // values under the new logical column, not nulls
+    TxnTable.deleteDv(spark, root, $"id" === 2L, cdf = true)      // v2
+    val q = spark.readStream.format("txn-tail").option("path", root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("rename_cdf_tail").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rename_cdf_tail")
+        .select("_change_type", "id", "body").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._2, t._1)).toSeq
+      assert(got == Seq(
+        ("insert", 1L, "v1"), ("delete", 2L, "v2"), ("insert", 2L, "v2"),
+        ("insert", 3L, "v3")).sortBy(t => (t._2, t._1)), got)
+      assert(got.forall(_._3 != null), "cdc columns must resolve, not null out")
+    } finally q.stop()
+  }
+
   test("txn-tail across a rename stitches old-physical files seamlessly") {
     import spark.implicits._
     val root = tbl()
