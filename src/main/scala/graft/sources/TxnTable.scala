@@ -447,7 +447,18 @@ object TxnTable {
                           extraConfig: Option[Map[String, String]] = None,
                           removeDvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty): Unit = {
     Files.createDirectories(deltaDir(root))
-    val now = System.currentTimeMillis()
+    // MONOTONIC commit timestamps (Delta's inCommitTimestamp semantics):
+    // timestampAsOf time travel scans commitInfo stamps newest-first and
+    // early-exits on the first hit — a wall clock that regressed between
+    // writers (skew, NTP step) would silently resolve the WRONG version.
+    // Stamp max(now, previous + 1): strictly increasing at any commit
+    // rate, one tiny prior-file read per commit.
+    val now = {
+      val wall = System.currentTimeMillis()
+      if (version == 0L) wall
+      else try math.max(wall, commitTimestamp(root, version - 1) + 1)
+      catch { case _: Exception => wall } // prior mirror expired: keep wall
+    }
     val pcJson = partCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     // a metaData action rides version 0, any commit whose schema shape
     // evolved, and any configuration change (constraints) — latest-wins

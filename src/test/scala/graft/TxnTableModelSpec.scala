@@ -28,36 +28,41 @@ class TxnTableModelSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("25 random ops match an in-memory model at every version") {
+    import spark.implicits._
     val root = Files.createTempDirectory("txn_model").toString
     val rnd = new scala.util.Random(42)
     var nextId = 0L
     def freshRows(n: Int): Map[Long, Long] =
       (0 until n).map { _ => nextId += 1; nextId -> rnd.nextLong(1000000) }.toMap
+    // the value column's CURRENT logical name — a rename op toggles it,
+    // stressing name-mode column mapping INTERLEAVED with every DML shape
+    var valCol = "v"
+    def vdf(rows: Map[Long, Long]) = rows.toSeq.toDF("id", valCol)
 
     // model(i) = table contents as of version i
     val model = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
     def cur: Map[Long, Long] = model.lastOption.getOrElse(Map.empty)
 
     val seed = freshRows(50)
-    TxnTable.append(toDf(seed).coalesce(2), root)
+    TxnTable.append(vdf(seed).coalesce(2), root)
     model += seed
 
     val ops = scala.collection.mutable.ArrayBuffer("append(seed)")
     for (step <- 1 to 24) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 => // append fresh rows
           val rows = freshRows(20 + rnd.nextInt(30))
-          TxnTable.append(toDf(rows).coalesce(1 + rnd.nextInt(2)), root)
+          TxnTable.append(vdf(rows).coalesce(1 + rnd.nextInt(2)), root)
           model += cur ++ rows; ops += s"append(${rows.size})"
         case 1 => // overwrite with a fresh set
           val rows = freshRows(30 + rnd.nextInt(20))
-          TxnTable.overwrite(toDf(rows), root)
+          TxnTable.overwrite(vdf(rows), root)
           model += rows; ops += s"overwrite(${rows.size})"
         case 2 => // keyed merge: update a sample of existing + insert fresh
           val updates = rnd.shuffle(cur.keys.toSeq).take(cur.size / 3)
             .map(k => k -> rnd.nextLong(1000000)).toMap
           val inserts = freshRows(10)
-          TxnTable.merge(spark, toDf(updates ++ inserts), root, Seq("id"))
+          TxnTable.merge(spark, vdf(updates ++ inserts), root, Seq("id"))
           model += cur ++ updates ++ inserts
           ops += s"merge(u=${updates.size},i=${inserts.size})"
         case 3 => // range delete (copy-on-write)
@@ -70,7 +75,7 @@ class TxnTableModelSpec extends AnyFunSuite {
           TxnTable.optimize(spark, root, targetPartitions = 1 + rnd.nextInt(2))
           model += cur; ops += "optimize"
         case 5 =>
-          TxnTable.optimizeZorder(spark, root, "id", "v",
+          TxnTable.optimizeZorder(spark, root, "id", valCol,
             targetPartitions = 1 + rnd.nextInt(3))
           model += cur; ops += "zorder"
         case 6 => // range delete (merge-on-read, deletion vectors)
@@ -88,7 +93,7 @@ class TxnTableModelSpec extends AnyFunSuite {
           val updates = rnd.shuffle(cur.keys.toSeq).take(cur.size / 4)
             .map(k => k -> rnd.nextLong(1000000)).toMap
           val inserts = freshRows(5 + rnd.nextInt(10))
-          TxnTable.mergeDv(spark, toDf(updates ++ inserts), root, Seq("id"),
+          TxnTable.mergeDv(spark, vdf(updates ++ inserts), root, Seq("id"),
             rewriteFraction = 0.3 + rnd.nextDouble() * 0.7)
           model += cur ++ updates ++ inserts
           ops += s"mergeDv(u=${updates.size},i=${inserts.size})"
@@ -96,7 +101,7 @@ class TxnTableModelSpec extends AnyFunSuite {
           val ks = cur.keys.toSeq.sorted
           val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(40)
           val pred = col("id") >= lo && col("id") <= hi
-          val setV = Map("v" -> (col("v") + 1000000L))
+          val setV = Map(valCol -> (col(valCol) + 1000000L))
           val mor = rnd.nextBoolean()
           if (mor) TxnTable.updateDv(spark, root, pred, setV,
             rewriteFraction = 0.3 + rnd.nextDouble() * 0.7)
@@ -104,6 +109,11 @@ class TxnTableModelSpec extends AnyFunSuite {
           model += cur.map { case (k, v) =>
             k -> (if (k >= lo && k <= hi) v + 1000000L else v) }
           ops += s"${if (mor) "updateDv" else "update"}[$lo,$hi]"
+        case 10 => // metadata-only RENAME of the value column (toggles)
+          val next = if (valCol == "v") "w" else "v"
+          TxnTable.renameColumn(spark, root, valCol, next)
+          valCol = next
+          model += cur; ops += s"rename(->$valCol)"
       }
       assert(snap(root) == cur, s"snapshot diverged after step $step: ${ops.last}")
       // a pruning read must agree with the model filter

@@ -781,6 +781,16 @@ class TxnTableSpec extends AnyFunSuite {
     // an instant before the first commit fails loudly
     val e = intercept[RuntimeException](TxnTable.versionAsOf(root, 1L))
     assert(e.getMessage.contains("no commit at or before"))
+    // commit timestamps are STRICTLY increasing even within one clock
+    // millisecond (the inCommitTimestamp guard: max(now, prev + 1)), so
+    // newest-first timestamp resolution can never tie-break wrong
+    val root2 = tbl()
+    (0 until 8).foreach(i => TxnTable.append(df(i to i), root2)) // rapid-fire
+    val ts2 = TxnTable.historySummary(spark, root2)
+      .orderBy(org.apache.spark.sql.functions.col("version"))
+      .collect().map(_.getTimestamp(1).getTime).distinct
+    assert(ts2.length == 8 && ts2.zip(ts2.tail).forall { case (a, b) => a < b },
+      s"timestamps must be strictly increasing: ${ts2.toSeq}")
   }
 
   test("CHECK constraints: bad batches refused before commit; existing violations block ADD") {
