@@ -1505,6 +1505,56 @@ object Sources {
       |GROUP BY 1
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated ROW TRACKING: events land as ONE file sorted by event_id,
+  // so the backfilled row ids are exactly rank(event_id) − 1 — an
+  // engine-independent identity DuckDB can replay with row_number(). A
+  // merge-on-read delete then marks a cents band, and REORG PURGE rewrites
+  // the survivors into a new file at NEW physical positions — only the
+  // materialized-id column keeps every surviving row's id, which is
+  // precisely what the v3 read must prove (ids unchanged through a full
+  // physical rewrite). RowTrackingSpec gates the lifecycle breadth.
+  // ---------------------------------------------------------------------------
+  def txnRowIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rowids")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .repartition(1).sortWithinPartitions($"event_id")
+      TxnTable.append(ev, tmp.toString)                                     // v0
+      TxnTable.enableRowTracking(s, tmp.toString)                           // v1
+      TxnTable.deleteDv(s, tmp.toString,
+        $"cents" >= 5000L && $"cents" <= 15000L)                            // v2
+      TxnTable.purgeDeletes(s, tmp.toString, minDeletedFraction = 0.01)     // v3
+      val per = Seq(1L, 3L).map { v =>
+        TxnTable.readWithRowIds(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            countDistinct($"_row_id").cast("long").as("n_ids"),
+            min($"_row_id").cast("long").as("min_id"),
+            max($"_row_id").cast("long").as("max_id"),
+            sum($"_row_id").cast("long").as("sum_ids"))
+          .selectExpr(s"${v}L AS version", "n_rows", "n_ids", "min_id",
+            "max_id", "sum_ids")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnRowIdsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY event_id) - 1 AS rid FROM ev),
+      |surv AS (SELECT rid FROM r
+      |         WHERE cents < 5000 OR cents > 15000 OR cents IS NULL)
+      |SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT rid) AS BIGINT) AS n_ids,
+      |       CAST(min(rid) AS BIGINT) AS min_id, CAST(max(rid) AS BIGINT) AS max_id,
+      |       CAST(sum(rid) AS BIGINT) AS sum_ids FROM r
+      |UNION ALL
+      |SELECT 3, count(*), count(DISTINCT rid), CAST(min(rid) AS BIGINT),
+      |       CAST(max(rid) AS BIGINT), CAST(sum(rid) AS BIGINT) FROM surv
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -1533,6 +1583,7 @@ object Sources {
     "q_txn_update" -> txnUpdate _,
     "q_txn_cluster" -> txnCluster _,
     "q_txn_generated" -> txnGenerated _,
+    "q_txn_rowids" -> txnRowIds _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -1562,5 +1613,6 @@ object Sources {
     "q_txn_update" -> txnUpdateSql,
     "q_txn_cluster" -> txnClusterSql,
     "q_txn_generated" -> txnGeneratedSql,
+    "q_txn_rowids" -> txnRowIdsSql,
   )
 }

@@ -59,10 +59,15 @@ object TxnTable {
     * so the `_delta_log` mirror carries the identical payload. Temporal
     * columns are left out of stats (their protocol encoding is a rendered
     * string; pruning on them can be added by widening `statsEligible`). */
+  /** `baseRowId`: the file's first fresh ROW ID under row tracking
+    * (row_id = baseRowId + physical row index, unless the file carries a
+    * materialized id column — see [[readWithRowIds]]). None on untracked
+    * tables and on adds [[commit]] has not stamped yet. */
   final case class AddFile(file: String, bytes: Long, stats: Option[String],
                            partitionValues: Map[String, String] = Map.empty,
                            bloom: Option[String] = None,
-                           dv: Option[DeletionVectors.DvDescriptor] = None)
+                           dv: Option[DeletionVectors.DvDescriptor] = None,
+                           baseRowId: Option[Long] = None)
 
   /** Per-file stats decoded for pruning. Map values: BigDecimal | String |
     * Boolean | null (all-null column). A column absent from the maps means
@@ -220,7 +225,8 @@ object TxnTable {
       else s""","part64":"${b64(partJson)}""""
     val bField = a.bloom.map(j => s""","bloom64":"${b64(j)}"""").getOrElse("")
     val dField = a.dv.map(d => s""","dv64":"${b64(dvJson(d))}"""").getOrElse("")
-    s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(a.file)}","bytes":${a.bytes}$stField$pField$bField$dField}"""
+    val rField = a.baseRowId.map(r => s""","baseRowId":$r""").getOrElse("")
+    s"""{"version":$version,"op":"${esc(op)}","action":"add","file":"${esc(a.file)}","bytes":${a.bytes}$stField$pField$bField$dField$rField}"""
   }
 
   /** Spec-shaped deletionVector descriptor JSON (identical bytes in the
@@ -248,6 +254,34 @@ object TxnTable {
                      extraConfig: Option[Map[String, String]] = None,
                      removeDvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty): Unit = {
     Files.createDirectories(logDir(root))
+    // ROW TRACKING: when enabled (possibly by THIS commit's extraConfig),
+    // every not-yet-stamped add gets a fresh baseRowId block off the
+    // folded high-water mark, and the commit records the advanced mark.
+    // Re-adds (DV commits, restore, clone) arrive pre-stamped and keep
+    // their ids — that is the stability contract.
+    val effCfg = extraConfig.getOrElse(readTableConfig(root))
+    val (stamped, hwmOpt) =
+      if (adds.isEmpty || !effCfg.get("delta.enableRowTracking").contains("true"))
+        (adds, None)
+      else {
+        val prior = foldState(root, version - 1).hwm
+        // pre-stamped adds (re-adds, a CLONE's inherited ids) first raise
+        // the mark — fresh blocks must never collide with ids that arrived
+        // stamped from a log this table's own hwm lines never covered
+        val preMax = adds.flatMap(a => a.baseRowId.map(_ +
+          math.max(a.stats.map(decodeStats(_).numRecords).getOrElse(0L), 1L)))
+          .maxOption.getOrElse(0L)
+        var hwm = math.max(prior, preMax)
+        val out = adds.map { a =>
+          if (a.baseRowId.isDefined) a
+          else {
+            val n = a.stats.map(decodeStats(_).numRecords).getOrElse(sys.error(
+              s"row tracking needs per-file stats; ${a.file} has none"))
+            val s = a.copy(baseRowId = Some(hwm)); hwm += math.max(n, 1L); s
+          }
+        }
+        (out, if (hwm > prior) Some(hwm) else None)
+      }
     // removes BEFORE adds (the mirror's order too): a merge-on-read commit
     // removes and re-adds the SAME path (new deletion vector), and the
     // line-ordered fold must land on the re-add. A remove of a DV-carrying
@@ -259,9 +293,10 @@ object TxnTable {
           .map(d => s""","dv64":"${java.util.Base64.getEncoder.encodeToString(dvJson(d).getBytes(UTF_8))}"""")
           .getOrElse("")
         s"""{"version":$version,"op":"${esc(op)}","action":"remove","file":"${esc(f)}","bytes":0$dField}"""
-      } ++ adds.map(addLine(version, op, _)) ++ cdc.map { a =>
+      } ++ stamped.map(addLine(version, op, _)) ++ cdc.map { a =>
         s"""{"version":$version,"op":"${esc(op)}","action":"cdc","file":"${esc(a.file)}","bytes":${a.bytes}}"""
-      }
+      } ++ hwmOpt.map(h =>
+        s"""{"version":$version,"op":"hwm","action":"hwm","file":"","bytes":$h}""").toSeq
     // version claim is a true compare-and-set: the content is fully
     // written to a writer-private tmp file, then HARD-LINKED into place —
     // link(2) fails atomically if the version exists, where rename(2)
@@ -278,8 +313,8 @@ object TxnTable {
       throw new ConcurrentCommitException(root, version)
     }
     Files.deleteIfExists(tmp)
-    deltaCommit(root, version, op, adds, removes, schemaJson, dataChange, txn,
-      partCols, cdc, extraConfig, removeDvs)
+    deltaCommit(root, version, op, stamped, removes, schemaJson, dataChange, txn,
+      partCols, cdc, extraConfig, removeDvs, hwmOpt)
     if (version > 0 && version % CheckpointInterval == 0)
       writeTxnCheckpoint(root, version)
   }
@@ -312,12 +347,23 @@ object TxnTable {
   private def tokenOp(op: String): Boolean =
     op.startsWith("append#") || op.startsWith("merge-dv#")
 
-  /** Fold state at `upTo`: (live adds, token→version ledger). Seeds from
-    * the newest checkpoint ≤ upTo, then folds only the tail. */
-  private def foldState(root: String, upTo: Long): (Seq[AddFile], Map[String, Long]) = {
+  /** The complete fold at one version: live adds, the idempotence-token
+    * ledger, and the row-id high-water mark (next fresh row id; 0 when
+    * row tracking never assigned any). */
+  private final case class FoldedState(live: Seq[AddFile],
+                                       tokens: Map[String, Long], hwm: Long)
+
+  /** Fold state at `upTo` — seeds from the newest checkpoint ≤ upTo, then
+    * folds only the tail. `hwm` lines ride `bytes` (a file-less marker
+    * action, like token lines): the high-water mark must survive
+    * [[expireLog]] and vacuumed history, or freed ids would be REUSED and
+    * break row-id stability — so it folds as a max, never recomputed from
+    * the (possibly truncated) add set. */
+  private def foldState(root: String, upTo: Long): FoldedState = {
     val ck = ckptVersions(root).filter(_ <= upTo).lastOption
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val tokens = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var hwm = 0L
     ck.foreach { v =>
       Files.readAllLines(ckptPath(root, v)).asScala.foreach { line =>
         val m = MiniJson.parse(line).asInstanceOf[Map[String, Any]]
@@ -328,6 +374,8 @@ object TxnTable {
           case "token" =>
             tokens(m("op").asInstanceOf[String]) =
               m("version").asInstanceOf[BigDecimal].toLongExact
+          case "hwm" =>
+            hwm = math.max(hwm, m("bytes").asInstanceOf[BigDecimal].toLongExact)
           case _ => () // meta — consumed by readMeta's short-circuit
         }
       }
@@ -341,10 +389,12 @@ object TxnTable {
           case Action(_, op, "remove", a) =>
             live.remove(a.file)
             if (tokenOp(op)) tokens(op) = v
+          case Action(_, _, "hwm", a) =>
+            hwm = math.max(hwm, a.bytes)
           case _ => ()
         }
       }
-    (live.values.toSeq, tokens.toMap)
+    FoldedState(live.values.toSeq, tokens.toMap, hwm)
   }
 
   /** (checkpoint version used, tail commit files folded) for a read at
@@ -356,7 +406,8 @@ object TxnTable {
   }
 
   private def writeTxnCheckpoint(root: String, version: Long): Unit = {
-    val (live, tokens) = foldState(root, version)
+    val st = foldState(root, version)
+    val (live, tokens) = (st.live, st.tokens)
     val metaLine = readMeta(root, version).map { case (schema, pcs) =>
       def b64(s: String) =
         java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
@@ -372,7 +423,10 @@ object TxnTable {
     val lines = metaLine ++
       live.map(addLine(version, "checkpoint", _)) ++
       tokens.toSeq.sortBy(_._2).map { case (op, v) =>
-        s"""{"version":$v,"op":"${esc(op)}","action":"token","file":"","bytes":0}""" }
+        s"""{"version":$v,"op":"${esc(op)}","action":"token","file":"","bytes":0}""" } ++
+      (if (st.hwm > 0)
+        Seq(s"""{"version":$version,"op":"hwm","action":"hwm","file":"","bytes":${st.hwm}}""")
+      else Seq.empty)
     val tmp = logDir(root).resolve(
       s".$version-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
@@ -393,7 +447,8 @@ object TxnTable {
     AddFile(m("file").asInstanceOf[String],
       m("bytes").asInstanceOf[BigDecimal].toLongExact,
       b64("stats64"), pvs, b64("bloom64"),
-      b64("dv64").map(parseDvJson))
+      b64("dv64").map(parseDvJson),
+      m.get("baseRowId").map(_.asInstanceOf[BigDecimal].toLongExact))
   }
 
   /** Another writer claimed this version first; the caller rebases on the
@@ -445,7 +500,8 @@ object TxnTable {
                           partCols: Seq[String] = Nil,
                           cdc: Seq[AddFile] = Nil,
                           extraConfig: Option[Map[String, String]] = None,
-                          removeDvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty): Unit = {
+                          removeDvs: Map[String, DeletionVectors.DvDescriptor] = Map.empty,
+                          hwm: Option[Long] = None): Unit = {
     Files.createDirectories(deltaDir(root))
     // MONOTONIC commit timestamps (Delta's inCommitTimestamp semantics):
     // timestampAsOf time travel scans commitInfo stamps newest-first and
@@ -492,6 +548,7 @@ object TxnTable {
     val mappingActive = config.get("delta.columnMapping.mode").contains("name")
     val wideningActive = config.get("delta.enableTypeWidening").contains("true")
     val genActive = config.get("graft.generatedColumns").exists(_.nonEmpty)
+    val rowTrackingActive = config.get("delta.enableRowTracking").contains("true")
     val constraintsActive =
       config.keys.exists(_.startsWith("delta.constraints.")) || needsWriter3
     val featureProtocol = {
@@ -501,9 +558,15 @@ object TxnTable {
       val rf = dvF ++ mapF ++ wideF
       val wf = dvF ++ mapF ++ wideF ++
         (if (constraintsActive) Seq("checkConstraints") else Nil) ++
-        (if (genActive) Seq("generatedColumns") else Nil)
+        (if (genActive) Seq("generatedColumns") else Nil) ++
+        // rowTracking + domainMetadata are WRITER features (a reader that
+        // ignores baseRowId still reads the rows)
+        (if (rowTrackingActive) Seq("rowTracking", "domainMetadata") else Nil)
       def arr(fs: Seq[String]) = fs.map(f => s""""$f"""").mkString("[", ",", "]")
-      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(rf)},"writerFeatures":${arr(wf)}}}"""
+      if (rf.isEmpty)
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":${arr(wf)}}}"""
+      else
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(rf)},"writerFeatures":${arr(wf)}}}"""
     }
     // legacy protocol levels are cumulative: mapping 2/5 ⊇ generated 1/4 ⊇
     // constraints 1/3 ⊇ base 1/2 — a commit that activates any of them
@@ -512,7 +575,7 @@ object TxnTable {
       if (genActive) 4 else 2, if (mappingActive) 5 else 2).max
     val legacyReader = if (mappingActive) 2 else 1
     val head =
-      (if ((dvActive || wideningActive) &&
+      (if ((dvActive || wideningActive || rowTrackingActive) &&
         (adds.exists(_.dv.isDefined) || needsWriter3 || extraConfig.isDefined))
         Seq(featureProtocol)
       else if (version == 0L)
@@ -537,11 +600,20 @@ object TxnTable {
         val mt = Files.getLastModifiedTime(filePath(root, a.file)).toMillis
         val stField = a.stats.map(j => s""","stats":"${esc(j)}"""").getOrElse("")
         val dvField = a.dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+        // row tracking per the protocol: the add's fresh-id base and the
+        // version whose commit assigned it
+        val rField = a.baseRowId.map(r =>
+          s""","baseRowId":$r,"defaultRowCommitVersion":$version""").getOrElse("")
         val pv = a.partitionValues.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
           .mkString("{", ",", "}")
-        s"""{"add":{"path":"${esc(a.file)}","partitionValues":$pv,"size":${a.bytes},"modificationTime":$mt,"dataChange":$dataChange$stField$dvField}}"""
+        s"""{"add":{"path":"${esc(a.file)}","partitionValues":$pv,"size":${a.bytes},"modificationTime":$mt,"dataChange":$dataChange$stField$dvField$rField}}"""
       } ++
+      // the row-id high-water mark is DOMAIN METADATA per the protocol —
+      // the one piece of row-tracking state adds alone cannot carry
+      // (vacuumed history must never recycle ids)
+      hwm.map(h =>
+        s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":${h - 1}}","removed":false}}""").toSeq ++
       // change-data files (the protocol's AddCDCFile): CDF readers fold
       // these from the version-range commit JSONs — per the protocol they
       // do NOT enter checkpoints, so writeDeltaCheckpoint skips them
@@ -586,6 +658,8 @@ object TxnTable {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
     val tombs = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
+    // latest-wins per domain (the protocol's domainMetadata fold rule)
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
     // -- seed from the newest prior checkpoint, if any ---------------------
     val priorCp = listClosed(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".checkpoint.parquet"))
@@ -651,7 +725,18 @@ object TxnTable {
                 (if (a.isNullAt(1)) Map.empty[String, Any]
                  else a.getMap[String, String](1).toMap),
               "size" -> bd(a.get(2)), "modificationTime" -> bd(a.get(3)),
-              "stats" -> a.get(5)) ++ dvSeed)
+              "stats" -> a.get(5)) ++ dvSeed ++
+              optField(a, "baseRowId").map("baseRowId" -> bd(_)) ++
+              optField(a, "defaultRowCommitVersion")
+                .map("defaultRowCommitVersion" -> bd(_)))
+          }
+          if (r.schema.fieldNames.contains("domainMetadata") &&
+            !r.isNullAt(r.fieldIndex("domainMetadata"))) {
+            val dm = r.getStruct(r.fieldIndex("domainMetadata"))
+            domains(dm.getString(0)) = Map(
+              "domain" -> dm.getString(0),
+              "configuration" -> dm.getString(1),
+              "removed" -> dm.getBoolean(2))
           }
           if (!r.isNullAt(r.fieldIndex("remove"))) {
             val t = r.getStruct(r.fieldIndex("remove"))
@@ -695,6 +780,9 @@ object TxnTable {
         m.get("remove").foreach { p => val r = p.asInstanceOf[Map[String, Any]]
           val path = r("path").asInstanceOf[String]
           adds.remove(path); tombs(path) = r }
+        m.get("domainMetadata").foreach { p =>
+          val dm = p.asInstanceOf[Map[String, Any]]
+          domains(dm("domain").asInstanceOf[String]) = dm }
       }
     }
     import org.apache.spark.sql.Row
@@ -719,7 +807,7 @@ object TxnTable {
         Row(Integer.valueOf(protocol("minReaderVersion").asInstanceOf[BigDecimal].toIntExact),
             Integer.valueOf(protocol("minWriterVersion").asInstanceOf[BigDecimal].toIntExact),
             strSeq(protocol, "readerFeatures"),
-            strSeq(protocol, "writerFeatures")))) ++
+            strSeq(protocol, "writerFeatures")), null)) ++
       Seq(Row(null, null, null,
         Row(str(metaData, "id"), str(metaData, "name"), str(metaData, "description"),
           Row("parquet", Map.empty[String, String]),
@@ -734,22 +822,29 @@ object TxnTable {
             .asInstanceOf[Map[String, Any]]
             .map { case (k, v) => k -> v.asInstanceOf[String] },
           lng(metaData, "createdTime")),
-        null)) ++
+        null, null)) ++
       txns.toSeq.map { case (app, v) =>
-        Row(Row(app, java.lang.Long.valueOf(v), null), null, null, null, null) } ++
+        Row(Row(app, java.lang.Long.valueOf(v), null), null, null, null, null, null) } ++
       adds.values.toSeq.map { a =>
         Row(null,
           Row(str(a, "path"),
             a.getOrElse("partitionValues", Map.empty).asInstanceOf[Map[String, Any]]
               .map { case (k, v) => k -> v.asInstanceOf[String] },
             lng(a, "size"), lng(a, "modificationTime"),
-            java.lang.Boolean.FALSE, str(a, "stats"), dvRow(a)),
-          null, null, null) } ++
+            java.lang.Boolean.FALSE, str(a, "stats"), dvRow(a),
+            lng(a, "baseRowId"), lng(a, "defaultRowCommitVersion")),
+          null, null, null, null) } ++
       tombs.values.toSeq.map { r =>
         Row(null, null,
           Row(str(r, "path"), lng(r, "deletionTimestamp"), java.lang.Boolean.FALSE,
             dvRow(r)),
-          null, null) }
+          null, null, null) } ++
+      domains.values.toSeq.map { dm =>
+        Row(null, null, null, null, null,
+          Row(dm("domain").asInstanceOf[String],
+            dm("configuration").asInstanceOf[String],
+            java.lang.Boolean.valueOf(
+              dm.get("removed").exists(_ == true)))) }
     val cpSchema = StructType(Seq(
       StructField("txn", StructType(Seq(
         StructField("appId", StringType), StructField("version", LongType),
@@ -766,7 +861,9 @@ object TxnTable {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType))))))),
+          StructField("cardinality", LongType)))),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -792,7 +889,11 @@ object TxnTable {
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
         StructField("readerFeatures", ArrayType(StringType)),
-        StructField("writerFeatures", ArrayType(StringType)))))))
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     val tmpDir = d.resolve(s".cp-$version")
     spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
@@ -1130,7 +1231,7 @@ object TxnTable {
     // the dedup ledger rides checkpoints too (token lines), so redelivery
     // detection folds checkpoint + tail, never the whole history
     def existing: Option[Long] =
-      foldState(root, latestVersion(root))._2.get(op)
+      foldState(root, latestVersion(root)).tokens.get(op)
     existing.getOrElse {
       val adds =
         if (pcs.isEmpty) writeDataFiles(df, root, latestVersion(root) + 1)
@@ -1327,7 +1428,7 @@ object TxnTable {
       s"mergeDvOnce token must not contain control characters: ${token.trim}")
     val op = s"merge-dv#$token"
     def existing: Option[Long] =
-      foldState(root, latestVersion(root))._2.get(op)
+      foldState(root, latestVersion(root)).tokens.get(op)
     existing.getOrElse(casRetry("mergeDvOnce") {
       // the same token may have won a concurrent race — re-check inside
       // the CAS loop so redelivery never double-merges
@@ -1510,7 +1611,7 @@ object TxnTable {
     // Seeded from the newest checkpoint ≤ asOf, so the fold is
     // O(checkpoint + tail), not O(versions) — see [[foldState]].
     val upTo = if (asOf < 0) latestVersion(root) else asOf
-    foldState(root, upTo)._1
+    foldState(root, upTo).live
   }
 
   /** Table metadata from the `_delta_log` mirror's metaData actions — the
@@ -2081,6 +2182,111 @@ object TxnTable {
     }
   }
 
+  // ---- row tracking (stable row ids) ------------------------------------------
+  // The protocol's rowTracking feature: every row gets a STABLE id —
+  // fresh files get a baseRowId block off a never-reused high-water mark
+  // (row_id = baseRowId + physical row index), and rewrites that must
+  // preserve identity MATERIALIZE the ids into a hidden column. The
+  // 100 TB payoff is lineage: dedup decisions, quality labels, and
+  // incremental downstream state can key on a row forever, across
+  // compaction, clustering, purge, and merge-on-read DML (whose untouched
+  // files keep ids by construction — the bitmap marks positions, the
+  // file's identity never moves).
+
+  /** The materialized-row-id physical column name (recorded in config as
+    * delta.rowTracking.materializedRowIdColumnName). Hidden: never part
+    * of the logical schema, ignored by every explicit-schema scan. */
+  private val RowIdCol = "_graft_row_id"
+
+  private def rowTrackingOn(root: String): Boolean =
+    readTableConfig(root).get("delta.enableRowTracking").contains("true")
+
+  /** ENABLE row tracking: one metadata-only commit that re-adds every
+    * live file (the [[commit]] stamper assigns each its baseRowId block)
+    * and records the feature config. Idempotent; time travel below the
+    * enable has no row ids. */
+  def enableRowTracking(spark: SparkSession, root: String): Long = casRetry("enableRowTracking") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val cfg = readTableConfig(root)
+    if (cfg.get("delta.enableRowTracking").contains("true")) return v - 1
+    val (schema, pcs) = readMeta(root).getOrElse(
+      sys.error(s"$root has no metaData to enable row tracking on"))
+    val live = liveAdds(root, v - 1)
+    val newCfg = cfg + ("delta.enableRowTracking" -> "true") +
+      ("delta.rowTracking.materializedRowIdColumnName" -> RowIdCol)
+    commit(root, v, "enable-row-tracking",
+      adds = live.map(_.copy(baseRowId = None)), removes = live.map(_.file).sorted,
+      schemaJson = Some(schema.json), dataChange = false, partCols = pcs,
+      extraConfig = Some(newCfg), removeDvs = dvTombstones(live))
+    v
+  }
+
+  /** Snapshot read with the stable `_row_id` column: materialized ids win
+    * (files a layout rewrite carried forward), else baseRowId + the
+    * physical row index. Deletion vectors compose (marked rows vanish,
+    * their ids simply go unused). */
+  def readWithRowIds(spark: SparkSession, root: String, asOf: Long = -1L): DataFrame = {
+    require(rowTrackingOn(root),
+      s"$root does not track row ids (call enableRowTracking first)")
+    val last = latestVersion(root)
+    require(last >= 0, s"$root is not a TxnTable (no _txn_log)")
+    require(asOf <= last, s"version $asOf does not exist (latest $last)")
+    val adds = liveAdds(root, asOf)
+    require(adds.nonEmpty, s"no live files at version $asOf")
+    readFilesRowId(spark, root, adds, asOf)
+  }
+
+  /** The layout-rewrite read: when row tracking is on, rows come back
+    * WITH their ids materialized under [[RowIdCol]], so the rewrite's
+    * output files preserve identity; otherwise a plain [[readFiles]]. */
+  private def readFilesPreservingIds(spark: SparkSession, root: String,
+                                     adds: Seq[AddFile], asOf: Long): DataFrame =
+    if (!rowTrackingOn(root)) readFiles(spark, root, adds, asOf)
+    else readFilesRowId(spark, root, adds, asOf)
+      .withColumnRenamed("_row_id", RowIdCol)
+
+  private def readFilesRowId(spark: SparkSession, root: String,
+                             adds0: Seq[AddFile], asOf: Long): DataFrame = {
+    import spark.implicits._
+    val kept = adds0.filterNot(fullyDeleted)
+    val adds = if (kept.nonEmpty) kept else adds0.take(1)
+    val alive = dvAliveFilter(spark, root, adds)
+    def dvf(df: DataFrame): DataFrame = alive.map(df.filter).getOrElse(df)
+    val (schema, pcs) = readMeta(root, asOf).getOrElse(
+      sys.error(s"$root has no metaData"))
+    // the scan schema carries the hidden materialized column as nullable:
+    // files without it (fresh appends) read null and fall back to
+    // baseRowId + row_index
+    val phys = StructType(schema.fields.map(f =>
+      f.copy(name = physicalName(f), nullable = true)) :+
+      StructField(RowIdCol, LongType, nullable = true))
+    val sel = schema.fields.toSeq.map(f => col(physicalName(f)).as(f.name)) ++ Seq(
+      col(RowIdCol).as("_mat_id"),
+      col("_metadata.file_name").as("_fn"),
+      col("_metadata.row_index").as("_rix"))
+    val scanned =
+      if (pcs.nonEmpty)
+        adds.map(_.file).groupBy(versionDirOf(root, _)).toSeq.sortBy(_._1)
+          .map { case (vDir, fs) =>
+            dvf(spark.read.schema(phys)
+              .option("basePath", vDir)
+              .parquet(fs.map(f => filePath(root, f).toString): _*))
+              .select(sel: _*)
+          }.reduce(_ unionByName _)
+      else
+        dvf(spark.read.schema(phys)
+          .parquet(adds.map(f => filePath(root, f.file).toString): _*))
+          .select(sel: _*)
+    // per-file fresh-id base, broadcast — O(files) rows, never data-sized
+    val baseDf = adds.map(a =>
+      (fileNameOf(a.file), a.baseRowId.getOrElse(-1L))).toDF("_fn2", "_base")
+    scanned.join(broadcast(baseDf), col("_fn") === col("_fn2"), "left")
+      .withColumn("_row_id",
+        coalesce(col("_mat_id"), when(col("_base") >= 0L, col("_base") + col("_rix"))))
+      .drop("_mat_id", "_fn", "_fn2", "_rix", "_base")
+  }
+
   /** [[readFiles]] plus a `_file` column carrying each row's source file as
     * a ROOT-RELATIVE path (the commit log's file key) — the attribution
     * column copy-on-write MERGE/DELETE group their touched-file analysis
@@ -2147,7 +2353,7 @@ object TxnTable {
     val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
     val small = liveAdds(root, v - 1).filter(_.bytes < smallBytes)
     require(small.nonEmpty, "nothing to optimize")
-    val df = readFiles(spark, root, small, v - 1)
+    val df = readFilesPreservingIds(spark, root, small, v - 1)
     val adds =
       if (pcs.isEmpty) writeDataFiles(df.repartition(targetPartitions), root, v,
         check = false)
@@ -2188,7 +2394,7 @@ object TxnTable {
       }
     }
     if (heavy.isEmpty) return v - 1 // nothing worth rewriting; no commit
-    val df = readFiles(spark, root, heavy, v - 1) // DV-aware: marked rows gone
+    val df = readFilesPreservingIds(spark, root, heavy, v - 1) // DV-aware: marked rows gone
     val adds =
       if (pcs.isEmpty) writeDataFiles(df, root, v, check = false)
       else writePartitionedFiles(df, root, v, pcs, check = false)
@@ -2221,7 +2427,7 @@ object TxnTable {
     val mask = (1L << bits) - 1
     val z = expr(graft.operators.ZOrder.zExprSparkN(
       zCols.map(c => s"(CAST($c AS BIGINT) & $mask)"), bits))
-    val df = readFiles(spark, root, live, v - 1)
+    val df = readFilesPreservingIds(spark, root, live, v - 1)
     // on a partitioned table the hive layout stays the outer key: rows
     // range-cluster on (partition cols, z) so each partition directory's
     // files get tight z-rectangles and no row changes partition
@@ -2308,9 +2514,12 @@ object TxnTable {
     val stale = liveAdds(root, v - 1).filterNot(a => clustered(a.file))
     if (stale.isEmpty) return v - 1 // fully clustered; no commit
     val mask = (1L << bits) - 1
-    val z = expr(graft.operators.ZOrder.zExprSparkN(
-      zCols.map(c => s"(CAST($c AS BIGINT) & $mask)"), bits))
-    val df = readFiles(spark, root, stale, v - 1) // DV-aware: marked rows gone
+    // ONE clustering column is a plain range sort (no interleave needed);
+    // two or more take the Morton key
+    val z = if (zCols.size == 1) col(zCols.head)
+      else expr(graft.operators.ZOrder.zExprSparkN(
+        zCols.map(c => s"(CAST($c AS BIGINT) & $mask)"), bits))
+    val df = readFilesPreservingIds(spark, root, stale, v - 1) // DV-aware: marked rows gone
     val keyCols = pcs.map(col) :+ z
     val out = df.repartitionByRange(targetPartitions, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
