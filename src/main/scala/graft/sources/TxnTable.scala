@@ -3582,7 +3582,8 @@ object TxnTable {
       val addFiles = acts.collect { case Action(_, _, "add", a) => a }
       val hasRemove = acts.exists(_.action == "remove")
       val layoutOnly = op == "optimize" || op == "optimize-zorder" ||
-        op == "optimize-cluster" || op == "purge-deletes"
+        op == "optimize-cluster" || op == "purge-deletes" ||
+        op == "enable-row-tracking" // metadata re-adds: zero row changes
       def tagged(df: DataFrame, mode: String): DataFrame =
         if (keys.isEmpty) df else df.withColumn("_change_mode", lit(mode))
       val frame: Option[DataFrame] =

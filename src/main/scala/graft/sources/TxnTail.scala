@@ -163,7 +163,8 @@ final class TxnTailStream(c: TxnTail.Conf)
     val hi = end.asInstanceOf[TxnTailOffset].version
     ((lo + 1) to hi).flatMap { v =>
       val (op, adds, cdc, rewrites) = TxnTable.commitActions(c.root, v)
-      if (op.startsWith("optimize") || op == "purge-deletes")
+      if (op.startsWith("optimize") || op == "purge-deletes" ||
+        op == "enable-row-tracking")
         Seq.empty // layout-only: no new rows
       else if (c.readChangeFeed) {
         // change-feed mode: each commit contributes exactly its changes

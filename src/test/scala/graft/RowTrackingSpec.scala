@@ -42,6 +42,18 @@ class RowTrackingSpec extends AnyFunSuite {
     val m2 = idsByKey(root)
     assert((m2 -- (101L to 120L)) == m1, "existing rows must not move")
     assert((101L to 120L).map(m2).sorted == (100L until 120L))
+    // the enable commit is LAYOUT-ONLY to change consumers: a tail across
+    // it re-delivers nothing, the incremental CDF emits nothing for it
+    val feed = TxnTable.changeFeedIncremental(spark, root, -1L, 2L)
+    assert(feed.filter(col("_commit_version") === 1L).count() == 0,
+      "enable-row-tracking must be silent in the change feed")
+    val q = spark.readStream.format("txn-tail").option("path", root).load()
+      .writeStream.format("memory").queryName("rowid_tail").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rowid_tail").count() == 120,
+        "the tail must deliver each row once, never re-deliver the enable")
+    } finally q.stop()
     // merge-on-read delete: untouched rows keep their exact ids
     TxnTable.deleteDv(spark, root, col("id") % 10L === 0L)    // v3
     val m3 = idsByKey(root)
