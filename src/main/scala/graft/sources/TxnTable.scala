@@ -1237,14 +1237,18 @@ object TxnTable {
         if (pcs.isEmpty) writeDataFiles(df, root, latestVersion(root) + 1)
         else writePartitionedFiles(df, root, latestVersion(root) + 1, pcs)
       casRetry("appendOnce") {
-        // the same token may have won a concurrent race — re-check inside
-        // the loop so redelivery never double-commits (the written files
-        // become vacuum-swept orphans)
-        existing.getOrElse {
+        // exactly-once hinges on the ledger check and the version claim
+        // sharing ONE snapshot: pin v FIRST, check the token at v−1, then
+        // CAS exactly v. Checking the ledger "at latest" instead is a
+        // TOCTOU — a racer committing the same token between the check and
+        // the claim lands the token TWICE at consecutive versions (caught
+        // live by the concurrent-appendOnce spec). If the racer claims v
+        // first, our CAS fails and the retry sees their token.
+        val v = latestVersion(root) + 1
+        foldState(root, v - 1).tokens.get(op).getOrElse {
           // same rebase rule as appendImpl: a mismatched batch must not
           // silently become the table's latest metaData
           val unified = unifiedSchema(root, df.schema, evolve = false, "appendOnce")
-          val v = latestVersion(root) + 1
           commit(root, v, op, adds, Seq.empty,
             schemaJson = Some(unified.json), txn = Some((token, v)),
             partCols = pcs)
@@ -1446,6 +1450,15 @@ object TxnTable {
       s"rewriteFraction must be in (0,1], got $rewriteFraction")
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    // exactly-once: the token-ledger check shares THIS claim's snapshot
+    // (v − 1) — checking "at latest" outside would be the appendOnce
+    // TOCTOU, where a racer's commit between check and claim lands the
+    // same token twice. If a racer claims v first, our CAS fails and the
+    // retry re-enters here seeing their token.
+    if (token.isDefined) {
+      val prior = foldState(root, v - 1).tokens.get(op)
+      if (prior.isDefined) return prior.get
+    }
     readMeta(root).foreach { case (cur, _) =>
       require(sameShape(cur, delta.schema),
         s"mergeDv delta schema ${delta.schema.simpleString} must match the " +
@@ -3662,8 +3675,10 @@ object TxnTable {
     liveAdds(root, asOf).map { a =>
       val n = a.stats.map(decodeStats(_).numRecords)
       (a.file, a.bytes, n.getOrElse(-1L),
-        a.partitionValues, a.stats.orNull, a.bloom.isDefined)
-    }.toDF("file", "bytes", "num_records", "partition_values", "stats", "has_bloom")
+        a.partitionValues, a.stats.orNull, a.bloom.isDefined,
+        a.dv.map(_.cardinality).getOrElse(0L), a.baseRowId.getOrElse(-1L))
+    }.toDF("file", "bytes", "num_records", "partition_values", "stats",
+      "has_bloom", "dv_cardinality", "base_row_id")
   }
 
   /** One-row table summary — the DESCRIBE DETAIL analogue. */

@@ -362,15 +362,29 @@ class TxnTableSpec extends AnyFunSuite {
     import scala.concurrent.ExecutionContext.Implicits.global
     val root = tbl()
     TxnTable.append(df(1 to 5).coalesce(1), root)
-    val vs = Await.result(Future.sequence((0 until 4).map { _ =>
-      Future(TxnTable.appendOnce(df(6 to 8).coalesce(1), root, "batch-7"))
-    }), 120.seconds)
+    // a start latch maximizes the check-vs-claim overlap — this exact
+    // race caught a live TOCTOU (ledger checked "at latest", version
+    // claimed later → one token landed at v1 AND v2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val fs = (0 until 6).map { _ =>
+      Future { gate.await(); TxnTable.appendOnce(df(6 to 8).coalesce(1), root, "batch-7") }
+    }
+    gate.countDown()
+    val vs = Await.result(Future.sequence(fs), 120.seconds)
     assert(vs.toSet.size == 1, s"one token must mean one commit, got $vs")
     assert(ids(TxnTable.read(spark, root)) == (1L to 8L))
     // losers' written-but-never-committed files are orphans: invisible to
-    // readers, absent from the log, reclaimed by vacuum — snapshot intact
+    // readers, absent from the log, reclaimed by vacuum — snapshot intact.
+    // Under fast scheduling every loser may return off the token ledger
+    // BEFORE writing anything, so plant one deterministic orphan too (the
+    // same on-disk shape a crashed losing attempt leaves behind).
+    val orphanDir = java.nio.file.Paths.get(root, "data", "v9-deadbeef")
+    Files.createDirectories(orphanDir)
+    Files.write(orphanDir.resolve("part-00000-dead.snappy.parquet"),
+      Array[Byte](1, 2, 3))
     val swept = TxnTable.vacuum(root, retainAfter = -1L)
-    assert(swept.nonEmpty, "the losing attempts' files must be swept")
+    assert(swept.contains("data/v9-deadbeef/part-00000-dead.snappy.parquet"),
+      s"unreferenced files must be swept: $swept")
     import spark.implicits._
     val logged = TxnTable.history(spark, root)
       .where("action = 'add'").select("file").as[String].collect().toSet

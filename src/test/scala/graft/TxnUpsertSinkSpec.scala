@@ -84,6 +84,27 @@ class TxnUpsertSinkSpec extends AnyFunSuite {
     assert(state(root) == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("concurrent mergeDvOnce with one token merges exactly once") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = Files.createTempDirectory("upsert_race").toString
+    TxnTable.append((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), root)
+    val delta = Seq((1L, "upd"), (999L, "new")).toDF("id", "v")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val fs = (0 until 4).map { _ =>
+      Future { gate.await()
+        TxnTable.mergeDvOnce(spark, delta, root, Seq("id"), "batch-0") }
+    }
+    gate.countDown()
+    val vs = Await.result(Future.sequence(fs), 120.seconds)
+    assert(vs.toSet.size == 1, s"one token must mean one merge, got $vs")
+    assert(TxnTable.read(spark, root).count() == 51,
+      "a doubled merge would re-insert or re-mark")
+    assert(state(root)(1L) == "upd" && state(root)(999L) == "new")
+  }
+
   test("seqCol picks last-wins inside a batch; partitioned layout holds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
