@@ -1841,6 +1841,13 @@ object TxnTable {
     require(offending.isEmpty,
       s"column $oldName is referenced by CHECK constraint(s) " +
         s"${offending.keys.mkString(", ")}; drop them first")
+    // a generation expression stores its SOURCE column by name — renaming
+    // the source would silently break the rule (and its derived pruning)
+    val genOffending = generationMap(schema).filter { case (_, sql) =>
+      sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*") }
+    require(genOffending.isEmpty,
+      s"column $oldName is referenced by generation expression(s) of " +
+        s"${genOffending.keys.mkString(", ")}")
     val stamped = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
       val b = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
@@ -1850,7 +1857,16 @@ object TxnTable {
     })
     val renamed = StructType(stamped.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
-    val cfg = readTableConfig(root) +
+    // config that NAMES columns renames with them: a stale
+    // delta.clusteringColumns entry would make the next optimizeCluster
+    // pass fail on a column that no longer exists
+    val cfg0 = readTableConfig(root)
+    val cfg1 = cfg0.get(ClusteringKey) match {
+      case Some(cols) => cfg0 + (ClusteringKey ->
+        cols.split(',').map(c => if (c == oldName) newName else c).mkString(","))
+      case None => cfg0
+    }
+    val cfg = cfg1 +
       ("delta.columnMapping.mode" -> "name") +
       ("delta.columnMapping.maxColumnId" -> renamed.fields.length.toString)
     commit(root, v, s"rename-column#$oldName", Seq.empty, Seq.empty,

@@ -77,6 +77,27 @@ class ClusteringSpec extends AnyFunSuite {
     intercept[Exception](TxnTable.readVersion(spark, root, 0L).collect())
   }
 
+  test("renaming a clustering column renames the clustering config with it") {
+    val root = tbl()
+    TxnTable.append(df(1 to 500).repartition(2), root)
+    TxnTable.setClustering(spark, root, Seq("x", "y"))
+    TxnTable.optimizeCluster(spark, root)
+    TxnTable.renameColumn(spark, root, "y", "y2")
+    assert(TxnTable.clusteringColumns(root) == Seq("x", "y2"),
+      "stale clustering config would break the next pass")
+    // the next incremental pass works under the new name
+    TxnTable.append(df(501 to 600).withColumnRenamed("y", "y2").repartition(1), root)
+    TxnTable.optimizeCluster(spark, root)
+    assert(contents(root) == (1L to 600L))
+    // and a generation SOURCE column refuses to rename (stored SQL)
+    val g = tbl()
+    TxnTable.append(df(1 to 10), g)
+    TxnTable.setGeneratedColumn(spark, g, "y", "10000 - x")
+    val e = intercept[IllegalArgumentException](
+      TxnTable.renameColumn(spark, g, "x", "x2"))
+    assert(e.getMessage.contains("generation expression"), e.getMessage)
+  }
+
   test("partitioned tables cluster within partitions; refusals are loud") {
     import spark.implicits._
     val root = tbl()

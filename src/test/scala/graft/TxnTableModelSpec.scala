@@ -48,8 +48,16 @@ class TxnTableModelSpec extends AnyFunSuite {
     model += seed
 
     val ops = scala.collection.mutable.ArrayBuffer("append(seed)")
+    var tracked = false
     for (step <- 1 to 24) {
-      rnd.nextInt(11) match {
+      // midway, ROW TRACKING switches on — every later op (including
+      // CoW rewrites, MoR DML, renames, clustering) must keep ids unique
+      // and one-per-row, which is the invariant the per-step check gates
+      if (step == 12) {
+        TxnTable.enableRowTracking(spark, root)
+        model += cur; ops += "enableRowTracking"; tracked = true
+      }
+      rnd.nextInt(12) match {
         case 0 => // append fresh rows
           val rows = freshRows(20 + rnd.nextInt(30))
           TxnTable.append(vdf(rows).coalesce(1 + rnd.nextInt(2)), root)
@@ -114,6 +122,22 @@ class TxnTableModelSpec extends AnyFunSuite {
           TxnTable.renameColumn(spark, root, valCol, next)
           valCol = next
           model += cur; ops += s"rename(->$valCol)"
+        case 11 => // liquid clustering: declare once, incremental passes after
+          if (TxnTable.clusteringColumns(root).isEmpty) {
+            TxnTable.setClustering(spark, root, Seq("id"))
+            model += cur; ops += "setClustering"
+          }
+          val before = TxnTable.latestVersion(root)
+          val after = TxnTable.optimizeCluster(spark, root,
+            targetPartitions = 1 + rnd.nextInt(2))
+          if (after > before) { model += cur; ops += "cluster" }
+          else ops += "cluster(noop)"
+      }
+      if (tracked) {
+        val rids = TxnTable.readWithRowIds(spark, root)
+          .select("_row_id").collect().map(_.getLong(0))
+        assert(rids.length == cur.size && rids.distinct.length == rids.length,
+          s"row ids must stay unique one-per-row after step $step: ${ops.last}")
       }
       assert(snap(root) == cur, s"snapshot diverged after step $step: ${ops.last}")
       // a pruning read must agree with the model filter
