@@ -62,7 +62,19 @@ object Bench {
     // number whose context lives in a commit message.
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Load guard (round-15 verdict): a suite that starts under external
+    // load records 6-7x per-query spikes that read as regressions in the
+    // round-over-round diff. Rather than commit a misleading record, WAIT
+    // for the box to go idle (bounded), and if it never does, stamp the
+    // record degraded=true so no one compares it against idle baselines.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.5").toDouble
+    val waitDeadline = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000
+    while (loadAvg() > loadMax && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] load_avg ${loadAvg()}%.2f > $loadMax%.1f; waiting for idle...")
+      Thread.sleep(30000)
+    }
     val loadStart = loadAvg()
+    val degraded = loadStart > loadMax
 
     // Steady-state timing: each query runs `runs` times (default 2) and the
     // LAST run is reported — the first run of a codegen-heavy query pays
@@ -104,7 +116,7 @@ object Bench {
     // Subset runs (BENCH_ONLY) must not clobber the full-suite record.
     val storageAll = results.map { r =>
       "\"" + r._1 + "\":[" + f"${r._4}%.1f,${r._5}%.1f,${r._6}]" }
-    val loadField = f""","load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f"""
+    val loadField = f""","load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"degraded":$degraded"""
     if (only.isEmpty)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_QUERIES.json"),

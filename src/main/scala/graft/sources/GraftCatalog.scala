@@ -1,0 +1,494 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft` — a DataSource V2 [[TableCatalog]] serving [[TxnTable]]
+  * snapshots to the SQL surface. Registered per session via
+  * `spark.sql.catalog.graft = graft.sources.GraftCatalog`, after which a
+  * user's first touch of the lakehouse is plain SQL — the way the
+  * reference's analytics tier consumes tables (ref: README.md:115-121,
+  * Trino virtual datasets over registered tables):
+  *
+  * {{{
+  *   SELECT ... FROM graft.events_tbl                      -- latest snapshot
+  *   SELECT ... FROM graft.events_tbl VERSION AS OF 2      -- time travel
+  *   SELECT ... FROM graft.events_tbl TIMESTAMP AS OF '...'
+  *   INSERT INTO graft.events_tbl SELECT ...               -- append commit
+  *   INSERT OVERWRITE graft.events_tbl SELECT ...          -- overwrite commit
+  *   ALTER TABLE graft.events_tbl RENAME COLUMN a TO b     -- metadata-only
+  * }}}
+  *
+  * Identifier → table-root mapping (session-conf driven, so notebooks and
+  * tests can mount any directory without a metastore):
+  *  - `graft.catalog.path.<name> = /abs/path` mounts one table explicitly;
+  *  - else `spark.sql.catalog.graft.root = /base` resolves `graft.ns.t`
+  *    to `/base/ns/t`.
+  *
+  * Snapshot isolation: [[GraftCatalog.loadTable]] PINS the version at
+  * resolution time, so one query never reads half of a concurrent commit —
+  * the same guarantee [[TxnTable.readVersion]] gives the Scala API.
+  * `VERSION AS OF` / `TIMESTAMP AS OF` route through Spark's native
+  * time-travel analysis to the two-arg `loadTable` overloads.
+  *
+  * Scale: planning folds ONLY commit metadata (O(files) driver work, same
+  * as every TxnTable read); data skipping reuses the one pruning engine
+  * ([[TxnTable.pruneAdds]] — min/max stats, partition values, per-file
+  * Bloom filters, generated-column derivation) against the filters Spark
+  * pushes into the scan, so a selective SQL predicate opens the same file
+  * set the Scala `readWhere` would. Each surviving file becomes ONE input
+  * partition read by a footer-driven parquet-column reader projecting only
+  * the requested columns — file-level parallelism with column pruning, the
+  * unit a 1000-executor scan wants. Deletion vectors apply inside the
+  * reader (marked ordinals skip), column-mapping physical names and
+  * type-widened narrow files up-convert exactly like the batch scan.
+  * [[GraftScan.estimateStatistics]] reports pruned bytes/rows so Catalyst
+  * sizes joins (a small dimension served by this catalog broadcasts).
+  */
+class GraftCatalog extends TableCatalog {
+  private var catName: String = "graft"
+  private var opts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name; opts = options
+  }
+  override def name(): String = catName
+
+  private def sessionConf(key: String): Option[String] =
+    SparkSession.active.conf.getOption(key)
+
+  /** Resolve an identifier to a TxnTable root directory. Explicit mounts
+    * (`graft.catalog.path.<ident>`) win; otherwise the identifier nests
+    * under the catalog root directory. */
+  private[sources] def rootFor(ident: Identifier): String = {
+    val key = (ident.namespace() :+ ident.name()).mkString(".")
+    sessionConf(s"graft.catalog.path.$key").getOrElse {
+      val base = sessionConf(s"spark.sql.catalog.$catName.root")
+        .orElse(Option(opts.get("root")))
+        .getOrElse(sys.error(
+          s"graft catalog: no mapping for table '$key' — set " +
+            s"graft.catalog.path.$key or spark.sql.catalog.$catName.root"))
+      (ident.namespace() :+ ident.name()).foldLeft(base)(_ + "/" + _)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootFor(ident)
+    val latest = TxnTable.latestVersion(root)
+    if (latest < 0) throw new NoSuchTableException(ident)
+    new GraftTable(root, latest, ident.toString)
+  }
+
+  /** `VERSION AS OF v` — Spark's time-travel analysis lands here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootFor(ident)
+    val latest = TxnTable.latestVersion(root)
+    if (latest < 0) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        sys.error(s"graft catalog: VERSION AS OF expects a commit number, got '$version'")
+    }
+    require(v >= 0 && v <= latest, s"version $v does not exist (latest $latest)")
+    new GraftTable(root, v, ident.toString)
+  }
+
+  /** `TIMESTAMP AS OF ts` — micros in, resolved to the newest commit at or
+    * before the instant ([[TxnTable.versionAsOf]] semantics). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = rootFor(ident)
+    if (TxnTable.latestVersion(root) < 0) throw new NoSuchTableException(ident)
+    new GraftTable(root, TxnTable.versionAsOf(root, timestampMicros / 1000L), ident.toString)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try TxnTable.latestVersion(rootFor(ident)) >= 0
+    catch { case _: RuntimeException => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = sessionConf(s"spark.sql.catalog.$catName.root")
+      .orElse(Option(opts.get("root"))).getOrElse(return Array.empty)
+    val dir = java.nio.file.Paths.get(namespace.foldLeft(base)(_ + "/" + _))
+    if (!java.nio.file.Files.isDirectory(dir)) return Array.empty
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p.resolve("_txn_log")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+    finally s.close()
+  }
+  private implicit class IterShim[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+
+  /** CREATE TABLE (and the table half of CTAS): an empty v0 commit fixing
+    * the schema. Identity partition transforms become the hive layout
+    * [[TxnTable.appendPartitioned]] maintains. */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val root = rootFor(ident)
+    require(TxnTable.latestVersion(root) < 0,
+      s"graft catalog: table $ident already exists at $root")
+    val pcs = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft catalog: only identity partition transforms are supported, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    TxnTable.create(SparkSession.active, root, schema, pcs)
+    new GraftTable(root, TxnTable.latestVersion(root), ident.toString)
+  }
+
+  /** ALTER TABLE → the metadata-only evolution APIs: RENAME COLUMN
+    * ([[TxnTable.renameColumn]], name-mode column mapping), ALTER COLUMN
+    * TYPE ([[TxnTable.widenColumn]], widening only), DROP COLUMN
+    * ([[TxnTable.dropColumn]]). Zero data bytes rewritten by any of them. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    if (TxnTable.latestVersion(root) < 0) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames.length == 1, "nested columns are not supported")
+        TxnTable.renameColumn(spark, root, c.fieldNames.head, c.newName)
+      case c: TableChange.UpdateColumnType =>
+        require(c.fieldNames.length == 1, "nested columns are not supported")
+        TxnTable.widenColumn(spark, root, c.fieldNames.head, c.newDataType)
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames.length == 1, "nested columns are not supported")
+        TxnTable.dropColumn(spark, root, c.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other")
+    }
+    new GraftTable(root, TxnTable.latestVersion(root), ident.toString)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog: DROP TABLE is not supported — table roots are " +
+        "user-owned directories; remove the directory explicitly")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: RENAME TABLE is not supported — remap " +
+        "graft.catalog.path.<name> instead")
+}
+
+object GraftCatalog {
+  /** Planning-time observability: the last scan's pruning decision, the
+    * hook the plan-gating specs assert on (files the skipping engine kept
+    * vs the snapshot total, and which pushed filters drove it). */
+  @volatile var lastScanReport: Option[ScanReport] = None
+  final case class ScanReport(root: String, version: Long,
+                              filesKept: Int, filesTotal: Int,
+                              pushed: Seq[String], projected: Seq[String])
+}
+
+/** One pinned TxnTable snapshot behind the DSv2 Table interface. */
+final class GraftTable(val root: String, val snapshotVersion: Long, identString: String)
+    extends Table with SupportsRead with SupportsWrite {
+  private val (tblSchema0, pcs) = TxnTable.readMeta(root, snapshotVersion).getOrElse(
+    sys.error(s"graft catalog: $root has no metaData action — not a TxnTable"))
+  // nullable-normalized: the scan fills pre-evolution files' missing
+  // columns with null regardless of what the committing batch declared,
+  // and a non-nullable field would also make Spark reject INSERTs whose
+  // query cannot prove non-nullness
+  private val tblSchema = StructType(tblSchema0.fields.map(_.copy(nullable = true)))
+
+  override def name(): String = identString
+  override def schema(): StructType = tblSchema
+  override def partitioning(): Array[Transform] =
+    pcs.map(Expressions.identity).toArray
+  override def properties(): JMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("path", root); m.put("version", snapshotVersion.toString)
+    m
+  }
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, snapshotVersion, tblSchema, pcs)
+
+  /** INSERT INTO / INSERT OVERWRITE via the V1 write bridge: the incoming
+    * query arrives as a full DataFrame and lands as ONE TxnTable commit
+    * (append under the table's layout, or an overwrite claiming every
+    * prior live file) — distributed write, O(files) commit metadata. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, o: Boolean): Unit = {
+              // align by position to the table schema (SQL INSERT contract)
+              val aligned = data.toDF(tblSchema.fieldNames.toIndexedSeq: _*)
+              if (overwrite) TxnTable.overwrite(aligned, root)
+              else if (pcs.nonEmpty) TxnTable.appendPartitioned(aligned, root, pcs)
+              else TxnTable.append(aligned, root)
+            }
+          }
+      }
+    }
+}
+
+/** Pushdown bookkeeping: filters translate to catalyst conjuncts for the
+  * file-pruning engine; Spark still evaluates every filter post-scan
+  * (skipping is file-level and conservative), so all filters return as
+  * residual and correctness never depends on the translation. */
+final class GraftScanBuilder(root: String, version: Long,
+                             tblSchema: StructType, pcs: Seq[String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = tblSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftScanBuilder.translate(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // map back by name: the pruned schema loses our field metadata
+    // (physical names), which the reader needs
+    required = StructType(requiredSchema.fieldNames.flatMap(n =>
+      tblSchema.fields.find(_.name == n)))
+  override def build(): Scan =
+    GraftScan(root, version, tblSchema, pcs, required, pushed)
+}
+
+object GraftScanBuilder {
+  /** sources.Filter → catalyst conjunct in the shape
+    * [[TxnTable.pruneAdds]] folds over file statistics. Unsupported
+    * shapes translate to None and simply don't prune. */
+  private[sources] def translate(f: Filter): Option[Expression] = {
+    import org.apache.spark.sql.{sources => s}
+    import org.apache.spark.sql.catalyst.{expressions => e}
+    def attr(n: String) = UnresolvedAttribute.quoted(n)
+    f match {
+      case s.EqualTo(a, v)            => Some(e.EqualTo(attr(a), Literal(v)))
+      case s.GreaterThan(a, v)        => Some(e.GreaterThan(attr(a), Literal(v)))
+      case s.GreaterThanOrEqual(a, v) => Some(e.GreaterThanOrEqual(attr(a), Literal(v)))
+      case s.LessThan(a, v)           => Some(e.LessThan(attr(a), Literal(v)))
+      case s.LessThanOrEqual(a, v)    => Some(e.LessThanOrEqual(attr(a), Literal(v)))
+      case s.In(a, vs)                => Some(e.In(attr(a), vs.toIndexedSeq.map(Literal(_))))
+      case s.IsNull(a)                => Some(e.IsNull(attr(a)))
+      case s.IsNotNull(a)             => Some(e.IsNotNull(attr(a)))
+      case s.And(l, r) =>
+        for (le <- translate(l); re <- translate(r)) yield e.And(le, re)
+      case _ => None
+    }
+  }
+}
+
+final case class GraftScan(root: String, version: Long,
+                           tblSchema: StructType, pcs: Seq[String],
+                           required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** The pruned snapshot: one fold of the commit log + the conjunct
+    * skipping pass. Lazy and shared by planning and statistics. */
+  @transient private lazy val pruning: (Seq[TxnTable.AddFile], Int) = {
+    val adds = TxnTable.liveAdds(root, version)
+    val conj = pushed.flatMap(GraftScanBuilder.translate)
+    val kept =
+      if (conj.isEmpty) adds
+      else {
+        val pred = org.apache.spark.sql.GraftColumnExpr.column(
+          conj.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)))
+        TxnTable.pruneAdds(adds, pred,
+          TxnTable.colMapping(tblSchema), genSchema = Some(tblSchema))._1
+      }
+    (kept, adds.size)
+  }
+
+  override def readSchema(): StructType =
+    StructType(required.fields.map(f => f.copy(nullable = true)))
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (kept0, total) = pruning
+    // a fully-deleted file contributes nothing — zero partitions is a
+    // valid DSv2 scan (schema comes from readSchema)
+    val kept = kept0.filterNot(a => a.dv.exists(d =>
+      a.stats.exists(TxnTable.decodeStats(_).numRecords == d.cardinality)))
+    GraftCatalog.lastScanReport = Some(GraftCatalog.ScanReport(
+      root, version, kept.size, total,
+      pushed.map(_.toString).toSeq, required.fieldNames.toSeq))
+    val schemaJson = required.json
+    kept.map { a =>
+      GraftInputPartition(
+        TxnTable.filePath(root, a.file).toString, schemaJson,
+        a.partitionValues,
+        a.dv.map(d => java.util.Base64.getEncoder.encodeToString(
+          DeletionVectors.readDvData(root, d))).orNull)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new GraftRowReader(p.asInstanceOf[GraftInputPartition])
+    }
+
+  /** Post-pruning size: lets Catalyst broadcast a catalog-served dimension
+    * and plan joins on real bytes, not defaults. */
+  override def estimateStatistics(): Statistics = {
+    val (kept, _) = pruning
+    val bytes = kept.map(_.bytes).sum
+    val rows = kept.flatMap(a => a.stats.map(s =>
+      TxnTable.decodeStats(s).numRecords - a.dv.map(_.cardinality).getOrElse(0L)))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        if (rows.size == kept.size) java.util.OptionalLong.of(rows.sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
+
+  override def description(): String = {
+    val (kept, total) = pruning
+    s"graft root=$root version=$version files=${kept.size}/$total " +
+      s"PushedFilters=[${pushed.mkString(", ")}]"
+  }
+}
+
+final case class GraftInputPartition(path: String, schemaJson: String,
+                                     partValues: Map[String, String],
+                                     dvB64: String) extends InputPartition
+
+/** Executor-side reader: one parquet file via the parquet-column record
+  * API, PROJECTED to the requested columns (the file reader's requested
+  * schema restricts which column chunks are even fetched — column pruning
+  * that saves real I/O, mirroring `ReadSchema` on a native scan). Handles
+  * the full TxnTable read matrix: column-mapping physical names, pre-widen
+  * narrow files (INT32→long, FLOAT→double up-convert), pre-evolution files
+  * missing columns (null), path-encoded partition constants, and deletion
+  * vectors (marked ordinals skip — the record stream's index IS
+  * `_metadata.row_index`). A columnar upgrade (emit ColumnarBatch) slots
+  * at this seam without touching planning. */
+final class GraftRowReader(p: GraftInputPartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.io.ColumnIOFactory
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+  import org.apache.parquet.schema.MessageType
+
+  private val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private val physNames: Array[String] = schema.fields.map { f =>
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+  }
+  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+    new org.apache.hadoop.fs.Path(p.path),
+    new org.apache.hadoop.conf.Configuration()))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  // project the file read to the requested columns that exist in the file
+  private val wanted = physNames.filter(fileSchema.containsField)
+  private val requested: MessageType =
+    if (wanted.isEmpty) null
+    else {
+      import scala.jdk.CollectionConverters._
+      new MessageType(fileSchema.getName,
+        wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).toList.asJava)
+    }
+  if (requested != null) reader.setRequestedSchema(requested)
+  private val totalRows: Long = reader.getRecordCount
+
+  private val dvDrop: DeletionVectors.RoaringBitmapArray =
+    if (p.dvB64 == null) null
+    else DeletionVectors.RoaringBitmapArray.deserialize(
+      java.util.Base64.getDecoder.decode(p.dvB64))
+
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var remaining = 0L
+  private var current: Group = _
+  private var ordinal = -1L
+
+  override def next(): Boolean = {
+    while (true) {
+      if (requested == null) {
+        // zero projected file columns (count-style scans, pre-evolution
+        // files): emit footer-counted rows without touching pages
+        ordinal += 1
+        if (ordinal >= totalRows) return false
+        if (dvDrop == null || !dvDrop.contains(ordinal)) return true
+      } else {
+        while (remaining == 0L) {
+          val rg = reader.readNextRowGroup()
+          if (rg == null) return false
+          remaining = rg.getRowCount
+          recordReader = new ColumnIOFactory().getColumnIO(requested)
+            .getRecordReader(rg, new GroupRecordConverter(requested))
+        }
+        current = recordReader.read(); remaining -= 1; ordinal += 1
+        if (dvDrop == null || !dvDrop.contains(ordinal)) return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      vals(i) =
+        if (requested == null || !requested.containsField(physNames(i)))
+          if (p.partValues.contains(f.name)) partConst(p.partValues(f.name), f.dataType)
+          else null
+        else {
+          val fi = requested.getFieldIndex(physNames(i))
+          if (current.getFieldRepetitionCount(fi) == 0) null
+          else {
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+            def prim = requested.getType(fi).asPrimitiveType().getPrimitiveTypeName
+            f.dataType match {
+              case LongType =>
+                if (prim == PrimitiveTypeName.INT32) current.getInteger(fi, 0).toLong
+                else current.getLong(fi, 0)
+              case IntegerType => current.getInteger(fi, 0)
+              case DoubleType =>
+                if (prim == PrimitiveTypeName.FLOAT) current.getFloat(fi, 0).toDouble
+                else current.getDouble(fi, 0)
+              case FloatType   => current.getFloat(fi, 0)
+              case BooleanType => current.getBoolean(fi, 0)
+              case StringType  => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
+              case BinaryType  => current.getBinary(fi, 0).getBytes
+              case dt => sys.error(s"graft catalog: unsupported column type $dt")
+            }
+          }
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private def partConst(s: String, dt: DataType): Any =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType  => UTF8String.fromString(s)
+      case LongType    => s.toLong
+      case IntegerType => s.toInt
+      case DoubleType  => s.toDouble
+      case FloatType   => s.toFloat
+      case BooleanType => s.toBoolean
+      case other => sys.error(s"graft catalog: unsupported partition type $other")
+    }
+
+  override def close(): Unit = reader.close()
+}

@@ -1555,6 +1555,122 @@ object Sources {
       |       CAST(max(rid) AS BIGINT), CAST(sum(rid) AS BIGINT) FROM surv
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated SQL READ SURFACE (DSv2 TableCatalog): the same lakehouse
+  // lifecycle as q_txn_dv — append range-clustered, merge-on-read delete,
+  // append more — but every READ is literal `spark.sql` through the
+  // registered `graft` catalog: `VERSION AS OF v` routes Spark's native
+  // time-travel analysis to GraftCatalog.loadTable(ident, version), and
+  // the filtered latest read pushes its predicate into the DSv2 scan where
+  // the one pruning engine (stats/partition/bloom/DV) drops files at
+  // planning (plan-gated in GraftCatalogSpec). This is the reference's
+  // consumption shape — SQL over registered tables (README.md:115-121) —
+  // now first-class over the transaction log.
+  // ---------------------------------------------------------------------------
+  def txnSqlRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlread")
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("graft.catalog.path.sql_ev", tmp.toString)
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      TxnTable.append(ev.repartitionByRange(8, $"cents"), tmp.toString)     // v0
+      TxnTable.deleteDv(s, tmp.toString,
+        $"cents" >= 5000L && $"cents" <= 15000L)                            // v1
+      TxnTable.append(ev.filter($"cents" > 20000L), tmp.toString)           // v2
+      val per = (0L to 2L).map { v =>
+        s.sql(s"SELECT ${v}L AS version, count(*) AS n_rows, " +
+          s"CAST(sum(cents) AS BIGINT) AS sum_cents " +
+          s"FROM graft.sql_ev VERSION AS OF $v")
+      }.reduce(_ union _)
+      val filtered = s.sql(
+        "SELECT 90L AS version, count(*) AS n_rows, " +
+          "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+          "FROM graft.sql_ev WHERE cents <= 1000")
+      graft.Materialize.eager(per union filtered)
+    } finally reclaim(tmp)
+  }
+  val txnSqlReadSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |v1 AS (SELECT cents FROM ev
+      |       WHERE cents < 5000 OR cents > 15000 OR cents IS NULL),
+      |v2 AS (SELECT cents FROM v1
+      |       UNION ALL SELECT cents FROM ev WHERE cents > 20000)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT 90, count(*), CAST(sum(cents) AS BIGINT) FROM v2 WHERE cents <= 1000
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Oracle-gated COLUMN DROP (column mapping): append 3 columns, DROP one
+  // by metadata alone (v1 — zero data bytes rewritten; the bytes stay in
+  // the old files, invisible to every read), then RE-ADD the same logical
+  // name via schema evolution (v2). The re-added column gets a FRESH
+  // physical name, so the old files read NULL for it — the dropped values
+  // can never leak back (the no-reuse rule; GraftCatalogSpec gates the
+  // leak case directly, this query gates the row algebra at 3 SFs: v2's
+  // distinct/null counts only come out right if old rows are null and new
+  // rows carry the re-added values). Time travel below the drop restores
+  // the column (v0 aggregates it).
+  // ---------------------------------------------------------------------------
+  def txnDrop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drop")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          $"event_type")
+      TxnTable.append(ev, tmp.toString)                       // v0
+      TxnTable.dropColumn(s, tmp.toString, "event_type")      // v1
+      TxnTable.appendEvolve(ev.filter($"cents" > 20000L)
+        .select($"event_id", $"cents",
+          concat(lit("re_"), $"event_type").as("event_type")), tmp.toString) // v2
+      def full(v: Long) =
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"),
+            countDistinct($"event_type").cast("long").as("n_types"),
+            sum(when($"event_type".isNull, 1L).otherwise(0L))
+              .cast("long").as("n_null_types"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents",
+            "n_types", "n_null_types")
+      val v1 = TxnTable.readVersion(s, tmp.toString, 1L)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum($"cents").cast("long").as("sum_cents"))
+        .selectExpr("1L AS version", "n_rows", "sum_cents",
+          "-1L AS n_types", "-1L AS n_null_types")
+      graft.Materialize.eager(full(0L) union v1 union full(2L))
+    } finally reclaim(tmp)
+  }
+  val txnDropSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type
+      |  FROM events),
+      |v2 AS (SELECT NULL AS event_type, cents FROM ev
+      |       UNION ALL
+      |       SELECT 're_' || event_type AS event_type, cents FROM ev
+      |       WHERE cents > 20000)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      |       CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS n_null_types
+      |FROM ev
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(cents) AS BIGINT), -1, -1 FROM ev
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(cents) AS BIGINT),
+      |       CAST(count(DISTINCT event_type) AS BIGINT),
+      |       CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT)
+      |FROM v2
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -1584,6 +1700,8 @@ object Sources {
     "q_txn_cluster" -> txnCluster _,
     "q_txn_generated" -> txnGenerated _,
     "q_txn_rowids" -> txnRowIds _,
+    "q_txn_sql_read" -> txnSqlRead _,
+    "q_txn_drop" -> txnDrop _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -1614,5 +1732,7 @@ object Sources {
     "q_txn_cluster" -> txnClusterSql,
     "q_txn_generated" -> txnGeneratedSql,
     "q_txn_rowids" -> txnRowIdsSql,
+    "q_txn_sql_read" -> txnSqlReadSql,
+    "q_txn_drop" -> txnDropSql,
   )
 }

@@ -146,7 +146,7 @@ object TxnTable {
     }
   }
 
-  private def decodeStats(json: String): FileStats = {
+  private[sources] def decodeStats(json: String): FileStats = {
     val m = MiniJson.parse(json).asInstanceOf[Map[String, Any]]
     FileStats(
       m("numRecords").asInstanceOf[BigDecimal].toLongExact,
@@ -185,7 +185,7 @@ object TxnTable {
     * normally root-relative; a SHALLOW CLONE's version 0 re-adds the
     * source's files by ABSOLUTE path (the Delta clone shape), which
     * resolves as itself. */
-  private def filePath(root: String, f: String): Path = {
+  private[sources] def filePath(root: String, f: String): Path = {
     val p = Paths.get(f)
     if (p.isAbsolute) p else Paths.get(root, f)
   }
@@ -244,7 +244,7 @@ object TxnTable {
       m("cardinality").asInstanceOf[BigDecimal].toLongExact)
   }
 
-  private def commit(root: String, version: Long, op: String,
+  private[sources] def commit(root: String, version: Long, op: String,
                      adds: Seq[AddFile], removes: Seq[String],
                      schemaJson: Option[String] = None,
                      dataChange: Boolean = true,
@@ -463,7 +463,7 @@ object TxnTable {
     * losing attempt wrote are unreferenced by any log entry, invisible to
     * readers, and reclaimed by [[vacuum]] — the same garbage story as the
     * open formats. */
-  private def casRetry[T](what: String)(body: => T): T = {
+  private[sources] def casRetry[T](what: String)(body: => T): T = {
     var attempts = 0
     while (true) {
       try return body
@@ -1020,7 +1020,7 @@ object TxnTable {
     * under `cdc/v<version>-<tag>` — the persisted row-level diff an
     * incremental CDF consumer reads instead of re-diffing snapshots. No
     * stats (never pruned on; read whole by version). */
-  private def writeCdcFiles(df0: DataFrame, root: String, version: Long): Seq[AddFile] = {
+  private[sources] def writeCdcFiles(df0: DataFrame, root: String, version: Long): Seq[AddFile] = {
     // change files carry the STABLE physical names, exactly like data
     // files — a post-rename cdc file written under the new logical name
     // would read back null through every physical-name-resolving consumer
@@ -1044,13 +1044,18 @@ object TxnTable {
     * footer (see [[footerStats]] — no second scan). `check = false` skips
     * CHECK-constraint validation (layout-only rewrites of already-valid
     * rows — OPTIMIZE/ZORDER — must not pay a validation pass). */
-  private def writeDataFiles(df0: DataFrame, root: String, version: Long,
-                             check: Boolean = true): Seq[AddFile] = {
+  private[sources] def writeDataFiles(df0: DataFrame, root: String, version: Long,
+                             check: Boolean = true,
+                             mappingOverride: Option[Map[String, String]] = None): Seq[AddFile] = {
     if (check) validateConstraints(df0, root)
     // under column mapping the FILES carry the stable physical names (the
     // logical batch columns rename just before the write); stats therefore
-    // key by physical name, matching what pruning translates to
-    val mapping = readMeta(root).map(m => colMapping(m._1)).getOrElse(Map.empty)
+    // key by physical name, matching what pruning translates to.
+    // `mappingOverride` carries the POST-evolution mapping when the batch
+    // introduces new columns to a mapped table — those must land under
+    // their fresh physical names, which the current metadata cannot know.
+    val mapping = mappingOverride.getOrElse(
+      readMeta(root).map(m => colMapping(m._1)).getOrElse(Map.empty))
     val df = if (mapping.isEmpty) df0
       else df0.select(df0.columns.toSeq.map(c =>
         col(c).as(mapping.getOrElse(c, c))): _*)
@@ -1076,6 +1081,25 @@ object TxnTable {
     * until it lands on a fresh latest+1. The batch schema must match the
     * table's (names + types; order and nullability free) — for widening
     * batches use [[appendEvolve]]. */
+  /** CREATE an empty table: a v0 commit fixing the schema (and, when
+    * `partCols` is non-empty, the hive partition layout every later append
+    * must match). One schema-bearing empty part file keeps the snapshot
+    * readable from birth (a zero-row scan, not an error) — the CREATE
+    * TABLE half of the SQL surface's CTAS. */
+  def create(spark: SparkSession, root: String, schema: StructType,
+             partCols: Seq[String] = Nil): Long = {
+    require(latestVersion(root) < 0, s"$root already has a _txn_log")
+    require(partCols.forall(schema.fieldNames.contains),
+      s"partition columns ${partCols.mkString(",")} must exist in the schema")
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .repartition(1)
+    val adds = writeDataFiles(empty, root, 0, check = false)
+    commit(root, 0, "create", adds, Seq.empty,
+      schemaJson = Some(schema.json), partCols = partCols)
+    0L
+  }
+
   def append(df: DataFrame, root: String): Long =
     appendImpl(df, root, evolve = false)
 
@@ -1114,19 +1138,57 @@ object TxnTable {
             .map(_.copy(nullable = true)))
     }
 
+  /** Under name-mode column mapping, brand-new columns an evolution adds
+    * get FRESH physical names off the maxColumnId counter — a re-added
+    * column NEVER reuses a dropped column's physical name, so old files'
+    * stale values cannot leak into it (the column-mapping protocol's
+    * no-reuse rule). Identity tables pass through untouched. */
+  private def stampEvolved(root: String,
+                           schema: StructType): (StructType, Option[Map[String, String]]) = {
+    val cfg = readTableConfig(root)
+    if (!cfg.get("delta.columnMapping.mode").contains("name")) (schema, None)
+    else if (schema.fields.forall(_.metadata.contains(PhysNameKey))) (schema, None)
+    else {
+      var id = cfg.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).getOrElse(schema.fields.length.toLong)
+      val out = StructType(schema.fields.map { f =>
+        if (f.metadata.contains(PhysNameKey)) f
+        else {
+          id += 1
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysNameKey, s"col-$id").putLong(ColIdKey, id).build())
+        }
+      })
+      (out, Some(cfg + ("delta.columnMapping.maxColumnId" -> id.toString)))
+    }
+  }
+
   private def appendImpl(df: DataFrame, root: String, evolve: Boolean): Long = {
     requireUnpartitioned(root, "plain append")
-    val adds = writeDataFiles(df, root, latestVersion(root) + 1)
+    // the mapping for NEW columns must be fixed BEFORE the files write —
+    // they land under their fresh physical names
+    val (unifiedPre, _) = stampEvolved(root,
+      unifiedSchema(root, df.schema, evolve, "append"))
+    val batchCols = df.columns.toSet
+    val adds = writeDataFiles(df, root, latestVersion(root) + 1,
+      mappingOverride = Some(colMapping(unifiedPre)))
     casRetry("append") {
       // the unified schema is recomputed INSIDE the retry body: a lost CAS
       // means another writer (possibly an evolving append) advanced the
       // table, and committing a schema unified against the pre-race
       // metadata would re-emit the stale shape as latest and regress the
       // evolution for every later read
-      val unified = unifiedSchema(root, df.schema, evolve, "append")
+      val (unified, cfgUp) = stampEvolved(root,
+        unifiedSchema(root, df.schema, evolve, "append"))
+      require(
+        colMapping(unified).view.filterKeys(batchCols).toMap ==
+          colMapping(unifiedPre).view.filterKeys(batchCols).toMap,
+        "a concurrent schema change remapped this batch's columns between " +
+          "write and commit; retry the append")
       val v = latestVersion(root) + 1
       commit(root, v, "append", adds, Seq.empty,
-        schemaJson = Some(unified.json))
+        schemaJson = Some(unified.json), extraConfig = cfgUp)
       v
     }
   }
@@ -1152,13 +1214,23 @@ object TxnTable {
         require(pcs == partCols,
           s"table is partitioned by ${pcs.mkString(",")}, got ${partCols.mkString(",")}")
       }
+      // the batch frame has no column-mapping metadata — inherit the
+      // table's per-field metadata (stable physical names) or a renamed
+      // table's next partitioned append would wipe the mapping
+      val schemaOut = readMeta(root).map(_._1) match {
+        case Some(cur) =>
+          StructType(df.schema.fields.map(f =>
+            cur.fields.find(_.name == f.name)
+              .map(o => f.copy(metadata = o.metadata)).getOrElse(f)))
+        case None => df.schema
+      }
       commit(root, v, "append", adds, Seq.empty,
-        schemaJson = Some(df.schema.json), partCols = partCols)
+        schemaJson = Some(schemaOut.json), partCols = partCols)
       v
     }
   }
 
-  private def writePartitionedFiles(df0: DataFrame, root: String, version: Long,
+  private[sources] def writePartitionedFiles(df0: DataFrame, root: String, version: Long,
                                     partCols: Seq[String],
                                     check: Boolean = true): Seq[AddFile] = {
     if (check) validateConstraints(df0, root)
@@ -1616,7 +1688,7 @@ object TxnTable {
   private[graft] def liveAddsForTest(root: String, asOf: Long = -1L): Seq[AddFile] =
     liveAdds(root, asOf)
 
-  private def liveAdds(root: String, asOf: Long): Seq[AddFile] = {
+  private[sources] def liveAdds(root: String, asOf: Long): Seq[AddFile] = {
     // SEQUENTIAL reconciliation in version order (the protocol rule): a
     // remove cancels the add before it, and a LATER re-add resurrects the
     // file — which is exactly what a metadata-only [[restore]] commits.
@@ -1632,7 +1704,7 @@ object TxnTable {
     * protocol. LATEST-WINS fold over versions ≤ `asOf` (schema evolution
     * re-emits metaData at the evolving commit; older versions keep their
     * own schema under time travel). None for pre-mirror tables. */
-  private def readMeta(root: String, asOf: Long = -1L): Option[(StructType, Seq[String])] = {
+  private[sources] def readMeta(root: String, asOf: Long = -1L): Option[(StructType, Seq[String])] = {
     val d = deltaDir(root)
     if (!Files.isDirectory(d)) return None
     // short-circuit via the _txn_log checkpoint's meta line: only the
@@ -1672,7 +1744,7 @@ object TxnTable {
 
   /** Latest metaData configuration (latest-wins fold, like [[readMeta]]).
     * Short-circuits through the `_txn_log` checkpoint's config64. */
-  private def readTableConfig(root: String): Map[String, String] = {
+  private[sources] def readTableConfig(root: String): Map[String, String] = {
     val d = deltaDir(root)
     if (!Files.isDirectory(d)) return Map.empty
     val ck = ckptVersions(root).lastOption
@@ -1751,7 +1823,7 @@ object TxnTable {
   /** Refuse a batch that violates any CHECK constraint — ONE combined
     * pass naming every violated constraint, run BEFORE the data files are
     * written so a bad batch never commits (and never orphans files). */
-  private def validateConstraints(df: DataFrame, root: String): Unit = {
+  private[sources] def validateConstraints(df: DataFrame, root: String): Unit = {
     val cs = constraints(root)
     // generated columns validate like constraints: one combined pass,
     // null-safe equality (g <=> expr), refused before anything commits
@@ -1788,12 +1860,12 @@ object TxnTable {
   private val PhysNameKey = "delta.columnMapping.physicalName"
   private val ColIdKey = "delta.columnMapping.id"
 
-  private def physicalName(f: StructField): String =
+  private[sources] def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
     else f.name
 
   /** logical → physical map, EMPTY when the identity holds (fast path). */
-  private def colMapping(schema: StructType): Map[String, String] =
+  private[sources] def colMapping(schema: StructType): Map[String, String] =
     schema.fields.iterator.map(f => f.name -> physicalName(f))
       .filter { case (l, p) => l != p }.toMap
 
@@ -1871,6 +1943,61 @@ object TxnTable {
       ("delta.columnMapping.maxColumnId" -> renamed.fields.length.toString)
     commit(root, v, s"rename-column#$oldName", Seq.empty, Seq.empty,
       schemaJson = Some(renamed.json), dataChange = false, partCols = pcs,
+      extraConfig = Some(cfg))
+    v
+  }
+
+  /** DROP a column — metadata-only (zero data bytes rewritten), the
+    * column-mapping twin of [[renameColumn]]: the first drop upgrades the
+    * table to name-mode mapping (every remaining field keeps its CURRENT
+    * name as its stable physical name), then the schema simply loses the
+    * field. Existing files keep the dropped column's bytes — invisible to
+    * every read (scans project the logical schema only) and reclaimed by
+    * the next rewrite; time travel below the drop RESTORES the column
+    * (each version reads under its own schema). A later re-add of the
+    * same logical name gets a FRESH physical name ([[stampEvolved]]), so
+    * the old bytes can never leak into it. Refused for partition columns
+    * (path-encoded), clustering columns, columns referenced by CHECK
+    * constraints or generation expressions, and the last column. */
+  def dropColumn(spark: SparkSession, root: String,
+                 colName: String): Long = casRetry("dropColumn") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val (schema, pcs) = readMeta(root).getOrElse(
+      sys.error(s"$root has no metaData to drop from"))
+    require(schema.fieldNames.contains(colName), s"no column $colName")
+    require(schema.fields.length > 1, s"cannot drop the last column $colName")
+    require(!pcs.contains(colName),
+      s"dropping partition column $colName is not supported (path-encoded)")
+    val cfg0 = readTableConfig(root)
+    require(!cfg0.get(ClusteringKey).exists(_.split(',').contains(colName)),
+      s"column $colName is a clustering column; clear clustering first")
+    val offending = constraints(root).filter { case (_, sql) =>
+      sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(colName)}\\b.*") }
+    require(offending.isEmpty,
+      s"column $colName is referenced by CHECK constraint(s) " +
+        s"${offending.keys.mkString(", ")}; drop them first")
+    val genOffending = generationMap(schema).filter { case (n, sql) =>
+      n == colName ||
+        sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(colName)}\\b.*") }
+    require(genOffending.isEmpty,
+      s"column $colName is part of generation expression(s) of " +
+        s"${genOffending.keys.mkString(", ")}")
+    val stamped = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      if (!f.metadata.contains(PhysNameKey)) b.putString(PhysNameKey, f.name)
+      if (!f.metadata.contains(ColIdKey)) b.putLong(ColIdKey, i + 1L)
+      f.copy(metadata = b.build())
+    })
+    val dropped = StructType(stamped.fields.filterNot(_.name == colName))
+    val maxId = stamped.fields.map(_.metadata.getLong(ColIdKey)).max
+      .max(cfg0.get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L))
+    val cfg = cfg0 +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> maxId.toString)
+    commit(root, v, s"drop-column#$colName", Seq.empty, Seq.empty,
+      schemaJson = Some(dropped.json), dataChange = false, partCols = pcs,
       extraConfig = Some(cfg))
     v
   }
@@ -2112,7 +2239,7 @@ object TxnTable {
 
   /** file → descriptor for the DV-carrying members of a remove set, so
     * the mirror's remove actions name the instance they tombstone. */
-  private def dvTombstones(adds: Seq[AddFile]): Map[String, DeletionVectors.DvDescriptor] =
+  private[sources] def dvTombstones(adds: Seq[AddFile]): Map[String, DeletionVectors.DvDescriptor] =
     adds.flatMap(a => a.dv.map(a.file -> _)).toMap
 
   /** The hive-layout scan group of a log entry: its `data/<vN-uuid>`
@@ -2324,7 +2451,7 @@ object TxnTable {
     * normalized to the log's key space right there, so every downstream
     * comparison is an exact Set lookup — no O(live × touched) suffix
     * scans on the driver. */
-  private def readFilesTagged(spark: SparkSession, root: String,
+  private[sources] def readFilesTagged(spark: SparkSession, root: String,
                               adds0: Seq[AddFile], asOf: Long,
                               rowIndex: Boolean = false): DataFrame = {
     val kept = adds0.filterNot(fullyDeleted)
@@ -2950,7 +3077,7 @@ object TxnTable {
   }
 
   /** (kept, skipped) partition of `adds` under `pred`'s provable conjuncts. */
-  private def pruneAdds(adds: Seq[AddFile], pred: Column,
+  private[sources] def pruneAdds(adds: Seq[AddFile], pred: Column,
                         nameMap: Map[String, String] = Map.empty,
                         genSchema: Option[StructType] = None): (Seq[AddFile], Seq[AddFile]) = {
     val cs0 = conjuncts(mapPredNames(
@@ -3204,7 +3331,7 @@ object TxnTable {
     * partition by partition via toLocalIterator, aborting loudly the
     * moment the accumulated bytes cross `budget` (never after the heap is
     * already gone). Shared by [[deleteDv]] and [[mergeDv]]. */
-  private def collectDvBlobs(matched: DataFrame, what: String,
+  private[sources] def collectDvBlobs(matched: DataFrame, what: String,
                              budget: Long): Seq[(String, Array[Byte], Long)] = {
     import org.apache.spark.sql.Encoders
     val ds = matched

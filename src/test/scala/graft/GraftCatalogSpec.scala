@@ -1,0 +1,214 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftCatalog, TxnTable}
+
+/** The DSv2 TableCatalog SQL surface over TxnTable: SELECT with VERSION /
+  * TIMESTAMP AS OF, data skipping surviving the catalog path (the plan
+  * gate), column pruning, deletion vectors, column mapping + widening
+  * through SQL, INSERT INTO/OVERWRITE, CREATE TABLE/CTAS, ALTER TABLE. */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def mount(name: String): String = {
+    val root = Files.createTempDirectory(s"graft_cat_$name").toString
+    spark.conf.set(s"graft.catalog.path.$name", root)
+    root
+  }
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+  }
+
+  test("SQL SELECT serves the latest snapshot and VERSION AS OF time travel") {
+    val root = mount("tt")
+    TxnTable.append(df(1 to 100), root)                    // v0
+    TxnTable.delete(spark, root, col("id") > 50L)          // v1
+    TxnTable.append(df(200 to 210), root)                  // v2
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tt").head.getLong(0) == 61L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tt VERSION AS OF 0").head.getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tt VERSION AS OF 1").head.getLong(0) == 50L)
+    assert(spark.sql("SELECT sum(id) AS s FROM graft.tt VERSION AS OF 2").head.getLong(0) ==
+      (1L to 50L).sum + (200L to 210L).sum)
+    // values and strings round-trip
+    val r = spark.sql("SELECT payload FROM graft.tt WHERE id = 7").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("v7"))
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest commit at or before") {
+    val root = mount("ts")
+    TxnTable.append(df(1 to 10), root)
+    val afterV0 = System.currentTimeMillis() + 1000
+    val tsLit = new java.sql.Timestamp(afterV0).toInstant.toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.ts TIMESTAMP AS OF '$tsLit'")
+      .head.getLong(0) == 10L)
+  }
+
+  test("plan gate: data skipping survives the catalog path") {
+    val root = mount("skip")
+    // range-clustered files give disjoint min/max: a selective predicate
+    // must prune files at PLANNING time, through the catalog
+    TxnTable.append(df(1 to 10000).repartitionByRange(8, col("id")), root)
+    GraftCatalog.lastScanReport = None
+    val n = spark.sql("SELECT count(*) AS n FROM graft.skip WHERE id <= 100")
+      .head.getLong(0)
+    assert(n == 100L)
+    val rep = GraftCatalog.lastScanReport.get
+    assert(rep.filesTotal >= 8, rep)
+    assert(rep.filesKept < rep.filesTotal,
+      s"pushed filter did not prune files: $rep")
+    assert(rep.pushed.exists(_.contains("id")), rep)
+    // column pruning reaches the scan: count(*) needs no data column...
+    // and a 1-column projection projects 1 column
+    GraftCatalog.lastScanReport = None
+    spark.sql("SELECT payload FROM graft.skip WHERE id = 5").collect()
+    val rep2 = GraftCatalog.lastScanReport.get
+    assert(rep2.projected.toSet == Set("id", "payload"), rep2)
+    GraftCatalog.lastScanReport = None
+    assert(spark.sql("SELECT sum(id) AS s FROM graft.skip").head.getLong(0) ==
+      (1L to 10000L).sum)
+    assert(GraftCatalog.lastScanReport.get.projected.toSeq == Seq("id"))
+    // explain carries the pruning evidence for a human reader
+    val plan = spark.sql("SELECT id FROM graft.skip WHERE id <= 100")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters="), plan)
+  }
+
+  test("deletion vectors apply inside the catalog scan") {
+    val root = mount("dv")
+    TxnTable.append(df(1 to 100).repartition(3), root)
+    TxnTable.deleteDv(spark, root, col("id") % 10L === 0L)
+    import spark.implicits._
+    val got = spark.sql("SELECT id FROM graft.dv").as[Long].collect().sorted
+    assert(got.toSeq == (1L to 100L).filterNot(_ % 10 == 0))
+    // time travel below the DV commit restores the rows
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dv VERSION AS OF 0")
+      .head.getLong(0) == 100L)
+  }
+
+  test("column mapping + type widening read seamlessly through SQL") {
+    val root = mount("map")
+    import spark.implicits._
+    TxnTable.append((1 to 50).map(i => (i.toLong, i * 100))
+      .toDF("id", "cents_int"), root)                        // v0 (int col)
+    TxnTable.widenColumn(spark, root, "cents_int", org.apache.spark.sql.types.LongType)
+    TxnTable.renameColumn(spark, root, "cents_int", "amount") // now mapped
+    TxnTable.append((51 to 60).map(i => (i.toLong, i * 100L))
+      .toDF("id", "amount"), root)
+    val s = spark.sql("SELECT sum(amount) AS s FROM graft.map").head.getLong(0)
+    assert(s == (1 to 60).map(_ * 100L).sum)
+    // stats pruning through the PHYSICAL name on a renamed column
+    GraftCatalog.lastScanReport = None
+    spark.sql("SELECT id FROM graft.map WHERE amount > 5500").collect()
+    val rep = GraftCatalog.lastScanReport.get
+    assert(rep.filesKept < rep.filesTotal, s"rename broke stats pruning: $rep")
+  }
+
+  test("INSERT INTO appends one commit; INSERT OVERWRITE replaces") {
+    val root = mount("ins")
+    TxnTable.append(df(1 to 10), root)
+    spark.sql("INSERT INTO graft.ins SELECT CAST(100 AS BIGINT), 'x'")
+    assert(TxnTable.latestVersion(root) == 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ins").head.getLong(0) == 11L)
+    spark.sql("INSERT OVERWRITE graft.ins SELECT CAST(id AS BIGINT), payload " +
+      "FROM graft.ins WHERE id <= 3")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ins").head.getLong(0) == 3L)
+    // history intact: the pre-overwrite snapshot still reads
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ins VERSION AS OF 1")
+      .head.getLong(0) == 11L)
+  }
+
+  test("CREATE TABLE + CTAS through the catalog") {
+    val root = mount("ct")
+    spark.sql("CREATE TABLE graft.ct (id BIGINT, payload STRING) USING graft")
+    assert(TxnTable.latestVersion(root) == 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ct").head.getLong(0) == 0L)
+    spark.sql("INSERT INTO graft.ct VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ct").head.getLong(0) == 2L)
+    mount("ct2")
+    spark.sql("CREATE TABLE graft.ct2 USING graft AS SELECT * FROM graft.ct")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ct2").head.getLong(0) == 2L)
+  }
+
+  test("ALTER TABLE RENAME / ALTER TYPE / DROP COLUMN are metadata-only SQL") {
+    val root = mount("alt")
+    import spark.implicits._
+    TxnTable.append((1 to 20).map(i => (i.toLong, i * 10, s"p$i"))
+      .toDF("id", "cents", "payload"), root)
+    val dataBefore = FsTest.walk(java.nio.file.Paths.get(root, "data"))
+      .iterator()
+    val nFiles = {
+      var n = 0; while (dataBefore.hasNext) { dataBefore.next(); n += 1 }; n
+    }
+    spark.sql("ALTER TABLE graft.alt RENAME COLUMN cents TO amount")
+    spark.sql("ALTER TABLE graft.alt ALTER COLUMN amount TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.alt DROP COLUMN payload")
+    val after = FsTest.walk(java.nio.file.Paths.get(root, "data")).iterator()
+    var n2 = 0; while (after.hasNext) { after.next(); n2 += 1 }
+    assert(n2 == nFiles, "ALTERs must not touch data files")
+    assert(spark.sql("SELECT * FROM graft.alt").columns.toSeq == Seq("id", "amount"))
+    assert(spark.sql("SELECT sum(amount) AS s FROM graft.alt").head.getLong(0) ==
+      (1 to 20).map(_ * 10L).sum)
+    // time travel below the drop restores the column
+    assert(spark.sql("SELECT * FROM graft.alt VERSION AS OF 0").columns.toSeq ==
+      Seq("id", "cents", "payload"))
+  }
+
+  test("drop + re-add: old bytes never leak into the re-added column") {
+    val root = mount("readd")
+    import spark.implicits._
+    TxnTable.append((1 to 10).map(i => (i.toLong, s"secret$i"))
+      .toDF("id", "payload"), root)                       // v0
+    TxnTable.dropColumn(spark, root, "payload")           // v1
+    // re-add the same logical name: fresh physical name, so v0's files
+    // must read NULL for it, not the old strings
+    TxnTable.appendEvolve((11 to 12).map(i => (i.toLong, s"fresh$i"))
+      .toDF("id", "payload"), root)                       // v2
+    val rows = spark.sql("SELECT id, payload FROM graft.readd ORDER BY id")
+      .collect()
+    assert(rows.length == 12)
+    assert(rows.filter(_.getLong(0) <= 10).forall(_.isNullAt(1)),
+      "dropped bytes leaked into the re-added column")
+    assert(rows.filter(_.getLong(0) >= 11).map(_.getString(1)).toSeq ==
+      Seq("fresh11", "fresh12"))
+    // and the API read agrees
+    val api = TxnTable.read(spark, root).orderBy("id").collect()
+    assert(api.filter(_.getLong(0) <= 10).forall(_.isNullAt(1)))
+  }
+
+  test("partitioned tables: partition pruning through the catalog") {
+    val root = mount("part")
+    import spark.implicits._
+    val d = (1 to 300).map(i => (i.toLong, s"s${i % 3}", i * 2L))
+      .toDF("id", "source", "bytes")
+    TxnTable.appendPartitioned(d, root, Seq("source"))
+    GraftCatalog.lastScanReport = None
+    val got = spark.sql(
+      "SELECT count(*) AS n, sum(bytes) AS b FROM graft.part WHERE source = 's1'")
+      .head
+    assert(got.getLong(0) == 100L)
+    assert(got.getLong(1) == (1 to 300).filter(_ % 3 == 1).map(_ * 2L).sum)
+    val rep = GraftCatalog.lastScanReport.get
+    assert(rep.filesKept < rep.filesTotal, s"partition pruning lost: $rep")
+  }
+
+  test("snapshot statistics: a small catalog table broadcasts") {
+    val root = mount("dim")
+    TxnTable.append(df(1 to 50), root)
+    val big = spark.range(10000).withColumnRenamed("id", "k")
+    val j = big.join(spark.sql("SELECT id, payload FROM graft.dim"),
+      col("k") === col("id"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(j.count() == 50L)
+  }
+}
