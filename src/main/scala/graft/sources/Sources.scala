@@ -1671,6 +1671,104 @@ object Sources {
       |FROM v2
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated MULTI-CLAUSE MERGE: the full SQL MERGE semantics in one
+  // lifecycle. v1 (copy-on-write) uses every clause family at once —
+  // conditional WHEN MATCHED UPDATE (even scents add), conditional WHEN
+  // MATCHED DELETE (multiples of 5), an unconditional MATCHED UPDATE tail
+  // (-1 sentinel), conditional NOT MATCHED INSERT (only scents > 20000),
+  // and NOT MATCHED BY SOURCE DELETE + UPDATE — first-match-wins within
+  // each family, SQL null semantics on every condition. v2 replays a
+  // merge-on-read pass (unconditional matched UPDATE ×3 + unconditional
+  // INSERT) whose replaced rows DV-mark in place. The oracle replays the
+  // whole clause algebra as branch CTEs; MergeMultiSpec gates the file
+  // behavior (CoW rewrites only applying files, MoR keeps bytes) and the
+  // cardinality guard.
+  // ---------------------------------------------------------------------------
+  def txnMergeMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import MergeClause._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_multi")
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          bucket.as("b"))
+      TxnTable.append(ev.filter($"b" <= 4).select($"event_id", $"cents")
+        .repartitionByRange(8, $"cents"), tmp.toString)                   // v0
+      val src1 = ev.filter($"b" >= 3 && $"b" <= 6)
+        .select($"event_id".as("sid"), $"cents".as("scents"))
+      TxnTable.mergeMulti(s, tmp.toString, src1,
+        condition = col("t.event_id") === col("s.sid"),
+        matched = Seq(
+          Update(Some(col("s.scents") % 2L === 0L),
+            Map("cents" -> (col("t.cents") + col("s.scents")))),
+          Delete(Some(col("s.scents") % 5L === 0L)),
+          Update(None, Map("cents" -> lit(-1L)))),
+        notMatched = Seq(Insert(Some(col("s.scents") > 20000L),
+          Map("event_id" -> col("s.sid"), "cents" -> (col("s.scents") + 1L)))),
+        notMatchedBySource = Seq(
+          Delete(Some(col("t.cents") < 1000L)),
+          Update(Some(col("t.cents") >= 30000L),
+            Map("cents" -> (col("t.cents") + 5L)))))                      // v1 CoW
+      val src2 = ev.filter($"b" === 2)
+        .select($"event_id".as("sid"), $"cents".as("scents"))
+      TxnTable.mergeMulti(s, tmp.toString, src2,
+        condition = col("t.event_id") === col("s.sid"),
+        matched = Seq(Update(None, Map("cents" -> (col("t.cents") * 3L)))),
+        notMatched = Seq(Insert(None,
+          Map("event_id" -> col("s.sid"), "cents" -> col("s.scents")))),
+        mor = true, rewriteFraction = 0.5)                                // v2 MoR
+      val per = (0L to 2L).map { v =>
+        TxnTable.readVersion(s, tmp.toString, v)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"cents").cast("long").as("sum_cents"))
+          .selectExpr(s"${v}L AS version", "n_rows", "sum_cents")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnMergeMultiSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events),
+      |t0 AS (SELECT event_id, cents, b FROM ev WHERE b <= 4),
+      |-- v1 clause algebra: matched = b IN (3,4), by-source = b IN (0,1,2),
+      |-- insert candidates = b IN (5,6); first-match-wins per family
+      |m1 AS (SELECT event_id, cents + cents AS cents, b FROM t0
+      |       WHERE b IN (3,4) AND COALESCE(cents % 2 = 0, FALSE)),
+      |m3 AS (SELECT event_id, CAST(-1 AS BIGINT) AS cents, b FROM t0
+      |       WHERE b IN (3,4) AND NOT COALESCE(cents % 2 = 0, FALSE)
+      |         AND NOT COALESCE(cents % 5 = 0, FALSE)),
+      |nbu AS (SELECT event_id, cents + 5 AS cents, b FROM t0
+      |        WHERE b IN (0,1,2) AND NOT COALESCE(cents < 1000, FALSE)
+      |          AND COALESCE(cents >= 30000, FALSE)),
+      |nbk AS (SELECT event_id, cents, b FROM t0
+      |        WHERE b IN (0,1,2) AND NOT COALESCE(cents < 1000, FALSE)
+      |          AND NOT COALESCE(cents >= 30000, FALSE)),
+      |ins AS (SELECT event_id, cents + 1 AS cents, b FROM ev
+      |        WHERE b IN (5,6) AND COALESCE(cents > 20000, FALSE)),
+      |v1 AS (SELECT * FROM m1 UNION ALL SELECT * FROM m3
+      |       UNION ALL SELECT * FROM nbu UNION ALL SELECT * FROM nbk
+      |       UNION ALL SELECT * FROM ins),
+      |-- v2: matched (b=2, still live) triple; ids deleted in v1 re-insert
+      |v2 AS (SELECT event_id,
+      |              CASE WHEN b = 2 THEN 3 * cents ELSE cents END AS cents
+      |       FROM v1
+      |       UNION ALL
+      |       SELECT event_id, cents FROM ev
+      |       WHERE b = 2 AND COALESCE(cents < 1000, FALSE))
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM t0
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -1701,6 +1799,7 @@ object Sources {
     "q_txn_generated" -> txnGenerated _,
     "q_txn_rowids" -> txnRowIds _,
     "q_txn_sql_read" -> txnSqlRead _,
+    "q_txn_merge_multi" -> txnMergeMulti _,
     "q_txn_drop" -> txnDrop _,
   )
   val oracleSql: Map[String, String] = Map(
@@ -1733,6 +1832,7 @@ object Sources {
     "q_txn_generated" -> txnGeneratedSql,
     "q_txn_rowids" -> txnRowIdsSql,
     "q_txn_sql_read" -> txnSqlReadSql,
+    "q_txn_merge_multi" -> txnMergeMultiSql,
     "q_txn_drop" -> txnDropSql,
   )
 }

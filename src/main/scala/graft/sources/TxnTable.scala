@@ -1461,6 +1461,31 @@ object TxnTable {
     v
   }
 
+  /** MULTI-CLAUSE MERGE — the full SQL semantics over an arbitrary join
+    * condition: conditional WHEN MATCHED UPDATE/DELETE, conditional WHEN
+    * NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE UPDATE/DELETE (see
+    * [[MergeClause]]). `condition` and every clause expression reference
+    * the two sides through `targetAlias`/`sourceAlias` (e.g.
+    * `col("t.id") === col("s.id")`). `mor = false` rewrites touched files
+    * copy-on-write; `mor = true` marks replaced rows in deletion-vector
+    * bitmaps and spills only images + inserts to new files (files past
+    * `rewriteFraction` cumulative deletion rewrite clean instead).
+    * `cdf = true` persists per-clause change files. ONE commit either
+    * way; SQL `MERGE INTO` on a graft-catalog table lowers here. Design
+    * and scale notes: [[MergeMulti]]. */
+  def mergeMulti(spark: SparkSession, root: String, source: DataFrame,
+                 condition: Column,
+                 matched: Seq[MergeClause] = Nil,
+                 notMatched: Seq[MergeClause] = Nil,
+                 notMatchedBySource: Seq[MergeClause] = Nil,
+                 targetAlias: String = "t", sourceAlias: String = "s",
+                 cdf: Boolean = false, mor: Boolean = false,
+                 rewriteFraction: Double = 0.1,
+                 driverDvBudgetBytes: Long = DvDriverBudgetBytes): Long =
+    MergeMulti.run(spark, root, source, condition, targetAlias, sourceAlias,
+      matched, notMatched, notMatchedBySource, cdf, mor, rewriteFraction,
+      driverDvBudgetBytes)
+
   /** MERGE-ON-READ MERGE: the keyed upsert of [[merge]] with [[deleteDv]]'s
     * write-amplification fix composed in. Rows a delta key REPLACES are
     * DV-MARKED in place (their file re-adds unchanged with a new deletion
