@@ -227,5 +227,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => XmlRecords(exprs(0), exprs(1))))
     // P11 session-role column masking as a resolution rule (see MaskingRule).
     e.injectResolutionRule(session => graft.mask.MaskingRule(session))
+    // Lakehouse SQL DML: DELETE/UPDATE/MERGE on graft-catalog tables lower
+    // to the TxnTable engines; OPTIMIZE/VACUUM parse via the extension
+    // (graft/sql/GraftDml.scala).
+    e.injectResolutionRule(session => graft.sql.GraftDmlRule(session))
+    e.injectPlannerStrategy(session => graft.sql.GraftDmlStrategy(session))
+    e.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
   }
 }

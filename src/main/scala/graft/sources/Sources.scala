@@ -1769,6 +1769,84 @@ object Sources {
       |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2
       |""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Oracle-gated SQL DML SURFACE: the whole write lifecycle as literal
+  // spark.sql on a graft-catalog table — UPDATE (v1), DELETE (v2), a
+  // multi-clause MERGE INTO off a temp view (v3), OPTIMIZE (v4, layout
+  // only — contents must not move) — each statement lowering to the same
+  // TxnTable engine the Scala API uses (GraftDmlRule / GraftSqlParser),
+  // then every version read back through `VERSION AS OF`. The oracle
+  // replays the statement algebra with CASE/WHERE CTEs; GraftSqlDmlSpec
+  // gates the lowering mechanics (one commit per statement, MoR switch,
+  // parser passthrough, VACUUM).
+  // ---------------------------------------------------------------------------
+  def txnSqlDml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqldml")
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("graft.catalog.path.dml_ev", tmp.toString)
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          bucket.as("b"))
+      TxnTable.append(ev.select($"event_id", $"cents")
+        .repartitionByRange(8, $"cents"), tmp.toString)                   // v0
+      s.sql("UPDATE graft.dml_ev SET cents = cents * 2 " +
+        "WHERE cents BETWEEN 5000 AND 6000")                              // v1
+      s.sql("DELETE FROM graft.dml_ev WHERE cents % 97 = 0")              // v2
+      ev.filter($"b" === 3 || $"b" === 5)
+        .select($"event_id".as("sid"), $"cents".as("scents"))
+        .createOrReplaceTempView("dml_src")
+      s.sql(
+        """MERGE INTO graft.dml_ev AS t USING dml_src AS s ON t.event_id = s.sid
+          |WHEN MATCHED AND s.scents % 2 = 0 THEN UPDATE SET cents = t.cents + s.scents
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT (event_id, cents) VALUES (s.sid, s.scents + 1)
+          |""".stripMargin)                                               // v3
+      s.sql("OPTIMIZE graft.dml_ev")                                      // v4
+      val per = (0L to 4L).map { v =>
+        s.sql(s"SELECT ${v}L AS version, count(*) AS n_rows, " +
+          s"CAST(sum(cents) AS BIGINT) AS sum_cents " +
+          s"FROM graft.dml_ev VERSION AS OF $v")
+      }.reduce(_ union _)
+      graft.Materialize.eager(per)
+    } finally reclaim(tmp)
+  }
+  val txnSqlDmlSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events),
+      |v1 AS (SELECT event_id, b,
+      |              CASE WHEN cents BETWEEN 5000 AND 6000
+      |                   THEN 2 * cents ELSE cents END AS cents FROM ev),
+      |v2 AS (SELECT event_id, b, cents FROM v1
+      |       WHERE NOT COALESCE(cents % 97 = 0, FALSE)),
+      |-- v3 MERGE: matched = v2 rows with b IN (3,5); scents = the ORIGINAL
+      |-- cents of that event (the source derives from ev, not v2)
+      |mu AS (SELECT v2.event_id, v2.cents + ev.cents AS cents FROM v2
+      |       JOIN ev ON v2.event_id = ev.event_id
+      |       WHERE v2.b IN (3,5) AND COALESCE(ev.cents % 2 = 0, FALSE)),
+      |keepr AS (SELECT event_id, cents FROM v2 WHERE b NOT IN (3,5)),
+      |ins AS (SELECT ev.event_id, ev.cents + 1 AS cents FROM ev
+      |        WHERE ev.b IN (3,5)
+      |          AND ev.event_id NOT IN (SELECT event_id FROM v2)),
+      |v3 AS (SELECT * FROM mu UNION ALL SELECT * FROM keepr
+      |       UNION ALL SELECT * FROM ins)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(cents) AS BIGINT) FROM v3
+      |UNION ALL
+      |SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v3
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip _,
     "q_orc_roundtrip" -> orcRoundtrip _,
@@ -1800,6 +1878,7 @@ object Sources {
     "q_txn_rowids" -> txnRowIds _,
     "q_txn_sql_read" -> txnSqlRead _,
     "q_txn_merge_multi" -> txnMergeMulti _,
+    "q_txn_sql_dml" -> txnSqlDml _,
     "q_txn_drop" -> txnDrop _,
   )
   val oracleSql: Map[String, String] = Map(
@@ -1833,6 +1912,7 @@ object Sources {
     "q_txn_rowids" -> txnRowIdsSql,
     "q_txn_sql_read" -> txnSqlReadSql,
     "q_txn_merge_multi" -> txnMergeMultiSql,
+    "q_txn_sql_dml" -> txnSqlDmlSql,
     "q_txn_drop" -> txnDropSql,
   )
 }

@@ -1,0 +1,275 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2CommandExec}
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources.{GraftTable, MergeClause, TxnTable}
+
+/** SQL DML over graft-catalog tables — the write half of the lakehouse
+  * SQL surface ([[graft.sources.GraftCatalog]] is the read half):
+  *
+  * {{{
+  *   DELETE FROM graft.t WHERE cents < 100
+  *   UPDATE graft.t SET cents = cents * 2 WHERE cents > 500
+  *   MERGE INTO graft.t AS t USING src AS s ON t.id = s.id
+  *     WHEN MATCHED AND s.v % 2 = 0 THEN UPDATE SET cents = s.v
+  *     WHEN MATCHED THEN DELETE
+  *     WHEN NOT MATCHED THEN INSERT (id, cents) VALUES (s.id, s.v)
+  *     WHEN NOT MATCHED BY SOURCE THEN DELETE
+  *   OPTIMIZE graft.t [ZORDER BY (c1, c2)]
+  *   VACUUM graft.t [RETAIN n HOURS]
+  * }}}
+  *
+  * Architecture: Spark's OWN parser already produces the catalyst
+  * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable` commands —
+  * [[GraftDmlRule]] (a resolution rule) recognizes the ones whose target
+  * is a graft-catalog [[GraftTable]] and lowers them to ONE-commit calls
+  * on the existing TxnTable engines (`delete[Dv]`, `update[Dv]`,
+  * `mergeMulti`), so SQL and Scala DML share every code path, guard, and
+  * scale property. Only OPTIMIZE/VACUUM need [[GraftSqlParser]] (Delta's
+  * grammar, not ANSI). Each statement plans through [[GraftDmlStrategy]]
+  * into a [[GraftDmlExec]] command node, executes eagerly like every SQL
+  * command, and returns its committed version (VACUUM: files removed).
+  *
+  * Merge-on-read vs copy-on-write: session conf `graft.dml.mor = true`
+  * routes DELETE/UPDATE/MERGE through the deletion-vector engines —
+  * at 100 TB the difference between committing a few KB of bitmaps and
+  * rewriting every touched gigabyte.
+  */
+object GraftDml {
+  /** Resolved-attribute trees re-anchored by NAME: the lowered DataFrame
+    * engines re-resolve expressions against their own fresh scans, where
+    * foreign exprIds would fail. MERGE keeps the alias qualifier (its
+    * join has two sides); single-table DELETE/UPDATE strip qualifiers
+    * (the fresh scan has no alias). */
+  private[sql] def byName(e: Expression, keepQualifier: Boolean): Expression =
+    preNormalize(e).transform {
+      case a: AttributeReference =>
+        if (keepQualifier) UnresolvedAttribute(a.qualifier.takeRight(1) :+ a.name)
+        else UnresolvedAttribute.quoted(a.name)
+      case u: UnresolvedAttribute if !keepQualifier && u.nameParts.length > 1 =>
+        UnresolvedAttribute.quoted(u.nameParts.last)
+    }
+
+  /** Expand constructs whose internals call `dataType` while still
+    * unresolved: BETWEEN (parses into a `With` common-subexpression
+    * wrapper) expands to its two comparisons, and any remaining `With`
+    * inlines its definitions — semantics identical, the re-anchored tree
+    * resolves like hand-written predicates. */
+  private def preNormalize(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Between, CommonExpressionRef, GreaterThanOrEqual, LessThanOrEqual, With}
+    e.transformUp {
+      case b: Between =>
+        CAnd(GreaterThanOrEqual(b.input, b.lower),
+          LessThanOrEqual(b.input, b.upper))
+      case w: With =>
+        w.child.transformUp {
+          case r: CommonExpressionRef =>
+            w.defs.find(_.id == r.id).map(_.child).getOrElse(r)
+        }
+    }
+  }
+  private[sql] def toColumn(e: Expression, keepQualifier: Boolean = true): Column =
+    org.apache.spark.sql.GraftColumnExpr.column(byName(e, keepQualifier))
+
+  /** The SET/VALUES key of an assignment: the target column's last name
+    * part (qualifiers like `t.cents` strip to `cents`). */
+  private[sql] def keyName(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => sys.error(s"unsupported assignment target $other")
+  }
+
+  private[sql] def assignMap(as: Seq[Assignment]): Map[String, Column] =
+    as.map(a => keyName(a.key) -> toColumn(a.value)).toMap
+
+  /** Session-level merge-on-read switch for SQL DML. */
+  private[sql] def mor(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.dml.mor").exists(_.toBoolean)
+
+  /** The alias a MERGE side is known by: the innermost SubqueryAlias
+    * name (the `AS t` the user wrote, or the table name). */
+  private[sql] def aliasOf(plan: LogicalPlan, fallback: String): String =
+    plan match {
+      case SubqueryAlias(ident, _) => ident.name
+      case _ => fallback
+    }
+
+  /** Unwrap a DML target down to its graft table, if it is one. */
+  private[sql] def graftTarget(plan: LogicalPlan): Option[GraftTable] =
+    plan match {
+      case SubqueryAlias(_, child) => graftTarget(child)
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some(t)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private[sql] def versionRow(v: Long): Seq[InternalRow] =
+    Seq(new GenericInternalRow(Array[Any](v)))
+  private[sql] val versionOut: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** The lowered command: a leaf logical Command carrying the ready-to-run
+  * body. Everything it needs is captured by value/closure, so the node is
+  * always resolved and the analyzer leaves it alone. */
+final case class GraftDmlCommand(name: String, override val output: Seq[Attribute],
+                                 body: () => Seq[InternalRow])
+    extends LeafCommand {
+  override lazy val resolved: Boolean = true
+  override def simpleString(maxFields: Int): String = s"GraftDml $name"
+}
+
+final case class GraftDmlExec(cmd: GraftDmlCommand)
+    extends V2CommandExec with LeafExecNode {
+  override def output: Seq[Attribute] = cmd.output
+  override protected def run(): Seq[InternalRow] = cmd.body()
+}
+
+case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case c: GraftDmlCommand => GraftDmlExec(c) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Lowers ANSI DML on graft-catalog targets. Fires once the target
+  * relation is resolved; conditions/assignments may be resolved or not —
+  * [[GraftDml.byName]] normalizes either way. */
+case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import GraftDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case d @ DeleteFromTable(target, condition) =>
+      graftTarget(target).map { t =>
+        val pred = toColumn(condition, keepQualifier = false)
+        GraftDmlCommand("delete", versionOut, () => versionRow(
+          if (mor(spark)) TxnTable.deleteDv(spark, t.root, pred)
+          else TxnTable.delete(spark, t.root, pred)))
+      }.getOrElse(d)
+
+    case u @ UpdateTable(target, assignments, condition) =>
+      graftTarget(target).map { t =>
+        val set = assignments.map(a =>
+          keyName(a.key) -> toColumn(a.value, keepQualifier = false)).toMap
+        val pred = condition.map(toColumn(_, keepQualifier = false))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        GraftDmlCommand("update", versionOut, () => versionRow(
+          if (mor(spark)) TxnTable.updateDv(spark, t.root, pred, set)
+          else TxnTable.update(spark, t.root, pred, set)))
+      }.getOrElse(u)
+
+    case m @ MergeIntoTable(target, source, cond,
+        matchedActions, notMatchedActions, notMatchedBySourceActions, withSchemaEvolution)
+        if source.resolved && graftTarget(target).isDefined =>
+      require(!withSchemaEvolution,
+        "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables; " +
+          "widen the table first (ALTER TABLE ... TYPE / appendEvolve)")
+      val t = graftTarget(target).get
+      val tAlias = aliasOf(target, "t")
+      val sAlias = aliasOf(source, "s")
+      def clause(a: MergeAction): MergeClause = a match {
+        case UpdateAction(c, assigns, _) =>
+          MergeClause.Update(c.map(toColumn(_)), assignMap(assigns))
+        case UpdateStarAction(c) => MergeClause.UpdateAll(c.map(toColumn(_)))
+        case DeleteAction(c) => MergeClause.Delete(c.map(toColumn(_)))
+        case InsertAction(c, assigns) =>
+          MergeClause.Insert(c.map(toColumn(_)), assignMap(assigns))
+        case InsertStarAction(c) => MergeClause.InsertAll(c.map(toColumn(_)))
+        case other => sys.error(s"unsupported MERGE action $other")
+      }
+      val (mc, nc, nbc) = (matchedActions.map(clause),
+        notMatchedActions.map(clause), notMatchedBySourceActions.map(clause))
+      val mergeCond = toColumn(cond)
+      // capture the ANALYZED source subtree; the body materializes it as
+      // a DataFrame at execution time (ofRows re-analyzes idempotently)
+      GraftDmlCommand("merge", versionOut, () => versionRow(
+        TxnTable.mergeMulti(spark, t.root,
+          org.apache.spark.sql.GraftColumnExpr.ofRows(spark, source),
+          mergeCond, matched = mc, notMatched = nc, notMatchedBySource = nbc,
+          targetAlias = tAlias, sourceAlias = sAlias, mor = mor(spark))))
+  }
+}
+
+/** Parser extension for the two non-ANSI maintenance statements (the
+  * open-lakehouse grammar): `OPTIMIZE tbl [ZORDER BY (c1, ...)]` and
+  * `VACUUM tbl [RETAIN n HOURS]`. Everything else delegates verbatim. */
+class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  import GraftDml._
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w`.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w`.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+
+  /** Resolve a multipart identifier whose head is a catalog configured to
+    * [[graft.sources.GraftCatalog]] down to the table root directory,
+    * mirroring the catalog's own mapping. None = not a graft table (the
+    * statement is not ours — fail like the delegate would). */
+  private def rootOf(table: String): Option[String] = {
+    val parts = delegate.parseMultipartIdentifier(table)
+    if (parts.length < 2) return None
+    val cat = parts.head
+    val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+    if (!impl.contains(classOf[graft.sources.GraftCatalog].getName)) return None
+    val key = parts.tail.mkString(".")
+    Some(spark.conf.getOption(s"graft.catalog.path.$key").getOrElse {
+      val base = spark.conf.getOption(s"spark.sql.catalog.$cat.root")
+        .getOrElse(sys.error(
+          s"graft catalog: no mapping for '$key' — set graft.catalog.path.$key"))
+      parts.tail.foldLeft(base)(_ + "/" + _)
+    })
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(table, zcols) =>
+      rootOf(table).map { root =>
+        val cols = Option(zcols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        GraftDmlCommand("optimize", versionOut, () => versionRow(
+          cols match {
+            case Some(z) => TxnTable.optimizeZorderBy(spark, root, z,
+              targetPartitions = math.max(1,
+                spark.sparkContext.defaultParallelism / 4))
+            case None => TxnTable.optimize(spark, root)
+          }))
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case VacuumRe(table, hours) =>
+      rootOf(table).map { root =>
+        val retainMs = Option(hours).map(_.toLong).getOrElse(168L) * 3600L * 1000L
+        GraftDmlCommand("vacuum",
+          Seq(AttributeReference("files_deleted", LongType, nullable = false)()),
+          () => Seq(new GenericInternalRow(Array[Any](
+            TxnTable.vacuum(root, System.currentTimeMillis() - retainMs)
+              .length.toLong))))
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -22,4 +22,12 @@ object GraftColumnExpr {
     * deletion-vector probe's bitmap table) and therefore cannot go
     * through the SQL function registry. */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** An analyzed LogicalPlan as a DataFrame (`Dataset.ofRows`, scoped
+    * `private[sql]` in Spark 4) — the seam the SQL DML lowering uses to
+    * hand a parsed MERGE source subtree to the DataFrame-level
+    * [[graft.sources.TxnTable.mergeMulti]] engine. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

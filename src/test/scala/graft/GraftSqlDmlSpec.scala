@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftCatalog, TxnTable}
+
+/** SQL DML on graft-catalog tables: DELETE/UPDATE/MERGE lowering to the
+  * TxnTable engines (CoW and merge-on-read via graft.dml.mor), and the
+  * OPTIMIZE/VACUUM parser extension. */
+class GraftSqlDmlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def mount(name: String): String = {
+    val root = Files.createTempDirectory(s"graft_dml_$name").toString
+    spark.conf.set(s"graft.catalog.path.$name", root)
+    root
+  }
+
+  private def seed(root: String): Unit = {
+    import spark.implicits._
+    TxnTable.append((1 to 100).map(i => (i.toLong, i * 10L))
+      .toDF("id", "cents").repartition(3), root)
+  }
+
+  test("DELETE FROM ... WHERE lowers to one TxnTable commit") {
+    val root = mount("del"); seed(root)
+    val v = spark.sql("DELETE FROM graft.del WHERE cents > 500").head.getLong(0)
+    assert(v == 1L)
+    assert(TxnTable.latestVersion(root) == 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.del").head.getLong(0) == 50L)
+    // arbitrary (non-Filter-translatable) predicates work too
+    spark.sql("DELETE FROM graft.del WHERE pmod(id, 7) = 0")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.del").head.getLong(0) ==
+      (1 to 50).count(_ % 7 != 0))
+  }
+
+  test("UPDATE ... SET lowers with expression semantics over the old row") {
+    val root = mount("upd"); seed(root)
+    spark.sql("UPDATE graft.upd SET cents = cents * 2 WHERE id <= 10")
+    val got = spark.sql("SELECT sum(cents) AS s FROM graft.upd").head.getLong(0)
+    assert(got == (1 to 100).map(_ * 10L).sum + (1 to 10).map(_ * 10L).sum)
+    // history intact
+    assert(spark.sql("SELECT sum(cents) AS s FROM graft.upd VERSION AS OF 0")
+      .head.getLong(0) == (1 to 100).map(_ * 10L).sum)
+  }
+
+  test("MERGE INTO with all clause families lowers to mergeMulti") {
+    import spark.implicits._
+    val root = mount("mrg"); seed(root)
+    (95 to 110).map(i => (i.toLong, i * 1000L)).toDF("sid", "sval")
+      .createOrReplaceTempView("mm_src")
+    spark.sql(
+      """MERGE INTO graft.mrg AS t USING mm_src AS s ON t.id = s.sid
+        |WHEN MATCHED AND s.sval % 2000 = 0 THEN UPDATE SET cents = s.sval
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.sid <= 105 THEN
+        |  INSERT (id, cents) VALUES (s.sid, s.sval + 7)
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN DELETE
+        |""".stripMargin)
+    val got = TxnTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // matched 95..100: evens update to sval, odds delete
+    assert(got(96L) == 96000L && got(98L) == 98000L && got(100L) == 100000L)
+    assert(Seq(95L, 97L, 99L).forall(!got.contains(_)))
+    // not matched 101..105 insert (+7), 106..110 no clause
+    (101 to 105).foreach(i => assert(got(i.toLong) == i * 1000L + 7))
+    (106 to 110).foreach(i => assert(!got.contains(i.toLong)))
+    // by source: 1..4 deleted
+    (1 to 4).foreach(i => assert(!got.contains(i.toLong)))
+    assert(got.size == 100 - 4 - 3 + 5)
+  }
+
+  test("graft.dml.mor routes SQL DML through deletion vectors") {
+    import scala.jdk.CollectionConverters._
+    val root = mount("mor"); seed(root)
+    val before = FsTest.walk(java.nio.file.Paths.get(root, "data"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    spark.conf.set("graft.dml.mor", "true")
+    try {
+      spark.sql("DELETE FROM graft.mor WHERE pmod(id, 10) = 0")
+      spark.sql("UPDATE graft.mor SET cents = cents + 1 WHERE id = 1")
+    } finally spark.conf.unset("graft.dml.mor")
+    val after = FsTest.walk(java.nio.file.Paths.get(root, "data"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    assert(before.forall { case (p, t) => after.get(p).contains(t) },
+      "merge-on-read SQL DML must not rewrite data files")
+    assert(TxnTable.liveAddsForTest(root).exists(_.dv.isDefined))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.mor").head.getLong(0) == 90L)
+    assert(spark.sql("SELECT cents FROM graft.mor WHERE id = 1").head.getLong(0) == 11L)
+  }
+
+  test("OPTIMIZE compacts; OPTIMIZE ZORDER BY clusters; VACUUM reclaims") {
+    import scala.jdk.CollectionConverters._
+    val root = mount("opt")
+    import spark.implicits._
+    TxnTable.append((1 to 1000).map(i => (i.toLong, i * 10L))
+      .toDF("id", "cents").repartition(8), root)
+    val v1 = spark.sql("OPTIMIZE graft.opt").head.getLong(0)
+    assert(v1 == 1L)
+    assert(TxnTable.files(spark, root).count() < 8)
+    assert(spark.sql("SELECT sum(cents) AS s FROM graft.opt").head.getLong(0) ==
+      (1 to 1000).map(_ * 10L).sum)
+    spark.sql("OPTIMIZE graft.opt ZORDER BY (id, cents)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.opt").head.getLong(0) == 1000L)
+    // vacuum with RETAIN 0 HOURS drops the pre-optimize generations
+    val deleted = spark.sql("VACUUM graft.opt RETAIN 0 HOURS").head.getLong(0)
+    assert(deleted > 0L)
+    // current snapshot still reads; too-old time travel now fails loudly
+    assert(spark.sql("SELECT count(*) AS n FROM graft.opt").head.getLong(0) == 1000L)
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft.opt VERSION AS OF 0").collect()
+    }
+  }
+
+  test("SQL DML twin: same ops via API and SQL produce identical logs " +
+    "modulo generated file names") {
+    import spark.implicits._
+    import graft.sources.MergeClause._
+    val rootA = mount("twin_api")
+    val rootB = mount("twin_sql")
+    def seedDf = (1 to 200).map(i => (i.toLong, i * 10L)).toDF("id", "cents")
+      .coalesce(1)
+    TxnTable.append(seedDf, rootA); TxnTable.append(seedDf, rootB)
+    def srcDf = (190 to 210).map(i => (i.toLong, i * 1000L)).toDF("sid", "sval")
+    srcDf.createOrReplaceTempView("twin_src")
+
+    // the same four ops, API lane vs SQL lane
+    TxnTable.update(spark, rootA,
+      col("id") >= 10L && col("id") <= 20L,
+      Map("cents" -> (col("cents") * 2L)))
+    spark.sql("UPDATE graft.twin_sql SET cents = cents * 2 WHERE id BETWEEN 10 AND 20")
+    TxnTable.delete(spark, rootA, col("id") % 7L === 0L)
+    spark.sql("DELETE FROM graft.twin_sql WHERE id % 7 = 0")
+    TxnTable.mergeMulti(spark, rootA, srcDf,
+      condition = col("t.id") === col("s.sid"),
+      matched = Seq(
+        Update(Some(col("s.sval") % 2000L === 0L), Map("cents" -> col("s.sval"))),
+        Delete(None)),
+      notMatched = Seq(Insert(None,
+        Map("id" -> col("s.sid"), "cents" -> (col("s.sval") + 7L)))),
+      notMatchedBySource = Seq(Delete(Some(col("t.id") < 5L))))
+    spark.sql(
+      """MERGE INTO graft.twin_sql AS t USING twin_src AS s ON t.id = s.sid
+        |WHEN MATCHED AND s.sval % 2000 = 0 THEN UPDATE SET cents = s.sval
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (id, cents) VALUES (s.sid, s.sval + 7)
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN DELETE
+        |""".stripMargin)
+    TxnTable.optimize(spark, rootA)
+    spark.sql("OPTIMIZE graft.twin_sql")
+
+    // log equality modulo the generated tokens (file names, sizes)
+    import scala.jdk.CollectionConverters._
+    def normLog(root: String): Seq[String] = {
+      val dir = java.nio.file.Paths.get(root, "_txn_log")
+      FsTest.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+        .flatMap(p => Files.readAllLines(p).asScala)
+        .map(_.replaceAll("(data|cdc)/v[0-9]+-[0-9a-f]{8}/[^\"]*", "$1/vX/F")
+          .replaceAll("\"bytes\":[0-9]+", "\"bytes\":0"))
+    }
+    assert(normLog(rootA) == normLog(rootB),
+      "SQL DML must drive the identical engine commit for commit")
+    // and every version's contents agree
+    (0L to TxnTable.latestVersion(rootA)).foreach { v =>
+      val a = TxnTable.readVersion(spark, rootA, v).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = TxnTable.readVersion(spark, rootB, v).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(a == b, s"version $v diverged between API and SQL lanes")
+    }
+  }
+
+  test("non-graft statements pass through the parser untouched") {
+    assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
+    // a DELETE on a non-graft relation still fails the normal way
+    spark.range(5).createOrReplaceTempView("plain_view")
+    intercept[Exception] { spark.sql("DELETE FROM plain_view WHERE id = 1") }
+  }
+}

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
