@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ SubstrDedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
       Temporal.queries ++ CurationPipeline.queries ++ DecisionSupport.queries ++
       Collections.queries ++ Graph.queries ++ ZOrder.queries ++
@@ -29,7 +29,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
+    Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++ SubstrDedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ Skew.oracleSql ++
       Temporal.oracleSql ++ CurationPipeline.oracleSql ++ DecisionSupport.oracleSql ++
       Collections.oracleSql ++ Graph.oracleSql ++ ZOrder.oracleSql ++

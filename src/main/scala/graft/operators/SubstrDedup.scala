@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.sources.Tables
+
+/** EXACT variable-length substring deduplication — the Lee et al.
+  * ("Deduplicating Training Data Makes Language Models Better")
+  * suffix-array method re-expressed for Spark, upgrading the fixed-window
+  * approximation of `q_span_dedup`.
+  *
+  * Semantics. With duplication threshold L tokens: a maximal duplicated
+  * substring of length M ≥ L is, position for position, exactly a maximal
+  * RUN of token positions whose length-L grams each occur ≥ 2 times in
+  * the corpus (a run of R consecutive duplicated gram starts IS a
+  * duplicated substring of length R + L − 1, and every duplicated
+  * substring ≥ L decomposes into such starts). So the variable-length
+  * span report — span count, longest span, tokens covered — is computed
+  * EXACTLY from the duplicated-gram-start set plus a per-doc
+  * gaps-and-islands pass; no approximation anywhere.
+  *
+  * Two engines produce that start set, and must agree bit-for-bit:
+  *
+  *  - [[substrDedup]] (gram path): each position ships one md5 of its
+  *    L-token window; a count-over-hash marks starts occurring twice.
+  *    One shuffle of O(corpus tokens) fixed-width rows.
+  *  - [[substrDedupSA]] (suffix-array path): the PREFIX-DOUBLING
+  *    suffix-array construction loop — order-preserving dense ranks of
+  *    (rank_k(p), rank_k(p+k)) pairs, doubling k — run to k = 8 and
+  *    combined as (rank_8(p), rank_8(p+L−8)), which decides exact
+  *    L-prefix equality of suffixes (the sparse-table identity). This is
+  *    the distributed SA construction stopped at ⌈log₂L⌉ rounds: dedup
+  *    needs only L-level ranks; running the same loop to ⌈log₂n⌉ yields
+  *    the full lexicographic suffix array (SuffixArraySpec proves the
+  *    ranks order suffixes correctly). Ranks are ints — the 100 TB path
+  *    ships NO token text after round one, and each round is a bounded
+  *    pair of hash shuffles regardless of corpus size.
+  *
+  * Scale notes: no all-pairs anywhere; every pass is a key-partitioned
+  * shuffle of O(total tokens) rows; the run/coverage rollup windows
+  * partition BY DOC (bounded partitions). The oracle replays the whole
+  * pipeline in DuckDB with window functions.
+  */
+object SubstrDedup {
+  import Tok.{toksDuck, toksExpr}
+
+  /** Duplication threshold in tokens (Lee et al. use 50 BPE tokens at
+    * web scale; the synthetic corpus averages ~56 whitespace tokens per
+    * doc, so 15 exercises real multi-span structure). */
+  private val L = 15
+
+  private def docsToks(s: SparkSession, dir: String): DataFrame =
+    graft.Materialize.rebalanced(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", expr(toksExpr))
+
+  /** (doc_id, pos) of every duplicated L-gram start — gram-hash engine. */
+  private def dupStartsGram(docs: DataFrame): DataFrame = {
+    val grams = docs.selectExpr("doc_id",
+      s"IF(size(toks) < $L, array(), transform(sequence(1, size(toks) - ${L - 1}), " +
+        s"i -> md5(concat_ws(' ', slice(toks, i, $L))))) AS gh")
+      .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("c") >= 2).select("doc_id", "pos")
+  }
+
+  /** Order-preserving distributed dense rank of `keys`: equal keys get
+    * equal ranks, rank order follows key order. The classic two-phase
+    * shape — range-partition + local sort gives a global order,
+    * zipWithIndex numbers it without a single-task window, and a min()
+    * per key collapses ties. Two bounded shuffles, any input size. */
+  private def denseRankBy(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val s = df.sparkSession
+    val parts = math.max(s.sparkContext.defaultParallelism, 8)
+    val parted = df.repartitionByRange(parts, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    val withIdx = s.createDataFrame(
+      parted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      StructType(parted.schema.fields :+ StructField("_idx", LongType)))
+    withIdx
+      .withColumn("rk", min(col("_idx")).over(
+        Window.partitionBy(keys.map(col): _*)))
+      .drop("_idx")
+  }
+
+  /** Prefix-doubled rank table: (doc_id, pos, rk) where rk orders every
+    * suffix by its first `upTo` tokens (upTo a power of two). Running the
+    * same loop to 2^⌈log₂n⌉ yields the full lexicographic suffix array;
+    * SuffixArraySpec brute-force-proves the ordering. */
+  private[graft] def rankTable(docs: DataFrame, upTo: Int): DataFrame = {
+    require(upTo >= 1 && (upTo & (upTo - 1)) == 0, s"upTo must be a power of two, got $upTo")
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    // round 0: rank_1 = order-preserving rank of the token itself
+    var cur = denseRankBy(toks, Seq("tok")).select("doc_id", "pos", "rk")
+    // doubling rounds: rank_{2k}(p) = dense rank of (rank_k(p), rank_k(p+k));
+    // a suffix shorter than 2k ranks with −1 (shorter sorts first — the
+    // suffix-array convention).
+    var k = 1
+    while (k < upTo) {
+      val shifted = cur.select(col("doc_id"), (col("pos") - k).as("pos"),
+        col("rk").as("rkb"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        .withColumn("rkb", coalesce(col("rkb"), lit(-1L)))
+      cur = denseRankBy(paired.select("doc_id", "pos", "rk", "rkb")
+        .withColumnRenamed("rk", "rka"), Seq("rka", "rkb"))
+        .select("doc_id", "pos", "rk")
+      k *= 2
+    }
+    cur
+  }
+
+  /** (doc_id, pos) of every duplicated L-gram start — prefix-doubling
+    * suffix-array engine (1→2→4→8 tokens: 3 rounds for L = 15). */
+  private def dupStartsSA(docs: DataFrame): DataFrame = {
+    val cur = rankTable(docs, 8)
+    // exact L-prefix equality off the rank_8 table: (rank_8(p), rank_8(p+L−8))
+    val off = L - 8
+    val shifted = cur.select(col("doc_id"), (col("pos") - off).as("pos"),
+      col("rk").as("rkb"))
+    val nToks = docs.select(col("doc_id"), size(col("toks")).as("n_toks"))
+    cur.join(shifted, Seq("doc_id", "pos"))
+      .join(broadcast(nToks), Seq("doc_id"))
+      .filter(col("pos") <= col("n_toks") - (L - 1)) // full grams only
+      .withColumn("c", count(lit(1)).over(
+        Window.partitionBy(col("rk"), col("rkb"))))
+      .filter(col("c") >= 2).select("doc_id", "pos")
+  }
+
+  /** Gaps-and-islands rollup: duplicated starts → maximal variable-length
+    * spans → per-doc report. Coverage merges overlapping spans exactly
+    * (a lag() subtracts the tokens the previous span already covered). */
+  private def report(docs: DataFrame, dup: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("first"), max(col("pos")).as("last"),
+        count(lit(1)).as("n_starts"))
+    val byFirst = Window.partitionBy(col("doc_id")).orderBy(col("first"))
+    val covered = runs
+      .withColumn("prev_last", lag(col("last"), 1).over(byFirst))
+      .withColumn("cov",
+        col("last") + lit(L - 1) -
+          greatest(col("first"),
+            coalesce(col("prev_last"), col("first") - L) + L) + 1)
+    val perDoc = covered.groupBy(col("doc_id"))
+      .agg(sum(col("n_starts")).cast("long").as("n_dup_starts"),
+        count(lit(1)).cast("long").as("n_spans"),
+        max(col("last") - col("first") + L).cast("long").as("max_span_tokens"),
+        sum(col("cov")).cast("long").as("n_dup_tokens"))
+    val base = docs.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks"),
+      greatest(size(col("toks")) - (L - 1), lit(0)).cast("long").as("n_grams"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), col("n_grams"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+          col("n_toks").cast("double")).as("dup_ratio"))
+  }
+
+  def substrDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Materialize.eager(docsToks(s, dir))
+    report(docs, dupStartsGram(docs))
+  }
+
+  def substrDedupSA(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Materialize.eager(docsToks(s, dir))
+    report(docs, dupStartsSA(docs))
+  }
+
+  /** Both engines share this DuckDB replay: if either diverges from the
+    * window reconstruction — or from the other — the hash compare fails. */
+  private val substrOracle: String =
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |sp AS (SELECT doc_id, len(toks) AS n_toks,
+       |              list_transform(range(1, greatest(len(toks) - ${L - 2}, 1)),
+       |                i -> struct_pack(pos := i,
+       |                  gram := array_to_string(toks[i:i+${L - 1}], ' '))) AS gs
+       |       FROM tok),
+       |u AS (SELECT doc_id, unnest(gs) AS e FROM sp),
+       |g AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM u),
+       |d AS (SELECT doc_id, pos FROM
+       |        (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM g)
+       |      WHERE c >= 2),
+       |r AS (SELECT doc_id, pos,
+       |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |      FROM d),
+       |runs AS (SELECT doc_id, min(pos) AS first, max(pos) AS last,
+       |                count(*) AS n_starts
+       |         FROM r GROUP BY doc_id, grp),
+       |cov AS (SELECT doc_id, first, last, n_starts,
+       |               last + ${L - 1} - greatest(first,
+       |                 COALESCE(lag(last) OVER (PARTITION BY doc_id ORDER BY first),
+       |                          first - $L) + $L) + 1 AS cv
+       |        FROM runs),
+       |rep AS (SELECT doc_id, CAST(sum(n_starts) AS BIGINT) AS n_dup_starts,
+       |               CAST(count(*) AS BIGINT) AS n_spans,
+       |               CAST(max(last - first + $L) AS BIGINT) AS max_span_tokens,
+       |               CAST(sum(cv) AS BIGINT) AS n_dup_tokens
+       |        FROM cov GROUP BY doc_id)
+       |SELECT sp.doc_id, CAST(sp.n_toks AS BIGINT) AS n_toks,
+       |       CAST(greatest(sp.n_toks - ${L - 1}, 0) AS BIGINT) AS n_grams,
+       |       COALESCE(rep.n_dup_starts, 0) AS n_dup_starts,
+       |       COALESCE(rep.n_spans, 0) AS n_spans,
+       |       COALESCE(rep.max_span_tokens, 0) AS max_span_tokens,
+       |       COALESCE(rep.n_dup_tokens, 0) AS n_dup_tokens,
+       |       CAST(COALESCE(rep.n_dup_tokens, 0) AS DOUBLE) /
+       |         CAST(sp.n_toks AS DOUBLE) AS dup_ratio
+       |FROM sp LEFT JOIN rep ON sp.doc_id = rep.doc_id
+       |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substr_dedup" -> (substrDedup _),
+    "q_substr_sa" -> (substrDedupSA _))
+  val oracleSql: Map[String, String] = Map(
+    "q_substr_dedup" -> substrOracle,
+    "q_substr_sa" -> substrOracle)
+}

@@ -3838,6 +3838,55 @@ object TxnTable {
   /** Live-file inventory as of a version — the `.files` metadata-table
     * analogue: one row per live file with size, row count, partition
     * values, and the raw stats payload. Pure log fold, no data I/O. */
+  /** SYMLINK MANIFEST export (the Hive `SymlinkTextInputFormat` layout
+    * the open lakehouse formats generate for Presto/Trino/Athena-class
+    * readers): `_symlink_format_manifest/[col=val/...]manifest` text
+    * files, one line per live data file's absolute `file:` URI. An
+    * external engine that cannot fold the transaction log reads the
+    * manifest instead and sees exactly the current snapshot — partition
+    * dirs mirror the hive layout so partition pruning still works.
+    * FULL regeneration each call (stale manifests are how external
+    * readers see ghosts — the old tree is removed first); rerun after
+    * every commit that should be visible externally. REFUSED while any
+    * live file carries a deletion vector: a manifest can only point at
+    * whole files, so exporting one would resurrect deleted rows — run
+    * [[purgeDeletes]]/[[optimize]] first (the Delta contract). Returns
+    * the manifest files written, root-relative. */
+  def generateManifest(root: String): Seq[String] = {
+    val last = latestVersion(root)
+    require(last >= 0, s"$root is not a TxnTable (no _txn_log)")
+    val live = liveAdds(root, last)
+    val withDv = live.filter(_.dv.exists(_.cardinality > 0))
+    require(withDv.isEmpty,
+      s"generateManifest: ${withDv.size} live file(s) carry deletion " +
+        "vectors — a symlink manifest cannot express row-level deletes " +
+        "and would resurrect them; run purgeDeletes (REORG) first")
+    val (_, pcs) = readMeta(root).getOrElse((StructType(Nil), Seq.empty))
+    val base = Paths.get(root, "_symlink_format_manifest")
+    // full regeneration: remove the previous tree so dropped partitions
+    // cannot linger as ghost manifests
+    if (Files.isDirectory(base))
+      walkClosed(base).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    // a partitioned file's manifest directory is its own hive-encoded
+    // `col=val` path segments (written by the partitioned writer); flat
+    // tables get the single root manifest
+    val groups = live
+      .filter(a => !a.stats.exists(decodeStats(_).numRecords == 0L))
+      .groupBy { a =>
+        if (pcs.isEmpty) ""
+        else a.file.split('/').filter(_.contains('=')).mkString("/")
+      }
+    groups.toSeq.sortBy(_._1).map { case (dir, adds) =>
+      val d = if (dir.isEmpty) base else base.resolve(dir)
+      Files.createDirectories(d)
+      val lines = adds.map(a =>
+        filePath(root, a.file).toAbsolutePath.toUri.toString).sorted
+      Files.write(d.resolve("manifest"),
+        lines.mkString("\n").getBytes(UTF_8))
+      Paths.get(root).relativize(d.resolve("manifest")).toString
+    }
+  }
+
   def files(spark: SparkSession, root: String, asOf: Long = -1L): DataFrame = {
     import spark.implicits._
     liveAdds(root, asOf).map { a =>
