@@ -26,6 +26,8 @@ import graft.sources.{GraftTable, MergeClause, TxnTable}
   *     WHEN NOT MATCHED BY SOURCE THEN DELETE
   *   OPTIMIZE graft.t [ZORDER BY (c1, c2)]
   *   VACUUM graft.t [RETAIN n HOURS]
+  *   DESCRIBE HISTORY graft.t
+  *   RESTORE TABLE graft.t TO VERSION AS OF 2
   * }}}
   *
   * Architecture: Spark's OWN parser already produces the catalyst
@@ -201,9 +203,11 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** Parser extension for the two non-ANSI maintenance statements (the
-  * open-lakehouse grammar): `OPTIMIZE tbl [ZORDER BY (c1, ...)]` and
-  * `VACUUM tbl [RETAIN n HOURS]`. Everything else delegates verbatim. */
+/** Parser extension for the non-ANSI lakehouse statements (the
+  * open-lakehouse grammar): `OPTIMIZE tbl [ZORDER BY (c1, ...)]`,
+  * `VACUUM tbl [RETAIN n HOURS]`, `DESCRIBE HISTORY tbl`, and
+  * `RESTORE [TABLE] tbl TO VERSION AS OF n`. Everything else delegates
+  * verbatim. */
 class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   import GraftDml._
@@ -212,6 +216,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     """(?is)\s*OPTIMIZE\s+([\w`.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w`.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w`.]+)\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w`.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   /** Resolve a multipart identifier whose head is a catalog configured to
     * [[graft.sources.GraftCatalog]] down to the table root directory,
@@ -243,6 +251,27 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
                 spark.sparkContext.defaultParallelism / 4))
             case None => TxnTable.optimize(spark, root)
           }))
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case HistoryRe(table) =>
+      rootOf(table).map { root =>
+        val out = Seq(
+          AttributeReference("version", LongType, nullable = false)(),
+          AttributeReference("timestamp", StringType, nullable = false)(),
+          AttributeReference("operation", StringType, nullable = false)(),
+          AttributeReference("num_added_files", LongType, nullable = false)(),
+          AttributeReference("num_removed_files", LongType, nullable = false)(),
+          AttributeReference("num_change_files", LongType, nullable = false)())
+        GraftDmlCommand("describe-history", out, () =>
+          TxnTable.historySummary(spark, root).collect().toSeq.map(r =>
+            new GenericInternalRow(Array[Any](r.getLong(0),
+              UTF8String.fromString(r.getTimestamp(1).toString),
+              UTF8String.fromString(r.getString(2)),
+              r.getInt(3).toLong, r.getInt(4).toLong, r.getInt(5).toLong))))
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case RestoreRe(table, version) =>
+      rootOf(table).map { root =>
+        GraftDmlCommand("restore", versionOut, () => versionRow(
+          TxnTable.restore(spark, root, version.toLong)))
       }.getOrElse(delegate.parsePlan(sqlText))
     case VacuumRe(table, hours) =>
       rootOf(table).map { root =>

@@ -181,6 +181,56 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE HISTORY and RESTORE TABLE round the SQL surface out") {
+    val root = mount("hist"); seed(root)
+    spark.sql("DELETE FROM graft.hist WHERE id > 50")
+    spark.sql("UPDATE graft.hist SET cents = 0 WHERE id = 1")
+    val hist = spark.sql("DESCRIBE HISTORY graft.hist").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L))
+    assert(hist.map(_.getString(2)).toSeq == Seq("update", "delete", "append"))
+    assert(hist.forall(_.getString(1).nonEmpty)) // commit timestamps render
+    val v = spark.sql("RESTORE TABLE graft.hist TO VERSION AS OF 0")
+      .head.getLong(0)
+    assert(v == 3L) // restore is itself a commit
+    assert(spark.sql("SELECT count(*) AS n FROM graft.hist").head.getLong(0) == 100L)
+    assert(spark.sql("SELECT sum(cents) AS s FROM graft.hist").head.getLong(0) ==
+      (1 to 100).map(_ * 10L).sum)
+  }
+
+  test("SHOW TABLES lists TxnTable roots under the catalog root dir") {
+    val base = Files.createTempDirectory("graft_showt")
+    spark.conf.set("spark.sql.catalog.graft.root", base.toString)
+    try {
+      import spark.implicits._
+      TxnTable.append(Seq((1L, "a")).toDF("id", "v"), s"$base/tbl_one")
+      TxnTable.append(Seq((2L, "b")).toDF("id", "v"), s"$base/tbl_two")
+      Files.createDirectory(base.resolve("not_a_table"))
+      val names = spark.sql("SHOW TABLES IN graft").collect()
+        .map(_.getString(1)).sorted.toSeq
+      assert(names == Seq("tbl_one", "tbl_two"))
+      // and the root-dir mapping serves reads without explicit mounts
+      assert(spark.sql("SELECT v FROM graft.tbl_one").head.getString(0) == "a")
+    } finally spark.conf.unset("spark.sql.catalog.graft.root")
+  }
+
+  test("CREATE TABLE PARTITIONED BY fixes the hive layout from birth") {
+    val root = mount("ctp")
+    spark.sql("CREATE TABLE graft.ctp (id BIGINT, grp STRING) " +
+      "USING graft PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO graft.ctp VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ctp WHERE grp = 'a'")
+      .head.getLong(0) == 2L)
+    // the insert landed hive-partitioned (partition pruning has dirs to prune)
+    import scala.jdk.CollectionConverters._
+    val dirs = FsTest.walk(java.nio.file.Paths.get(root, "data"))
+      .iterator().asScala.map(_.toString).toSeq
+    assert(dirs.exists(_.contains("grp=a")) && dirs.exists(_.contains("grp=b")))
+    graft.sources.GraftCatalog.lastScanReport = None
+    spark.sql("SELECT id FROM graft.ctp WHERE grp = 'b'").collect()
+    val rep = graft.sources.GraftCatalog.lastScanReport.get
+    assert(rep.filesKept < rep.filesTotal, s"partition pruning lost: $rep")
+  }
+
   test("non-graft statements pass through the parser untouched") {
     assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
     // a DELETE on a non-graft relation still fails the normal way
