@@ -93,15 +93,23 @@ object SubstrDedup {
     * SuffixArraySpec brute-force-proves the ordering. */
   private[graft] def rankTable(docs: DataFrame, upTo: Int): DataFrame = {
     require(upTo >= 1 && (upTo & (upTo - 1)) == 0, s"upTo must be a power of two, got $upTo")
-    val toks = docs
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-    // round 0: rank_1 = order-preserving rank of the token itself
-    var cur = denseRankBy(toks, Seq("tok")).select("doc_id", "pos", "rk")
+    // round 0: rank the base-width prefix DIRECTLY (DC3-style base
+    // seeding — the doubling loop needn't start at single tokens). A
+    // 4-token base halves the rank rounds for L = 15; the low separator
+    // (0x1F, below every token byte) keeps joined-string order equal to
+    // token-sequence order, and a shorter tail prefix sorts first — the
+    // suffix-array convention either way.
+    val baseW = math.min(4, upTo)
+    val base = docs.select(col("doc_id"), posexplode(expr(
+      s"IF(size(toks) = 0, array(), transform(sequence(1, size(toks)), " +
+        s"i -> concat_ws(chr(31), slice(toks, i, $baseW))))"))
+      .as(Seq("p0", "pref")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("pref"))
+    var cur = denseRankBy(base, Seq("pref")).select("doc_id", "pos", "rk")
     // doubling rounds: rank_{2k}(p) = dense rank of (rank_k(p), rank_k(p+k));
     // a suffix shorter than 2k ranks with −1 (shorter sorts first — the
     // suffix-array convention).
-    var k = 1
+    var k = baseW
     while (k < upTo) {
       val shifted = cur.select(col("doc_id"), (col("pos") - k).as("pos"),
         col("rk").as("rkb"))

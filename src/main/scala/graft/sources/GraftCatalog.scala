@@ -166,6 +166,11 @@ class GraftCatalog extends TableCatalog {
       case c: TableChange.DeleteColumn =>
         require(c.fieldNames.length == 1, "nested columns are not supported")
         TxnTable.dropColumn(spark, root, c.fieldNames.head)
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames.length == 1, "nested columns are not supported")
+        require(c.isNullable, "added columns must be nullable " +
+          "(existing files read null for them)")
+        TxnTable.addColumn(spark, root, c.fieldNames.head, c.dataType)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other")
     }

@@ -332,6 +332,28 @@ private[sources] trait TxnMetaOps { self: TxnTable.type =>
     * the old bytes can never leak into it. Refused for partition columns
     * (path-encoded), clustering columns, columns referenced by CHECK
     * constraints or generation expressions, and the last column. */
+  /** ADD a nullable column — metadata-only (the explicit-DDL twin of
+    * [[appendEvolve]]'s on-write evolution): the schema gains the field,
+    * every existing file simply lacks it and reads back null. On a
+    * name-mapped table the new column takes a FRESH physical name off
+    * the maxColumnId counter, so it can never alias a dropped column's
+    * leftover bytes. */
+  def addColumn(spark: SparkSession, root: String,
+                colName: String, dt: DataType): Long = casRetry("addColumn") {
+    val v = latestVersion(root) + 1
+    require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+    val (schema, pcs) = readMeta(root).getOrElse(
+      sys.error(s"$root has no metaData to add to"))
+    require(!schema.fieldNames.contains(colName),
+      s"column $colName already exists")
+    val (stamped, cfgUp) = stampEvolved(root,
+      StructType(schema.fields :+ StructField(colName, dt, nullable = true)))
+    commit(root, v, s"add-column#$colName", Seq.empty, Seq.empty,
+      schemaJson = Some(stamped.json), dataChange = false, partCols = pcs,
+      extraConfig = cfgUp)
+    v
+  }
+
   def dropColumn(spark: SparkSession, root: String,
                  colName: String): Long = casRetry("dropColumn") {
     val v = latestVersion(root) + 1

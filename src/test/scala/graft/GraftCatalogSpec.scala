@@ -163,6 +163,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq("id", "cents", "payload"))
   }
 
+  test("ALTER TABLE ADD COLUMN is metadata-only; existing rows read null") {
+    val root = mount("addc")
+    import spark.implicits._
+    TxnTable.append((1 to 5).map(i => Tuple1(i.toLong)).toDF("id"), root)
+    spark.sql("ALTER TABLE graft.addc ADD COLUMN note STRING")
+    assert(TxnTable.latestVersion(root) == 1L)
+    val rows = spark.sql("SELECT id, note FROM graft.addc").collect()
+    assert(rows.length == 5 && rows.forall(_.isNullAt(1)))
+    spark.sql("INSERT INTO graft.addc VALUES (6, 'hello')")
+    assert(spark.sql("SELECT note FROM graft.addc WHERE id = 6")
+      .head.getString(0) == "hello")
+    // drop + ADD COLUMN of the same name: fresh physical identity
+    spark.sql("ALTER TABLE graft.addc DROP COLUMN note")
+    spark.sql("ALTER TABLE graft.addc ADD COLUMN note STRING")
+    assert(spark.sql("SELECT note FROM graft.addc WHERE id = 6").head.isNullAt(0),
+      "dropped bytes leaked into the re-added column")
+  }
+
   test("drop + re-add: old bytes never leak into the re-added column") {
     val root = mount("readd")
     import spark.implicits._
