@@ -226,10 +226,67 @@ object SubstrDedup {
        |FROM sp LEFT JOIN rep ON sp.doc_id = rep.doc_id
        |""".stripMargin
 
+  /** AGREEMENT report: the exact variable-length method vs the fixed
+    * 8-token window approximation (`q_span_dedup`), per flagged-doc
+    * confusion counts — the number the window method's users need before
+    * trusting it at scale (docs the cheap pass would pass through that
+    * the exact pass flags, and vice versa). Integer-only output: exact
+    * across engines. */
+  def substrAgreement(s: SparkSession, dir: String): DataFrame = {
+    val exact = substrDedup(s, dir)
+      .select(col("doc_id"), (col("n_dup_tokens") > 0).as("exact_dup"))
+    val window = Dedup.spanDedup(s, dir)
+      .select(col("doc_id"), (col("n_dup_spans") > 0).as("win_dup"))
+    exact.join(window, "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("exact_dup") && col("win_dup"), 1L).otherwise(0L))
+          .cast("long").as("both"),
+        sum(when(col("exact_dup") && !col("win_dup"), 1L).otherwise(0L))
+          .cast("long").as("exact_only"),
+        sum(when(!col("exact_dup") && col("win_dup"), 1L).otherwise(0L))
+          .cast("long").as("window_only"),
+        sum(when(!col("exact_dup") && !col("win_dup"), 1L).otherwise(0L))
+          .cast("long").as("neither"))
+  }
+  private val agreementOracle: String = {
+    // the window method's flag, reconstructed like spanDedupSql
+    val winFlag =
+      """wtok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |         FROM documents),
+        |wsp AS (SELECT doc_id,
+        |               list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |                 i -> array_to_string(toks[i:i+7], ' '))) AS spans FROM wtok),
+        |wex AS (SELECT doc_id, unnest(spans) AS span FROM wsp),
+        |ww AS (SELECT doc_id, count(*) OVER (PARTITION BY span) AS df FROM wex),
+        |wdup AS (SELECT DISTINCT doc_id FROM ww WHERE df >= 2)""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |sp AS (SELECT doc_id,
+       |              list_transform(range(1, greatest(len(toks) - ${L - 2}, 1)),
+       |                i -> array_to_string(toks[i:i+${L - 1}], ' ')) AS gs
+       |       FROM tok),
+       |g AS (SELECT doc_id, unnest(gs) AS gram FROM sp),
+       |w AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df FROM g),
+       |edup AS (SELECT DISTINCT doc_id FROM w WHERE df >= 2),
+       |$winFlag,
+       |flags AS (SELECT tok.doc_id,
+       |                 tok.doc_id IN (SELECT doc_id FROM edup) AS exact_dup,
+       |                 tok.doc_id IN (SELECT doc_id FROM wdup) AS win_dup
+       |          FROM tok)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) FILTER (WHERE exact_dup AND win_dup) AS BIGINT) AS both,
+       |       CAST(count(*) FILTER (WHERE exact_dup AND NOT win_dup) AS BIGINT) AS exact_only,
+       |       CAST(count(*) FILTER (WHERE NOT exact_dup AND win_dup) AS BIGINT) AS window_only,
+       |       CAST(count(*) FILTER (WHERE NOT exact_dup AND NOT win_dup) AS BIGINT) AS neither
+       |FROM flags
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substr_dedup" -> (substrDedup _),
-    "q_substr_sa" -> (substrDedupSA _))
+    "q_substr_sa" -> (substrDedupSA _),
+    "q_substr_agree" -> (substrAgreement _))
   val oracleSql: Map[String, String] = Map(
     "q_substr_dedup" -> substrOracle,
-    "q_substr_sa" -> substrOracle)
+    "q_substr_sa" -> substrOracle,
+    "q_substr_agree" -> agreementOracle)
 }

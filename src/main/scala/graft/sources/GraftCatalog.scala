@@ -219,6 +219,7 @@ final class GraftTable(val root: String, val snapshotVersion: Long, identString:
   }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -321,6 +322,34 @@ final case class GraftScan(root: String, version: Long,
     StructType(required.fields.map(f => f.copy(nullable = true)))
   override def toBatch: Batch = this
 
+  /** `spark.readStream.table("graft.t")`: the catalog name fronts the
+    * same commit-log tail the `txn-tail` source runs (version = offset,
+    * exactly-once). The tail's internal rows carry a trailing
+    * `_commit_version` the TABLE schema does not expose — a thin
+    * projection drops it; use `format("txn-tail")` directly to keep it. */
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val inner = new TxnTailStream(TxnTail.Conf(root, startingVersion = 0L,
+      ignoreChanges = false, maxVersionsPerBatch = None, readChangeFeed = false))
+    val n = tblSchema.length
+    new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+      import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+      // unlimited admission here — the bounded-backfill knobs live on the
+      // explicit `txn-tail` option surface
+      override def latestOffset(): Offset =
+        inner.latestOffset(inner.initialOffset(), ReadLimit.allAvailable())
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        inner.planInputPartitions(start, end)
+      override def createReaderFactory(): PartitionReaderFactory =
+        GraftTailProjectFactory(inner.createReaderFactory(),
+          tblSchema.fields.map(_.dataType))
+      override def initialOffset(): Offset = inner.initialOffset()
+      override def deserializeOffset(json: String): Offset = inner.deserializeOffset(json)
+      override def commit(end: Offset): Unit = inner.commit(end)
+      override def stop(): Unit = inner.stop()
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val (kept0, total) = pruning
     // a fully-deleted file contributes nothing — zero partitions is a
@@ -372,6 +401,26 @@ final case class GraftScan(root: String, version: Long,
 final case class GraftInputPartition(path: String, schemaJson: String,
                                      partValues: Map[String, String],
                                      dvB64: String) extends InputPartition
+
+/** Projects the txn-tail stream's rows down to the table schema (drops
+  * the trailing `_commit_version`) for `readStream.table` consumers.
+  * Standalone case class: ships to executors, so no outer captures. */
+final case class GraftTailProjectFactory(inner: PartitionReaderFactory,
+                                         types: Array[DataType])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = {
+        val row = r.get()
+        new GenericInternalRow(Array.tabulate[Any](types.length)(i =>
+          row.get(i, types(i))))
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+}
 
 /** Executor-side reader: one parquet file via the parquet-column record
   * API, PROJECTED to the requested columns (the file reader's requested

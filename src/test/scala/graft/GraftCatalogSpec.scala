@@ -219,6 +219,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rep.filesKept < rep.filesTotal, s"partition pruning lost: $rep")
   }
 
+  test("readStream.table tails the commit log through the catalog") {
+    val root = mount("tail")
+    import spark.implicits._
+    TxnTable.append((1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "payload"), root)
+    val out = Files.createTempDirectory("tail_out").toString
+    val ckpt = Files.createTempDirectory("tail_ckpt").toString
+    val q = spark.readStream.table("graft.tail")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    TxnTable.append(Seq((6L, "v6")).toDF("id", "payload"), root)
+    val q2 = spark.readStream.table("graft.tail")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val got = spark.read.parquet(out).as[(Long, String)].collect().sorted
+    assert(got.toSeq == (1 to 6).map(i => (i.toLong, s"v$i")),
+      "the second batch must deliver exactly the new commit (exactly-once tail)")
+  }
+
   test("snapshot statistics: a small catalog table broadcasts") {
     val root = mount("dim")
     TxnTable.append(df(1 to 50), root)
