@@ -300,23 +300,44 @@ object GraftScanBuilder {
 final case class GraftScan(root: String, version: Long,
                            tblSchema: StructType, pcs: Seq[String],
                            required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
-  /** The pruned snapshot: one fold of the commit log + the conjunct
-    * skipping pass. Lazy and shared by planning and statistics. */
+  private def prune(adds: Seq[TxnTable.AddFile],
+                    filters: Seq[Filter]): Seq[TxnTable.AddFile] = {
+    val conj = filters.flatMap(GraftScanBuilder.translate)
+    if (conj.isEmpty) adds
+    else {
+      val pred = org.apache.spark.sql.GraftColumnExpr.column(
+        conj.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)))
+      TxnTable.pruneAdds(adds, pred,
+        TxnTable.colMapping(tblSchema), genSchema = Some(tblSchema))._1
+    }
+  }
+
+  /** The statically pruned snapshot (pushed filters only): one fold of the
+    * commit log + the conjunct skipping pass. Lazy and shared by planning
+    * and statistics — runtime filters arrive later and re-prune in
+    * [[planInputPartitions]]. */
   @transient private lazy val pruning: (Seq[TxnTable.AddFile], Int) = {
     val adds = TxnTable.liveAdds(root, version)
-    val conj = pushed.flatMap(GraftScanBuilder.translate)
-    val kept =
-      if (conj.isEmpty) adds
-      else {
-        val pred = org.apache.spark.sql.GraftColumnExpr.column(
-          conj.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)))
-        TxnTable.pruneAdds(adds, pred,
-          TxnTable.colMapping(tblSchema), genSchema = Some(tblSchema))._1
-      }
-    (kept, adds.size)
+    (prune(adds, pushed.toSeq), adds.size)
   }
+
+  // ---- dynamic runtime filtering (DSv2 DPP) -------------------------------
+  // A broadcast join whose build side is selective hands the scan the
+  // build keys at EXECUTION time; re-running the same conjunct engine
+  // over the statically-kept files drops whole partitions / stat ranges
+  // the static plan could not know about — at 100 TB this is the
+  // difference between scanning a fact table and scanning three days of
+  // it. Every column is filterable: partition values, min/max stats, and
+  // Bloom indexes all serve IN-set probes.
+  @transient private var runtimeFilters: Array[Filter] = Array.empty
+  // only the scan's OUTPUT columns are addressable (the DPP rule
+  // resolves these against the projected relation)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
 
   override def readSchema(): StructType =
     StructType(required.fields.map(f => f.copy(nullable = true)))
@@ -351,14 +372,16 @@ final case class GraftScan(root: String, version: Long,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (kept0, total) = pruning
+    val (static, total) = pruning
+    val kept0 = if (runtimeFilters.isEmpty) static
+      else prune(static, runtimeFilters.toSeq)
     // a fully-deleted file contributes nothing — zero partitions is a
     // valid DSv2 scan (schema comes from readSchema)
     val kept = kept0.filterNot(a => a.dv.exists(d =>
       a.stats.exists(TxnTable.decodeStats(_).numRecords == d.cardinality)))
     GraftCatalog.lastScanReport = Some(GraftCatalog.ScanReport(
       root, version, kept.size, total,
-      pushed.map(_.toString).toSeq, required.fieldNames.toSeq))
+      (pushed ++ runtimeFilters).map(_.toString).toSeq, required.fieldNames.toSeq))
     val schemaJson = required.json
     kept.map { a =>
       GraftInputPartition(

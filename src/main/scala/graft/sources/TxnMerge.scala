@@ -175,20 +175,26 @@ private[sources] object MergeMulti {
         (col("_t") && !col("_s") && col("_nb") >= 0) ||
         (!col("_t") && col("_s") && col("_ni") >= 0)))
 
-    // ---- pass 2: cardinality guard ----------------------------------------
+    // ---- pass 2: cardinality guard + touched files, ONE action ------------
+    // per file: the max source-match multiplicity of any of its MATCHED
+    // rows (the SQL MERGE cardinality rule) and whether any row has an
+    // applying update/delete clause (the rewrite trigger) — O(files) rows
+    // to the driver, exactly like the commit itself
+    val fileRep = cls.filter(col("_t"))
+      .groupBy("_file", "_ri")
+      .agg(sum(when(col("_s"), 1L).otherwise(0L)).as("nm"),
+        max(when(col("_m") >= 0 || col("_nb") >= 0, 1).otherwise(0)).as("ap"))
+      .groupBy("_file")
+      .agg(max(col("nm")).as("max_matches"), max(col("ap")).as("applied"))
+      .collect()
     if (matched.nonEmpty) {
-      val dup = cls.filter(col("_t") && col("_s"))
-        .groupBy("_file", "_ri").count().filter(col("count") > 1)
-        .limit(1).count()
-      require(dup == 0L,
+      require(!fileRep.exists(_.getLong(1) > 1L),
         "MERGE: a target row matched multiple source rows while MATCHED " +
           "clauses exist — the update/delete would be nondeterministic; " +
           "deduplicate the source on the merge keys first")
     }
-
-    // files containing at least one row an update/delete clause applies to
-    val touched = cls.filter(col("_m") >= 0 || col("_nb") >= 0)
-      .select("_file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    val touched = fileRep.filter(_.getInt(2) == 1)
+      .map(_.getString(0)).toSeq.sorted
 
     // ---- inserts (shared by both flavors): O(source), off the struct ------
     val insFrame = cls.filter(col("_ni") >= 0)

@@ -243,6 +243,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       "the second batch must deliver exactly the new commit (exactly-once tail)")
   }
 
+  test("runtime filtering: a selective broadcast join prunes partitions " +
+    "the static plan could not") {
+    val root = mount("dpp")
+    import spark.implicits._
+    // fact: 8 hive partitions through the catalog
+    val fact = (1 to 4000).map(i => (i.toLong, i * 3L, s"p${i % 8}"))
+      .toDF("id", "v", "grp")
+    TxnTable.appendPartitioned(fact, root, Seq("grp"))
+    // dim: only 2 of the 8 groups survive its filter. A real TABLE (not a
+    // local view, which constant-folds away) so the planner sees a build
+    // side worth deriving a runtime filter from.
+    mount("dpp_dim")
+    TxnTable.append((0 to 7).map(i => (s"p$i", if (i < 2) "keep" else "drop"))
+      .toDF("dgrp", "flag"), spark.conf.get("graft.catalog.path.dpp_dim"))
+    GraftCatalog.lastScanReport = None
+    val got = spark.sql(
+      """SELECT count(*) AS n, sum(v) AS s
+        |FROM graft.dpp f JOIN graft.dpp_dim d ON f.grp = d.dgrp
+        |WHERE d.flag = 'keep'""".stripMargin).head
+    assert(got.getLong(0) == (1 to 4000).count(i => i % 8 < 2))
+    assert(got.getLong(1) == (1 to 4000).filter(_ % 8 < 2).map(_ * 3L).sum)
+    val rep = GraftCatalog.lastScanReport.get
+    // no static filter touches the fact — only the runtime IN-set from
+    // the broadcast build side can have pruned its partitions
+    assert(rep.pushed.exists(_.toLowerCase.contains("in")), rep)
+    assert(rep.filesKept < rep.filesTotal,
+      s"runtime filter did not prune partitions: $rep")
+  }
+
   test("snapshot statistics: a small catalog table broadcasts") {
     val root = mount("dim")
     TxnTable.append(df(1 to 50), root)
