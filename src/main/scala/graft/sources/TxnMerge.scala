@@ -133,10 +133,16 @@ private[sources] object MergeMulti {
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
     val (schema, pcs) = readMeta(root).getOrElse(
       sys.error(s"$root has no metaData to merge into"))
-    // partition columns never move between directories in-place
+    // partition columns never move between directories in-place; SET keys
+    // must name real columns (a typo'd target would otherwise no-op
+    // silently — imageCols only applies keys it finds in the schema)
     (matched ++ notMatchedBySource).foreach {
-      case Update(_, set) => set.keys.foreach(c => require(!pcs.contains(c),
-        s"MERGE UPDATE of partition column $c is not supported"))
+      case Update(_, set) => set.keys.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"MERGE UPDATE names unknown column $c")
+        require(!pcs.contains(c),
+          s"MERGE UPDATE of partition column $c is not supported")
+      }
       case UpdateAll(_) => require(pcs.isEmpty,
         "MERGE UPDATE SET * on a partitioned table is not supported " +
           "(name the non-partition columns explicitly)")
@@ -223,8 +229,16 @@ private[sources] object MergeMulti {
     // merge-on-read shape: carried rows stay in their file, deletes are
     // bitmap marks); false emits the full copy-on-write rewrite.
     def rewriteRows(files: Seq[String], imagesOnly: Boolean): (DataFrame, DataFrame) = {
+      // With no MATCHED clause the cardinality guard does not run (SQL
+      // only forbids multi-matches an update/delete would act on), so a
+      // carried target row matching several source rows would come out of
+      // the left-outer join once PER source row. Tag each target row with
+      // its (file, row-index) identity and collapse back to one row —
+      // carried duplicates are bitwise identical (BY-SOURCE clauses never
+      // fire on matched rows and see no source columns by contract).
+      val needDedup = matched.isEmpty && !imagesOnly
       val inT = readFilesTagged(spark, root,
-        files.map(byFile), v - 1, rowIndex = false)
+        files.map(byFile), v - 1, rowIndex = needDedup)
         .withColumn("_tp", lit(true)).alias(targetAlias)
       val jb = inT.join(src, condition, "left_outer")
       val m = when(sp, mIdx).otherwise(lit(-1))
@@ -232,11 +246,16 @@ private[sources] object MergeMulti {
       val tCols = schema.fieldNames.toSeq.map(c => col(s"$targetAlias.$c").as(c))
       val mImg = imageCols(schema, matched, m, targetAlias, sourceAlias, sourceCols)
       val nbImg = imageCols(schema, notMatchedBySource, nb, targetAlias, sourceAlias, sourceCols)
-      val withImgs = jb.select(
+      val idCols = if (needDedup)
+        Seq(col(s"$targetAlias._file").as("_f"), col(s"$targetAlias._ri").as("_r"))
+      else Seq.empty[Column]
+      val withImgs0 = jb.select(idCols ++ Seq(
         m.as("_m"), nb.as("_nb"),
         struct(tCols: _*).as("_told"),
         struct(mImg: _*).as("_mimg"),
-        struct(nbImg: _*).as("_nbimg"))
+        struct(nbImg: _*).as("_nbimg")): _*)
+      val withImgs =
+        if (needDedup) withImgs0.dropDuplicates("_f", "_r") else withImgs0
       val mDel = isDelete(matched, col("_m"))
       val nbDel = isDelete(notMatchedBySource, col("_nb"))
       val outStruct =

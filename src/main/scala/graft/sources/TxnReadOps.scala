@@ -120,8 +120,13 @@ private[sources] trait TxnReadOps { self: TxnTable.type =>
       val op = acts.headOption.map(_.op).getOrElse(
         // metadata-only commits (rename, constraint) write no actions in
         // the private log; the operation of record is the mirror's
-        mirrorOperation(root, v).getOrElse("?"))
-      (v, new java.sql.Timestamp(commitTimestamp(root, v)), op,
+        (try mirrorOperation(root, v) catch { case _: Exception => None })
+          .getOrElse("?"))
+      // a version whose mirror entry is unavailable still lists — with a
+      // null timestamp, like history() — instead of failing the statement
+      val ts = try Some(new java.sql.Timestamp(commitTimestamp(root, v)))
+        catch { case _: Exception => None }
+      (v, ts, op,
         acts.count(_.action == "add"), acts.count(_.action == "remove"),
         acts.count(_.action == "cdc"))
     }.sortBy(-_._1)

@@ -266,7 +266,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       rootOf(table).map { root =>
         val out = Seq(
           AttributeReference("version", LongType, nullable = false)(),
-          AttributeReference("timestamp", StringType, nullable = false)(),
+          AttributeReference("timestamp", StringType, nullable = true)(),
           AttributeReference("operation", StringType, nullable = false)(),
           AttributeReference("num_added_files", LongType, nullable = false)(),
           AttributeReference("num_removed_files", LongType, nullable = false)(),
@@ -274,7 +274,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftDmlCommand("describe-history", out, () =>
           TxnTable.historySummary(spark, root).collect().toSeq.map(r =>
             new GenericInternalRow(Array[Any](r.getLong(0),
-              UTF8String.fromString(r.getTimestamp(1).toString),
+              // null when a version's mirror entry is unavailable —
+              // the row still lists, matching history()'s tolerance
+              Option(r.getTimestamp(1))
+                .map(t => UTF8String.fromString(t.toString)).orNull,
               UTF8String.fromString(r.getString(2)),
               r.getInt(3).toLong, r.getInt(4).toLong, r.getInt(5).toLong))))
       }.getOrElse(delegate.parsePlan(sqlText))

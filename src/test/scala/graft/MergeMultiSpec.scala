@@ -209,6 +209,61 @@ class MergeMultiSpec extends AnyFunSuite {
     assert(rows(root).keySet == Set(5L, 6L, 7L))
   }
 
+  test("by-source-only merge: multi-matched carried rows commit exactly once") {
+    import spark.implicits._
+    val root = tbl(); target(root)
+    // ids 5,6 each match THREE source rows; no MATCHED clause exists, so
+    // the cardinality guard does not run — the rewrite must still carry
+    // each matched target row once, not once per source match
+    val dup = (5 to 6).flatMap(i => (1 to 3).map(k => (i.toLong, k.toLong)))
+      .toDF("id", "k")
+    TxnTable.mergeMulti(spark, root, dup,
+      condition = col("t.id") === col("s.id"),
+      notMatchedBySource = Seq(
+        Delete(Some(col("t.id") === 1L)),
+        Update(Some(col("t.id") === 2L), Map("v" -> lit(999L)))))
+    val got = TxnTable.read(spark, root).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(got.values.forall(_ == 1), s"duplicated carried rows: $got")
+    assert(!got.contains(1L) && got.keySet == (2L to 10L).toSet)
+    assert(rows(root)(2L)._1 == 999L)
+    assert(rows(root)(5L) == (50L, "odd") && rows(root)(6L) == (60L, "even"))
+  }
+
+  test("merge-on-read by-source-only: multi-matched rows in rewritten files stay single") {
+    import spark.implicits._
+    val root = tbl(); target(root)
+    val dup = (5 to 6).flatMap(i => (1 to 3).map(k => (i.toLong, k.toLong)))
+      .toDF("id", "k")
+    // rewriteFraction=0 is illegal; tiny fraction forces the CoW side of
+    // the MoR split for every hit file, exercising the same dedup path
+    TxnTable.mergeMulti(spark, root, dup,
+      condition = col("t.id") === col("s.id"),
+      notMatchedBySource = Seq(Delete(Some(col("t.id") <= 2L))),
+      mor = true, rewriteFraction = 1e-9)
+    val got = TxnTable.read(spark, root).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(got.values.forall(_ == 1), s"duplicated carried rows: $got")
+    assert(got.keySet == (3L to 10L).toSet)
+  }
+
+  test("UPDATE SET with an unknown column fails loudly, not silently") {
+    import spark.implicits._
+    val root = tbl(); target(root)
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.mergeMulti(spark, root, src(),
+        condition = col("t.id") === col("s.id"),
+        matched = Seq(Update(None, Map("vv" -> lit(1L)))))
+    }
+    assert(e.getMessage.contains("unknown column vv"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnTable.mergeMulti(spark, root, src(),
+        condition = col("t.id") === col("s.id"),
+        notMatchedBySource = Seq(Update(None, Map("nope" -> lit(1L)))))
+    }
+    assert(e2.getMessage.contains("unknown column nope"))
+  }
+
   test("no-op merge commits an audited empty version") {
     import spark.implicits._
     val root = tbl(); target(root)
