@@ -47,16 +47,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[TxnTable.pruneAdds]] — min/max stats, partition values, per-file
   * Bloom filters, generated-column derivation) against the filters Spark
   * pushes into the scan, so a selective SQL predicate opens the same file
-  * set the Scala `readWhere` would. Each surviving file becomes ONE input
-  * partition read by a footer-driven parquet-column reader projecting only
-  * the requested columns — file-level parallelism with column pruning, the
-  * unit a 1000-executor scan wants. Deletion vectors apply inside the
-  * reader (marked ordinals skip), column-mapping physical names and
-  * type-widened narrow files up-convert exactly like the batch scan.
+  * set the Scala `readWhere` would. Surviving files split into byte ranges
+  * at `spark.sql.files.maxPartitionBytes` (row groups pick the range
+  * holding their midpoint — Spark's own rule, so one huge file fans out
+  * across executors) and each range reads through Spark's VECTORIZED
+  * parquet reader as ColumnarBatch, feeding whole-stage codegen without a
+  * per-row materialization ([[GraftVectorReader]]); projection reaches the
+  * page decode, so unrequested column chunks are never fetched. Scans over
+  * DV-carrying snapshots fall back to the row reader (DV ordinals are
+  * whole-file row indexes). Column-mapping physical names and type-widened
+  * narrow files up-convert identically on both paths.
   * [[GraftScan.estimateStatistics]] reports pruned bytes/rows so Catalyst
   * sizes joins (a small dimension served by this catalog broadcasts).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog {
   private var catName: String = "graft"
   private var opts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
 
@@ -84,6 +88,18 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `graft.t__changes` — the streaming CHANGE FEED of `graft.t` as its
+    // own table name (schema + _change_type + _commit_version). A table
+    // NAME because Spark fixes a streaming relation's schema from
+    // Table.schema() at analysis, before any read option reaches the
+    // scan — the Delta `table_changes` idea, spelled as an identifier.
+    if (ident.name().endsWith("__changes")) {
+      val base = Identifier.of(ident.namespace(), ident.name().stripSuffix("__changes"))
+      val root = rootFor(base)
+      val latest = TxnTable.latestVersion(root)
+      if (latest < 0) throw new NoSuchTableException(ident)
+      return new GraftTable(root, latest, ident.toString, cdf = true)
+    }
     val root = rootFor(ident)
     val latest = TxnTable.latestVersion(root)
     if (latest < 0) throw new NoSuchTableException(ident)
@@ -144,6 +160,7 @@ class GraftCatalog extends TableCatalog {
         s"graft catalog: only identity partition transforms are supported, got $t")
       t.references.head.fieldNames.mkString(".")
     }
+    GraftCatalog.checkSchemaSupported(ident.toString, schema)
     TxnTable.create(SparkSession.active, root, schema, pcs)
     new GraftTable(root, TxnTable.latestVersion(root), ident.toString)
   }
@@ -171,20 +188,77 @@ class GraftCatalog extends TableCatalog {
         require(c.isNullable, "added columns must be nullable " +
           "(existing files read null for them)")
         TxnTable.addColumn(spark, root, c.fieldNames.head, c.dataType)
+      case c: TableChange.SetProperty =>
+        TxnTable.setTableProperty(root, c.property, c.value)
+      case c: TableChange.RemoveProperty =>
+        TxnTable.removeTableProperty(root, c.property)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other")
     }
     new GraftTable(root, TxnTable.latestVersion(root), ident.toString)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft catalog: DROP TABLE is not supported — table roots are " +
-        "user-owned directories; remove the directory explicitly")
+  /** DROP TABLE — a guarded METADATA tombstone: the commit-log directories
+    * rename aside (`_txn_log.dropped-<ts>`), so the identifier stops
+    * resolving and CREATE can reclaim the name, but not one data byte is
+    * deleted (a later vacuum of a re-created table sweeps the orphans, or
+    * an operator restores by renaming the logs back). Refused unless the
+    * session opts in with `graft.catalog.allowDrop = true` — an
+    * accidental DROP against a 100 TB table should be impossible by
+    * default. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!sessionConf("graft.catalog.allowDrop").exists(_.toBoolean))
+      throw new UnsupportedOperationException(
+        "graft catalog: DROP TABLE is disabled — set " +
+          "graft.catalog.allowDrop=true to tombstone the table's commit " +
+          "log (data files are never deleted)")
+    val root = try rootFor(ident) catch { case _: RuntimeException => return false }
+    if (TxnTable.latestVersion(root) < 0) return false
+    val stamp = System.currentTimeMillis()
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    Seq("_txn_log", "_delta_log").foreach { d =>
+      val p = JPaths.get(root, d)
+      if (JFiles.isDirectory(p))
+        JFiles.move(p, JPaths.get(root, s"$d.dropped-$stamp"))
+    }
+    true
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft catalog: RENAME TABLE is not supported — remap " +
         "graft.catalog.path.<name> instead")
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ---------------------------
+  // The staged table lives in a SIBLING directory (same filesystem) and
+  // becomes the real table by ONE atomic directory move at commit — a
+  // failed or aborted CTAS leaves no half-written table behind, and a
+  // REPLACE swaps old for new without a window where neither exists.
+  private def stage(ident: Identifier, info: TableInfo, mode: String): StagedTable = {
+    val root = rootFor(ident)
+    val exists = TxnTable.latestVersion(root) >= 0
+    mode match {
+      case "create" if exists =>
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+      case "replace" if !exists => throw new NoSuchTableException(ident)
+      case _ => ()
+    }
+    val schema = info.schema()
+    GraftCatalog.checkSchemaSupported(ident.toString, schema)
+    val pcs = info.partitions().toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft catalog: only identity partition transforms are supported, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val staging = s"$root.__stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    TxnTable.create(SparkSession.active, staging, schema, pcs)
+    new GraftStagedTable(root, staging, ident.toString)
+  }
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, "create")
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, "replace")
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, "createOrReplace")
 }
 
 object GraftCatalog {
@@ -195,18 +269,118 @@ object GraftCatalog {
   final case class ScanReport(root: String, version: Long,
                               filesKept: Int, filesTotal: Int,
                               pushed: Seq[String], projected: Seq[String])
+
+  /** The flat-type matrix the catalog read path serves. Checked at TABLE
+    * resolution (create/load), never mid-scan — a user with an
+    * out-of-matrix table gets one clear error at `graft.t`, not a task
+    * failure three stages in. The native Scala API has no such limit. */
+  private[sources] def checkSchemaSupported(ident: String, schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | BooleanType | StringType | BinaryType | DateType |
+             TimestampType | TimestampNTZType | _: DecimalType => ()
+        case dt => throw new UnsupportedOperationException(
+          s"graft catalog: table $ident column ${f.name} has type " +
+            s"${dt.sql}, which the SQL read path does not serve " +
+            "(nested/interval types) — read it through the Scala API " +
+            "(TxnTable.read) instead")
+      }
+    }
+
+  /** Decode one hive-path-encoded partition value to its Spark-internal
+    * constant; shared by the row and columnar readers. */
+  private[sources] def partConst(s: String, dt: DataType): Any =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType  => UTF8String.fromString(s)
+      case LongType    => s.toLong
+      case IntegerType => s.toInt
+      case ShortType   => s.toShort
+      case ByteType    => s.toByte
+      case DoubleType  => s.toDouble
+      case FloatType   => s.toFloat
+      case BooleanType => s.toBoolean
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(s).setScale(d.scale), d.precision, d.scale)
+      case DateType =>
+        java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TimestampNTZType =>
+        // path form "yyyy-MM-dd HH:mm:ss[.fffffffff]" — wall-clock, no zone
+        val ts = java.sql.Timestamp.valueOf(s)
+        ts.toLocalDateTime.toLocalDate.toEpochDay * 86400000000L +
+          ts.toLocalDateTime.toLocalTime.toNanoOfDay / 1000L
+      case TimestampType =>
+        // graft sessions pin spark.sql.session.timeZone=UTC; the path
+        // encoding renders in that zone, so parse it back as UTC
+        val ldt = java.sql.Timestamp.valueOf(s).toLocalDateTime
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      case other => sys.error(s"graft catalog: unsupported partition type $other")
+    }
 }
 
-/** One pinned TxnTable snapshot behind the DSv2 Table interface. */
-final class GraftTable(val root: String, val snapshotVersion: Long, identString: String)
+/** A staged CTAS/RTAS target: a real TxnTable in a sibling staging
+  * directory. The query's rows land there as ordinary commits; commit
+  * promotes the WHOLE directory into place with one atomic move (after
+  * tombstoning a replaced predecessor — its bytes stay), abort deletes
+  * the staging directory. Until commit, the target identifier never
+  * resolves to half a table. */
+final class GraftStagedTable(targetRoot: String, stagingRoot: String,
+                             identString: String)
+    extends StagedTable with SupportsWrite {
+  private val inner = new GraftTable(stagingRoot,
+    TxnTable.latestVersion(stagingRoot), identString)
+  override def name(): String = identString
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): JMap[String, String] = inner.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val target = JPaths.get(targetRoot)
+    Option(target.toAbsolutePath.getParent).foreach(JFiles.createDirectories(_))
+    if (TxnTable.latestVersion(targetRoot) >= 0) {
+      // REPLACE: the predecessor moves aside whole — never deleted
+      JFiles.move(target,
+        JPaths.get(s"$targetRoot.__replaced-${System.currentTimeMillis()}"))
+    }
+    JFiles.move(JPaths.get(stagingRoot), target, StandardCopyOption.ATOMIC_MOVE)
+  }
+  override def abortStagedChanges(): Unit = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val p = JPaths.get(stagingRoot)
+    if (JFiles.isDirectory(p))
+      TxnTable.walkClosed(p).iterator().asScala.toSeq.reverse
+        .foreach(JFiles.deleteIfExists(_))
+  }
+  private implicit class IterShim[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}
+
+/** One pinned TxnTable snapshot behind the DSv2 Table interface; with
+  * `cdf = true`, its streaming CHANGE FEED (micro-batch read only). */
+final class GraftTable(val root: String, val snapshotVersion: Long, identString: String,
+                       val cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   private val (tblSchema0, pcs) = TxnTable.readMeta(root, snapshotVersion).getOrElse(
     sys.error(s"graft catalog: $root has no metaData action — not a TxnTable"))
+  GraftCatalog.checkSchemaSupported(identString, tblSchema0)
   // nullable-normalized: the scan fills pre-evolution files' missing
   // columns with null regardless of what the committing batch declared,
   // and a non-nullable field would also make Spark reject INSERTs whose
   // query cannot prove non-nullness
-  private val tblSchema = StructType(tblSchema0.fields.map(_.copy(nullable = true)))
+  private val tblSchema = StructType {
+    val base = tblSchema0.fields.map(_.copy(nullable = true))
+    if (!cdf) base
+    else base :+ StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false)
+  }
 
   override def name(): String = identString
   override def schema(): StructType = tblSchema
@@ -218,12 +392,20 @@ final class GraftTable(val root: String, val snapshotVersion: Long, identString:
     m
   }
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (cdf) java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, snapshotVersion, tblSchema, pcs)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // streaming read options ride the scan: readStream.option(...) lands
+    // here, startingVersion/maxVersionsPerBatch/ignoreChanges pass to the
+    // tail (readChangeFeed is the table NAME — see loadTable)
+    import scala.jdk.CollectionConverters._
+    val opts = options.asCaseSensitiveMap().asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new GraftScanBuilder(root, snapshotVersion, tblSchema, pcs, opts, cdf)
+  }
 
   /** INSERT INTO / INSERT OVERWRITE via the V1 write bridge: the incoming
     * query arrives as a full DataFrame and lands as ONE TxnTable commit
@@ -253,7 +435,9 @@ final class GraftTable(val root: String, val snapshotVersion: Long, identString:
   * (skipping is file-level and conservative), so all filters return as
   * residual and correctness never depends on the translation. */
 final class GraftScanBuilder(root: String, version: Long,
-                             tblSchema: StructType, pcs: Seq[String])
+                             tblSchema: StructType, pcs: Seq[String],
+                             scanOptions: Map[String, String] = Map.empty,
+                             cdf: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var required: StructType = tblSchema
@@ -270,7 +454,7 @@ final class GraftScanBuilder(root: String, version: Long,
     required = StructType(requiredSchema.fieldNames.flatMap(n =>
       tblSchema.fields.find(_.name == n)))
   override def build(): Scan =
-    GraftScan(root, version, tblSchema, pcs, required, pushed)
+    GraftScan(root, version, tblSchema, pcs, required, pushed, scanOptions, cdf)
 }
 
 object GraftScanBuilder {
@@ -299,7 +483,9 @@ object GraftScanBuilder {
 
 final case class GraftScan(root: String, version: Long,
                            tblSchema: StructType, pcs: Seq[String],
-                           required: StructType, pushed: Array[Filter])
+                           required: StructType, pushed: Array[Filter],
+                           scanOptions: Map[String, String] = Map.empty,
+                           cdf: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -345,30 +531,21 @@ final case class GraftScan(root: String, version: Long,
 
   /** `spark.readStream.table("graft.t")`: the catalog name fronts the
     * same commit-log tail the `txn-tail` source runs (version = offset,
-    * exactly-once). The tail's internal rows carry a trailing
+    * exactly-once), honoring the same read options — `startingVersion`,
+    * `maxVersionsPerBatch` (bounded backfill through admission control),
+    * `ignoreChanges`; change-feed mode is the `graft.t__changes` table
+    * name. The plain tail's internal rows carry a trailing
     * `_commit_version` the TABLE schema does not expose — a thin
-    * projection drops it; use `format("txn-tail")` directly to keep it. */
+    * projection drops it; the CDF table exposes it. */
   override def toMicroBatchStream(checkpointLocation: String)
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    val inner = new TxnTailStream(TxnTail.Conf(root, startingVersion = 0L,
-      ignoreChanges = false, maxVersionsPerBatch = None, readChangeFeed = false))
-    val n = tblSchema.length
-    new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-      import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
-      // unlimited admission here — the bounded-backfill knobs live on the
-      // explicit `txn-tail` option surface
-      override def latestOffset(): Offset =
-        inner.latestOffset(inner.initialOffset(), ReadLimit.allAvailable())
-      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-        inner.planInputPartitions(start, end)
-      override def createReaderFactory(): PartitionReaderFactory =
-        GraftTailProjectFactory(inner.createReaderFactory(),
-          tblSchema.fields.map(_.dataType))
-      override def initialOffset(): Offset = inner.initialOffset()
-      override def deserializeOffset(json: String): Offset = inner.deserializeOffset(json)
-      override def commit(end: Offset): Unit = inner.commit(end)
-      override def stop(): Unit = inner.stop()
-    }
+    val conf = TxnTail.Conf(root,
+      startingVersion = scanOptions.get("startingversion").map(_.toLong).getOrElse(0L),
+      ignoreChanges = scanOptions.get("ignorechanges").exists(_.toBoolean),
+      maxVersionsPerBatch = scanOptions.get("maxversionsperbatch").map(_.toLong),
+      readChangeFeed = cdf)
+    GraftTableStream(new TxnTailStream(conf),
+      if (cdf) null else tblSchema.fields.map(_.dataType))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -383,20 +560,40 @@ final case class GraftScan(root: String, version: Long,
       root, version, kept.size, total,
       (pushed ++ runtimeFilters).map(_.toString).toSeq, required.fieldNames.toSeq))
     val schemaJson = required.json
-    kept.map { a =>
-      GraftInputPartition(
-        TxnTable.filePath(root, a.file).toString, schemaJson,
-        a.partitionValues,
-        a.dv.map(d => java.util.Base64.getEncoder.encodeToString(
-          DeletionVectors.readDvData(root, d))).orNull)
-    }.toArray
+    // Columnar is a SCAN-level decision (Spark refuses mixed row/columnar
+    // partitions): vectorized whenever no surviving file carries a
+    // deletion vector (DV ordinals are whole-file row indexes, which the
+    // batch reader does not track). Clean files ALSO split at
+    // maxPartitionBytes ranges — parquet assigns each row group to the
+    // split holding its midpoint (Spark's own splitting rule), so one
+    // huge file fans out across executors instead of pinning one task.
+    val vectorize = !cdf &&
+      SparkSession.active.conf.get("graft.catalog.vectorized", "true").toBoolean &&
+      kept.forall(_.dv.isEmpty)
+    if (!vectorize)
+      kept.map { a =>
+        GraftInputPartition(
+          TxnTable.filePath(root, a.file).toString, schemaJson,
+          a.partitionValues,
+          a.dv.map(d => java.util.Base64.getEncoder.encodeToString(
+            DeletionVectors.readDvData(root, d))).orNull)
+      }.toArray
+    else {
+      val maxBytes = math.max(1L,
+        org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+      kept.flatMap { a =>
+        val path = TxnTable.filePath(root, a.file).toString
+        val n = math.max(1L, (a.bytes + maxBytes - 1) / maxBytes)
+        (0L until n).map { i =>
+          GraftInputPartition(path, schemaJson, a.partitionValues, null,
+            vectorized = true, splitStart = i * maxBytes,
+            splitLength = math.min(maxBytes, a.bytes - i * maxBytes))
+        }
+      }.toArray
+    }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new GraftRowReader(p.asInstanceOf[GraftInputPartition])
-    }
+  override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory()
 
   /** Post-pruning size: lets Catalyst broadcast a catalog-served dimension
     * and plan joins on real bytes, not defaults. */
@@ -423,7 +620,126 @@ final case class GraftScan(root: String, version: Long,
 
 final case class GraftInputPartition(path: String, schemaJson: String,
                                      partValues: Map[String, String],
-                                     dvB64: String) extends InputPartition
+                                     dvB64: String,
+                                     vectorized: Boolean = false,
+                                     splitStart: Long = 0L,
+                                     splitLength: Long = Long.MaxValue)
+    extends InputPartition
+
+/** Standalone factory (ships whole — no outer captures): row readers for
+  * DV-carrying scans, Spark's vectorized parquet reader (ColumnarBatch,
+  * whole-stage-codegen-friendly) for clean ones. */
+final case class GraftReaderFactory() extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p.asInstanceOf[GraftInputPartition].vectorized
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftRowReader(p.asInstanceOf[GraftInputPartition])
+  override def createColumnarReader(p: InputPartition)
+  : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftVectorReader(p.asInstanceOf[GraftInputPartition])
+}
+
+/** Executor-side COLUMNAR reader: delegates the page decode to Spark's own
+  * [[org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader]]
+  * over this partition's byte range (row groups pick their split by
+  * midpoint), with the TxnTable read matrix prepared around it: requested
+  * columns rename to column-mapping PHYSICAL names, path-encoded partition
+  * constants populate per-batch constant vectors, pre-evolution files
+  * null-fill missing columns, and narrow files (INT32 under a widened
+  * LongType) up-convert inside the vectorized updaters. Emitted batches
+  * re-order column vectors back to the scan's requested order (partition
+  * constants append at the end of the underlying batch). */
+final class GraftVectorReader(p: GraftInputPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val required = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private def physName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+  // partition columns are path-encoded (never in the data files); every
+  // other requested column reads from the file (or null-fills)
+  private val partIdx = required.fields.zipWithIndex
+    .filter { case (f, _) => p.partValues.contains(f.name) }
+  private val fileIdx = required.fields.zipWithIndex
+    .filterNot { case (f, _) => p.partValues.contains(f.name) }
+  private val physFile = StructType(fileIdx.map { case (f, _) =>
+    f.copy(name = physName(f), nullable = true) })
+  private val partSchema = StructType(partIdx.map(_._1))
+  private val partRow = new GenericInternalRow(partIdx.map { case (f, _) =>
+    GraftCatalog.partConst(p.partValues(f.name), f.dataType) }.toArray[Any])
+  // required ordinal -> underlying batch column (file cols, then part cols)
+  private val perm: Array[Int] = {
+    val filePos = fileIdx.map(_._2).zipWithIndex.toMap
+    val partPos = partIdx.map(_._2).zipWithIndex.toMap
+    required.indices.map(i =>
+      filePos.get(i).getOrElse(fileIdx.length + partPos(i))).toArray
+  }
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  conf.set("parquet.read.support.class",
+    "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+  conf.set("org.apache.spark.sql.parquet.row.requested_schema", physFile.json)
+  conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+  conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+  conf.setBoolean("spark.sql.caseSensitive", false)
+  conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+  conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+  conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+  conf.set("spark.sql.session.timeZone", "UTC")
+
+  // graft data files are written by Spark 3/4 (proleptic calendar):
+  // rebase mode CORRECTED on both counters is exact
+  private val reader = new VectorizedParquetRecordReader(
+    null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+  try {
+    reader.initialize(
+      new org.apache.hadoop.mapred.FileSplit(
+        new org.apache.hadoop.fs.Path(p.path), p.splitStart, p.splitLength,
+        Array.empty[String]),
+      new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+    reader.initBatch(partSchema, partRow)
+    reader.enableReturningBatches()
+  } catch { case t: Throwable => reader.close(); throw t }
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): ColumnarBatch = {
+    val b = reader.resultBatch()
+    val out = new ColumnarBatch(perm.map(b.column))
+    out.setNumRows(b.numRows())
+    out
+  }
+  override def close(): Unit = reader.close()
+}
+
+/** The catalog-table face of [[TxnTailStream]]: full delegation —
+  * INCLUDING admission control, so `maxVersionsPerBatch` bounds backfill
+  * batches identically to `format("txn-tail")` — with an optional
+  * row-width projection (null = none, the CDF table's rows already match
+  * its schema). */
+final case class GraftTableStream(inner: TxnTailStream,
+                                  projectTo: Array[DataType])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  override def initialOffset(): Offset = inner.initialOffset()
+  override def getDefaultReadLimit: ReadLimit = inner.getDefaultReadLimit
+  override def reportLatestOffset(): Offset = inner.reportLatestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    inner.latestOffset(start, limit)
+  override def latestOffset(): Offset = inner.latestOffset() // throws: use 2-arg
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    inner.planInputPartitions(start, end)
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (projectTo == null) inner.createReaderFactory()
+    else GraftTailProjectFactory(inner.createReaderFactory(), projectTo)
+  override def deserializeOffset(json: String): Offset = inner.deserializeOffset(json)
+  override def commit(end: Offset): Unit = inner.commit(end)
+  override def stop(): Unit = inner.stop()
+}
 
 /** Projects the txn-tail stream's rows down to the table schema (drops
   * the trailing `_commit_version`) for `readStream.table` consumers.
@@ -445,16 +761,18 @@ final case class GraftTailProjectFactory(inner: PartitionReaderFactory,
   }
 }
 
-/** Executor-side reader: one parquet file via the parquet-column record
-  * API, PROJECTED to the requested columns (the file reader's requested
-  * schema restricts which column chunks are even fetched — column pruning
-  * that saves real I/O, mirroring `ReadSchema` on a native scan). Handles
-  * the full TxnTable read matrix: column-mapping physical names, pre-widen
-  * narrow files (INT32→long, FLOAT→double up-convert), pre-evolution files
-  * missing columns (null), path-encoded partition constants, and deletion
-  * vectors (marked ordinals skip — the record stream's index IS
-  * `_metadata.row_index`). A columnar upgrade (emit ColumnarBatch) slots
-  * at this seam without touching planning. */
+/** Executor-side ROW reader — the deletion-vector path (and the
+  * `graft.catalog.vectorized=false` debug fallback): one whole parquet
+  * file via the parquet-column record API, PROJECTED to the requested
+  * columns (the file reader's requested schema restricts which column
+  * chunks are even fetched). Handles the full TxnTable read matrix:
+  * column-mapping physical names, pre-widen narrow files (INT32→long,
+  * FLOAT→double up-convert), pre-evolution files missing columns (null),
+  * path-encoded partition constants, the flat temporal/decimal type
+  * matrix (INT96 and annotated INT64 timestamps, INT32/INT64/binary
+  * decimals), and deletion vectors (marked ordinals skip — the record
+  * stream's index IS `_metadata.row_index`, which is why DV scans read
+  * whole files on this path). Clean scans take [[GraftVectorReader]]. */
 final class GraftRowReader(p: GraftInputPartition)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.hadoop.ParquetFileReader
@@ -533,12 +851,16 @@ final class GraftRowReader(p: GraftInputPartition)
           if (current.getFieldRepetitionCount(fi) == 0) null
           else {
             import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-            def prim = requested.getType(fi).asPrimitiveType().getPrimitiveTypeName
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            def primType = requested.getType(fi).asPrimitiveType()
+            def prim = primType.getPrimitiveTypeName
             f.dataType match {
               case LongType =>
                 if (prim == PrimitiveTypeName.INT32) current.getInteger(fi, 0).toLong
                 else current.getLong(fi, 0)
               case IntegerType => current.getInteger(fi, 0)
+              case ShortType   => current.getInteger(fi, 0).toShort
+              case ByteType    => current.getInteger(fi, 0).toByte
               case DoubleType =>
                 if (prim == PrimitiveTypeName.FLOAT) current.getFloat(fi, 0).toDouble
                 else current.getDouble(fi, 0)
@@ -546,6 +868,47 @@ final class GraftRowReader(p: GraftInputPartition)
               case BooleanType => current.getBoolean(fi, 0)
               case StringType  => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
               case BinaryType  => current.getBinary(fi, 0).getBytes
+              case DateType    => current.getInteger(fi, 0) // INT32 epoch days
+              case TimestampType | TimestampNTZType =>
+                // Spark internal = Long epoch micros for both; the file
+                // carries INT96 (legacy julian) or INT64 in the unit its
+                // logical annotation declares
+                if (prim == PrimitiveTypeName.INT96) {
+                  val buf = java.nio.ByteBuffer
+                    .wrap(current.getInt96(fi, 0).getBytes)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  val nanosOfDay = buf.getLong
+                  val julianDay = buf.getInt
+                  (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+                } else {
+                  val v = current.getLong(fi, 0)
+                  primType.getLogicalTypeAnnotation match {
+                    case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                      t.getUnit match {
+                        case LogicalTypeAnnotation.TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
+                        case LogicalTypeAnnotation.TimeUnit.MICROS => v
+                        case LogicalTypeAnnotation.TimeUnit.NANOS  => Math.floorDiv(v, 1000L)
+                      }
+                    case _ => v // unannotated INT64: stored micros (our writer)
+                  }
+                }
+              case d: DecimalType =>
+                // unscaled value at the FILE's declared scale (equal to the
+                // table scale for graft-written files; honoring the
+                // annotation keeps widened/foreign files exact)
+                val fScale = primType.getLogicalTypeAnnotation match {
+                  case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => a.getScale
+                  case _ => d.scale
+                }
+                val jbd = prim match {
+                  case PrimitiveTypeName.INT32 =>
+                    java.math.BigDecimal.valueOf(current.getInteger(fi, 0).toLong, fScale)
+                  case PrimitiveTypeName.INT64 =>
+                    java.math.BigDecimal.valueOf(current.getLong(fi, 0), fScale)
+                  case _ => new java.math.BigDecimal(
+                    new java.math.BigInteger(current.getBinary(fi, 0).getBytes), fScale)
+                }
+                Decimal(jbd.setScale(d.scale), d.precision, d.scale)
               case dt => sys.error(s"graft catalog: unsupported column type $dt")
             }
           }
@@ -556,16 +919,8 @@ final class GraftRowReader(p: GraftInputPartition)
   }
 
   private def partConst(s: String, dt: DataType): Any =
-    if (s == "__HIVE_DEFAULT_PARTITION__") null
-    else dt match {
-      case StringType  => UTF8String.fromString(s)
-      case LongType    => s.toLong
-      case IntegerType => s.toInt
-      case DoubleType  => s.toDouble
-      case FloatType   => s.toFloat
-      case BooleanType => s.toBoolean
-      case other => sys.error(s"graft catalog: unsupported partition type $other")
-    }
+    GraftCatalog.partConst(s, dt)
+
 
   override def close(): Unit = reader.close()
 }

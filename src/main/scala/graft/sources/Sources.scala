@@ -1609,6 +1609,67 @@ object Sources {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Oracle-gated FULL TYPE MATRIX through the SQL front door: a TxnTable
+  // with TIMESTAMP, DATE, DECIMAL(12,2) data columns and a DECIMAL(3,1)
+  // PARTITION column, every read a literal `spark.sql` over the graft
+  // catalog — the reference's `final` schema shape (init-db.sql:26-35:
+  // NUMERIC(10,2), TIMESTAMPTZ; README.md:141-164 DECIMAL math). Decimal
+  // arithmetic stays exact end-to-end (sum over DECIMAL, ×100 → BIGINT),
+  // dates aggregate and render, timestamps compare in epoch-µs; the
+  // partition decimal round-trips through the hive path encoding.
+  // GraftCatalogSpec plan-gates the timestamp-predicate file skipping and
+  // decimal-partition pruning this enables.
+  // ---------------------------------------------------------------------------
+  def txnSqlTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqltypes")
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("graft.catalog.path.ty_ev", tmp.toString)
+    try {
+      val ev = Tables.events(s, dir).select(
+        $"event_id", $"ts", to_date($"ts").as("d"),
+        expr("CAST(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(14,2)) / 100 " +
+          "AS DECIMAL(12,2))").as("amt"),
+        expr("CAST(CAST(event_id % 4 AS DOUBLE) / 2 AS DECIMAL(3,1))").as("pb"))
+      TxnTable.appendPartitioned(ev, tmp.toString, Seq("pb"))
+      graft.Materialize.eager(s.sql(
+        """WITH cut AS (SELECT min(unix_micros(ts)) +
+          |  (max(unix_micros(ts)) - min(unix_micros(ts))) DIV 2 AS c
+          |  FROM graft.ty_ev)
+          |SELECT CAST(pb * 10 AS BIGINT) AS pb10,
+          |       count(*) AS n_rows,
+          |       CAST(sum(amt) * 100 AS BIGINT) AS sum_cents,
+          |       CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+          |       CAST(max(d) AS STRING) AS max_day,
+          |       CAST(max(unix_micros(ts)) AS BIGINT) AS max_us
+          |FROM graft.ty_ev, cut
+          |WHERE unix_micros(ts) >= cut.c
+          |GROUP BY pb
+          |""".stripMargin))
+    } finally reclaim(tmp)
+  }
+  val txnSqlTypesSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |         CAST(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(14,2)) / 100
+      |              AS DECIMAL(12,2)) AS amt,
+      |         CAST(CAST(event_id % 4 AS DOUBLE) / 2 AS DECIMAL(3,1)) AS pb
+      |  FROM events),
+      |cut AS (SELECT min(epoch_us(ts)) +
+      |          (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS c FROM ev)
+      |SELECT CAST(pb * 10 AS BIGINT) AS pb10,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(amt) * 100 AS BIGINT) AS sum_cents,
+      |       CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+      |       CAST(max(d) AS VARCHAR) AS max_day,
+      |       CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+      |FROM ev, cut
+      |WHERE epoch_us(ts) >= cut.c
+      |GROUP BY pb
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Oracle-gated COLUMN DROP (column mapping): append 3 columns, DROP one
   // by metadata alone (v1 — zero data bytes rewritten; the bytes stay in
   // the old files, invisible to every read), then RE-ADD the same logical
@@ -1879,6 +1940,7 @@ object Sources {
     "q_txn_sql_read" -> txnSqlRead _,
     "q_txn_merge_multi" -> txnMergeMulti _,
     "q_txn_sql_dml" -> txnSqlDml _,
+    "q_txn_sql_types" -> txnSqlTypes _,
     "q_txn_drop" -> txnDrop _,
   )
   val oracleSql: Map[String, String] = Map(
@@ -1913,6 +1975,7 @@ object Sources {
     "q_txn_sql_read" -> txnSqlReadSql,
     "q_txn_merge_multi" -> txnMergeMultiSql,
     "q_txn_sql_dml" -> txnSqlDmlSql,
+    "q_txn_sql_types" -> txnSqlTypesSql,
     "q_txn_drop" -> txnDropSql,
   )
 }

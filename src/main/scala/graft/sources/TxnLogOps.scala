@@ -781,6 +781,11 @@ private[sources] trait TxnLogOps { self: TxnTable.type =>
 
   private[sources] def statsEligible(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | BooleanType => true
+    // temporal mins/maxes persist in their INTERNAL unit (epoch days /
+    // epoch micros) as plain numbers, so the one BigDecimal conjunct
+    // engine prunes them against Literal(TimestampType).value (micros) /
+    // Literal(DateType).value (days) with no new compare path
+    case DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -837,8 +842,8 @@ private[sources] trait TxnLogOps { self: TxnTable.type =>
             if (valued.isEmpty && nullTotal == numRecords) {
               mins += f.name -> null; maxs += f.name -> null
             } else if (valued.nonEmpty && allNullChunksProven) {
-              val vs = valued.map(s => (statValue(f.dataType, s.genericGetMin),
-                statValue(f.dataType, s.genericGetMax)))
+              val vs = valued.map(s => (statValue(f.dataType, s.`type`(), s.genericGetMin),
+                statValue(f.dataType, s.`type`(), s.genericGetMax)))
               if (vs.forall { case (a, b) => a != null && b != null }) {
                 mins += f.name -> vs.map(_._1).reduce((a, b) => if (statOrd(a, b) <= 0) a else b)
                 maxs += f.name -> vs.map(_._2).reduce((a, b) => if (statOrd(a, b) >= 0) a else b)
@@ -858,8 +863,38 @@ private[sources] trait TxnLogOps { self: TxnTable.type =>
   }
 
   /** Decode a footer min/max into stat-value space for the Spark type;
-    * null = undecodable (NaN, unexpected physical type) → drop the column. */
-  private[sources] def statValue(dt: DataType, v: Any): Any = (dt, v) match {
+    * null = undecodable (NaN, INT96, unexpected physical type) → drop the
+    * column. Temporal values normalize to their Spark-internal unit
+    * (days / micros) so predicate literals compare directly. */
+  private[sources] def statValue(dt: DataType,
+                                 prim: org.apache.parquet.schema.PrimitiveType,
+                                 v: Any): Any = (dt, v) match {
+    case (DateType, i: java.lang.Integer) =>
+      java.math.BigDecimal.valueOf(i.longValue)
+    case (TimestampType | TimestampNTZType, l: java.lang.Long) =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      prim.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              java.math.BigDecimal.valueOf(l.longValue).scaleByPowerOfTen(3)
+            case LogicalTypeAnnotation.TimeUnit.MICROS =>
+              java.math.BigDecimal.valueOf(l.longValue)
+            case LogicalTypeAnnotation.TimeUnit.NANOS =>
+              // bounds must bracket: floor the min... a single value can't
+              // know which side it is; integer-divide is exact enough ONLY
+              // when it brackets both ways, so keep full nano precision
+              new java.math.BigDecimal(java.math.BigInteger.valueOf(l.longValue),
+                3) // nanos/1000 with exact decimal scale — still micros
+          }
+        case _ => java.math.BigDecimal.valueOf(l.longValue)
+      }
+    // INT96 timestamps: parquet marks their stats unreliable; Binary here
+    // falls through to the catch-all null below
+    case _ => statValueBase(dt, v)
+  }
+
+  private def statValueBase(dt: DataType, v: Any): Any = (dt, v) match {
     case (StringType, b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
     case (BooleanType, b: java.lang.Boolean) => b
     case (d: DecimalType, i: java.lang.Integer) =>
@@ -884,6 +919,27 @@ private[sources] trait TxnLogOps { self: TxnTable.type =>
     * [[vacuum]] sweeps. */
   private[sources] def dataSub(version: Long): String =
     s"data/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** TxnTable DATA files write timestamps as INT64 micros even under the
+    * session default (INT96): INT96 is deprecated parquet, costs 50%
+    * more bytes per value, and — decisive here — carries NO usable footer
+    * statistics, so a timestamp predicate could never skip files. Scoped
+    * to the write (set/restore around the job) so a session's OTHER
+    * parquet output keeps whatever encoding its consumers expect. A
+    * concurrent writer racing the restore window at worst writes INT96 —
+    * correctness is unaffected (the readers decode both), only that
+    * file's skipping potential is lost. */
+  private[sources] def withMicrosTimestamps[T](df: DataFrame)(body: => T): T = {
+    val hasTs = df.schema.fields.exists(_.dataType == TimestampType)
+    val k = "spark.sql.parquet.outputTimestampType"
+    val conf = df.sparkSession.conf
+    val prev = conf.get(k)
+    if (!hasTs || prev == "TIMESTAMP_MICROS") body
+    else {
+      conf.set(k, "TIMESTAMP_MICROS")
+      try body finally conf.set(k, prev)
+    }
+  }
 
   /** Write per-commit CHANGE-DATA files (table columns + `_change_type`)
     * under `cdc/v<version>-<tag>` — the persisted row-level diff an
@@ -930,7 +986,8 @@ private[sources] trait TxnLogOps { self: TxnTable.type =>
         col(c).as(mapping.getOrElse(c, c))): _*)
     val sub = dataSub(version)
     val dst = Paths.get(root, sub)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
+    withMicrosTimestamps(df)(
+      df.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString))
     val names = listClosed(dst).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))

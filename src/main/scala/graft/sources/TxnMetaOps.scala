@@ -181,6 +181,36 @@ private[sources] trait TxnMetaOps { self: TxnTable.type =>
     v
   }
 
+  /** Set (or overwrite) one table property — a metadata-only commit, the
+    * TBLPROPERTIES surface (`ALTER TABLE ... SET TBLPROPERTIES` lowers
+    * here). Engine-managed keys (constraints, clustering, DV enablement)
+    * have dedicated APIs; this is the user-property channel they share a
+    * config map with. */
+  def setTableProperty(root: String, key: String, value: String): Long =
+    casRetry("setProperty") {
+      val v = latestVersion(root) + 1
+      require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+      val (schema, pcs) = readMeta(root).getOrElse(
+        sys.error(s"$root has no metaData"))
+      commit(root, v, s"set-property#$key", Seq.empty, Seq.empty,
+        schemaJson = Some(schema.json), dataChange = false, partCols = pcs,
+        extraConfig = Some(readTableConfig(root) + (key -> value)))
+      v
+    }
+
+  /** Remove one table property (metadata-only commit); absent keys no-op. */
+  def removeTableProperty(root: String, key: String): Long =
+    casRetry("removeProperty") {
+      val v = latestVersion(root) + 1
+      require(v > 0, s"$root is not a TxnTable (no _txn_log)")
+      val (schema, pcs) = readMeta(root).getOrElse(
+        sys.error(s"$root has no metaData"))
+      commit(root, v, s"remove-property#$key", Seq.empty, Seq.empty,
+        schemaJson = Some(schema.json), dataChange = false, partCols = pcs,
+        extraConfig = Some(readTableConfig(root) - key))
+      v
+    }
+
   /** DROP a CHECK constraint (metadata-only commit). */
   def dropConstraint(root: String, name: String): Long = casRetry("dropConstraint") {
     val v = latestVersion(root) + 1

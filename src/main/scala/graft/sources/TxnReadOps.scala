@@ -689,6 +689,27 @@ private[sources] trait TxnReadOps { self: TxnTable.type =>
         "partition_columns", "schema")
   }
 
+  /** SHOW CREATE TABLE rendering: a re-runnable CREATE TABLE statement
+    * for the table's current schema, partition layout, and properties —
+    * pure metadata (one readMeta fold), like every DESCRIBE surface. */
+  def showCreate(root: String, name: String): String = {
+    val (schema, pcs) = readMeta(root).getOrElse(
+      sys.error(s"$root is not a TxnTable (no metaData)"))
+    def q(n: String): String =
+      if (n.forall(c => c.isLetterOrDigit || c == '_')) n else s"`$n`"
+    val cols = schema.fields.map(f => s"  ${q(f.name)} ${f.dataType.sql}")
+      .mkString(",\n")
+    val part =
+      if (pcs.isEmpty) "" else s"\nPARTITIONED BY (${pcs.map(q).mkString(", ")})"
+    val props = readTableConfig(root)
+    val propsStr =
+      if (props.isEmpty) ""
+      else props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"  '$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (\n", ",\n", "\n)")
+    s"CREATE TABLE $name (\n$cols)\nUSING graft$part$propsStr"
+  }
+
   /** Commit audit: one row per action, the DESCRIBE HISTORY analogue.
     * `ts_millis` is the mirror's commitInfo timestamp (null when a
     * version's mirror entry is unavailable). */

@@ -184,8 +184,9 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
         col(c).as(mapping.getOrElse(c, c))): _*)
     val sub = dataSub(version)
     val dst = Paths.get(root, sub)
-    df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
-      .parquet(dst.toString)
+    withMicrosTimestamps(df)(
+      df.write.partitionBy(partCols: _*).mode(SaveMode.ErrorIfExists)
+        .parquet(dst.toString))
     // partition columns are path-encoded, not stored in the files
     val dataSchema = StructType(
       df.schema.fields.filterNot(f => partCols.contains(f.name)))

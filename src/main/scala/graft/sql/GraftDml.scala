@@ -228,6 +228,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     """(?is)\s*VACUUM\s+([\w`.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w`.]+)\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w`.]+)\s*;?\s*""".r
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w`.]+)\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w`.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
@@ -280,6 +284,31 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
                 .map(t => UTF8String.fromString(t.toString)).orNull,
               UTF8String.fromString(r.getString(2)),
               r.getInt(3).toLong, r.getInt(4).toLong, r.getInt(5).toLong))))
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case DetailRe(table) =>
+      rootOf(table).map { root =>
+        val out = Seq(
+          AttributeReference("version", LongType, nullable = false)(),
+          AttributeReference("num_files", LongType, nullable = false)(),
+          AttributeReference("size_bytes", LongType, nullable = false)(),
+          AttributeReference("num_records", LongType, nullable = false)(),
+          AttributeReference("partition_columns", StringType, nullable = false)(),
+          AttributeReference("schema", StringType, nullable = false)())
+        GraftDmlCommand("describe-detail", out, () =>
+          // column parity with the Scala TxnTable.detail, by construction
+          TxnTable.detail(spark, root).collect().toSeq.map(r =>
+            new GenericInternalRow(Array[Any](
+              r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              UTF8String.fromString(r.getString(4)),
+              UTF8String.fromString(r.getString(5))))))
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case ShowCreateRe(table) =>
+      rootOf(table).map { root =>
+        val out = Seq(
+          AttributeReference("createtab_stmt", StringType, nullable = false)())
+        GraftDmlCommand("show-create-table", out, () => Seq(
+          new GenericInternalRow(Array[Any](UTF8String.fromString(
+            TxnTable.showCreate(root, table))))))
       }.getOrElse(delegate.parsePlan(sqlText))
     case RestoreRe(table, version) =>
       rootOf(table).map { root =>

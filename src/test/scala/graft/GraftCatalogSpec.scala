@@ -243,6 +243,54 @@ class GraftCatalogSpec extends AnyFunSuite {
       "the second batch must deliver exactly the new commit (exactly-once tail)")
   }
 
+  test("readStream.table honors startingVersion + maxVersionsPerBatch; " +
+    "__changes streams the change feed") {
+    import spark.implicits._
+    val root = mount("tailopt")
+    for (k <- 0 until 4)
+      TxnTable.append((k * 10 + 1 to k * 10 + 5).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "payload").coalesce(1), root) // v0..v3, 5 rows each
+    // bounded backfill through the table name: <=2 versions (10 rows) per
+    // micro-batch — parity with format("txn-tail").option(...)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.option("maxVersionsPerBatch", "2")
+      .table("graft.tailopt")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes += b.count(); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batchSizes.filter(_ > 0)
+    assert(nonEmpty.sum == 20L, batchSizes)
+    assert(nonEmpty.size >= 2 && nonEmpty.forall(_ <= 10L),
+      s"4 versions at <=2 per batch must arrive in bounded steps: $batchSizes")
+    // startingVersion skips history
+    val q2 = spark.readStream.option("startingVersion", "3").table("graft.tailopt")
+      .writeStream.format("memory").queryName("cat_tailopt").start()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.table("cat_tailopt").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (31L to 35L), ids)
+    } finally q2.stop()
+    // the change-feed table name: schema + _change_type + _commit_version
+    TxnTable.delete(spark, root, col("id") === 1L, cdf = true) // v4
+    val q3 = spark.readStream.option("startingVersion", "3")
+      .table("graft.tailopt__changes")
+      .writeStream.format("memory").queryName("cat_tailcdf").start()
+    try {
+      q3.processAllAvailable()
+      val rows = spark.table("cat_tailcdf").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+        .sortBy(t => (t._3, t._1)).toSeq
+      assert(rows == (31L to 35L).map(i => (i, "insert", 3L)) :+
+        ((1L, "delete", 4L)), rows)
+    } finally q3.stop()
+    // the CDF table is stream-only: no batch SELECT, no INSERT
+    val e = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft.tailopt__changes").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("runtime filtering: a selective broadcast join prunes partitions " +
     "the static plan could not") {
     val root = mount("dpp")
@@ -270,6 +318,184 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rep.pushed.exists(_.toLowerCase.contains("in")), rep)
     assert(rep.filesKept < rep.filesTotal,
       s"runtime filter did not prune partitions: $rep")
+  }
+
+  test("atomic CTAS: commit promotes whole; a failed CTAS leaves no table; " +
+    "REPLACE swaps") {
+    import scala.jdk.CollectionConverters._
+    mount("ctas")
+    spark.range(10).selectExpr("id", "id * 2 AS v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft.ctas AS SELECT * FROM ctas_src")
+    assert(spark.sql("SELECT count(*) AS n, sum(v) AS s FROM graft.ctas").head
+      .getLong(1) == 90L)
+    // a CTAS whose query fails must leave NO table and NO staging dir
+    val r2 = mount("ctas2")
+    val e = intercept[Throwable] {
+      spark.sql("CREATE TABLE graft.ctas2 AS " +
+        "SELECT id, CAST(raise_error('boom') AS STRING) AS x FROM ctas_src")
+    }
+    assert(e.getMessage != null)
+    val e2 = intercept[Throwable] { spark.sql("SELECT * FROM graft.ctas2").collect() }
+    assert(e2.getMessage.toLowerCase.contains("table"), e2.getMessage)
+    val parent = java.nio.file.Paths.get(r2).toAbsolutePath.getParent
+    assert(!FsTest.list(parent).iterator().asScala
+      .exists(_.getFileName.toString.contains("__stage-")),
+      "aborted CTAS left a staging directory")
+    // RTAS: old table swaps out atomically (bytes preserved aside)
+    spark.sql("REPLACE TABLE graft.ctas AS SELECT id FROM ctas_src WHERE id < 3")
+    assert(spark.sql("SELECT * FROM graft.ctas").columns.toSeq == Seq("id"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ctas").head.getLong(0) == 3L)
+  }
+
+  test("DROP TABLE: refused by default; tombstones metadata only; name " +
+    "reclaimable") {
+    import scala.jdk.CollectionConverters._
+    val root = mount("dropt")
+    TxnTable.append(df(1 to 5), root)
+    val e = intercept[Throwable] { spark.sql("DROP TABLE graft.dropt") }
+    assert(e.getMessage.contains("allowDrop"), e.getMessage)
+    spark.conf.set("graft.catalog.allowDrop", "true")
+    try {
+      spark.sql("DROP TABLE graft.dropt")
+      val e2 = intercept[Throwable] { spark.sql("SELECT * FROM graft.dropt").collect() }
+      assert(e2.getMessage.toLowerCase.contains("table"), e2.getMessage)
+      // not one data byte deleted: the parquet files and the tombstoned
+      // log are still on disk
+      val files = FsTest.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .map(_.toString).toSeq
+      assert(files.exists(_.endsWith(".parquet")), "data files were deleted")
+      assert(files.exists(_.contains("_txn_log.dropped-")), files.take(5))
+      // drop + re-create round-trips
+      spark.sql("CREATE TABLE graft.dropt (id BIGINT, payload STRING)")
+      spark.sql("INSERT INTO graft.dropt VALUES (9, 'x')")
+      assert(spark.sql("SELECT id FROM graft.dropt").head.getLong(0) == 9L)
+    } finally spark.conf.unset("graft.catalog.allowDrop")
+  }
+
+  test("type matrix: decimal/date/timestamp round-trip; temporal + decimal " +
+    "partition skipping") {
+    import spark.implicits._
+    val root = mount("types")
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val d = (0 until 960).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.from(base.plusSeconds(i * 3600L)),
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i / 24)),
+        new java.math.BigDecimal(s"$i.25"),
+        new java.math.BigDecimal(if (i % 2 == 0) "0.5" else "1.5"))
+    }.toDF("id", "ts", "t_day", "amt", "pb")
+      .withColumn("amt", col("amt").cast("decimal(10,2)"))
+      .withColumn("pb", col("pb").cast("decimal(3,1)"))
+    TxnTable.appendPartitioned(
+      d.repartitionByRange(8, col("ts")), root, Seq("pb"))
+    // values round-trip exactly through the DSv2 reader
+    val row = spark.sql("SELECT ts, t_day, amt, pb FROM graft.types WHERE id = 25").head
+    assert(row.getTimestamp(0).toInstant == base.plusSeconds(25 * 3600L))
+    assert(row.getDate(1).toString == "2024-03-02")
+    assert(row.getDecimal(2) == new java.math.BigDecimal("25.25"))
+    assert(row.getDecimal(3) == new java.math.BigDecimal("1.5").setScale(1))
+    // decimal aggregation is exact (sum of i.25 over all i)
+    val sum = spark.sql("SELECT sum(amt) AS s FROM graft.types").head.getDecimal(0)
+    assert(sum.compareTo(new java.math.BigDecimal((0 until 960).map(i => i * 100L + 25L).sum)
+      .movePointLeft(2)) == 0, sum)
+    // timestamp-predicate FILE skipping: range-clustered on ts, a late
+    // cutoff must drop most files at planning time
+    GraftCatalog.lastScanReport = None
+    val late = spark.sql("SELECT count(*) AS n FROM graft.types " +
+      "WHERE ts >= TIMESTAMP'2024-04-07 12:00:00'").head.getLong(0)
+    assert(late == (0 until 960).count(i =>
+      !base.plusSeconds(i * 3600L).isBefore(java.time.Instant.parse("2024-04-07T12:00:00Z"))))
+    val rep = GraftCatalog.lastScanReport.get
+    assert(rep.filesTotal >= 8, rep)
+    assert(rep.filesKept * 2 < rep.filesTotal,
+      s"timestamp predicate did not skip files: $rep")
+    // decimal PARTITION pruning through the hive path encoding
+    GraftCatalog.lastScanReport = None
+    val even = spark.sql("SELECT count(*) AS n FROM graft.types " +
+      "WHERE pb = CAST(0.5 AS DECIMAL(3,1))").head.getLong(0)
+    assert(even == 480L)
+    val rep2 = GraftCatalog.lastScanReport.get
+    assert(rep2.filesKept * 2 <= rep2.filesTotal,
+      s"decimal partition value did not prune: $rep2")
+    // date predicate skipping rides the same engine
+    GraftCatalog.lastScanReport = None
+    assert(spark.sql("SELECT count(*) AS n FROM graft.types " +
+      "WHERE t_day = DATE'2024-03-02'").head.getLong(0) == 24L)
+    assert(GraftCatalog.lastScanReport.get.filesKept <
+      GraftCatalog.lastScanReport.get.filesTotal)
+  }
+
+  test("legacy INT96 timestamps read correctly through the catalog") {
+    import spark.implicits._
+    val root = mount("i96")
+    val base = java.time.Instant.parse("2023-06-15T08:30:00Z")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try TxnTable.append((0 until 50).map(i =>
+        (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i * 60L))))
+        .toDF("id", "ts"), root)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val got = spark.sql("SELECT ts FROM graft.i96 WHERE id = 7").head.getTimestamp(0)
+    assert(got.toInstant == base.plusSeconds(7 * 60L))
+    assert(spark.sql("SELECT count(DISTINCT ts) AS n FROM graft.i96")
+      .head.getLong(0) == 50L)
+  }
+
+  test("nested-type tables are refused at resolution, with a clear error") {
+    val root = mount("nested")
+    TxnTable.append(spark.range(3).select(col("id"), array(col("id")).as("arr")), root)
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val e = intercept[Throwable] { spark.sql("SELECT id FROM graft.nested").collect() }
+    assert(chain(e).exists(_.contains("does not serve")), chain(e).mkString(" | "))
+    val e2 = intercept[Throwable] {
+      mount("nested2")
+      spark.sql("CREATE TABLE graft.nested2 (id BIGINT, m MAP<STRING,STRING>)")
+    }
+    assert(chain(e2).exists(_.contains("does not serve")), chain(e2).mkString(" | "))
+  }
+
+  test("vectorized scan: columnar batches, row-group splits fan out, and " +
+    "throughput stays near the native reader") {
+    val root = mount("vec")
+    TxnTable.append(spark.range(0, 2000000)
+      .selectExpr("id", "id * 3 AS v", "CAST(id % 97 AS DOUBLE) AS d")
+      .coalesce(1), root) // ONE big file
+    // columnar proof: the FINAL plan reads batches (ColumnarToRow above
+    // the scan; AQE only inserts the transition once stages materialize)
+    val q0 = spark.sql("SELECT sum(v) AS s FROM graft.vec")
+    q0.collect()
+    val plan = q0.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    // one huge file != one task: byte-range splits at maxPartitionBytes
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1L << 20).toString)
+    try {
+      val parts = spark.sql("SELECT v FROM graft.vec").rdd.getNumPartitions
+      assert(parts > 1, s"a single large file must split across tasks, got $parts")
+      assert(spark.sql("SELECT sum(v) AS s, count(*) AS n FROM graft.vec").head
+        .getLong(1) == 2000000L, "splits must cover every row exactly once")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+    // micro-bench: catalog scan vs the native snapshot read, same work.
+    // Bound is deliberately loose for CI noise; the measured ratio prints.
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cat = (1 to 3).map(_ =>
+      time(spark.sql("SELECT sum(v) AS s, sum(d) AS t FROM graft.vec").collect())).min
+    val nat = (1 to 3).map(_ =>
+      time(TxnTable.read(spark, root).selectExpr("sum(v) AS s", "sum(d) AS t")
+        .collect())).min
+    info(f"catalog $cat%.3f s vs native $nat%.3f s (${cat / nat}%.2fx)")
+    assert(cat <= nat * 1.5 + 0.3,
+      f"catalog scan fell behind the native reader: $cat%.3f vs $nat%.3f s")
+    // the row fallback stays available for debugging and DV scans
+    spark.conf.set("graft.catalog.vectorized", "false")
+    try assert(spark.sql("SELECT count(*) AS n FROM graft.vec").head.getLong(0) ==
+      2000000L)
+    finally spark.conf.unset("graft.catalog.vectorized")
   }
 
   test("snapshot statistics: a small catalog table broadcasts") {

@@ -197,6 +197,32 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       (1 to 100).map(_ * 10L).sum)
   }
 
+  test("DESCRIBE DETAIL and SHOW CREATE TABLE serve the metadata surface") {
+    import spark.implicits._
+    val root = mount("det")
+    TxnTable.appendPartitioned((1 to 60).map(i => (i.toLong, i * 10L, s"p${i % 3}"))
+      .toDF("id", "cents", "grp"), root, Seq("grp"))
+    spark.sql("ALTER TABLE graft.det SET TBLPROPERTIES ('graft.owner' = 'etl')")
+    // column parity with the Scala TxnTable.detail
+    val sqlRow = spark.sql("DESCRIBE DETAIL graft.det").head
+    val apiRow = TxnTable.detail(spark, root).head
+    assert(spark.sql("DESCRIBE DETAIL graft.det").columns.toSeq ==
+      TxnTable.detail(spark, root).columns.toSeq)
+    assert(sqlRow.getLong(0) == apiRow.getLong(0))   // version
+    assert(sqlRow.getLong(1) == apiRow.getLong(1))   // num_files
+    assert(sqlRow.getLong(2) == apiRow.getLong(2))   // size_bytes
+    assert(sqlRow.getLong(3) == apiRow.getLong(3))   // num_records
+    assert(sqlRow.getString(4) == "grp" && sqlRow.getLong(3) == 60L)
+    // SHOW CREATE TABLE renders a re-runnable statement
+    val stmt = spark.sql("SHOW CREATE TABLE graft.det").head.getString(0)
+    assert(stmt.contains("CREATE TABLE graft.det"), stmt)
+    assert(stmt.contains("id BIGINT") && stmt.contains("cents BIGINT") &&
+      stmt.contains("grp STRING"), stmt)
+    assert(stmt.contains("PARTITIONED BY (grp)"), stmt)
+    assert(stmt.contains("USING graft"), stmt)
+    assert(stmt.contains("'graft.owner' = 'etl'"), stmt)
+  }
+
   test("SHOW TABLES lists TxnTable roots under the catalog root dir") {
     val base = Files.createTempDirectory("graft_showt")
     spark.conf.set("spark.sql.catalog.graft.root", base.toString)
