@@ -116,6 +116,51 @@ object CurationPipeline {
        |JOIN diverse_ok USING (doc_id)
        |""".stripMargin
 
+  /** Recipe v3 — v2's coarse span-dup DROP gate (stage 6) replaced by the
+    * EXACT substring-dedup CLEAN stage (Lee et al.'s second half,
+    * [[graft.operators.SubstrDedup.substrClean]]) — the method's actual
+    * selling point: a boilerplate-heavy doc v2 discarded WHOLE now
+    * survives with its duplicated spans removed, retaining its unique
+    * tokens for training.
+    *
+    *   6'. every duplicated ≥L-token span loses all but one
+    *       corpus-canonical occurrence; the doc's training text becomes
+    *       the REBUILT token stream (`dedup_text`), not the raw text;
+    *   8.  residual-dup gate: docs still losing more than 30% of their
+    *       tokens after canonical-copy retention are boilerplate shells —
+    *       drop them (stage 7, the diversity gate, is unchanged from v2).
+    *
+    * Still one declarative plan: the clean stage is a join against the
+    * oracle-gated q_substr_clean relation, and the oracle composes its
+    * window reconstruction as one more CTE on the v1 SQL. */
+  def curateV3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val diverseOk = TextAnalysis.giniDiversity(s, dir)
+      .filter($"gini" >= 0.9).select($"doc_id")
+    val cleaned = graft.operators.SubstrDedup.substrClean(s, dir)
+      .select($"doc_id", $"n_toks", $"n_removed",
+        $"clean_text".as("dedup_text"))
+    curate(s, dir).select($"doc_id", $"split", $"quality_score")
+      .join(diverseOk, Seq("doc_id"), "left_semi")
+      .join(cleaned, Seq("doc_id"))
+      .filter($"n_toks" === 0L ||
+        $"n_removed".cast("double") / $"n_toks".cast("double") <= 0.3)
+      .select($"doc_id", $"split", $"quality_score", $"n_removed", $"dedup_text")
+  }
+  val curateV3Sql: String =
+    s"""WITH base AS (SELECT * FROM (${curateSql.trim}) v1),
+       |diverse_ok AS (SELECT doc_id FROM (${TextAnalysis.giniDiversitySql.trim}) gd WHERE gini >= 0.9),
+       |cln AS (SELECT * FROM (
+       |${graft.operators.SubstrDedup.oracleSql("q_substr_clean").trim}) c)
+       |SELECT base.doc_id, base.split, base.quality_score,
+       |       cln.n_removed, cln.clean_text AS dedup_text
+       |FROM base
+       |JOIN diverse_ok USING (doc_id)
+       |JOIN cln USING (doc_id)
+       |WHERE cln.n_toks = 0
+       |   OR CAST(cln.n_removed AS DOUBLE) / CAST(cln.n_toks AS DOUBLE) <= 0.3
+       |""".stripMargin
+
   // ---------------------------------------------------------------------------
   // Shard manifest: the curated corpus dealt into token-balanced output
   // shards, per split — the last planning step before a tokenizer run
@@ -297,6 +342,7 @@ object CurationPipeline {
     "q_curation"        -> curate _,
     "q_curation_incr"   -> curateIncremental _,
     "q_curation_v2"     -> curateV2 _,
+    "q_curation_v3"     -> curateV3 _,
     "q_curation_shards" -> curationShards _,
     "q_curation_funnel" -> curationFunnel _,
     "q_curation_diff"   -> curationDiff _,
@@ -306,6 +352,7 @@ object CurationPipeline {
     // incremental maintenance must reproduce the batch recipe exactly
     "q_curation_incr"   -> curateSql,
     "q_curation_v2"     -> curateV2Sql,
+    "q_curation_v3"     -> curateV3Sql,
     "q_curation_shards" -> curationShardsSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_curation_diff"   -> curationDiffSql,
