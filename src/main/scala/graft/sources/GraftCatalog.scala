@@ -392,7 +392,8 @@ final class GraftTable(val root: String, val snapshotVersion: Long, identString:
     m
   }
   override def capabilities(): java.util.Set[TableCapability] =
-    if (cdf) java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    if (cdf) java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -450,8 +451,9 @@ final class GraftScanBuilder(root: String, version: Long,
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     // map back by name: the pruned schema loses our field metadata
-    // (physical names), which the reader needs
-    required = StructType(requiredSchema.fieldNames.flatMap(n =>
+    // (physical names), which the reader needs. Change-feed rows come off
+    // the tail reader at fixed width — no pruning there.
+    if (!cdf) required = StructType(requiredSchema.fieldNames.flatMap(n =>
       tblSchema.fields.find(_.name == n)))
   override def build(): Scan =
     GraftScan(root, version, tblSchema, pcs, required, pushed, scanOptions, cdf)
@@ -522,7 +524,8 @@ final case class GraftScan(root: String, version: Long,
   // only the scan's OUTPUT columns are addressable (the DPP rule
   // resolves these against the projected relation)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    if (cdf) Array.empty
+    else required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
 
   override def readSchema(): StructType =
@@ -548,7 +551,29 @@ final case class GraftScan(root: String, version: Long,
       if (cdf) null else tblSchema.fields.map(_.dataType))
   }
 
+  // ---- batch CHANGE FEED (`SELECT ... FROM graft.t__changes`) -------------
+  // Delta's `table_changes` spelled as a table name: every version in
+  // [startingVersion, endingVersion] (options; defaults 0..snapshot)
+  // contributes exactly its change rows, through the SAME per-commit
+  // partitions and readers the streaming tail plans — one change-feed
+  // code path serves both batch SQL and readStream.
+  private def cdfStream(from: Long): TxnTailStream =
+    new TxnTailStream(TxnTail.Conf(root, from, ignoreChanges = false,
+      maxVersionsPerBatch = None, readChangeFeed = true))
+  private def cdfRange: (Long, Long) = {
+    val from = scanOptions.get("startingversion").map(_.toLong).getOrElse(0L)
+    val to = scanOptions.get("endingversion").map(_.toLong).getOrElse(version)
+    require(from >= 0 && to <= version && from <= to,
+      s"graft catalog: change-feed range [$from, $to] outside [0, $version]")
+    (from, to)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    if (cdf) {
+      val (from, to) = cdfRange
+      return cdfStream(from).planInputPartitions(
+        TxnTailOffset(from - 1), TxnTailOffset(to))
+    }
     val (static, total) = pruning
     val kept0 = if (runtimeFilters.isEmpty) static
       else prune(static, runtimeFilters.toSeq)
@@ -593,11 +618,16 @@ final case class GraftScan(root: String, version: Long,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (cdf) cdfStream(0L).createReaderFactory() else GraftReaderFactory()
 
   /** Post-pruning size: lets Catalyst broadcast a catalog-served dimension
     * and plan joins on real bytes, not defaults. */
   override def estimateStatistics(): Statistics = {
+    if (cdf) return new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
     val (kept, _) = pruning
     val bytes = kept.map(_.bytes).sum
     val rows = kept.flatMap(a => a.stats.map(s =>

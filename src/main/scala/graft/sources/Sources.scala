@@ -1609,6 +1609,66 @@ object Sources {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Oracle-gated BATCH CHANGE FEED through the SQL front door:
+  // `graft.t__changes` is Delta's table_changes spelled as a table name —
+  // plain SQL over it returns every version's change rows (insert /
+  // update_preimage / update_postimage / delete) with their commit
+  // provenance, and `spark.read.option("startingVersion"/"endingVersion")`
+  // bounds the range (the same partitions the streaming tail plans — one
+  // change-feed code path). The oracle replays the full lifecycle
+  // algebraically per change type.
+  // ---------------------------------------------------------------------------
+  def txnSqlCdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlcdf")
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("graft.catalog.path.cdf_ev", tmp.toString)
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      TxnTable.append(ev.repartitionByRange(8, $"cents"), tmp.toString)  // v0
+      TxnTable.update(s, tmp.toString,
+        $"cents" >= 5000L && $"cents" <= 6000L,
+        Map("cents" -> ($"cents" * 2L)), cdf = true)                     // v1
+      TxnTable.delete(s, tmp.toString, $"cents" % 97L === 0L, cdf = true) // v2
+      val full = s.sql(
+        "SELECT _commit_version AS version, _change_type AS change_type, " +
+          "count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents " +
+          "FROM graft.cdf_ev__changes GROUP BY 1, 2")
+      val ranged = s.read
+        .option("startingVersion", "2").option("endingVersion", "2")
+        .table("graft.cdf_ev__changes")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"cents").cast("long").as("sum_cents"))
+        .selectExpr("90L AS version", "'ranged_delete' AS change_type",
+          "n_rows", "sum_cents")
+      graft.Materialize.eager(full.unionByName(ranged))
+    } finally reclaim(tmp)
+  }
+  val txnSqlCdfSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |upd AS (SELECT * FROM ev WHERE cents BETWEEN 5000 AND 6000),
+      |v1 AS (SELECT event_id, CASE WHEN cents BETWEEN 5000 AND 6000
+      |                             THEN 2 * cents ELSE cents END AS cents FROM ev),
+      |del AS (SELECT * FROM v1 WHERE COALESCE(cents % 97 = 0, FALSE))
+      |SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM ev
+      |UNION ALL
+      |SELECT 1, 'update_preimage', count(*), CAST(sum(cents) AS BIGINT)
+      |FROM upd HAVING count(*) > 0
+      |UNION ALL
+      |SELECT 1, 'update_postimage', count(*), CAST(sum(2 * cents) AS BIGINT)
+      |FROM upd HAVING count(*) > 0
+      |UNION ALL
+      |SELECT 2, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+      |FROM del HAVING count(*) > 0
+      |UNION ALL
+      |SELECT 90, 'ranged_delete', count(*), CAST(sum(cents) AS BIGINT) FROM del
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Oracle-gated FULL TYPE MATRIX through the SQL front door: a TxnTable
   // with TIMESTAMP, DATE, DECIMAL(12,2) data columns and a DECIMAL(3,1)
   // PARTITION column, every read a literal `spark.sql` over the graft
@@ -1941,6 +2001,7 @@ object Sources {
     "q_txn_merge_multi" -> txnMergeMulti _,
     "q_txn_sql_dml" -> txnSqlDml _,
     "q_txn_sql_types" -> txnSqlTypes _,
+    "q_txn_sql_cdf" -> txnSqlCdf _,
     "q_txn_drop" -> txnDrop _,
   )
   val oracleSql: Map[String, String] = Map(
@@ -1976,6 +2037,7 @@ object Sources {
     "q_txn_merge_multi" -> txnMergeMultiSql,
     "q_txn_sql_dml" -> txnSqlDmlSql,
     "q_txn_sql_types" -> txnSqlTypesSql,
+    "q_txn_sql_cdf" -> txnSqlCdfSql,
     "q_txn_drop" -> txnDropSql,
   )
 }

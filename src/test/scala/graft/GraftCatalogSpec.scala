@@ -284,9 +284,20 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(rows == (31L to 35L).map(i => (i, "insert", 3L)) :+
         ((1L, "delete", 4L)), rows)
     } finally q3.stop()
-    // the CDF table is stream-only: no batch SELECT, no INSERT
+    // batch SQL over the same table name = table_changes (full history)
+    val batch = spark.sql("SELECT _commit_version, _change_type, count(*) AS n " +
+      "FROM graft.tailopt__changes GROUP BY 1, 2 ORDER BY 1, 2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(batch == (0L to 3L).map(v => (v, "insert", 5L)) :+
+      ((4L, "delete", 1L)), batch)
+    // ...and read options bound the version range
+    val ranged = spark.read.option("startingVersion", "4")
+      .table("graft.tailopt__changes").collect()
+    assert(ranged.length == 1 && ranged.head.getString(2) == "delete")
+    // writes are refused on the change-feed table
     val e = intercept[Throwable] {
-      spark.sql("SELECT * FROM graft.tailopt__changes").collect()
+      spark.sql("INSERT INTO graft.tailopt__changes VALUES " +
+        "(1, 'x', 'insert', 99)")
     }
     assert(e.getMessage != null)
   }
