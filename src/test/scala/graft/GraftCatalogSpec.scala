@@ -357,6 +357,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("REPLACE TABLE graft.ctas AS SELECT id FROM ctas_src WHERE id < 3")
     assert(spark.sql("SELECT * FROM graft.ctas").columns.toSeq == Seq("id"))
     assert(spark.sql("SELECT count(*) AS n FROM graft.ctas").head.getLong(0) == 3L)
+    // partitioned CTAS stages the hive layout from birth
+    val r3 = mount("ctas3")
+    spark.sql("CREATE TABLE graft.ctas3 PARTITIONED BY (grp) AS " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS grp FROM ctas_src")
+    GraftCatalog.lastScanReport = None
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ctas3 WHERE grp = 'e'")
+      .head.getLong(0) == 5L)
+    val rep3 = GraftCatalog.lastScanReport.get
+    assert(rep3.filesKept < rep3.filesTotal, s"partition pruning after CTAS: $rep3")
+    assert(FsTest.walk(java.nio.file.Paths.get(r3)).iterator().asScala
+      .exists(_.toString.contains("grp=e")), "hive layout missing")
   }
 
   test("DROP TABLE: refused by default; tombstones metadata only; name " +
@@ -398,14 +409,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     }.toDF("id", "ts", "t_day", "amt", "pb")
       .withColumn("amt", col("amt").cast("decimal(10,2)"))
       .withColumn("pb", col("pb").cast("decimal(3,1)"))
+      // wall-clock twin of ts — TIMESTAMP_NTZ writes µs with
+      // isAdjustedToUTC=false and must round-trip both readers
+      .withColumn("ts_ntz", col("ts").cast("timestamp_ntz"))
     TxnTable.appendPartitioned(
       d.repartitionByRange(8, col("ts")), root, Seq("pb"))
     // values round-trip exactly through the DSv2 reader
-    val row = spark.sql("SELECT ts, t_day, amt, pb FROM graft.types WHERE id = 25").head
+    val row = spark.sql(
+      "SELECT ts, t_day, amt, pb, ts_ntz FROM graft.types WHERE id = 25").head
     assert(row.getTimestamp(0).toInstant == base.plusSeconds(25 * 3600L))
     assert(row.getDate(1).toString == "2024-03-02")
     assert(row.getDecimal(2) == new java.math.BigDecimal("25.25"))
     assert(row.getDecimal(3) == new java.math.BigDecimal("1.5").setScale(1))
+    // session tz is UTC, so the NTZ wall clock equals the instant's
+    assert(row.getAs[java.time.LocalDateTime](4) ==
+      java.time.LocalDateTime.ofInstant(base.plusSeconds(25 * 3600L),
+        java.time.ZoneOffset.UTC))
     // decimal aggregation is exact (sum of i.25 over all i)
     val sum = spark.sql("SELECT sum(amt) AS s FROM graft.types").head.getDecimal(0)
     assert(sum.compareTo(new java.math.BigDecimal((0 until 960).map(i => i * 100L + 25L).sum)
