@@ -880,67 +880,8 @@ final class GraftRowReader(p: GraftInputPartition)
           val fi = requested.getFieldIndex(physNames(i))
           if (current.getFieldRepetitionCount(fi) == 0) null
           else {
-            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-            import org.apache.parquet.schema.LogicalTypeAnnotation
-            def primType = requested.getType(fi).asPrimitiveType()
-            def prim = primType.getPrimitiveTypeName
-            f.dataType match {
-              case LongType =>
-                if (prim == PrimitiveTypeName.INT32) current.getInteger(fi, 0).toLong
-                else current.getLong(fi, 0)
-              case IntegerType => current.getInteger(fi, 0)
-              case ShortType   => current.getInteger(fi, 0).toShort
-              case ByteType    => current.getInteger(fi, 0).toByte
-              case DoubleType =>
-                if (prim == PrimitiveTypeName.FLOAT) current.getFloat(fi, 0).toDouble
-                else current.getDouble(fi, 0)
-              case FloatType   => current.getFloat(fi, 0)
-              case BooleanType => current.getBoolean(fi, 0)
-              case StringType  => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
-              case BinaryType  => current.getBinary(fi, 0).getBytes
-              case DateType    => current.getInteger(fi, 0) // INT32 epoch days
-              case TimestampType | TimestampNTZType =>
-                // Spark internal = Long epoch micros for both; the file
-                // carries INT96 (legacy julian) or INT64 in the unit its
-                // logical annotation declares
-                if (prim == PrimitiveTypeName.INT96) {
-                  val buf = java.nio.ByteBuffer
-                    .wrap(current.getInt96(fi, 0).getBytes)
-                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-                  val nanosOfDay = buf.getLong
-                  val julianDay = buf.getInt
-                  (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
-                } else {
-                  val v = current.getLong(fi, 0)
-                  primType.getLogicalTypeAnnotation match {
-                    case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                      t.getUnit match {
-                        case LogicalTypeAnnotation.TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
-                        case LogicalTypeAnnotation.TimeUnit.MICROS => v
-                        case LogicalTypeAnnotation.TimeUnit.NANOS  => Math.floorDiv(v, 1000L)
-                      }
-                    case _ => v // unannotated INT64: stored micros (our writer)
-                  }
-                }
-              case d: DecimalType =>
-                // unscaled value at the FILE's declared scale (equal to the
-                // table scale for graft-written files; honoring the
-                // annotation keeps widened/foreign files exact)
-                val fScale = primType.getLogicalTypeAnnotation match {
-                  case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => a.getScale
-                  case _ => d.scale
-                }
-                val jbd = prim match {
-                  case PrimitiveTypeName.INT32 =>
-                    java.math.BigDecimal.valueOf(current.getInteger(fi, 0).toLong, fScale)
-                  case PrimitiveTypeName.INT64 =>
-                    java.math.BigDecimal.valueOf(current.getLong(fi, 0), fScale)
-                  case _ => new java.math.BigDecimal(
-                    new java.math.BigInteger(current.getBinary(fi, 0).getBytes), fScale)
-                }
-                Decimal(jbd.setScale(d.scale), d.precision, d.scale)
-              case dt => sys.error(s"graft catalog: unsupported column type $dt")
-            }
+            GroupDecode.value(current, fi,
+              requested.getType(fi).asPrimitiveType(), f.dataType)
           }
         }
       i += 1

@@ -101,8 +101,9 @@ object TxnTail {
   }
 
   private def supported(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
-         StringType | BinaryType => true
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType | _: DecimalType => true
     case _ => false
   }
 }
@@ -295,23 +296,11 @@ final class TxnTailReader(p: TxnTailPartition)
           if (current.getFieldRepetitionCount(fi) == 0) null
           else {
             // files committed BEFORE a type widening keep their narrow
-            // physical type — up-convert here, like the batch parquet scan
-            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-            def prim = fileSchema.getType(fi).asPrimitiveType().getPrimitiveTypeName
-            f.dataType match {
-              case LongType =>
-                if (prim == PrimitiveTypeName.INT32) current.getInteger(fi, 0).toLong
-                else current.getLong(fi, 0)
-              case IntegerType => current.getInteger(fi, 0)
-              case DoubleType =>
-                if (prim == PrimitiveTypeName.FLOAT) current.getFloat(fi, 0).toDouble
-                else current.getDouble(fi, 0)
-              case FloatType   => current.getFloat(fi, 0)
-              case BooleanType => current.getBoolean(fi, 0)
-              case StringType  => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
-              case BinaryType  => current.getBinary(fi, 0).getBytes
-              case dt => sys.error(s"txn-tail: unsupported column type $dt")
-            }
+            // physical type — the shared decode matrix up-converts, like
+            // the batch parquet scan (and serves the full flat type
+            // surface: temporal + decimal included)
+            GroupDecode.value(current, fi,
+              fileSchema.getType(fi).asPrimitiveType(), f.dataType)
           }
         }
       i += 1
@@ -323,16 +312,7 @@ final class TxnTailReader(p: TxnTailPartition)
   /** A path-encoded partition value as a typed constant under the table
     * schema (the Hive null marker decodes to null). */
   private def partConst(s: String, dt: DataType): Any =
-    if (s == "__HIVE_DEFAULT_PARTITION__") null
-    else dt match {
-      case StringType  => UTF8String.fromString(s)
-      case LongType    => s.toLong
-      case IntegerType => s.toInt
-      case DoubleType  => s.toDouble
-      case FloatType   => s.toFloat
-      case BooleanType => s.toBoolean
-      case other => sys.error(s"txn-tail: unsupported partition type $other")
-    }
+    GraftCatalog.partConst(s, dt)
 
   override def close(): Unit = reader.close()
 }

@@ -88,6 +88,32 @@ class TxnTailSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("temporal and decimal columns stream through the tail exactly") {
+    import spark.implicits._
+    val root = tbl()
+    val base = java.time.Instant.parse("2024-05-01T12:00:00Z")
+    val d = (1 to 20).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.from(base.plusSeconds(i * 60L)),
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 5, 1).plusDays(i % 3)),
+        new java.math.BigDecimal(s"$i.75"))
+    }.toDF("id", "ts", "day", "amt")
+      .withColumn("amt", org.apache.spark.sql.functions.col("amt").cast("decimal(10,2)"))
+    TxnTable.append(d.coalesce(1), root)
+    val q = spark.readStream.format("txn-tail").option("path", root).load()
+      .writeStream.format("memory").queryName("tailTypes").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tailTypes").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toInstant,
+          r.getDate(2).toString, r.getDecimal(3))).sortBy(_._1)
+      assert(rows.length == 20)
+      assert(rows.head == ((1L, base.plusSeconds(60L), "2024-05-02",
+        new java.math.BigDecimal("1.75"))))
+      assert(rows.last._2 == base.plusSeconds(1200L))
+    } finally q.stop()
+  }
+
   test("maxVersionsPerBatch bounds the backfill: a long history arrives in steps") {
     val root = tbl()
     for (k <- 0 until 6) TxnTable.append(df(k * 10 + 1 to k * 10 + 10).coalesce(1), root)
