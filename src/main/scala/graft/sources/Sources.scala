@@ -1609,6 +1609,72 @@ object Sources {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Oracle-gated MERGE WITH SCHEMA EVOLUTION through literal SQL: the
+  // source carries a column the target lacks (`src_tag`); `UPDATE SET *` /
+  // `INSERT *` under WITH SCHEMA EVOLUTION widen the schema IN the merge
+  // commit (one version: data + metaData action together, the Delta
+  // shape) — matched rows take the tag, inserted rows carry it, carried
+  // rows read null, and time travel below the merge still shows the old
+  // two-column schema.
+  // ---------------------------------------------------------------------------
+  def txnMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mergeevolve")
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("graft.catalog.path.ev_ev", tmp.toString)
+    try {
+      val bucket = expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as int) % 7")
+      val ev = Tables.events(s, dir)
+        .select($"event_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          bucket.as("b"))
+      TxnTable.append(ev.filter($"b" <= 4).select($"event_id", $"cents")
+        .repartitionByRange(8, $"cents"), tmp.toString)                    // v0
+      ev.filter($"b" >= 3 && $"b" <= 6)
+        .select($"event_id", $"cents",
+          concat(lit("s"), ($"event_id" % 3L).cast("string")).as("src_tag"))
+        .createOrReplaceTempView("ev_evolve_src")
+      val v = s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft.ev_ev AS t
+          |USING ev_evolve_src AS s ON t.event_id = s.event_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin).head.getLong(0)
+      require(v == 1L, s"evolution must ride the merge commit, got version $v")
+      val byTag = s.sql(
+        "SELECT COALESCE(src_tag, '_none') AS tag, count(*) AS n_rows, " +
+          "CAST(sum(cents) AS BIGINT) AS sum_cents FROM graft.ev_ev GROUP BY 1")
+      val v0 = s.sql(
+        "SELECT '_v0' AS tag, count(*) AS n_rows, " +
+          "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+          "FROM graft.ev_ev VERSION AS OF 0")
+      graft.Materialize.eager(byTag union v0)
+    } finally reclaim(tmp)
+  }
+  val txnMergeEvolveSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 7 AS b
+      |  FROM events),
+      |tgt AS (SELECT event_id, cents FROM ev WHERE b <= 4),
+      |src AS (SELECT event_id, cents,
+      |               's' || CAST(event_id % 3 AS VARCHAR) AS src_tag
+      |        FROM ev WHERE b BETWEEN 3 AND 6),
+      |final AS (
+      |  SELECT t.event_id, COALESCE(s.cents, t.cents) AS cents, s.src_tag
+      |  FROM tgt t LEFT JOIN src s USING (event_id)
+      |  UNION ALL
+      |  SELECT s.event_id, s.cents, s.src_tag FROM src s
+      |  WHERE s.event_id NOT IN (SELECT event_id FROM tgt))
+      |SELECT COALESCE(src_tag, '_none') AS tag,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM final GROUP BY 1
+      |UNION ALL
+      |SELECT '_v0', count(*), CAST(sum(cents) AS BIGINT) FROM tgt
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Oracle-gated BATCH CHANGE FEED through the SQL front door:
   // `graft.t__changes` is Delta's table_changes spelled as a table name —
   // plain SQL over it returns every version's change rows (insert /
@@ -2002,6 +2068,7 @@ object Sources {
     "q_txn_sql_dml" -> txnSqlDml _,
     "q_txn_sql_types" -> txnSqlTypes _,
     "q_txn_sql_cdf" -> txnSqlCdf _,
+    "q_txn_merge_evolve" -> txnMergeEvolve _,
     "q_txn_drop" -> txnDrop _,
   )
   val oracleSql: Map[String, String] = Map(
@@ -2038,6 +2105,7 @@ object Sources {
     "q_txn_sql_dml" -> txnSqlDmlSql,
     "q_txn_sql_types" -> txnSqlTypesSql,
     "q_txn_sql_cdf" -> txnSqlCdfSql,
+    "q_txn_merge_evolve" -> txnMergeEvolveSql,
     "q_txn_drop" -> txnDropSql,
   )
 }

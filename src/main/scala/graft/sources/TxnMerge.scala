@@ -112,7 +112,8 @@ private[sources] object MergeMulti {
           matched: Seq[MergeClause], notMatched: Seq[MergeClause],
           notMatchedBySource: Seq[MergeClause],
           cdf: Boolean, mor: Boolean, rewriteFraction: Double,
-          driverDvBudgetBytes: Long): Long = casRetry("mergeMulti") {
+          driverDvBudgetBytes: Long,
+          schemaEvolution: Boolean = false): Long = casRetry("mergeMulti") {
     matched.foreach {
       case _: Update | _: UpdateAll | _: Delete => ()
       case c => sys.error(s"WHEN MATCHED supports UPDATE/DELETE, got $c")
@@ -131,8 +132,40 @@ private[sources] object MergeMulti {
       s"rewriteFraction must be in (0,1], got $rewriteFraction")
     val v = latestVersion(root) + 1
     require(v > 0, s"$root is not a TxnTable (no _txn_log)")
-    val (schema, pcs) = readMeta(root).getOrElse(
+    val (schema0, pcs) = readMeta(root).getOrElse(
       sys.error(s"$root has no metaData to merge into"))
+    // WITH SCHEMA EVOLUTION (the Delta rule): source columns absent from
+    // the target join the schema IN THIS COMMIT (one metaData action
+    // alongside the adds — never a separate version) when a * action
+    // exists or an assignment names them. Existing files read null for
+    // the new columns, exactly like addColumn.
+    val evolved: Seq[StructField] =
+      if (!schemaEvolution) Seq.empty
+      else {
+        require(colMapping(schema0).isEmpty,
+          "MERGE WITH SCHEMA EVOLUTION on a column-mapped table is not " +
+            "supported — ALTER TABLE ... ADD COLUMN first")
+        val all = matched ++ notMatched ++ notMatchedBySource
+        val starred = all.exists {
+          case _: UpdateAll | _: InsertAll => true
+          case _ => false
+        }
+        val assigned = all.flatMap {
+          case Update(_, set) => set.keys
+          case Insert(_, values) => values.keys
+          case _ => Nil
+        }.toSet
+        source.schema.fields.toSeq
+          .filter(f => !schema0.fieldNames.contains(f.name) &&
+            (starred || assigned.contains(f.name)))
+          .map(f => StructField(f.name, f.dataType, nullable = true))
+      }
+    val schema = StructType(schema0.fields ++ evolved)
+    // pre-evolution target rows expose the new columns as null so every
+    // clause expression resolves against them
+    def padEvolved(df: DataFrame): DataFrame =
+      evolved.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
     // partition columns never move between directories in-place; SET keys
     // must name real columns (a typo'd target would otherwise no-op
     // silently — imageCols only applies keys it finds in the schema)
@@ -158,7 +191,7 @@ private[sources] object MergeMulti {
         StructType(schema.fields ++ extra))
 
     // ---- pass 1: classify --------------------------------------------------
-    val tgt = readFilesTagged(spark, root, live, v - 1, rowIndex = true)
+    val tgt = padEvolved(readFilesTagged(spark, root, live, v - 1, rowIndex = true))
       .withColumn("_tp", lit(true)).alias(targetAlias)
     val src = source.withColumn("_sp", lit(true)).alias(sourceAlias)
     val j = tgt.join(src, condition, "full_outer")
@@ -237,8 +270,8 @@ private[sources] object MergeMulti {
       // carried duplicates are bitwise identical (BY-SOURCE clauses never
       // fire on matched rows and see no source columns by contract).
       val needDedup = matched.isEmpty && !imagesOnly
-      val inT = readFilesTagged(spark, root,
-        files.map(byFile), v - 1, rowIndex = needDedup)
+      val inT = padEvolved(readFilesTagged(spark, root,
+        files.map(byFile), v - 1, rowIndex = needDedup))
         .withColumn("_tp", lit(true)).alias(targetAlias)
       val jb = inT.join(src, condition, "left_outer")
       val m = when(sp, mIdx).otherwise(lit(-1))

@@ -422,10 +422,11 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
                  targetAlias: String = "t", sourceAlias: String = "s",
                  cdf: Boolean = false, mor: Boolean = false,
                  rewriteFraction: Double = 0.1,
-                 driverDvBudgetBytes: Long = DvDriverBudgetBytes): Long =
+                 driverDvBudgetBytes: Long = DvDriverBudgetBytes,
+                 schemaEvolution: Boolean = false): Long =
     MergeMulti.run(spark, root, source, condition, targetAlias, sourceAlias,
       matched, notMatched, notMatchedBySource, cdf, mor, rewriteFraction,
-      driverDvBudgetBytes)
+      driverDvBudgetBytes, schemaEvolution)
 
   /** MERGE-ON-READ MERGE: the keyed upsert of [[merge]] with [[deleteDv]]'s
     * write-amplification fix composed in. Rows a delta key REPLACES are

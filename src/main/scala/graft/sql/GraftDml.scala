@@ -184,19 +184,35 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m @ MergeIntoTable(target, source, cond,
         matchedActions, notMatchedActions, notMatchedBySourceActions, withSchemaEvolution)
         if source.resolved && graftTarget(target).isDefined =>
-      require(!withSchemaEvolution,
-        "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables; " +
-          "widen the table first (ALTER TABLE ... TYPE / appendEvolve)")
       val t = graftTarget(target).get
       val tAlias = aliasOf(target, "t")
       val sAlias = aliasOf(source, "s")
+      // WITH SCHEMA EVOLUTION: by the time this rule fires, the analyzer
+      // has usually expanded `UPDATE SET *` / `INSERT *` into explicit
+      // assignments over the OLD target columns — the new source columns
+      // are re-attached here (UpdateAction keeps a fromStar marker;
+      // INSERT actions whose assignments cover every target column are
+      // star-shaped) and the merge engine widens the schema in the SAME
+      // commit. Explicit non-star assignments never auto-extend.
+      val targetCols = t.schema().fieldNames.toSet
+      val evolveSet: Map[String, Column] =
+        if (!withSchemaEvolution) Map.empty
+        else source.output.map(_.name).distinct
+          .filterNot(targetCols.contains)
+          .map(n => n -> org.apache.spark.sql.functions.col(s"$sAlias.$n"))
+          .toMap
       def clause(a: MergeAction): MergeClause = a match {
-        case UpdateAction(c, assigns, _) =>
-          MergeClause.Update(c.map(toColumn(_)), assignMap(assigns))
+        case UpdateAction(c, assigns, fromStar) =>
+          val base = assignMap(assigns)
+          MergeClause.Update(c.map(toColumn(_)),
+            if (fromStar) base ++ evolveSet else base)
         case UpdateStarAction(c) => MergeClause.UpdateAll(c.map(toColumn(_)))
         case DeleteAction(c) => MergeClause.Delete(c.map(toColumn(_)))
         case InsertAction(c, assigns) =>
-          MergeClause.Insert(c.map(toColumn(_)), assignMap(assigns))
+          val base = assignMap(assigns)
+          val starShaped = targetCols.forall(base.contains)
+          MergeClause.Insert(c.map(toColumn(_)),
+            if (starShaped) base ++ evolveSet else base)
         case InsertStarAction(c) => MergeClause.InsertAll(c.map(toColumn(_)))
         case other => sys.error(s"unsupported MERGE action $other")
       }
@@ -209,7 +225,8 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         TxnTable.mergeMulti(spark, t.root,
           org.apache.spark.sql.GraftColumnExpr.ofRows(spark, source),
           mergeCond, matched = mc, notMatched = nc, notMatchedBySource = nbc,
-          targetAlias = tAlias, sourceAlias = sAlias, mor = mor(spark))))
+          targetAlias = tAlias, sourceAlias = sAlias, mor = mor(spark),
+          schemaEvolution = withSchemaEvolution)))
   }
 }
 

@@ -197,6 +197,28 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       (1 to 100).map(_ * 10L).sum)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source columns through SQL") {
+    import spark.implicits._
+    val root = mount("sev"); seed(root) // (id, cents)
+    (40 to 110).map(i => (i.toLong, i * 100L, s"f$i"))
+      .toDF("id", "cents", "flag").createOrReplaceTempView("sev_src")
+    val v = spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.sev AS t USING sev_src AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin).head.getLong(0)
+    assert(v == 1L)
+    assert(spark.sql("SELECT * FROM graft.sev").columns.toSeq ==
+      Seq("id", "cents", "flag"))
+    val got = spark.sql("SELECT id, cents, flag FROM graft.sev").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(got.size == 110)
+    assert(got(50L) == ((5000L, Some("f50"))))  // matched: updated + tagged
+    assert(got(110L) == ((11000L, Some("f110")))) // inserted
+    assert(got(10L) == ((100L, None)))          // carried: null new column
+  }
+
   test("DESCRIBE DETAIL and SHOW CREATE TABLE serve the metadata surface") {
     import spark.implicits._
     val root = mount("det")

@@ -264,6 +264,52 @@ class MergeMultiSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unknown column nope"))
   }
 
+  test("WITH SCHEMA EVOLUTION: * actions add source columns in ONE commit") {
+    import spark.implicits._
+    val root = tbl(); target(root) // (id, v, grp)
+    val s2 = (9 to 12).map(i => (i.toLong, i * 1000L, "star", s"tag$i"))
+      .toDF("id", "v", "grp", "tag")
+    TxnTable.mergeMulti(spark, root, s2,
+      condition = col("t.id") === col("s.id"),
+      matched = Seq(UpdateAll(None)),
+      notMatched = Seq(InsertAll(None)),
+      schemaEvolution = true)
+    assert(TxnTable.latestVersion(root) == 1L,
+      "evolution must ride the merge commit, not a separate version")
+    assert(TxnTable.read(spark, root).columns.toSeq == Seq("id", "v", "grp", "tag"))
+    val got = TxnTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got(9L).contains("tag9") && got(10L).contains("tag10"))
+    assert(got(11L).contains("tag11") && got(12L).contains("tag12"))
+    assert(got(1L).isEmpty && got(8L).isEmpty, "carried rows read null")
+    // time travel below the merge still has the old schema
+    assert(TxnTable.readVersion(spark, root, 0L).columns.toSeq ==
+      Seq("id", "v", "grp"))
+  }
+
+  test("WITH SCHEMA EVOLUTION: same-named assignments evolve; unknown names " +
+    "still refuse") {
+    import spark.implicits._
+    val root = tbl(); target(root)
+    val s2 = (5 to 6).map(i => (i.toLong, s"n$i")).toDF("id", "note")
+    TxnTable.mergeMulti(spark, root, s2,
+      condition = col("t.id") === col("s.id"),
+      matched = Seq(Update(None, Map("note" -> col("s.note")))),
+      schemaEvolution = true)
+    val got = TxnTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got(5L).contains("n5") && got(6L).contains("n6"))
+    assert(got(1L).isEmpty)
+    // a new column the source does not carry cannot infer a type — loud
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.mergeMulti(spark, root, s2,
+        condition = col("t.id") === col("s.id"),
+        matched = Seq(Update(None, Map("other" -> lit(1L)))),
+        schemaEvolution = true)
+    }
+    assert(e.getMessage.contains("unknown column other"))
+  }
+
   test("no-op merge commits an audited empty version") {
     import spark.implicits._
     val root = tbl(); target(root)
