@@ -147,8 +147,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   }
 
   /** CREATE TABLE (and the table half of CTAS): an empty v0 commit fixing
-    * the schema. Identity partition transforms become the hive layout
-    * [[TxnTable.appendPartitioned]] maintains. */
+    * the schema, the hive layout (identity partition transforms), and any
+    * user TBLPROPERTIES — all in the one create commit. Spark's reserved
+    * engine properties (provider/location/owner/...) never persist. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
@@ -161,7 +162,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       t.references.head.fieldNames.mkString(".")
     }
     GraftCatalog.checkSchemaSupported(ident.toString, schema)
-    TxnTable.create(SparkSession.active, root, schema, pcs)
+    TxnTable.create(SparkSession.active, root, schema, pcs,
+      GraftCatalog.userProperties(properties))
     new GraftTable(root, TxnTable.latestVersion(root), ident.toString)
   }
 
@@ -250,7 +252,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       t.references.head.fieldNames.mkString(".")
     }
     val staging = s"$root.__stage-${java.util.UUID.randomUUID().toString.take(8)}"
-    TxnTable.create(SparkSession.active, staging, schema, pcs)
+    TxnTable.create(SparkSession.active, staging, schema, pcs,
+      GraftCatalog.userProperties(info.properties()))
     new GraftStagedTable(root, staging, ident.toString)
   }
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
@@ -269,6 +272,17 @@ object GraftCatalog {
   final case class ScanReport(root: String, version: Long,
                               filesKept: Int, filesTotal: Int,
                               pushed: Seq[String], projected: Seq[String])
+
+  /** TBLPROPERTIES minus Spark's reserved/engine keys — what persists in
+    * the table config at CREATE/stage time. */
+  private[sources] def userProperties(props: JMap[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val reserved = Set("provider", "location", "owner", "external", "comment",
+      "option.path", "path", "is_managed_location")
+    props.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k.toLowerCase(java.util.Locale.ROOT)) ||
+        k.startsWith("option.") }
+  }
 
   /** The flat-type matrix the catalog read path serves. Checked at TABLE
     * resolution (create/load), never mid-scan — a user with an
@@ -387,7 +401,10 @@ final class GraftTable(val root: String, val snapshotVersion: Long, identString:
   override def partitioning(): Array[Transform] =
     pcs.map(Expressions.identity).toArray
   override def properties(): JMap[String, String] = {
+    // table config first (SHOW TBLPROPERTIES reads this map), then the
+    // engine-informational keys
     val m = new java.util.HashMap[String, String]()
+    TxnTable.readTableConfig(root).foreach { case (k, v) => m.put(k, v) }
     m.put("path", root); m.put("version", snapshotVersion.toString)
     m
   }

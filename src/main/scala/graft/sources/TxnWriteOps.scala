@@ -21,7 +21,8 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
     * readable from birth (a zero-row scan, not an error) — the CREATE
     * TABLE half of the SQL surface's CTAS. */
   def create(spark: SparkSession, root: String, schema: StructType,
-             partCols: Seq[String] = Nil): Long = {
+             partCols: Seq[String] = Nil,
+             properties: Map[String, String] = Map.empty): Long = {
     require(latestVersion(root) < 0, s"$root already has a _txn_log")
     require(partCols.forall(schema.fieldNames.contains),
       s"partition columns ${partCols.mkString(",")} must exist in the schema")
@@ -30,7 +31,8 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
       .repartition(1)
     val adds = writeDataFiles(empty, root, 0, check = false)
     commit(root, 0, "create", adds, Seq.empty,
-      schemaJson = Some(schema.json), partCols = partCols)
+      schemaJson = Some(schema.json), partCols = partCols,
+      extraConfig = if (properties.isEmpty) None else Some(properties))
     0L
   }
 

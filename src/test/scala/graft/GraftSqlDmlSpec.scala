@@ -245,6 +245,43 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(stmt.contains("'graft.owner' = 'etl'"), stmt)
   }
 
+  test("TBLPROPERTIES persist from CREATE/CTAS; SHOW TBLPROPERTIES serves them") {
+    mount("props")
+    spark.sql("CREATE TABLE graft.props (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.owner' = 'etl', 'graft.tier' = 'gold')")
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.owner").contains("etl"), shown)
+    assert(shown.get("graft.tier").contains("gold"), shown)
+    val stmt = spark.sql("SHOW CREATE TABLE graft.props").head.getString(0)
+    assert(stmt.contains("'graft.owner' = 'etl'"), stmt)
+    // one commit: properties ride the create, not follow-up versions
+    assert(graft.sources.TxnTable.latestVersion(
+      spark.conf.get("graft.catalog.path.props")) == 0L)
+    // CTAS carries them too (through the staging path)
+    mount("props2")
+    spark.sql("CREATE TABLE graft.props2 TBLPROPERTIES ('graft.owner' = 'ds') " +
+      "AS SELECT 1L AS id")
+    assert(spark.sql("SHOW TBLPROPERTIES graft.props2").collect()
+      .exists(r => r.getString(0) == "graft.owner" && r.getString(1) == "ds"))
+  }
+
+  test("DELETE/UPDATE with IN-subquery conditions lower correctly") {
+    import spark.implicits._
+    val root = mount("subq"); seed(root) // ids 1..100, cents = id*10
+    (1 to 100).filter(_ % 9 == 0).map(i => Tuple1(i.toLong))
+      .toDF("kid").createOrReplaceTempView("subq_kill")
+    spark.sql("DELETE FROM graft.subq WHERE id IN (SELECT kid FROM subq_kill)")
+    val left = spark.sql("SELECT id FROM graft.subq").collect()
+      .map(_.getLong(0)).toSet
+    assert(left == (1 to 100).filterNot(_ % 9 == 0).map(_.toLong).toSet)
+    spark.sql("UPDATE graft.subq SET cents = 0 " +
+      "WHERE id IN (SELECT kid - 1 FROM subq_kill)")
+    val zeroed = spark.sql("SELECT id FROM graft.subq WHERE cents = 0")
+      .collect().map(_.getLong(0)).toSet
+    assert(zeroed == (1 to 100).filter(i => (i + 1) % 9 == 0).map(_.toLong).toSet)
+  }
+
   test("SHOW TABLES lists TxnTable roots under the catalog root dir") {
     val base = Files.createTempDirectory("graft_showt")
     spark.conf.set("spark.sql.catalog.graft.root", base.toString)
