@@ -127,6 +127,22 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 11L)
   }
 
+  test("INSERT column lists and static PARTITION clauses align by name") {
+    mount("insv")
+    spark.sql("CREATE TABLE graft.insv (id BIGINT, v BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    // reordered column list: values must land by NAME, not position
+    spark.sql("INSERT INTO graft.insv (grp, id, v) VALUES ('a', 1, 10), ('b', 2, 20)")
+    // static partition value + partial column list
+    spark.sql("INSERT INTO graft.insv PARTITION (grp = 'c') (id, v) VALUES (3, 30)")
+    // unnamed nullable columns fill with null
+    spark.sql("INSERT INTO graft.insv (id, grp) VALUES (4, 'd')")
+    val got = spark.sql("SELECT id, v, grp FROM graft.insv ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 10L, "a"), (2L, 20L, "b"),
+      (3L, 30L, "c"), (4L, -1L, "d")), got.toSeq)
+  }
+
   test("CREATE TABLE + CTAS through the catalog") {
     val root = mount("ct")
     spark.sql("CREATE TABLE graft.ct (id BIGINT, payload STRING) USING graft")
