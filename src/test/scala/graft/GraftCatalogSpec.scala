@@ -472,6 +472,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       GraftCatalog.lastScanReport.get.filesTotal)
   }
 
+  test("decimal widening (precision + scale) reads exactly on both paths") {
+    import spark.implicits._
+    val root = mount("decw")
+    val d = (1 to 40).map(i => (i.toLong, new java.math.BigDecimal(s"$i.25")))
+      .toDF("id", "amt").withColumn("amt", col("amt").cast("decimal(10,2)"))
+    TxnTable.append(d.coalesce(1), root)
+    TxnTable.widenColumn(spark, root, "amt",
+      org.apache.spark.sql.types.DecimalType(14, 4))
+    TxnTable.append((41 to 45).map(i => (i.toLong, new java.math.BigDecimal(s"$i.1234")))
+      .toDF("id", "amt").withColumn("amt", col("amt").cast("decimal(14,4)"))
+      .coalesce(1), root)
+    def readAll(): Map[Long, java.math.BigDecimal] =
+      spark.sql("SELECT id, amt FROM graft.decw").collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val vec = readAll()
+    assert(vec(7L).compareTo(new java.math.BigDecimal("7.25")) == 0, vec(7L))
+    assert(vec(43L).compareTo(new java.math.BigDecimal("43.1234")) == 0)
+    assert(spark.sql("SELECT CAST(sum(amt) * 10000 AS BIGINT) AS s FROM graft.decw")
+      .head.getLong(0) ==
+      (1 to 40).map(i => i * 10000L + 2500L).sum + (41 to 45).map(i => i * 10000L + 1234L).sum)
+    // the row fallback decodes the same values
+    spark.conf.set("graft.catalog.vectorized", "false")
+    try assert(readAll() == vec)
+    finally spark.conf.unset("graft.catalog.vectorized")
+  }
+
   test("legacy INT96 timestamps read correctly through the catalog") {
     import spark.implicits._
     val root = mount("i96")
