@@ -725,7 +725,7 @@ final class GraftVectorReader(p: GraftInputPartition)
       filePos.get(i).getOrElse(fileIdx.length + partPos(i))).toArray
   }
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val conf = GroupDecode.freshConf()
   conf.set("parquet.read.support.class",
     "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
   conf.set("org.apache.spark.sql.parquet.row.requested_schema", physFile.json)
@@ -837,7 +837,7 @@ final class GraftRowReader(p: GraftInputPartition)
   }
   private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
     new org.apache.hadoop.fs.Path(p.path),
-    new org.apache.hadoop.conf.Configuration()))
+    GroupDecode.freshConf()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   // project the file read to the requested columns that exist in the file
   private val wanted = physNames.filter(fileSchema.containsField)

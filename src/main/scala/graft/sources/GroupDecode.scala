@@ -18,6 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (INT32→long, FLOAT→double). */
 private[sources] object GroupDecode {
 
+  /** One parsed Hadoop configuration per JVM (core-default/core-site XML
+    * parse is milliseconds); every reader takes a cheap COPY — at
+    * thousands of tasks per scan, per-reader re-parsing is pure waste. */
+  private lazy val baseConf = new org.apache.hadoop.conf.Configuration()
+  private[sources] def freshConf(): org.apache.hadoop.conf.Configuration =
+    new org.apache.hadoop.conf.Configuration(baseConf)
+
+
   /** Decode field `fi` (repetition already checked non-empty) of `g` under
     * requested Spark type `dt`; `prim` is the FILE's primitive type for
     * that field (physical encoding + logical annotation). */

@@ -820,7 +820,7 @@ private[sources] trait TxnLogOps { self: TxnTable.type =>
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration()))
+      GroupDecode.freshConf()))
     try {
       val blocks = rd.getFooter.getBlocks.asScala.toSeq
       val numRecords = blocks.map(_.getRowCount).sum

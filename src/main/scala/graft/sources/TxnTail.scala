@@ -247,7 +247,7 @@ final class TxnTailReader(p: TxnTailPartition)
   }
   private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
     new org.apache.hadoop.fs.Path(p.path),
-    new org.apache.hadoop.conf.Configuration()))
+    GroupDecode.freshConf()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var remaining = 0L
