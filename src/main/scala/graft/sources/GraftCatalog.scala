@@ -87,29 +87,53 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     }
   }
 
+  /** Latest version at `root`, first completing any REPLACE a writer
+    * crashed mid-swap on (see [[GraftStagedTable.commitStagedChanges]]'s
+    * intent marker). */
+  private def latestRecovered(root: String): Long = {
+    val v = TxnTable.latestVersion(root)
+    if (v >= 0) v
+    else { GraftCatalog.recoverReplace(root); TxnTable.latestVersion(root) }
+  }
+
+  /** The change-feed spelling `graft.t__changes` applies only when no REAL
+    * table claims the suffixed name — an explicit mount or an existing
+    * table named `x__changes` always wins over the feed interpretation. */
+  private def cdfBaseRoot(ident: Identifier): Option[String] =
+    if (!ident.name().endsWith("__changes")) None
+    else {
+      val selfTaken =
+        try TxnTable.latestVersion(rootFor(ident)) >= 0
+        catch { case _: RuntimeException => false }
+      if (selfTaken) None
+      else Some(rootFor(Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("__changes"))))
+    }
+
   override def loadTable(ident: Identifier): Table = {
     // `graft.t__changes` — the streaming CHANGE FEED of `graft.t` as its
     // own table name (schema + _change_type + _commit_version). A table
     // NAME because Spark fixes a streaming relation's schema from
     // Table.schema() at analysis, before any read option reaches the
     // scan — the Delta `table_changes` idea, spelled as an identifier.
-    if (ident.name().endsWith("__changes")) {
-      val base = Identifier.of(ident.namespace(), ident.name().stripSuffix("__changes"))
-      val root = rootFor(base)
-      val latest = TxnTable.latestVersion(root)
+    cdfBaseRoot(ident).foreach { root =>
+      val latest = latestRecovered(root)
       if (latest < 0) throw new NoSuchTableException(ident)
       return new GraftTable(root, latest, ident.toString, cdf = true)
     }
     val root = rootFor(ident)
-    val latest = TxnTable.latestVersion(root)
+    val latest = latestRecovered(root)
     if (latest < 0) throw new NoSuchTableException(ident)
     new GraftTable(root, latest, ident.toString)
   }
 
   /** `VERSION AS OF v` — Spark's time-travel analysis lands here. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    if (cdfBaseRoot(ident).isDefined) throw new UnsupportedOperationException(
+      s"graft catalog: time travel is not supported on change feeds ($ident)" +
+        " — bound the range with startingVersion/endingVersion instead")
     val root = rootFor(ident)
-    val latest = TxnTable.latestVersion(root)
+    val latest = latestRecovered(root)
     if (latest < 0) throw new NoSuchTableException(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException =>
@@ -122,8 +146,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   /** `TIMESTAMP AS OF ts` — micros in, resolved to the newest commit at or
     * before the instant ([[TxnTable.versionAsOf]] semantics). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (cdfBaseRoot(ident).isDefined) throw new UnsupportedOperationException(
+      s"graft catalog: time travel is not supported on change feeds ($ident)" +
+        " — bound the range with startingVersion/endingVersion instead")
     val root = rootFor(ident)
-    if (TxnTable.latestVersion(root) < 0) throw new NoSuchTableException(ident)
+    if (latestRecovered(root) < 0) throw new NoSuchTableException(ident)
     new GraftTable(root, TxnTable.versionAsOf(root, timestampMicros / 1000L), ident.toString)
   }
 
@@ -162,6 +189,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       t.references.head.fieldNames.mkString(".")
     }
     GraftCatalog.checkSchemaSupported(ident.toString, schema)
+    GraftCatalog.checkPartitionCols(ident.toString, schema, pcs)
     TxnTable.create(SparkSession.active, root, schema, pcs,
       GraftCatalog.userProperties(properties))
     new GraftTable(root, TxnTable.latestVersion(root), ident.toString)
@@ -218,7 +246,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     if (TxnTable.latestVersion(root) < 0) return false
     val stamp = System.currentTimeMillis()
     import java.nio.file.{Files => JFiles, Paths => JPaths}
-    Seq("_txn_log", "_delta_log").foreach { d =>
+    // the MIRROR tombstones first: `_txn_log` is the existence authority
+    // (latestVersion), so a failure between the two moves leaves a table
+    // that still fully resolves (mirror missing — rebuildable derived
+    // state), never a name that CREATE would reclaim on top of a stale
+    // `_delta_log` mixing two tables' mirror histories.
+    Seq("_delta_log", "_txn_log").foreach { d =>
       val p = JPaths.get(root, d)
       if (JFiles.isDirectory(p))
         JFiles.move(p, JPaths.get(root, s"$d.dropped-$stamp"))
@@ -233,8 +266,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ---------------------------
   // The staged table lives in a SIBLING directory (same filesystem) and
   // becomes the real table by ONE atomic directory move at commit — a
-  // failed or aborted CTAS leaves no half-written table behind, and a
-  // REPLACE swaps old for new without a window where neither exists.
+  // failed or aborted CTAS leaves no half-written table behind. A REPLACE
+  // needs TWO moves (old aside, new in); a durable intent marker brackets
+  // them, and any resolution that finds the target missing completes the
+  // swap from the marker (recoverReplace) — so no reader ever OBSERVES a
+  // window where neither table exists, even across a writer crash.
   private def stage(ident: Identifier, info: TableInfo, mode: String): StagedTable = {
     val root = rootFor(ident)
     val exists = TxnTable.latestVersion(root) >= 0
@@ -251,6 +287,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         s"graft catalog: only identity partition transforms are supported, got $t")
       t.references.head.fieldNames.mkString(".")
     }
+    GraftCatalog.checkPartitionCols(ident.toString, schema, pcs)
     val staging = s"$root.__stage-${java.util.UUID.randomUUID().toString.take(8)}"
     TxnTable.create(SparkSession.active, staging, schema, pcs,
       GraftCatalog.userProperties(info.properties()))
@@ -284,22 +321,73 @@ object GraftCatalog {
         k.startsWith("option.") }
   }
 
-  /** The flat-type matrix the catalog read path serves. Checked at TABLE
-    * resolution (create/load), never mid-scan — a user with an
-    * out-of-matrix table gets one clear error at `graft.t`, not a task
-    * failure three stages in. The native Scala API has no such limit. */
+  /** The type matrix the catalog read path serves: the full flat set plus
+    * one level of ARRAY over it (the engine's own embeddings tier is
+    * `ARRAY<FLOAT>`). Checked at TABLE resolution (create/load), never
+    * mid-scan — a user with an out-of-matrix table gets one clear error at
+    * `graft.t`, not a task failure three stages in. The native Scala API
+    * has no such limit. */
+  private def flatSupported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType | _: DecimalType => true
+    case _ => false
+  }
   private[sources] def checkSchemaSupported(ident: String, schema: StructType): Unit =
     schema.fields.foreach { f =>
       f.dataType match {
-        case LongType | IntegerType | ShortType | ByteType | DoubleType |
-             FloatType | BooleanType | StringType | BinaryType | DateType |
-             TimestampType | TimestampNTZType | _: DecimalType => ()
+        case dt if flatSupported(dt) => ()
+        case ArrayType(et, _) if flatSupported(et) => ()
         case dt => throw new UnsupportedOperationException(
           s"graft catalog: table $ident column ${f.name} has type " +
             s"${dt.sql}, which the SQL read path does not serve " +
-            "(nested/interval types) — read it through the Scala API " +
-            "(TxnTable.read) instead")
+            "(maps/structs/nested arrays/interval types) — read it " +
+            "through the Scala API (TxnTable.read) instead")
       }
+    }
+
+  private[graft] def replaceIntentPath(root: String): String =
+    s"$root.__replace-intent"
+
+  /** Complete a REPLACE a writer crashed between its two moves on: the
+    * intent marker names the staged table and the tombstoned predecessor.
+    * If the staged directory still exists it is PROMOTED (the replace
+    * finishes — its content was complete before the marker was written);
+    * if something already consumed it, the predecessor restores. Both
+    * paths are single atomic renames, so concurrent recoverers race
+    * harmlessly (the loser's rename fails and the table resolves). Called
+    * only when the target does not resolve; a live commit in its window
+    * is indistinguishable from a crashed one, and completing the swap is
+    * exactly what that committer was about to do (it tolerates the move
+    * being done for it). */
+  private[sources] def recoverReplace(root: String): Unit = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val marker = JPaths.get(replaceIntentPath(root))
+    if (!JFiles.exists(marker)) return
+    val m = try MiniJson.parse(new String(JFiles.readAllBytes(marker),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+    catch { case _: Exception => return } // torn marker: tmp+move makes this unreachable
+    val staging = JPaths.get(m("staging").asInstanceOf[String])
+    val replaced = JPaths.get(m("replaced").asInstanceOf[String])
+    val target = JPaths.get(root)
+    try {
+      if (TxnTable.latestVersion(staging.toString) >= 0)
+        JFiles.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      else if (TxnTable.latestVersion(replaced.toString) >= 0)
+        JFiles.move(replaced, target, StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: java.nio.file.FileSystemException => () /* lost the race */ }
+    if (TxnTable.latestVersion(root) >= 0) JFiles.deleteIfExists(marker)
+  }
+
+  /** Partition columns must be FLAT (hive-path-encodable) — an array can
+    * be a data column but never a layout key. */
+  private[sources] def checkPartitionCols(ident: String, schema: StructType,
+                                          pcs: Seq[String]): Unit =
+    pcs.foreach { c =>
+      schema.fields.find(_.name == c).foreach(f =>
+        require(flatSupported(f.dataType),
+          s"graft catalog: table $ident partition column $c has type " +
+            s"${f.dataType.sql}, which cannot hive-path-encode"))
     }
 
   /** Decode one hive-path-encoded partition value to its Spark-internal
@@ -359,11 +447,31 @@ final class GraftStagedTable(targetRoot: String, stagingRoot: String,
     val target = JPaths.get(targetRoot)
     Option(target.toAbsolutePath.getParent).foreach(JFiles.createDirectories(_))
     if (TxnTable.latestVersion(targetRoot) >= 0) {
-      // REPLACE: the predecessor moves aside whole — never deleted
-      JFiles.move(target,
-        JPaths.get(s"$targetRoot.__replaced-${System.currentTimeMillis()}"))
+      // REPLACE is two directory moves (aside, then in) — not atomic
+      // together. A durable INTENT MARKER brackets the window: written
+      // before the first move, deleted after the second, it lets any
+      // reader that finds the target missing finish the swap itself
+      // ([[GraftCatalog.recoverReplace]]) instead of seeing no table. The
+      // marker is written atomically (tmp + move), and both moves are
+      // atomic renames, so every crash point leaves either the old table,
+      // a recoverable marker state, or the new table.
+      val replaced = s"$targetRoot.__replaced-${System.currentTimeMillis()}"
+      val marker = JPaths.get(GraftCatalog.replaceIntentPath(targetRoot))
+      val mTmp = JPaths.get(s"$targetRoot.__replace-intent.tmp")
+      JFiles.write(mTmp, s"""{"staging":"${TxnTable.esc(stagingRoot)}","replaced":"${TxnTable.esc(replaced)}"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      JFiles.move(mTmp, marker, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      JFiles.move(target, JPaths.get(replaced)) // predecessor aside — never deleted
+      try JFiles.move(JPaths.get(stagingRoot), target, StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: java.nio.file.NoSuchFileException =>
+        // a concurrent reader already completed the swap via the marker
+        if (TxnTable.latestVersion(targetRoot) < 0) throw e
+      }
+      JFiles.deleteIfExists(marker)
+    } else {
+      JFiles.move(JPaths.get(stagingRoot), target, StandardCopyOption.ATOMIC_MOVE)
     }
-    JFiles.move(JPaths.get(stagingRoot), target, StandardCopyOption.ATOMIC_MOVE)
   }
   override def abortStagedChanges(): Unit = {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
@@ -898,7 +1006,7 @@ final class GraftRowReader(p: GraftInputPartition)
           if (current.getFieldRepetitionCount(fi) == 0) null
           else {
             GroupDecode.value(current, fi,
-              requested.getType(fi).asPrimitiveType(), f.dataType)
+              requested.getType(fi), f.dataType)
           }
         }
       i += 1

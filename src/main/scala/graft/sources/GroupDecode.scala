@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Type}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -12,10 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * and batch change feed). Covers the full flat type surface the catalog
   * serves: integral/floating/boolean/string/binary, DATE (INT32 epoch
   * days), TIMESTAMP and TIMESTAMP_NTZ (INT96 julian or annotated INT64 in
-  * millis/micros/nanos → epoch micros), and DECIMAL (INT32/INT64/binary
-  * unscaled at the FILE's declared scale, rescaled to the table's), plus
-  * the narrow-file up-conversions type widening leaves behind
-  * (INT32→long, FLOAT→double). */
+  * millis/micros/nanos → epoch micros), DECIMAL (INT32/INT64/binary
+  * unscaled at the FILE's declared scale, rescaled to the table's), and
+  * one-level ARRAY over any of those (standard 3-level parquet lists plus
+  * the legacy 2-level shapes), plus the narrow-file up-conversions type
+  * widening leaves behind (INT32→long, FLOAT→double). */
 private[sources] object GroupDecode {
 
   /** One parsed Hadoop configuration per JVM (core-default/core-site XML
@@ -27,36 +29,75 @@ private[sources] object GroupDecode {
 
 
   /** Decode field `fi` (repetition already checked non-empty) of `g` under
-    * requested Spark type `dt`; `prim` is the FILE's primitive type for
-    * that field (physical encoding + logical annotation). */
-  def value(g: Group, fi: Int, prim: PrimitiveType, dt: DataType): Any = {
+    * requested Spark type `dt`; `typ` is the FILE's type for that field —
+    * a primitive (physical encoding + logical annotation) for flat
+    * columns, a LIST-annotated group for `ArrayType` columns. */
+  def value(g: Group, fi: Int, typ: Type, dt: DataType): Any = dt match {
+    case ArrayType(et, _) =>
+      // parquet list shapes: the STANDARD 3-level form Spark writes —
+      //   optional group col (LIST) { repeated group list { <el> element } }
+      // — plus the legacy 2-level forms (repeated primitive directly, or a
+      // repeated single-field wrapper group) foreign files may carry.
+      val rep = typ.asGroupType().getType(0)
+      if (rep.isPrimitive) {
+        // legacy: `repeated <primitive> element` lives directly under the
+        // list group — each repetition is one array element, never null
+        val lst = g.getGroup(fi, 0)
+        val n = lst.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          out(i) = primValue(lst, 0, i, rep.asPrimitiveType(), et); i += 1
+        }
+        new GenericArrayData(out)
+      } else {
+        val inner = rep.asGroupType().getType(0)
+        val lst = g.getGroup(fi, 0)
+        val n = lst.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val w = lst.getGroup(0, i) // one per-element wrapper group
+          out(i) =
+            if (w.getFieldRepetitionCount(0) == 0) null // null element
+            else primValue(w, 0, 0, inner.asPrimitiveType(), et)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    case _ => primValue(g, fi, 0, typ.asPrimitiveType(), dt)
+  }
+
+  /** Decode repetition `idx` of primitive field `fi`. */
+  private def primValue(g: Group, fi: Int, idx: Int, prim: PrimitiveType,
+                        dt: DataType): Any = {
     def p = prim.getPrimitiveTypeName
     dt match {
       case LongType =>
-        if (p == PrimitiveTypeName.INT32) g.getInteger(fi, 0).toLong
-        else g.getLong(fi, 0)
-      case IntegerType => g.getInteger(fi, 0)
-      case ShortType   => g.getInteger(fi, 0).toShort
-      case ByteType    => g.getInteger(fi, 0).toByte
+        if (p == PrimitiveTypeName.INT32) g.getInteger(fi, idx).toLong
+        else g.getLong(fi, idx)
+      case IntegerType => g.getInteger(fi, idx)
+      case ShortType   => g.getInteger(fi, idx).toShort
+      case ByteType    => g.getInteger(fi, idx).toByte
       case DoubleType =>
-        if (p == PrimitiveTypeName.FLOAT) g.getFloat(fi, 0).toDouble
-        else g.getDouble(fi, 0)
-      case FloatType   => g.getFloat(fi, 0)
-      case BooleanType => g.getBoolean(fi, 0)
-      case StringType  => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
-      case BinaryType  => g.getBinary(fi, 0).getBytes
-      case DateType    => g.getInteger(fi, 0) // INT32 epoch days
+        if (p == PrimitiveTypeName.FLOAT) g.getFloat(fi, idx).toDouble
+        else g.getDouble(fi, idx)
+      case FloatType   => g.getFloat(fi, idx)
+      case BooleanType => g.getBoolean(fi, idx)
+      case StringType  => UTF8String.fromBytes(g.getBinary(fi, idx).getBytes)
+      case BinaryType  => g.getBinary(fi, idx).getBytes
+      case DateType    => g.getInteger(fi, idx) // INT32 epoch days
       case TimestampType | TimestampNTZType =>
         // Spark internal = Long epoch micros for both; the file carries
         // INT96 (legacy julian) or INT64 in its annotation's unit
         if (p == PrimitiveTypeName.INT96) {
-          val buf = java.nio.ByteBuffer.wrap(g.getInt96(fi, 0).getBytes)
+          val buf = java.nio.ByteBuffer.wrap(g.getInt96(fi, idx).getBytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           val nanosOfDay = buf.getLong
           val julianDay = buf.getInt
           (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
         } else {
-          val v = g.getLong(fi, 0)
+          val v = g.getLong(fi, idx)
           prim.getLogicalTypeAnnotation match {
             case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
               t.getUnit match {
@@ -77,11 +118,11 @@ private[sources] object GroupDecode {
         }
         val jbd = p match {
           case PrimitiveTypeName.INT32 =>
-            java.math.BigDecimal.valueOf(g.getInteger(fi, 0).toLong, fScale)
+            java.math.BigDecimal.valueOf(g.getInteger(fi, idx).toLong, fScale)
           case PrimitiveTypeName.INT64 =>
-            java.math.BigDecimal.valueOf(g.getLong(fi, 0), fScale)
+            java.math.BigDecimal.valueOf(g.getLong(fi, idx), fScale)
           case _ => new java.math.BigDecimal(
-            new java.math.BigInteger(g.getBinary(fi, 0).getBytes), fScale)
+            new java.math.BigInteger(g.getBinary(fi, idx).getBytes), fScale)
         }
         Decimal(jbd.setScale(d.scale), d.precision, d.scale)
       case other => sys.error(s"graft: unsupported column type $other")

@@ -1859,6 +1859,90 @@ object Sources {
       |""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Oracle-gated ARRAY columns through the SQL front door: the engine's
+  // OWN flagship data shape — an `ARRAY<FLOAT>` embeddings TxnTable —
+  // served entirely by literal `spark.sql` over the graft catalog. The
+  // lifecycle exercises BOTH catalog readers on arrays: v0 scans
+  // vectorized (Spark's nested ColumnarBatch path), then a deletion-vector
+  // DELETE forces the row reader (GroupDecode's list branch) for the
+  // current snapshot. The query itself is the brute-force cosine top-k the
+  // Scala tier runs in q_knn_brute (float_dot — the codegen'd fold with
+  // left-to-right double accumulation, bit-identical to the DuckDB
+  // list_reduce replay), plus per-label norm aggregates at both versions
+  // (summed in micro-units so the group-sum is order-independent).
+  // ---------------------------------------------------------------------------
+  def txnSqlEmbed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlembed")
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("graft.catalog.path.emb_t", tmp.toString)
+    try {
+      TxnTable.append(Tables.embeddings(s, dir), tmp.toString)          // v0
+      TxnTable.deleteDv(s, tmp.toString, col("vec_id") % 11L === 3L)    // v1: DV → row path
+      val knn = s.sql(
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+          |           FROM graft.emb_t WHERE vec_id < 8),
+          |c AS (SELECT vec_id AS nid, embedding AS ne FROM graft.emb_t),
+          |scored AS (
+          |  SELECT qid, nid,
+          |         float_dot(qe, ne) /
+          |           (sqrt(float_dot(qe, qe)) * sqrt(float_dot(ne, ne))) AS cosine
+          |  FROM q JOIN c ON qid <> nid),
+          |ranked AS (
+          |  SELECT qid, nid, cosine, row_number() OVER
+          |    (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+          |  FROM scored)
+          |SELECT 'knn' AS kind, qid AS a, CAST(rank AS BIGINT) AS b,
+          |       nid AS c, cosine AS x
+          |FROM ranked WHERE rank <= 3
+          |""".stripMargin)
+      def lbl(kind: String, from: String) = s.sql(
+        s"""SELECT '$kind' AS kind, CAST(label AS BIGINT) AS a,
+           |       count(*) AS b,
+           |       CAST(sum(CAST(floor(sqrt(float_dot(embedding, embedding))
+           |         * 1e6) AS BIGINT)) AS BIGINT) AS c,
+           |       0D AS x
+           |FROM $from GROUP BY label
+           |""".stripMargin)
+      graft.Materialize.eager(
+        knn.unionByName(lbl("lbl", "graft.emb_t"))
+          .unionByName(lbl("lbl0", "graft.emb_t VERSION AS OF 0")))
+    } finally reclaim(tmp)
+  }
+  private val dotEmb =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(%1$s)+1), i -> %1$s[i]::DOUBLE * %2$s[i]::DOUBLE)), (acc, v) -> acc + v)"
+  val txnSqlEmbedSql: String = {
+    def dot(a: String, b: String) = dotEmb.format(a, b)
+    s"""WITH cur AS (SELECT vec_id, embedding, label FROM embeddings
+       |            WHERE vec_id % 11 <> 3),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM cur WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS nid, embedding AS ne FROM cur),
+       |scored AS (
+       |  SELECT qid, nid,
+       |         ${dot("qe", "ne")} /
+       |           (sqrt(${dot("qe", "qe")}) * sqrt(${dot("ne", "ne")})) AS cosine
+       |  FROM q JOIN c ON qid <> nid),
+       |ranked AS (
+       |  SELECT qid, nid, cosine, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+       |  FROM scored)
+       |SELECT 'knn' AS kind, qid AS a, CAST(rank AS BIGINT) AS b,
+       |       nid AS c, cosine AS x
+       |FROM ranked WHERE rank <= 3
+       |UNION ALL
+       |SELECT 'lbl', CAST(label AS BIGINT), CAST(count(*) AS BIGINT),
+       |       CAST(sum(CAST(floor(sqrt(${dot("embedding", "embedding")})
+       |         * 1e6) AS BIGINT)) AS BIGINT), 0.0::DOUBLE
+       |FROM cur GROUP BY label
+       |UNION ALL
+       |SELECT 'lbl0', CAST(label AS BIGINT), CAST(count(*) AS BIGINT),
+       |       CAST(sum(CAST(floor(sqrt(${dot("embedding", "embedding")})
+       |         * 1e6) AS BIGINT)) AS BIGINT), 0.0::DOUBLE
+       |FROM embeddings GROUP BY label
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // Oracle-gated MULTI-CLAUSE MERGE: the full SQL MERGE semantics in one
   // lifecycle. v1 (copy-on-write) uses every clause family at once —
   // conditional WHEN MATCHED UPDATE (even scents add), conditional WHEN
@@ -2070,6 +2154,7 @@ object Sources {
     "q_txn_sql_cdf" -> txnSqlCdf _,
     "q_txn_merge_evolve" -> txnMergeEvolve _,
     "q_txn_drop" -> txnDrop _,
+    "q_txn_sql_embed" -> txnSqlEmbed _,
   )
   val oracleSql: Map[String, String] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtripSql,
@@ -2107,5 +2192,6 @@ object Sources {
     "q_txn_sql_cdf" -> txnSqlCdfSql,
     "q_txn_merge_evolve" -> txnMergeEvolveSql,
     "q_txn_drop" -> txnDropSql,
+    "q_txn_sql_embed" -> txnSqlEmbedSql,
   )
 }

@@ -284,6 +284,85 @@ private[sources] trait TxnLayoutOps { self: TxnTable.type =>
     victims ++ orphans ++ dvVictims ++ dvOrphans
   }
 
+  /** Sweep the LIFECYCLE directories the atomic-swap DDL leaves around a
+    * table root — the disk that grows without bound under repeated
+    * CTAS/REPLACE/DROP cycles and that [[vacuum]] (scoped inside a live
+    * table) never sees:
+    *
+    *  - `<root>.__stage-*` — a CRASHED CTAS's orphan staging table.
+    *    RECLAIMED once every byte in it is older than `olderThan` (an
+    *    in-flight CTAS is actively writing, so its newest mtime is recent)
+    *    and no live replace-intent marker references it.
+    *  - `<root>.__replace-intent` whose target resolves — a STALE marker
+    *    (the swap completed; only a crash between marker write and the
+    *    first move leaves one). Reclaimed past retention: a live commit's
+    *    marker is milliseconds old.
+    *  - `<root>.__replaced-<ts>` — an RTAS-tombstoned predecessor, and
+    *    `_txn_log.dropped-<ts>` / `_delta_log.dropped-<ts>` inside the
+    *    root — DROP tombstones. REPORTED with sizes, never deleted: they
+    *    are the restore path, and reclaiming them is an operator decision
+    *    (delete the reported paths directly once certain).
+    *
+    * Everything younger than `olderThan` (epoch ms, the same cutoff shape
+    * as [[vacuum]]) is left untouched and reported `reclaimed = false`.
+    * O(lifecycle files) driver I/O — never scans table data. */
+  def sweepStaging(root: String, olderThan: Long,
+                   dryRun: Boolean = false): Seq[SweepEntry] = {
+    val rootPath = Paths.get(root).toAbsolutePath
+    val parent = Option(rootPath.getParent).getOrElse(return Seq.empty)
+    val name = rootPath.getFileName.toString
+    def treeFiles(p: Path): Seq[Path] =
+      if (!Files.exists(p)) Seq.empty
+      else walkClosed(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    def newestMtime(p: Path): Long =
+      (treeFiles(p).map(f => Files.getLastModifiedTime(f).toMillis) :+
+        Files.getLastModifiedTime(p).toMillis).max
+    def bytesOf(p: Path): Long = treeFiles(p).map(Files.size(_)).sum
+    def deleteTree(p: Path): Unit =
+      walkClosed(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    // a LIVE replace intent pins its staging directory: the committer (or
+    // a recovering reader) may still promote it
+    val marker = Paths.get(GraftCatalog.replaceIntentPath(root))
+    val pinnedStaging: Option[String] =
+      if (!Files.exists(marker)) None
+      else try Some(MiniJson.parse(new String(Files.readAllBytes(marker), UTF_8))
+        .asInstanceOf[Map[String, Any]]("staging").asInstanceOf[String])
+      catch { case _: Exception => None }
+    val siblings =
+      if (!Files.isDirectory(parent)) Seq.empty[Path]
+      else listClosed(parent).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(name + ".__")).toSeq
+    val sibEntries = siblings.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(s"$name.__stage-")) {
+        val pinned = pinnedStaging.exists(s =>
+          Paths.get(s).toAbsolutePath == p.toAbsolutePath)
+        val old = newestMtime(p) < olderThan
+        val reclaim = old && !pinned
+        val b = bytesOf(p)
+        if (reclaim && !dryRun) deleteTree(p)
+        Some(SweepEntry("stage-orphan", p.toString, b, reclaim))
+      } else if (n.startsWith(s"$name.__replaced-")) {
+        Some(SweepEntry("replaced", p.toString, bytesOf(p), reclaimed = false))
+      } else if (n == s"$name.__replace-intent") {
+        // stale only if the target RESOLVES (swap completed) and the
+        // marker has aged past retention
+        val stale = latestVersion(root) >= 0 &&
+          Files.getLastModifiedTime(p).toMillis < olderThan
+        if (stale && !dryRun) Files.deleteIfExists(p)
+        Some(SweepEntry("replace-intent", p.toString, Files.size(p), stale))
+      } else None
+    }
+    val droppedEntries = Seq("_txn_log", "_delta_log").flatMap { d =>
+      if (!Files.isDirectory(rootPath)) Seq.empty[SweepEntry]
+      else listClosed(rootPath).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"$d.dropped-"))
+        .map(p => SweepEntry("dropped", p.toString, bytesOf(p),
+          reclaimed = false)).toSeq
+    }
+    (sibEntries ++ droppedEntries).sortBy(e => (e.kind, e.path))
+  }
+
   /** EXPIRE the log below the newest `_txn_log` checkpoint — the
     * bounded-metadata half of the lifecycle (VACUUM bounds data files,
     * this bounds commit files; Delta's log-retention analogue). Deletes

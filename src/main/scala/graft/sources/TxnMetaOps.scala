@@ -247,10 +247,18 @@ private[sources] trait TxnMetaOps { self: TxnTable.type =>
         s"${bad.head.getSeq[String](0).mkString(", ")} — nothing was committed")
   }
 
+  /** Nullability-normalized type for shape comparison: `containsNull` is a
+    * nullability bit, not a shape — an array batch built from non-null
+    * literals must still append into an `ARRAY<t>` table column. */
+  private[sources] def shapeType(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(shapeType(et), containsNull = true)
+    case other => other
+  }
+
   /** Same column names and types, order- and nullability-insensitive. */
   private[sources] def sameShape(a: StructType, b: StructType): Boolean =
-    a.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
-      b.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    a.fields.map(f => (f.name, shapeType(f.dataType))).sortBy(_._1).toSeq ==
+      b.fields.map(f => (f.name, shapeType(f.dataType))).sortBy(_._1).toSeq
 
   // ---- column mapping (metadata-only rename) --------------------------------
   // The open protocol's name-mode column mapping

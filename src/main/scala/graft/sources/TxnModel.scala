@@ -38,6 +38,13 @@ final case class AddFile(file: String, bytes: Long, stats: Option[String],
 /** Per-file stats decoded for pruning. Map values: BigDecimal | String |
   * Boolean | null (all-null column). A column absent from the maps means
   * "unknown" (ineligible type) — never prune on it. */
+/** One line of a [[TxnTable.sweepStaging]] report: a lifecycle directory
+  * (crashed-CTAS staging, RTAS-replaced predecessor, DROP tombstone, stale
+  * replace-intent marker) with its on-disk size and whether this sweep
+  * reclaimed it. */
+final case class SweepEntry(kind: String, path: String, bytes: Long,
+                            reclaimed: Boolean)
+
 final case class FileStats(numRecords: Long,
                            minV: Map[String, Any], maxV: Map[String, Any],
                            nullC: Map[String, Long],

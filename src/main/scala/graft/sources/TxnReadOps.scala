@@ -689,6 +689,21 @@ private[sources] trait TxnReadOps { self: TxnTable.type =>
         "partition_columns", "schema")
   }
 
+  /** SHOW PARTITIONS: the live hive partition paths (`a=1/b=x`, partition
+    * columns in layout order) straight off the commit log's
+    * partitionValues metadata — O(files) driver work, zero data I/O.
+    * Distinct and sorted; errors on an unpartitioned table, matching
+    * Spark's command. */
+  def showPartitions(root: String): Seq[String] = {
+    val pcs = readMeta(root).map(_._2).getOrElse(Seq.empty)
+    require(pcs.nonEmpty, s"SHOW PARTITIONS: $root is not a partitioned table")
+    liveAdds(root, latestVersion(root))
+      .map(a => pcs.map(c =>
+        s"$c=${a.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
+        .mkString("/"))
+      .distinct.sorted
+  }
+
   /** SHOW CREATE TABLE rendering: a re-runnable CREATE TABLE statement
     * for the table's current schema, partition layout, and properties —
     * pure metadata (one readMeta fold), like every DESCRIBE surface. */

@@ -300,7 +300,7 @@ final class TxnTailReader(p: TxnTailPartition)
             // the batch parquet scan (and serves the full flat type
             // surface: temporal + decimal included)
             GroupDecode.value(current, fi,
-              fileSchema.getType(fi).asPrimitiveType(), f.dataType)
+              fileSchema.getType(fi), f.dataType)
           }
         }
       i += 1

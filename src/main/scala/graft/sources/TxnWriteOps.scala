@@ -24,6 +24,11 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
              partCols: Seq[String] = Nil,
              properties: Map[String, String] = Map.empty): Long = {
     require(latestVersion(root) < 0, s"$root already has a _txn_log")
+    // a mirror without a log means an interrupted DROP (or foreign debris):
+    // creating here would splice two tables' mirror histories together
+    require(!java.nio.file.Files.isDirectory(deltaDir(root)),
+      s"$root has a stale _delta_log but no _txn_log — an interrupted DROP?" +
+        " Rename it aside (_delta_log.dropped-<ts>) before re-creating")
     require(partCols.forall(schema.fieldNames.contains),
       s"partition columns ${partCols.mkString(",")} must exist in the schema")
     val empty = spark.createDataFrame(
@@ -66,10 +71,10 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
         require(evolve,
           s"$what batch schema ${batch.simpleString} does not match table " +
             s"schema ${cur.simpleString}; use appendEvolve to widen")
-        val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+        val curTypes = cur.fields.map(f => f.name -> shapeType(f.dataType)).toMap
         batch.fields.foreach { f =>
           curTypes.get(f.name).foreach { dt =>
-            require(dt == f.dataType,
+            require(dt == shapeType(f.dataType),
               s"column ${f.name}: type change $dt -> ${f.dataType} is not " +
                 "supported in an append; widen the TABLE first with " +
                 "widenColumn (metadata-only), then append the wide batch")

@@ -26,8 +26,11 @@ import graft.sources.{GraftTable, MergeClause, TxnTable}
   *     WHEN NOT MATCHED BY SOURCE THEN DELETE
   *   OPTIMIZE graft.t [ZORDER BY (c1, c2)]
   *   VACUUM graft.t [RETAIN n HOURS]
+  *   VACUUM graft.t STAGING [RETAIN n HOURS]   -- lifecycle-dir sweep/report
   *   DESCRIBE HISTORY graft.t
   *   RESTORE TABLE graft.t TO VERSION AS OF 2
+  *   RESTORE TABLE graft.t TO TIMESTAMP AS OF '2024-01-01 00:00:00'
+  *   SHOW PARTITIONS graft.t
   * }}}
   *
   * Architecture: Spark's OWN parser already produces the catalyst
@@ -210,7 +213,26 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case DeleteAction(c) => MergeClause.Delete(c.map(toColumn(_)))
         case InsertAction(c, assigns) =>
           val base = assignMap(assigns)
-          val starShaped = targetCols.forall(base.contains)
+          // an analyzer-expanded INSERT * assigns every target column from
+          // the SAME-NAMED bare source attribute; an explicit column list
+          // that computes values (or skips a column) is NOT a star and
+          // must not auto-populate evolved columns (Delta semantics: only
+          // star actions pick up new source columns). KNOWN AMBIGUITY: an
+          // explicit list that covers every target column with bare
+          // same-name source refs — `INSERT (a, b) VALUES (s.a, s.b)` —
+          // expands to the IDENTICAL tree as `INSERT *` by the time the
+          // analyzer hands it to extension rules (only UpdateAction
+          // carries a fromStar marker), so it is treated as a star and
+          // evolved columns append; spell any value as an expression
+          // (`s.a + 0`) to opt out.
+          val starShaped = targetCols.forall(base.contains) &&
+            assigns.forall { a =>
+              a.value match {
+                case ar: AttributeReference => ar.name == keyName(a.key)
+                case u: UnresolvedAttribute => u.nameParts.last == keyName(a.key)
+                case _ => false
+              }
+            }
           MergeClause.Insert(c.map(toColumn(_)),
             if (starShaped) base ++ evolveSet else base)
         case InsertStarAction(c) => MergeClause.InsertAll(c.map(toColumn(_)))
@@ -243,6 +265,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     """(?is)\s*OPTIMIZE\s+([\w`.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w`.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val VacuumStagingRe =
+    """(?is)\s*VACUUM\s+([\w`.]+)\s+STAGING\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w`.]+)\s*;?\s*""".r
   private val DetailRe =
@@ -251,6 +275,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w`.]+)\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w`.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w`.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w`.]+)\s*;?\s*""".r
 
   /** Resolve a multipart identifier whose head is a catalog configured to
     * [[graft.sources.GraftCatalog]] down to the table root directory,
@@ -332,6 +360,39 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftDmlCommand("restore", versionOut, () => versionRow(
           TxnTable.restore(spark, root, version.toLong)))
       }.getOrElse(delegate.parsePlan(sqlText))
+    case RestoreTsRe(table, ts) =>
+      rootOf(table).map { root =>
+        GraftDmlCommand("restore", versionOut, () => versionRow(
+          TxnTable.restore(spark, root,
+            TxnTable.versionAsOf(root, GraftSqlParser.parseTsMillis(ts)))))
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case ShowPartitionsRe(table) =>
+      rootOf(table).map { root =>
+        // Spark's SHOW PARTITIONS shape: one `partition` string per live
+        // hive path (`a=1/b=x`), in partition-column order — computed from
+        // the live adds' partitionValues metadata, zero data I/O
+        val out = Seq(
+          AttributeReference("partition", StringType, nullable = false)())
+        GraftDmlCommand("show-partitions", out, () =>
+          // column parity with the Scala TxnTable.showPartitions
+          TxnTable.showPartitions(root)
+            .map(s => new GenericInternalRow(Array[Any](UTF8String.fromString(s)))))
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case VacuumStagingRe(table, hours) =>
+      rootOf(table).map { root =>
+        val retainMs = Option(hours).map(_.toLong).getOrElse(168L) * 3600L * 1000L
+        val out = Seq(
+          AttributeReference("kind", StringType, nullable = false)(),
+          AttributeReference("path", StringType, nullable = false)(),
+          AttributeReference("bytes", LongType, nullable = false)(),
+          AttributeReference("reclaimed", org.apache.spark.sql.types.BooleanType,
+            nullable = false)())
+        GraftDmlCommand("vacuum-staging", out, () =>
+          TxnTable.sweepStaging(root, System.currentTimeMillis() - retainMs)
+            .map(e => new GenericInternalRow(Array[Any](
+              UTF8String.fromString(e.kind), UTF8String.fromString(e.path),
+              e.bytes, e.reclaimed))))
+      }.getOrElse(delegate.parsePlan(sqlText))
     case VacuumRe(table, hours) =>
       rootOf(table).map { root =>
         val retainMs = Option(hours).map(_.toLong).getOrElse(168L) * 3600L * 1000L
@@ -360,4 +421,19 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     delegate.parseQuery(sqlText)
   override def parseRoutineParam(sqlText: String) =
     delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  /** `TIMESTAMP AS OF` literal → epoch millis. Accepts an ISO instant
+    * (`2024-01-01T00:00:00Z`) or the SQL timestamp shape
+    * (`2024-01-01 00:00:00[.fff]`), the latter read as UTC wall time —
+    * graft sessions pin `spark.sql.session.timeZone=UTC`, matching the
+    * catalog's `TIMESTAMP AS OF` resolution. */
+  private[sql] def parseTsMillis(s: String): Long =
+    try java.time.Instant.parse(s).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      val t = if (s.contains(" ")) s.replaceFirst(" ", "T") else s
+      java.time.LocalDateTime.parse(t)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
 }

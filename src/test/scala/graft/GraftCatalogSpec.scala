@@ -516,7 +516,8 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   test("nested-type tables are refused at resolution, with a clear error") {
     val root = mount("nested")
-    TxnTable.append(spark.range(3).select(col("id"), array(col("id")).as("arr")), root)
+    TxnTable.append(spark.range(3).select(col("id"),
+      struct(col("id").as("a")).as("st")), root)
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
@@ -527,6 +528,62 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE graft.nested2 (id BIGINT, m MAP<STRING,STRING>)")
     }
     assert(chain(e2).exists(_.contains("does not serve")), chain(e2).mkString(" | "))
+    // one level of ARRAY is in-matrix; ARRAY<ARRAY<...>> is not
+    val e3 = intercept[Throwable] {
+      mount("nested3")
+      spark.sql("CREATE TABLE graft.nested3 (id BIGINT, aa ARRAY<ARRAY<FLOAT>>)")
+    }
+    assert(chain(e3).exists(_.contains("does not serve")), chain(e3).mkString(" | "))
+  }
+
+  test("ARRAY columns: vectorized scan, DV row path, debug row path, and " +
+    "null arrays/elements all round-trip") {
+    val root = mount("arr")
+    import spark.implicits._
+    // embeddings-shaped data: ARRAY<FLOAT> vectors (some null), plus an
+    // ARRAY<STRING> with null ELEMENTS — the two null axes are distinct
+    val rows = (1 to 100).map { i =>
+      (i.toLong,
+        if (i % 17 == 0) null else (0 until 4).map(j => (i * 10 + j).toFloat),
+        Seq(s"t$i", null, "x"))
+    }
+    TxnTable.append(rows.toDF("id", "vec", "tags").repartition(3), root)
+    def vecSum(extra: String = ""): Long = spark.sql(
+      "SELECT CAST(sum(aggregate(vec, 0D, (a, v) -> a + CAST(v AS DOUBLE))) " +
+        s"AS BIGINT) AS s FROM graft.arr $extra").head.getLong(0)
+    def expect(ids: Seq[Int]): Long =
+      ids.filterNot(_ % 17 == 0).map(i => 40L * i + 6L).sum
+    // vectorized path (no DVs)
+    assert(vecSum() == expect(1 to 100))
+    // null-array and null-element axes
+    assert(spark.sql("SELECT count(*) AS n FROM graft.arr WHERE vec IS NULL")
+      .head.getLong(0) == (1 to 100).count(_ % 17 == 0).toLong)
+    val tags = spark.sql("SELECT tags FROM graft.arr WHERE id = 7")
+      .head.getSeq[String](0)
+    assert(tags == Seq("t7", null, "x"))
+    // array functions compose in SQL (size / element_at / explode)
+    assert(spark.sql(
+      "SELECT CAST(sum(size(vec)) AS BIGINT) AS s FROM graft.arr WHERE vec IS NOT NULL")
+      .head.getLong(0) == (1 to 100).count(_ % 17 != 0).toLong * 4)
+    assert(spark.sql(
+      "SELECT CAST(element_at(vec, 1) AS BIGINT) AS v FROM graft.arr WHERE id = 3")
+      .head.getLong(0) == 30L)
+    // DV commit forces the ROW reader — arrays must decode there too
+    TxnTable.deleteDv(spark, root, col("id") <= 50L)
+    assert(vecSum() == expect(51 to 100))
+    assert(spark.sql("SELECT tags FROM graft.arr WHERE id = 51")
+      .head.getSeq[String](0) == Seq("t51", null, "x"))
+    // debug row path over the DV-free history version
+    spark.conf.set("graft.catalog.vectorized", "false")
+    try assert(vecSum("VERSION AS OF 0") == expect(1 to 100))
+    finally spark.conf.unset("graft.catalog.vectorized")
+    // INSERT INTO with an array-typed query lands as a commit
+    spark.sql("INSERT INTO graft.arr SELECT 1000L AS id, " +
+      "array(CAST(1.5 AS FLOAT), CAST(2.5 AS FLOAT)) AS vec, " +
+      "array('a', 'b') AS tags")
+    assert(spark.sql(
+      "SELECT CAST(aggregate(vec, 0D, (a, v) -> a + CAST(v AS DOUBLE)) AS BIGINT) " +
+        "AS s FROM graft.arr WHERE id = 1000").head.getLong(0) == 4L)
   }
 
   test("vectorized scan: columnar batches, row-group splits fan out, and " +
@@ -568,6 +625,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     try assert(spark.sql("SELECT count(*) AS n FROM graft.vec").head.getLong(0) ==
       2000000L)
     finally spark.conf.unset("graft.catalog.vectorized")
+  }
+
+  test("REPLACE crash window: a reader completes the swap from the intent " +
+    "marker; a consumed staging restores the predecessor") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val root = mount("rcw")
+    TxnTable.append(df(1 to 10), root) // the predecessor (payload v1..v10)
+    // simulate a writer that crashed BETWEEN the two REPLACE moves: the
+    // staged successor exists, the marker is durable, the target is gone
+    val staging = s"$root.__stage-test1"
+    TxnTable.append(df(100 to 120), staging)
+    val replaced = s"$root.__replaced-999"
+    JF.write(JP.get(graft.sources.GraftCatalog.replaceIntentPath(root)),
+      s"""{"staging":"$staging","replaced":"$replaced"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    JF.move(JP.get(root), JP.get(replaced)) // the crash point
+    // a plain read finds no table at root — and recovers the swap
+    assert(spark.sql("SELECT count(*) AS n FROM graft.rcw").head.getLong(0) == 21L)
+    assert(!JF.exists(JP.get(graft.sources.GraftCatalog.replaceIntentPath(root))),
+      "marker must clear after recovery")
+    assert(JF.exists(JP.get(replaced)), "predecessor tombstone is preserved")
+    // crash variant: marker present, staging already consumed → the
+    // predecessor restores (availability over the half-finished replace)
+    val root2 = mount("rcw2")
+    TxnTable.append(df(1 to 5), root2)
+    val replaced2 = s"$root2.__replaced-7"
+    JF.write(JP.get(graft.sources.GraftCatalog.replaceIntentPath(root2)),
+      s"""{"staging":"$root2.__stage-gone","replaced":"$replaced2"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    JF.move(JP.get(root2), JP.get(replaced2))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.rcw2").head.getLong(0) == 5L)
+  }
+
+  test("a real table named x__changes wins over the change-feed spelling; " +
+    "time travel on a feed name errors clearly") {
+    val root = mount("shadow__changes")
+    TxnTable.append(df(1 to 7), root)
+    // resolves as the REAL table: plain schema, no _change_type
+    val t = spark.table("graft.shadow__changes")
+    assert(t.columns.toSeq == Seq("id", "payload"))
+    assert(t.count() == 7L)
+    // the feed spelling still works when no real table claims the name
+    val base = mount("shadowbase")
+    TxnTable.append(df(1 to 3), base)
+    assert(spark.table("graft.shadowbase__changes").columns
+      .contains("_change_type"))
+    val e = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft.shadowbase__changes VERSION AS OF 0").collect()
+    }
+    def chain(x: Throwable) = Iterator.iterate(x)(_.getCause)
+      .takeWhile(_ != null).take(8).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("time travel is not supported on change feeds")),
+      chain(e).mkString(" | "))
   }
 
   test("snapshot statistics: a small catalog table broadcasts") {

@@ -197,6 +197,107 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       (1 to 100).map(_ * 10L).sum)
   }
 
+  test("RESTORE TO TIMESTAMP AS OF resolves like the catalog's time travel") {
+    val root = mount("rts"); seed(root)                               // v0
+    Thread.sleep(5)
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("DELETE FROM graft.rts WHERE id > 10")                  // v1
+    val tsLit = java.time.Instant.ofEpochMilli(afterV0).toString
+    val v = spark.sql(
+      s"RESTORE TABLE graft.rts TO TIMESTAMP AS OF '$tsLit'").head.getLong(0)
+    assert(v == 2L) // restore commits
+    assert(spark.sql("SELECT count(*) AS n FROM graft.rts").head.getLong(0) == 100L)
+    // the SQL wall-clock shape parses too (UTC, the session zone)
+    val wall = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(afterV0), java.time.ZoneOffset.UTC)
+      .toString.replace('T', ' ')
+    assert(spark.sql(s"RESTORE graft.rts TO TIMESTAMP AS OF '$wall'")
+      .head.getLong(0) == 3L)
+  }
+
+  test("SHOW PARTITIONS lists live hive paths from metadata alone") {
+    import spark.implicits._
+    val root = mount("shp")
+    TxnTable.appendPartitioned((1 to 40).map(i => (i.toLong, i % 4))
+      .toDF("id", "b"), root, Seq("b"))
+    val parts = spark.sql("SHOW PARTITIONS graft.shp")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("b=0", "b=1", "b=2", "b=3"))
+    // a partition whose files all delete drops off the listing
+    spark.sql("DELETE FROM graft.shp WHERE b = 2")
+    assert(spark.sql("SHOW PARTITIONS graft.shp")
+      .collect().map(_.getString(0)).toSeq == Seq("b=0", "b=1", "b=3"))
+    // parity with the Scala API
+    assert(TxnTable.showPartitions(root) == Seq("b=0", "b=1", "b=3"))
+    // unpartitioned tables refuse, like Spark's command
+    val root2 = mount("shp2"); seed(root2)
+    val e = intercept[Exception] { spark.sql("SHOW PARTITIONS graft.shp2").collect() }
+    assert(e.getMessage.contains("not a partitioned table"))
+  }
+
+  test("VACUUM STAGING reclaims crashed-CTAS orphans past retention and " +
+    "reports replaced/dropped tombstones") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import scala.jdk.CollectionConverters._
+    val root = mount("swp"); seed(root)
+    // a crashed CTAS: a staging sibling whose bytes are OLD
+    val stale = JP.get(s"$root.__stage-deadbeef")
+    TxnTable.create(spark, stale.toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 3600 * 1000)
+    graft.FsTest.walk(stale).iterator().asScala
+      .foreach(p => JF.setLastModifiedTime(p, past))
+    // a LIVE (recent) staging sibling must never be touched
+    val live = JP.get(s"$root.__stage-cafebabe")
+    TxnTable.create(spark, live.toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    // an RTAS tombstone: report-only
+    val repl = JP.get(s"$root.__replaced-123")
+    JF.createDirectories(repl)
+    JF.write(repl.resolve("part.parquet"), Array.fill[Byte](64)(1))
+    val rows = spark.sql("VACUUM graft.swp STAGING RETAIN 1 HOURS").collect()
+    val byPath = rows.map(r => r.getString(1) -> r).toMap
+    assert(byPath(stale.toString).getBoolean(3), "stale orphan must reclaim")
+    assert(!JF.exists(stale))
+    assert(!byPath(live.toString).getBoolean(3), "live staging must survive")
+    assert(JF.exists(live))
+    assert(byPath(repl.toString).getString(0) == "replaced")
+    assert(!byPath(repl.toString).getBoolean(3) && JF.exists(repl))
+    assert(byPath(repl.toString).getLong(2) == 64L)
+    // DROP tombstones report with sizes
+    spark.conf.set("graft.catalog.allowDrop", "true")
+    try spark.sql("DROP TABLE graft.swp")
+    finally spark.conf.unset("graft.catalog.allowDrop")
+    val rows2 = TxnTable.sweepStaging(root, System.currentTimeMillis())
+    assert(rows2.count(_.kind == "dropped") == 2) // _txn_log + _delta_log
+    assert(rows2.filter(_.kind == "dropped").forall(e => !e.reclaimed && e.bytes > 0))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: an explicit INSERT list with computed " +
+    "values does NOT auto-populate evolved columns (only star shapes do)") {
+    import spark.implicits._
+    val root = mount("sevx"); seed(root) // (id, cents)
+    (90 to 110).map(i => (i.toLong, i * 100L, s"f$i"))
+      .toDF("id", "cents", "flag").createOrReplaceTempView("sevx_src")
+    // a computed value marks the list as genuinely explicit — NOT a star
+    // expansion (a full-coverage list of BARE same-name refs is
+    // indistinguishable from INSERT * post-analysis and evolves; see
+    // GraftDmlRule's documented ambiguity)
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.sevx AS t
+        |USING sevx_src AS s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, cents) VALUES (s.id, s.cents + 0)
+        |""".stripMargin)
+    assert(spark.table("graft.sevx").columns.toSeq == Seq("id", "cents"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sevx").head.getLong(0) == 110L)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION adds source columns through SQL") {
     import spark.implicits._
     val root = mount("sev"); seed(root) // (id, cents)
