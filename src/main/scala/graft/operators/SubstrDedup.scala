@@ -370,14 +370,182 @@ object SubstrDedup {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // TOKEN-ID-SPACE substring dedup — what Lee et al. actually run: the
+  // corpus re-tokenized by the LEARNED BPE tokenizer (q_bpe_train's merge
+  // table) before the duplicated-span scan, so duplicates that differ only
+  // in whitespace/segmentation still align, and the gram width halves in
+  // symbol units. Composition, not new machinery: the doc's token stream
+  // joins on a word-boundary symbol (0x1E — below every token byte, never
+  // inside a trained pair, so a whole-string `replace` chain equals the
+  // per-token greedy apply bit for bit), the 6 learned merges apply as
+  // chained replaces (each merged pair becomes one private-codepoint
+  // char), and the SAME gram-hash → count ≥ 2 → gaps-and-islands rollup
+  // runs over SYMBOL positions. One O(total symbols) shuffle, bounded
+  // per-doc windows — the whitespace engine's scale shape unchanged.
+  // ---------------------------------------------------------------------------
+  private val Lb = 30 // threshold in BPE symbols (≈ half the char width of L=15 tokens)
+
+  private def symDocs(s: SparkSession, dir: String): DataFrame = {
+    val env = TextAnalysis.bpeEnv(s, dir) // one-row broadcast: m1..mR, codepoint space
+    val applied = (1 to TextAnalysis.BpeRounds)
+      .foldLeft(s"concat_ws('${30.toChar}', toks)") { (acc, k) =>
+        s"replace($acc, m$k, '${(256 + k).toChar}')"
+      }
+    graft.Materialize.eager(
+      docsToks(s, dir).crossJoin(broadcast(env))
+        .selectExpr("doc_id", s"$applied AS sym"))
+  }
+
+  def substrBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = symDocs(s, dir)
+    val grams = docs.selectExpr("doc_id",
+      s"IF(length(sym) < $Lb, array(), transform(sequence(1, length(sym) - ${Lb - 1}), " +
+        s"i -> md5(cast(substring(sym, i, $Lb) as binary)))) AS gh")
+      .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("c") >= 2).select("doc_id", "pos")
+    // gaps-and-islands in symbol space (the report() rollup at width Lb)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("first"), max(col("pos")).as("last"),
+        count(lit(1)).as("n_starts"))
+    val byFirst = Window.partitionBy(col("doc_id")).orderBy(col("first"))
+    val covered = runs
+      .withColumn("prev_last", lag(col("last"), 1).over(byFirst))
+      .withColumn("cov",
+        col("last") + lit(Lb - 1) -
+          greatest(col("first"),
+            coalesce(col("prev_last"), col("first") - Lb) + Lb) + 1)
+    val perDoc = covered.groupBy(col("doc_id"))
+      .agg(sum(col("n_starts")).cast("long").as("n_dup_starts"),
+        count(lit(1)).cast("long").as("n_spans"),
+        max(col("last") - col("first") + Lb).cast("long").as("max_span_syms"),
+        sum(col("cov")).cast("long").as("n_dup_syms"))
+    docs.select(col("doc_id"), length(col("sym")).cast("long").as("n_syms"),
+      greatest(length(col("sym")) - (Lb - 1), lit(0)).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_syms"), col("n_grams"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_syms"), lit(0L)).as("max_span_syms"),
+        coalesce(col("n_dup_syms"), lit(0L)).as("n_dup_syms"),
+        (coalesce(col("n_dup_syms"), lit(0L)).cast("double") /
+          col("n_syms").cast("double")).as("dup_ratio"))
+  }
+
+  /** The oracle's symbol relation: the trained-merge CTE chain (shared
+    * with q_bpe_train's oracle) + the same whole-string replace chain. */
+  private def symDuck: String = {
+    val applied = (1 to TextAnalysis.BpeRounds)
+      .foldLeft(s"array_to_string(toks, '${30.toChar}')") { (acc, k) =>
+        s"replace($acc, (SELECT pair FROM m$k), '${(256 + k).toChar}')"
+      }
+    s"""${TextAnalysis.bpeRoundsSql},
+       |tok AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |app AS (SELECT doc_id, $applied AS sym FROM tok)""".stripMargin
+  }
+
+  private val bpeOracle: String =
+    s"""WITH $symDuck,
+       |sp AS (SELECT doc_id, length(sym) AS n_syms,
+       |              list_transform(range(1, greatest(length(sym) - ${Lb - 2}, 1)),
+       |                i -> struct_pack(pos := i,
+       |                  gram := substring(sym, CAST(i AS INT), $Lb))) AS gs
+       |       FROM app),
+       |u AS (SELECT doc_id, unnest(gs) AS e FROM sp),
+       |g AS (SELECT doc_id, e.pos AS pos, e.gram AS gram FROM u),
+       |d AS (SELECT doc_id, pos FROM
+       |        (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM g)
+       |      WHERE c >= 2),
+       |r AS (SELECT doc_id, pos,
+       |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |      FROM d),
+       |runs AS (SELECT doc_id, min(pos) AS first, max(pos) AS last,
+       |                count(*) AS n_starts
+       |         FROM r GROUP BY doc_id, grp),
+       |cov AS (SELECT doc_id, first, last, n_starts,
+       |               last + ${Lb - 1} - greatest(first,
+       |                 COALESCE(lag(last) OVER (PARTITION BY doc_id ORDER BY first),
+       |                          first - $Lb) + $Lb) + 1 AS cv
+       |        FROM runs),
+       |rep AS (SELECT doc_id, CAST(sum(n_starts) AS BIGINT) AS n_dup_starts,
+       |               CAST(count(*) AS BIGINT) AS n_spans,
+       |               CAST(max(last - first + $Lb) AS BIGINT) AS max_span_syms,
+       |               CAST(sum(cv) AS BIGINT) AS n_dup_syms
+       |        FROM cov GROUP BY doc_id)
+       |SELECT sp.doc_id, CAST(sp.n_syms AS BIGINT) AS n_syms,
+       |       CAST(greatest(sp.n_syms - ${Lb - 1}, 0) AS BIGINT) AS n_grams,
+       |       COALESCE(rep.n_dup_starts, 0) AS n_dup_starts,
+       |       COALESCE(rep.n_spans, 0) AS n_spans,
+       |       COALESCE(rep.max_span_syms, 0) AS max_span_syms,
+       |       COALESCE(rep.n_dup_syms, 0) AS n_dup_syms,
+       |       CAST(COALESCE(rep.n_dup_syms, 0) AS DOUBLE) /
+       |         CAST(sp.n_syms AS DOUBLE) AS dup_ratio
+       |FROM sp LEFT JOIN rep ON sp.doc_id = rep.doc_id
+       |""".stripMargin
+
+  /** AGREEMENT: whitespace-token-space vs BPE-symbol-space duplicate
+    * flags, per-doc confusion counts — what switching the dedup pass to
+    * tokenizer space changes. Integer-only: exact across engines. */
+  def substrAgreementBpe(s: SparkSession, dir: String): DataFrame = {
+    val ws = exactFlags(s, dir) // pinned artifact, shared with q_substr_agree
+    val bpe = substrBpe(s, dir)
+      .select(col("doc_id"), (col("n_dup_syms") > 0).as("bpe_dup"))
+    ws.join(bpe, "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("exact_dup") && col("bpe_dup"), 1L).otherwise(0L))
+          .cast("long").as("both"),
+        sum(when(col("exact_dup") && !col("bpe_dup"), 1L).otherwise(0L))
+          .cast("long").as("ws_only"),
+        sum(when(!col("exact_dup") && col("bpe_dup"), 1L).otherwise(0L))
+          .cast("long").as("bpe_only"),
+        sum(when(!col("exact_dup") && !col("bpe_dup"), 1L).otherwise(0L))
+          .cast("long").as("neither"))
+  }
+  private val agreementBpeOracle: String =
+    s"""WITH $symDuck,
+       |wsp AS (SELECT doc_id,
+       |               list_transform(range(1, greatest(len(toks) - ${L - 2}, 1)),
+       |                 i -> array_to_string(toks[i:i+${L - 1}], ' ')) AS gs
+       |        FROM tok),
+       |wg AS (SELECT doc_id, unnest(gs) AS gram FROM wsp),
+       |ww AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df FROM wg),
+       |wdup AS (SELECT DISTINCT doc_id FROM ww WHERE df >= 2),
+       |bg AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, greatest(length(sym) - ${Lb - 2}, 1)),
+       |                i -> substring(sym, CAST(i AS INT), $Lb))) AS gram
+       |       FROM app),
+       |bw AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df FROM bg),
+       |bdup AS (SELECT DISTINCT doc_id FROM bw WHERE df >= 2),
+       |flags AS (SELECT tok.doc_id,
+       |                 tok.doc_id IN (SELECT doc_id FROM wdup) AS ws_dup,
+       |                 tok.doc_id IN (SELECT doc_id FROM bdup) AS bpe_dup
+       |          FROM tok)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) FILTER (WHERE ws_dup AND bpe_dup) AS BIGINT) AS both,
+       |       CAST(count(*) FILTER (WHERE ws_dup AND NOT bpe_dup) AS BIGINT) AS ws_only,
+       |       CAST(count(*) FILTER (WHERE NOT ws_dup AND bpe_dup) AS BIGINT) AS bpe_only,
+       |       CAST(count(*) FILTER (WHERE NOT ws_dup AND NOT bpe_dup) AS BIGINT) AS neither
+       |FROM flags
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substr_dedup" -> (substrDedup _),
     "q_substr_sa" -> (substrDedupSA _),
     "q_substr_clean" -> (substrClean _),
-    "q_substr_agree" -> (substrAgreement _))
+    "q_substr_agree" -> (substrAgreement _),
+    "q_substr_bpe" -> (substrBpe _),
+    "q_substr_agree_bpe" -> (substrAgreementBpe _))
   val oracleSql: Map[String, String] = Map(
     "q_substr_dedup" -> substrOracle,
     "q_substr_sa" -> substrOracle,
     "q_substr_clean" -> cleanOracle,
-    "q_substr_agree" -> agreementOracle)
+    "q_substr_agree" -> agreementOracle,
+    "q_substr_bpe" -> bpeOracle,
+    "q_substr_agree_bpe" -> agreementBpeOracle)
 }

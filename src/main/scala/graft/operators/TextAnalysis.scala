@@ -1270,13 +1270,24 @@ object TextAnalysis {
         bpeMerges(bpeWords0(s, dir), BpeRounds), pin = true)
     }
 
+  /** One-row frame (m1..mR) of the learned merge pairs in CODEPOINT space
+    * (pair_raw) — the broadcastable environment a consumer's chained
+    * `replace` application needs. Shared with [[SubstrDedup.substrBpe]]'s
+    * token-id-space dedup. */
+  private[operators] def bpeEnv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mCols = (1 to BpeRounds).map(r =>
+      max(when($"round" === r, $"pair_raw")).as(s"m$r"))
+    bpeMergesFor(s, dir).agg(mCols.head, mCols.tail: _*)
+  }
+
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeMergesFor(s, dir)
       .selectExpr("round", "merged", "n") // pair_raw is q_bpe_apply's input
 
   /** Shared CTE chain: vocabulary w0, then per round r the pair counts
     * p$r, argmax m$r, and merged vocabulary w$r. */
-  private val bpeRoundsSql: String = {
+  private[operators] val bpeRoundsSql: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val prev = if (r == 1) "w0" else s"w${r - 1}"
       s"""p$r AS MATERIALIZED (

@@ -747,7 +747,21 @@ final case class GraftScan(root: String, version: Long,
     if (cdf) cdfStream(0L).createReaderFactory() else GraftReaderFactory()
 
   /** Post-pruning size: lets Catalyst broadcast a catalog-served dimension
-    * and plan joins on real bytes, not defaults. */
+    * and plan joins on real bytes, not defaults. Under the cost-based
+    * optimizer (`spark.sql.cbo.enabled`) the scan ALSO reports per-column
+    * min/max/nullCount folded from the per-file footer stats the commit
+    * log already persists — zero extra I/O, O(kept files) driver work —
+    * so Catalyst estimates range-filter selectivity and join cardinality
+    * from real value bounds (a selectively-filtered fact side then
+    * BROADCASTS where the no-stats default would sort-merge; plan-gated in
+    * GraftCatalogSpec). Footers carry no NDV; distinctCount is emitted
+    * only where a sound bound exists — exact for an all-null (0) or
+    * single-valued (1) column, and for INTEGRAL-domain types (int/long/
+    * short/byte/date/boolean) the closed-form upper bound
+    * min(max − min + 1, non-null rows), which is what Catalyst's
+    * uniformity assumption wants anyway (FilterEstimation refuses range
+    * estimation without an NDV). Fractional/string/decimal columns have
+    * no honest footer-derived bound and stay NDV-less. */
   override def estimateStatistics(): Statistics = {
     if (cdf) return new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
@@ -757,12 +771,21 @@ final case class GraftScan(root: String, version: Long,
     val bytes = kept.map(_.bytes).sum
     val rows = kept.flatMap(a => a.stats.map(s =>
       TxnTable.decodeStats(s).numRecords - a.dv.map(_.cardinality).getOrElse(0L)))
+    val cbo = SparkSession.active.conf.get("spark.sql.cbo.enabled", "false").toBoolean
+    val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (!cbo || kept.isEmpty || rows.size != kept.size)
+        java.util.Collections.emptyMap()
+      else GraftScan.foldColumnStats(required, kept, rows.sum)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         if (rows.size == kept.size) java.util.OptionalLong.of(rows.sum)
         else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 
@@ -770,6 +793,105 @@ final case class GraftScan(root: String, version: Long,
     val (kept, total) = pruning
     s"graft root=$root version=$version files=${kept.size}/$total " +
       s"PushedFilters=[${pushed.mkString(", ")}]"
+  }
+}
+
+object GraftScan {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+
+  /** Fold kept files' footer stats (stats key by PHYSICAL column name;
+    * partition values fold in as point ranges, like pruning) into
+    * per-column DSv2 statistics. A column is reported only when EVERY kept
+    * file carries its stat — the same conservatism as skipping: partial
+    * knowledge never becomes a confident estimate. Values convert to
+    * Catalyst-internal form (days/micros for temporal, Decimal for
+    * decimals) because that is what FilterEstimation folds over. */
+  private[sources] def foldColumnStats(required: StructType,
+                                       kept: Seq[TxnTable.AddFile],
+                                       totalRows: Long)
+  : java.util.Map[NamedReference, ColumnStatistics] = {
+    val stats = kept.map(a => TxnTable.withPartitionStats(
+      TxnTable.decodeStats(a.stats.get), a.partitionValues))
+    def ord(a: Any, b: Any): Int = (a, b) match {
+      case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+      case (x: String, y: String) =>
+        UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+      case _ => 0
+    }
+    def catalystValue(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+      case (_, null) => None
+      case (LongType, bd: BigDecimal)      => Some(bd.toLong)
+      case (IntegerType, bd: BigDecimal)   => Some(bd.toInt)
+      case (ShortType, bd: BigDecimal)     => Some(bd.toShort)
+      case (ByteType, bd: BigDecimal)      => Some(bd.toByte)
+      case (DoubleType, bd: BigDecimal)    => Some(bd.toDouble)
+      case (FloatType, bd: BigDecimal)     => Some(bd.toFloat)
+      case (DateType, bd: BigDecimal)      => Some(bd.toInt)  // epoch days
+      case (TimestampType | TimestampNTZType, bd: BigDecimal) =>
+        Some(bd.toLong)                                        // epoch micros
+      case (d: DecimalType, bd: BigDecimal) =>
+        Some(Decimal(bd.underlying.setScale(d.scale), d.precision, d.scale))
+      case (BooleanType, b: java.lang.Boolean) => Some(b)
+      case _ => None // strings/binary: unused by estimation, stay unreported
+    }
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    required.fields.foreach { f =>
+      val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName") else f.name
+      val mins = stats.map(_.minV.get(pn))
+      val maxs = stats.map(_.maxV.get(pn))
+      val nulls = stats.map(_.nullC.get(pn))
+      if (mins.forall(_.isDefined) && maxs.forall(_.isDefined)) {
+        val nonNullMins = mins.flatten.filter(_ != null)
+        val nonNullMaxs = maxs.flatten.filter(_ != null)
+        val mn = nonNullMins.reduceOption((a, b) => if (ord(a, b) <= 0) a else b)
+          .flatMap(catalystValue(f.dataType, _))
+        val mx = nonNullMaxs.reduceOption((a, b) => if (ord(a, b) >= 0) a else b)
+          .flatMap(catalystValue(f.dataType, _))
+        val nc = if (nulls.forall(_.isDefined)) Some(nulls.flatten.sum) else None
+        val allNull = nc.contains(totalRows)
+        val single = nonNullMins.nonEmpty && nonNullMins.size == mins.size &&
+          mn.isDefined && mx.isDefined && {
+            val lo = nonNullMins.reduce((a, b) => if (ord(a, b) <= 0) a else b)
+            val hi = nonNullMaxs.reduce((a, b) => if (ord(a, b) >= 0) a else b)
+            ord(lo, hi) == 0 && nc.contains(0L)
+          }
+        val nonNullRows = totalRows - nc.getOrElse(0L)
+        val ndv: Option[Long] =
+          if (allNull) Some(0L)
+          else if (single) Some(1L)
+          else f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType | DateType
+              if nonNullMins.nonEmpty && nonNullMaxs.nonEmpty =>
+              val lo = nonNullMins.collect { case d: BigDecimal => d }
+                .reduceOption(_ min _)
+              val hi = nonNullMaxs.collect { case d: BigDecimal => d }
+                .reduceOption(_ max _)
+              for (l <- lo; h <- hi) yield
+                (h - l + 1).min(BigDecimal(nonNullRows)).toLong
+            case BooleanType => Some(2L.min(nonNullRows))
+            case _ => None
+          }
+        if (mn.isDefined || mx.isDefined || nc.isDefined)
+          out.put(Expressions.column(f.name), new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+            override def max(): java.util.Optional[Object] =
+              mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+            override def nullCount(): java.util.OptionalLong =
+              nc.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          })
+      }
+    }
+    out
   }
 }
 
@@ -957,6 +1079,8 @@ final class GraftRowReader(p: GraftInputPartition)
         wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).toList.asJava)
     }
   if (requested != null) reader.setRequestedSchema(requested)
+  schema.fields.zip(physNames).foreach { case (f, pn) =>
+    GroupDecode.checkDecimalScale(fileSchema, pn, f.dataType, p.path) }
   private val totalRows: Long = reader.getRecordCount
 
   private val dvDrop: DeletionVectors.RoaringBitmapArray =

@@ -28,6 +28,34 @@ private[sources] object GroupDecode {
     new org.apache.hadoop.conf.Configuration(baseConf)
 
 
+  /** Fail a scan at FILE-OPEN time (not mid-decode) when a file declares a
+    * decimal column at a scale EXCEEDING the requested one — rescaling
+    * down would truncate digits, and the per-value ArithmeticException the
+    * exact rescale would otherwise throw mid-scan names neither file nor
+    * column. Engine-written files can never hit this (widening only ever
+    * RAISES scale, and the up-rescale is exact); a hand-imported foreign
+    * file can, and fails here with the full context instead. The
+    * VECTORIZED path needs no twin check: Spark's own updater factory
+    * refuses a scale-mismatched decimal at batch-init with its
+    * SchemaColumnConvertNotSupportedException. */
+  private[sources] def checkDecimalScale(fileType: org.apache.parquet.schema.GroupType,
+                                         physName: String, dt: DataType,
+                                         file: String): Unit = dt match {
+    case d: DecimalType if fileType.containsField(physName) =>
+      val t = fileType.getType(fileType.getFieldIndex(physName))
+      if (t.isPrimitive) t.asPrimitiveType().getLogicalTypeAnnotation match {
+        case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+          if a.getScale > d.scale =>
+          throw new UnsupportedOperationException(
+            s"graft: $file column $physName carries DECIMAL scale " +
+              s"${a.getScale}, wider than the table's ${d.sql} — reading " +
+              "would truncate; widen the table column or rewrite the " +
+              "foreign file")
+        case _ => ()
+      }
+    case _ => ()
+  }
+
   /** Decode field `fi` (repetition already checked non-empty) of `g` under
     * requested Spark type `dt`; `typ` is the FILE's type for that field —
     * a primitive (physical encoding + logical annotation) for flat

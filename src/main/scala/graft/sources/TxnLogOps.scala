@@ -174,22 +174,19 @@ private[sources] trait TxnLogOps { self: TxnTable.type =>
         s"""{"version":$version,"op":"${esc(op)}","action":"cdc","file":"${esc(a.file)}","bytes":${a.bytes}}"""
       } ++ hwmOpt.map(h =>
         s"""{"version":$version,"op":"hwm","action":"hwm","file":"","bytes":$h}""").toSeq
-    // version claim is a true compare-and-set: the content is fully
-    // written to a writer-private tmp file, then HARD-LINKED into place —
-    // link(2) fails atomically if the version exists, where rename(2)
-    // silently REPLACES it (the classic lost-commit race). On S3-class
-    // stores this link is a conditional put (If-None-Match) — the one
-    // primitive to swap.
+    // version claim is a true compare-and-set behind the [[CommitLock]]
+    // seam: the content is fully written to a writer-private tmp file,
+    // then atomically published iff the version is unclaimed. The default
+    // is a hard link (link(2) fails if the target exists, where rename(2)
+    // silently REPLACES — the classic lost-commit race); on S3-class
+    // stores `graft.commit.lock=lease` swaps in the conditional-put lease
+    // protocol without touching anything above this line.
     val tmp = logDir(root).resolve(
       s".$version-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
     val dst = logDir(root).resolve(f"$version%020d.json")
-    try Files.createLink(dst, tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
+    if (!CommitLock.active.claim(dst, tmp))
       throw new ConcurrentCommitException(root, version)
-    }
-    Files.deleteIfExists(tmp)
     deltaCommit(root, version, op, stamped, removes, schemaJson, dataChange, txn,
       partCols, cdc, extraConfig, removeDvs, hwmOpt)
     if (version > 0 && version % CheckpointInterval == 0)
@@ -307,10 +304,9 @@ private[sources] trait TxnLogOps { self: TxnTable.type =>
     val tmp = logDir(root).resolve(
       s".$version-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
-    // derived state: lose the race, keep the winner's (identical) fold
-    try Files.createLink(ckptPath(root, version), tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    Files.deleteIfExists(tmp)
+    // derived state: lose the race, keep the winner's (identical) fold —
+    // same claim seam as commits, outcome simply ignored
+    CommitLock.active.claim(ckptPath(root, version), tmp)
   }
 
   /** Decode the AddFile fields of a parsed add-action line. */

@@ -249,6 +249,8 @@ final class TxnTailReader(p: TxnTailPartition)
     new org.apache.hadoop.fs.Path(p.path),
     GroupDecode.freshConf()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  schema.fields.zip(physNames).foreach { case (f, pn) =>
+    GroupDecode.checkDecimalScale(fileSchema, pn, f.dataType, p.path) }
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var remaining = 0L
   private var current: Group = _

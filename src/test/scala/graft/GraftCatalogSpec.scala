@@ -680,6 +680,83 @@ class GraftCatalogSpec extends AnyFunSuite {
       chain(e).mkString(" | "))
   }
 
+  test("a foreign file whose decimal scale exceeds the table's fails at " +
+    "file-open with full context, never mid-decode") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_narrow_dec")
+    // a hand-imported foreign file: DECIMAL(10,5) on disk
+    spark.sql("SELECT CAST(1.23456 AS DECIMAL(10,5)) AS amt")
+      .coalesce(1).write.parquet(s"$dir/data")
+    val part = FsTest.walk(java.nio.file.Paths.get(s"$dir/data"))
+      .iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    // the table requests DECIMAL(10,2) — narrower scale: reading would
+    // truncate; the row reader must refuse AT OPEN, naming file + column
+    val requested = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("amt",
+        org.apache.spark.sql.types.DecimalType(10, 2))))
+    val e = intercept[UnsupportedOperationException] {
+      new graft.sources.GraftRowReader(graft.sources.GraftInputPartition(
+        part.toString, requested.json, Map.empty, null))
+    }
+    assert(e.getMessage.contains("amt") && e.getMessage.contains("truncate"),
+      e.getMessage)
+    // the exact same file under an EQUAL-OR-WIDER table scale reads fine
+    val wide = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("amt",
+        org.apache.spark.sql.types.DecimalType(12, 5))))
+    val r = new graft.sources.GraftRowReader(graft.sources.GraftInputPartition(
+      part.toString, wide.json, Map.empty, null))
+    try {
+      assert(r.next())
+      assert(r.get().getDecimal(0, 12, 5).toString == "1.23456")
+    } finally r.close()
+  }
+
+  test("CBO: reported column stats turn a selective range filter into a " +
+    "broadcast decision the no-stats plan cannot make") {
+    val root = mount("cbo")
+    // fact side: k is UNCLUSTERED (every file spans k=0..49), so file-level
+    // skipping cannot shrink the scan — only value-range ESTIMATION can
+    TxnTable.append(spark.range(0, 400000)
+      .selectExpr("id", "CAST(id % 50 AS BIGINT) AS k",
+        "repeat(uuid(), 2) AS pad")
+      .repartition(8), root)
+    val rawBytes = spark.table("graft.cbo").queryExecution.optimizedPlan
+      .stats.sizeInBytes
+    // threshold sits BETWEEN the CBO estimate of the filtered fact side
+    // (~24k rows × two longs ≈ 0.6 MB) and both unfiltered estimates
+    // (probe: 2M longs = 16 MB; fact: whole-file bytes, ~30 MB) — so only
+    // value-range estimation can clear the broadcast bar
+    val threshold = BigInt(2L * 1024 * 1024)
+    assert(rawBytes > threshold * 4, s"fact estimate $rawBytes must dwarf the threshold")
+    def plan(): String = {
+      val big = spark.range(0, 2000000).withColumnRenamed("id", "rid")
+      val q = spark.sql("SELECT id, k FROM graft.cbo WHERE k <= 2")
+        .join(big, col("id") === col("rid"))
+      q.queryExecution.executedPlan.toString
+    }
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    try {
+      // without CBO, the filtered fact side keeps its full scan estimate
+      assert(!plan().contains("BroadcastHashJoin"),
+        "control: the unfiltered estimate must be too big to broadcast")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        // the optimized plan now carries real attribute stats off the scan
+        val st = spark.sql("SELECT id, k FROM graft.cbo")
+          .queryExecution.optimizedPlan.stats
+        val kStats = st.attributeStats.find(_._1.name == "k").map(_._2)
+        assert(kStats.exists(s => s.min.contains(0L) && s.max.contains(49L)),
+          s"column stats must surface real min/max, got $kStats")
+        // k <= 2 over min 0 / max 49 estimates ~6% → under the threshold
+        assert(plan().contains("BroadcastHashJoin"),
+          s"CBO + column stats must broadcast the filtered side:\n${plan()}")
+      } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+  }
+
   test("snapshot statistics: a small catalog table broadcasts") {
     val root = mount("dim")
     TxnTable.append(df(1 to 50), root)
