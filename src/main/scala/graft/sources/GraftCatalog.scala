@@ -776,7 +776,11 @@ final case class GraftScan(root: String, version: Long,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
       if (!cbo || kept.isEmpty || rows.size != kept.size)
         java.util.Collections.emptyMap()
-      else GraftScan.foldColumnStats(required, kept, rows.sum)
+      else GraftScan.foldColumnStats(required, kept, rows.sum,
+        // LATEST config, even under time travel: ANALYZE stats are
+        // estimates by contract, and min/max/nullCount (the sound parts)
+        // always fold from THIS snapshot's own files
+        TxnTable.readTableConfig(root))
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -809,7 +813,8 @@ object GraftScan {
     * decimals) because that is what FilterEstimation folds over. */
   private[sources] def foldColumnStats(required: StructType,
                                        kept: Seq[TxnTable.AddFile],
-                                       totalRows: Long)
+                                       totalRows: Long,
+                                       tableCfg: Map[String, String] = Map.empty)
   : java.util.Map[NamedReference, ColumnStatistics] = {
     val stats = kept.map(a => TxnTable.withPartitionStats(
       TxnTable.decodeStats(a.stats.get), a.partitionValues))
@@ -859,9 +864,15 @@ object GraftScan {
             ord(lo, hi) == 0 && nc.contains(0L)
           }
         val nonNullRows = totalRows - nc.getOrElse(0L)
+        // ANALYZE-persisted estimate (any type, keyed by physical name,
+        // capped at live non-null rows so deletes can't leave it unsound)
+        val analyzed = tableCfg.get(TxnTable.NdvKeyPrefix + pn)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .map(_.min(nonNullRows).max(0L))
         val ndv: Option[Long] =
           if (allNull) Some(0L)
           else if (single) Some(1L)
+          else if (analyzed.isDefined) analyzed
           else f.dataType match {
             case ByteType | ShortType | IntegerType | LongType | DateType
               if nonNullMins.nonEmpty && nonNullMaxs.nonEmpty =>

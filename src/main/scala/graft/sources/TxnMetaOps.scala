@@ -198,6 +198,60 @@ private[sources] trait TxnMetaOps { self: TxnTable.type =>
       v
     }
 
+  /** ANALYZE: estimate per-column NDV over the CURRENT snapshot and
+    * persist it for the cost-based optimizer. Parquet footers carry
+    * min/max/nullCount but no distinct counts, and Catalyst's
+    * FilterEstimation refuses both equality AND range estimation without
+    * an NDV — so integral columns get a closed-form range bound at scan
+    * time, and every other type needs THIS command (exactly Spark's own
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` division of
+    * labor). One aggregation pass computes every requested column's
+    * HLL++ estimate together (`approx_count_distinct`, rsd 0.05 —
+    * mergeable partials, so the pass is one scan + one tiny shuffle at
+    * any scale); results persist as engine config keyed by PHYSICAL
+    * column name (`graft.stats.ndv.<phys>`, stable across renames) in a
+    * metadata-only commit, latest-wins like every config. The scan folds
+    * them capped at the live non-null row count, so stats stay sound
+    * under deletes and merely stale under appends (re-run to refresh —
+    * `graft.stats.analyzedVersion` records the basis).
+    * Returns (logical column name → estimated NDV). */
+  def analyze(spark: SparkSession, root: String,
+              cols: Option[Seq[String]] = None): Map[String, Long] = {
+    val (schema, _) = readMeta(root).getOrElse(
+      sys.error(s"$root has no metaData"))
+    cols.foreach(_.foreach(c => require(
+      schema.fields.exists(_.name.equalsIgnoreCase(c)),
+      s"ANALYZE: no such column '$c' in ${schema.fieldNames.mkString(", ")}")))
+    val targets = schema.fields
+      .filter(f => cols.forall(_.exists(_.equalsIgnoreCase(f.name))))
+      .filter(_.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false // unused by estimation
+        case _ => true
+      }).toSeq
+    require(targets.nonEmpty, "ANALYZE: no analyzable (atomic) columns selected")
+    val basis = latestVersion(root)
+    val aggs = targets.map(f => approx_count_distinct(col(f.name)).as(f.name))
+    val row = read(spark, root).agg(aggs.head, aggs.tail: _*).head()
+    val ndv = targets.zipWithIndex.map { case (f, i) =>
+      f.name -> row.getLong(i) }.toMap
+    val physOf = targets.map(f => f.name ->
+      (if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+       else f.name)).toMap
+    casRetry("analyze") {
+      val v = latestVersion(root) + 1
+      val (sch, pcs) = readMeta(root).getOrElse(sys.error(s"$root has no metaData"))
+      val cfg = readTableConfig(root) ++
+        ndv.map { case (n, d) => s"$NdvKeyPrefix${physOf(n)}" -> d.toString } +
+        ("graft.stats.analyzedVersion" -> basis.toString)
+      commit(root, v, "analyze", Seq.empty, Seq.empty,
+        schemaJson = Some(sch.json), dataChange = false, partCols = pcs,
+        extraConfig = Some(cfg))
+    }
+    ndv
+  }
+
+  private[sources] val NdvKeyPrefix = "graft.stats.ndv."
+
   /** Remove one table property (metadata-only commit); absent keys no-op. */
   def removeTableProperty(root: String, key: String): Long =
     casRetry("removeProperty") {

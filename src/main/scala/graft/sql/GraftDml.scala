@@ -31,6 +31,7 @@ import graft.sources.{GraftTable, MergeClause, TxnTable}
   *   RESTORE TABLE graft.t TO VERSION AS OF 2
   *   RESTORE TABLE graft.t TO TIMESTAMP AS OF '2024-01-01 00:00:00'
   *   SHOW PARTITIONS graft.t
+  *   ANALYZE TABLE graft.t COMPUTE STATISTICS [FOR COLUMNS a, b]
   * }}}
   *
   * Architecture: Spark's OWN parser already produces the catalyst
@@ -279,6 +280,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w`.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val ShowPartitionsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w`.]+)\s*;?\s*""".r
+  private val AnalyzeRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w`.]+)\s+COMPUTE\s+STATISTICS\s*(?:FOR\s+COLUMNS\s+([\w`,\s]+?))?\s*;?\s*""".r
 
   /** Resolve a multipart identifier whose head is a catalog configured to
     * [[graft.sources.GraftCatalog]] down to the table root directory,
@@ -377,6 +380,20 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           // column parity with the Scala TxnTable.showPartitions
           TxnTable.showPartitions(root)
             .map(s => new GenericInternalRow(Array[Any](UTF8String.fromString(s)))))
+      }.getOrElse(delegate.parsePlan(sqlText))
+    case AnalyzeRe(table, colList) =>
+      rootOf(table).map { root =>
+        val cols = Option(colList).map(_.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+        val out = Seq(
+          AttributeReference("column", StringType, nullable = false)(),
+          AttributeReference("distinct_count_est", LongType, nullable = false)())
+        GraftDmlCommand("analyze", out, () =>
+          // column parity with the Scala TxnTable.analyze
+          TxnTable.analyze(spark, root, cols).toSeq.sortBy(_._1).map {
+            case (c, n) => new GenericInternalRow(Array[Any](
+              UTF8String.fromString(c), n))
+          })
       }.getOrElse(delegate.parsePlan(sqlText))
     case VacuumStagingRe(table, hours) =>
       rootOf(table).map { root =>

@@ -757,6 +757,58 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
   }
 
+  test("ANALYZE TABLE persists string-column NDV that CBO equality " +
+    "estimation needs (footers have no NDV; the integral bound cannot " +
+    "cover strings)") {
+    val root = mount("anlz")
+    TxnTable.append(spark.range(0, 400000)
+      .selectExpr("id", "concat('grp-', id % 50) AS s",
+        "repeat(uuid(), 2) AS pad")
+      .repartition(8), root)
+    val threshold = BigInt(2L * 1024 * 1024)
+    def plan(): String = {
+      val big = spark.range(0, 2000000).withColumnRenamed("id", "rid")
+      spark.sql("SELECT id, s FROM graft.anlz WHERE s = 'grp-7'")
+        .join(big, col("id") === col("rid"))
+        .queryExecution.executedPlan.toString
+    }
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // un-analyzed: no NDV for a string column → equality estimation
+      // bails → the filtered side keeps its full-scan size → sort-merge
+      assert(!plan().contains("BroadcastHashJoin"),
+        "control: without ANALYZE a string equality filter must not shrink the estimate")
+      val rep = spark.sql(
+        "ANALYZE TABLE graft.anlz COMPUTE STATISTICS FOR COLUMNS s, id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rep.keySet == Set("s", "id"), rep.toString)
+      assert(rep("s") >= 45 && rep("s") <= 55, // HLL++ rsd 0.05 around 50
+        s"NDV estimate for 50 distinct groups, got ${rep("s")}")
+      // the persisted estimate surfaces through the scan's column stats...
+      val st = spark.sql("SELECT id, s FROM graft.anlz")
+        .queryExecution.optimizedPlan.stats
+      val sNdv = st.attributeStats.find(_._1.name == "s")
+        .flatMap(_._2.distinctCount)
+      assert(sNdv.exists(n => n.toLong == rep("s")), s"got $sNdv")
+      // ...and s = 'grp-7' now estimates ~1/50 → under the broadcast bar
+      assert(plan().contains("BroadcastHashJoin"),
+        s"CBO + analyzed NDV must broadcast the equality-filtered side:\n${plan()}")
+      // the stats survive a fresh analysis-free commit and stay capped:
+      // deleting most rows must not leave distinctCount above row count
+      TxnTable.delete(spark, root, col("id") >= 10)
+      val st2 = spark.sql("SELECT s FROM graft.anlz")
+        .queryExecution.optimizedPlan.stats
+      val capped = st2.attributeStats.find(_._1.name == "s")
+        .flatMap(_._2.distinctCount)
+      assert(capped.exists(_.toLong <= 10), s"NDV must cap at live rows, got $capped")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    }
+  }
+
   test("snapshot statistics: a small catalog table broadcasts") {
     val root = mount("dim")
     TxnTable.append(df(1 to 50), root)
