@@ -129,9 +129,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   /** `VERSION AS OF v` — Spark's time-travel analysis lands here. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (cdfBaseRoot(ident).isDefined) throw new UnsupportedOperationException(
-      s"graft catalog: time travel is not supported on change feeds ($ident)" +
-        " — bound the range with startingVersion/endingVersion instead")
+    cdfBaseRoot(ident).foreach { base =>
+      // a feed over a NONEXISTENT base is table-not-found, not a
+      // misleading capability error
+      if (latestRecovered(base) < 0) throw new NoSuchTableException(ident)
+      throw new UnsupportedOperationException(
+        s"graft catalog: time travel is not supported on change feeds ($ident)" +
+          " — bound the range with startingVersion/endingVersion instead")
+    }
     val root = rootFor(ident)
     val latest = latestRecovered(root)
     if (latest < 0) throw new NoSuchTableException(ident)
@@ -146,16 +151,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   /** `TIMESTAMP AS OF ts` — micros in, resolved to the newest commit at or
     * before the instant ([[TxnTable.versionAsOf]] semantics). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    if (cdfBaseRoot(ident).isDefined) throw new UnsupportedOperationException(
-      s"graft catalog: time travel is not supported on change feeds ($ident)" +
-        " — bound the range with startingVersion/endingVersion instead")
+    cdfBaseRoot(ident).foreach { base =>
+      if (latestRecovered(base) < 0) throw new NoSuchTableException(ident)
+      throw new UnsupportedOperationException(
+        s"graft catalog: time travel is not supported on change feeds ($ident)" +
+          " — bound the range with startingVersion/endingVersion instead")
+    }
     val root = rootFor(ident)
     if (latestRecovered(root) < 0) throw new NoSuchTableException(ident)
     new GraftTable(root, TxnTable.versionAsOf(root, timestampMicros / 1000L), ident.toString)
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    try TxnTable.latestVersion(rootFor(ident)) >= 0
+    // recovery-aware like loadTable: a crashed REPLACE must not make
+    // existence depend on whether a SELECT happened to recover it first
+    try latestRecovered(rootFor(ident)) >= 0
     catch { case _: RuntimeException => false }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -181,7 +191,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
     val root = rootFor(ident)
-    require(TxnTable.latestVersion(root) < 0,
+    require(latestRecovered(root) < 0, // recovery-aware: never bury a
+      // crashed REPLACE's promotable state under a fresh CREATE
       s"graft catalog: table $ident already exists at $root")
     val pcs = partitions.toSeq.map { t =>
       require(t.name == "identity" && t.references.length == 1,
@@ -201,7 +212,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * ([[TxnTable.dropColumn]]). Zero data bytes rewritten by any of them. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootFor(ident)
-    if (TxnTable.latestVersion(root) < 0) throw new NoSuchTableException(ident)
+    if (latestRecovered(root) < 0) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
     changes.foreach {
       case c: TableChange.RenameColumn =>
@@ -243,7 +254,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           "graft.catalog.allowDrop=true to tombstone the table's commit " +
           "log (data files are never deleted)")
     val root = try rootFor(ident) catch { case _: RuntimeException => return false }
-    if (TxnTable.latestVersion(root) < 0) return false
+    if (latestRecovered(root) < 0) return false // recovery-aware: DROP
+    // after a crashed REPLACE tombstones the promoted table, not a void
     val stamp = System.currentTimeMillis()
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     // the MIRROR tombstones first: `_txn_log` is the existence authority
@@ -273,7 +285,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   // window where neither table exists, even across a writer crash.
   private def stage(ident: Identifier, info: TableInfo, mode: String): StagedTable = {
     val root = rootFor(ident)
-    val exists = TxnTable.latestVersion(root) >= 0
+    val exists = latestRecovered(root) >= 0 // recovery-aware, like loadTable
     mode match {
       case "create" if exists =>
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
@@ -457,7 +469,10 @@ final class GraftStagedTable(targetRoot: String, stagingRoot: String,
       // a recoverable marker state, or the new table.
       val replaced = s"$targetRoot.__replaced-${System.currentTimeMillis()}"
       val marker = JPaths.get(GraftCatalog.replaceIntentPath(targetRoot))
-      val mTmp = JPaths.get(s"$targetRoot.__replace-intent.tmp")
+      // writer-private tmp name: two concurrent REPLACEs sharing a fixed
+      // tmp path could atomically install EACH OTHER'S marker content
+      val mTmp = JPaths.get(s"$targetRoot.__replace-intent.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
       JFiles.write(mTmp, s"""{"staging":"${TxnTable.esc(stagingRoot)}","replaced":"${TxnTable.esc(replaced)}"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       JFiles.move(mTmp, marker, StandardCopyOption.ATOMIC_MOVE,
@@ -774,7 +789,12 @@ final case class GraftScan(root: String, version: Long,
     val cbo = SparkSession.active.conf.get("spark.sql.cbo.enabled", "false").toBoolean
     val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      if (!cbo || kept.isEmpty || rows.size != kept.size)
+      // DV-carrying snapshots emit NO column stats: footer min/max/null
+      // counts describe the file INCLUDING rows a deletion vector hides,
+      // so folding them against DV-adjusted row counts would hand
+      // Catalyst invalid statistics (negative NDV, nullCount > numRows)
+      if (!cbo || kept.isEmpty || rows.size != kept.size ||
+          kept.exists(_.dv.isDefined))
         java.util.Collections.emptyMap()
       else GraftScan.foldColumnStats(required, kept, rows.sum,
         // LATEST config, even under time travel: ANALYZE stats are
@@ -863,7 +883,7 @@ object GraftScan {
             val hi = nonNullMaxs.reduce((a, b) => if (ord(a, b) >= 0) a else b)
             ord(lo, hi) == 0 && nc.contains(0L)
           }
-        val nonNullRows = totalRows - nc.getOrElse(0L)
+        val nonNullRows = (totalRows - nc.getOrElse(0L)).max(0L)
         // ANALYZE-persisted estimate (any type, keyed by physical name,
         // capped at live non-null rows so deletes can't leave it unsound)
         val analyzed = tableCfg.get(TxnTable.NdvKeyPrefix + pn)

@@ -40,9 +40,8 @@ private[sources] object GroupDecode {
     * SchemaColumnConvertNotSupportedException. */
   private[sources] def checkDecimalScale(fileType: org.apache.parquet.schema.GroupType,
                                          physName: String, dt: DataType,
-                                         file: String): Unit = dt match {
-    case d: DecimalType if fileType.containsField(physName) =>
-      val t = fileType.getType(fileType.getFieldIndex(physName))
+                                         file: String): Unit = {
+    def checkPrim(t: Type, d: DecimalType): Unit =
       if (t.isPrimitive) t.asPrimitiveType().getLogicalTypeAnnotation match {
         case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
           if a.getScale > d.scale =>
@@ -53,7 +52,25 @@ private[sources] object GroupDecode {
               "foreign file")
         case _ => ()
       }
-    case _ => ()
+    // the file's LIST element primitive, mirroring [[value]]'s navigation:
+    // standard 3-level (group → repeated wrapper → element) or legacy
+    // 2-level (repeated primitive directly under the list group)
+    def listElement(t: Type): Option[Type] =
+      if (t.isPrimitive) None
+      else {
+        val rep = t.asGroupType().getType(0)
+        if (rep.isPrimitive) Some(rep)
+        else Some(rep.asGroupType().getType(0))
+      }
+    if (fileType.containsField(physName)) {
+      val t = fileType.getType(fileType.getFieldIndex(physName))
+      dt match {
+        case d: DecimalType => checkPrim(t, d)
+        case ArrayType(d: DecimalType, _) =>
+          listElement(t).foreach(checkPrim(_, d))
+        case _ => ()
+      }
+    }
   }
 
   /** Decode field `fi` (repetition already checked non-empty) of `g` under

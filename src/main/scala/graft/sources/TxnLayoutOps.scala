@@ -349,8 +349,16 @@ private[sources] trait TxnLayoutOps { self: TxnTable.type =>
         // marker has aged past retention
         val stale = latestVersion(root) >= 0 &&
           Files.getLastModifiedTime(p).toMillis < olderThan
+        val b = Files.size(p) // before the delete — size(p) after would throw
         if (stale && !dryRun) Files.deleteIfExists(p)
-        Some(SweepEntry("replace-intent", p.toString, Files.size(p), stale))
+        Some(SweepEntry("replace-intent", p.toString, b, stale))
+      } else if (n.startsWith(s"$name.__replace-intent.tmp")) {
+        // debris from a crash between the marker write and its atomic
+        // move — never consulted by recovery, reclaimable past retention
+        val old = Files.getLastModifiedTime(p).toMillis < olderThan
+        val b = Files.size(p)
+        if (old && !dryRun) Files.deleteIfExists(p)
+        Some(SweepEntry("replace-intent-tmp", p.toString, b, old))
       } else None
     }
     val droppedEntries = Seq("_txn_log", "_delta_log").flatMap { d =>

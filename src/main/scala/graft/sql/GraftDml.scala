@@ -226,14 +226,27 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // carries a fromStar marker), so it is treated as a star and
           // evolved columns append; spell any value as an expression
           // (`s.a + 0`) to opt out.
+          // name compare honors the session's case sensitivity (the
+          // analyzer resolves `a` against source column `A` under the
+          // default insensitive resolver), and an implicit Cast/UpCast
+          // the expansion wraps around a bare ref is still a bare ref
+          val caseSensitive = spark.conf
+            .get("spark.sql.caseSensitive", "false").toBoolean
+          def sameName(a: String, b: String): Boolean =
+            if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+          @scala.annotation.tailrec
+          def bareRefName(e: Expression): Option[String] = e match {
+            case ar: AttributeReference => Some(ar.name)
+            case u: UnresolvedAttribute => Some(u.nameParts.last)
+            case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+              bareRefName(c.child)
+            case c: org.apache.spark.sql.catalyst.expressions.UpCast =>
+              bareRefName(c.child)
+            case _ => None
+          }
           val starShaped = targetCols.forall(base.contains) &&
-            assigns.forall { a =>
-              a.value match {
-                case ar: AttributeReference => ar.name == keyName(a.key)
-                case u: UnresolvedAttribute => u.nameParts.last == keyName(a.key)
-                case _ => false
-              }
-            }
+            assigns.forall(a =>
+              bareRefName(a.value).exists(sameName(_, keyName(a.key))))
           MergeClause.Insert(c.map(toColumn(_)),
             if (starShaped) base ++ evolveSet else base)
         case InsertStarAction(c) => MergeClause.InsertAll(c.map(toColumn(_)))
@@ -442,15 +455,25 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
 
 object GraftSqlParser {
   /** `TIMESTAMP AS OF` literal → epoch millis. Accepts an ISO instant
-    * (`2024-01-01T00:00:00Z`) or the SQL timestamp shape
-    * (`2024-01-01 00:00:00[.fff]`), the latter read as UTC wall time —
+    * (`2024-01-01T00:00:00Z`), the SQL timestamp shape
+    * (`2024-01-01 00:00:00[.fff]`), or a bare date (`2024-01-01`,
+    * midnight) — the non-instant shapes read as UTC wall time, since
     * graft sessions pin `spark.sql.session.timeZone=UTC`, matching the
-    * catalog's `TIMESTAMP AS OF` resolution. */
+    * catalog's `TIMESTAMP AS OF` resolution. Anything else fails with
+    * the accepted formats named, not a raw parse exception. */
   private[sql] def parseTsMillis(s: String): Long =
     try java.time.Instant.parse(s).toEpochMilli
     catch { case _: java.time.format.DateTimeParseException =>
       val t = if (s.contains(" ")) s.replaceFirst(" ", "T") else s
-      java.time.LocalDateTime.parse(t)
+      try java.time.LocalDateTime.parse(t)
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDate.parse(t).atStartOfDay
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          sys.error(s"TIMESTAMP AS OF: cannot parse '$s' — use an ISO " +
+            "instant, 'yyyy-MM-dd HH:mm:ss[.fff]', or 'yyyy-MM-dd' (UTC)")
+        }
+      }
     }
 }

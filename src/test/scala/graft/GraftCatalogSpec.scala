@@ -658,6 +658,72 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graft.rcw2").head.getLong(0) == 5L)
   }
 
+  test("DDL is recovery-aware: after a crashed REPLACE, tableExists sees " +
+    "the table and CREATE refuses to bury the promotable state") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val root = mount("rcw3")
+    TxnTable.append(df(1 to 10), root)
+    val staging = s"$root.__stage-ddl"
+    TxnTable.append(df(100 to 120), staging)
+    JF.write(JP.get(graft.sources.GraftCatalog.replaceIntentPath(root)),
+      s"""{"staging":"$staging","replaced":"$root.__replaced-1"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    JF.move(JP.get(root), JP.get(s"$root.__replaced-1")) // the crash point
+    // BEFORE any SELECT touches the table: existence must not depend on
+    // whether a reader happened to run recovery first
+    assert(spark.catalog.tableExists("graft.rcw3"),
+      "crashed-REPLACE table must still exist to DDL")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.rcw3 (id BIGINT) USING graft")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // and the staged content was promoted, not lost
+    assert(spark.sql("SELECT count(*) AS n FROM graft.rcw3").head.getLong(0) == 21L)
+  }
+
+  test("VACUUM STAGING reclaims a stale replace-intent marker and tmp " +
+    "debris without crashing, sizes captured before deletion") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val root = mount("swpm")
+    TxnTable.append(df(1 to 5), root) // target RESOLVES → marker is stale
+    val marker = JP.get(graft.sources.GraftCatalog.replaceIntentPath(root))
+    JF.write(marker, """{"staging":"x","replaced":"y"}""".getBytes)
+    val tmp = JP.get(s"$root.__replace-intent.tmp-dead1")
+    JF.write(tmp, "debris".getBytes)
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 3600 * 1000)
+    JF.setLastModifiedTime(marker, past)
+    JF.setLastModifiedTime(tmp, past)
+    val entries = TxnTable.sweepStaging(root,
+      System.currentTimeMillis() - 3600 * 1000)
+    val byKind = entries.map(e => e.kind -> e).toMap
+    assert(byKind("replace-intent").reclaimed && !JF.exists(marker))
+    assert(byKind("replace-intent").bytes > 0, "size captured before delete")
+    assert(byKind("replace-intent-tmp").reclaimed && !JF.exists(tmp))
+    assert(byKind("replace-intent-tmp").bytes == 6L)
+  }
+
+  test("ARRAY<DECIMAL> with a wider file scale fails at file-open like " +
+    "the flat decimal guard") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_arr_dec")
+    spark.sql("SELECT array(CAST(1.23456 AS DECIMAL(10,5))) AS amts")
+      .coalesce(1).write.parquet(s"$dir/data")
+    val part = FsTest.walk(java.nio.file.Paths.get(s"$dir/data"))
+      .iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val requested = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("amts",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DecimalType(10, 2)))))
+    val e = intercept[UnsupportedOperationException] {
+      new graft.sources.GraftRowReader(graft.sources.GraftInputPartition(
+        part.toString, requested.json, Map.empty, null))
+    }
+    assert(e.getMessage.contains("amts") && e.getMessage.contains("truncate"),
+      e.getMessage)
+  }
+
   test("a real table named x__changes wins over the change-feed spelling; " +
     "time travel on a feed name errors clearly") {
     val root = mount("shadow__changes")

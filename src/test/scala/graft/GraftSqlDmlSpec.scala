@@ -214,6 +214,14 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .toString.replace('T', ' ')
     assert(spark.sql(s"RESTORE graft.rts TO TIMESTAMP AS OF '$wall'")
       .head.getLong(0) == 3L)
+    // a bare date parses (midnight UTC — Spark/Delta accept this shape)
+    assert(spark.sql("RESTORE graft.rts TO TIMESTAMP AS OF '2099-01-01'")
+      .head.getLong(0) == 4L) // resolves to latest
+    // garbage names the accepted formats, not a raw parse stack
+    val bad = intercept[Exception] {
+      spark.sql("RESTORE graft.rts TO TIMESTAMP AS OF 'not-a-time'")
+    }
+    assert(bad.getMessage.contains("yyyy-MM-dd"), bad.getMessage)
   }
 
   test("SHOW PARTITIONS lists live hive paths from metadata alone") {
