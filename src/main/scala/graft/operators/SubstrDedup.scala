@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.sources.Tables
 
 /** EXACT variable-length substring deduplication — the Lee et al.
@@ -51,10 +50,15 @@ object SubstrDedup {
     * doc, so 15 exercises real multi-span structure). */
   private val L = 15
 
+  // Project `text` away once `toks` is built: every consumer (gram build,
+  // rank table, rebuild, symbol stream) reads toks only, and the callers'
+  // eager() checkpoints would otherwise materialize the raw text beside
+  // the token array — double the bytes for nothing (round 18, measured).
   private def docsToks(s: SparkSession, dir: String): DataFrame =
     graft.Materialize.rebalanced(
       Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), col("toks"))
 
   /** (doc_id, pos) of every duplicated L-gram start — gram-hash engine. */
   private def dupStartsGram(docs: DataFrame): DataFrame = {
@@ -68,23 +72,31 @@ object SubstrDedup {
       .filter(col("c") >= 2).select("doc_id", "pos")
   }
 
-  /** Order-preserving distributed dense rank of `keys`: equal keys get
-    * equal ranks, rank order follows key order. The classic two-phase
-    * shape — range-partition + local sort gives a global order,
-    * zipWithIndex numbers it without a single-task window, and a min()
-    * per key collapses ties. Two bounded shuffles, any input size. */
+  /** Order-preserving distributed rank of `keys`: equal keys get equal
+    * ranks, rank order follows key order. Shape (round 18, measured —
+    * the previous RDD zipWithIndex + min-over-window form cost 2 extra
+    * jobs per call and a full-width non-codegen Row round-trip):
+    * DISTINCT keys (map-side partial agg shrinks the shuffle to the key
+    * universe) → range-partition + local sort (global key order) →
+    * monotonically_increasing_id, which is order-preserving here because
+    * range partition ids are ordered and the local sort orders rows
+    * within each (id = pid·2³³ + offset; a range partition holding more
+    * than 2³³ distinct keys would overflow — far beyond any real split)
+    * → hash-join the ranks back onto the rows. Ranks are not dense, but
+    * every consumer needs only order/equality, same as before (the old
+    * min(_idx) ranks were not dense either). The whole relation is
+    * lazyCut-materialized: rank VALUES are partitioning-dependent, so two
+    * plan branches recomputing this subtree independently could disagree
+    * — the checkpoint makes every consumer read ONE computed copy (the
+    * RDD form got this for free by sharing one RDD instance). */
   private def denseRankBy(df: DataFrame, keys: Seq[String]): DataFrame = {
     val s = df.sparkSession
     val parts = math.max(s.sparkContext.defaultParallelism, 8)
-    val parted = df.repartitionByRange(parts, keys.map(col): _*)
+    val ranked = df.select(keys.map(col): _*).distinct()
+      .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-    val withIdx = s.createDataFrame(
-      parted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      StructType(parted.schema.fields :+ StructField("_idx", LongType)))
-    withIdx
-      .withColumn("rk", min(col("_idx")).over(
-        Window.partitionBy(keys.map(col): _*)))
-      .drop("_idx")
+      .withColumn("rk", monotonically_increasing_id())
+    graft.Materialize.lazyCut(df.join(ranked, keys))
   }
 
   /** Prefix-doubled rank table: (doc_id, pos, rk) where rk orders every

@@ -30,8 +30,19 @@ object PlanOne {
     val stages = new AtomicLong(0)
     val shuffleWrite = new AtomicLong(0)
     val shuffleRead = new AtomicLong(0)
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        jobStartNs.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobStartNs.get(je.jobId)).foreach { case (t0, site) =>
+          jobLog.add(f"job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $site")
+        }
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         val m = sc.stageInfo.taskMetrics
@@ -50,7 +61,7 @@ object PlanOne {
     df.write.format("noop").mode("overwrite").save()
     Materialize.releaseTransient(spark)
     System.gc()
-    jobs.set(0); stages.set(0); shuffleWrite.set(0); shuffleRead.set(0)
+    jobs.set(0); stages.set(0); shuffleWrite.set(0); shuffleRead.set(0); jobLog.clear()
     val t0 = System.nanoTime()
     val df2 = SparkEntry.queries(args(0))(spark, dir)
     df2.write.format("noop").mode("overwrite").save()
@@ -64,7 +75,9 @@ object PlanOne {
          |jobs: ${jobs.get()}  stages: ${stages.get()}
          |shuffle_write_mb: ${shuffleWrite.get() / 1e6}%.1f  shuffle_read_mb: ${shuffleRead.get() / 1e6}%.1f
          |""".stripMargin
-    val body = header + "\n== logical->formatted ==\n" + plan +
+    val jobTable = jobLog.toArray.map(_.toString).mkString("\n")
+    val body = header + "\n== jobs ==\n" + jobTable +
+      "\n\n== logical->formatted ==\n" + plan +
       "\n== executed (AQE final) ==\n" + executed
     println(header)
     if (args.length > 2) {
