@@ -28,18 +28,31 @@ object Tables {
     * TIMESTAMP (keeping filter pushdown); for user-supplied sessions without
     * that config, normalize NTZ → LTZ here (identical values under the UTC
     * session timezone all graft sessions set). */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    import org.apache.spark.sql.functions.col
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    val ntz = raw.schema.fields.collect {
-      case f if f.dataType == TimestampNTZType => f.name
-    }.toSet
-    if (ntz.isEmpty) raw
-    else raw.select(raw.columns.map { c =>
-      if (ntz(c)) col(c).cast(TimestampType).as(c) else col(c)
-    }.toIndexedSeq: _*)
-  }
+  // Memoized READER PLAN per (session, dir, table) — the lazy DataFrame
+  // only, never data: every action still scans the parquet files. Each
+  // bare `spark.read.parquet` pays a driver schema-inference job
+  // (~25 ms); queries reference 3-7 tables, so across a 295-query bench
+  // run those footer re-reads alone were ~20 s of pure fixed cost
+  // (round 18, measured via per-job listener). A metastore-backed table
+  // knows its schema without touching footers — this cache is that,
+  // scoped to the session. Entries are plan objects (a few KB); a race
+  // on first load builds the plan twice harmlessly (nothing pins).
+  private val readerCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    readerCache.getOrElseUpdate((spark, sfDir, name), {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      import org.apache.spark.sql.functions.col
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      val ntz = raw.schema.fields.collect {
+        case f if f.dataType == TimestampNTZType => f.name
+      }.toSet
+      if (ntz.isEmpty) raw
+      else raw.select(raw.columns.map { c =>
+        if (ntz(c)) col(c).cast(TimestampType).as(c) else col(c)
+      }.toIndexedSeq: _*)
+    })
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -53,39 +53,50 @@ object PlanOne {
       }
     })
 
-    val df = SparkEntry.queries(args(0))(spark, dir)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // args(0): comma-separated query names; args(2) (optional): output
+    // PATH for a single query, or output DIRECTORY (suffix appended) for
+    // several.
+    val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
-    // run 1: warm (codegen/JIT); reset counters; run 2: measured
-    df.write.format("noop").mode("overwrite").save()
-    Materialize.releaseTransient(spark)
-    System.gc()
-    jobs.set(0); stages.set(0); shuffleWrite.set(0); shuffleRead.set(0); jobLog.clear()
-    val t0 = System.nanoTime()
-    val df2 = SparkEntry.queries(args(0))(spark, dir)
-    df2.write.format("noop").mode("overwrite").save()
-    val secs = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300) // let listener drain
-    val executed = df2.queryExecution.executedPlan.toString()
+      // run 1: warm (codegen/JIT); reset counters; run 2: measured
+      df.write.format("noop").mode("overwrite").save()
+      Materialize.releaseTransient(spark)
+      System.gc()
+      jobs.set(0); stages.set(0); shuffleWrite.set(0); shuffleRead.set(0); jobLog.clear()
+      val t0 = System.nanoTime()
+      val df2 = SparkEntry.queries(name)(spark, dir)
+      df2.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let listener drain
+      val executed = df2.queryExecution.executedPlan.toString()
 
-    val header =
-      f"""== ${args(0)} @ $dir ==
-         |steady_run_s: $secs%.3f
-         |jobs: ${jobs.get()}  stages: ${stages.get()}
-         |shuffle_write_mb: ${shuffleWrite.get() / 1e6}%.1f  shuffle_read_mb: ${shuffleRead.get() / 1e6}%.1f
-         |""".stripMargin
-    val jobTable = jobLog.toArray.map(_.toString).mkString("\n")
-    val body = header + "\n== jobs ==\n" + jobTable +
-      "\n\n== logical->formatted ==\n" + plan +
-      "\n== executed (AQE final) ==\n" + executed
-    println(header)
-    if (args.length > 2) {
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(args(2)).toAbsolutePath.getParent)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(args(2)), body)
-      println(s"written: ${args(2)}")
-    } else println(body)
+      val header =
+        f"""== $name @ $dir ==
+           |steady_run_s: $secs%.3f
+           |jobs: ${jobs.get()}  stages: ${stages.get()}
+           |shuffle_write_mb: ${shuffleWrite.get() / 1e6}%.1f  shuffle_read_mb: ${shuffleRead.get() / 1e6}%.1f
+           |""".stripMargin
+      val jobTable = jobLog.toArray.map(_.toString).mkString("\n")
+      val body = header + "\n== jobs ==\n" + jobTable +
+        "\n\n== logical->formatted ==\n" + plan +
+        "\n== executed (AQE final) ==\n" + executed
+      println(header)
+      if (args.length > 2) {
+        val base = java.nio.file.Paths.get(args(2)).toAbsolutePath
+        val out =
+          if (names.length == 1 && args(2).endsWith(".txt")) base
+          else base.resolve(s"${name}_before.txt")
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.writeString(out, body)
+        println(s"written: $out")
+      } else println(body)
+      Materialize.releaseTransient(spark)
+      System.gc()
+    }
     spark.stop()
   }
 }
