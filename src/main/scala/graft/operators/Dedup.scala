@@ -460,7 +460,7 @@ object Dedup {
       .selectExpr("doc_id",
         s"posexplode(transform(sequence(0, (size(toks) - 1) div $SegW), i -> concat_ws(' ', slice(toks, i * $SegW + 1, $SegW)))) AS (pos, seg)")
       .selectExpr("doc_id", "cast(pos as bigint) AS pos", "seg",
-        "md5(cast(seg as binary)) AS segh")
+        "unhex(md5(cast(seg as binary))) AS segh") // 16-byte shuffle key
     val w = Window.partitionBy($"segh").orderBy($"doc_id".asc, $"pos".asc)
     segs.withColumn("rn", row_number().over(w))
       .groupBy($"doc_id")
@@ -1060,7 +1060,10 @@ object Dedup {
     val spans = spanRows(Tables.documents(s, dir).select($"doc_id", $"text"))
     val hashed = spans
       .selectExpr("doc_id", "explode(spans) AS span")
-      .select($"doc_id", md5($"span").as("h"))
+      // unhex: the window shuffle carries the 128-bit hash as 16 BYTES,
+      // not 32 hex chars (same bits, half the exchanged width — guide
+      // "shuffle fewer bytes"); the hash never reaches the output
+      .select($"doc_id", unhex(md5($"span")).as("h"))
     val dup = hashed
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
       .filter($"df" >= 2)
@@ -1232,7 +1235,7 @@ object Dedup {
       val idx = graft.Materialize.eager(
         spanRows(all.filter($"doc_id" < split))
           .selectExpr("explode(spans) AS span")
-          .select(md5($"span").as("h"))
+          .select(unhex(md5($"span")).as("h")) // 16-byte key, see spanDedup
           .groupBy($"h").agg(count(lit(1)).as("df_c")),
         pin = true)
       (idx, split)
@@ -1250,7 +1253,7 @@ object Dedup {
       Tables.documents(s, dir).select($"doc_id", $"text").filter($"doc_id" >= split))
     val deltaH = graft.Materialize.eager(deltaSpans
       .selectExpr("doc_id", "explode(spans) AS span")
-      .select($"doc_id", md5($"span").as("h")))
+      .select($"doc_id", unhex(md5($"span")).as("h"))) // 16-byte key
     val totalDf = deltaH.groupBy($"h").agg(count(lit(1)).as("df_d"))
       .join(corpusIdx, Seq("h"), "left")
       .select($"h", (coalesce($"df_c", lit(0L)) + $"df_d").as("df"))

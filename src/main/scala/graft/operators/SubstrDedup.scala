@@ -62,9 +62,11 @@ object SubstrDedup {
 
   /** (doc_id, pos) of every duplicated L-gram start — gram-hash engine. */
   private def dupStartsGram(docs: DataFrame): DataFrame = {
+    // unhex: the count-over-hash shuffle carries 16 bytes per gram, not
+    // 32 hex chars (same 128 bits; the hash never reaches the output)
     val grams = docs.selectExpr("doc_id",
       s"IF(size(toks) < $L, array(), transform(sequence(1, size(toks) - ${L - 1}), " +
-        s"i -> md5(concat_ws(' ', slice(toks, i, $L))))) AS gh")
+        s"i -> unhex(md5(concat_ws(' ', slice(toks, i, $L)))))) AS gh")
       .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
     grams
@@ -207,7 +209,7 @@ object SubstrDedup {
     val docs = graft.Materialize.eager(docsToks(s, dir))
     val grams = docs.selectExpr("doc_id",
       s"IF(size(toks) < $L, array(), transform(sequence(1, size(toks) - ${L - 1}), " +
-        s"i -> md5(concat_ws(' ', slice(toks, i, $L))))) AS gh")
+        s"i -> unhex(md5(concat_ws(' ', slice(toks, i, $L)))))) AS gh") // 16-byte key
       .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
     val byH = Window.partitionBy(col("h"))
@@ -413,7 +415,7 @@ object SubstrDedup {
     val docs = symDocs(s, dir)
     val grams = docs.selectExpr("doc_id",
       s"IF(length(sym) < $Lb, array(), transform(sequence(1, length(sym) - ${Lb - 1}), " +
-        s"i -> md5(cast(substring(sym, i, $Lb) as binary)))) AS gh")
+        s"i -> unhex(md5(cast(substring(sym, i, $Lb) as binary))))) AS gh") // 16-byte key
       .select(col("doc_id"), posexplode(col("gh")).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
     val dup = grams
