@@ -242,7 +242,7 @@ object DecisionSupport {
   // ---------------------------------------------------------------------------
   def topSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rev = graft.Materialize.eager(
+    val rev = graft.Materialize.lazyCut(
       Tables.lineitem(s, dir)
         .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
           $"l_shipdate" < ts("1997-04-01 00:00:00"))
@@ -277,7 +277,7 @@ object DecisionSupport {
   def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bp = Tables.part(s, dir).filter($"p_brand" === "Brand#1").select($"p_partkey")
-    val li = graft.Materialize.eager(
+    val li = graft.Materialize.lazyCut(
       Tables.lineitem(s, dir)
         .select($"l_partkey", $"l_quantity", $"l_extendedprice")
         .join(bp, $"l_partkey" === $"p_partkey")
@@ -606,7 +606,7 @@ object DecisionSupport {
     // broadcast-joining suppliers before the groupBy drops ~4/5 of the
     // offer shuffle at the map side (min per (part, supp) commutes with a
     // supplier-level filter).
-    val euOffers = graft.Materialize.eager(
+    val euOffers = graft.Materialize.lazyCut(
       Tables.lineitem(s, dir)
         .select($"l_partkey", $"l_suppkey", ($"l_extendedprice" / $"l_quantity").as("c"))
         .join(broadcast(euSupp), $"l_suppkey" === $"s_suppkey")
@@ -688,7 +688,7 @@ object DecisionSupport {
       .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
       .filter($"r_name" === "ASIA")
       .select($"s_suppkey")
-    val v = graft.Materialize.eager(
+    val v = graft.Materialize.lazyCut(
       Tables.lineitem(s, dir)
         .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
         .join(asiaSupp, $"l_suppkey" === $"s_suppkey")

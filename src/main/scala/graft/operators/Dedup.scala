@@ -234,7 +234,7 @@ object Dedup {
     // and re-enters the plan with its full partitioning, not as 1 partition.
     // (Churn-prone clusters set Materialize.impl = TempParquet; same shape.)
     val w = Window.partitionBy($"band_id", $"band_key").orderBy($"doc_id")
-    graft.Materialize.eager(bands
+    graft.Materialize.lazyCut(bands
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= cap)
       .groupBy($"band_id", $"band_key")
@@ -289,7 +289,7 @@ object Dedup {
     import s.implicits._
     val candDocs = candidates
       .selectExpr("explode(array(doc_a, doc_b)) AS doc_id").distinct()
-    graft.Materialize.eager(Tables.documents(s, dir)
+    graft.Materialize.lazyCut(Tables.documents(s, dir)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .withColumn("toks", expr(toksExpr))
       .selectExpr("doc_id", s"$shinglesExpr AS sh"))
@@ -405,7 +405,7 @@ object Dedup {
     // the corpus is tokenized and md5'd exactly once per (session, dir),
     // not per query (the md5 pass dominates this whole family).
     val hrows = shingleIndex(s, dir)
-    val candidates = graft.Materialize.eager(
+    val candidates = graft.Materialize.lazyCut(
       lshCandidatesFromSigs(signaturesFromHashes(hrows))
         .union(rareShingleCandidatesFromHashes(hrows)).distinct())
     val shingleSets = candidateShingles(s, dir, candidates)
@@ -506,12 +506,12 @@ object Dedup {
     import s.implicits._
     val sig = minhashSignatures(s, dir)
     // signature pipeline runs once; both join sides read the materialization
-    val bands = graft.Materialize.eager(
+    val bands = graft.Materialize.lazyCut(
       sig.filter(col("sig0").isNotNull).selectExpr("doc_id",
         "stack(4, 0, concat_ws('|', sig0, sig1), 1, concat_ws('|', sig2, sig3), 2, concat_ws('|', sig4, sig5), 3, concat_ws('|', sig6, sig7)) AS (band_id, band_key)"))
     val newBands = bands.filter($"doc_id" >= IncrSplit)
       .toDF("n_doc_id", "band_id", "band_key")
-    val candidates = graft.Materialize.eager(
+    val candidates = graft.Materialize.lazyCut(
       bands.join(newBands, Seq("band_id", "band_key"))
         .filter($"doc_id" < $"n_doc_id")
         .select($"doc_id".as("doc_a"), $"n_doc_id".as("doc_b"))
@@ -608,10 +608,11 @@ object Dedup {
   }
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Materialized once (Materialize.eager): the signature pipeline
-    // feeds banding AND both sides of the verification join — three
-    // full-corpus recomputations without it.
-    val sigs = graft.Materialize.eager(simhash64Sigs(s, dir))
+    // Materialized once (Materialize.lazyCut — compute-once blocks, no
+    // dedicated driver action): the signature pipeline feeds banding AND
+    // both sides of the verification join — three full-corpus
+    // recomputations without it.
+    val sigs = graft.Materialize.lazyCut(simhash64Sigs(s, dir))
     // Candidate keys are BLOCK COMBINATIONS (Manku/Jain/Sarma, WWW'07 §3),
     // not single narrow bands: 4×15-bit bands collide random unrelated
     // docs at n²/2¹⁵ — quadratic corpus growth measured 10.8× on 10× data
@@ -623,10 +624,10 @@ object Dedup {
     // IDENTICAL pair set — both candidate supersets contain every
     // hamming≤3 pair — so the 4-band DuckDB oracle needs no change.
     val bands = sigs.selectExpr("doc_id", SimhashComboBands)
-    // Same distributed materialization as lshPairs: Materialize.eager
+    // Same distributed materialization as lshPairs: the lazy checkpoint
     // truncates the signature lineage once; candidates stay partitioned on
     // the cluster instead of round-tripping through the driver.
-    val candidates = graft.Materialize.eager(bands
+    val candidates = graft.Materialize.lazyCut(bands
       .groupBy($"band_id", $"band_val")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") >= 2)
@@ -1035,7 +1036,7 @@ object Dedup {
     * consumer (rebalanced alone passes well-split inputs through and is
     * no barrier at all). */
   private def spanRows(docs: DataFrame): DataFrame =
-    graft.Materialize.eager(
+    graft.Materialize.lazyCut(
       graft.Materialize.rebalanced(docs)
         .withColumn("toks", expr(toksExpr))
         .selectExpr("doc_id", s"$spansExpr AS spans"))
@@ -1136,7 +1137,7 @@ object Dedup {
     // sample hashes only its sample rows
     val hrows =
       if (maxDocs == Int.MaxValue) shingleIndex(s, dir)
-      else graft.Materialize.eager(shingleHashRows(docs))
+      else graft.Materialize.lazyCut(shingleHashRows(docs))
     val ns = hrows.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
     val shared = hrows.select($"doc_id".as("da"), $"h")
       .join(hrows.select($"doc_id".as("db"), $"h"), "h")
@@ -1153,7 +1154,7 @@ object Dedup {
     // because TWO consumers read it — the capped candidate expansion and
     // the overflow accounting; elsewhere bands have a single consumer and
     // flow straight into the expansion.
-    val bands = graft.Materialize.eager(
+    val bands = graft.Materialize.lazyCut(
       bandRowsFromSigs(signaturesFromHashes(hrows)))
     val cand = lshCandidatesFromBands(bands, LshBucketCap)
     val tp = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
@@ -1251,7 +1252,7 @@ object Dedup {
     val (corpusIdx, split) = corpusSpanIndex(s, dir)
     val deltaSpans = spanRows(
       Tables.documents(s, dir).select($"doc_id", $"text").filter($"doc_id" >= split))
-    val deltaH = graft.Materialize.eager(deltaSpans
+    val deltaH = graft.Materialize.lazyCut(deltaSpans
       .selectExpr("doc_id", "explode(spans) AS span")
       .select($"doc_id", unhex(md5($"span")).as("h"))) // 16-byte key
     val totalDf = deltaH.groupBy($"h").agg(count(lit(1)).as("df_d"))
@@ -1476,7 +1477,7 @@ object Dedup {
         "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss) - i - 1), " +
         "y -> named_struct('kind', 2, 'a', x, 'b', y)))))"
     val sigAggs = (0 until K).map(i => min((col("h") * A(i) + B(i)) % P).as(s"sig$i"))
-    val small = graft.Materialize.eager(
+    val small = graft.Materialize.lazyCut(
       shingleIndex(s, dir)
         .select($"source", $"h")
         .groupBy($"h").agg(sort_array(collect_set($"source")).as("ss"))
@@ -1604,7 +1605,7 @@ object Dedup {
   def bloomDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (words, split) = bloomArtifact(s, dir)
-    val all = graft.Materialize.eager(normHashRows(s, dir))
+    val all = graft.Materialize.lazyCut(normHashRows(s, dir))
     val delta = all.filter($"doc_id" >= split)
     val probe = delta
       .selectExpr("doc_id", s"explode($bloomBitsExpr) AS bp")

@@ -154,7 +154,7 @@ object Eval {
     val binned = ev.selectExpr("event_type",
       s"CASE WHEN event_id < ${split}L THEN 0 ELSE 1 END AS half",
       s"$calBucket".replace("score", "value") + " AS bucket")
-    val counts = graft.Materialize.eager(
+    val counts = graft.Materialize.lazyCut(
       binned.groupBy($"event_type", $"bucket")
         .agg(
           sum(when($"half" === 0, lit(1L)).otherwise(lit(0L))).as("c1"),

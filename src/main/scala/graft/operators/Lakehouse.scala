@@ -241,7 +241,7 @@ object Lakehouse {
   def bitmapOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = Tables.events(s, dir).select($"event_type", $"user_id").distinct()
-    val bm = graft.Materialize.eager(
+    val bm = graft.Materialize.lazyCut(
       m.selectExpr("event_type", "user_id div 63 AS wi",
           "shiftleft(1L, cast(user_id % 63 as int)) AS b")
         .groupBy($"event_type", $"wi")

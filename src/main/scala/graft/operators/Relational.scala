@@ -385,7 +385,7 @@ object Relational {
     import s.implicits._
     // each side feeds three set operators — materialize once per side or
     // the scan + distinct aggregate executes three times per side
-    def keys(status: String) = graft.Materialize.eager(
+    def keys(status: String) = graft.Materialize.lazyCut(
       Tables.orders(s, dir).filter($"o_orderstatus" === status)
         .select($"o_custkey").distinct())
     val p = keys("P"); val f = keys("F")
@@ -802,7 +802,7 @@ object Relational {
   // ---------------------------------------------------------------------------
   def dauMau(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val userDays = graft.Materialize.eager(
+    val userDays = graft.Materialize.lazyCut(
       Tables.events(s, dir)
         .select($"user_id",
           expr("unix_micros(ts) div 86400000000").as("epoch_day"),
@@ -895,7 +895,7 @@ object Relational {
   def orderedStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val counts = graft.Materialize.eager(
+    val counts = graft.Materialize.lazyCut(
       Tables.events(s, dir)
         .select($"event_type", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         .groupBy($"event_type", $"cents").agg(count(lit(1)).as("cnt")))
@@ -1175,7 +1175,7 @@ object Relational {
   def basketLift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one basket row per (user, type); feeds three consumers
-    val ut = graft.Materialize.eager(
+    val ut = graft.Materialize.lazyCut(
       Tables.events(s, dir).select($"user_id", $"event_type").distinct())
     val nu = ut.agg(countDistinct($"user_id").as("n_users"))
     val tc = ut.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
@@ -1291,7 +1291,7 @@ object Relational {
     // Materialized once: cells feeds four consumers (row totals, column
     // totals, grand total, and the grid join) — without the barrier each
     // would re-scan and re-aggregate the fact (4 scans, plan-gated to 1).
-    val cells = graft.Materialize.eager(Tables.events(s, dir)
+    val cells = graft.Materialize.lazyCut(Tables.events(s, dir)
       .selectExpr("event_type", "dayofweek(ts) - 1 AS dow")
       .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o")))
     val rt = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
@@ -1549,7 +1549,7 @@ object Relational {
       .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d",
         "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
     val dmax = o.agg(max($"d").as("dmax"))
-    val per = graft.Materialize.eager(
+    val per = graft.Materialize.lazyCut(
       o.groupBy($"o_custkey")
         .agg(max($"d").as("last_d"), count(lit(1)).as("frequency"),
           sum($"p").as("mon"))

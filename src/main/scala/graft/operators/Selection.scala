@@ -94,7 +94,7 @@ object Selection {
     import s.implicits._
     // One tokenize+hash pass feeds the raw counts, the target counts, and
     // the per-doc scoring join — materialized so the chain runs once.
-    val toks = graft.Materialize.eager(
+    val toks = graft.Materialize.lazyCut(
       Tables.documents(s, dir)
         .withColumn("toks", expr(toksExpr))
         .selectExpr("doc_id", TargetPred + " AS is_tgt", "explode(toks) AS tok")
@@ -105,7 +105,7 @@ object Selection {
     // bucket (add-one smoothing handles the zeros). Materialized: it feeds
     // BOTH the per-doc scoring join and the totals row — without the
     // barrier each consumer re-aggregates the full exploded corpus.
-    val buckets = graft.Materialize.eager(
+    val buckets = graft.Materialize.lazyCut(
       raw.join(tgt, Seq("b"), "left")
         .selectExpr("b", "cr", "coalesce(ct, 0L) AS ct"))
     val totals = buckets.agg(
@@ -377,7 +377,7 @@ object Selection {
       .select($"doc_id", $"n_tokens", $"distinct_tokens")
     val delta = feats.join(broadcast(split), $"doc_id" >= $"sp", "inner")
       .select($"doc_id", $"n_tokens", $"distinct_tokens")
-    val storedFront = graft.Materialize.eager(skylineDocs(corpus))
+    val storedFront = graft.Materialize.lazyCut(skylineDocs(corpus))
     skylineDocs(storedFront.union(delta))
   }
   val paretoDocsSql: String =
@@ -521,7 +521,7 @@ object Selection {
         "CAST(length(text) AS BIGINT) AS y")
       .selectExpr("fold", "x1", "x2", "y", "x1*x1 AS x11", "x1*x2 AS x12",
         "x2*x2 AS x22", "x1*y AS x1y", "x2*y AS x2y", "y*y AS yy")
-    val stats = graft.Materialize.eager(
+    val stats = graft.Materialize.lazyCut(
       feats.groupBy($"fold").agg(ridgeAggs.head, ridgeAggs.tail: _*))
     val totAggs = statNames.map(c => sum(col(c)).cast("long").as(s"t_$c"))
     val tot = stats.agg(totAggs.head, totAggs.tail: _*)

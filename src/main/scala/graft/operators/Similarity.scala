@@ -973,7 +973,7 @@ object Similarity {
     val g = knnGraph(s, dir).select($"src", $"nbr")
     // one kNN-graph execution feeds the union's both branches + three
     // consumers below
-    val und = graft.Materialize.eager(
+    val und = graft.Materialize.lazyCut(
       g.selectExpr("src AS u", "nbr AS w")
         .union(g.selectExpr("nbr AS u", "src AS w"))
         .distinct())
@@ -1557,7 +1557,7 @@ object Similarity {
         MrlPrefixes.map(d => s"slice(embedding, 1, $d) AS $p$d"): _*)
       .selectExpr(s"$id" +: dims.flatMap(d =>
         Seq(s"$p$d", s"sqrt(${dotS(s"$p$d", s"$p$d")}) AS ${p}nrm$d")): _*)
-    val scored = graft.Materialize.eager(
+    val scored = graft.Materialize.lazyCut(
       broadcast(sliced("qid", "q").filter($"qid" < NQUERY))
         .join(sliced("nid", "n"), $"qid" =!= $"nid")
         .selectExpr(Seq("qid", "nid") ++ dims.map(d =>
@@ -1767,7 +1767,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val g = knnGraph(s, dir).select($"src", $"nbr")
-    val edges = graft.Materialize.eager(
+    val edges = graft.Materialize.lazyCut(
       g.union(g.select($"nbr".as("src"), $"src".as("nbr"))).distinct())
     val nodes = Tables.embeddings(s, dir).select($"vec_id".as("id"))
     var labels = nodes.select($"id", $"id".as("lab"))
@@ -1777,7 +1777,7 @@ object Similarity {
       val w = Window.partitionBy($"src").orderBy($"c".desc, $"lab".asc)
       val voted = votes.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1).select($"src".as("id"), $"lab")
-      labels = graft.Materialize.eager(
+      labels = graft.Materialize.lazyCut(
         nodes.join(voted, Seq("id"), "left")
           .select($"id", coalesce($"lab", $"id").as("lab")))
     }

@@ -190,7 +190,7 @@ object SubstrDedup {
   }
 
   def substrDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Materialize.eager(docsToks(s, dir))
+    val docs = graft.Materialize.lazyCut(docsToks(s, dir))
     report(docs, dupStartsGram(docs))
   }
 
@@ -206,7 +206,7 @@ object SubstrDedup {
     * the kept-token anti-join and the per-doc rebuild are key-partitioned
     * shuffles of O(total tokens) — no all-pairs, no driver data. */
   def substrClean(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Materialize.eager(docsToks(s, dir))
+    val docs = graft.Materialize.lazyCut(docsToks(s, dir))
     val grams = docs.selectExpr("doc_id",
       s"IF(size(toks) < $L, array(), transform(sequence(1, size(toks) - ${L - 1}), " +
         s"i -> unhex(md5(concat_ws(' ', slice(toks, i, $L)))))) AS gh") // 16-byte key
@@ -272,7 +272,7 @@ object SubstrDedup {
        |""".stripMargin
 
   def substrDedupSA(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Materialize.eager(docsToks(s, dir))
+    val docs = graft.Materialize.lazyCut(docsToks(s, dir))
     report(docs, dupStartsSA(docs))
   }
 
@@ -406,7 +406,7 @@ object SubstrDedup {
       .foldLeft(s"concat_ws('${30.toChar}', toks)") { (acc, k) =>
         s"replace($acc, m$k, '${(256 + k).toChar}')"
       }
-    graft.Materialize.eager(
+    graft.Materialize.lazyCut(
       docsToks(s, dir).crossJoin(broadcast(env))
         .selectExpr("doc_id", s"$applied AS sym"))
   }

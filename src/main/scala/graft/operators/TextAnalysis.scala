@@ -476,7 +476,7 @@ object TextAnalysis {
     // doc_id < 20 stands in for the held-out benchmark set; its gram-hash
     // set is tiny (the eval set is, by definition) — one distinct long
     // array, materialized and broadcast as a single row.
-    val benchSet = graft.Materialize.eager(
+    val benchSet = graft.Materialize.lazyCut(
       grams(Tables.documents(s, dir).filter($"doc_id" < 20))
         .selectExpr("explode(ng) AS g").distinct()
         .agg(collect_list($"g").as("bench")))
@@ -977,7 +977,7 @@ object TextAnalysis {
   // ---------------------------------------------------------------------------
   def mixPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = graft.Materialize.eager(
+    val base = graft.Materialize.lazyCut(
       Tables.documents(s, dir).withColumn("toks", expr(toksExpr))
         .selectExpr("source", "cast(size(toks) as bigint) AS n_tok",
           "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 17, 15), 16, 10) as bigint) / cast(1152921504606846976 as double) AS u"))
@@ -1074,7 +1074,7 @@ object TextAnalysis {
     import s.implicits._
     // bg feeds BOTH the count aggregate and the occurrence join — without a
     // materialization barrier the tokenize→bigram→md5 chain executes twice
-    val bg = graft.Materialize.eager(Tables.documents(s, dir)
+    val bg = graft.Materialize.lazyCut(Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .selectExpr("doc_id", s"explode(${allNgramsExpr(2)}) AS bigram")
       .selectExpr("doc_id", s"$bghSpark AS bgh"))
@@ -1112,7 +1112,7 @@ object TextAnalysis {
   // ---------------------------------------------------------------------------
   def zipfProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val counts = graft.Materialize.eager(
+    val counts = graft.Materialize.lazyCut(
       Tables.documents(s, dir)
         .withColumn("toks", expr(toksExpr))
         .select(explode($"toks").as("token"))
@@ -1430,7 +1430,7 @@ object TextAnalysis {
   // ---------------------------------------------------------------------------
   def corpusCard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = graft.Materialize.eager(
+    val base = graft.Materialize.lazyCut(
       Tables.documents(s, dir).selectExpr("doc_id", "lang", "source", "n_chars",
         s"cast(size($toksExpr) as bigint) AS n_tok", "md5(text) AS h"))
     val tot = base.agg(
