@@ -116,7 +116,7 @@ object Materialize {
     * groups, so this never fires at scale — shuffling 100 TB for CPU
     * balance would be the bug there. */
   def rebalanced(df: DataFrame): DataFrame =
-    if (underSplit(df)) eagerSpread(df, df.sparkSession.sparkContext.defaultParallelism)
+    if (underSplit(df)) eagerSpread(df, spreadWidth(df))
     else df
 
   /** Repartition-only spread under the same row-group guard — for AGGREGATE
@@ -127,8 +127,38 @@ object Materialize {
     * exchange — use `rebalanced` there. Same 100 TB guard: never fires on
     * a well-split corpus. */
   def spreadForAgg(df: DataFrame): DataFrame =
-    if (underSplit(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if (underSplit(df)) df.repartition(spreadWidth(df))
     else df
+
+  /** Bytes-aware spread width (round-19, verdict item 2): one partition
+    * per [[SpreadBytesPerPart]] of compressed input, floored at 4 and
+    * capped at the core count — a flat `defaultParallelism` fan-out of a
+    * sub-MB relation is pure scheduling overhead at local scale (the
+    * round-18 scaling block measured most spread-heavy queries FASTER at
+    * 8 cores than 32) and the guard never fires on a well-split corpus,
+    * so production plans are unchanged. Unknown sizes (non-file inputs)
+    * keep the old full-width behavior. Overridable per-process for
+    * experiments, never consulted at real scale (the underSplit guard
+    * fires only when row groups < cores/2). */
+  private[graft] val SpreadBytesPerPart: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SPREAD_BYTES_PER_PART", "65536").toLong
+
+  private[graft] def spreadWidth(df: DataFrame): Int = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = inputBytes(df)
+    if (bytes <= 0) cores
+    else math.max(4, math.min(cores,
+      ((bytes + SpreadBytesPerPart - 1) / SpreadBytesPerPart).toInt))
+  }
+
+  private def inputBytes(df: DataFrame): Long =
+    try {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      df.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    } catch { case _: Throwable => -1L }
 
   private def underSplit(df: DataFrame): Boolean = {
     val s = df.sparkSession
@@ -206,6 +236,13 @@ object Materialize {
     * checkpoint-heavy query that ran before them. Call between queries,
     * never mid-query. */
   def releaseTransient(s: SparkSession): Unit = {
+    // Drain queued listener events BEFORE dropping blocks: a consuming
+    // job's task-end / SQL-metric events still on the bus would otherwise
+    // resolve their accumulators after the caller's GC cleared them —
+    // `Failed to update accumulator` ERROR noise on every heavy query
+    // (75 occurrences in a full Verify run, round 18). Bounded wait: a
+    // stuck listener must not deadlock the between-queries hook.
+    org.apache.spark.GraftListenerDrain.drain(s.sparkContext, 2000L)
     val persisted = s.sparkContext.getPersistentRDDs
     val it = transient_.iterator()
     while (it.hasNext) {
