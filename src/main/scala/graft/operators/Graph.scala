@@ -735,8 +735,15 @@ object Graph {
     // persisted once and never reshuffled — each round is one cached scan
     // + broadcast semi-filters + a partial degree agg. That is the 1000-
     // executor shape: the frontier travels, the graph stays put.
+    // The edge relation is persisted HASH-PARTITIONED BY u (round 19):
+    // every round's degree aggregation requires clustering on u, and the
+    // broadcast semi-filters preserve the cached partitioning, so all
+    // `rounds` aggs (and the final core_degree agg) read the cache with
+    // ZERO further exchanges — previously each round re-shuffled the
+    // shrinking edge set (6 exchanges → 1). Same shape at 1000 executors:
+    // this is exactly the "edge relation bucketed by u" noted above.
     val sym = graft.Materialize.shared(
-      e0.union(e0.select($"v".as("u"), $"u".as("v"))))
+      e0.union(e0.select($"v".as("u"), $"u".as("v"))).repartition($"u"))
     var alive: Option[DataFrame] = None // None = every node alive (round 1)
     for (_ <- 1 to rounds) {
       val cur = alive match {
