@@ -90,7 +90,18 @@ object SubstrDedup {
     * lazyCut-materialized: rank VALUES are partitioning-dependent, so two
     * plan branches recomputing this subtree independently could disagree
     * — the checkpoint makes every consumer read ONE computed copy (the
-    * RDD form got this for free by sharing one RDD instance). */
+    * RDD form got this for free by sharing one RDD instance).
+    *
+    * Round 19: the cut is projected to (doc_id, pos, rk) — consumers read
+    * nothing else, and the r18 checkpoint was materializing the join keys
+    * (round 0: the 4-token prefix STRING) beside them — and is stored
+    * PARTITIONED BY doc_id, SORTED BY (doc_id, pos): every consumer is a
+    * per-doc positional window ([[rankTable]]'s lead(rk, k) pairing,
+    * [[dupStartsSA]]'s lead(rk, L−8) probe), so the window runs straight
+    * off the checkpoint blocks with ZERO further exchange or sort. The
+    * prior shape re-exchanged the full position table by (doc_id, pos)
+    * TWICE per doubling round for the shifted self-join (verdict r18
+    * item 3). */
   private def denseRankBy(df: DataFrame, keys: Seq[String]): DataFrame = {
     val s = df.sparkSession
     val parts = math.max(s.sparkContext.defaultParallelism, 8)
@@ -98,8 +109,18 @@ object SubstrDedup {
       .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .withColumn("rk", monotonically_increasing_id())
-    graft.Materialize.lazyCut(df.join(ranked, keys))
+    graft.Materialize.lazyCut(df.join(ranked, keys)
+      .select(col("doc_id"), col("pos"), col("rk"))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("pos")))
   }
+
+  /** Per-doc positional window: positions are DENSE (posexplode emits
+    * 1..n per doc exactly once), so "the rank at pos + k" is exactly
+    * lead(rk, k) over this window — the identity that replaces the old
+    * shifted self-join on (doc_id, pos) with an exchange-free window
+    * over the doc_id-partitioned, pos-sorted rank checkpoints. */
+  private val byDocPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
 
   /** Prefix-doubled rank table: (doc_id, pos, rk) where rk orders every
     * suffix by its first `upTo` tokens (upTo a power of two). Running the
@@ -119,19 +140,19 @@ object SubstrDedup {
         s"i -> concat_ws(chr(31), slice(toks, i, $baseW))))"))
       .as(Seq("p0", "pref")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("pref"))
-    var cur = denseRankBy(base, Seq("pref")).select("doc_id", "pos", "rk")
+    var cur = denseRankBy(base, Seq("pref"))
     // doubling rounds: rank_{2k}(p) = dense rank of (rank_k(p), rank_k(p+k));
     // a suffix shorter than 2k ranks with −1 (shorter sorts first — the
-    // suffix-array convention).
+    // suffix-array convention). rank_k(p+k) = lead(rk, k) over the per-doc
+    // positional window (positions are dense), running exchange-free off
+    // the doc_id-partitioned rank checkpoint — the old left-join against a
+    // pos-shifted copy exchanged the full position table twice per round.
     var k = baseW
     while (k < upTo) {
-      val shifted = cur.select(col("doc_id"), (col("pos") - k).as("pos"),
-        col("rk").as("rkb"))
-      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
-        .withColumn("rkb", coalesce(col("rkb"), lit(-1L)))
-      cur = denseRankBy(paired.select("doc_id", "pos", "rk", "rkb")
-        .withColumnRenamed("rk", "rka"), Seq("rka", "rkb"))
-        .select("doc_id", "pos", "rk")
+      val paired = cur
+        .withColumn("rkb", coalesce(lead(col("rk"), k).over(byDocPos), lit(-1L)))
+        .withColumnRenamed("rk", "rka")
+      cur = denseRankBy(paired, Seq("rka", "rkb"))
       k *= 2
     }
     cur
@@ -141,12 +162,17 @@ object SubstrDedup {
     * suffix-array engine (1→2→4→8 tokens: 3 rounds for L = 15). */
   private def dupStartsSA(docs: DataFrame): DataFrame = {
     val cur = rankTable(docs, 8)
-    // exact L-prefix equality off the rank_8 table: (rank_8(p), rank_8(p+L−8))
+    // exact L-prefix equality off the rank_8 table: (rank_8(p), rank_8(p+L−8)),
+    // the shift again a lead() over the per-doc positional window (zero
+    // exchanges off the rank checkpoint; the old inner self-join on
+    // (doc_id, pos) exchanged the position table twice). The n_toks guard
+    // keeps full grams only; pos ≤ n−(L−1) implies pos+(L−8) ≤ n, so the
+    // lead is always non-null on surviving rows — the isNotNull filter
+    // mirrors the old inner join exactly.
     val off = L - 8
-    val shifted = cur.select(col("doc_id"), (col("pos") - off).as("pos"),
-      col("rk").as("rkb"))
     val nToks = docs.select(col("doc_id"), size(col("toks")).as("n_toks"))
-    cur.join(shifted, Seq("doc_id", "pos"))
+    cur.withColumn("rkb", lead(col("rk"), off).over(byDocPos))
+      .filter(col("rkb").isNotNull)
       .join(broadcast(nToks), Seq("doc_id"))
       .filter(col("pos") <= col("n_toks") - (L - 1)) // full grams only
       .withColumn("c", count(lit(1)).over(
@@ -218,25 +244,29 @@ object SubstrDedup {
       .withColumn("c", count(lit(1)).over(byH))
       .withColumn("rn", row_number().over(byHOrd))
       .filter(col("c") >= 2 && col("rn") > 1)
-    val removed = nonCanonical.select(col("doc_id"),
-      explode(expr(s"sequence(pos, pos + ${L - 1})")).as("rpos")).distinct()
-    val toks = docs
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("tp0", "tok")))
-      .select(col("doc_id"), (col("tp0") + 1).as("tpos"), col("tok"))
-    val kept = toks.join(removed,
-      toks("doc_id") === removed("doc_id") && col("tpos") === col("rpos"),
-      "left_anti")
-    val rebuilt = kept.groupBy("doc_id").agg(
-      count(lit(1)).cast("long").as("n_kept"),
-      concat_ws(" ", expr(
-        "transform(array_sort(collect_list(struct(tpos, tok))), x -> x.tok)"))
-        .as("clean_text"))
-    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // Rebuild at DOC grain (round 19, verdict item 4): fold each doc's
+    // removed positions into ONE deduped array and drop the removed tokens
+    // with an indexed higher-order filter over the doc's own token array.
+    // The r18 shape exploded EVERY corpus token into a token-grain
+    // anti-join — three O(total tokens) exchanges (removed-distinct, both
+    // anti-join sides) plus a collect_list/array_sort re-assembly — to
+    // remove a corpus FRACTION of positions. Per-doc arrays are bounded by
+    // doc length (the same bound the collect_list already assumed), the
+    // groupBy ships one array per (doc × removal run), and the filter
+    // lambda is per-doc-row work; position semantics are identical
+    // (1-based, array_contains over the deduped removal set).
+    val removedPerDoc = nonCanonical
+      .select(col("doc_id"), expr(s"sequence(pos, pos + ${L - 1})").as("rs"))
+      .groupBy("doc_id")
+      .agg(array_distinct(flatten(collect_list(col("rs")))).as("removed"))
+    docs.join(removedPerDoc, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "IF(removed IS NULL, toks, filter(toks, (t, i) -> NOT array_contains(removed, i + 1)))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
   }
 
   private val cleanOracle: String =
