@@ -44,7 +44,13 @@ private[sources] trait TxnDmlOps { self: TxnTable.type =>
           .collect().map(_.getString(0)).toSeq.sorted
         if (touched.isEmpty) Seq.empty[String]
         else {
-          val inTouched = cur.filter(col("_file").isin(touched: _*))
+          // rewrite pass reads the TOUCHED files only (round 19): the old
+          // `_file isin` filter over the candidate scan compared a derived
+          // metadata string per row and could prune nothing — every
+          // candidate file was re-read to rewrite the touched subset
+          val byFile = candidates.map(a => (a.file, a)).toMap
+          val inTouched = readFilesTagged(spark, root,
+            touched.map(byFile), v - 1)
           val carried = inTouched
             .filter(!coalesce(pred, lit(false)))
             .drop("_file")
@@ -166,9 +172,9 @@ private[sources] trait TxnDmlOps { self: TxnTable.type =>
           val cdcAdds =
             if (!cdf) Seq.empty[AddFile]
             else writeCdcFiles(
-              cur.filter(col("_file").isin(perFile.map(_._1).toSeq: _*))
+              readFilesTagged(spark, root, perFile.map(t => byFile(t._1)), v - 1)
                 .filter(coalesce(pred, lit(false)))
-                .drop("_file", "_ri")
+                .drop("_file")
                 .withColumn("_change_type", lit("delete")), root, v)
           // schema + config ride the commit so the first DV use records
           // delta.enableDeletionVectors (idempotent afterwards)
@@ -236,7 +242,10 @@ private[sources] trait TxnDmlOps { self: TxnTable.type =>
           .collect().map(_.getString(0)).toSeq.sorted
         if (touched.isEmpty) Seq.empty[String]
         else {
-          val inTouched = cur.filter(col("_file").isin(touched: _*))
+          // touched-only rewrite read — see [[delete]] (round 19)
+          val byFile = candidates.map(a => (a.file, a)).toMap
+          val inTouched = readFilesTagged(spark, root,
+            touched.map(byFile), v - 1)
             .drop("_file")
           val hit = coalesce(pred, lit(false))
           val updated = applySet(inTouched.filter(hit), schema, set)
@@ -322,15 +331,17 @@ private[sources] trait TxnDmlOps { self: TxnTable.type =>
             }
           }
           val touchedAll = perFile.map(_._1)
-          val inTouched = cur.filter(col("_file").isin(touchedAll: _*))
-            .drop("_file", "_ri")
+          // touched-only rewrite reads — see [[delete]] (round 19)
+          val inTouched = readFilesTagged(spark, root,
+            touchedAll.map(byFile), v - 1)
+            .drop("_file")
           val updated = applySet(inTouched.filter(hit), schema, set)
           validateConstraints(updated, root)
           val carried = {
             val cowFiles = cowSide.map(_._1)
             if (cowFiles.isEmpty) updated
-            else cur.filter(col("_file").isin(cowFiles: _*)).filter(!hit)
-              .drop("_file", "_ri").unionByName(updated)
+            else readFilesTagged(spark, root, cowFiles.map(byFile), v - 1)
+              .filter(!hit).drop("_file").unionByName(updated)
           }
           val cdcAdds =
             if (!cdf) Seq.empty[AddFile]

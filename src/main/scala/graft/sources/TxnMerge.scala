@@ -208,8 +208,14 @@ private[sources] object MergeMulti {
       when(!tp && sp, niIdx).otherwise(lit(-1)).as("_ni"),
       when(!tp && sp && niIdx >= 0, srcStruct).as("_src"))
     // compact: matched rows all survive (the cardinality guard needs
-    // them); unmatched sides survive only when a clause applies
-    val cls = graft.Materialize.eager(clsAll.filter(
+    // them); unmatched sides survive only when a clause applies.
+    // lazyCut, not eager (round 19): every consumer — the cardinality
+    // guard's collect right below, the insert frame, the MoR bitmap
+    // collector — runs INSIDE this merge call, before the caller's
+    // `finally` can reclaim anything, so the dedicated materialization
+    // action bought nothing (the guard's collect is the first consumer
+    // and computes the blocks itself).
+    val cls = graft.Materialize.lazyCut(clsAll.filter(
       (col("_t") && col("_s")) ||
         (col("_t") && !col("_s") && col("_nb") >= 0) ||
         (!col("_t") && col("_s") && col("_ni") >= 0)))
