@@ -63,8 +63,17 @@ object Graph {
           $"l_orderkey" === $"o_orderkey")
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
+      // Pinned HASH-PARTITIONED BY dst (round 19): both message-pass
+      // consumers (pagerank, ppr) aggregate contributions by dst every
+      // round, and the broadcast rank-state join preserves the cached
+      // partitioning — so every round's groupBy(dst) reads the pinned
+      // blocks with zero exchanges (was one edge-sized exchange per
+      // round, 5 + 3 across the two queries). The one-time build
+      // exchange is amortized across every consumer; this is the
+      // bucketed-by-dst layout the 1000-executor note below describes.
       val edges = graft.Materialize.eager(
-        pairs.union(pairs.select($"dst".as("src"), $"src".as("dst"))), pin = true)
+        pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+          .repartition($"dst"), pin = true)
       val deg = graft.Materialize.eager(
         edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")), pin = true)
       (edges, deg)
@@ -370,16 +379,26 @@ object Graph {
     val seeds = Tables.customer(s, dir)
       .filter($"c_mktsegment" === "BUILDING")
       .select(($"c_custkey" * 2).as("node"), lit(1L).as("is_seed"))
+    // base is persisted NODE-partitioned (round 19): each round's rank
+    // rebuild left-joins it against the dst-keyed contribution sums, and
+    // single-key hash partitionings on both sides (node / dst) satisfy
+    // the join's clustering without any exchange.
     val base0 = graft.Materialize.shared(
       deg.join(seeds, Seq("node"), "left")
-        .select($"node", $"deg", coalesce($"is_seed", lit(0L)).as("is_seed")))
+        .select($"node", $"deg", coalesce($"is_seed", lit(0L)).as("is_seed"))
+        .repartition($"node"))
     val ns = base0.agg(sum($"is_seed").as("ns"))
     val base = base0.crossJoin(broadcast(ns))
     var state = base.selectExpr("node", "deg", "is_seed", "ns",
       s"IF(is_seed = 1, ${Scale}L div ns, 0L) AS r")
     for (_ <- 1 to PprIters) {
-      val contrib = state
-        .join(edges, $"node" === $"src")
+      // rank state is O(V) — BROADCAST it into the edge join exactly like
+      // pagerank (round 19): the pinned dst-partitioned edges never
+      // reshuffle and the contribution agg reuses their partitioning, so
+      // a round pays ZERO edge-sized exchanges (was: edges re-exchanged
+      // by src + contributions exchanged by dst, every round).
+      val contrib = edges
+        .join(broadcast(state), $"src" === $"node")
         .selectExpr("dst", "r div deg AS c")
       val inSum = contrib.groupBy($"dst").agg(sum($"c").as("insum"))
       // single consumer per round — lazy chain, one action (see pagerank)
