@@ -1143,11 +1143,16 @@ object Dedup {
       .join(hrows.select($"doc_id".as("db"), $"h"), "h")
       .filter($"da" < $"db")
       .groupBy($"da", $"db").agg(count(lit(1)).as("shared"))
-    val truth = shared
+    // lazyCut (round 19): truth feeds TWO consumers — the true-pair count
+    // and the semi-join against candidates — and without a cut the whole
+    // O(Σdf²) exhaustive expansion (the single most expensive subtree of
+    // this report) executed once per consumer. The cut computes it once;
+    // the declared truth semantics are untouched.
+    val truth = graft.Materialize.lazyCut(shared
       .join(ns.select($"doc_id".as("da"), $"nsh".as("na")), "da")
       .join(ns.select($"doc_id".as("db"), $"nsh".as("nb")), "db")
       .filter($"shared".cast("double") / ($"na" + $"nb" - $"shared") >= 0.8)
-      .select($"da".as("doc_a"), $"db".as("doc_b"))
+      .select($"da".as("doc_a"), $"db".as("doc_b")))
     // candidates from the PRODUCTION banding path, fed by the SAME
     // materialized hash rows as the truth side (the corpus is tokenized
     // and hashed exactly once). The band relation is materialized here
