@@ -409,12 +409,19 @@ object Dedup {
       lshCandidatesFromSigs(signaturesFromHashes(hrows))
         .union(rareShingleCandidatesFromHashes(hrows)).distinct())
     val shingleSets = candidateShingles(s, dir, candidates)
-    candidates
+    // score ONCE per pair behind a cut (round 19): without the barrier the
+    // threshold filter folds into the scoring join's condition and the
+    // projection re-evaluates it — array_intersect ran up to 4× per
+    // candidate pair. The cut relation is O(candidate pairs) of 4 scalars.
+    val scored = graft.Materialize.lazyCut(candidates
       .join(shingleSets.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(shingleSets.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .selectExpr("doc_a", "doc_b",
-        "cast(size(array_intersect(sh_a, sh_b)) as double) / size(sh_a) AS cont_a",
-        "cast(size(array_intersect(sh_a, sh_b)) as double) / size(sh_b) AS cont_b")
+        "cast(size(array_intersect(sh_a, sh_b)) as double) AS inter",
+        "cast(size(sh_a) as double) AS na", "cast(size(sh_b) as double) AS nb"))
+    scored
+      .selectExpr("doc_a", "doc_b",
+        "inter / na AS cont_a", "inter / nb AS cont_b")
       .filter(greatest($"cont_a", $"cont_b") >= ContainT)
   }
   val containmentPairsSql: String =
