@@ -358,10 +358,18 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
       if (candidates.isEmpty) Seq.empty[String]
       else cur.join(dKeys, onKeys, "left_semi")
         .select(col("_file")).distinct().collect().map(_.getString(0)).toSeq.sorted
+    // touched-only rewrite read (round 19): the old `_file isin` filter
+    // compared a derived metadata string per row and pruned nothing at
+    // the reader — every candidate file was re-scanned to rewrite the
+    // touched subset
+    val byFileCow = candidates.map(a => (a.file, a)).toMap
+    def touchedStruct(files: Seq[String], as: String) =
+      readFilesTagged(spark, root, files.map(byFileCow), v - 1)
+        .select(struct(cols.map(col): _*).as(as))
     val carried =
       if (touchedRel.isEmpty) delta
       else {
-        cur.filter(col("_file").isin(touchedRel: _*))
+        touchedStruct(touchedRel, "_r")
           .join(dKeys, onKeys, "left_anti")
           .select(cols.map(c => col(s"_r.$c").as(c)): _*)
           .unionByName(delta)
@@ -377,8 +385,7 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
         val changes =
           if (touchedRel.isEmpty) delta.withColumn("_change_type", lit("insert"))
           else {
-            val old = cur.filter(col("_file").isin(touchedRel: _*))
-              .select(col("_r").as("_o"))
+            val old = touchedStruct(touchedRel, "_o")
             val nsj = delta.select(struct(cols.map(col): _*).as("_n"))
             val on = keys.map(k => col(s"_o.$k") === col(s"_n.$k")).reduce(_ && _)
             val joined = old.join(nsj, on, "full_outer")
@@ -557,10 +564,14 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
         case _                => false // stats-less: rewrite to be safe
       }
     }
+    // touched-only rewrite reads (round 19) — see [[merge]]
+    def touchedStructDv(files: Seq[String], as: String) =
+      readFilesTagged(spark, root, files.map(byFile), v - 1)
+        .select(struct(cols.map(col): _*).as(as))
     val cowFiles = cowSide.map(_._1)
     val carried =
       if (cowFiles.isEmpty) delta
-      else cur.filter(col("_file").isin(cowFiles: _*))
+      else touchedStructDv(cowFiles, "_r")
         .join(dKeys, onKeys, "left_anti")
         .select(cols.map(c => col(s"_r.$c").as(c)): _*)
         .unionByName(delta)
@@ -571,8 +582,7 @@ private[sources] trait TxnWriteOps { self: TxnTable.type =>
         val changes =
           if (touchedAll.isEmpty) delta.withColumn("_change_type", lit("insert"))
           else {
-            val old = cur.filter(col("_file").isin(touchedAll: _*))
-              .select(col("_r").as("_o"))
+            val old = touchedStructDv(touchedAll, "_o")
             val nsj = delta.select(struct(cols.map(col): _*).as("_n"))
             val on = keys.map(k => col(s"_o.$k") === col(s"_n.$k")).reduce(_ && _)
             val joined = old.join(nsj, on, "full_outer")
