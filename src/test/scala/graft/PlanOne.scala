@@ -55,7 +55,8 @@ object PlanOne {
 
     // args(0): comma-separated query names; args(2) (optional): output
     // PATH for a single query, or output DIRECTORY (suffix appended) for
-    // several.
+    // several; args(3) (optional): the suffix, default "before".
+    val suffix = if (args.length > 3) args(3) else "before"
     val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
@@ -89,7 +90,7 @@ object PlanOne {
         val base = java.nio.file.Paths.get(args(2)).toAbsolutePath
         val out =
           if (names.length == 1 && args(2).endsWith(".txt")) base
-          else base.resolve(s"${name}_before.txt")
+          else base.resolve(s"${name}_$suffix.txt")
         java.nio.file.Files.createDirectories(out.getParent)
         java.nio.file.Files.writeString(out, body)
         println(s"written: $out")
