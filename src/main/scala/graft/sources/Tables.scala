@@ -42,6 +42,13 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     readerCache.getOrElseUpdate((spark, sfDir, name), {
+      // cache-miss housekeeping (round 19): drop plans owned by STOPPED
+      // sessions, so a long-lived multi-session process never accretes
+      // dead entries (misses are rare — once per (session, dir, table) —
+      // and the sweep is O(cache size) driver work)
+      readerCache.keysIterator
+        .filter(_._1.sparkContext.isStopped).toList
+        .foreach(readerCache.remove)
       import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
       import org.apache.spark.sql.functions.col
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
